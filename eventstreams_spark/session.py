@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for this engine (SURVEY.md §7 M0.1).
+
+Scale notes (100 TB design): on a real cluster the same builder is used
+with a cluster master; the confs set here are scale-safe defaults —
+AQE on (runtime coalescing + skew-join splitting), shuffle partitions
+sized by env, Arrow enabled for the Pandas-UDF paths. Local-mode-only
+knobs (driver memory) are applied only when we create the session
+ourselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level confs that MUST hold for oracle parity regardless of who
+# created the session (driver or us). All are runtime-settable SQL confs.
+_RUNTIME_CONFS = {
+    # events.parquet uses TIMESTAMP(NANOS) which Spark 4 rejects by
+    # default (SURVEY.md §1.4, verified failure). Read ns as long, then
+    # convert in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so collected
+    # values hash-match the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply parity-critical runtime confs to an existing session.
+
+    Called from catalog.load_table so even a driver-created session
+    (entry()/queries() contract) reads events.parquet correctly.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "eventstreams-spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
