@@ -1,0 +1,244 @@
+"""A-series: aggregation operators (SURVEY §2.5).
+
+Float discipline: single-table sums are bit-exact across engines (scan
+order); anything summed after a join/shuffle uses exact_money_sum;
+multi-pass statistics (stddev/var/corr) round to a fixed precision on
+BOTH sides because the engines' accumulation algebra differs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import exact_money_sum
+from ..registry import query
+
+
+@query(
+    "agg_count_distinct_users_per_type",
+    category="A2",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT user_id % 10) AS n_user_buckets
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_count_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + multi count-distinct (expand + two-phase aggregate).
+
+    Scale: exact distinct costs an Expand (row multiplication per
+    distinct column); for dashboards at 100 TB prefer
+    approx_count_distinct (HLL++) — covered by a tolerance unit test
+    since approx results can't hash-match an oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("user_id") % 10).alias("n_user_buckets"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    category="A4",
+    oracle="""
+        SELECT r_name,
+               list(n_name ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list wrapped in sort_array — the only deterministic form
+    (collect order is partition-arrival order otherwise)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_nation_region",
+    category="A5",
+    oracle="""
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_money_sum(F.col("c_acctbal"), 100).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    category="A6",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`), rounded 6dp — the interpolation arithmetic
+    differs in the last ulps between engines.
+
+    Scale: exact percentile sorts each group; at 100 TB switch to
+    percentile_approx (t-digest class, mergeable sketches).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "agg_stats_value_by_type",
+    category="A7",
+    oracle="""
+        SELECT event_type,
+               round(avg(value), 6)         AS avg_value,
+               round(stddev_samp(value), 6) AS sd_value,
+               round(var_samp(value), 6)    AS var_value,
+               round(corr(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS corr_vk
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_stats_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; 6dp rounding on both sides (the engines
+    use different one-pass update formulas). Skewness/kurtosis are
+    exercised in unit tests instead: DuckDB's definitions include bias
+    corrections Spark's don't, so no rounding reconciles them."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+    )
+
+
+@query(
+    "agg_pivot_event_type",
+    category="A9",
+    oracle="""
+        SELECT user_id % 10 AS user_bucket,
+               count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+        FROM events
+        GROUP BY user_bucket
+    """,
+)
+def agg_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never inferred — inference
+    is a separate job and nondeterministic column order)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells; oracle's count(CASE) yields 0
+    return piv.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query(
+    "agg_conditional_casewhen",
+    category="A11",
+    oracle="""
+        SELECT l_linestatus,
+               sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS returned_value,
+               count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+               sum(l_quantity) FILTER (WHERE l_tax > 0.04) AS taxed_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def agg_conditional_casewhen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(when), count_if, FILTER clause."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)).alias(
+            "returned_value"
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+        F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))).alias("taxed_qty"),
+    )
+
+
+@query(
+    "udaf_weighted_avg",
+    category="A12",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via GROUPED_AGG pandas_udf (Arrow path).
+
+    Demonstrates the §2.10 UDAF surface; numpy's pairwise summation
+    differs from sequential SQL sums, hence 4dp rounding on both
+    sides. Built-in expressions remain the preferred path — this
+    exists to prove the extension point.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price")
+    )

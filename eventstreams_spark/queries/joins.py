@@ -1,0 +1,237 @@
+"""J-series: join operators (SURVEY §2.4).
+
+Scale discipline: every dim-side join here broadcasts explicitly;
+fact-fact joins shuffle on their equi keys and lean on AQE for skew.
+Non-equi shapes (theta, range, as-of) document their 100 TB strategy
+in the docstring since Catalyst's default (BroadcastNestedLoopJoin)
+only works when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import exact_money_sum
+from ..registry import query
+
+
+@query(
+    "join_broadcast_enrich",
+    category="J1",
+    oracle="""
+        SELECT c_mktsegment AS segment, event_type,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY segment, event_type
+    """,
+)
+def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment join (Logstash translate/elasticsearch filter class).
+
+    The dim side broadcasts — zero shuffle on the event stream; the
+    canonical 100 TB enrichment pattern (dim ≤ a few hundred MB).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_outer_orders_customers",
+    category="J3",
+    oracle="""
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) / 100.0
+                   AS total_spend
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+)
+def join_outer_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (n_orders=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    scaled = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum(scaled), F.lit(0)) / 100.0).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    category="J4",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 pending order (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    category="J5",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no pending order (NOT EXISTS).
+
+    Filtered to 'P' status so the result is non-empty at every sf —
+    the exact complement of join_semi.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_value_band",
+    category="J6",
+    oracle="""
+        SELECT b.band, count(*) AS n_events,
+               sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+        FROM events e
+        JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e9))
+             AS b(band, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """,
+)
+def join_theta_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join against a banding table.
+
+    Physical plan: BroadcastNestedLoopJoin — fine because the band
+    side is 3 rows; a large-large theta join must instead bucketize
+    the range key into an equi key (see join_range strategy).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_range_events_in_order_window",
+    category="J8",
+    oracle="""
+        SELECT e1.event_id, count(e2.event_id) AS n_clicks_10m
+        FROM events e1
+        LEFT JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.event_type = 'click'
+         AND e2.ts >= e1.ts - INTERVAL '10 minutes'
+         AND e2.ts < e1.ts
+        WHERE e1.event_type = 'error'
+        GROUP BY e1.event_id
+    """,
+)
+def join_range_events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within the 10 minutes before each error.
+
+    Equi key (user_id) + time-range residual → shuffle hash join on
+    user_id with the range as a post-filter: correct and shuffle-
+    minimal. At 100 TB add a coarse time-bucket equi key on both
+    sides (bucket + bucket-1) so state per join task stays bounded
+    even for hot users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("event_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("c_id").alias("n_clicks_10m"))
+    )
+
+
+@query(
+    "join_asof_last_event_before_order",
+    category="J9",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.user_id = p.user_id
+                  AND c.event_type = 'click'
+                  AND c.ts < p.ts) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: last click strictly before each purchase (J9).
+
+    Spark has no native as-of; this is the scalable composite: union-
+    tag both sides, one window over (user_id, ts) carrying forward the
+    last click timestamp, then keep purchase rows. O(n log n) with a
+    single shuffle on user_id — no per-key cross product, unlike the
+    naive join+row_number shape. The sort key (ts, kind) with
+    purchases BEFORE clicks at equal ts enforces the strict '<'.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("kind")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    tagged = purchases.unionAll(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("last_click_ts", last_click)
+        .filter(F.col("kind") == 0)
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts")
+    )

@@ -1,0 +1,342 @@
+"""P-series: projection / filter / per-event mutation operators
+(SURVEY §2.3) — the Logstash mutate/grok/date/translate/fingerprint
+filter family, expressed as narrow JVM-side column expressions.
+
+All per-row computations over identical inputs are bit-exact across
+engines (IEEE 754, same expression tree), so these queries need no
+float-drift mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.grok import grok_extract as _grok_extract
+from ..registry import query
+
+
+@query(
+    "project_compute",
+    category="P1",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount)               AS net_price,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+               l_quantity AS qty
+        FROM lineitem
+        WHERE l_orderkey < 1000
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutate add_field/rename/remove: compute, alias, drop columns.
+
+    Plan check: narrow projection — ReadSchema must show only the 6
+    source columns (column pruning reaches the parquet scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net.alias("net_price"),
+            (net * (1 + F.col("l_tax"))).alias("charged"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+
+
+@query(
+    "filter_predicate",
+    category="P5",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+          AND value BETWEEN 10 AND 200
+          AND user_id % 7 = 3
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional filter (Logstash `if [field] == ...` / drop).
+
+    Predicates push to the parquet scan (PushedFilters on event_type
+    is a dictionary-page skip at scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("purchase", "error")
+        & F.col("value").between(10, 200)
+        & (F.col("user_id") % 7 == 3)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "filter_cast_props",
+    category="P4",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               TRY_CAST(event_type AS INTEGER)             AS bad_cast,
+               CAST(floor(value) AS BIGINT)                AS value_int
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 40 AND 49
+    """,
+)
+def filter_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutate convert: cast / try_cast over dynamic JSON fields."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k"),
+            F.col("event_type").try_cast("int").alias("bad_cast"),
+            # explicit floor on BOTH sides: Spark's double→int cast
+            # truncates, DuckDB's rounds — never cast raw doubles.
+            F.floor("value").cast("bigint").alias("value_int"),
+        )
+        .filter(F.col("k").between(40, 49))
+    )
+
+
+@query(
+    "clone_union",
+    category="P8",
+    oracle="""
+        SELECT 'high' AS tag, event_id, user_id, value FROM events WHERE value > 400
+        UNION ALL
+        SELECT 'err'  AS tag, event_id, user_id, value FROM events WHERE event_type = 'error'
+    """,
+)
+def clone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clone filter: fan one stream into tagged variants, re-union.
+
+    Rows matching both branches appear twice — UNION ALL semantics,
+    exactly like Logstash clone. One scan feeds both branches (Spark
+    reuses the exchange-free scan; at scale consider .cache() only if
+    the source is expensive, not for a parquet scan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "value"]
+    high = ev.filter(F.col("value") > 400).select(F.lit("high").alias("tag"), *cols)
+    err = ev.filter(F.col("event_type") == "error").select(F.lit("err").alias("tag"), *cols)
+    return high.unionAll(err)
+
+
+@query(
+    "grok_extract",
+    category="P9",
+    oracle="""
+        SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY src_num
+    """,
+)
+def grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok field extraction: 'src%{INT:src_num}' → regexp_extract.
+
+    Uses the grok pattern compiler (functions/grok.py); the extraction
+    itself is a codegen'd JVM regex — no Python per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fields = _grok_extract(F.col("source"), "src%{INT:src_num}")
+    return (
+        docs.select(fields["src_num"].cast("int").alias("src_num"), "n_chars")
+        .groupBy("src_num")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "dissect_split",
+    category="P10",
+    oracle="""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS name_head,
+               split_part(p_type, ' ', 1) AS type_head,
+               len(string_split(p_name, ' ')) AS n_name_words
+        FROM part
+        WHERE p_partkey <= 500
+    """,
+)
+def dissect_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect: positional delimiter split (cheaper than grok regex)."""
+    p = load_table(spark, sf_dir, "part")
+    name_parts = F.split(F.col("p_name"), " ")
+    return p.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.element_at(name_parts, 1).alias("name_head"),
+        F.element_at(F.split(F.col("p_type"), " "), 1).alias("type_head"),
+        F.size(name_parts).alias("n_name_words"),
+    )
+
+
+@query(
+    "date_parse_formats",
+    category="P11",
+    oracle="""
+        SELECT o_orderkey, raw_date,
+               coalesce(try_strptime(raw_date, '%Y-%m-%d %H:%M:%S'),
+                        try_strptime(raw_date, '%d/%m/%Y %H:%M:%S')) AS parsed_ts
+        FROM (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                        ELSE strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') END AS raw_date
+            FROM orders
+            WHERE o_orderkey <= 1000
+        )
+    """,
+)
+def date_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash `date` filter: multi-format timestamp parsing.
+
+    Mixed-format strings parsed with coalesce(try_to_timestamp(fmt1),
+    try_to_timestamp(fmt2)) — the fallback-chain idiom; bad formats
+    yield NULL instead of failing the pipeline.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    raw = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    ).otherwise(F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"))
+    withraw = o.select("o_orderkey", raw.alias("raw_date"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw_date"), F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("raw_date"), F.lit("dd/MM/yyyy HH:mm:ss")),
+    )
+    return withraw.select("o_orderkey", "raw_date", parsed.alias("parsed_ts"))
+
+
+@query(
+    "fingerprint_hash",
+    category="P12",
+    oracle="""
+        SELECT doc_id,
+               md5(text)    AS fp_md5,
+               sha256(text) AS fp_sha256,
+               md5(concat(lang, '|', source)) AS fp_composite
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def fingerprint_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash fingerprint/anonymize: stable content hashes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),
+        F.md5(F.concat_ws("|", "lang", "source").cast("binary")).alias("fp_composite"),
+    )
+
+
+@query(
+    "throttle_topk_bucket",
+    category="P13",
+    oracle="""
+        SELECT event_id, user_id, bucket, rn
+        FROM (
+            SELECT event_id, user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= 2
+    """,
+)
+def throttle_topk_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash throttle (batch analog): ≤2 events per user per hour.
+
+    Streaming variant is streaming/throttle.py (stateful keyed
+    counter); identical pass/drop semantics on replay.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "ts", bucket.alias("bucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_id", "user_id", "bucket", "rn")
+    )
+
+
+@query(
+    "translate_map",
+    category="P14",
+    oracle="""
+        SELECT CASE event_type
+                 WHEN 'click' THEN 'engagement'
+                 WHEN 'view' THEN 'engagement'
+                 WHEN 'purchase' THEN 'conversion'
+                 WHEN 'signup' THEN 'conversion'
+                 WHEN 'error' THEN 'fault'
+                 ELSE 'other' END AS category,
+               count(*) AS n_events
+        FROM events
+        GROUP BY category
+    """,
+)
+def translate_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash translate: dictionary lookup via literal map column.
+
+    For tiny dicts an in-expression map beats a broadcast join (no
+    build side at all); large dictionaries → join_broadcast_enrich.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mapping = {
+        "click": "engagement",
+        "view": "engagement",
+        "purchase": "conversion",
+        "signup": "conversion",
+        "error": "fault",
+    }
+    lit_map = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return (
+        ev.select(F.coalesce(lit_map[F.col("event_type")], F.lit("other")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "url_parse",
+    category="P15",
+    oracle="""
+        SELECT event_id,
+               'shop.example.com'            AS host,
+               concat('/', event_type)       AS path,
+               CAST(user_id AS VARCHAR)      AS qp_user
+        FROM events
+        WHERE event_id < 500
+    """,
+)
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """urldecode/useragent-class parsing via parse_url.
+
+    URLs are synthesized from event fields, then parsed back with
+    Spark's parse_url — the oracle states the ground truth directly,
+    so any parse_url deviation fails the hash.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.col("event_type"),
+        F.lit("?u="),
+        F.col("user_id").cast("string"),
+        F.lit("&v=1"),
+    )
+    return ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("u")).alias("qp_user"),
+    )

@@ -1,0 +1,213 @@
+"""W-series: window functions (SURVEY §2.6) and O-series set ops (§2.7).
+
+Determinism: every ORDER BY inside a window spec carries a unique-key
+tiebreaker (event_id / custkey) unless tie-compatible functions
+(rank/dense_rank) are being exercised on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "window_rank_dense",
+    category="W1",
+    oracle="""
+        SELECT p_partkey, p_brand, p_size,
+               rank()         OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+               dense_rank()   OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk,
+               row_number()   OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn,
+               ntile(4)       OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS quartile,
+               round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size), 9) AS pct_rank,
+               round(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_size), 9) AS cdist
+        FROM part
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family. rank/dense_rank/percent_rank/cume_dist use the
+    tie-bearing key (real ties exercised); row_number/ntile get a
+    total order — they are position-dependent and nondeterministic
+    under ties."""
+    p = load_table(spark, sf_dir, "part")
+    w_ties = Window.partitionBy("p_brand").orderBy("p_size")
+    w_total = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.row_number().over(w_total).alias("rn"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.round(F.percent_rank().over(w_ties), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_ties), 9).alias("cdist"),
+    )
+
+
+@query(
+    "window_lag_lead_gap",
+    category="W3",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts))  OVER w AS gap_us,
+               lag(event_type)  OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               lag(event_type, 2, 'none') OVER w AS prev2_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offsets and defaults; inter-event gap in µs
+    (Logstash `elapsed` analog, W7 folded in)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+    )
+
+
+@query(
+    "window_running_sum",
+    category="W4",
+    oracle="""
+        SELECT event_id, user_id,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w / 100.0
+                   AS running_value,
+               count(*)    OVER w AS running_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals over cents-quantized values: window sums are NOT
+    sequential in every engine (DuckDB uses segment trees), so double
+    accumulation drifts — integer window sums are order-free exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w) / 100.0).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "window_moving_avg_rows",
+    category="W5",
+    oracle="""
+        SELECT event_id, user_id,
+               round(avg(value) OVER w, 6) AS moving_avg_4,
+               min(value) OVER w AS moving_min_4,
+               max(value) OVER w AS moving_max_4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 4-row frame (moving average). 6dp rounding: engines
+    maintain sliding frames with different add/retract arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg_4"),
+        F.min("value").over(w).alias("moving_min_4"),
+        F.max("value").over(w).alias("moving_max_4"),
+    )
+
+
+@query(
+    "window_range_1h_trailing",
+    category="W6",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER w, 6) AS trailing_1h_value,
+               count(*) OVER w AS trailing_1h_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_1h_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: trailing 1-hour per-user totals —
+    value-based frame bounds, not row counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+@query(
+    "setop_union_all",
+    category="O4",
+    oracle="""
+        SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, value FROM events WHERE value > 400
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL multiset semantics (overlapping rows duplicated)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "value"]
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select(*cols)
+        .unionAll(ev.filter(F.col("value") > 400).select(*cols))
+    )
+
+
+@query(
+    "setop_intersect_except",
+    category="O5",
+    oracle="""
+        SELECT 'both' AS tag, n FROM (
+            SELECT c_nationkey AS n FROM customer
+            INTERSECT
+            SELECT s_nationkey AS n FROM supplier
+        )
+        UNION ALL
+        SELECT 'cust_only' AS tag, n FROM (
+            SELECT c_nationkey AS n FROM customer
+            EXCEPT
+            SELECT s_nationkey AS n FROM supplier
+        )
+    """,
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics) tagged and re-unioned."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "n")
+    cust_only = c.subtract(s).select(F.lit("cust_only").alias("tag"), "n")
+    return both.unionAll(cust_only)
