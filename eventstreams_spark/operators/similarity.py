@@ -1,0 +1,88 @@
+"""Similarity search operators: exact cosine top-k and LSH bucketing
+(SURVEY §2.11 L3/L4).
+
+All vector math is Catalyst higher-order expressions (zip_with /
+aggregate) over array<double> — JVM-side, codegen-friendly, no Python
+per row. LSH hyperplanes are hash-derived (xxhash64), so the operator
+is deterministic without any driver-side RNG or literal matrices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    df: DataFrame,
+    qdf: DataFrame | None,
+    vec_col: str,
+    qvec_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` rows against a single query vector.
+
+    If ``qdf`` is given it must be a 1-row frame holding ``qvec_col``;
+    it is broadcast (scan stays shuffle-free) — otherwise ``df`` must
+    already carry ``qvec_col``. Total order (sim DESC, id) under the
+    LIMIT → physical TakeOrderedAndProject, no global sort.
+    """
+    if qdf is not None:
+        df = df.crossJoin(F.broadcast(qdf.select(qvec_col)))
+    return (
+        df.select(
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col(qvec_col)).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _plane_component(plane: Column, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random component in [-1, 1] from (plane, dim)."""
+    return F.pmod(F.xxhash64(plane * 4096 + dim_idx), F.lit(10000)) / 4999.5 - 1.0
+
+
+def hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
+    """1-row frame: ordered array of n_planes hash-derived unit-cube vectors."""
+    planes = spark.range(n_planes).select(
+        F.col("id").alias("plane"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: _plane_component(F.col("id"), d),
+        ).alias("pvec"),
+    )
+    return planes.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("plane", "pvec"))),
+            lambda s: s.getField("pvec"),
+        ).alias("planes")
+    )
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int, dim: int) -> DataFrame:
+    """Append an integer `bucket` column: sign-bit signature over
+    hash-derived random hyperplanes (random projection LSH).
+
+    The plane matrix is a single broadcast row (n_planes × dim
+    doubles); the signature folds JVM-side:
+    bucket = Σ_p (dot(vec, plane_p) >= 0) << p. At scale `bucket`
+    becomes the shuffle/partition key for candidate generation —
+    similar vectors collide with probability 1 - θ/π per bit.
+    """
+    spark = df.sparkSession
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    bucket = F.aggregate(
+        F.col("planes"),
+        F.lit(0).cast("long"),
+        lambda acc, pvec: acc * 2 + F.when(dot(F.col(vec_col), pvec) >= 0, 1).otherwise(0),
+    )
+    return df.crossJoin(F.broadcast(hyperplanes(spark, n_planes, dim))).withColumn(
+        "bucket", bucket
+    ).drop("planes")

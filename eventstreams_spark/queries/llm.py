@@ -1,0 +1,375 @@
+"""L-series: LLM-training-data pipeline operators (SURVEY §2.11).
+
+Design constraints for 100 TB:
+- No O(n²) paths: near-dup and ANN go through bucketing (LSH bands /
+  hyperplane signs) so the only shuffle is a groupBy on bucket keys.
+- Everything stays in Catalyst expressions (higher-order array fns,
+  string hashes) — no Python in the per-row path except where the
+  operator is explicitly the pandas-UDF surface.
+- Cross-engine hashing uses md5 hex PREFIX strings (lexicographic min
+  is engine-neutral); xxhash64 exists only in Spark so it can't feed
+  an oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------- helpers
+
+TOKEN_SPLIT = "[^a-z]+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens with empties removed (JVM-side)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda x: x != "")
+
+
+@query(
+    "tfidf_top_terms",
+    category="L5",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term
+            FROM documents,
+                 unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                                    x -> x <> '')) AS u(t)
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+        ), stats AS (
+            SELECT term, count(*) AS doc_freq, sum(c) AS total_tf FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT term, doc_freq, CAST(total_tf AS BIGINT) AS total_tf,
+               round(ln((n_docs + 1.0) / (doc_freq + 1.0)), 8) AS idf
+        FROM stats, n
+        ORDER BY doc_freq DESC, term
+        LIMIT 20
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF corpus statistics: tokenize → explode → two-level agg.
+
+    Scale: explode multiplies rows by tokens-per-doc, then both
+    aggregations are partial+final hash aggs keyed by term — the
+    classic shuffle-light wordcount shape. N (corpus size) joins in
+    as a broadcast scalar, never a collect().
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"), F.sum("c").alias("total_tf")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.join(F.broadcast(n))
+        .select(
+            "term",
+            "doc_freq",
+            "total_tf",
+            F.round(F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)), 8).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+_LEXICON = {
+    "join": 2, "merge": 1, "group": 1, "data": 1, "stream": 1,
+    "error": -2, "drop": -1, "filter": -1, "skew": -1, "spill": -2,
+}
+
+
+@query(
+    "sentiment_lexicon_score",
+    category="L5",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term
+            FROM documents,
+                 unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                                    x -> x <> '')) AS u(t)
+        ), scored AS (
+            SELECT doc_id,
+                   sum(CASE t.term
+                       {' '.join(f"WHEN '{w}' THEN {s}" for w, s in _LEXICON.items())}
+                       ELSE 0 END) AS score,
+                   count(CASE WHEN t.term IN ({', '.join(repr(w) for w in _LEXICON)})
+                              THEN 1 END) AS n_scored
+            FROM tok t GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.score, 0) AS BIGINT)    AS sentiment,
+               CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment: broadcast-join scored terms, sum per doc.
+
+    The lexicon is a broadcast dim (Logstash translate at heart); docs
+    with zero lexicon hits stay present with score 0 via the left join
+    back onto the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(list(_LEXICON.items()), "term string, weight int")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    scored = (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )
+    return docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0)).cast("bigint").alias("sentiment"),
+        F.coalesce(F.col("n_scored"), F.lit(0)).cast("bigint").alias("n_scored"),
+    )
+
+
+N_MINHASH = 8  # permutations
+N_BANDS = 4  # 2 hashes per band
+
+
+@query(
+    "neardup_minhash_candidates",
+    category="L2",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, concat('dup prefix ', text)
+            FROM documents WHERE doc_id % 50 = 0
+        ), toks AS (
+            SELECT id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                                   x -> x <> '') AS ws
+            FROM corpus
+        ), sh AS (
+            SELECT DISTINCT id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+            FROM toks, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+            WHERE len(ws) >= 3
+        ), mh AS (
+            SELECT id, s.seed,
+                   min(substr(md5(concat(s.seed, '|', shingle)), 1, 16)) AS h
+            FROM sh, (SELECT unnest(range({N_MINHASH})) AS seed) s
+            GROUP BY id, s.seed
+        ), bands AS (
+            SELECT id, seed // 2 AS band,
+                   concat(max(CASE WHEN seed % 2 = 0 THEN h END),
+                          max(CASE WHEN seed % 2 = 1 THEN h END)) AS sig
+            FROM mh GROUP BY id, seed // 2
+        )
+        SELECT b1.id AS id1, b2.id AS id2,
+               count(DISTINCT b1.band) AS n_shared_bands
+        FROM bands b1
+        JOIN bands b2 ON b1.band = b2.band AND b1.sig = b2.sig AND b1.id < b2.id
+        GROUP BY id1, id2
+    """,
+)
+def neardup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (MMDS construction).
+
+    shingle(3-gram) → {N_MINHASH} md5-prefix min-hashes → {N_BANDS}
+    bands → groupBy band bucket join. Near-dups are injected ('dup
+    prefix ' + every 50th doc) since the corpus has none. Scale: cost
+    is O(n·k) map work + a bucket-key shuffle; candidate pairs only
+    materialize within colliding buckets — never a cross join. The
+    hash is an md5 hex prefix so DuckDB reproduces it byte-for-byte
+    (xxhash64 would be Spark-only).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    toks = corpus.select("id", tokens_col(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    # 3-gram shingles: slice windows over the token array, JVM-side
+    shingles = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1), F.element_at("ws", i + 2)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    seeds = spark.range(N_MINHASH).select(F.col("id").alias("seed"))
+    mh = (
+        shingles.crossJoin(F.broadcast(seeds))
+        .groupBy("id", "seed")
+        .agg(
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")).cast("binary")),
+                    1,
+                    16,
+                )
+            ).alias("h")
+        )
+    )
+    bands = mh.groupBy("id", (F.col("seed") / 2).cast("long").alias("band")).agg(
+        F.concat(
+            F.max(F.when(F.col("seed") % 2 == 0, F.col("h"))),
+            F.max(F.when(F.col("seed") % 2 == 1, F.col("h"))),
+        ).alias("sig")
+    )
+    b1 = bands.select(F.col("id").alias("id1"), "band", "sig")
+    b2 = bands.select(F.col("id").alias("id2"), "band", "sig")
+    return (
+        b1.join(b2, ["band", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
+    )
+
+
+@query(
+    "sliding_1h_15m_agg",
+    category="T2",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+                   AS window_start,
+               event_type,
+               count(*)   AS n_events,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+        FROM events, (SELECT unnest(range(4)) AS k) k
+        GROUP BY window_start, event_type
+    """,
+)
+def sliding_1h_15m_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h width, 15m slide): each event lands in 4
+    overlapping windows. Oracle reconstructs Spark's window assignment
+    with a bucket-minus-offset expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 10000.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "tsim_znorm_distance",
+    category="L7",
+    oracle="""
+        WITH series AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id <= 5
+        ), capped AS (
+            SELECT * FROM series WHERE rn <= 50
+        ), z AS (
+            SELECT user_id, rn,
+                   round((value - avg(value) OVER (PARTITION BY user_id))
+                         / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zval
+            FROM capped
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               sum(CAST(floor((a.zval - b.zval) * (a.zval - b.zval) * 1000000 + 0.5)
+                        AS BIGINT)) / 1000000.0 AS ssd,
+               count(*) AS n_points
+        FROM z a JOIN z b ON a.rn = b.rn AND a.user_id < b.user_id
+        GROUP BY user_a, user_b
+    """,
+)
+def tsim_znorm_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity: z-normalize each user's value series,
+    pairwise squared distance on aligned positions (UCR-style znorm +
+    Euclidean). Scale: znorm is one window pass; alignment join is
+    keyed by position — at 100 TB, series would be collected to fixed-
+    width arrays per key first (collect_list over bounded windows)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = ev.withColumn("rn", F.row_number().over(w_rn)).filter(F.col("rn") <= 50)
+    w_u = Window.partitionBy("user_id")
+    z = capped.select(
+        "user_id",
+        "rn",
+        F.round(
+            (F.col("value") - F.avg("value").over(w_u)) / F.stddev_samp("value").over(w_u), 6
+        ).alias("zval"),
+    )
+    a = z.select(F.col("user_id").alias("user_a"), "rn", F.col("zval").alias("za"))
+    b = z.select(F.col("user_id").alias("user_b"), "rn", F.col("zval").alias("zb"))
+    diff_sq_scaled = F.floor(
+        (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        a.join(b, "rn")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            (F.sum(diff_sq_scaled) / 1_000_000.0).alias("ssd"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+N_PLANES = 12
+
+
+@query("ann_lsh_recall_probe", category="L4", oracle=None)
+def ann_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH, with measured recall vs exact knn.
+
+    Hyperplane components are hash-derived (xxhash64(plane, dim) →
+    uniform in [-1, 1]) — fully deterministic with no driver-side
+    randomness, so the plan is reproducible run to run. Each vector
+    maps to a sign-bit bucket; the query vector only compares against
+    its own bucket (the 100 TB path: bucket is the shuffle key, and
+    multi-probe = flipping low-confidence bits — here we emit the
+    single-probe recall against brute force as the quality metric).
+
+    Not SQL-expressible in DuckDB (xxhash64) → rows-only driver check;
+    recall level is asserted in unit tests instead.
+    """
+    from ..operators.similarity import cosine_topk, lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    bucketed = lsh_bucket(emb, "vec", n_planes=N_PLANES, dim=64)
+    qrow = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    # exact top-5 (brute force) — ground truth
+    exact = cosine_topk(emb.filter(F.col("vec_id") != 0), qrow, "vec", "qvec", k=5)
+    # ANN top-5: same scoring restricted to the query's bucket
+    ann = cosine_topk(
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+        .drop("qbucket"),
+        None,
+        "vec",
+        "qvec",
+        k=5,
+    )
+    hits = exact.select("vec_id").intersect(ann.select("vec_id"))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(ann.agg(F.count(F.lit(1)).alias("n_ann")))
+        .select(
+            F.lit(N_PLANES).alias("n_planes"),
+            "n_ann",
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+        )
+    )

@@ -1,0 +1,247 @@
+"""Scalar function family suites (SURVEY §2.8) — one oracle query per
+family, exercising the representative functions over real tables.
+
+Divergences handled (documented in tests/oracle_conventions.md):
+dayofweek numbering (Spark Sun=1, DuckDB Sun=0), regexp_replace
+default scope (Spark global, DuckDB first-match → 'g' flag), libm
+transcendentals (round 8dp both sides), double→int casts (floor).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+
+
+@query(
+    "scalar_string_suite",
+    category="F-string",
+    oracle="""
+        SELECT doc_id,
+               lower(substr(text, 1, 30))                   AS head_lower,
+               upper(lang)                                  AS lang_upper,
+               concat_ws('-', lang, source)                 AS lang_source,
+               lpad(source, 8, '0')                         AS source_padded,
+               reverse(lang)                                AS lang_rev,
+               length(text)                                 AS text_len,
+               instr(text, 'data')                          AS data_pos,
+               regexp_replace(text, 'data', 'DATA', 'g')    AS text_shout,
+               translate(source, 'src', 'SRC')              AS source_trans,
+               repeat(lang, 3)                              AS lang3,
+               levenshtein(lang, 'en')                      AS lev_en,
+               trim(concat('  ', lang, '  '))               AS lang_trim
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, pad, concat, regex, translate, distance."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 30)).alias("head_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.concat_ws("-", "lang", "source").alias("lang_source"),
+        F.lpad("source", 8, "0").alias("source_padded"),
+        F.reverse("lang").alias("lang_rev"),
+        F.length("text").alias("text_len"),
+        F.instr("text", "data").alias("data_pos"),
+        # Spark regexp_replace is global by default; DuckDB needs 'g'
+        F.regexp_replace("text", "data", "DATA").alias("text_shout"),
+        F.translate("source", "src", "SRC").alias("source_trans"),
+        F.repeat("lang", 3).alias("lang3"),
+        F.levenshtein("lang", F.lit("en")).alias("lev_en"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+    )
+
+
+@query(
+    "scalar_datetime_suite",
+    category="F-datetime",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)                       AS yr,
+               month(o_orderdate)                      AS mon,
+               day(o_orderdate)                        AS dom,
+               dayofweek(o_orderdate) + 1              AS dow,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 5 DAY            AS plus5d,
+               date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+               last_day(o_orderdate)                   AS month_end,
+               epoch_us(o_orderdate)                   AS epoch_micros,
+               strftime(o_orderdate, '%Y-%m-%d')       AS iso_date
+        FROM orders
+        WHERE o_orderkey <= 500
+    """,
+)
+def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. dow aligned to Spark numbering (Sun=1) by
+    adding 1 on the DuckDB side (its Sunday is 0)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS")).alias("plus5d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_y2k"),
+        F.last_day("o_orderdate").alias("month_end"),
+        # parquet TIMESTAMP(MILLIS, no-UTC) reads as TIMESTAMP_NTZ; the
+        # cast to ltz is lossless because the session tz is pinned UTC
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_micros"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+@query(
+    "scalar_math_suite",
+    category="F-math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1)                      AS price_r1,
+               CAST(floor(l_extendedprice) AS BIGINT)         AS price_floor,
+               CAST(ceiling(l_extendedprice) AS BIGINT)       AS price_ceil,
+               abs(l_discount - 0.05)                         AS disc_dev,
+               l_quantity * l_quantity                        AS qty_sq,
+               sqrt(l_extendedprice)                          AS price_sqrt,
+               CAST(sign(l_discount - 0.05) AS DOUBLE)        AS disc_sign,
+               greatest(l_discount, l_tax)                    AS max_rate,
+               least(l_discount, l_tax)                       AS min_rate,
+               round(ln(l_extendedprice), 8)                  AS price_ln,
+               round(log10(l_extendedprice), 8)               AS price_log10,
+               ((CAST(l_quantity AS BIGINT) - 30) % 7 + 7) % 7 AS qty_pmod7
+        FROM lineitem
+        WHERE l_orderkey <= 200
+    """,
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-exact cross-engine; ln/log10 are libm
+    calls rounded 8dp; pmod expressed as ((a%b)+b)%b in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.round(F.log(F.col("l_extendedprice")), 8).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 8).alias("price_log10"),
+        F.pmod(F.col("l_quantity").cast("bigint") - 30, F.lit(7)).alias("qty_pmod7"),
+    )
+
+
+@query(
+    "array_ops_suite",
+    category="F-array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                    AS dim,
+               CAST(embedding[1] AS DOUBLE)                      AS first_val,
+               CAST(list_sort(embedding)[1] AS DOUBLE)           AS min_val,
+               CAST(list_sort(embedding)[64] AS DOUBLE)          AS max_val,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sum_sq,
+               len(list_filter(embedding, x -> x > 0))           AS n_positive,
+               CAST(embedding[62:64] AS DOUBLE[])                AS tail3
+        FROM embeddings
+        WHERE vec_id < 100
+    """,
+)
+def array_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, index, sort, higher-order transform/filter/
+    aggregate, slice — all JVM-side Catalyst expressions."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    arr = F.col("embedding")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        dbl(F.element_at(arr, 1)).alias("first_val"),
+        dbl(F.array_min(arr)).alias("min_val"),
+        dbl(F.array_max(arr)).alias("max_val"),
+        F.aggregate(
+            F.transform(arr, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        F.transform(F.slice(arr, 62, 3), lambda x: x.cast("double")).alias("tail3"),
+    )
+
+
+@query(
+    "map_kv_parse",
+    category="F-map",
+    oracle="""
+        SELECT event_id,
+               event_type               AS kv_type,
+               CAST(user_id AS BIGINT)  AS kv_uid,
+               ['k', 'type', 'uid']     AS kv_keys
+        FROM events
+        WHERE event_id < 500
+    """,
+)
+def map_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash `kv` filter: parse k=v;k=v strings via str_to_map.
+
+    The kv string is synthesized from event fields and parsed back;
+    the oracle states ground truth directly, so str_to_map/map access
+    deviations fail the hash.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    kv = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(";uid="), F.col("user_id").cast("string"),
+        F.lit(";k="), F.get_json_object("props", "$.k"),
+    )
+    m = F.str_to_map(kv, F.lit(";"), F.lit("="))
+    return ev.select(
+        "event_id",
+        m["type"].alias("kv_type"),
+        m["uid"].cast("bigint").alias("kv_uid"),
+        F.sort_array(F.map_keys(m)).alias("kv_keys"),
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    category="S2",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               concat(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS tagged
+        FROM nation
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink roundtrip (S2/K2): write nation as headered CSV,
+    read it back with an explicit schema (never inferSchema in prod —
+    it's an extra scan job), verify content against the parquet truth."""
+    n = load_table(spark, sf_dir, "nation")
+    out = os.path.join(SCRATCH, "csv_roundtrip", os.path.basename(sf_dir.rstrip("/")))
+    n.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.concat(F.col("n_name"), F.lit("#"), F.col("n_regionkey").cast("string")).alias("tagged"),
+    )

@@ -1,0 +1,109 @@
+"""Operator unit tests (SURVEY §5.3.2): tiny inline frames, edge cases,
+and the rows-only queries the oracle can't check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstreams_spark import registry
+
+registry._ensure_loaded()
+
+
+def test_ann_lsh_recall_probe_runs(spark, sf_dir):
+    row = registry.REGISTRY["ann_lsh_recall_probe"].builder(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0.0 <= r.recall_at_5 <= 1.0
+    assert r.n_ann >= 0
+
+
+def test_drop_exact_duplicates_keeps_deterministic_winner(spark):
+    from eventstreams_spark.operators.dedup import drop_exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, None)],
+        "id long, text string",
+    )
+    out = drop_exact_duplicates(df, "text", "id").collect()
+    kept = sorted((r.id, r.text) for r in out)
+    # lowest id wins per content; NULL text keeps its own group
+    assert kept == [(1, "aaa"), (2, "bbb"), (5, None)]
+
+
+def test_simhash_similar_texts_close(spark):
+    from eventstreams_spark.operators.dedup import hamming64, simhash64_signature
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy cat near the river bank"),
+            (3, "completely unrelated words about spark shuffle partitions and joins"),
+        ],
+        "id long, text string",
+    )
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+    sigs = {r.id: r.sig for r in df.select("id", simhash64_signature(toks).alias("sig")).collect()}
+    d = df.sparkSession.createDataFrame(
+        [(sigs[1], sigs[2], sigs[3])], "a long, b long, c long"
+    ).select(
+        hamming64(F.col("a"), F.col("b")).alias("near"),
+        hamming64(F.col("a"), F.col("c")).alias("far"),
+    ).collect()[0]
+    assert d.near < d.far, f"simhash ordering violated: near={d.near} far={d.far}"
+    assert d.near <= 16
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from eventstreams_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(2, 0.05 * row.exact)
+
+
+def test_skewness_kurtosis_vs_numpy(spark, sf_dir):
+    """Spark's skewness/kurtosis are population (g1/g2) definitions;
+    DuckDB's are bias-corrected sample stats — so they are excluded
+    from oracle queries and pinned against numpy here instead."""
+    import numpy as np
+
+    from eventstreams_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    row = ev.agg(
+        F.skewness("value").alias("skew"), F.kurtosis("value").alias("kurt")
+    ).collect()[0]
+    vals = np.array([r.value for r in ev.select("value").collect()])
+    n = len(vals)
+    m = vals.mean()
+    m2 = ((vals - m) ** 2).mean()
+    m3 = ((vals - m) ** 3).mean()
+    m4 = ((vals - m) ** 4).mean()
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3.0
+    assert row.skew == pytest.approx(g1, rel=1e-6)
+    assert row.kurt == pytest.approx(g2, rel=1e-6)
+
+
+def test_grok_compiler():
+    from eventstreams_spark.functions.grok import grok_to_regex
+
+    regex, fields = grok_to_regex("%{IP:client} - %{WORD:method} %{NUMBER:bytes}")
+    assert fields == ["client", "method", "bytes"]
+    import re
+
+    m = re.match(regex, "10.1.2.3 - GET 1234")
+    assert m and m.group(1) == "10.1.2.3" and m.group(3) == "1234"
+
+
+def test_minhash_candidates_find_injected_dups(spark, sf_dir):
+    out = registry.REGISTRY["neardup_minhash_candidates"].builder(spark, sf_dir).collect()
+    pairs = {(r.id1, r.id2) for r in out}
+    # every injected near-dup (id + 1000000) should be a candidate
+    injected = {p for p in pairs if p[1] - p[0] == 1000000}
+    assert injected, f"no injected near-dup pairs among {len(pairs)} candidates"
