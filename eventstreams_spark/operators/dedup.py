@@ -64,3 +64,25 @@ def simhash64_signature(tokens: Column, n_bits: int = 64) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_hash_fingerprint(tokens: Column, window: int = 8, keep: int = 4) -> Column:
+    """Karp-Rabin rolling-hash document fingerprint (winnowing-lite).
+
+    Hash every ``window``-token gram with xxhash64 over its joined text,
+    then keep the ``keep`` smallest hashes (bottom-k sketch of the gram
+    set) as a sorted array — robust to small edits anywhere outside the
+    changed grams. Spark-only (xxhash64); cross-engine fingerprinting
+    uses the md5 bottom-k form in queries/textqa.py.
+
+    Scale: map-side only — O(tokens × window) concat + hash per row,
+    then an array sort of doc-bounded size; no shuffle.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (window - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window))),
+    )
+    # sequence(1, n) counts DOWN when n < 1 — guard short docs explicitly
+    return F.when(
+        F.size(tokens) >= window, F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -1,3 +1,3 @@
 """Query modules — importing this package populates registry.REGISTRY."""
 
-from . import aggregations, core, joins, llm, projections, scalars, windows  # noqa: F401
+from . import aggregations, core, joins, llm, projections, scalars, textqa, windows  # noqa: F401

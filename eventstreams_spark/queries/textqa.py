@@ -1,0 +1,519 @@
+"""Text-analysis + dedup query surface for training-data pipelines.
+
+Covers the SURVEY §2.11 L-series gaps: language-ID (stopword-profile
+scoring), quality scoring, token counting (whitespace + BPE-ish regex),
+document fingerprinting (bottom-k sketch; the streaming rolling hash
+lives in operators/dedup.py), n-gram Jaccard verification, SimHash,
+and embedding-cosine near-dup.
+
+Cross-engine parity notes:
+- All hashing routed through md5 hex (DuckDB-reproducible); xxhash64
+  variants exist in the operator library for the 100 TB path and are
+  unit-tested instead of oracle-checked.
+- SimHash here is 24-bit: the token hash is the first 6 hex chars of
+  md5, folded to an int with ``conv`` (Spark) / an unrolled strpos
+  polynomial (DuckDB). The production-width 64-bit xxhash signature is
+  ``operators.dedup.simhash64_signature``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .llm import TOKEN_SPLIT, tokens_col
+
+# ---------------------------------------------------------------- helpers
+
+_DUCK_TOKENS = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'), x -> x <> '')"
+)
+
+
+def shingles3(ws: Column) -> Column:
+    """3-gram token shingles as an array (map-side only, no explode)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return F.when(F.size(ws) >= 3, grams).otherwise(F.array().cast("array<string>"))
+
+
+_DUCK_SHINGLES3 = (
+    "CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws) - 2),"
+    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE [] END"
+)
+
+
+# ------------------------------------------------------------ language ID
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "es": ["el", "los", "y", "es", "un"],
+}
+
+
+@query(
+    "lang_id_stopword",
+    category="L5",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t AS term
+            FROM documents, unnest({_DUCK_TOKENS}) AS u(t)
+        ), lex(lang, term) AS (
+            VALUES {', '.join(f"('{lang}', '{w}')" for lang, ws in _STOPWORDS.items() for w in ws)}
+        ), hits AS (
+            SELECT t.doc_id, l.lang, count(*) AS n_hits
+            FROM tok t JOIN lex l ON t.term = l.term
+            GROUP BY t.doc_id, l.lang
+        ), best AS (
+            SELECT doc_id, lang, n_hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, lang) AS rk
+            FROM hits
+        )
+        SELECT d.doc_id,
+               coalesce(b.lang, 'und')                     AS pred_lang,
+               CAST(coalesce(b.n_hits, 0) AS BIGINT)       AS pred_hits,
+               CAST(coalesce(b.lang, 'und') = d.lang AS INT) AS label_match
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+    """,
+)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-profile scoring: count hits against each
+    language's function-word list, argmax with a deterministic (score
+    desc, lang asc) tie-break; zero hits => 'und'.
+
+    Scale: lexicon is a broadcast dim; one explode + hash agg keyed by
+    (doc, lang); the argmax is a per-doc window over ≤4 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, ws in _STOPWORDS.items() for w in ws],
+        "lang string, term string",
+    )
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    hits = (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "n_hits")
+    )
+    pred = F.coalesce(F.col("pred"), F.lit("und"))
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("pred_hits"),
+        (pred == F.col("lang")).cast("int").alias("label_match"),
+    )
+
+
+# --------------------------------------------------------- quality score
+
+_QUAL_STOP = ["the", "a", "of", "and", "is"]
+
+
+@query(
+    "text_quality_score",
+    category="L5",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars_obs, {_DUCK_TOKENS} AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_chars_obs AS BIGINT)                          AS n_chars_obs,
+               CAST(len(ws) AS BIGINT)                              AS n_tokens,
+               round(len(list_filter(ws, x -> length(x) >= 4)) * 1.0
+                     / greatest(len(ws), 1), 6)                     AS long_token_ratio,
+               round(len(list_filter(ws,
+                     x -> list_contains({_QUAL_STOP!r}, x))) * 1.0
+                     / greatest(len(ws), 1), 6)                     AS stopword_ratio,
+               round(len(list_distinct(ws)) * 1.0
+                     / greatest(len(ws), 1), 6)                     AS uniq_ratio
+        FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: size, token count, long-token /
+    stopword / distinct-token ratios — the standard cheap filters a
+    pretraining pipeline applies before expensive dedup.
+
+    Scale: pure map-side higher-order array expressions; no shuffle,
+    no Python. A 100 TB corpus scans through this at parquet speed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens_col(F.col("text"))
+    d = docs.select("doc_id", F.length("text").alias("n_chars_obs"), ws.alias("ws"))
+    n = F.greatest(F.size("ws"), F.lit(1))
+    stop = F.array(*[F.lit(s) for s in _QUAL_STOP])
+    return d.select(
+        "doc_id",
+        F.col("n_chars_obs").cast("bigint"),
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.round(F.size(F.filter("ws", lambda x: F.length(x) >= 4)) / n, 6).alias(
+            "long_token_ratio"
+        ),
+        F.round(F.size(F.filter("ws", lambda x: F.array_contains(stop, x))) / n, 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.size(F.array_distinct("ws")) / n, 6).alias("uniq_ratio"),
+    )
+
+
+# --------------------------------------------------------- token counting
+
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "token_count_profile",
+    category="L5",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
+                    AS BIGINT)                                      AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT}'))
+                    AS BIGINT)                                      AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT)                         AS n_chars,
+               round(length(text) * 1.0 /
+                     greatest(len(regexp_extract_all(lower(text), '{_BPE_PAT}')), 1), 6)
+                                                                    AS chars_per_token
+        FROM documents
+    """,
+)
+def token_count_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single punctuation) — the cheap proxy
+    for tokenizer cost used to budget training corpora.
+
+    Scale: map-side regex; both engines use the identical pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " +"), lambda x: x != "")).cast("bigint").alias(
+            "n_ws_tokens"
+        ),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(F.length("text") / F.greatest(F.size(bpe), F.lit(1)), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ----------------------------------------------------- doc fingerprinting
+
+BOTTOM_K = 4
+
+
+@query(
+    "doc_fingerprint_bottomk",
+    category="L1",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+        ), s AS (
+            SELECT doc_id, {_DUCK_SHINGLES3} AS sh FROM t
+        )
+        SELECT doc_id,
+               array_to_string(
+                 list_sort(list_distinct(list_transform(sh, x -> substr(md5(x), 1, 8))))
+                   [1:{BOTTOM_K}], '')                              AS fingerprint,
+               CAST(len(list_distinct(sh)) AS BIGINT)               AS n_shingles
+        FROM s
+    """,
+)
+def doc_fingerprint_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest md5 prefixes of the
+    doc's distinct 3-gram shingles, concatenated. Equal fingerprints ≈
+    high Jaccard (bottom-k sketches are unbiased Jaccard estimators).
+    The streaming rolling-hash variant (Karp-Rabin over a token window)
+    is ``operators.dedup.rolling_hash_fingerprint`` — xxhash-based,
+    Spark-only, unit-tested.
+
+    Scale: pure map-side (shingle → hash → sort a ≤doc-length array);
+    fingerprint equality dedup then needs only one groupBy shuffle on a
+    short string key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles3(tokens_col(F.col("text")))
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(sh, lambda x: F.substring(F.md5(x.cast("binary")), 1, 8)))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws("", F.slice(hashes, 1, BOTTOM_K)).alias("fingerprint"),
+        F.size(F.array_distinct(sh)).cast("bigint").alias("n_shingles"),
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard verify
+
+@query(
+    "neardup_ngram_jaccard",
+    category="L2",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, concat('dup prefix ', text)
+            FROM documents WHERE doc_id % 50 = 0
+        ), t AS (
+            SELECT id, {_DUCK_TOKENS.replace("lower(text)", "lower(text)")} AS ws FROM corpus
+        ), s AS (
+            SELECT id, list_distinct({_DUCK_SHINGLES3}) AS sh FROM t
+        ), pairs AS (
+            SELECT doc_id AS id1, doc_id + 1000000 AS id2
+            FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 1
+            FROM documents WHERE doc_id % 97 = 0
+              AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        )
+        SELECT p.id1, p.id2,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+                                                                    AS jaccard,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)      AS n_common
+        FROM pairs p JOIN s a ON p.id1 = a.id JOIN s b ON p.id2 = b.id
+    """,
+)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for candidate pairs — the verification stage
+    after MinHash-LSH candidate generation (`neardup_minhash_candidates`).
+    Injected dups (every 50th doc + 'dup prefix ') score near 1; control
+    pairs (adjacent docs) score near 0.
+
+    Scale: Jaccard runs only on candidate pairs (LSH output), never all
+    pairs; set sizes are doc-bounded so the join rows are small. Union
+    size computed as |A|+|B|-|A∩B| to evaluate the intersection once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    s = corpus.select(
+        "id", F.array_distinct(shingles3(tokens_col(F.col("text")))).alias("sh")
+    )
+    dup_pairs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1000000).alias("id2")
+    )
+    ids = docs.select("doc_id")
+    ctrl_pairs = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .join(ids.select((F.col("doc_id") - 1).alias("doc_id")), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("id1"), (F.col("doc_id") + 1).alias("id2"))
+    )
+    pairs = dup_pairs.unionAll(ctrl_pairs)
+    a = s.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = s.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            inter.cast("bigint").alias("n_common"),
+        )
+    )
+
+
+# --------------------------------------------------- embedding near-dup
+
+@query(
+    "neardup_embedding_cosine",
+    category="L1",
+    oracle="""
+        WITH injected AS (
+            SELECT vec_id + 100000 AS dup_id, vec_id AS src_id, embedding
+            FROM embeddings WHERE vec_id % 25 = 0
+        )
+        SELECT i.dup_id, e.vec_id AS match_id,
+               round(list_cosine_similarity(
+                     CAST(i.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+                                                                    AS cos_sim
+        FROM injected i JOIN embeddings e
+          ON list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) >= 0.999
+        ORDER BY dup_id, match_id
+    """,
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: injected exact copies (every 25th
+    vector, id+100000) matched back to the corpus at cosine ≥ 0.999.
+
+    This oracle-checkable form brute-forces a small injected probe set
+    against the corpus (a broadcast nested-loop: |probes| is tiny).
+    The 100 TB path replaces the probe side with LSH sign-buckets
+    (`ann_lsh_recall_probe`) so candidates are bucket-joined, never
+    crossed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    injected = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("dup_id"), F.col("vec").alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    cos = dot / (norm(F.col("vec")) * norm(F.col("qvec")))
+    return (
+        emb.join(F.broadcast(injected))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.999)
+        .select(
+            "dup_id",
+            F.col("vec_id").alias("match_id"),
+            F.round("cos_sim_raw", 6).alias("cos_sim"),
+        )
+        .orderBy("dup_id", "match_id")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 24
+
+
+def _duck_hex6_to_int(h: str) -> str:
+    """DuckDB expression: first-6-hex-chars of md5 → int (0..2^24)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({digits})"
+
+
+@query(
+    "simhash_hamming_pairs",
+    category="L2",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, concat('dup prefix ', text)
+            FROM documents WHERE doc_id % 50 = 0
+        ), tok AS (
+            SELECT id, {_duck_hex6_to_int("substr(md5(t), 1, 6)")} AS th
+            FROM corpus, unnest({_DUCK_TOKENS}) AS u(t)
+        ), sig AS (
+            SELECT id, {' + '.join(
+                f"CASE WHEN sum(CASE WHEN (th // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) >= 0"
+                f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+                for b in range(SIMHASH_BITS)
+            )} AS simhash
+            FROM tok GROUP BY id
+        )
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON b.id = a.id + 1000000
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 24-bit signatures (md5-derived token hashes so
+    DuckDB reproduces them bit-for-bit), Hamming distance between each
+    injected dup and its source. The production 64-bit xxhash64 variant
+    is ``operators.dedup.simhash64_signature`` (unit-tested).
+
+    Scale: token explode + one hash agg per doc computing all bit votes
+    in a single pass (24 conditional sums, one shuffle on doc id);
+    pairing is an equi-join on id. Candidate generation at scale would
+    band the signature (e.g. 4×6-bit keys) exactly like MinHash-LSH.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    tok = corpus.select("id", F.explode(tokens_col(F.col("text"))).alias("t")).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 6), 16, 10)
+        .cast("long")
+        .alias("th"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sig = tok.groupBy("id").agg(*votes).select("id", sig_expr.alias("simhash"))
+    a = sig.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"))
+    b_ = sig.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"))
+    return (
+        a.join(b_, F.col("id2") == F.col("id1") + 1000000)
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("bigint").alias("hamming"),
+        )
+    )
+
+
+# ----------------------------------------------- rows-only extras (A3/P7)
+
+@query("agg_approx_count_distinct", category="A3", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type (rsd 2%).
+
+    Approximate by construction → no oracle hash; the unit test asserts
+    |approx - exact| / exact ≤ 5·rsd. Scale: HLL sketches merge in the
+    partial agg — constant memory per group vs the expand+two-phase
+    exact countDistinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("sample_fraction", category="P7", oracle=None)
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (10%) of events with per-type counts.
+
+    Deterministic given the seed *and* partitioning, but not across
+    engines → rows-only check; the unit test bounds the sampled
+    fraction. Scale: sampling is a map-side filter, no shuffle until
+    the count agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.sample(fraction=0.1, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )

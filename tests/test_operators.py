@@ -107,3 +107,44 @@ def test_minhash_candidates_find_injected_dups(spark, sf_dir):
     # every injected near-dup (id + 1000000) should be a candidate
     injected = {p for p in pairs if p[1] - p[0] == 1000000}
     assert injected, f"no injected near-dup pairs among {len(pairs)} candidates"
+
+
+def test_rolling_hash_fingerprint_edit_robust(spark):
+    from eventstreams_spark.operators.dedup import rolling_hash_fingerprint
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    edited = base.replace("kappa", "kappa2", 1)  # one token changed
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "tiny doc")], "id long, text string")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    fps = {
+        r.id: r.fp
+        for r in df.select("id", rolling_hash_fingerprint(toks).alias("fp")).collect()
+    }
+    # a one-token edit shares most bottom-k gram hashes
+    assert len(set(fps[1]) & set(fps[2])) >= 2
+    # short doc (< window tokens) yields an empty fingerprint, not an error
+    assert fps[3] == []
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    from eventstreams_spark.catalog import load_table
+
+    n_total = load_table(spark, sf_dir, "events").count()
+    rows = registry.REGISTRY["sample_fraction"].builder(spark, sf_dir).collect()
+    n_sampled = sum(r.n_sampled for r in rows)
+    assert 0.05 * n_total <= n_sampled <= 0.15 * n_total
+
+
+def test_simhash_pairs_injected_dups_are_near(spark, sf_dir):
+    out = registry.REGISTRY["simhash_hamming_pairs"].builder(spark, sf_dir).collect()
+    assert out, "no injected pairs"
+    # 'dup prefix ' + same text: signatures should be within a few bits
+    assert all(r.hamming <= 8 for r in out), sorted(r.hamming for r in out)
+
+
+def test_ngram_jaccard_separates_dups_from_controls(spark, sf_dir):
+    out = registry.REGISTRY["neardup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    dups = [r.jaccard for r in out if r.id2 - r.id1 == 1000000]
+    ctrl = [r.jaccard for r in out if r.id2 - r.id1 == 1]
+    assert dups and min(dups) >= 0.8
+    assert not ctrl or max(ctrl) <= 0.3
