@@ -1,0 +1,375 @@
+"""Declarative event pipeline: the Logstash-flow surface, Spark-first.
+
+The reference domain composes flows as source → instruction chain →
+sink over semi-structured events (SURVEY §0.3/§3). Here a pipeline is
+a *config* (plain dict, JSON/YAML-friendly) compiled into a composition
+of plan-builder functions ``DataFrame -> DataFrame`` — so the entire
+chain is ONE Catalyst plan: filters push down through every step,
+projections prune unused fields, and adjacent mutates collapse
+(`CollapseProject`/`CombineFilters` make step composition free,
+SURVEY §4.1). No per-event interpretation, no Python in the row path.
+
+The same compiled transform applies to a batch DataFrame or a
+streaming DataFrame unchanged — Structured Streaming reuses the
+builders (SURVEY §3.3).
+
+Example::
+
+    pipe = Pipeline.from_config({
+        "steps": [
+            {"type": "grok", "source": "line",
+             "pattern": "%{IP:client} %{WORD:method} %{NUMBER:bytes}"},
+            {"type": "mutate", "convert": {"bytes": "long"}},
+            {"type": "filter", "expr": "method = 'GET'"},
+            {"type": "fingerprint", "fields": ["client"], "target": "fp"},
+        ]
+    })
+    out = pipe.apply(df)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.grok import grok_extract
+
+Transform = Callable[[DataFrame], DataFrame]
+
+_STEP_FACTORIES: dict[str, Callable[..., Transform]] = {}
+
+
+def step(name: str) -> Callable[[Callable[..., Transform]], Callable[..., Transform]]:
+    """Register a pipeline step factory under its config ``type`` name."""
+
+    def deco(fn: Callable[..., Transform]) -> Callable[..., Transform]:
+        _STEP_FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+def step_types() -> list[str]:
+    return sorted(_STEP_FACTORIES)
+
+
+# ------------------------------------------------------------------ steps
+# Each factory validates config eagerly (fail at compile, not mid-job)
+# and returns a closure that only uses JVM-side Column expressions.
+
+
+@step("mutate")
+def _mutate(
+    add: dict[str, str] | None = None,
+    rename: dict[str, str] | None = None,
+    copy: dict[str, str] | None = None,
+    convert: dict[str, str] | None = None,
+    remove: list[str] | None = None,
+) -> Transform:
+    """Logstash ``mutate``: add_field (SQL expr), rename, copy, convert,
+    remove_field — in that order, matching Logstash's documented
+    mutate ordering."""
+
+    def t(df: DataFrame) -> DataFrame:
+        for col, expr in (add or {}).items():
+            df = df.withColumn(col, F.expr(expr))
+        for old, new in (rename or {}).items():
+            df = df.withColumnRenamed(old, new)
+        for src, dst in (copy or {}).items():
+            df = df.withColumn(dst, F.col(src))
+        for col, typ in (convert or {}).items():
+            df = df.withColumn(col, F.col(col).try_cast(typ))
+        if remove:
+            df = df.drop(*remove)
+        return df
+
+    return t
+
+
+@step("filter")
+def _filter(expr: str) -> Transform:
+    """Keep events matching a SQL boolean expression (Logstash `if`)."""
+    return lambda df: df.filter(F.expr(expr))
+
+
+@step("drop")
+def _drop(expr: str) -> Transform:
+    """Drop events matching the condition (Logstash ``drop`` filter)."""
+    return lambda df: df.filter(~F.expr(expr))
+
+
+@step("prune")
+def _prune(keep: list[str]) -> Transform:
+    """Keep only the named fields (Logstash ``prune`` whitelist)."""
+    return lambda df: df.select(*keep)
+
+
+@step("grok")
+def _grok(source: str, pattern: str, remove_source: bool = False) -> Transform:
+    """Grok-extract named fields from a string column (P9)."""
+    def t(df: DataFrame) -> DataFrame:
+        for fname, col in grok_extract(source, pattern).items():
+            df = df.withColumn(fname, col)
+        return df.drop(source) if remove_source else df
+
+    return t
+
+
+@step("dissect")
+def _dissect(source: str, fields: list[str], delimiter: str = " ") -> Transform:
+    """Positional split (Logstash ``dissect``): cheaper than grok when
+    the layout is fixed — one `split` feeds every field (P10)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        parts = F.split(F.col(source), delimiter)
+        for i, fname in enumerate(fields):
+            if fname:  # empty name = skip position, like dissect's ?skip
+                df = df.withColumn(fname, F.element_at(parts, i + 1))
+        return df
+
+    return t
+
+
+@step("date")
+def _date(source: str, formats: list[str], target: str = "@timestamp") -> Transform:
+    """Multi-format timestamp parse: first format that matches wins
+    (Logstash ``date`` filter semantics) via try_to_timestamp+coalesce."""
+    if not formats:
+        raise ValueError("date step needs at least one format")
+
+    def t(df: DataFrame) -> DataFrame:
+        attempts = [
+            F.try_to_timestamp(F.col(source), F.lit(fmt)) for fmt in formats
+        ]
+        return df.withColumn(target, F.coalesce(*attempts))
+
+    return t
+
+
+@step("json")
+def _json(source: str, schema: str, target: str | None = None) -> Transform:
+    """Parse a JSON string column with an explicit DDL schema. With no
+    target, fields are flattened to top level (Logstash ``json``)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        parsed = F.from_json(F.col(source), schema)
+        if target:
+            return df.withColumn(target, parsed)
+        df = df.withColumn("_parsed", parsed)
+        for fname in df.select("_parsed.*").columns:
+            df = df.withColumn(fname, F.col(f"_parsed.{fname}"))
+        return df.drop("_parsed")
+
+    return t
+
+
+@step("kv")
+def _kv(
+    source: str,
+    target: str = "kv",
+    field_split: str = " ",
+    value_split: str = "=",
+) -> Transform:
+    """Key-value extraction into a map column (Logstash ``kv``)."""
+    return lambda df: df.withColumn(
+        target, F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
+    )
+
+
+@step("translate")
+def _translate(
+    source: str,
+    mapping: dict[str, str],
+    target: str | None = None,
+    default: str | None = None,
+) -> Transform:
+    """Dictionary lookup (Logstash ``translate``): a literal map for
+    small dicts — for large dims use an explicit broadcast join step
+    upstream (J1); a map literal ships inside the plan itself."""
+    items: list = []
+    for k, v in mapping.items():
+        items += [F.lit(k), F.lit(v)]
+    m = F.create_map(*items)
+
+    def t(df: DataFrame) -> DataFrame:
+        looked = m[F.col(source)]
+        if default is not None:
+            looked = F.coalesce(looked, F.lit(default))
+        return df.withColumn(target or source, looked)
+
+    return t
+
+
+@step("fingerprint")
+def _fingerprint(
+    fields: list[str], target: str = "fingerprint", method: str = "md5"
+) -> Transform:
+    """Stable event fingerprint over selected fields (P12). xxhash64 is
+    the cheap in-engine choice; md5/sha256 are portable."""
+    if method not in ("md5", "sha256", "xxhash64"):
+        raise ValueError(f"unsupported fingerprint method: {method}")
+
+    def t(df: DataFrame) -> DataFrame:
+        joined = F.concat_ws("|", *[F.col(f).cast("string") for f in fields])
+        if method == "md5":
+            out = F.md5(joined.cast("binary"))
+        elif method == "sha256":
+            out = F.sha2(joined.cast("binary"), 256)
+        else:
+            out = F.xxhash64(joined)
+        return df.withColumn(target, out)
+
+    return t
+
+
+@step("clone")
+def _clone(tags: list[str], tag_field: str = "clone_tag") -> Transform:
+    """Fan an event out once per tag (Logstash ``clone``): union of
+    tagged copies — one scan feeding N branches (P8)."""
+    if not tags:
+        raise ValueError("clone step needs at least one tag")
+
+    def t(df: DataFrame) -> DataFrame:
+        out = None
+        for tag in tags:
+            branch = df.withColumn(tag_field, F.lit(tag))
+            out = branch if out is None else out.unionAll(branch)
+        return out
+
+    return t
+
+
+@step("sample")
+def _sample(fraction: float, seed: int = 42) -> Transform:
+    """Seeded Bernoulli sampling (Logstash drop-percentage analog)."""
+    return lambda df: df.sample(fraction=fraction, seed=seed)
+
+
+@step("split")
+def _split(source: str, target: str, keep_source: bool = False) -> Transform:
+    """One event per array element (Logstash ``split``)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        df = df.withColumn(target, F.explode(F.col(source)))
+        return df if keep_source else df.drop(source)
+
+    return t
+
+
+@step("throttle")
+def _throttle(key: str, order: str, period: str = "1 hour", limit: int = 1) -> Transform:
+    """At most ``limit`` events per key per time bucket (Logstash
+    ``throttle``, batch analog P13). Streaming uses the stateful
+    variant in streaming/stateful.py."""
+    from pyspark.sql import Window
+
+    def t(df: DataFrame) -> DataFrame:
+        bucket = F.date_trunc(_PERIOD_TRUNC[period], F.col(order))
+        w = Window.partitionBy(F.col(key), bucket).orderBy(order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+
+    return t
+
+
+_PERIOD_TRUNC = {"1 second": "second", "1 minute": "minute", "1 hour": "hour", "1 day": "day"}
+
+
+# --------------------------------------------------------------- pipeline
+
+
+@dataclass
+class Pipeline:
+    """An ordered chain of compiled transforms (one Catalyst plan)."""
+
+    transforms: list[Transform] = field(default_factory=list)
+
+    @classmethod
+    def from_config(cls, config: dict | list[dict]) -> "Pipeline":
+        steps = config["steps"] if isinstance(config, dict) else config
+        transforms = []
+        for i, conf in enumerate(steps):
+            conf = dict(conf)
+            typ = conf.pop("type", None)
+            factory = _STEP_FACTORIES.get(typ)
+            if factory is None:
+                raise ValueError(
+                    f"step {i}: unknown type {typ!r}; known: {step_types()}"
+                )
+            transforms.append(factory(**conf))
+        return cls(transforms)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for t in self.transforms:
+            df = t(df)
+        return df
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+
+# ------------------------------------------------------- sources / sinks
+
+
+def read_source(spark: SparkSession, conf: dict) -> DataFrame:
+    """Build a batch or streaming source DataFrame from config.
+
+    Batch: ``{"format": "parquet"|"csv"|"json"|"text", "path": ...}``
+    Streaming: add ``"stream": true`` (file formats need ``"schema"``);
+    ``{"format": "rate", "stream": true}`` for the test generator (S7).
+    """
+    conf = dict(conf)
+    fmt = conf.pop("format")
+    path = conf.pop("path", None)
+    streaming = conf.pop("stream", False)
+    schema = conf.pop("schema", None)
+    if streaming:
+        reader = spark.readStream.format(fmt)
+        if schema:
+            reader = reader.schema(schema)
+        for k, v in conf.items():
+            reader = reader.option(k, v)
+        return reader.load(path) if path else reader.load()
+    reader = spark.read.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    for k, v in conf.items():
+        reader = reader.option(k, v)
+    return reader.load(path) if path else reader.load()
+
+
+def write_sink(df: DataFrame, conf: dict):
+    """Write a batch DataFrame or start a streaming query per config.
+
+    Batch: ``{"format": "parquet"|"csv"|"json", "path": ..., "mode": ...}``
+    Streaming df: ``{"format": "memory"|"parquet"|"console",
+    "queryName"/"path"/"checkpointLocation": ..., "availableNow": true}``
+    returns the started StreamingQuery (K1/K2/K5).
+    """
+    conf = dict(conf)
+    fmt = conf.pop("format")
+    if df.isStreaming:
+        available_now = conf.pop("availableNow", False)
+        query_name = conf.pop("queryName", None)
+        path = conf.pop("path", None)
+        writer = df.writeStream.format(fmt)
+        if query_name:
+            writer = writer.queryName(query_name)
+        for k, v in conf.items():
+            writer = writer.option(k, v)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start(path) if path else writer.start()
+    path = conf.pop("path")
+    mode = conf.pop("mode", "overwrite")
+    writer = df.write.format(fmt).mode(mode)
+    for k, v in conf.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return None

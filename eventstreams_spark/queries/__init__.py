@@ -1,3 +1,13 @@
 """Query modules — importing this package populates registry.REGISTRY."""
 
-from . import aggregations, core, joins, llm, projections, scalars, textqa, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregations,
+    core,
+    joins,
+    llm,
+    pipeline_demo,
+    projections,
+    scalars,
+    textqa,
+    windows,
+)

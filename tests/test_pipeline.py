@@ -1,0 +1,141 @@
+"""Pipeline layer tests (SURVEY M2): each step type on tiny frames,
+config validation, and source/sink roundtrips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstreams_spark.pipeline import Pipeline, read_source, step_types, write_sink
+
+
+@pytest.fixture
+def logs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "10.0.0.1 GET 200 t=2024-01-01 12:00:00", "a=1 b=2"),
+            (2, "10.0.0.2 POST 500 t=01/02/2024 13:30:00", "a=3"),
+            (3, "bad line", ""),
+        ],
+        "id long, line string, kvs string",
+    )
+
+
+def test_grok_dissect_date_kv_chain(logs):
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {"type": "grok", "source": "line",
+                 "pattern": "%{IP:client} %{WORD:method} %{NUMBER:status} t=%{GREEDYDATA:when}"},
+                {"type": "mutate", "convert": {"status": "int"}},
+                {"type": "date", "source": "when",
+                 "formats": ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss"]},
+                {"type": "kv", "source": "kvs", "target": "kv"},
+            ]
+        }
+    )
+    rows = {r.id: r for r in pipe.apply(logs).collect()}
+    assert rows[1].client == "10.0.0.1" and rows[1].status == 200
+    assert rows[1]["@timestamp"].hour == 12
+    assert rows[2]["@timestamp"].hour == 13  # second format matched
+    assert rows[2].kv == {"a": "3"}
+    assert rows[3].client == "" and rows[3]["@timestamp"] is None  # no match, no crash
+
+
+def test_filter_drop_prune_translate(logs):
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {"type": "drop", "expr": "line = 'bad line'"},
+                {"type": "dissect", "source": "line", "fields": ["ip", "verb"]},
+                {"type": "translate", "source": "verb",
+                 "mapping": {"GET": "read", "POST": "write"}, "target": "rw",
+                 "default": "other"},
+                {"type": "prune", "keep": ["id", "ip", "rw"]},
+            ]
+        }
+    )
+    out = pipe.apply(logs)
+    assert out.columns == ["id", "ip", "rw"]
+    got = {r.id: r.rw for r in out.collect()}
+    assert got == {1: "read", 2: "write"}
+
+
+def test_clone_split_sample(spark):
+    df = spark.createDataFrame([(1, ["x", "y"])], "id long, tags array<string>")
+    pipe = Pipeline.from_config(
+        {"steps": [
+            {"type": "clone", "tags": ["a", "b"]},
+            {"type": "split", "source": "tags", "target": "tag"},
+        ]}
+    )
+    out = pipe.apply(df).collect()
+    assert len(out) == 4  # 2 clones × 2 array elements
+    assert {(r.clone_tag, r.tag) for r in out} == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+
+
+def test_throttle_per_bucket(spark):
+    df = spark.createDataFrame(
+        [(k, f"2024-01-01 0{h}:{m:02d}:00") for k in ("a", "b") for h in (1, 2) for m in (0, 10, 20)],
+        "key string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    pipe = Pipeline.from_config(
+        {"steps": [{"type": "throttle", "key": "key", "order": "ts",
+                    "period": "1 hour", "limit": 2}]}
+    )
+    out = pipe.apply(df).collect()
+    assert len(out) == 8  # 2 keys × 2 hours × min(3, limit=2)
+
+
+def test_unknown_step_fails_at_compile():
+    with pytest.raises(ValueError, match="unknown type 'nope'"):
+        Pipeline.from_config({"steps": [{"type": "nope"}]})
+    assert "grok" in step_types() and "mutate" in step_types()
+
+
+def test_fingerprint_methods(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    pipe = Pipeline.from_config(
+        {"steps": [
+            {"type": "fingerprint", "fields": ["id", "v"], "target": "f1"},
+            {"type": "fingerprint", "fields": ["id", "v"], "target": "f2",
+             "method": "xxhash64"},
+        ]}
+    )
+    r = pipe.apply(df).collect()[0]
+    assert len(r.f1) == 32 and isinstance(r.f2, int)
+    with pytest.raises(ValueError, match="unsupported fingerprint"):
+        Pipeline.from_config({"steps": [{"type": "fingerprint", "fields": ["v"],
+                                         "method": "crc99"}]})
+
+
+def test_batch_source_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_sink(df, {"format": "parquet", "path": str(tmp_path / "out")})
+    back = read_source(spark, {"format": "parquet", "path": str(tmp_path / "out")})
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_streaming_file_source_through_pipeline(spark, tmp_path):
+    """S3 + K5: tail a directory as a stream, run the SAME pipeline
+    transform, drain with availableNow into a memory sink."""
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("10.0.0.9 GET 200",), ("10.0.0.9 GET 404",), ("bad",)], "line string"
+    ).coalesce(1).write.mode("overwrite").text(str(src))
+    pipe = Pipeline.from_config(
+        {"steps": [
+            {"type": "grok", "source": "line",
+             "pattern": "%{IP:client} %{WORD:method} %{NUMBER:status}"},
+            {"type": "filter", "expr": "status <> ''"},
+        ]}
+    )
+    stream = read_source(
+        spark, {"format": "text", "path": str(src), "stream": True, "schema": "line string"}
+    )
+    q = write_sink(pipe.apply(stream), {"format": "memory", "queryName": "pipe_t",
+                                        "availableNow": True})
+    q.awaitTermination(60)
+    got = spark.sql("SELECT client, status FROM pipe_t").collect()
+    assert sorted((r.client, r.status) for r in got) == [("10.0.0.9", "200"), ("10.0.0.9", "404")]
