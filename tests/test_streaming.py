@@ -1,0 +1,164 @@
+"""Streaming golden tests (SURVEY §5.3.4): availableNow replay of
+testdata through streaming operators, compared against the identical
+batch builders (T1/T3/T10) and hand-computed late-data goldens (T4/T5).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstreams_spark.catalog import load_table
+from eventstreams_spark.streaming import session_agg, stream_dedup, tumbling_agg
+from eventstreams_spark.streaming.replay import replay_table, run_to_memory
+
+
+@pytest.fixture()
+def events_slice(spark, sf_dir):
+    # one day of events keeps each streaming test a few seconds
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_slice, tmp_path):
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")]
+    stream = replay_table(spark, events_slice, str(tmp_path), chunks=3, order_col="ts")
+    out = tumbling_agg(stream, "ts", "1 hour", ["event_type"], aggs, watermark="10 minutes")
+    run_to_memory(out, "t_tumble", output_mode="append")
+    got = spark.sql("SELECT window_start, event_type, n, round(sv, 6) AS sv FROM t_tumble")
+    # append mode emits only windows CLOSED by the final watermark
+    # (max event time - 10 min); the last open window stays in state.
+    wm = events_slice.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0].wm
+    want = (
+        tumbling_agg(events_slice, "ts", "1 hour", ["event_type"], aggs)
+        .filter(F.col("window_end") <= F.lit(wm))
+        .select("window_start", "event_type", "n", F.round("sv", 6).alias("sv"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_session_stream_equals_batch(spark, events_slice, tmp_path):
+    ev = events_slice.filter(F.col("user_id") <= 20)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = replay_table(spark, ev, str(tmp_path), chunks=2, order_col="ts")
+    out = session_agg(stream, "ts", "30 minutes", ["user_id"], aggs, watermark="1 hour")
+    run_to_memory(out, "t_sess", output_mode="append")
+    got = spark.sql("SELECT user_id, session_start, session_end, n FROM t_sess")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm")).collect()[0].wm
+    want = (
+        session_agg(ev, "ts", "30 minutes", ["user_id"], aggs)
+        .filter(F.col("session_end") <= F.lit(wm))
+        .select("user_id", "session_start", "session_end", "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Three micro-batches: (1) on-time rows advance the watermark,
+    (2) a too-late row arrives and must be dropped, (3) flush.
+    maxFilesPerTrigger=1 + one file per chunk forces the ordering."""
+    import os
+
+    base = "2024-01-01 {}:00:00"
+    # NOTE the watermark set by a batch becomes effective one batch
+    # later than its progress line suggests — the late row must arrive
+    # ≥2 batches after the data that advanced the watermark.
+    batches = [
+        [("a", base.format("10")), ("a", base.format("12"))],  # wm -> 11:50
+        [("a", base.format("13"))],  # on-time spacer batch
+        [("a", base.format("10"))],  # below effective wm => dropped
+        [("a", base.format("14"))],  # flush: wm -> 13:50 closes the 12:00 window
+    ]
+    from eventstreams_spark.streaming.replay import stage_files
+
+    path = os.path.join(str(tmp_path), "replay")
+    for i, rows in enumerate(batches):
+        stage_files(
+            spark.createDataFrame(rows, "k string, ts_s string").select(
+                "k", F.to_timestamp("ts_s").alias("ts")
+            ),
+            path,
+            i,
+        )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = tumbling_agg(
+        stream, "ts", "1 hour", ["k"], [F.count(F.lit(1)).alias("n")], watermark="10 minutes"
+    )
+    run_to_memory(out, "t_late", output_mode="append")
+    got = {
+        (r.window_start.hour, r.n)
+        for r in spark.sql("SELECT window_start, n FROM t_late").collect()
+    }
+    # the late 10:00 duplicate must NOT be double-counted
+    assert (10, 1) in got and (12, 1) in got
+    assert (10, 2) not in got
+
+
+def test_stream_dedup_within_watermark(spark, events_slice, tmp_path):
+    dup = events_slice.unionAll(events_slice)  # every event twice
+    stream = replay_table(spark, dup, str(tmp_path), chunks=2, order_col="ts")
+    out = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    run_to_memory(out, "t_dedup", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
+    assert n == events_slice.count()
+
+
+def test_stream_static_join(spark, sf_dir, events_slice, tmp_path):
+    """T10/J10: streaming events enriched against a static dim table."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = replay_table(spark, events_slice.limit(500), str(tmp_path))
+    out = stream.join(F.broadcast(dim), "user_id", "inner").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    run_to_memory(out, "t_ssj", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(c_mktsegment) AS nm FROM t_ssj").collect()[0]
+    assert got.n > 0 and got.n == got.nm
+
+
+def test_throttle_stream_state_across_batches(spark, tmp_path):
+    """T6/T7: per-key admitted-counter persists across micro-batches —
+    batch 2 admits nothing for a key exhausted in batch 1."""
+    from eventstreams_spark.streaming.stateful import throttle_stream
+
+    rows = [("a", f"2024-01-01 10:{m:02d}:00") for m in range(6)] + [
+        ("b", "2024-01-01 10:00:00")
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string")
+        .select("k", F.to_timestamp("ts_s").alias("ts"))
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = throttle_stream(stream, "k", "ts", limit=3)
+    run_to_memory(out, "t_thr", output_mode="append")
+    got = spark.sql("SELECT k, count(*) AS n, max(n_admitted) AS mx FROM t_thr GROUP BY k")
+    by_key = {r.k: (r.n, r.mx) for r in got.collect()}
+    assert by_key["a"] == (3, 3), by_key
+    assert by_key["b"] == (1, 1), by_key
+
+
+def test_accumulate_stream_running_totals(spark, tmp_path):
+    from eventstreams_spark.streaming.stateful import accumulate_stream
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    stream = replay_table(spark, df, str(tmp_path))
+    out = accumulate_stream(stream, "k", "v")
+    run_to_memory(out, "t_acc", output_mode="update")
+    got = {r.k: (r.running_sum, r.running_count) for r in spark.sql(
+        "SELECT k, max(running_sum) AS running_sum, max(running_count) AS running_count"
+        " FROM t_acc GROUP BY k").collect()}
+    assert got["a"] == (3.0, 2) and got["b"] == (10.0, 1)
