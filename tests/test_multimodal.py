@@ -1,0 +1,126 @@
+"""Multimodal binary-column tests (SURVEY §2.11 L6, §2.1 S9).
+
+Fixtures are hand-constructed PNG/WAV/JPEG container bytes — the
+header parsers are real (plain byte slicing); only pixel/sample decode
+is stubbed (fake=True surrogate), per the task contract.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from eventstreams_spark.operators.multimodal import (
+    decode_image,
+    dedup_media,
+    parse_headers,
+    read_media_dir,
+    sample_frames,
+    sniff_mime,
+)
+
+
+def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", len(ihdr_data))
+        + b"IHDR"
+        + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    return sig + ihdr + b"\x00" * 32
+
+
+def make_wav(channels: int, rate: int, bits: int = 16) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + b"\x00" * 8
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+JPEG = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(make_png(640, 480))
+    (d / "b.png").write_bytes(make_png(64, 64, bit_depth=16))
+    (d / "dup_of_a.png").write_bytes(make_png(640, 480))
+    (d / "c.wav").write_bytes(make_wav(2, 44100))
+    (d / "d.jpg").write_bytes(JPEG)
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02\x03" * 16)
+    return str(d)
+
+
+def test_binary_scan_and_sniff(spark, media_dir):
+    df = sniff_mime(read_media_dir(spark, media_dir))
+    got = {r.path.rsplit("/", 1)[-1]: r.mime for r in df.collect()}
+    assert got["a.png"] == "image/png"
+    assert got["b.png"] == "image/png"
+    assert got["c.wav"] == "audio/wav"
+    assert got["d.jpg"] == "image/jpeg"
+    assert got["junk.bin"] is None
+    # length comes from file metadata, not a content scan
+    lens = {r.path.rsplit("/", 1)[-1]: r.length for r in df.collect()}
+    assert lens["a.png"] == len(make_png(640, 480))
+
+
+def test_parse_headers_png_wav(spark, media_dir):
+    df = parse_headers(read_media_dir(spark, media_dir))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    a = rows["a.png"]
+    assert (a.width, a.height, a.bit_depth) == (640, 480, 8)
+    assert a.channels is None and a.sample_rate is None
+    b = rows["b.png"]
+    assert (b.width, b.height, b.bit_depth) == (64, 64, 16)
+    c = rows["c.wav"]
+    assert (c.channels, c.sample_rate, c.bit_depth) == (2, 44100, 16)
+    assert c.width is None
+    assert rows["junk.bin"].width is None
+
+
+def test_dedup_media_binary(spark, media_dir):
+    df = dedup_media(read_media_dir(spark, media_dir))
+    names = sorted(r.path.rsplit("/", 1)[-1] for r in df.collect())
+    # a.png and dup_of_a.png are byte-identical: deterministic winner
+    # is the lexicographically first path
+    assert "a.png" in names and "dup_of_a.png" not in names
+    assert len(names) == 5
+
+
+def test_decode_image_fake_surrogate(spark, media_dir):
+    df = decode_image(read_media_dir(spark, media_dir), size=(8, 8), fake=True)
+    rows = df.collect()
+    assert all(len(r.pixels) == 64 for r in rows)
+    assert all(0.0 <= p <= 1.0 for r in rows for p in r.pixels)
+    again = decode_image(read_media_dir(spark, media_dir), size=(8, 8), fake=True).collect()
+    assert sorted(r.path for r in rows) == sorted(r.path for r in again)
+
+
+def test_decode_image_real_path_is_stubbed(spark, media_dir):
+    df = decode_image(read_media_dir(spark, media_dir), fake=False)
+    with pytest.raises(Exception) as e:
+        df.collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+def test_sample_frames_fake(spark, media_dir):
+    df = sample_frames(
+        read_media_dir(spark, media_dir, glob="*.png"),
+        every_n_bytes=16,
+        max_frames=3,
+        fake=True,
+    )
+    rows = df.collect()
+    by_path: dict[str, list] = {}
+    for r in rows:
+        by_path.setdefault(r.path.rsplit("/", 1)[-1], []).append(r.frame_no)
+    assert set(by_path) == {"a.png", "b.png", "dup_of_a.png"}
+    for frames in by_path.values():
+        assert frames and sorted(frames) == list(range(len(frames)))
