@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregations,
     core,
+    extras,
     joins,
     llm,
     pipeline_demo,

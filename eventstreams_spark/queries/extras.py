@@ -1,0 +1,113 @@
+"""Extension-surface queries: UDTF chunking (§2.10) and correlated
+subqueries (§4.1 decorrelation — EXISTS → semi join, scalar subquery →
+join-aggregate, both rewritten by Catalyst for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..functions.chunking import ChunkText, chunk_text_columnar
+from ..registry import query
+
+_CHUNK = 32
+
+_CHUNK_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks)/{_CHUNK}.0) AS INT) AS nchunks FROM t),
+    i AS (SELECT unnest(generate_series(0, 100000)) AS i)
+    SELECT doc_id, i.i AS chunk_no,
+           array_to_string(toks[(i.i*{_CHUNK}+1):(i.i*{_CHUNK}+{_CHUNK})], ' ') AS chunk
+    FROM n JOIN i ON i.i < n.nchunks
+"""
+
+
+@query("udtf_chunk_text", category="2.10-UDTF", oracle=_CHUNK_ORACLE)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via Python UDTF (one doc → N token chunks).
+
+    The UDTF is the §2.10 table-function extension point (Logstash
+    ``split`` generalized); the same semantics exist columnar in
+    ``chunk_text_columnar`` — see ``chunk_text_columnar_parity`` for
+    the JVM-side version this would use at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_for_chunk")
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_no, c.chunk
+        FROM _docs_for_chunk d,
+             LATERAL chunk_text_udtf(d.text, {_CHUNK}) c
+        """
+    )
+
+
+@query("chunk_text_columnar_parity", category="2.10-UDTF", oracle=_CHUNK_ORACLE)
+def chunk_text_columnar_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar chunking (posexplode of slice indices) — identical
+    output to the UDTF, fully whole-stage-codegen, the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text_columnar(docs, "text", _CHUNK, ["doc_id"])
+
+
+@query(
+    "subquery_exists_high_value",
+    category="4.1-decorrelation",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal AS acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+    """,
+)
+def subquery_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst's
+    RewritePredicateSubquery turns these into left-semi + left-anti
+    joins; no per-row re-execution (the naive interpretation would be
+    O(n·m) at 100 TB)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal AS acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        """
+    )
+
+
+@query(
+    "subquery_scalar_above_avg",
+    category="4.1-decorrelation",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice AS price
+        FROM part
+        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — planned once as a separate
+    subquery stage whose single-row result feeds the filter (no
+    re-scan per row); at scale this is scan + broadcast-of-one-value."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice AS price
+        FROM part
+        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        """
+    )
