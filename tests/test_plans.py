@@ -1,0 +1,106 @@
+"""Plan-shape regression tests (SCALE.md contract).
+
+These lock in the physical-plan properties that make each operator
+100 TB-safe: broadcast enrichment chains, pushdown + pruning at the
+scan, TakeOrderedAndProject for top-k, two-phase aggregation, and the
+absence of cartesian products outside the explicitly-quarantined
+brute-force baselines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstreams_spark import registry
+from eventstreams_spark.plans import (
+    assert_all_joins_broadcast,
+    assert_has_operator,
+    assert_no_operator,
+    assert_read_schema_at_most,
+    operator_counts,
+    pushed_filters,
+)
+
+registry._ensure_loaded()
+
+
+def q(name, spark, sf_dir):
+    return registry.REGISTRY[name].builder(spark, sf_dir)
+
+
+def count_prefix(counts: dict[str, int], prefix: str) -> int:
+    return sum(n for name, n in counts.items() if name.startswith(prefix))
+
+
+def test_q5_is_pure_broadcast_chain(spark, sf_dir):
+    df = q("join_multiway_tpch_q5", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") == 5  # 6-table join
+    # two-phase agg: partial + final
+    assert count_prefix(counts, "HashAggregate") == 2
+
+
+def test_q5_pushdown_and_pruning(spark, sf_dir):
+    df = q("join_multiway_tpch_q5", spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed  # date predicate reached the scan
+    assert_read_schema_at_most(
+        df,
+        "l_orderkey",
+        {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"},
+    )
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    df = q("topk_orders_by_revenue", spark, sf_dir)
+    assert_has_operator(df, "TakeOrderedAndProject")
+    assert_all_joins_broadcast(df)
+
+
+def test_pricing_summary_two_phase_agg(spark, sf_dir):
+    df = q("agg_pricing_summary", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "HashAggregate") == 2
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_project_compute_prunes_scan(spark, sf_dir):
+    df = q("project_compute", spark, sf_dir)
+    assert_read_schema_at_most(
+        df,
+        "l_orderkey",
+        {
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_quantity",
+        },
+    )
+    assert "l_orderkey" in " ".join(pushed_filters(df))
+
+
+def test_enrichment_join_broadcasts_dim(spark, sf_dir):
+    df = q("join_broadcast_enrich", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+
+
+def test_minhash_has_no_cross_join(spark, sf_dir):
+    df = q("neardup_minhash_candidates", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_sessionize_single_shuffle_by_user(spark, sf_dir):
+    df = q("sessionize_gap30m_batch", spark, sf_dir)
+    # lag-gap + running-sum reuse ONE hash partitioning by user_id:
+    # adjacent window functions over the same (partition, order) spec
+    # must not re-shuffle.
+    counts = operator_counts(df)
+    assert counts.get("Exchange", 0) <= 2  # one for the window, one final agg/sort
+
+
+def test_chunking_columnar_no_python(spark, sf_dir):
+    df = q("chunk_text_columnar_parity", spark, sf_dir)
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython", "PythonUDTF")
