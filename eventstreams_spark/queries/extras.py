@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
 from ..functions.chunking import ChunkText, chunk_text_columnar
+from ..functions.net import cidr_match
 from ..registry import query
 
 _CHUNK = 32
@@ -87,6 +88,44 @@ def subquery_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_orderstatus = 'F'
                             AND o2.o_totalprice < 50000)
         """
+    )
+
+
+@query(
+    "cidr_match_events",
+    category="P-net",
+    oracle="""
+        WITH ip AS (
+            SELECT event_id,
+                   167772160                     -- 10.0.0.0
+                   + (user_id % 128) * 65536
+                   + (event_id % 256) * 256
+                   + ((user_id * 7 + event_id) % 256) AS ipnum
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN (ipnum & 4292870144) = 169869312 THEN '10.32.0.0/11'
+                    WHEN (ipnum & 4290772992) = 167772160 THEN '10.0.0.0/10'
+                    WHEN (ipnum & 4278190080) = 167772160 THEN '10.0.0.0/8'
+               END AS net
+        FROM ip
+    """,
+)
+def cidr_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash ``cidr`` filter: label each event's (synthesized) source
+    IP with its first matching network. Pure codegen arithmetic — no
+    UDF; masks/nets fold to literals at plan time."""
+    ev = load_table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id") % 128).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 256).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        cidr_match(ip, ["10.32.0.0/11", "10.0.0.0/10", "10.0.0.0/8"]).alias("net"),
     )
 
 

@@ -1,0 +1,157 @@
+"""Property-based scalar-family parity (SURVEY §5.3.3).
+
+Hypothesis generates scalar inputs; the same expression runs in Spark
+and DuckDB and must agree exactly. Catches locale/rounding/edge drift
+(empty strings, negative mods, multi-byte chars) that fixed testdata
+never exercises. Batched: each hypothesis example is a LIST of values
+→ one Spark job per example, not per value.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(deadline=None, max_examples=5, print_blob=False)
+
+# Combining marks excluded (Mn/Mc/Me): Spark string functions operate
+# on codepoints while DuckDB's reverse() is grapheme-cluster-aware, so
+# reverse('0࣓') legitimately differs — recorded in
+# tests/oracle_conventions.md; parity is only claimed codepoint-wise.
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=32,
+            max_codepoint=0x2FA0,
+            blacklist_categories=("Mn", "Mc", "Me", "Cs"),
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=30,
+)
+ints = st.lists(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=50
+)
+
+
+def _compare(spark, pdf: pd.DataFrame, spark_exprs: list, duck_sql: str):
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        tuple(r)
+        for r in sdf.select("id", *spark_exprs).orderBy("id").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(duck_sql + " ORDER BY id").fetchall()
+    con.close()
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_string_family_parity(spark, vals):
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    _compare(
+        spark,
+        pdf,
+        [
+            F.length("s").alias("len"),
+            F.reverse("s").alias("rev"),
+            F.substring("s", 2, 3).alias("sub"),
+            F.concat_ws("-", "s", "s").alias("cw"),
+        ],
+        """
+        SELECT id, length(s) AS len,
+               reverse(s) AS rev, substring(s, 2, 3) AS sub,
+               concat_ws('-', s, s) AS cw
+        FROM t
+        """,
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        # ASCII only: Spark applies FULL Unicode case mapping
+        # (upper('ß')='SS') while DuckDB applies simple mapping
+        # (upper('ß')='ẞ') — recorded in oracle_conventions.md; case
+        # parity is only claimed for ASCII.
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_case_mapping_parity_ascii(spark, vals):
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    _compare(
+        spark,
+        pdf,
+        [F.upper("s").alias("up"), F.lower("s").alias("lo")],
+        "SELECT id, upper(s) AS up, lower(s) AS lo FROM t",
+    )
+
+
+@settings(**SETTINGS)
+@given(ints)
+def test_int_math_family_parity(spark, vals):
+    pdf = pd.DataFrame({"id": range(len(vals)), "x": pd.array(vals, dtype="int64")})
+    _compare(
+        spark,
+        pdf,
+        [
+            F.abs("x").alias("ab"),
+            F.expr("x % 7").alias("m7"),
+            F.expr("pmod(x, 7)").alias("pm7"),
+            F.greatest(F.col("x"), F.lit(0)).alias("gz"),
+            (F.col("x") + F.lit(1)).alias("inc"),
+        ],
+        """
+        SELECT id, abs(x) AS ab,
+               CAST(x % 7 AS BIGINT) AS m7,
+               CAST(((x % 7) + 7) % 7 AS BIGINT) AS pm7,
+               greatest(x, 0) AS gz, x + 1 AS inc
+        FROM t
+        """,
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=20000),  # days since epoch ≈ 1970–2024
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_date_family_parity(spark, day_offsets):
+    pdf = pd.DataFrame(
+        {
+            "id": range(len(day_offsets)),
+            "d": [pd.Timestamp("1970-01-01") + pd.Timedelta(days=n) for n in day_offsets],
+        }
+    )
+    _compare(
+        spark,
+        pdf,
+        [
+            F.year("d").alias("y"),
+            F.month("d").alias("mo"),
+            F.dayofmonth("d").alias("dd"),
+            F.date_add(F.col("d").cast("date"), 45).alias("plus45"),
+            F.datediff(F.col("d").cast("date"), F.lit("2000-01-01").cast("date")).alias(
+                "dd2k"
+            ),
+        ],
+        """
+        SELECT id, CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS mo,
+               CAST(day(d) AS INT) AS dd,
+               CAST(d AS DATE) + 45 AS plus45,
+               CAST(date_diff('day', DATE '2000-01-01', CAST(d AS DATE)) AS INT) AS dd2k
+        FROM t
+        """,
+    )
