@@ -92,6 +92,36 @@ def subquery_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_extract",
+    category="2.8-JSON",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS n,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sv
+        FROM events
+        GROUP BY k_bucket
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for dynamic JSON payloads:
+    ``parse_json`` once → binary variant → typed ``variant_get``
+    extraction. At scale variant decode beats repeated
+    ``get_json_object`` string re-parsing when several fields are
+    pulled from one payload (single parse, many typed reads)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")) / 10000.0).alias("sv"),
+        )
+    )
+
+
+@query(
     "cidr_match_events",
     category="P-net",
     oracle="""
