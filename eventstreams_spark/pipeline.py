@@ -281,6 +281,43 @@ def _throttle(key: str, order: str, period: str = "1 hour", limit: int = 1) -> T
 _PERIOD_TRUNC = {"1 second": "second", "1 minute": "minute", "1 hour": "hour", "1 day": "day"}
 
 
+@step("syslog")
+def _syslog(source: str = "value", year: int = 2024) -> Transform:
+    """RFC 3164 syslog line → typed fields (Logstash ``syslog`` input's
+    parse half; see sources/syslog.py)."""
+    from .sources.syslog import parse_syslog
+
+    return lambda df: parse_syslog(df, source, year=year)
+
+
+@step("cidr")
+def _cidr(source: str, networks: list[str], target: str = "network") -> Transform:
+    """First-matching-network label (Logstash ``cidr``)."""
+    from .functions.net import cidr_match
+
+    def t(df: DataFrame) -> DataFrame:
+        return df.withColumn(target, cidr_match(F.col(source), networks))
+
+    return t
+
+
+@step("useragent")
+def _useragent(source: str = "user_agent") -> Transform:
+    """Browser family/version/OS extraction (Logstash ``useragent``)."""
+    from .functions.ua import parse_user_agent
+
+    return lambda df: parse_user_agent(df, source)
+
+
+@step("chunk")
+def _chunk(source: str, size: int, keys: list[str]) -> Transform:
+    """Fixed-size token chunking, one row per chunk (LLM-pipeline
+    preprocessing; columnar form of the §2.10 UDTF)."""
+    from .functions.chunking import chunk_text_columnar
+
+    return lambda df: chunk_text_columnar(df, source, size, keys)
+
+
 # --------------------------------------------------------------- pipeline
 
 

@@ -139,3 +139,34 @@ def test_streaming_file_source_through_pipeline(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT client, status FROM pipe_t").collect()
     assert sorted((r.client, r.status) for r in got) == [("10.0.0.9", "200"), ("10.0.0.9", "404")]
+
+
+def test_syslog_cidr_useragent_chunk_steps(spark):
+    """The sources/functions surface registered as pipeline steps."""
+    pipe = Pipeline.from_config(
+        {"steps": [
+            {"type": "syslog", "source": "line"},
+            {"type": "cidr", "source": "src_ip",
+             "networks": ["10.0.0.0/8", "0.0.0.0/0"], "target": "net"},
+            {"type": "useragent", "source": "ua"},
+        ]}
+    )
+    df = spark.createDataFrame(
+        [(
+            "<34>Jan 12 06:30:45 web01 sshd[2451]: Failed password",
+            "10.1.2.3",
+            "curl/8.4.0",
+        )],
+        "line string, src_ip string, ua string",
+    )
+    r = pipe.apply(df).collect()[0]
+    assert (r.host, r.app, r.severity) == ("web01", "sshd", 2)
+    assert r.net == "10.0.0.0/8"
+    assert (r.ua_family, r.ua_version) == ("curl", "8.4.0")
+
+    chunks = Pipeline.from_config(
+        {"steps": [{"type": "chunk", "source": "text", "size": 2, "keys": ["id"]}]}
+    )
+    cdf = spark.createDataFrame([(1, "a b c d e")], "id int, text string")
+    got = sorted(tuple(r) for r in chunks.apply(cdf).collect())
+    assert got == [(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e")]
