@@ -86,3 +86,63 @@ def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int, dim: int) -> DataFram
     return df.crossJoin(F.broadcast(hyperplanes(spark, n_planes, dim))).withColumn(
         "bucket", bucket
     ).drop("planes")
+
+
+def lsh_bucket_tables(
+    df: DataFrame, vec_col: str, n_planes: int, n_tables: int, dim: int
+) -> DataFrame:
+    """Multi-table LSH: ``n_tables`` independent sign-bit signatures of
+    ``n_planes`` bits each; one output row per (input row, table).
+
+    Single-table LSH with enough bits to be selective has near-zero
+    per-bucket recall on weakly-clustered data; the standard fix
+    (Indyk–Motwani) is a UNION over L independent coarser tables: a
+    true neighbor colliding in ANY table becomes a candidate.
+    Collision math per table is p^b with p = 1 - θ/π, so
+    recall ≈ 1 - (1 - p^b)^L — b trades selectivity, L buys recall.
+    At 100 TB (table_id, bucket) is the shuffle key; storage is
+    L× the id column (vectors stay put — candidates re-rank by
+    joining back on vec_id).
+    """
+    spark = df.sparkSession
+    all_planes = hyperplanes(spark, n_planes * n_tables, dim)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    def table_bucket(t: int) -> Column:
+        return F.aggregate(
+            F.slice(F.col("planes"), t * n_planes + 1, n_planes),
+            F.lit(0).cast("long"),
+            lambda acc, pvec: acc * 2
+            + F.when(dot(F.col(vec_col), pvec) >= 0, 1).otherwise(0),
+        )
+
+    sigs = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), table_bucket(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        df.crossJoin(F.broadcast(all_planes))
+        .withColumn("_sig", F.explode(sigs))
+        .select(*df.columns, "_sig.table_id", "_sig.bucket")
+    )
+
+
+def ann_candidates(
+    bucketed: DataFrame, qbucketed: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Distinct corpus rows sharing a (table_id, bucket) with the query.
+
+    ``qbucketed``: the query vector's own multi-table signature (a few
+    rows) — broadcast; the corpus side never shuffles its vectors,
+    only the matched candidates flow to re-ranking.
+    """
+    q = F.broadcast(qbucketed.select("table_id", "bucket").distinct())
+    return (
+        bucketed.join(q, ["table_id", "bucket"])
+        .drop("table_id", "bucket")
+        .dropDuplicates([id_col])
+    )

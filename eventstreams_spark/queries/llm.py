@@ -324,52 +324,56 @@ def tsim_znorm_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 12
+N_PLANES = 4   # bits per table (selectivity)
+N_TABLES = 8   # independent tables (recall)
 
 
 @query("ann_lsh_recall_probe", category="L4", oracle=None)
 def ann_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH, with measured recall vs exact knn.
+    """ANN via multi-table random-hyperplane LSH, with measured recall
+    AND candidate fraction vs exact knn.
 
     Hyperplane components are hash-derived (xxhash64(plane, dim) →
-    uniform in [-1, 1]) — fully deterministic with no driver-side
-    randomness, so the plan is reproducible run to run. Each vector
-    maps to a sign-bit bucket; the query vector only compares against
-    its own bucket (the 100 TB path: bucket is the shuffle key, and
-    multi-probe = flipping low-confidence bits — here we emit the
-    single-probe recall against brute force as the quality metric).
+    uniform in [-1, 1]) — deterministic, no driver-side RNG. Each
+    vector gets N_TABLES independent N_PLANES-bit sign signatures;
+    candidates = corpus rows sharing ANY (table, bucket) with the
+    query (Indyk–Motwani union construction), re-ranked exactly.
+    Emits both quality (recall_at_5) and cost (candidate_frac —
+    fraction of the corpus examined): the pair is the ANN contract;
+    tune b up / L down for clustered corpora, the synthetic testdata
+    embeddings are near-random so the probe shows the worst case.
 
     Not SQL-expressible in DuckDB (xxhash64) → rows-only driver check;
-    recall level is asserted in unit tests instead.
+    recall/fraction levels are asserted in unit tests instead.
     """
-    from ..operators.similarity import cosine_topk, lsh_bucket
+    from ..operators.similarity import ann_candidates, cosine_topk, lsh_bucket_tables
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    bucketed = lsh_bucket(emb, "vec", n_planes=N_PLANES, dim=64)
-    qrow = bucketed.filter(F.col("vec_id") == 0).select(
-        F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+    bucketed = lsh_bucket_tables(
+        emb, "vec", n_planes=N_PLANES, n_tables=N_TABLES, dim=64
     )
+    qsig = bucketed.filter(F.col("vec_id") == 0)
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    corpus = emb.filter(F.col("vec_id") != 0)
     # exact top-5 (brute force) — ground truth
-    exact = cosine_topk(emb.filter(F.col("vec_id") != 0), qrow, "vec", "qvec", k=5)
-    # ANN top-5: same scoring restricted to the query's bucket
-    ann = cosine_topk(
-        bucketed.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
-        .drop("qbucket"),
-        None,
-        "vec",
-        "qvec",
-        k=5,
-    )
+    exact = cosine_topk(corpus, qrow, "vec", "qvec", k=5)
+    # ANN top-5: exact re-rank over the LSH candidate set only
+    cands = ann_candidates(bucketed.filter(F.col("vec_id") != 0), qsig)
+    ann = cosine_topk(cands, qrow, "vec", "qvec", k=5)
     hits = exact.select("vec_id").intersect(ann.select("vec_id"))
     return (
         hits.agg(F.count(F.lit(1)).alias("n_hits"))
-        .crossJoin(ann.agg(F.count(F.lit(1)).alias("n_ann")))
+        .crossJoin(cands.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("n_corpus")))
         .select(
             F.lit(N_PLANES).alias("n_planes"),
-            "n_ann",
+            F.lit(N_TABLES).alias("n_tables"),
+            "n_candidates",
             (F.col("n_hits") / 5.0).alias("recall_at_5"),
+            F.round(F.col("n_candidates") / F.col("n_corpus"), 4).alias(
+                "candidate_frac"
+            ),
         )
     )
