@@ -162,3 +162,45 @@ def test_accumulate_stream_running_totals(spark, tmp_path):
         "SELECT k, max(running_sum) AS running_sum, max(running_count) AS running_count"
         " FROM t_acc GROUP BY k").collect()}
     assert got["a"] == (3.0, 2) and got["b"] == (10.0, 1)
+
+
+def test_stream_stream_join_matches_batch(spark, events_slice, tmp_path):
+    """J11: click→purchase pairing per user within 30 minutes, both
+    sides streamed; inner-join output must equal the batch range join."""
+    from eventstreams_spark.streaming.joins import stream_stream_join
+
+    ev = events_slice.filter(F.col("user_id") <= 30).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+
+    s_clicks = replay_table(spark, clicks, str(tmp_path / "c"), chunks=2, order_col="ts")
+    s_buys = replay_table(spark, buys, str(tmp_path / "b"), chunks=2, order_col="ts")
+    out = stream_stream_join(
+        s_clicks,
+        s_buys,
+        keys=["user_id"],
+        within="30 minutes",
+        watermark="2 hours",
+    )
+    run_to_memory(out, "t_ssj", output_mode="append")
+    got = spark.sql(
+        "SELECT user_id, l_event_id, r_event_id FROM t_ssj"
+    )
+
+    want = (
+        clicks.alias("l")
+        .join(
+            buys.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("l_event_id"),
+            F.col("r.event_id").alias("r_event_id"),
+        )
+    )
+    assert _rows(got) == _rows(want)
