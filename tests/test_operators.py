@@ -152,3 +152,53 @@ def test_ngram_jaccard_separates_dups_from_controls(spark, sf_dir):
     ctrl = [r.jaccard for r in out if r.id2 - r.id1 == 1]
     assert dups and min(dups) >= 0.8
     assert not ctrl or max(ctrl) <= 0.3
+
+
+def test_grok_composite_apache_log_spark_side(spark):
+    """COMBINEDAPACHELOG through Spark regexp_extract (Java regex) —
+    composite patterns contribute their embedded field names in
+    capture-group order."""
+    from eventstreams_spark.functions.grok import grok_extract
+
+    line = (
+        '93.180.71.3 - frank [18/Nov/2023:10:27:31 +0000] '
+        '"GET /downloads/product_1?x=1 HTTP/1.1" 304 1024 '
+        '"http://example.com/start" "Mozilla/5.0 (X11; Linux x86_64)"'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    cols = grok_extract("line", "%{COMBINEDAPACHELOG}")
+    row = df.select(*[c.alias(k) for k, c in cols.items()]).collect()[0]
+    assert row.clientip == "93.180.71.3"
+    assert row.auth == "frank"
+    assert row.verb == "GET"
+    assert row.request == "/downloads/product_1?x=1"
+    assert row.response == "304"
+    assert row.bytes == "1024"
+    assert row.agent.startswith('"Mozilla/5.0')
+
+
+def test_grok_syslogline_spark_side(spark):
+    from eventstreams_spark.functions.grok import grok_extract
+
+    df = spark.createDataFrame(
+        [("Jan 12 06:30:45 web01 sshd[2451]: Failed password",)], "line string"
+    )
+    cols = grok_extract("line", "%{SYSLOGLINE}")
+    row = df.select(*[c.alias(k) for k, c in cols.items()]).collect()[0]
+    assert (row.syslog_host, row.program, row.pid) == ("web01", "sshd", "2451")
+    assert row.syslog_message == "Failed password"
+
+
+def test_grok_unknown_and_cycle_guard():
+    import pytest as _pytest
+
+    from eventstreams_spark.functions import grok as G
+
+    with _pytest.raises(KeyError):
+        G.grok_to_regex("%{NO_SUCH_PATTERN:x}")
+    G.PATTERNS["_CYC"] = "%{_CYC}"
+    try:
+        with _pytest.raises(ValueError):
+            G.grok_to_regex("%{_CYC:x}")
+    finally:
+        del G.PATTERNS["_CYC"]
