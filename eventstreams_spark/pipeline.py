@@ -395,6 +395,18 @@ def write_sink(df: DataFrame, conf: dict):
         available_now = conf.pop("availableNow", False)
         query_name = conf.pop("queryName", None)
         path = conf.pop("path", None)
+        if fmt == "foreachBatch":
+            # K6 escape hatch: arbitrary per-micro-batch handler
+            # fn(batch_df, batch_id) — the Logstash ruby-output analog.
+            fn = conf.pop("function")
+            writer = df.writeStream.foreachBatch(fn)
+            if query_name:
+                writer = writer.queryName(query_name)
+            for k, v in conf.items():
+                writer = writer.option(k, v)
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            return writer.start()
         writer = df.writeStream.format(fmt)
         if query_name:
             writer = writer.queryName(query_name)

@@ -72,3 +72,20 @@ def test_dynamic_partition_overwrite_replaces_only_target_day(spark, landed):
         .collect()[0][0]
         == 0.0
     )
+
+def test_dynamic_partition_pruning_from_dim_join(spark, landed, tmp_path):
+    """§4.1 DPP: joining the partitioned fact against a *filtered*
+    parquet dim injects a runtime partition filter
+    (dynamicpruningexpression) into the fact scan — the 100 TB shape
+    where the date list comes from data, not a literal."""
+    df, out = landed
+    spark.createDataFrame(
+        [("2024-01-%02d" % d, 1 if d in (3, 4) else 0) for d in range(1, 31)],
+        "d string, pick int",
+    ).select(F.col("d").cast("date").alias("event_date"), "pick").write.parquet(
+        str(tmp_path / "dim")
+    )
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("pick") == 1)
+    q = df.join(dim.select("event_date"), "event_date").groupBy("event_type").count()
+    plan = formatted_plan(q)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:1500]

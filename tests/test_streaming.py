@@ -204,3 +204,49 @@ def test_stream_stream_join_matches_batch(spark, events_slice, tmp_path):
         )
     )
     assert _rows(got) == _rows(want)
+
+
+def test_sliding_stream_equals_batch(spark, events_slice, tmp_path):
+    """T2: 1h window sliding by 15m — streamed result must equal the
+    batch builder for all windows closed by the final watermark."""
+    from eventstreams_spark.streaming import sliding_agg
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = replay_table(spark, events_slice, str(tmp_path), chunks=3, order_col="ts")
+    out = sliding_agg(
+        stream, "ts", "1 hour", "15 minutes", ["event_type"], aggs,
+        watermark="10 minutes",
+    )
+    run_to_memory(out, "t_slide", output_mode="append")
+    got = spark.sql("SELECT window_start, event_type, n FROM t_slide")
+    wm = events_slice.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0].wm
+    want = (
+        sliding_agg(events_slice, "ts", "1 hour", "15 minutes", ["event_type"], aggs)
+        .filter(F.col("window_end") <= F.lit(wm))
+        .select("window_start", "event_type", "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_foreach_batch_sink(spark, events_slice, tmp_path):
+    """K6: arbitrary per-batch handler through the pipeline sink config."""
+    from eventstreams_spark.pipeline import write_sink
+
+    seen: list[tuple[int, int]] = []
+
+    def handler(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    ev = events_slice
+    n_total = ev.count()
+    stream = replay_table(spark, ev, str(tmp_path), chunks=2, order_col="ts")
+    q = write_sink(
+        stream,
+        {"format": "foreachBatch", "function": handler, "availableNow": True,
+         "checkpointLocation": str(tmp_path / "ck")},
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == n_total
+    assert len(seen) >= 2  # chunked replay -> multiple batches
