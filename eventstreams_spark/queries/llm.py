@@ -377,3 +377,58 @@ def ann_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "knn_multi_query_topk",
+    category="L3",
+    oracle="""
+        WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+            SELECT q.qid, c.vec_id,
+                   list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])) AS cos_sim,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY list_cosine_similarity(
+                                          CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])) DESC,
+                                      c.vec_id) AS rk
+            FROM q, c
+        )
+        SELECT qid, vec_id, cos_sim FROM scored WHERE rk <= 3
+    """,
+)
+def knn_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity JOIN: top-3 corpus neighbors for EACH of 10 query
+    vectors (the training-data-pipeline shape: batch retrieval /
+    hard-negative mining, not a single lookup).
+
+    Plan: broadcast the small query side → BroadcastNestedLoopJoin ×
+    JVM-side cosine → per-query window top-k. O(|corpus|·|queries|)
+    work with the corpus scanned ONCE and never shuffled (only
+    (qid, vec_id, sim) triples move). When the query side is also
+    large, this is exactly what the L4 LSH bucketing replaces:
+    candidates per bucket instead of the full cross product.
+    """
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(queries))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity(F.col("vec"), F.col("qvec")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
