@@ -1,0 +1,95 @@
+"""CLI: run a declarative pipeline config end to end.
+
+The Logstash-replacement entry point — a user of the reference runs
+flows from config; here:
+
+    python -m eventstreams_spark run pipeline.yaml
+    python -m eventstreams_spark validate pipeline.yaml
+    python -m eventstreams_spark list-steps
+
+Config shape (YAML or JSON):
+
+    source: {format: json, path: /data/in, stream: true, schema: "..."}
+    steps:
+      - {type: grok, source: line, pattern: "%{IP:client} %{WORD:verb}"}
+      - {type: filter, expr: "verb = 'GET'"}
+    sink: {format: parquet, path: /data/out,
+           checkpointLocation: /data/ck, availableNow: true}
+
+Custom sources (event_generator / event_spool / es_bulk) are
+registered automatically so configs can name them like built-ins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_config(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - yaml is bundled here
+            raise SystemExit("pyyaml not available; use a .json config") from e
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def cmd_validate(config: dict) -> None:
+    from .pipeline import Pipeline
+
+    Pipeline.from_config(config)  # compile errors surface here
+    if "source" not in config:
+        raise SystemExit("config missing 'source'")
+    if "sink" not in config:
+        raise SystemExit("config missing 'sink'")
+    print("config OK:", len(config.get("steps", [])), "steps")
+
+
+def cmd_run(config: dict, await_seconds: int | None) -> None:
+    from .pipeline import Pipeline, read_source, write_sink
+    from .session import get_spark
+    from .sources import register_es_bulk, register_generator, register_spool
+
+    spark = get_spark("eventstreams-pipeline")
+    register_generator(spark)
+    register_spool(spark)
+    register_es_bulk(spark)
+    pipe = Pipeline.from_config(config)
+    df = read_source(spark, config["source"])
+    out = pipe.apply(df)
+    q = write_sink(out, config["sink"])
+    if q is not None:  # streaming query
+        q.awaitTermination(await_seconds) if await_seconds else q.awaitTermination()
+    print("done")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="eventstreams_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "validate"):
+        sp = sub.add_parser(name)
+        sp.add_argument("config")
+        if name == "run":
+            sp.add_argument("--await-seconds", type=int, default=None)
+    sub.add_parser("list-steps")
+    args = p.parse_args(argv)
+
+    if args.cmd == "list-steps":
+        from .pipeline import step_types
+
+        print("\n".join(step_types()))
+        return
+    config = load_config(args.config)
+    if args.cmd == "validate":
+        cmd_validate(config)
+    else:
+        cmd_run(config, args.await_seconds)
+
+
+if __name__ == "__main__":
+    main()
