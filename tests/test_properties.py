@@ -9,6 +9,8 @@ never exercises. Batched: each hypothesis example is a LIST of values
 
 from __future__ import annotations
 
+import json
+
 import duckdb
 import pandas as pd
 import pytest
@@ -155,3 +157,51 @@ def test_date_family_parity(spark, day_offsets):
         FROM t
         """,
     )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij_", min_size=1, max_size=8),  # key
+            st.integers(min_value=-(10**9), max_value=10**9),          # int value
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                           blacklist_characters='"\\'),
+                    max_size=15),                                       # str value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_json_extract_family_parity(spark, triples):
+    """get_json_object vs DuckDB json_extract over generated docs —
+    int and string fields, plus a missing-key probe (both NULL)."""
+    docs = [
+        json.dumps({k: n, f"{k}_s": s, "nested": {"v": n}})
+        for k, n, s in triples
+    ]
+    keys = [k for k, _n, _s in triples]
+    pdf = pd.DataFrame({"id": range(len(docs)), "doc": docs, "k": keys})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        tuple(r)
+        for r in sdf.select(
+            "id",
+            F.get_json_object("doc", "$.nested.v").cast("long").alias("nv"),
+            F.get_json_object("doc", "$.__missing__").alias("miss"),
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        """
+        SELECT id,
+               CAST(json_extract(doc, '$.nested.v') AS BIGINT) AS nv,
+               CAST(json_extract(doc, '$.__missing__') AS VARCHAR) AS miss
+        FROM t ORDER BY id
+        """
+    ).fetchall()
+    con.close()
+    assert got == want
