@@ -432,3 +432,62 @@ def knn_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .drop("rk")
     )
+
+
+@query(
+    "llm_corpus_prep_pipeline",
+    category="L1-L5",
+    oracle=f"""
+        WITH kept AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                               x -> x <> '') AS toks
+            FROM documents
+            WHERE lang = 'en' AND n_chars >= 40
+        ), qual AS (
+            SELECT doc_id, text, toks FROM kept WHERE len(toks) >= 8
+        ), dedup AS (
+            SELECT doc_id, toks,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM qual
+        ), uniq AS (
+            SELECT doc_id, toks,
+                   CAST(ceil(len(toks)/32.0) AS INT) AS nchunks
+            FROM dedup WHERE rn = 1
+        ), i AS (SELECT unnest(generate_series(0, 100000)) AS i)
+        SELECT doc_id, i.i AS chunk_no,
+               array_to_string(toks[(i.i*32+1):(i.i*32+32)], ' ') AS chunk,
+               len(toks) AS n_tokens
+        FROM uniq JOIN i ON i.i < uniq.nchunks
+    """,
+)
+def llm_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE Catalyst plan:
+    language filter → length/quality gate → exact dedup (md5,
+    deterministic winner) → fixed-size token chunking.
+
+    The point at 100 TB: the whole chain has exactly ONE shuffle (the
+    dedup groupBy on content hash) — filters fold into the scan,
+    tokenize/chunk are per-row expressions, and chunking explodes
+    AFTER dedup so duplicate bytes never fan out. This is the composed
+    form of L1+L5+chunking that a real data pipeline would run.
+    """
+    from ..functions.chunking import chunk_text_columnar
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    kept = (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 40))
+        .withColumn("toks", toks)
+        .filter(F.size("toks") >= 8)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", F.size("toks").alias("n_tokens"))
+    )
+    return chunk_text_columnar(uniq, "text", 32, ["doc_id", "n_tokens"]).select(
+        "doc_id", "chunk_no", "chunk", "n_tokens"
+    )

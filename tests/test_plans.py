@@ -104,3 +104,12 @@ def test_sessionize_single_shuffle_by_user(spark, sf_dir):
 def test_chunking_columnar_no_python(spark, sf_dir):
     df = q("chunk_text_columnar_parity", spark, sf_dir)
     assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython", "PythonUDTF")
+
+
+def test_llm_corpus_prep_single_shuffle(spark, sf_dir):
+    """The composed corpus-prep chain must keep exactly one Exchange
+    (the dedup hash shuffle) — chunk explode and filters add none."""
+    df = q("llm_corpus_prep_pipeline", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Exchange") == 1
+    assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
