@@ -17,10 +17,11 @@ Layout:
 - queries/      one module per operator family (SURVEY §2 manifest)
 - operators/    reusable plan-builder functions (DataFrame -> DataFrame)
 - functions/    column-level helpers (vector math, text, grok patterns)
-- pipeline.py   declarative Logstash-style pipeline compiler
-- streaming/    Structured Streaming operators (windows, dedup, stateful)
-- sources/      batch/stream source wrappers + custom Python data sources
-- sinks/        sink wrappers
+- pipeline.py   declarative Logstash-style pipeline compiler + source/sink config
+- streaming/    Structured Streaming operators (windows, dedup, stateful, joins, state store)
+- sources/      custom Python data sources AND sinks (generator, spool, kafka, es_bulk)
+- plans/        physical-plan inspection/assertion helpers
+- __main__.py   CLI: run/validate pipeline configs
 """
 
 __version__ = "0.1.0"

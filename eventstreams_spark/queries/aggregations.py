@@ -242,3 +242,52 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price")
     )
+
+
+@query(
+    "agg_cube_grouping_sets",
+    category="A5",
+    oracle="""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_suppliers,
+               sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, n_name)
+    """,
+)
+def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, nation): all four grouping sets in one pass
+    (A5 companion to agg_rollup_nation_region, which only walks the
+    hierarchy). NULL group markers are collapsed to 'ALL' sentinels so
+    the result is oracle-hashable (neither dim contains real NULLs).
+
+    Money is summed as half-up-rounded cents (BIGINT) on both sides —
+    order-insensitive and exact after the join reshuffles row order.
+    Scale: two broadcast joins (nation/region are tiny) then ONE
+    partial+final hash aggregate over the Expand (4 grouping sets =
+    4x map-side rows, combined before the single shuffle).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.cube("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_suppliers",
+            "acctbal_cents",
+        )
+    )

@@ -211,3 +211,77 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = c.intersect(s).select(F.lit("both").alias("tag"), "n")
     cust_only = c.subtract(s).select(F.lit("cust_only").alias("tag"), "n")
     return both.unionAll(cust_only)
+
+
+@query(
+    "window_first_last_nth",
+    category="A8",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(value)  OVER wf AS first_val,
+               last_value(value)   OVER wf AS last_val,
+               nth_value(value, 2) OVER wf AS second_val
+        FROM events
+        WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    frame (A8 — order-dependent "firsts" are only deterministic with an
+    explicit window ordering + unique-key tiebreak, never via groupBy
+    first()).
+
+    The UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING frame is load-bearing:
+    with the default frame (..CURRENT ROW) last_value degenerates to the
+    current row's value in both engines. Scale: one hash-partition
+    shuffle on user_id; the full-frame functions are computed in a single
+    pass over each sorted partition (no per-row rescans).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(wf).alias("first_val"),
+        F.last("value").over(wf).alias("last_val"),
+        F.nth_value("value", 2).over(wf).alias("second_val"),
+    )
+
+
+@query(
+    "setop_intersect_except_all",
+    category="O5",
+    oracle="""
+        SELECT 'both_all' AS tag, n FROM (
+            SELECT c_nationkey AS n FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey AS n FROM supplier
+        )
+        UNION ALL
+        SELECT 'cust_only_all' AS tag, n FROM (
+            SELECT c_nationkey AS n FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS n FROM supplier
+        )
+    """,
+)
+def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiset semantics (O5 ALL variants):
+    each nationkey survives min(cust_count, supp_count) times in the
+    intersection and cust_count - supp_count times in the difference.
+
+    Spark plans both as an aggregate producing per-row multiplicities
+    followed by generate (replicate) — one shuffle on the compared
+    columns, no join; same shape DuckDB uses, and it scales as a
+    hash aggregate (no row explosion beyond the surviving multiset).
+    """
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = c.intersectAll(s).select(F.lit("both_all").alias("tag"), "n")
+    cust_only = c.exceptAll(s).select(F.lit("cust_only_all").alias("tag"), "n")
+    return both.unionAll(cust_only)
