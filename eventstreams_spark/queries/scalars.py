@@ -245,3 +245,38 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.concat(F.col("n_name"), F.lit("#"), F.col("n_regionkey").cast("string")).alias("tagged"),
     )
+
+
+@query(
+    "scan_json_roundtrip",
+    category="S2",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip (S2/K2, the Logstash `json`
+    codec half of S2 — scan_csv_roundtrip covers the csv codec): write
+    nation with a NESTED struct payload as .json, read it back with an
+    explicit nested schema (never schema inference in prod — it is an
+    extra full scan), flatten via getField, verify against the parquet
+    truth.
+
+    Scale: JSON is the interchange format, not the storage format —
+    line-splittable so a 100 TB directory still parallelizes per block,
+    but ~10x the scan cost of parquet (no column pruning, text parse
+    per row); land it to parquet once and query that.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    out = os.path.join(SCRATCH, "json_roundtrip", os.path.basename(sf_dir.rstrip("/")))
+    n.select(
+        "n_nationkey", F.struct("n_name", "n_regionkey").alias("meta")
+    ).write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "n_nationkey int, meta struct<n_name:string, n_regionkey:int>"
+    ).json(out)
+    return back.select(
+        "n_nationkey",
+        F.col("meta.n_name").alias("n_name"),
+        F.col("meta.n_regionkey").alias("n_regionkey"),
+    )

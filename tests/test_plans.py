@@ -113,3 +113,22 @@ def test_llm_corpus_prep_single_shuffle(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "Exchange") == 1
     assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_cube_single_shuffle_over_expand(spark, sf_dir):
+    """CUBE = Expand (4 grouping sets) + ONE partial+final hash agg;
+    dims joined by broadcast so the only exchange is the final agg's."""
+    df = q("agg_cube_grouping_sets", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Expand") >= 1
+    assert count_prefix(counts, "HashAggregate") == 2
+    assert count_prefix(counts, "Exchange") == 1
+
+
+def test_intersect_all_no_join(spark, sf_dir):
+    """INTERSECT/EXCEPT ALL plan as aggregate+generate (multiplicity
+    replication), not a join — no row explosion at scale."""
+    df = q("setop_intersect_except_all", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") + count_prefix(counts, "BroadcastNestedLoop") == 0
