@@ -285,3 +285,34 @@ def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = c.intersectAll(s).select(F.lit("both_all").alias("tag"), "n")
     cust_only = c.exceptAll(s).select(F.lit("cust_only_all").alias("tag"), "n")
     return both.unionAll(cust_only)
+
+
+@query(
+    "sort_limit_offset",
+    category="O3",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated top-k (O3): global sort + OFFSET + LIMIT. Only
+    deterministic with a total order (unique-key tiebreak on
+    o_orderkey — a bare ORDER BY o_totalprice would make pages
+    engine-dependent under ties).
+
+    Scale: Spark plans offset+limit over a sort as a single
+    TakeOrderedAndProject of the first offset+limit rows (heap per
+    partition, merge on driver) — no range-partitioned global sort, so
+    page depth, not table size, bounds the cost; deep pagination
+    (OFFSET 1e9) would be the anti-pattern.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
