@@ -491,3 +491,58 @@ def llm_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text_columnar(uniq, "text", 32, ["doc_id", "n_tokens"]).select(
         "doc_id", "chunk_no", "chunk", "n_tokens"
     )
+
+
+N_CENTROIDS = 16  # coarse quantizer size (k)
+N_PROBE = 4       # clusters scanned per query
+
+
+@query("ann_ivf_recall_probe", category="L4", oracle=None)
+def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF coarse quantizer (spherical k-means) with measured
+    recall AND candidate fraction vs exact knn — the clustered-corpus
+    complement to `ann_lsh_recall_probe`.
+
+    Build: deterministic xxhash64-ordered seeding + 2 Lloyd iterations
+    (each one corpus scan and an O(k·dim) shuffle of partial sums);
+    search: probe the N_PROBE nearest of N_CENTROIDS clusters, exact
+    cosine re-rank within them. At rest the assignment table is
+    partitioned by cid, so nprobe/k of the data is read per query. On
+    the near-uniform synthetic embeddings the probe reports the
+    worst-case floor (candidate_frac ≈ nprobe/k); clustered real
+    corpora recover recall ≈ 1 at the same fraction.
+
+    Not SQL-expressible (iterative k-means) → rows-only driver check;
+    recall/fraction are asserted in unit tests.
+    """
+    from ..operators.ivf import ivf_build, ivf_probe_ids
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    assigned, centroids = ivf_build(
+        emb, "vec", "vec_id", n_centroids=N_CENTROIDS, n_iters=2
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, qrow, "vec", "qvec", k=5)
+    cands = ivf_probe_ids(
+        assigned.filter(F.col("vec_id") != 0), centroids, qrow, nprobe=N_PROBE
+    )
+    ann = cosine_topk(cands, qrow, "vec", "qvec", k=5)
+    hits = exact.select("vec_id").intersect(ann.select("vec_id"))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(cands.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("n_corpus")))
+        .select(
+            F.lit(N_CENTROIDS).alias("n_centroids"),
+            F.lit(N_PROBE).alias("n_probe"),
+            "n_candidates",
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+            F.round(F.col("n_candidates") / F.col("n_corpus"), 4).alias(
+                "candidate_frac"
+            ),
+        )
+    )

@@ -202,3 +202,43 @@ def test_grok_unknown_and_cycle_guard():
             G.grok_to_regex("%{_CYC:x}")
     finally:
         del G.PATTERNS["_CYC"]
+
+
+def test_ann_ivf_recall_probe_quality(spark, sf_dir):
+    """IVF probe: recall above the random floor (candidate_frac) and a
+    candidate set ≈ nprobe/k of the corpus. Seeding and Lloyd steps are
+    hash-deterministic, so bounds are stable."""
+    row = registry.REGISTRY["ann_ivf_recall_probe"].builder(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.recall_at_5 >= 0.4
+    assert r.candidate_frac <= 0.35  # ~ nprobe/k = 0.25 on uniform data
+    assert r.n_candidates >= 5
+
+
+def test_ivf_clustered_data_high_recall(spark):
+    """On genuinely clustered vectors (the real-corpus regime) IVF must
+    send the query to the right cluster: recall == 1 with a small
+    candidate fraction."""
+    from eventstreams_spark.operators.ivf import ivf_build, ivf_probe_ids
+    from eventstreams_spark.operators.similarity import cosine_topk
+
+    # 4 well-separated clusters in 8-dim: one axis-aligned spike each,
+    # deterministic jitter on the other axes.
+    rows = []
+    for i in range(200):
+        c = i % 4
+        vec = [((i * 37 + d * 11) % 7 - 3) * 0.02 for d in range(8)]
+        vec[c * 2] += 1.0
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    assigned, cents = ivf_build(df, "vec", "vec_id", n_centroids=4, n_iters=2)
+    q = df.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    corpus = df.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, q, "vec", "qvec", k=5)
+    cands = ivf_probe_ids(assigned.filter(F.col("vec_id") != 0), cents, q, nprobe=1)
+    ann = cosine_topk(cands, q, "vec", "qvec", k=5)
+    hits = exact.select("vec_id").intersect(ann.select("vec_id")).count()
+    n_c = cands.count()
+    assert hits == 5            # perfect recall probing ONE cluster
+    assert n_c <= 0.35 * 199    # ... while scanning ~1/4 of the corpus
