@@ -290,6 +290,24 @@ def _syslog(source: str = "value", year: int = 2024) -> Transform:
     return lambda df: parse_syslog(df, source, year=year)
 
 
+@step("statsd")
+def _statsd(source: str = "value") -> Transform:
+    """Statsd/DogStatsD datagram line → typed metric fields (Logstash
+    ``statsd``/``udp`` input's parse half; see sources/statsd.py)."""
+    from .sources.statsd import parse_statsd
+
+    return lambda df: parse_statsd(df, source)
+
+
+@step("graphite")
+def _graphite(source: str = "value") -> Transform:
+    """Graphite plaintext line → (metric, value, ts, path) (Logstash
+    ``graphite`` input's parse half)."""
+    from .sources.statsd import parse_graphite
+
+    return lambda df: parse_graphite(df, source)
+
+
 @step("cidr")
 def _cidr(source: str, networks: list[str], target: str = "network") -> Transform:
     """First-matching-network label (Logstash ``cidr``)."""

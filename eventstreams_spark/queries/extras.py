@@ -180,3 +180,58 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
         """
     )
+
+
+@query(
+    "rollup_cascade_1h_1d",
+    category="T1-cascade",
+    oracle="""
+        WITH t1 AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_scaled,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY h, event_type
+        ), t2 AS (
+            SELECT time_bucket(INTERVAL '1 day', h) AS window_start,
+                   event_type,
+                   sum(n_events)   AS n_events,
+                   sum(sum_scaled) AS sum_scaled,
+                   min(min_value)  AS min_value,
+                   max(max_value)  AS max_value
+            FROM t1
+            GROUP BY window_start, event_type
+        )
+        SELECT window_start, event_type, n_events,
+               sum_scaled / 10000.0 AS sum_value,
+               min_value, max_value,
+               (sum_scaled / 10000.0) / n_events AS avg_value
+        FROM t2
+    """,
+)
+def rollup_cascade_1h_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the cascading continuous aggregate
+    (streaming/rollup.py): 1h partials re-aggregated to 1d, avg derived
+    from partials at read time — proving the tier math is lossless.
+
+    The SAME builders run the streaming tiers (golden test
+    tests/test_rollup.py); at scale tier N+1 reads tier N's parquet
+    (MBs of partials), never the raw events.
+    """
+    from ..streaming.rollup import rollup_coarsen, rollup_partials, with_derived_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    t1 = rollup_partials(ev, "ts", "1 hour", ["event_type"], exact_decimals=4)
+    t2 = rollup_coarsen(t1, "1 day", ["event_type"])
+    return with_derived_stats(t2, exact_decimals=4).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        "avg_value",
+    )
