@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregations,
+    behavior,
     core,
     extras,
     joins,
@@ -10,5 +11,6 @@ from . import (  # noqa: F401
     projections,
     scalars,
     textqa,
+    timeseries,
     windows,
 )

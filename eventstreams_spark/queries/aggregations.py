@@ -291,3 +291,85 @@ def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_cents",
         )
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    category="A14-histogram",
+    oracle="""
+        SELECT CASE WHEN value < 0 THEN 0
+                    WHEN value >= 500 THEN 26
+                    ELSE CAST(floor(value / 20.0) AS BIGINT) + 1 END AS bucket,
+               count(*) AS n,
+               min(value) AS min_v,
+               max(value) AS max_v
+        FROM events
+        GROUP BY bucket
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram via ``width_bucket(value, 0, 500, 25)``
+    (25 equi-width bins + underflow 0 / overflow 26) — the value
+    distribution profile every metrics backend exposes.
+
+    The oracle states the binning arithmetic explicitly, pinning
+    width_bucket's edge conventions (left-closed bins, overflow =
+    n+1). One partial+final hash aggregate; bucket ids are dense
+    small ints so the shuffle is trivially skew-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(25)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets_explicit",
+    category="A5-gsets",
+    oracle="""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               grouping(r_name) AS g_region,
+               grouping(n_name) AS g_nation,
+               count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical sibling of
+    cube/rollup: exactly the (region), (nation), (grand-total) sets,
+    NOT their cross product. grouping() markers disambiguate a real
+    'ALL' value from a set-collapsed slot.
+
+    Planned as one Expand (3x map-side rows) feeding a single
+    partial+final aggregate — same single-shuffle shape as cube.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).createOrReplaceTempView("_gs_sup")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               grouping(r_name) AS g_region,
+               grouping(n_name) AS g_nation,
+               count(*) AS n_suppliers
+        FROM _gs_sup
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )

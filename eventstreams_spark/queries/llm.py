@@ -546,3 +546,51 @@ def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "embedding_centroid_per_label",
+    category="L3-centroid",
+    oracle="""
+        SELECT label,
+               i AS dim,
+               count(*) AS n_vecs,
+               sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS sum_scaled,
+               (sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) / 1000000.0) / count(*) AS mean_val
+        FROM embeddings, range(0, 64) t(i)
+        GROUP BY label, i
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding column — the vector
+    aggregation behind nearest-centroid classification and IVF
+    coarse training, expressed as posexplode → (label, dim) hash
+    aggregate rather than any driver-side numpy reduce.
+
+    Components are scaled to exact BIGINT micro-units before summing
+    so the result is independent of reduction order (float sums are
+    not associative); the mean is derived from the exact sum. At
+    100 TB this is one shuffle of 64 rows per vector, combinable
+    map-side — the standard scalable layout for dense-vector stats.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    scaled = F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("long")
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(scaled).alias("sum_scaled"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_scaled",
+            ((F.col("sum_scaled") / 1000000.0) / F.col("n_vecs")).alias("mean_val"),
+        )
+    )

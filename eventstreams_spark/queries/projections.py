@@ -340,3 +340,42 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("u")).alias("qp_user"),
     )
+
+
+@query(
+    "sample_stratified_hash",
+    category="P7-stratified",
+    oracle="""
+        SELECT event_id, event_type, user_id, value
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+              CASE event_type
+                   WHEN 'error'    THEN 'ffff'
+                   WHEN 'purchase' THEN '8000'
+                   WHEN 'click'    THEN '1000'
+                   ELSE '0400' END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (errors
+    ~100%, purchases ~50%, clicks ~6.25%, rest ~1.6%) decided by a
+    lexicographic threshold on the md5 of the row key — reproducible
+    across engines, runs, and partitionings, unlike rand()/sampleBy.
+
+    For fixed-length lowercase hex, string order == numeric order, so
+    `md5[:4] < '8000'` keeps 0x8000/0x10000 = 50%. This is a pure
+    narrow map (no shuffle, no seed state); at 100 TB it samples in
+    the scan with the filter pushed to each file split, and the same
+    threshold re-selects the identical rows for any re-run or audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    threshold = (
+        F.when(F.col("event_type") == "error", "ffff")
+        .when(F.col("event_type") == "purchase", "8000")
+        .when(F.col("event_type") == "click", "1000")
+        .otherwise("0400")
+    )
+    return ev.filter(bucket < threshold).select(
+        "event_id", "event_type", "user_id", "value"
+    )

@@ -517,3 +517,52 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "redact_pii",
+    category="L5-redact",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'
+               ) AS redacted
+        FROM (
+            SELECT doc_id,
+                   substr(text, 1, 40) || ' contact bob.smith+' || doc_id ||
+                   '@corp.example.com from 10.1.' || (doc_id % 256) ||
+                   '.7 or x@y.io' AS raw
+            FROM documents
+        )
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training-corpus prep: scrub emails and IPv4
+    addresses with anchored regexes (the Logstash `mutate gsub` /
+    anonymize role).
+
+    Deterministic PII is synthesized into the text so the oracle
+    exercises real matches; both engines must agree on every
+    replacement site. Pure narrow map over the scan — regexp_replace
+    is JVM codegen, no UDF, no shuffle; at 100 TB this is
+    scan-bandwidth-bound, which is the correct bottleneck.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact bob.smith+"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or x@y.io"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), ipv4, "<IP>"
+        ).alias("redacted"),
+    )

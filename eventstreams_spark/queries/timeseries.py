@@ -1,0 +1,194 @@
+"""T-series extras: native session windows, grid densification with
+gap fill (LOCF), and CDC keep-latest compaction.
+
+These are the timeseries/hypertable-flavored operations an
+eventstreams-class engine exposes beyond plain tumbling/sliding
+windows. All are expressed as single declarative plans — the gap-fill
+grid is generated with ``sequence``/``explode`` (no driver loop, no
+collect), so each survives a 1000-executor scale-up unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "session_window_native_30m",
+    category="T3",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts)                          AS session_start,
+               max(ts) + INTERVAL '30 minutes'  AS session_end,
+               count(*)                         AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+)
+def session_window_native_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (gap-close sessionization as
+    a GROUP BY, not a window-function reconstruction — contrast
+    ``sessionize_gap30m_batch``).
+
+    Semantics pinned by the oracle: an event at exactly prev_ts + gap
+    starts a NEW session (Spark session windows are end-exclusive), and
+    session_end = last_event_ts + gap. In batch this plans as a single
+    hash-partition-by-user sort-merge session assembly; in streaming the
+    same expression runs stateful with watermark-driven close.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "gapfill_hourly_locf",
+    category="T10-gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS h,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_scaled
+            FROM events
+            WHERE event_type IN ('error', 'purchase')
+            GROUP BY event_type, h
+        ), bounds AS (
+            SELECT min(h) AS mn, max(h) AS mx FROM hourly
+        ), grid AS (
+            SELECT t.event_type, gs.h
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL unnest(generate_series(bounds.mn, bounds.mx,
+                                                      INTERVAL '1 hour')) AS gs(h)
+        )
+        SELECT g.event_type,
+               g.h AS bucket,
+               coalesce(hr.n_events, 0) AS n_events,
+               hr.sum_scaled AS sum_scaled,
+               last_value(hr.sum_scaled IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sum_scaled_locf
+        FROM grid g
+        LEFT JOIN hourly hr ON hr.event_type = g.event_type AND hr.h = g.h
+    """,
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap fill: densify the hourly grid (every (type, hour)
+    slot between global min and max, even empty ones), then
+    last-observation-carried-forward over the gaps.
+
+    Plan shape: the grid is sequence()+explode over a 1-row bounds
+    aggregate cross-joined with the distinct-types dim — both sides are
+    tiny and broadcast, so densification costs no shuffle of the raw
+    events; the only wide exchanges are the hourly pre-aggregation and
+    the per-type LOCF sort. Sums carried as scaled BIGINT so the hash
+    comparison is float-drift-free.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias("sum_scaled"),
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    types = hourly.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "sum_scaled",
+            F.last("sum_scaled", ignorenulls=True).over(w).alias("sum_scaled_locf"),
+        )
+    )
+
+
+@query(
+    "cdc_latest_by_key",
+    category="T11-cdc",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_id   AS last_event_id,
+               ts         AS last_ts,
+               event_type AS last_event_type,
+               value      AS last_value
+        FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: collapse a keyed changelog to its latest
+    row per key ((ts, event_id) total order makes it deterministic).
+
+    This is the read-side view of a merge-on-read upsert table.  The
+    window+filter form shuffles once on the key and streams each
+    partition sorted; at 100 TB the same plan applies per date
+    partition, and AQE skew-split handles hot keys. (``max_by(struct)``
+    is the agg-form alternative; row_number is kept for its
+    deterministic tiebreak.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Semantics + plan-shape tests for the timeseries/sampling batch:
+native session windows, gap fill with LOCF, CDC keep-latest,
+histogram, stratified hash sampling, PII redaction."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from eventstreams_spark import registry
+from eventstreams_spark.plans import (
+    assert_has_operator,
+    assert_no_operator,
+    operator_counts,
+)
+
+registry._ensure_loaded()
+
+
+def q(name, spark, sf_dir):
+    return registry.REGISTRY[name].builder(spark, sf_dir)
+
+
+def test_session_window_gap_edge(spark):
+    """An event at exactly prev_ts + gap starts a NEW session
+    (end-exclusive), one inside the gap extends it."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + timedelta(minutes=29, seconds=59)),  # extends
+        (1, t0 + timedelta(minutes=59, seconds=59) + timedelta(minutes=30)),  # new
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .select("user_id", "session_window.start", "session_window.end", "count")
+        .orderBy("user_id", "start")
+        .collect()
+    )
+    assert len(out) == 3
+    # user 1 session 1: [t0, second_event + 30min)
+    assert out[0]["start"] == t0
+    assert out[0]["end"] == t0 + timedelta(minutes=59, seconds=59)
+    assert out[0]["count"] == 2
+    assert out[1]["count"] == 1
+    assert out[2]["user_id"] == 2
+
+
+def test_gapfill_grid_is_dense_and_locf_monotone(spark, sf_dir):
+    rows = q("gapfill_hourly_locf", spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for typ, trs in by_type.items():
+        trs.sort(key=lambda r: r["bucket"])
+        # dense hourly grid: consecutive buckets differ by exactly 1h
+        for a, b in zip(trs, trs[1:]):
+            assert b["bucket"] - a["bucket"] == timedelta(hours=1), typ
+        # LOCF: null raw slots carry the previous observed value
+        prev = None
+        for r in trs:
+            if r["sum_scaled"] is not None:
+                prev = r["sum_scaled"]
+            assert r["sum_scaled_locf"] == prev
+
+
+def test_cdc_latest_one_row_per_key(spark, sf_dir):
+    df = q("cdc_latest_by_key", spark, sf_dir)
+    n_keys = df.select("user_id").distinct().count()
+    assert df.count() == n_keys
+    counts = operator_counts(df)
+    # single wide exchange: hash-partition by user_id for the window
+    assert sum(n for op, n in counts.items() if op.startswith("Exchange")) == 1
+
+
+def test_stratified_sample_no_shuffle_and_rates(spark, sf_dir):
+    df = q("sample_stratified_hash", spark, sf_dir)
+    assert_no_operator(df, "Exchange")
+    got = {r["event_type"]: r["n"] for r in
+           df.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    from eventstreams_spark.catalog import load_table
+
+    tot = {r["event_type"]: r["n"] for r in
+           load_table(spark, sf_dir, "events").groupBy("event_type")
+           .agg(F.count("*").alias("n")).collect()}
+    # nominal rates: error 100%, purchase 50%, click 6.25% (md5 variance)
+    assert got["error"] == tot["error"]
+    assert 0.35 < got["purchase"] / tot["purchase"] < 0.65
+    assert 0.01 < got["click"] / tot["click"] < 0.15
+
+
+def test_stratified_sample_is_reproducible(spark, sf_dir):
+    a = sorted(r["event_id"] for r in q("sample_stratified_hash", spark, sf_dir).collect())
+    b = sorted(r["event_id"] for r in q("sample_stratified_hash", spark, sf_dir).collect())
+    assert a == b
+
+
+def test_redact_pii_no_python_no_shuffle(spark, sf_dir):
+    df = q("redact_pii", spark, sf_dir)
+    assert_no_operator(df, "Exchange", "BatchEvalPython", "ArrowEvalPython")
+    sample = df.limit(50).collect()
+    for r in sample:
+        assert "@" not in r["redacted"]
+        assert "<EMAIL>" in r["redacted"]
+        assert "<IP>" in r["redacted"]
+
+
+def test_histogram_two_phase_agg(spark, sf_dir):
+    df = q("agg_histogram_width_bucket", spark, sf_dir)
+    counts = operator_counts(df)
+    assert sum(n for op, n in counts.items() if op.startswith("HashAggregate")) == 2
+    from eventstreams_spark.catalog import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = sum(r["n"] for r in df.collect())
+    assert total == n_events  # every event lands in exactly one bucket
