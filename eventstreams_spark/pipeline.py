@@ -39,6 +39,33 @@ from .functions.grok import grok_extract
 
 Transform = Callable[[DataFrame], DataFrame]
 
+#: Column carrying the dead-letter tag (Logstash DLQ). NULL = healthy
+#: row; non-NULL = first failure reason seen along the chain.
+DLQ_COL = "_dlq_reason"
+
+
+def _tag_dlq(df: DataFrame, cond, reason) -> DataFrame:
+    """Mark rows matching ``cond`` as dead letters (first reason wins)."""
+    existing = F.col(DLQ_COL) if DLQ_COL in df.columns else F.lit(None).cast("string")
+    return df.withColumn(DLQ_COL, F.coalesce(existing, F.when(cond, reason)))
+
+
+def split_dead_letters(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(healthy, dead) frames from a chain run with dead_letter steps.
+
+    Both are filters over the SAME lineage — at scale write them in one
+    pass via foreachBatch (stream) or persist the parsed frame (batch);
+    the DLQ side is typically a tiny fraction so the double scan is
+    also acceptable and keeps each output a single Catalyst plan.
+    """
+    if DLQ_COL not in df.columns:
+        return df, df.limit(0)
+    return (
+        df.filter(F.col(DLQ_COL).isNull()).drop(DLQ_COL),
+        df.filter(F.col(DLQ_COL).isNotNull()),
+    )
+
+
 _STEP_FACTORIES: dict[str, Callable[..., Transform]] = {}
 
 
@@ -134,9 +161,16 @@ def _dissect(source: str, fields: list[str], delimiter: str = " ") -> Transform:
 
 
 @step("date")
-def _date(source: str, formats: list[str], target: str = "@timestamp") -> Transform:
+def _date(
+    source: str,
+    formats: list[str],
+    target: str = "@timestamp",
+    dead_letter: bool = False,
+) -> Transform:
     """Multi-format timestamp parse: first format that matches wins
-    (Logstash ``date`` filter semantics) via try_to_timestamp+coalesce."""
+    (Logstash ``date`` filter semantics) via try_to_timestamp+coalesce.
+    ``dead_letter=True`` tags rows no format could parse (Logstash
+    ``_dateparsefailure`` → DLQ)."""
     if not formats:
         raise ValueError("date step needs at least one format")
 
@@ -144,18 +178,68 @@ def _date(source: str, formats: list[str], target: str = "@timestamp") -> Transf
         attempts = [
             F.try_to_timestamp(F.col(source), F.lit(fmt)) for fmt in formats
         ]
-        return df.withColumn(target, F.coalesce(*attempts))
+        df = df.withColumn(target, F.coalesce(*attempts))
+        if dead_letter:
+            failed = F.col(source).isNotNull() & F.col(target).isNull()
+            df = _tag_dlq(df, failed, F.lit(f"date_parse_error:{source}"))
+        return df
+
+    return t
+
+
+@step("deadletter")
+def _deadletter(when: str, reason: str = "rejected") -> Transform:
+    """Tag rows matching a SQL predicate as dead letters (generic
+    validation gate; route with ``split_dead_letters``)."""
+    return lambda df: _tag_dlq(df, F.expr(when), F.lit(reason))
+
+
+@step("redact")
+def _redact(fields: list[str], patterns: dict[str, str] | None = None) -> Transform:
+    """Scrub PII in-place: replace every regex match with ``<TAG>``.
+    Default patterns cover emails and IPv4s (Logstash ``mutate gsub``
+    in its anonymize role); pass ``{"TAG": regex}`` to extend."""
+    pats = patterns or {
+        "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    }
+
+    def t(df: DataFrame) -> DataFrame:
+        for f_ in fields:
+            col = F.col(f_)
+            for tag, rx in pats.items():
+                col = F.regexp_replace(col, rx, f"<{tag}>")
+            df = df.withColumn(f_, col)
+        return df
 
     return t
 
 
 @step("json")
-def _json(source: str, schema: str, target: str | None = None) -> Transform:
+def _json(
+    source: str,
+    schema: str,
+    target: str | None = None,
+    dead_letter: bool = False,
+) -> Transform:
     """Parse a JSON string column with an explicit DDL schema. With no
-    target, fields are flattened to top level (Logstash ``json``)."""
+    target, fields are flattened to top level (Logstash ``json``).
+
+    With ``dead_letter=True``, rows whose payload fails to parse are
+    tagged in ``_dlq_reason`` instead of silently yielding nulls —
+    route them with :func:`split_dead_letters` (the Logstash DLQ).
+    """
 
     def t(df: DataFrame) -> DataFrame:
         parsed = F.from_json(F.col(source), schema)
+        if dead_letter:
+            # from_json PERMISSIVE yields a struct of NULLs on bad input
+            # (never a NULL struct), so malformedness is detected with
+            # try_parse_json: NULL variant <=> not valid JSON at all.
+            failed = F.col(source).isNotNull() & F.try_parse_json(
+                F.col(source)
+            ).isNull()
+            df = _tag_dlq(df, failed, F.lit(f"json_parse_error:{source}"))
         if target:
             return df.withColumn(target, parsed)
         df = df.withColumn("_parsed", parsed)
@@ -364,6 +448,10 @@ class Pipeline:
         for t in self.transforms:
             df = t(df)
         return df
+
+    def apply_split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Run the chain and split (healthy, dead-letter) frames."""
+        return split_dead_letters(self.apply(df))
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)

@@ -192,3 +192,58 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "anomaly_zscore_rolling",
+    category="T14-anomaly",
+    oracle="""
+        WITH scored AS (
+            SELECT event_id, event_type, ts, value,
+                   avg(value)         OVER w AS mu,
+                   stddev_samp(value) OVER w AS sigma,
+                   count(*)           OVER w AS n_win
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, ts, value,
+               round((value - mu) / sigma, 6) AS z,
+               CASE WHEN abs(round((value - mu) / sigma, 6)) > 3.0
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM scored
+        WHERE n_win >= 30 AND sigma > 0
+    """,
+)
+def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per series: each value scored
+    against the trailing-100-observation mean/stddev of its own
+    event_type (the metrics-backend outlier alarm). Warm-up rows
+    (<30 observations) are withheld rather than scored on noise.
+
+    One hash-partition-by-type exchange feeds the sorted rolling
+    frame; z is rounded before thresholding so the anomaly flag is
+    stable across engines' summation orders. At 100 TB the partition
+    key becomes (event_type, date) so no single series serializes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    z = F.round((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            z.alias("z"),
+            F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("is_anomaly"),
+            F.count("*").over(w).alias("n_win"),
+            F.stddev_samp("value").over(w).alias("sigma"),
+        )
+        .filter((F.col("n_win") >= 30) & (F.col("sigma") > 0))
+        .drop("n_win", "sigma")
+    )
