@@ -566,3 +566,108 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(raw, email, "<EMAIL>"), ipv4, "<IP>"
         ).alias("redacted"),
     )
+
+
+# ------------------------------------------- near-dup cluster assembly
+
+@query(
+    "neardup_cluster_cc",
+    category="L2-cc",
+    oracle=f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, concat('dup prefix ', text)
+            FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, concat('dup prefix v2 ', text)
+            FROM documents WHERE doc_id % 50 = 0
+        ), t AS (
+            SELECT id, {_DUCK_TOKENS} AS ws FROM corpus
+        ), s AS (
+            SELECT id, list_distinct({_DUCK_SHINGLES3}) AS sh FROM t
+        ), cand AS (
+            SELECT doc_id AS id1, doc_id + 1000000 AS id2
+            FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000
+            FROM documents WHERE doc_id % 50 = 0
+        ), verified AS (
+            SELECT c.id1, c.id2
+            FROM cand c JOIN s a ON c.id1 = a.id JOIN s b ON c.id2 = b.id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+                  >= 0.5
+        ), edges AS (
+            SELECT id1 AS src, id2 AS dst FROM verified
+            UNION
+            SELECT id2, id1 FROM verified
+        ), reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+        ), cc AS (
+            SELECT node AS id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc
+    """,
+)
+def neardup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assembly: candidate pairs (two injected dup
+    generations of every 50th doc) are Jaccard-verified (>= 0.5), then
+    connected components stitches transitive groups — original, dup-v1
+    and dup-v2 share a cluster even though no direct v1~v2 pair was
+    ever generated. cluster_id = min doc_id in the group (the natural
+    "keep the canonical doc" dedup policy).
+
+    The oracle replays the same graph with a recursive CTE; Spark runs
+    distributed min-label propagation (operators/graph.py) — log-
+    diameter rounds of join+groupBy, no driver-side graph.
+    """
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    base50 = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .unionAll(
+            base50.select(
+                (F.col("doc_id") + 1000000).alias("id"),
+                F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+            )
+        )
+        .unionAll(
+            base50.select(
+                (F.col("doc_id") + 2000000).alias("id"),
+                F.concat(F.lit("dup prefix v2 "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    s = corpus.select(
+        "id", F.array_distinct(shingles3(tokens_col(F.col("text")))).alias("sh")
+    )
+    cand = base50.select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1000000).alias("id2")
+    ).unionAll(
+        base50.select(
+            F.col("doc_id").alias("id1"), (F.col("doc_id") + 2000000).alias("id2")
+        )
+    )
+    a = s.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = s.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    verified = (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(inter / F.greatest(union, F.lit(1)) >= 0.5)
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    cc = connected_components(verified, "src", "dst")
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "id", F.col("component").alias("cluster_id")
+    ).withColumn("cluster_size", F.count("*").over(w))

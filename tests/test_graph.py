@@ -1,0 +1,33 @@
+"""connected_components: correctness on known topologies."""
+
+from __future__ import annotations
+
+from eventstreams_spark.operators.graph import connected_components
+
+
+def cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_propagates_multi_hop(spark):
+    # 1-2-3-4-5 chain: min label must travel 4 hops
+    got = cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_and_direction_independence(spark):
+    # edges given in arbitrary direction; two separate components
+    got = cc(spark, [(9, 7), (7, 8), (20, 30)])
+    assert got == {7: 7, 8: 7, 9: 7, 20: 20, 30: 20}
+
+
+def test_self_loops_and_duplicate_edges_harmless(spark):
+    got = cc(spark, [(1, 1), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_star_converges_in_one_round(spark):
+    got = cc(spark, [(10, 3), (10, 4), (10, 5)])
+    assert set(got.values()) == {3}
