@@ -373,3 +373,30 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name), (n_name), ())
         """
     )
+
+
+@query("agg_distinct_hll_mergeable", category="A3-sketch", oracle=None)
+def agg_distinct_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL):
+    build one sketch per (day, event_type) partial, then union the
+    per-day sketches into a per-type total — the ONLY layout that lets
+    a 100 TB pipeline maintain rolling distincts incrementally (per-day
+    sketches persist; re-aggregation unions bytes instead of rescanning
+    raw events; approx_count_distinct's HLL++ cannot be re-merged once
+    estimated).
+
+    Rows-only check (sketch estimates are approximate by construction);
+    the unit test bounds relative error vs the exact count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )

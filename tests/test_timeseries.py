@@ -117,3 +117,16 @@ def test_histogram_two_phase_agg(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     total = sum(r["n"] for r in df.collect())
     assert total == n_events  # every event lands in exactly one bucket
+
+
+def test_hll_mergeable_close_to_exact(spark, sf_dir):
+    from eventstreams_spark.catalog import load_table
+
+    approx = {r["event_type"]: r["approx_users"]
+              for r in q("agg_distinct_hll_mergeable", spark, sf_dir).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load_table(spark, sf_dir, "events")
+             .groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
+             .collect()}
+    for typ, n in exact.items():
+        assert abs(approx[typ] - n) / n < 0.05, (typ, approx[typ], n)
