@@ -594,3 +594,45 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sum_scaled") / 1000000.0) / F.col("n_vecs")).alias("mean_val"),
         )
     )
+
+
+@query("ann_pq_recall_probe", category="L4-pq", oracle=None)
+def ann_pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train 8x16 codebooks,
+    encode the corpus as 8 nibble codes (64x smaller than the float32
+    vectors), answer top-5 by ADC lookup-table sums, and report recall
+    against exact squared-L2 top-5.
+
+    Rows-only check (approximate by construction); the probe's recall
+    and the 64x logical compression are the product. At 100 TB the
+    scan for a query reads ONLY the 4-byte code column and broadcasts
+    an m*k LUT — this is what makes billion-vector search a Spark
+    aggregation instead of an index service.
+    """
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_train, _sq_dist
+
+    M, K = 8, 16
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    cb = pq_train(emb, "vec", "vec_id", m=M, k=K, n_iters=2)
+    codes = pq_encode(corpus, "vec", "vec_id", cb, m=M)
+    ann = pq_adc_topk(codes, cb, qrow, "qvec", 5, M)
+    exact = (
+        corpus.crossJoin(F.broadcast(qrow))
+        .select("vec_id", _sq_dist(F.col("vec"), F.col("qvec")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+    hits = exact.select("vec_id").intersect(ann.select(F.col("vid").alias("vec_id")))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(M).alias("m"),
+            F.lit(K).alias("k"),
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+            F.lit(64.0).alias("compression_x"),
+        )
+    )
