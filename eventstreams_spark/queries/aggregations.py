@@ -400,3 +400,19 @@ def agg_distinct_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("agg_approx_percentile_sketch", category="A6-approx", oracle=None)
+def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy 10000):
+    the mergeable replacement for exact per-group sorts once groups
+    stop fitting in memory — partials combine map-side like any agg.
+
+    Rows-only (sketch output is engine-specific); the unit test bounds
+    each approximate quantile between neighboring exact quantiles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    ).orderBy("event_type")

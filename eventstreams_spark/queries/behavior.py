@@ -145,3 +145,63 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "cep_sequence_chain",
+    category="B3-cep",
+    oracle="""
+        WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        vc AS (
+            SELECT v.user_id, v.ts AS view_ts, min(c.ts) AS click_ts
+            FROM v JOIN c ON c.user_id = v.user_id
+                AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '24 hours'
+            GROUP BY v.user_id, v.ts
+        )
+        SELECT vc.user_id, vc.view_ts, vc.click_ts, min(p.ts) AS purchase_ts
+        FROM vc JOIN p ON p.user_id = vc.user_id
+            AND p.ts > vc.click_ts AND p.ts <= vc.click_ts + INTERVAL '24 hours'
+        GROUP BY vc.user_id, vc.view_ts, vc.click_ts
+    """,
+)
+def cep_sequence_1h_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: view → click within 24h →
+    purchase within 24h of that click (MATCH_RECOGNIZE-style timed
+    sequence, first-match per anchor). Each stage is an interval-
+    bounded as-of join: min qualifying successor per anchor event.
+
+    Scale: both joins are equi-join on user_id + range predicate —
+    the hash exchange is on user_id only and the range filters
+    evaluate within partitions; with date-bucketed keys this is the
+    standard skew-safe interval-join shape (cf. join_range_*).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    vc = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("view_ts"))
+            & (F.col("c_ts") <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    return (
+        vc.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )

@@ -379,3 +379,35 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(bucket < threshold).select(
         "event_id", "event_type", "user_id", "value"
     )
+
+
+@query(
+    "unpivot_melt_metrics",
+    category="A9-unpivot",
+    oracle="""
+        SELECT event_type, metric, val
+        FROM (
+            SELECT event_type,
+                   count(*) * 1.0 AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        )
+        UNPIVOT (val FOR metric IN (n_events, avg_value, max_value))
+    """,
+)
+def unpivot_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of pivot (wide metric columns → long
+    (metric, value) rows, the shape metric stores and plotting layers
+    want). Spark's native ``unpivot`` plans as a single Expand (3x
+    map-side rows), no shuffle beyond the feeding aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * 1.0).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return wide.unpivot(
+        ["event_type"], ["n_events", "avg_value", "max_value"], "metric", "val"
+    )

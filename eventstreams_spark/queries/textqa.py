@@ -671,3 +671,30 @@ def neardup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         "id", F.col("component").alias("cluster_id")
     ).withColumn("cluster_size", F.count("*").over(w))
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    category="L5-fuzzy",
+    oracle="""
+        SELECT a.n_name AS name1, b.n_name AS name2,
+               levenshtein(a.n_name, b.n_name) AS dist
+        FROM nation a JOIN nation b ON a.n_name < b.n_name
+        WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance (entity-resolution /
+    typo-dedup primitive). Self-join restricted to ordered pairs;
+    at scale the quadratic pair space must first be blocked (length
+    bucket, first-char, or q-gram LSH) — the `a < b` pattern here is
+    the in-block comparator.
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name1"))
+    b = n.select(F.col("n_name").alias("name2"))
+    return (
+        a.join(b, F.col("name1") < F.col("name2"))
+        .withColumn("dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("dist") <= 6)
+    )

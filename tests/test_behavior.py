@@ -74,3 +74,27 @@ def test_centroid_shape_and_no_python(spark, sf_dir):
     assert len(rows) == len(labels) * 64  # one row per (label, dim)
     # centroid of unit-ish embeddings stays in a sane range
     assert all(-1.5 < r["mean_val"] < 1.5 for r in rows)
+
+
+def test_cep_chain_ordering_invariants(spark, sf_dir):
+    rows = q("cep_sequence_chain", spark, sf_dir).collect()
+    assert rows, "expected matched sequences at this sf"
+    from datetime import timedelta
+    for r in rows:
+        assert r["view_ts"] < r["click_ts"] <= r["view_ts"] + timedelta(hours=24)
+        assert r["click_ts"] < r["purchase_ts"] <= r["click_ts"] + timedelta(hours=24)
+    # first-match semantics: one row per (user, view) anchor
+    anchors = {(r["user_id"], r["view_ts"]) for r in rows}
+    assert len(anchors) == len(rows)
+
+
+def test_unpivot_is_expand_no_python(spark, sf_dir):
+    df = q("unpivot_melt_metrics", spark, sf_dir)
+    from eventstreams_spark.plans import assert_no_operator, operator_counts
+
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython")
+    counts = operator_counts(df)
+    assert any(op.startswith("Expand") for op in counts)
+    rows = df.collect()
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == 3 * len(types)  # 3 metrics per type

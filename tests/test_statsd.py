@@ -91,3 +91,50 @@ def test_statsd_pipeline_step(spark):
     p = Pipeline.from_config([{"type": "statsd"}])
     out = p.apply(_lines(spark, ["x.y:5|g"])).collect()
     assert out[0].metric == "x.y" and out[0].value == 5.0
+
+
+def test_graphite_stream_rollup_equals_batch(spark, tmp_path):
+    """End-to-end metrics ingest: graphite plaintext lines replayed as
+    a 2-micro-batch stream -> parse -> 1-min tumbling agg, compared to
+    the identical batch pipeline (S6 parse + T1 builders shared)."""
+    from eventstreams_spark.sources.statsd import parse_graphite
+    from eventstreams_spark.streaming import tumbling_agg
+    from eventstreams_spark.streaming.replay import replay_table, run_to_memory
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    lines = [
+        (f"web.req.count {10 + i % 7} {base + i * 13}",)
+        for i in range(200)
+    ] + [
+        (f"db.lat.p50 {3.5 + (i % 5) / 10} {base + i * 17}",)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parsed_batch = parse_graphite(df, "value").filter(F.col("metric").isNotNull())
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv")]
+    stream = replay_table(
+        spark, df.withColumn("rnd", F.monotonically_increasing_id()),
+        str(tmp_path), chunks=2, order_col="rnd",
+    )
+    parsed_stream = parse_graphite(stream.drop("rnd"), "value").filter(
+        F.col("metric").isNotNull()
+    )
+    out = tumbling_agg(parsed_stream, "ts", "1 minute", ["metric"], aggs,
+                       watermark="10 minutes")
+    run_to_memory(out, "t_graphite", output_mode="append")
+    got = sorted(
+        tuple(r) for r in
+        spark.sql("SELECT window_start, metric, n, sv FROM t_graphite").collect()
+    )
+    wm = parsed_batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0].wm
+    want = sorted(
+        tuple(r) for r in
+        tumbling_agg(parsed_batch, "ts", "1 minute", ["metric"], aggs)
+        .filter(F.col("window_end") <= F.lit(wm))
+        .select("window_start", "metric", "n", "sv")
+        .collect()
+    )
+    assert got == want and len(want) > 10

@@ -130,3 +130,23 @@ def test_hll_mergeable_close_to_exact(spark, sf_dir):
              .collect()}
     for typ, n in exact.items():
         assert abs(approx[typ] - n) / n < 0.05, (typ, approx[typ], n)
+
+
+def test_approx_percentile_within_exact_bounds(spark, sf_dir):
+    from eventstreams_spark.catalog import load_table
+
+    approx = {r["event_type"]: (r["p50_approx"], r["p99_approx"])
+              for r in q("agg_approx_percentile_sketch", spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: (r["lo50"], r["hi50"], r["lo99"], r["hi99"])
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.45)).alias("lo50"),
+            F.percentile("value", F.lit(0.55)).alias("hi50"),
+            F.percentile("value", F.lit(0.95)).alias("lo99"),
+            F.percentile("value", F.lit(1.0)).alias("hi99"),
+        ).collect()
+    }
+    for typ, (p50, p99) in approx.items():
+        lo50, hi50, lo99, hi99 = exact[typ]
+        assert lo50 <= p50 <= hi50, (typ, p50, lo50, hi50)
+        assert lo99 <= p99 <= hi99, (typ, p99, lo99, hi99)
