@@ -122,6 +122,25 @@ def _filter(expr: str) -> Transform:
     return lambda df: df.filter(F.expr(expr))
 
 
+@step("sql")
+def _sql(query: str) -> Transform:
+    """Run an arbitrary SQL statement over the current frame, which is
+    visible as ``__THIS__`` (the SQLTransformer convention). The full
+    Spark SQL surface — window functions, lateral views, aggregates —
+    becomes a pipeline step while remaining one Catalyst plan."""
+    if "__THIS__" not in query:
+        raise ValueError("sql step query must reference __THIS__")
+
+    def t(df: DataFrame) -> DataFrame:
+        import uuid
+
+        name = f"_pipe_sql_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(name)
+        return df.sparkSession.sql(query.replace("__THIS__", name))
+
+    return t
+
+
 @step("drop")
 def _drop(expr: str) -> Transform:
     """Drop events matching the condition (Logstash ``drop`` filter)."""

@@ -170,3 +170,33 @@ def test_syslog_cidr_useragent_chunk_steps(spark):
     cdf = spark.createDataFrame([(1, "a b c d e")], "id int, text string")
     got = sorted(tuple(r) for r in chunks.apply(cdf).collect())
     assert got == [(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e")]
+
+
+def test_sql_step_full_sql_surface(spark):
+    from eventstreams_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+    )
+    pipe = Pipeline.from_config(
+        {"steps": [
+            {"type": "mutate", "add": {"v2": "v * 10"}},
+            {"type": "sql", "query": """
+                SELECT k, sum(v2) AS total,
+                       rank() OVER (ORDER BY sum(v2) DESC) AS rnk
+                FROM __THIS__ GROUP BY k
+             """},
+        ]}
+    )
+    got = {r["k"]: (r["total"], r["rnk"]) for r in pipe.apply(df).collect()}
+    assert got == {"b": (50, 1), "a": (30, 2)}
+
+
+def test_sql_step_requires_this_marker(spark):
+    import pytest
+    from eventstreams_spark.pipeline import Pipeline
+
+    with pytest.raises(ValueError):
+        Pipeline.from_config(
+            {"steps": [{"type": "sql", "query": "SELECT 1"}]}
+        )

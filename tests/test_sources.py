@@ -238,3 +238,20 @@ def test_es_bulk_sink_stream(spark, tmp_path):
             actions += 1
     assert actions == 50
     assert len(ids) == 50  # unique deterministic ids
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Landed data whose schema grew a column reads as one table with
+    mergeSchema: old files surface NULL for the new column (the
+    append-only ingest evolution path; S1)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evo")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("x")).write.parquet(p + "/f1.parquet")
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("x"), F.lit(7.5).alias("score")
+    ).write.parquet(p + "/f2.parquet")
+    df = spark.read.option("mergeSchema", "true").parquet(p + "/f*.parquet")
+    assert set(df.columns) == {"id", "x", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[0] is None and rows[4] == 7.5

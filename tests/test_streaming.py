@@ -250,3 +250,49 @@ def test_foreach_batch_sink(spark, events_slice, tmp_path):
     q.awaitTermination(120)
     assert sum(n for _, n in seen) == n_total
     assert len(seen) >= 2  # chunked replay -> multiple batches
+
+
+def test_stream_static_dim_refreshes_per_batch(spark, tmp_path):
+    """Stream-static join re-reads the static side per micro-batch, so
+    a dim table updated between batches enriches later events with the
+    NEW dim rows (the slowly-changing-dimension operational pattern:
+    no restart needed to pick up dim changes)."""
+    from eventstreams_spark.streaming.replay import stage_files
+
+    dim_path = str(tmp_path / "dim")
+    ev_path = str(tmp_path / "ev")
+    spark.createDataFrame([(1, "v1")], "k int, label string").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    # both event files staged up front (availableNow snapshots the file
+    # listing at start); maxFilesPerTrigger=1 still yields two batches
+    ev = spark.createDataFrame([(1, 1), (1, 2)], "k int, seq int")
+    stage_files(ev.filter("seq = 1"), ev_path, 1)
+    stage_files(ev.filter("seq = 2"), ev_path, 2)
+
+    seen = []
+
+    def handle(batch_df, bid):
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        rows = batch_df.join(dim, "k").collect()
+        seen.extend((r["seq"], r["label"]) for r in rows)
+        if bid == 0:
+            # between batches: dim changes on disk
+            batch_df.sparkSession.createDataFrame(
+                [(1, "v2")], "k int, label string"
+            ).write.mode("overwrite").parquet(dim_path)
+
+    stream = (
+        spark.readStream.schema("k int, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_path)
+    )
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert sorted(seen) == [(1, "v1"), (2, "v2")]
