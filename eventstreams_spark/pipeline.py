@@ -269,6 +269,37 @@ def _json(
     return t
 
 
+@step("xml")
+def _xml(source: str, schema: str, target: str | None = None) -> Transform:
+    """Parse an XML string column with an explicit DDL schema (Logstash
+    ``xml`` filter) via Spark 4 native ``from_xml``. With no target,
+    fields flatten to top level like the json step."""
+
+    def t(df: DataFrame) -> DataFrame:
+        parsed = F.from_xml(F.col(source), schema)
+        if target:
+            return df.withColumn(target, parsed)
+        df = df.withColumn("_parsed", parsed)
+        for fname in df.select("_parsed.*").columns:
+            df = df.withColumn(fname, F.col(f"_parsed.{fname}"))
+        return df.drop("_parsed")
+
+    return t
+
+
+@step("urldecode")
+def _urldecode(fields: list[str]) -> Transform:
+    """Percent-decode URL-encoded fields in place (Logstash
+    ``urldecode``); invalid sequences yield NULL via try_url_decode."""
+
+    def t(df: DataFrame) -> DataFrame:
+        for f_ in fields:
+            df = df.withColumn(f_, F.try_url_decode(F.col(f_)))
+        return df
+
+    return t
+
+
 @step("kv")
 def _kv(
     source: str,

@@ -235,3 +235,115 @@ def rollup_cascade_1h_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         "avg_value",
     )
+
+
+@query(
+    "geoip_range_enrich",
+    category="J-geoip",
+    oracle="""
+        WITH ip AS (
+            SELECT event_id,
+                   167772160 + (event_id * 9973) % 1048576 AS ip_num
+            FROM events
+        ), ranges AS (
+            SELECT 167772160 + i * 65536       AS lo,
+                   167772160 + (i + 1) * 65536 - 1 AS hi,
+                   'region_' || lpad(CAST(i AS VARCHAR), 2, '0') AS region
+            FROM range(0, 16) t(i)
+        )
+        SELECT ip.event_id, ip.ip_num, r.region
+        FROM ip JOIN ranges r ON ip.ip_num BETWEEN r.lo AND r.hi
+    """,
+)
+def geoip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style enrichment: map an IPv4 (as uint32) onto a range
+    table (lo, hi, region) — the Logstash ``geoip`` join shape, with
+    a deterministic synthetic /16 range dim standing in for the
+    MaxMind database.
+
+    The range dim is tiny → broadcast nested-loop with a BETWEEN
+    predicate, evaluated without shuffling the fact side. At real
+    GeoIP scale (~millions of ranges) the production form buckets
+    both sides by ip >> 16 first, turning it into an equi-join with
+    per-bucket range filter (same pattern as join_range_*).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ip = ev.select(
+        "event_id",
+        (F.lit(167772160) + (F.col("event_id") * 9973) % 1048576).alias("ip_num"),
+    )
+    ranges = spark.range(0, 16).select(
+        (F.lit(167772160) + F.col("id") * 65536).alias("lo"),
+        (F.lit(167772160) + (F.col("id") + 1) * 65536 - 1).alias("hi"),
+        F.concat(F.lit("region_"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+            "region"
+        ),
+    )
+    return ip.join(
+        F.broadcast(ranges),
+        (F.col("ip_num") >= F.col("lo")) & (F.col("ip_num") <= F.col("hi")),
+    ).select("event_id", "ip_num", "region")
+
+
+@query(
+    "dq_checks_events",
+    category="Q-dq",
+    oracle="""
+        SELECT 'not_null:props' AS rule,
+               count(CASE WHEN props IS NULL THEN 1 END) AS n_violations,
+               count(*) AS n_rows
+        FROM events
+        UNION ALL
+        SELECT 'in_range:value',
+               count(CASE WHEN value IS NULL OR value < 0 OR value >= 500 THEN 1 END),
+               count(*)
+        FROM events
+        UNION ALL
+        SELECT 'accepted_values:event_type',
+               count(CASE WHEN event_type IS NULL OR event_type NOT IN
+                     ('click','view','purchase','signup','error') THEN 1 END),
+               count(*)
+        FROM events
+        UNION ALL
+        SELECT 'unique:event_id',
+               count(event_id) - count(DISTINCT event_id),
+               count(*)
+        FROM events
+        UNION ALL
+        SELECT 'foreign_key:user_id->c_custkey',
+               (SELECT count(*) FROM events e
+                WHERE e.user_id IS NOT NULL
+                  AND e.user_id NOT IN (SELECT c_custkey FROM customer)),
+               count(*)
+        FROM events
+    """,
+)
+def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): five expectations over
+    events — null check, range, accepted values, key uniqueness,
+    referential integrity to customer — where all row-local rules plus
+    uniqueness share ONE aggregate over ONE scan, and the FK check adds
+    a single anti-join. The (rule, n_violations, n_rows) contract is
+    what a pipeline gates on before promoting a batch/partition.
+    """
+    from ..operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        quality_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return quality_report(
+        ev,
+        row_rules=[
+            not_null("props"),
+            in_range("value", 0, 500),
+            accepted_values(
+                "event_type", ["click", "view", "purchase", "signup", "error"]
+            ),
+        ],
+        unique_key="event_id",
+        foreign_keys=[("user_id", cust, "c_custkey")],
+    )

@@ -200,3 +200,37 @@ def test_sql_step_requires_this_marker(spark):
         Pipeline.from_config(
             {"steps": [{"type": "sql", "query": "SELECT 1"}]}
         )
+
+
+def test_xml_step_flatten_and_target(spark):
+    from eventstreams_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("<ev><kind>click</kind><n>3</n></ev>",),
+         ("<ev><kind>view</kind><n>5</n></ev>",)],
+        "raw string",
+    )
+    flat = Pipeline.from_config(
+        {"steps": [{"type": "xml", "source": "raw",
+                    "schema": "kind string, n int"}]}
+    ).apply(df)
+    got = sorted((r["kind"], r["n"]) for r in flat.collect())
+    assert got == [("click", 3), ("view", 5)]
+
+    nested = Pipeline.from_config(
+        {"steps": [{"type": "xml", "source": "raw",
+                    "schema": "kind string, n int", "target": "ev"}]}
+    ).apply(df)
+    assert nested.select("ev.kind").count() == 2
+
+
+def test_urldecode_step(spark):
+    from eventstreams_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("q%3Dspark%20sql", "path%2Fto%2Ffile"),], "q string, p string"
+    )
+    out = Pipeline.from_config(
+        {"steps": [{"type": "urldecode", "fields": ["q", "p"]}]}
+    ).apply(df).collect()[0]
+    assert out["q"] == "q=spark sql" and out["p"] == "path/to/file"

@@ -296,3 +296,27 @@ def test_stream_static_dim_refreshes_per_batch(spark, tmp_path):
         .awaitTermination()
     )
     assert sorted(seen) == [(1, "v1"), (2, "v2")]
+
+
+def test_tumbling_update_mode_final_state_equals_batch(spark, events_slice, tmp_path):
+    """T8 output modes: update-mode emits a row per changed window per
+    batch; the LAST emission per (window, key) must equal the batch
+    aggregate over all data — no watermark cutoff, unlike append."""
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv")]
+    stream = replay_table(spark, events_slice, str(tmp_path), chunks=3, order_col="ts")
+    out = tumbling_agg(stream, "ts", "1 hour", ["event_type"], aggs,
+                       watermark="10 minutes")
+    run_to_memory(out, "t_upd", output_mode="update")
+    # memory sink appends every update; keep the last row per key
+    got = spark.sql("""
+        SELECT window_start, event_type, n, sv FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start, event_type ORDER BY n DESC
+            ) AS rn FROM t_upd
+        ) WHERE rn = 1
+    """)
+    want = (
+        tumbling_agg(events_slice, "ts", "1 hour", ["event_type"], aggs)
+        .select("window_start", "event_type", "n", "sv")
+    )
+    assert _rows(got) == _rows(want)

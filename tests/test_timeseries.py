@@ -150,3 +150,36 @@ def test_approx_percentile_within_exact_bounds(spark, sf_dir):
         lo50, hi50, lo99, hi99 = exact[typ]
         assert lo50 <= p50 <= hi50, (typ, p50, lo50, hi50)
         assert lo99 <= p99 <= hi99, (typ, p99, lo99, hi99)
+
+
+def test_quality_report_one_scan_for_row_rules(spark, sf_dir):
+    """All row-local rules + uniqueness must share one aggregate (one
+    scan); only the FK check may add more."""
+    df = q("dq_checks_events", spark, sf_dir)
+    rows = {r["rule"]: r["n_violations"] for r in df.collect()}
+    assert len(rows) == 5
+    assert rows["unique:event_id"] == 0
+    assert rows["not_null:props"] == 0
+    # clean testdata: fk violations zero; rule still exercised
+    assert rows["foreign_key:user_id->c_custkey"] == 0
+
+
+def test_quality_report_detects_injected_violations(spark):
+    from eventstreams_spark.operators.quality import (
+        in_range, not_null, quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 900.0)], "id int, v double"
+    )
+    dim = spark.createDataFrame([(1,)], "id int")
+    got = {r["rule"]: r["n_violations"] for r in quality_report(
+        df,
+        row_rules=[not_null("v"), in_range("v", 0, 500)],
+        unique_key="id",
+        foreign_keys=[("id", dim, "id")],
+    ).collect()}
+    assert got["not_null:v"] == 1
+    assert got["in_range:v"] == 2      # null counts as out-of-range too
+    assert got["unique:id"] == 1       # id=2 twice
+    assert got["foreign_key:id->id"] == 2
