@@ -416,3 +416,46 @@ def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_listagg_bool_mode",
+    category="A15-misc",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, '|' ORDER BY n_name) AS nations_csv,
+               bool_or(n_nationkey > 20)  AS any_high_key,
+               bool_and(n_nationkey >= 0) AS all_nonneg,
+               count(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
+               min(n_name) AS mode_first_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def agg_listagg_bool_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining everyday aggregate family: ordered string
+    concatenation (listagg/string_agg), boolean any/every, filtered
+    count, and a DETERMINISTIC mode. Spark's ``mode()`` breaks
+    frequency ties arbitrarily, so the cross-engine-safe form is
+    max_by/min_by over (count, value) — here every name is unique per
+    group, making mode == lexicographic min, stated identically in
+    both engines.
+
+    listagg is collect_list + sort + concat_ws: the sort is bounded by
+    group size, and the whole thing is one partial+final aggregate.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+            F.bool_or(F.col("n_nationkey") > 20).alias("any_high_key"),
+            F.bool_and(F.col("n_nationkey") >= 0).alias("all_nonneg"),
+            F.count_if(F.col("n_nationkey") % 2 == 0).alias("n_even"),
+            F.min("n_name").alias("mode_first_name"),
+        )
+    )
