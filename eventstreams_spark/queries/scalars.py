@@ -280,3 +280,49 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_name").alias("n_name"),
         F.col("meta.n_regionkey").alias("n_regionkey"),
     )
+
+
+@query(
+    "map_functions_suite",
+    category="F-map2",
+    oracle="""
+        SELECT event_id,
+               ['k', 'type', 'uid'] AS keys_sorted,
+               event_type           AS v_type,
+               upper(event_type)    AS v_type_upper,
+               2                    AS n_after_filter,
+               4                    AS n_after_concat,
+               CAST(user_id AS VARCHAR) AS uid_str
+        FROM events
+        WHERE event_id < 300
+    """,
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column function family: construction, sorted key listing,
+    lookup, map_filter, transform_values, map_concat. The oracle
+    states ground truth from the source columns directly (DuckDB's MAP
+    type differs structurally, so the map never crosses the engine
+    boundary — same convention as map_kv_parse). event_type values are
+    ASCII so upper() is engine-safe (oracle_conventions.md).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "type").alias("v_type"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "type"
+        ).alias("v_type_upper"),
+        F.size(F.map_filter(m, lambda k, v: k != F.lit("k"))).alias(
+            "n_after_filter"
+        ),
+        F.size(
+            F.map_concat(m, F.create_map(F.lit("extra"), F.lit("1")))
+        ).alias("n_after_concat"),
+        F.element_at(m, "uid").alias("uid_str"),
+    )
