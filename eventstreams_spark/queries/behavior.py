@@ -9,7 +9,7 @@ whole pipeline reuses one hash partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -205,3 +205,134 @@ def cep_sequence_1h_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "view_ts", "click_ts")
         .agg(F.min("p_ts").alias("purchase_ts"))
     )
+
+
+@query(
+    "ratio_to_report_revenue",
+    category="B4-ratio",
+    oracle="""
+        WITH rev AS (
+            SELECT r_name, n_name,
+                   sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name, bal_cents,
+               round(bal_cents * 1.0 / sum(bal_cents) OVER (PARTITION BY r_name), 9)
+                   AS share_of_region,
+               round(bal_cents * 1.0 / sum(bal_cents) OVER (), 9)
+                   AS share_of_total
+        FROM rev
+    """,
+)
+def ratio_to_report_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of its
+    region's and of the global balance — a windowed aggregate OVER an
+    aggregate. The group totals come from unpartitioned/region window
+    sums over the already-aggregated (tiny) frame, so the expensive
+    scan feeds ONE aggregation and the shares cost no second pass over
+    raw data. Money summed as exact cents (order-insensitive).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")).alias(
+                "bal_cents"
+            )
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "bal_cents",
+        F.round(F.col("bal_cents") / F.sum("bal_cents").over(w_region), 9).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("bal_cents") / F.sum("bal_cents").over(w_all), 9).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@query(
+    "period_over_period_daily",
+    category="B5-pop",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+            FROM events GROUP BY day, event_type
+        )
+        SELECT day, event_type, n,
+               lag(n) OVER w AS prev_n,
+               n - lag(n) OVER w AS delta,
+               round((n - lag(n) OVER w) * 1.0 /
+                     nullif(lag(n) OVER w, 0), 6) AS pct_change,
+               round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS ma7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def period_over_period_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: day-over-day delta, percent
+    change, and 7-day moving average per series — lag/avg windows over
+    the daily aggregate, so window state is days x types, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ma = w.rowsBetween(-6, Window.currentRow)
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        F.round((F.col("n") - prev) / F.nullif(prev, F.lit(0)), 6).alias("pct_change"),
+        F.round(F.avg("n").over(ma), 6).alias("ma7"),
+    )
+
+
+@query(
+    "cumulative_distinct_users",
+    category="B6-cumdistinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ), new_per_day AS (
+            SELECT first_day AS day, count(*) AS n_new
+            FROM firsts GROUP BY first_day
+        )
+        SELECT day, n_new,
+               sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum_users
+        FROM new_per_day
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. COUNT(DISTINCT) OVER a
+    growing frame isn't supported (and would be quadratic anyway);
+    the scalable identity is first-seen-day → new-users-per-day →
+    running sum: one user-keyed aggregate, one tiny per-day frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select("day", "n_new", F.sum("n_new").over(w).alias("cum_users"))
