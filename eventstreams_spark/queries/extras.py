@@ -347,3 +347,63 @@ def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_key="event_id",
         foreign_keys=[("user_id", cust, "c_custkey")],
     )
+
+
+@query(
+    "statsd_parse_agg",
+    category="S6-statsd",
+    oracle="""
+        WITH synth AS (
+            SELECT event_type AS metric,
+                   round(value, 2) AS v,
+                   CASE event_id % 3 WHEN 0 THEN 'c'
+                                     WHEN 1 THEN 'g' ELSE 'ms' END AS mtype,
+                   CASE WHEN event_id % 5 = 0 AND event_id % 3 = 0
+                        THEN 0.5 ELSE 1.0 END AS rate
+            FROM events
+        )
+        SELECT metric, mtype,
+               count(*) AS n,
+               sum(CAST(floor((CASE WHEN mtype = 'c' THEN v / rate ELSE v END)
+                              * 100 + 0.5) AS BIGINT)) AS sum_scaled_cents
+        FROM synth
+        GROUP BY metric, mtype
+    """,
+)
+def statsd_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statsd wire-format roundtrip under oracle check: lines are
+    SYNTHESIZED from event fields (counter/gauge/timer cycling, @0.5
+    sample rate on some counters), run through parse_statsd, and
+    aggregated with counter values rescaled by 1/sample_rate — the
+    oracle computes the same expectation straight from the source
+    columns, so any parser regression (regex groups, rate default,
+    scaling rule) breaks the hash. Parsing is pure codegen regex —
+    scan-bandwidth-bound at ingest scale.
+    """
+    from ..sources.statsd import parse_statsd
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.round(F.col("value"), 2).cast("string"),
+        F.lit("|"),
+        F.when(F.col("event_id") % 3 == 0, "c")
+        .when(F.col("event_id") % 3 == 1, "g")
+        .otherwise("ms"),
+        F.when(
+            (F.col("event_id") % 5 == 0) & (F.col("event_id") % 3 == 0), "|@0.5"
+        ).otherwise(""),
+    )
+    parsed = parse_statsd(ev.select(line.alias("value")), "value")
+    return (
+        parsed.groupBy(
+            F.col("metric"), F.col("metric_type").alias("mtype")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("scaled_value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_scaled_cents"),
+        )
+    )
