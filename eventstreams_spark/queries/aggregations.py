@@ -459,3 +459,39 @@ def agg_listagg_bool_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("mode_first_name"),
         )
     )
+
+
+@query(
+    "agg_decile_equidepth",
+    category="A14-equidepth",
+    oracle="""
+        WITH ranked AS (
+            SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+            FROM events
+        )
+        SELECT decile, count(*) AS n,
+               min(value) AS lo, max(value) AS hi
+        FROM ranked GROUP BY decile
+    """,
+)
+def agg_decile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (ntile deciles): equal ROW counts per bucket
+    with data-driven boundaries — the complement of width_bucket's
+    fixed-width bins. The total-order tiebreak (value, event_id) makes
+    bucket membership deterministic. A global ntile sorts one
+    partition; at 100 TB use approx_percentile boundaries + a
+    width-style bucket join instead (noted here, exact kept for the
+    oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    ranked = ev.select(
+        "value",
+        F.ntile(10).over(W.orderBy("value", "event_id")).alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -326,3 +326,47 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_after_concat"),
         F.element_at(m, "uid").alias("uid_str"),
     )
+
+
+@query(
+    "scalar_conditional_suite",
+    category="F-cond",
+    oracle="""
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), 'ERR')      AS type_or_err,
+               ifnull(try_cast(json_extract_string(props, '$.missing') AS INTEGER), -1)
+                                                                 AS missing_k,
+               greatest(value, 100.0)                            AS at_least_100,
+               least(value, 100.0)                               AS at_most_100,
+               CASE WHEN value > 250 THEN 'high'
+                    WHEN value > 100 THEN 'mid' ELSE 'low' END   AS band,
+               (value BETWEEN 100 AND 250)                       AS in_band,
+               CAST(user_id = 1 AS INTEGER)                      AS is_user1
+        FROM events
+        WHERE event_id < 400
+    """,
+)
+def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression family: nullif/coalesce chains, ifnull
+    with try_cast on a missing JSON path, greatest/least clamps,
+    CASE banding, BETWEEN, and boolean→int casts — all codegen
+    expressions, all named identically (or trivially aliased) across
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    missing = F.get_json_object("props", "$.missing").try_cast("int")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias(
+            "type_or_err"
+        ),
+        F.ifnull(missing, F.lit(-1)).alias("missing_k"),
+        F.greatest("value", F.lit(100.0)).alias("at_least_100"),
+        F.least("value", F.lit(100.0)).alias("at_most_100"),
+        F.when(F.col("value") > 250, "high")
+        .when(F.col("value") > 100, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.col("value").between(100, 250).alias("in_band"),
+        (F.col("user_id") == 1).cast("int").alias("is_user1"),
+    )
