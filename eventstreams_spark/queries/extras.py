@@ -407,3 +407,41 @@ def statsd_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_scaled_cents"),
         )
     )
+
+
+@query(
+    "lateral_topn_per_group",
+    category="4.1-lateral",
+    oracle="""
+        SELECT t.event_type, l.event_id, l.ts
+        FROM (SELECT DISTINCT event_type FROM events) t,
+        LATERAL (
+            SELECT event_id, ts FROM events e
+            WHERE e.event_type = t.event_type
+            ORDER BY e.ts DESC, e.event_id DESC
+            LIMIT 3
+        ) l
+    """,
+)
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: 3 most recent events per type as a
+    per-row dependent subquery. Catalyst decorrelates the
+    DomainJoin into a windowed plan rather than executing the inner
+    query once per outer row — the same result as window_top3_per_user
+    expressed in the SQL dialect users of LATERAL-speaking engines
+    bring with them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_lat_events")
+    return spark.sql(
+        """
+        SELECT t.event_type, l.event_id, l.ts
+        FROM (SELECT DISTINCT event_type FROM _lat_events) t,
+        LATERAL (
+            SELECT event_id, ts FROM _lat_events e
+            WHERE e.event_type = t.event_type
+            ORDER BY e.ts DESC, e.event_id DESC
+            LIMIT 3
+        ) l
+        """
+    )
