@@ -495,3 +495,41 @@ def agg_decile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@query(
+    "agg_bitwise_try_arith",
+    category="A16-bitwise",
+    oracle="""
+        SELECT event_type,
+               bit_and(CAST(user_id % 256 AS BIGINT)) AS band,
+               bit_or(CAST(user_id % 256 AS BIGINT))  AS bor,
+               bit_xor(CAST(user_id % 256 AS BIGINT)) AS bxor,
+               sum(CASE WHEN floor(value) = 0 THEN NULL
+                        ELSE CAST(100 // CAST(floor(value) AS BIGINT) AS BIGINT) END)
+                   AS sum_try_div,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_bitwise_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor — flag-mask
+    rollups) plus ANSI-safe division: under Spark 4's ANSI mode,
+    ``100 div value`` on a zero would throw mid-job, so try_divide
+    yields NULL and sum skips it — the oracle states the same NULL
+    contract with CASE. Divisors go through explicit floor() on BOTH
+    sides: DuckDB CAST(double AS BIGINT) rounds half-even while Spark
+    cast truncates (recorded in tests/oracle_conventions.md). All single-pass, partial+final.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 256).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.bit_and(ub).alias("band"),
+        F.bit_or(ub).alias("bor"),
+        F.bit_xor(ub).alias("bxor"),
+        F.sum(
+            F.try_divide(F.lit(100), F.floor("value").cast("long")).cast("long")
+        ).alias("sum_try_div"),
+        F.count(F.lit(1)).alias("n"),
+    )
