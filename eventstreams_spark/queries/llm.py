@@ -636,3 +636,71 @@ def ann_pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(64.0).alias("compression_x"),
         )
     )
+
+
+@query("ann_ivfpq_recall_probe", category="L4-ivfpq", oracle=None)
+def ann_ivfpq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-scale ANN recipe (FAISS IVF-PQ + re-rank, as Spark
+    joins): IVF coarse quantizer prunes to nprobe clusters; PQ ADC
+    ranks ONLY those candidates from 8-nibble codes into a shortlist;
+    exact distance re-ranks just the shortlist (raw vectors touched
+    for ~50 rows, not the corpus). Recall is then bounded by IVF
+    pruning alone — PQ quantization error (severe on near-random
+    vectors) stops costing recall once re-rank runs. Probe reports
+    recall@5 vs exact and the candidate fraction.
+    """
+    from ..operators.ivf import ivf_build, ivf_probe_ids, l2_normalize
+    from ..operators.pq import _sq_dist, pq_adc_topk, pq_encode, pq_train
+
+    M, K, N_CENT, N_PROBE = 8, 16, 8, 3
+    # one metric everywhere: unit-normalize, then sq-L2 == cosine order
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        l2_normalize(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+
+    assigned, centroids = ivf_build(emb, "vec", "vec_id", n_centroids=N_CENT, n_iters=2)
+    cands = ivf_probe_ids(
+        assigned.filter(F.col("vec_id") != 0), centroids, qrow, nprobe=N_PROBE
+    )
+    cb = pq_train(emb, "vec", "vec_id", m=M, k=K, n_iters=2)
+    cand_codes = pq_encode(
+        corpus.join(cands.select("vec_id"), "vec_id", "left_semi"),
+        "vec", "vec_id", cb, m=M,
+    )
+    # ADC produces a SHORTLIST (cheap, code-column only); exact re-rank
+    # touches raw vectors for just the shortlist — the standard third
+    # stage that recovers recall PQ error would otherwise lose.
+    shortlist = pq_adc_topk(cand_codes, cb, qrow, "qvec", 50, M)
+    ann = (
+        corpus.join(shortlist.select(F.col("vid").alias("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", _sq_dist(F.col("vec"), F.col("qvec")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(qrow))
+        .select("vec_id", _sq_dist(F.col("vec"), F.col("qvec")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+    hits = exact.select("vec_id").intersect(ann.select("vec_id"))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(cands.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("n_corpus")))
+        .select(
+            F.lit(N_CENT).alias("n_centroids"),
+            F.lit(N_PROBE).alias("n_probe"),
+            F.lit(M).alias("pq_m"),
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+            F.round(F.col("n_candidates") / F.col("n_corpus"), 4).alias(
+                "candidate_frac"
+            ),
+        )
+    )

@@ -65,3 +65,17 @@ def test_adc_retrieves_encoded_query_first(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
     top = pq_adc_topk(codes, cb, q, "qvec", 1, M).collect()
     assert top[0]["vid"] == 0
+
+
+def test_ivfpq_rerank_recall_hits_ivf_ceiling(spark, sf_dir):
+    """With exact re-rank of the ADC shortlist, hybrid recall must be
+    bounded by (and typically equal) IVF candidate coverage — PQ
+    quantization error must not cost recall below the pruning level."""
+    from eventstreams_spark import registry
+
+    registry._ensure_loaded()
+    row = registry.REGISTRY["ann_ivfpq_recall_probe"].builder(
+        spark, sf_dir
+    ).collect()[0]
+    assert 0.0 < row["candidate_frac"] < 1.0
+    assert row["recall_at_5"] >= 0.2  # sanity floor at tiny sf
