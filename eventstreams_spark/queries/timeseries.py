@@ -247,3 +247,61 @@ def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_win") >= 30) & (F.col("sigma") > 0))
         .drop("n_win", "sigma")
     )
+
+
+@query(
+    "ewma_daily_counts",
+    category="T15-ewma",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY event_type, day
+        ), pos AS (
+            SELECT event_type, day, n,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                       AS rn
+            FROM daily
+        )
+        SELECT event_type, day, n,
+               round(
+                   (sum(n * power(0.7, -rn)) OVER w * 0.3 * power(0.7, rn))
+                   + first_value(n) OVER w * power(0.7, rn) * 0.7,
+                   6) AS ewma
+        FROM pos
+        WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of daily
+    counts per series. The EWMA recurrence s_t = a*x_t + (1-a)*s_{t-1}
+    looks inherently sequential, but expands to the closed form
+    s_t = a*sum_i x_i*(1-a)^(t-i) + x_0*(1-a)^t, which is ONE running
+    window sum of pre-scaled terms — no recursion, no UDAF, no
+    iteration. The pow(1/(1-a), rn) rescaling is numerically safe here
+    because the window runs over per-day aggregates (tens of rows per
+    series), not raw events — the same pre-aggregate-then-window
+    discipline as period_over_period_daily.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = 0.3
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    pos = daily.withColumn("rn", F.row_number().over(w_ord) - 1)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    decay = F.pow(F.lit(1 - a), F.col("rn"))
+    ewma = (
+        F.sum(F.col("n") * F.pow(F.lit(1 - a), -F.col("rn"))).over(w)
+        * a
+        * decay
+        + F.first("n").over(w) * decay * (1 - a)
+    )
+    return pos.select(
+        "event_type", "day", "n", F.round(ewma, 6).alias("ewma")
+    )
