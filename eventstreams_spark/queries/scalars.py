@@ -370,3 +370,51 @@ def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").between(100, 250).alias("in_band"),
         (F.col("user_id") == 1).cast("int").alias("is_user1"),
     )
+
+
+@query(
+    "array_set_algebra",
+    category="F-array2",
+    oracle="""
+        WITH arr AS (
+            SELECT event_id,
+                   generate_series(1, 1 + event_id % 4)         AS a,
+                   generate_series(event_id % 3, event_id % 3 + 3) AS b
+            FROM events WHERE event_id < 400
+        )
+        SELECT event_id,
+               list_sort(list_distinct(list_concat(a, b))) AS u,
+               list_sort(list_intersect(a, b))             AS i,
+               list_sort(list_filter(list_distinct(a),
+                                     x -> NOT list_contains(b, x))) AS d,
+               len(list_intersect(a, b)) > 0               AS overlaps,
+               len(a) + len(b)                             AS n_flat,
+               list_contains(a, 2)                         AS has_2,
+               b[1:2]                                      AS b_head,
+               CAST(coalesce(list_position(a, 2), 0) AS BIGINT) AS pos_2
+        FROM arr
+    """,
+)
+def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: union/intersect/except (sorted on BOTH sides
+    — the engines' native result orders differ), overlap, flatten
+    size, membership, slice, position. Divergence pinned: Spark
+    array_position returns 0 for absent, DuckDB list_position returns
+    NULL — the oracle coalesces to 0. All codegen; arrays built with
+    sequence() from scalar fields so no testdata dependency beyond
+    event_id.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    a = F.sequence(F.lit(1), F.lit(1) + F.col("event_id") % 4)
+    b = F.sequence(F.col("event_id") % 3, F.col("event_id") % 3 + 3)
+    return ev.select(
+        "event_id",
+        F.array_sort(F.array_union(a, b)).alias("u"),
+        F.array_sort(F.array_intersect(a, b)).alias("i"),
+        F.array_sort(F.array_except(a, b)).alias("d"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+        F.size(F.flatten(F.array(a, b))).alias("n_flat"),
+        F.array_contains(a, 2).alias("has_2"),
+        F.slice(b, 1, 2).alias("b_head"),
+        F.array_position(a, 2).alias("pos_2"),
+    )
