@@ -305,3 +305,69 @@ def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select(
         "event_type", "day", "n", F.round(ewma, 6).alias("ewma")
     )
+
+
+@query(
+    "robust_mad_outliers",
+    category="T16-mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type,
+                   any_value(m) AS m,
+                   quantile_cont(abs(e.value - m), 0.5) AS mad
+            FROM events e JOIN med ON e.event_type = med.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               round(any_value(mad.m), 6)   AS median_value,
+               round(any_value(mad.mad), 6) AS mad_value,
+               count(CASE WHEN abs(e.value - mad.m) > 3 * mad.mad / 0.6745
+                          THEN 1 END)       AS n_outliers,
+               count(*)                     AS n
+        FROM events e JOIN mad ON e.event_type = mad.event_type
+        GROUP BY e.event_type
+    """,
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: MAD is
+    insensitive to the outliers themselves (unlike stddev, which a
+    heavy tail inflates until nothing looks anomalous — the z-score
+    query's known failure mode). Flags |x - med| > 3*MAD/0.6745
+    (the normal-consistency constant).
+
+    Two exact per-group percentile passes plus a broadcast join of the
+    5-row stats dim back onto events; at 100 TB swap the exact medians
+    for approx_percentile (same plan shape, mergeable sketches).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("m").alias("m"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias(
+                "mad"
+            ),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("m"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad_value"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("m")) > 3 * F.col("mad") / 0.6745,
+                    1,
+                )
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
