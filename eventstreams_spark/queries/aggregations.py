@@ -533,3 +533,34 @@ def agg_bitwise_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_try_div"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_minby_maxby",
+    category="A17-argminmax",
+    oracle="""
+        SELECT event_type,
+               arg_min(event_id, value * 1000000 + event_id) AS min_value_event,
+               arg_max(event_id, value * 1000000 + event_id) AS max_value_event,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates (which row held the extreme): the
+    agg-form alternative to the window row_number pattern — one
+    partial+final aggregate, no per-group sort. Ordered by the
+    composite value*1e6+event_id because 2-decimal values collide
+    within groups and bare min_by/max_by tie-breaking is
+    engine-arbitrary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = F.col("value") * 1000000 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", order).alias("min_value_event"),
+        F.max_by("event_id", order).alias("max_value_event"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

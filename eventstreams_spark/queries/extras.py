@@ -445,3 +445,55 @@ def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@query(
+    "not_in_null_semantics",
+    category="4.2-notin",
+    oracle="""
+        SELECT
+            (SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT user_id FROM events))
+                AS n_not_in_clean,
+            (SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT CASE WHEN user_id = 1 THEN NULL
+                                                 ELSE user_id END
+                                     FROM events))
+                AS n_not_in_with_null,
+            (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM events e
+                               WHERE e.user_id = c.c_custkey))
+                AS n_not_exists
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN three-valued-logic trap, pinned: one NULL in the
+    subquery makes every NOT IN row UNKNOWN → count 0, while NOT
+    EXISTS (a null-safe anti-join) keeps working. Both engines agree
+    on the ANSI behavior; the query exists so the surprising result is
+    a documented contract, and as the reminder that anti-join (the
+    plan NOT EXISTS produces) is the scalable form — NOT IN with a
+    nullable column forces a null-aware anti-join, a much more
+    expensive operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    ev.createOrReplaceTempView("_nn_events")
+    cust.createOrReplaceTempView("_nn_customer")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT count(*) FROM _nn_customer
+             WHERE c_custkey NOT IN (SELECT user_id FROM _nn_events))
+                AS n_not_in_clean,
+            (SELECT count(*) FROM _nn_customer
+             WHERE c_custkey NOT IN (SELECT CASE WHEN user_id = 1 THEN NULL
+                                                 ELSE user_id END
+                                     FROM _nn_events))
+                AS n_not_in_with_null,
+            (SELECT count(*) FROM _nn_customer c
+             WHERE NOT EXISTS (SELECT 1 FROM _nn_events e
+                               WHERE e.user_id = c.c_custkey))
+                AS n_not_exists
+        """
+    )
