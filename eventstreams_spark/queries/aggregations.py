@@ -564,3 +564,39 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "agg_linear_regression",
+    category="A18-regr",
+    oracle="""
+        SELECT event_type,
+               round(regr_slope(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+                   AS slope,
+               round(regr_intercept(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+                   AS intercept,
+               round(regr_r2(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+                   AS r2,
+               CAST(regr_count(value, CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+                   AS n_pairs
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression aggregates (y = value on x = the JSON
+    payload's k): slope, intercept, R², pair count — the one-pass
+    sufficient-statistics form (sums of x, y, xy, x², shared with
+    corr), so trend fitting is a partial+final aggregate, never an
+    iterative solver. 6dp rounding: the engines accumulate the
+    sufficient statistics in different orders.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.get_json_object("props", "$.k").cast("int")
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+    )
