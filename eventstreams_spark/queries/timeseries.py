@@ -371,3 +371,79 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "seasonality_dow_hour",
+    category="T17-seasonality",
+    oracle="""
+        SELECT dayofweek(ts) AS dow,
+               hour(ts)      AS hod,
+               count(*)      AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        FROM events
+        GROUP BY dow, hod
+    """,
+)
+def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonality profile (the ops
+    heatmap). 168 output cells regardless of input size — the ideal
+    map-side-combinable aggregate. DuckDB dayofweek (0=Sunday) vs
+    Spark dayofweek (1=Sunday) is reconciled Spark-side with -1, the
+    same convention scalar_datetime_suite pinned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+@query(
+    "interarrival_gap_stats",
+    category="T18-interarrival",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               count(gap_us) AS n_gaps,
+               round(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_s,
+               round(quantile_cont(gap_us / 1000000.0, 0.95), 6) AS p95_s,
+               round(max(gap_us) / 1000000.0, 6) AS max_s
+        FROM gaps
+        GROUP BY event_type
+    """,
+)
+def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per series: lag-gap in exact
+    integer microseconds (no float time arithmetic until the final
+    division), then exact percentiles — the feed-health profile that
+    detects stalls (p95/max blowout) and duplicates (p50 collapse).
+    One partition-sort for the lag, then a hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile(F.col("gap_us") / 1000000.0, F.lit(0.5)), 6).alias(
+            "p50_s"
+        ),
+        F.round(F.percentile(F.col("gap_us") / 1000000.0, F.lit(0.95)), 6).alias(
+            "p95_s"
+        ),
+        F.round(F.max("gap_us") / 1000000.0, 6).alias("max_s"),
+    )
