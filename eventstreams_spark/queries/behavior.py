@@ -336,3 +336,52 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per_day.select("day", "n_new", F.sum("n_new").over(w).alias("cum_users"))
+
+
+@query(
+    "transition_matrix_events",
+    category="B7-markov",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type,
+               next_type  AS to_type,
+               count(*)   AS n,
+               round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 6)
+                   AS p
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type), the behavioral-model fingerprint
+    (and drift detector — compare matrices across days). One
+    partition-sort per user for the lead, one aggregate for counts,
+    and the row-normalization is a window sum over the tiny 5x5
+    result, not a second scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("p"),
+    )
