@@ -369,3 +369,146 @@ def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(fp).alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dupes"),
     )
+
+
+@query(
+    "tpch_q13_custdist",
+    category="J3-q13",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. A left
+    outer join with a join-side (not WHERE) predicate — customers
+    whose every order is filtered out must survive with c_count=0 —
+    then a second aggregation over the first's output. Scale: both
+    aggs hash-partition on their single key; the outer join shuffles
+    on custkey and AQE coalesces the tiny second-agg exchange.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q17_small_quantity",
+    category="J2-q17",
+    oracle="""
+        SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS small_qty_revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+            SELECT l_partkey AS a_partkey,
+                   0.5 * avg(l_quantity) AS qty_threshold
+            FROM lineitem
+            GROUP BY l_partkey
+        ) ON a_partkey = l_partkey
+        WHERE p_brand = 'Brand#11' AND p_size < 15
+          AND l_quantity < qty_threshold
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's small parts — the correlated-average pattern
+    (l_quantity < 0.5 * per-part mean) decorrelated into an explicit
+    per-part aggregate joined back. Scale: the per-part avg shuffles
+    once on partkey and is then co-partitioned with the fact join;
+    the part dim filter broadcasts. avg(l_quantity) is exact
+    cross-engine: quantities are small integers-as-doubles, a single
+    partial-sum tree per partkey group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    thresholds = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    dim = p.filter((F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15))
+    return (
+        li.join(F.broadcast(dim), li.l_partkey == dim.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.a_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            exact_money_sum(F.col("l_extendedprice"), 100).alias(
+                "small_qty_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_accounts",
+    category="J5-q22",
+    oracle="""
+        WITH thresh AS (
+            SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0
+                       / (count(*) * 100.0) AS avg_bal
+            FROM customer
+            WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM customer, thresh
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-idle accounts per nation — an
+    uncorrelated scalar aggregate used as a filter threshold plus an
+    anti join (customers with no urgent orders; every customer here
+    has SOME order, so the classic no-orders predicate adapts to
+    priority). The threshold is computed as exact integer cents
+    divided once, so the comparison boundary is bit-identical in both
+    engines (a raw double avg drifts with accumulation order). Scale:
+    the scalar is one tiny broadcast; the anti join shuffles on
+    custkey only for the filtered (above-threshold) minority.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(cents) * 1.0 / (F.count(F.lit(1)) * 100.0)).alias("avg_bal")
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    rich = c.join(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_money_sum(F.col("c_acctbal"), 100).alias("totacctbal"),
+        )
+    )
