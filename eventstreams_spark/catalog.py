@@ -55,6 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ~1.7e18 ns values. Verified lossless: all ts have zero sub-µs
         # component at every sf (SURVEY.md §1.4).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defensive: if NTZ inference is active anyway (static conf on an odd
+    # build), normalize every TIMESTAMP_NTZ column to TIMESTAMP_LTZ. With
+    # session tz pinned to UTC the cast is epoch-identical to DuckDB's
+    # naive read, and LTZ is the type every oracle check was verified on.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _df_cache[key] = df
     return df
 

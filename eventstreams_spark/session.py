@@ -21,6 +21,11 @@ _RUNTIME_CONFS = {
     # default (SURVEY.md §1.4, verified failure). Read ns as long, then
     # convert in catalog.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Regenerated testdata writes TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # which Spark 4 would infer as TIMESTAMP_NTZ. All parity checks were
+    # validated against TIMESTAMP_LTZ (session tz UTC ⇒ same epoch micros,
+    # same values as DuckDB's naive read), so keep the LTZ read path.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DuckDB timestamps are UTC-naive; pin Spark to UTC so collected
     # values hash-match the oracle.
     "spark.sql.session.timeZone": "UTC",
