@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     extras,
     joins,
     llm,
+    longtail,
     pipeline_demo,
     projections,
     scalars,

@@ -1,0 +1,329 @@
+"""Long-tail SQL surface (NEXT.md item 5) and LLM corpus-quality
+operators: QUALIFY-style window filters, full outer joins,
+regexp_extract_all, Gopher-style repetition metrics, benchmark
+contamination via n-gram overlap, deterministic train/test split.
+
+All plans are shuffle-lean by construction: per-document metrics
+aggregate on doc_id (one hash-partition pass over exploded tokens,
+map-side combinable), and the contamination join deduplicates the
+corpus gram set before the semi join so the shuffled side is the
+distinct-gram set, not the raw token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "qualify_window_filter",
+    category="4.1-qualify",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal
+        FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) <= 2
+    """,
+)
+def qualify_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-dialect window filter (top-2 customers by balance per
+    nation). Spark has no QUALIFY keyword; the subquery-with-filter
+    rewrite below is plan-identical to what QUALIFY engines produce:
+    one Window over nationkey-hash partitioning, filter folded above
+    it, rank column pruned from the output."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "join_full_outer_daily_activity",
+    category="J3-full",
+    oracle="""
+        WITH o AS (
+            SELECT time_bucket(INTERVAL 1 day, o_orderdate) AS day,
+                   count(*) AS n_orders
+            FROM orders GROUP BY day
+        ), e AS (
+            SELECT time_bucket(INTERVAL 1 day, ts) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY day
+        )
+        SELECT coalesce(o.day, e.day) AS day, o.n_orders, e.n_events
+        FROM o FULL OUTER JOIN e ON o.day = e.day
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (orders 1992-1998 vs
+    events 2024 — deliberately disjoint date ranges so both null
+    sides are exercised). Aggregate-then-join: each side collapses to
+    ~thousands of rows before the join, so at 100 TB the outer join
+    shuffles kilobytes, not the fact tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return o.join(e, on="day", how="full").select(
+        # unqualified "day" after how="full" USING-join is already
+        # coalesced by Spark; select it explicitly for the contract
+        "day",
+        "n_orders",
+        "n_events",
+    )
+
+
+@query(
+    "regexp_extract_all_tokens",
+    category="2.8-regex",
+    oracle=r"""
+        WITH m AS (
+            SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS tok
+            FROM documents
+        )
+        SELECT tok, count(*) AS n
+        FROM m GROUP BY tok HAVING count(*) > 50
+    """,
+)
+def regexp_extract_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all → explode → frequency table (all ≥5-letter
+    tokens seen more than 50 times). The extract runs inside
+    whole-stage codegen on the scan; only (token, partial count)
+    pairs reach the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(r"[a-z]{5,}"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+    )
+
+
+_GOPHER_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), words AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM toks, unnest(tk) AS u(w)
+        GROUP BY doc_id, w
+    ), wstats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS topc,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+        FROM words GROUP BY doc_id
+    ), bigrams AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ), bcnt AS (
+        SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ), bstats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
+        FROM bcnt GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_tokens,
+           round(CAST(topc AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+           round(CAST(dupc AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+           round(CAST(dupb AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
+           (CAST(topc AS DOUBLE) / n_tokens <= 0.20
+            AND CAST(dupc AS DOUBLE) / n_tokens <= 0.80
+            AND CAST(dupb AS DOUBLE) / n_bigrams <= 0.50) AS keep
+    FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+"""
+
+
+@query("gopher_repetition_quality", category="L5-quality", oracle=_GOPHER_ORACLE)
+def gopher_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 repetition filters, word-level): most-frequent-word fraction,
+    duplicated-word fraction, duplicated-bigram fraction, and the
+    keep/drop gate a corpus-prep pipeline applies before training.
+
+    Columnar construction: token counts via explode+two-level groupBy
+    (map-side combine on (doc_id, token)); bigrams synthesized with
+    zip_with over two array slices — no UDF, no per-row Python. Both
+    aggregations partition on doc_id, so one shuffle each and the
+    final per-doc join co-partitions for free under AQE."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    words = (
+        docs.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wstats = words.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("topc"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, size(tk) - 1),"
+                "         slice(tk, 2, size(tk) - 1),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupb"),
+        )
+    )
+    top_frac = F.col("topc").cast("double") / F.col("n_tokens")
+    dup_frac = F.col("dupc").cast("double") / F.col("n_tokens")
+    dupb_frac = F.col("dupb").cast("double") / F.col("n_bigrams")
+    return (
+        wstats.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(dup_frac, 6).alias("dup_word_frac"),
+            F.round(dupb_frac, 6).alias("dup_bigram_frac"),
+            ((top_frac <= 0.20) & (dup_frac <= 0.80) & (dupb_frac <= 0.50)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+_CONTAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(tk) - 4)) AS s(i)
+    ), corpus AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 50 <> 0
+    ), bench AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 50 = 0
+    )
+    SELECT b.doc_id,
+           count(*) AS n_grams,
+           CAST(count(c.g) AS BIGINT) AS n_hits,
+           round(CAST(count(c.g) AS DOUBLE) / count(*), 6) AS contamination_frac
+    FROM bench b LEFT JOIN corpus c ON b.g = c.g
+    GROUP BY b.doc_id
+"""
+
+
+@query("contamination_ngram_overlap", category="L5-contamination", oracle=_CONTAM_ORACLE)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check via 5-gram overlap (the
+    GPT-3/PaLM decontamination recipe): every 50th document plays the
+    held-out benchmark; for each, the fraction of its distinct word
+    5-grams that appear anywhere in the rest of the corpus.
+
+    Scale shape: shingles are built scan-side (dynamic-slice
+    transform, codegen), DISTINCT collapses the corpus to its unique
+    gram set BEFORE the join, and the join key is the gram string —
+    at 100 TB this is the standard dedup-join layout (hash-partition
+    by gram), never a doc×doc cross join. The benchmark side is tiny
+    and broadcastable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 4),"
+                "          i -> array_join(slice(tk, i, 5), ' '))"
+            )
+        ).alias("g"),
+    ).distinct()
+    corpus = grams.filter(F.col("doc_id") % 50 != 0).select("g").distinct()
+    bench = grams.filter(F.col("doc_id") % 50 == 0)
+    hits = bench.join(corpus.withColumn("_hit", F.lit(1)), "g", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hits"),
+        F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contamination_frac"),
+    )
+
+
+@query(
+    "train_test_split_hash",
+    category="L-split",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM tagged GROUP BY split
+    """,
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split by md5(doc_id) prefix —
+    the reproducible, shuffle-free alternative to randomSplit for
+    corpus preparation: assignment is a pure projection (stable
+    across runs, engines, and repartitioning), so the split can be
+    recomputed anywhere without storing membership lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc", "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query("tablesample_repeatable", category="O-sample")
+def tablesample_repeatable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLESAMPLE surface (rows-only: Bernoulli sampling is
+    engine-specific, so no cross-engine hash exists — determinism
+    within Spark is pinned by REPEATABLE and tested in
+    tests/test_operators.py). Sampling happens at the scan, before
+    any shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ts_events")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n
+        FROM _ts_events TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        GROUP BY event_type
+        """
+    )

@@ -242,3 +242,15 @@ def test_ivf_clustered_data_high_recall(spark):
     n_c = cands.count()
     assert hits == 5            # perfect recall probing ONE cluster
     assert n_c <= 0.35 * 199    # ... while scanning ~1/4 of the corpus
+
+
+def test_tablesample_repeatable_deterministic(spark, sf_dir):
+    """TABLESAMPLE ... REPEATABLE must return the identical sample on
+    every run (the rows-only contract for tablesample_repeatable)."""
+    from eventstreams_spark.registry import REGISTRY
+
+    fn = REGISTRY["tablesample_repeatable"].builder
+    a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert a == b
+    assert sum(n for _, n in a) > 0
