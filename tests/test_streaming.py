@@ -320,3 +320,56 @@ def test_tumbling_update_mode_final_state_equals_batch(spark, events_slice, tmp_
         .select("window_start", "event_type", "n", "sv")
     )
     assert _rows(got) == _rows(want)
+
+
+def test_stream_stream_left_outer_null_emission(spark, tmp_path):
+    """J11 LEFT OUTER: matched pairs emit immediately; an unmatched
+    left row emits with a NULL right side only once the watermark
+    passes its join-window expiry (ts + within). Rows whose window is
+    still open when the stream drains stay in state and must NOT
+    appear with nulls."""
+    from eventstreams_spark.streaming.joins import stream_stream_join
+    from eventstreams_spark.streaming.replay import stage_files
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, u) for i, (t, u) in enumerate(rows)],
+            "event_id long, ts string, user_id long",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    # batch 1: c0 (will match), c1 (never matches; expiry 10:35)
+    stage_files(mk([("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 2)]), cdir + "/replay", 1)
+    stage_files(mk([("2024-01-01 10:10:00", 1)]), bdir + "/replay", 1)
+    # batch 2: spacers advance the watermark source-side (wm 11:50,
+    # effective one batch later); their own expiry (12:30) stays open
+    stage_files(mk([("2024-01-01 12:00:00", 3)]), cdir + "/replay", 2)
+    stage_files(mk([("2024-01-01 12:00:00", 4)]), bdir + "/replay", 2)
+    # batch 3: flush — effective wm 11:50 > c1's 10:35 expiry
+    stage_files(mk([("2024-01-01 13:00:00", 5)]), cdir + "/replay", 3)
+    stage_files(mk([("2024-01-01 13:00:00", 6)]), bdir + "/replay", 3)
+
+    schema = "event_id long, ts timestamp, user_id long"
+    s_clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdir + "/replay")
+    )
+    s_buys = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(bdir + "/replay")
+    )
+    out = stream_stream_join(
+        s_clicks, s_buys, keys=["user_id"],
+        within="30 minutes", watermark="10 minutes", how="left",
+    )
+    run_to_memory(out, "t_ssj_left", output_mode="append")
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT user_id, l_event_id, r_event_id FROM t_ssj_left").collect()
+    }
+    assert (1, 0, 0) in got                      # matched pair
+    # final watermark = 13:00 - 10m = 12:50 (availableNow runs a
+    # trailing finalization batch): expires user 2 (10:35) and user 3
+    # (12:30); user 5's window (13:30) is still open -> held in state
+    assert (2, 1, None) in got
+    assert (3, 0, None) in got  # event ids restart per staged batch
+    open_left = {u for (u, _, r) in got if r is None and u not in (2, 3)}
+    assert not open_left
