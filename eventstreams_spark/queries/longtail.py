@@ -327,3 +327,35 @@ def tablesample_repeatable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    category="4.1-decorrelation",
+    oracle="""
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+        FROM part p
+        WHERE p.p_retailprice > 1.05 * (
+            SELECT avg(p2.p_retailprice) FROM part p2
+            WHERE p2.p_brand = p.p_brand
+        )
+    """,
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery (parts priced >1.05x their brand's
+    average). Catalyst's RewriteCorrelatedScalarSubquery decorrelates
+    this into aggregate-then-join on p_brand — one extra aggregation
+    pass instead of a per-row re-scan, which is the only viable plan
+    at 100 TB. Pairs with subquery_scalar_above_avg (uncorrelated)."""
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("_corr_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+        FROM _corr_part p
+        WHERE p.p_retailprice > 1.05 * (
+            SELECT avg(p2.p_retailprice) FROM _corr_part p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
