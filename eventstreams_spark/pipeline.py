@@ -470,6 +470,106 @@ def _chunk(source: str, size: int, keys: list[str]) -> Transform:
     return lambda df: chunk_text_columnar(df, source, size, keys)
 
 
+@step("csv")
+def _csv(
+    source: str,
+    columns: list[str],
+    separator: str = ",",
+    target: str | None = None,
+) -> Transform:
+    """Parse a delimited field into named columns (Logstash ``csv``
+    filter) via ``from_csv`` — a real CSV parser (quoting, escapes),
+    not a naive split. ``target=None`` hoists the parsed fields to
+    top level; otherwise they land under one struct column."""
+    schema = ", ".join(f"`{c}` string" for c in columns)
+
+    def t(df: DataFrame) -> DataFrame:
+        parsed = F.from_csv(F.col(source), F.lit(schema), {"sep": separator})
+        if target:
+            return df.withColumn(target, parsed)
+        tmp = df.withColumn("_csv", parsed)
+        for c in columns:
+            tmp = tmp.withColumn(c, F.col(f"_csv.{c}"))
+        return tmp.drop("_csv")
+
+    return t
+
+
+@step("uuid")
+def _uuid(target: str = "uuid", deterministic_from: list[str] | None = None) -> Transform:
+    """Assign an id per event (Logstash ``uuid``). Default is a random
+    UUIDv4 (non-deterministic — fine for ingest tagging, never inside
+    an oracle-checked query); pass ``deterministic_from`` to derive a
+    stable content-addressed id (sha2 of the named fields) instead —
+    the replay-safe choice, since re-running the pipeline re-creates
+    identical ids (idempotent sinks then dedup for free)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        if deterministic_from:
+            parts = [F.col(c).cast("string") for c in deterministic_from]
+            return df.withColumn(
+                target, F.sha2(F.concat_ws("\x1f", *parts), 256)
+            )
+        return df.withColumn(target, F.expr("uuid()"))
+
+    return t
+
+
+@step("truncate")
+def _truncate(fields: list[str], length_bytes: int) -> Transform:
+    """Cap oversized string fields (Logstash ``truncate``) — the guard
+    that keeps a pathological event from blowing per-row memory
+    downstream. Codepoint-based substring (Spark has no byte-substr
+    for strings without a binary roundtrip; for ASCII event streams
+    the two coincide)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        for f in fields:
+            df = df.withColumn(f, F.substring(F.col(f), 1, length_bytes))
+        return df
+
+    return t
+
+
+@step("geoip")
+def _geoip(
+    source: str,
+    ranges: "DataFrame",
+    target: str = "geo_region",
+) -> Transform:
+    """Range-table enrichment (Logstash ``geoip``): join the uint32 IP
+    column against a broadcast (lo, hi, region) dim — the same shape
+    as the geoip_range_enrich query, packaged as a pipeline step. The
+    fact side never shuffles."""
+
+    def t(df: DataFrame) -> DataFrame:
+        r = ranges.select(
+            F.col("lo"), F.col("hi"), F.col("region").alias(target)
+        )
+        return df.join(
+            F.broadcast(r),
+            (F.col(source) >= F.col("lo")) & (F.col(source) <= F.col("hi")),
+            "left",
+        ).drop("lo", "hi")
+
+    return t
+
+
+@step("udf")
+def _udf(target: str, fn: Callable, input_cols: list[str], returns: str = "string") -> Transform:
+    """Arbitrary-Python escape hatch (Logstash ``ruby`` filter).
+    Deliberately the LAST resort: the callable runs row-at-a-time in
+    Python workers, outside codegen — every other step stays JVM-side.
+    Kept because a pipeline DSL without an escape hatch forces users
+    to fork; marked so reviewers can grep for the slow path."""
+    pyfn = F.udf(fn, returns)
+
+    def t(df: DataFrame) -> DataFrame:
+        return df.withColumn(target, pyfn(*[F.col(c) for c in input_cols]))
+
+    return t
+
+
 # --------------------------------------------------------------- pipeline
 
 

@@ -359,3 +359,56 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_PNG_ORACLE = """
+    WITH meta AS (
+        SELECT doc_id,
+               64 + (doc_id % 8) * 16 AS width,
+               48 + (doc_id % 5) * 16 AS height,
+               29 + octet_length(CAST(text AS BLOB)) AS nbytes
+        FROM documents
+    )
+    SELECT 'image/png' AS mime,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           count(*) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM meta GROUP BY width, height
+"""
+
+
+@query("multimodal_png_header_parse", category="L6-multimodal", oracle=_PNG_ORACLE)
+def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 multimodal metadata path, oracle-checked end to end: build a
+    REAL PNG byte stream per document (magic + IHDR with
+    doc_id-derived width/height + the text as payload) with pure
+    codegen (unhex/concat of binary), then run the production
+    pipeline — sniff_mime (magic-byte Column expr) → parse_headers
+    (Arrow-batched mapInPandas byte slicing) — and aggregate the
+    parsed metadata. The oracle recomputes width/height/byte-length
+    arithmetically, so any drift in construction, sniffing, or header
+    parsing breaks the hash. Bytes never shuffle: the only exchange
+    carries (mime, width, height, bit_depth) partial aggregates."""
+    from ..operators.multimodal import parse_headers, sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.lit(64) + (F.col("doc_id") % 8) * 16).cast("int")
+    height = (F.lit(48) + (F.col("doc_id") % 5) * 16).cast("int")
+    header_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),           # PNG magic
+        F.lit("0000000D49484452"),           # IHDR chunk length + tag
+        F.lpad(F.hex(width), 8, "0"),        # width  (big-endian u32)
+        F.lpad(F.hex(height), 8, "0"),       # height (big-endian u32)
+        F.lit("0806000000"),                 # depth=8, rgba, default flags
+    )
+    media = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary")).alias("content"),
+    ).withColumn("length", F.length("content").cast("long"))
+    parsed = parse_headers(sniff_mime(media))
+    return parsed.groupBy("mime", "width", "height", "bit_depth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length").alias("sum_bytes"),
+    )

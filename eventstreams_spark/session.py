@@ -39,6 +39,41 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+_shipped_apps: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``eventstreams_spark`` importable on executor Python
+    workers via ``addPyFile``, once per session.
+
+    A driver-created session (the real driver's contract) may run with
+    any cwd and only a driver-side ``sys.path`` insert — worker
+    processes then cannot resolve by-reference pickles of module-level
+    helpers (e.g. the Arrow-batched header parser in
+    operators/multimodal.py). Shipping a zip of the package is the
+    same mechanism used on a real cluster (``--py-files``)."""
+    app = spark.sparkContext.applicationId
+    if app in _shipped_apps:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_root = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"eventstreams_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_root.rglob("*.py")):
+                z.write(p, arcname=f"eventstreams_spark/{p.relative_to(pkg_root)}")
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. Spark Connect sessions
+        pass
+    _shipped_apps.add(app)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply parity-critical runtime confs to an existing session.
 
@@ -50,6 +85,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on odd builds
             pass
+    ship_package(spark)
     return spark
 
 

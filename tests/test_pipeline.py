@@ -234,3 +234,61 @@ def test_urldecode_step(spark):
         {"steps": [{"type": "urldecode", "fields": ["q", "p"]}]}
     ).apply(df).collect()[0]
     assert out["q"] == "q=spark sql" and out["p"] == "path/to/file"
+
+
+def test_csv_uuid_truncate_steps(spark):
+    df = spark.createDataFrame(
+        [(1, 'alice,"x,y",9', "abcdefgh"), (2, "bob,z,7", "ab")],
+        "id long, rec string, note string",
+    )
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {"type": "csv", "source": "rec",
+                 "columns": ["name", "tag", "score"]},
+                {"type": "uuid", "target": "eid",
+                 "deterministic_from": ["id", "name"]},
+                {"type": "truncate", "fields": ["note"], "length_bytes": 4},
+            ]
+        }
+    )
+    rows = {r.id: r for r in pipe.apply(df).collect()}
+    assert rows[1].tag == "x,y"            # quoted separator survives
+    assert rows[1].score == "9"
+    assert rows[1].note == "abcd"
+    assert rows[2].note == "ab"
+    assert len(rows[1].eid) == 64          # sha256 hex
+    # deterministic: re-applying yields the same ids
+    again = {r.id: r.eid for r in pipe.apply(df).collect()}
+    assert again == {i: r.eid for i, r in rows.items()}
+
+
+def test_uuid_random_step(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    pipe = Pipeline.from_config({"steps": [{"type": "uuid"}]})
+    got = [r.uuid for r in pipe.apply(df).collect()]
+    assert len(set(got)) == 2 and all(len(u) == 36 for u in got)
+
+
+def test_geoip_and_udf_steps(spark):
+    df = spark.createDataFrame(
+        [(1, 167772161), (2, 167837697), (3, 999)], "id long, ip long"
+    )
+    ranges = spark.createDataFrame(
+        [(167772160, 167837695, "r0"), (167837696, 167903231, "r1")],
+        "lo long, hi long, region string",
+    )
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {"type": "geoip", "source": "ip", "ranges": ranges},
+                {"type": "udf", "target": "tagged",
+                 "fn": lambda ip, reg: f"{reg or 'none'}:{ip % 10}",
+                 "input_cols": ["ip", "geo_region"]},
+            ]
+        }
+    )
+    rows = {r.id: r for r in pipe.apply(df).collect()}
+    assert rows[1].geo_region == "r0" and rows[2].geo_region == "r1"
+    assert rows[3].geo_region is None      # left join keeps unmatched
+    assert rows[1].tagged == "r0:1" and rows[3].tagged == "none:9"
