@@ -412,3 +412,78 @@ def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("length").alias("sum_bytes"),
     )
+
+
+_WAV_ORACLE = """
+    WITH meta AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+               CASE doc_id % 3 WHEN 0 THEN 8000
+                               WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+               36 + octet_length(CAST(text AS BLOB)) AS nbytes
+        FROM documents
+    )
+    SELECT 'audio/wav' AS mime,
+           CAST(channels AS INT) AS channels,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bit_depth,
+           count(*) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM meta GROUP BY channels, sample_rate
+"""
+
+
+@query("multimodal_wav_header_parse", category="L6-multimodal", oracle=_WAV_ORACLE)
+def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 audio twin of multimodal_png_header_parse: synthesize RIFF/
+    WAVE headers (little-endian fmt chunk — the opposite byte order
+    from PNG, so both unpack paths in operators/multimodal.py are
+    under oracle check) with doc_id-derived channels/sample-rate,
+    parse them back through sniff_mime + parse_headers, aggregate.
+
+    Little-endian u16/u32 hex is built by byte-swapping lpad(hex(x))
+    pairs — still pure codegen."""
+    from ..operators.multimodal import parse_headers, sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    channels = F.when(F.col("doc_id") % 2 == 0, 1).otherwise(2).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+
+    def le16(col):  # u16 -> little-endian hex
+        h = F.lpad(F.hex(col), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def le32(col):  # u32 -> little-endian hex
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    header_hex = F.concat(
+        F.lit("52494646"),          # 'RIFF'
+        le32(F.length("text") + 28),  # riff size (rest of file)
+        F.lit("57415645"),          # 'WAVE'
+        F.lit("666D7420"),          # 'fmt '
+        F.lit("10000000"),          # fmt chunk size = 16 (LE)
+        F.lit("0100"),              # PCM (LE u16)
+        le16(channels),             # offset 22: channels
+        le32(rate),                 # offset 24: sample rate
+        le32(rate * channels * 2),  # byte rate
+        le16(channels * 2),         # block align
+        le16(F.lit(16)),            # offset 34: bits per sample
+    )
+    media = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary")).alias("content"),
+    ).withColumn("length", F.length("content").cast("long"))
+    parsed = parse_headers(sniff_mime(media))
+    return parsed.groupBy("mime", "channels", "sample_rate", "bit_depth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length").alias("sum_bytes"),
+    )
