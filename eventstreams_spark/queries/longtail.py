@@ -487,3 +487,22 @@ def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("length").alias("sum_bytes"),
     )
+
+
+@query("heavy_hitters_tokens", category="A-heavyhitters")
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent tokens over the exploded document corpus
+    (rows-only: MG estimates are run-shape-dependent underestimates,
+    so no cross-engine hash exists; the error bound itself is the
+    tested contract — tests/test_operators.py asserts every token
+    with true count > N/k survives with estimate within N/k).
+
+    Scale story vs exact token counting: executor memory O(k) and a
+    summary-only shuffle (k rows/partition), instead of shuffling one
+    row per distinct token — the difference between a bounded sketch
+    and an unbounded wide agg at 100 TB vocabulary sizes."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=16, top=10)

@@ -254,3 +254,31 @@ def test_tablesample_repeatable_deterministic(spark, sf_dir):
     b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert a == b
     assert sum(n for _, n in a) > 0
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
+    """MG contract: estimates never exceed true counts, every item
+    with true count > N/k is present, and its estimate is within N/k
+    of truth. With k >= distinct items the sketch is exact."""
+    from eventstreams_spark.catalog import load_table
+    from eventstreams_spark.operators.heavyhitters import heavy_hitters
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    true = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(true.values())
+    k = 16
+    est = {r.item: r.est_count for r in heavy_hitters(toks, "tok", k=k).collect()}
+    # per-partition error sums: bound is N/k overall
+    bound = n_total / k
+    for item, e in est.items():
+        assert e <= true[item]
+        assert e >= true[item] - bound
+    for item, t in true.items():
+        if t > bound:
+            assert item in est, f"frequent item {item} missing"
+    # exact when k exceeds the vocabulary
+    exact = {r.item: r.est_count for r in heavy_hitters(toks, "tok", k=10_000).collect()}
+    assert exact == true
