@@ -506,3 +506,119 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     return heavy_hitters(toks, "tok", k=16, top=10)
+
+
+_Q7_ORACLE = """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("join_multiway_tpch_q7_shape", category="J2-q7", oracle=_Q7_ORACLE)
+def join_multiway_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): 6-table join restricted to an
+    ordered nation PAIR in either direction, revenue by (supplier
+    nation, customer nation, ship year).
+
+    Scale: both nation dims broadcast with their name filters pushed
+    into the broadcast side, so the OR-of-pairs predicate prunes
+    before the fact join; revenue uses the scaled-bigint exact sum
+    (post-join double SUM is order-dependent otherwise)."""
+    from ..functions.exact import exact_money_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+_Q21_ORACLE = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+"""
+
+
+@query("subquery_tpch_q21_shape", category="4.1-q21", oracle=_Q21_ORACLE)
+def subquery_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema's columns: per supplier, count 'F' orders where their
+    line returned 'R' while the order had other suppliers (EXISTS)
+    and none of those others returned 'R' (NOT EXISTS) — the classic
+    double-correlated subquery pair on the same fact table.
+
+    Catalyst plans the pair as a left-semi plus a null-safe left-anti
+    join against lineitem keyed on l_orderkey — two hash joins, no
+    per-row re-execution; DuckDB reaches the same decorrelation, so
+    the oracle runs the identical algebra."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    for name, df in (("supplier", supp), ("lineitem", li), ("orders", orders)):
+        df.createOrReplaceTempView(f"_q21_{name}")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM _q21_supplier s
+        JOIN _q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN _q21_orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM _q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        """
+    )
