@@ -161,58 +161,55 @@ def gopher_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-word fraction, duplicated-bigram fraction, and the
     keep/drop gate a corpus-prep pipeline applies before training.
 
-    Columnar construction: token counts via explode+two-level groupBy
-    (map-side combine on (doc_id, token)); bigrams synthesized with
-    zip_with over two array slices — no UDF, no per-row Python. Both
-    aggregations partition on doc_id, so one shuffle each and the
-    final per-doc join co-partitions for free under AQE."""
+    Columnar, SINGLE-scan construction: unigrams and zip_with-built
+    bigrams are tagged and exploded as ONE stream, counted per
+    (doc_id, kind, gram) — map-side combinable — then rolled up per
+    doc with conditional aggregates. The per-doc rollup needs no
+    second Exchange (its key is a subset of the count's partitioning)
+    and no join: one text scan, one shuffle of (gram, partial count)
+    pairs, versus the naive two-branch plan that scans and shuffles
+    the corpus twice (plan pinned in PLANS.md)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
-    words = (
-        docs.select("doc_id", F.explode("tk").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    wstats = words.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.max("c").alias("topc"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
-    )
-    bigrams = docs.select(
+    tagged = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "zip_with(slice(tk, 1, size(tk) - 1),"
-                "         slice(tk, 2, size(tk) - 1),"
-                "         (a, b) -> concat(a, ' ', b))"
+                "concat("
+                " transform(tk, x -> struct('w' as kind, x as g)),"
+                " transform(zip_with(slice(tk, 1, size(tk) - 1),"
+                "                    slice(tk, 2, size(tk) - 1),"
+                "                    (a, b) -> concat(a, ' ', b)),"
+                "           x -> struct('b' as kind, x as g)))"
             )
-        ).alias("bg"),
+        ).alias("kg"),
+    ).select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
+    counts = tagged.groupBy("doc_id", "kind", "g").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    bstats = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupb"),
-        )
+    is_w = F.col("kind") == "w"
+    is_b = F.col("kind") == "b"
+    dup = F.col("c") > 1
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c")).otherwise(0)).alias("n_tokens"),
+        F.max(F.when(is_w, F.col("c"))).alias("topc"),
+        F.sum(F.when(is_w & dup, F.col("c")).otherwise(0)).alias("dupc"),
+        F.sum(F.when(is_b, F.col("c")).otherwise(0)).alias("n_bigrams"),
+        F.sum(F.when(is_b & dup, F.col("c")).otherwise(0)).alias("dupb"),
     )
     top_frac = F.col("topc").cast("double") / F.col("n_tokens")
     dup_frac = F.col("dupc").cast("double") / F.col("n_tokens")
     dupb_frac = F.col("dupb").cast("double") / F.col("n_bigrams")
-    return (
-        wstats.join(bstats, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(top_frac, 6).alias("top_word_frac"),
-            F.round(dup_frac, 6).alias("dup_word_frac"),
-            F.round(dupb_frac, 6).alias("dup_bigram_frac"),
-            ((top_frac <= 0.20) & (dup_frac <= 0.80) & (dupb_frac <= 0.50)).alias(
-                "keep"
-            ),
-        )
+    return stats.filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        F.round(dupb_frac, 6).alias("dup_bigram_frac"),
+        ((top_frac <= 0.20) & (dup_frac <= 0.80) & (dupb_frac <= 0.50)).alias(
+            "keep"
+        ),
     )
 
 
