@@ -241,11 +241,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams that appear anywhere in the rest of the corpus.
 
     Scale shape: shingles are built scan-side (dynamic-slice
-    transform, codegen), DISTINCT collapses the corpus to its unique
-    gram set BEFORE the join, and the join key is the gram string —
-    at 100 TB this is the standard dedup-join layout (hash-partition
-    by gram), never a doc×doc cross join. The benchmark side is tiny
-    and broadcastable."""
+    transform, codegen); ONE aggregation hash-partitioned by gram
+    carries both sides — per gram, the benchmark docs containing it
+    (a bounded set, benchmarks are small by definition) and a
+    corpus-presence flag — so the corpus text is scanned once and no
+    doc×doc or gram-join materializes. Never a cross join."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
@@ -258,13 +258,22 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).distinct()
-    corpus = grams.filter(F.col("doc_id") % 50 != 0).select("g").distinct()
-    bench = grams.filter(F.col("doc_id") % 50 == 0)
-    hits = bench.join(corpus.withColumn("_hit", F.lit(1)), "g", "left")
+    # One aggregation keyed by gram replaces the corpus-distinct +
+    # bench-vs-corpus join: per gram, the set of benchmark docs that
+    # contain it (bounded — the benchmark is small by definition) and
+    # a corpus-presence flag. Single scan, shuffles carry grams once.
+    is_bench = F.col("doc_id") % 50 == 0
+    per_gram = grams.groupBy("g").agg(
+        F.collect_set(F.when(is_bench, F.col("doc_id"))).alias("bdocs"),
+        F.max(F.when(~is_bench, 1).otherwise(0)).alias("in_corpus"),
+    )
+    hits = per_gram.select(F.explode("bdocs").alias("doc_id"), "in_corpus")
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.count("_hit").alias("n_hits"),
-        F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contamination_frac"),
+        F.sum("in_corpus").alias("n_hits"),
+        F.round(F.sum("in_corpus") / F.count(F.lit(1)), 6).alias(
+            "contamination_frac"
+        ),
     )
 
 
