@@ -628,3 +628,79 @@ def subquery_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+_INT8_ORACLE = """
+    WITH pervec AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+               list_sum(list_transform(embedding, x ->
+                   CAST(floor(
+                       pow(CAST(x AS DOUBLE)
+                           - floor(CAST(x AS DOUBLE)
+                                   / (list_max(list_transform(embedding,
+                                       y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                                   + 0.5)
+                             * (list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE)))) / 127.0),
+                           2) * 1e15 + 0.5) AS BIGINT))) AS err2_scaled
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(sum(CAST(floor(scale * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e12, 9) AS avg_scale,
+           round(CAST(sum(err2_scaled) AS DOUBLE)
+                 / (count(*) * 64) / 1e15, 12) AS mse
+    FROM pervec GROUP BY label
+"""
+
+
+@query("embedding_int8_quantize", category="L4-quantize", oracle=_INT8_ORACLE)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (scale = max|x|/127
+    per vector — the faiss/sentence-transformers recipe, 4x smaller
+    than float32) with reconstruction-error accounting per label.
+
+    Exactness discipline: per-element squared error is a pure IEEE
+    expression (bit-identical across engines), scaled to bigint
+    per element and summed with integer folds — so the cross-engine
+    hash is exact despite float accumulation being order-dependent.
+    All array math is codegen (`transform`/`aggregate` folds); at
+    100 TB this is a pure map stage plus one label-keyed agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+            " cast(0 as double), (a, b) -> greatest(a, b))"
+        )
+        / 127.0
+    )
+    pervec = emb.select(
+        "label",
+        "embedding",
+        scale.alias("scale"),
+    ).withColumn(
+        "err2_scaled",
+        F.expr(
+            "aggregate(transform(embedding, x ->"
+            "  cast(floor(pow(cast(x as double)"
+            "      - floor(cast(x as double) / scale + 0.5) * scale, 2)"
+            "      * 1e15 + 0.5) as bigint)),"
+            " cast(0 as bigint), (a, b) -> a + b)"
+        ),
+    )
+    return pervec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.floor(F.col("scale") * 1e12 + 0.5).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e12,
+            9,
+        ).alias("avg_scale"),
+        F.round(
+            F.sum("err2_scaled").cast("double") / (F.count(F.lit(1)) * 64) / 1e15,
+            12,
+        ).alias("mse"),
+    )
