@@ -704,3 +704,67 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("mse"),
     )
+
+
+_DYNGAP_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts, event_type,
+               epoch_us(ts) + CASE WHEN event_type = 'error'
+                                   THEN 600000000 ELSE 1800000000 END AS end_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, end_us,
+               CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND 1 PRECEDING) IS NULL
+                         OR epoch_us(ts) >= max(end_us) OVER (
+                               PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_s
+        FROM g
+    ), sess AS (
+        SELECT user_id, ts, end_us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           make_timestamp(max(end_us)) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("session_window_dynamic_gap", category="T3-dynamic", oracle=_DYNGAP_ORACLE)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` with a PER-EVENT gap expression
+    (errors close after 10 minutes, everything else after 30) —
+    the dynamic-gap variant of T3 that fixed-gap reconstructions
+    can't express with a simple lag test.
+
+    The oracle pins the merge semantics independently: an event joins
+    the current session iff its start precedes the running MAX of
+    previous members' (ts + own_gap) — intervals merged end-exclusive
+    — and session_end is the max member end, not last_ts + constant.
+    Same plan shape as fixed-gap: one hash shuffle by user, sorted
+    session assembly; streaming reuses the identical expression."""
+    ev = load_table(spark, sf_dir, "events")
+    # session_window's dynamic gap requires CalendarIntervalType;
+    # INTERVAL literals parse as DayTimeInterval, so build via
+    # make_interval (mins arg is position 6)
+    gap = F.expr(
+        "CASE WHEN event_type = 'error' THEN make_interval(0, 0, 0, 0, 0, 10, 0)"
+        " ELSE make_interval(0, 0, 0, 0, 0, 30, 0) END"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
