@@ -1,13 +1,16 @@
-"""Long-tail SQL surface (NEXT.md item 5) and LLM corpus-quality
+"""Long-tail SQL surface (NEXT.md item 5) and LLM corpus-prep
 operators: QUALIFY-style window filters, full outer joins,
-regexp_extract_all, Gopher-style repetition metrics, benchmark
-contamination via n-gram overlap, deterministic train/test split.
+regexp_extract_all, correlated scalar subqueries, TPC-H Q7/Q21
+shapes, Gopher-style repetition metrics, benchmark contamination,
+C4-style global span dedup, train/test splitting, int8 embedding
+quantization, PNG/WAV multimodal header parsing, Misra-Gries heavy
+hitters, dynamic-gap session windows.
 
-All plans are shuffle-lean by construction: per-document metrics
-aggregate on doc_id (one hash-partition pass over exploded tokens,
-map-side combinable), and the contamination join deduplicates the
-corpus gram set before the semi join so the shuffled side is the
-distinct-gram set, not the raw token stream.
+Shuffle discipline throughout: text is scanned ONCE per query (tag
+multiple gram kinds into one exploded stream rather than branching),
+per-document metrics reduce on doc_id with map-side combine, and
+corpus-global operations (contamination, span dedup) shuffle only
+gram/span keys — never document pairs, never a cross join.
 """
 
 from __future__ import annotations
@@ -767,4 +770,61 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+_LINE_DEDUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), chunks AS (
+        SELECT doc_id, i.i AS chunk_no,
+               array_to_string(tk[(i.i*16+1):(i.i*16+16)], ' ') AS chunk
+        FROM toks,
+             unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS INT) - 1))
+                 AS i(i)
+    ), ranked AS (
+        SELECT doc_id, chunk_no, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_no) AS occ
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY chunk_no) AS text_dedup
+    FROM ranked WHERE occ = 1
+    GROUP BY doc_id
+"""
+
+
+@query("line_dedup_reassemble", category="L1-linededup", oracle=_LINE_DEDUP_ORACLE)
+def line_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-global span dedup: split every
+    document into 16-token spans, keep only the FIRST occurrence of
+    each span across the whole corpus (first = lowest (doc_id,
+    position) — deterministic), and reassemble each document from its
+    surviving spans in order. Documents reduced to zero spans drop
+    out, exactly like C4's duplicated-line removal.
+
+    Scale shape: chunking is posexplode inside codegen (no shuffle);
+    global keep-first is ONE window partitioned by span text (the
+    dedup-key shuffle — span hashes at 100 TB); reassembly groups by
+    doc with an ordered string_agg. No joins, no cross-document
+    comparison beyond the span-key hash partition."""
+    from ..functions.chunking import chunk_text_columnar
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text_columnar(docs, "text", 16, ["doc_id"])
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_no")
+    kept = chunks.withColumn("occ", F.row_number().over(w)).filter(
+        F.col("occ") == 1
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("chunk_no"), F.col("chunk")))
+            ).getField("chunk"),
+            " ",
+        ).alias("text_dedup"),
     )
