@@ -828,3 +828,61 @@ def line_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_dedup"),
     )
+
+
+_URL_CANON_ORACLE = """
+    WITH urls AS (
+        SELECT event_id,
+               'HTTPS://Shop.Example.COM/' || event_type
+               || '?utm_source=mail&id=' || CAST(user_id % 40 AS VARCHAR)
+               || '&ref=' || CAST(event_id % 3 AS VARCHAR) || '#frag'
+                   AS raw_url,
+               event_type, user_id % 40 AS uid
+        FROM events
+    )
+    SELECT 'https://shop.example.com/' || event_type
+           || '?id=' || CAST(uid AS VARCHAR) AS canon_url,
+           count(*) AS n_raw,
+           count(DISTINCT raw_url) AS n_distinct_raw
+    FROM urls
+    GROUP BY canon_url
+"""
+
+
+@query("url_canonicalize_dedup", category="L1-urlcanon", oracle=_URL_CANON_ORACLE)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization + dedup (the step before
+    any web-corpus fetch/dedup): lowercase scheme+host, strip the
+    fragment and tracking params (utm_*, ref), keep semantic params —
+    then count raw variants collapsing onto each canonical URL.
+
+    All regexp_replace/lower chains in codegen; the oracle constructs
+    the expected canonical form directly from the source fields, so
+    the transform chain (not just the group-count) is under hash."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("HTTPS://Shop.Example.COM/"),
+        F.col("event_type"),
+        F.lit("?utm_source=mail&id="),
+        (F.col("user_id") % 40).cast("string"),
+        F.lit("&ref="),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    canon = raw
+    canon = F.regexp_replace(canon, r"#.*$", "")            # fragment
+    canon = F.regexp_replace(canon, r"(utm_[a-z]+|ref)=[^&]*&?", "")  # trackers
+    canon = F.regexp_replace(canon, r"[?&]$", "")           # dangling sep
+    # lowercase scheme+host only (path/query may be case-sensitive)
+    canon = F.concat(
+        F.lower(F.regexp_extract(canon, r"^([a-zA-Z]+://[^/]+)", 1)),
+        F.regexp_extract(canon, r"^[a-zA-Z]+://[^/]+(.*)$", 1),
+    )
+    return (
+        ev.select(raw.alias("raw_url"), canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+        )
+    )
