@@ -886,3 +886,88 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("raw_url").alias("n_distinct_raw"),
         )
     )
+
+
+@query(
+    "sliding_distinct_users",
+    category="T2-distinct",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - k.k * INTERVAL '15 minutes' AS window_start,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events, (SELECT unnest(range(4)) AS k) k
+        GROUP BY window_start
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding 1h/15m window — the 'active users in
+    the trailing hour, refreshed every 15 minutes' dashboard query.
+    COUNT DISTINCT under overlapping windows via Spark's window()
+    expansion (each event expands to its 4 covering windows BEFORE
+    the distinct aggregation — Catalyst plans the standard two-phase
+    expand+distinct, partials map-side). At 100 TB swap the exact
+    distinct for approx_count_distinct per window (same plan minus
+    the expand-for-distinct blowup) — the approx twin is
+    agg_approx_count_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
+
+
+@query(
+    "interval_arithmetic_suite",
+    category="2.8-interval",
+    oracle="""
+        SELECT event_id,
+               ts + INTERVAL '90 minutes'  AS plus_90m,
+               ts - INTERVAL '2 days'      AS minus_2d,
+               date_diff('day', ts, TIMESTAMP '2024-02-01 00:00:00')
+                   AS days_to_feb,
+               time_bucket(INTERVAL '7 days', ts, TIMESTAMP '2024-01-01 00:00:00')
+                   AS week_start,
+               ts + INTERVAL '1 month'     AS plus_1mo,
+               CAST(date_trunc('day', ts) + INTERVAL '1 day'
+                    - INTERVAL '1 microsecond' AS TIMESTAMP) AS day_end
+        FROM events WHERE event_id < 2000
+    """,
+)
+def interval_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family (§2.8 date/time): timestamp ± fixed
+    intervals, day-boundary diff to an anchor, 7-day bucketing
+    anchored at the epoch of the dataset, calendar-month addition
+    (month-end clamping semantics agree across engines), and
+    end-of-day construction. All constant-folded codegen projections.
+
+    Oracle notes: Spark datediff() counts DATE boundaries =
+    DuckDB date_diff('day'); week bucketing anchored explicitly since
+    the engines' default week origins differ."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    anchor = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 2 DAYS")).alias("minus_2d"),
+        F.datediff(anchor, F.col("ts")).alias("days_to_feb"),
+        # 7-day buckets anchored at 2024-01-01: explicit integer math
+        # (native window() anchors at the 1970 epoch, 4 days off this
+        # grid; an origin-anchored bucket is clearer than a startTime
+        # offset and matches DuckDB time_bucket's origin argument)
+        F.expr(
+            "timestamp_micros(unix_micros(timestamp'2024-01-01 00:00:00')"
+            " + (unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00'))"
+            "   div 604800000000 * 604800000000)"
+        ).alias("week_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 MONTH")).alias("plus_1mo"),
+        (
+            F.date_trunc("day", F.col("ts"))
+            + F.expr("INTERVAL 1 DAY")
+            - F.expr("INTERVAL 1 MICROSECOND")
+        ).alias("day_end"),
+    )
