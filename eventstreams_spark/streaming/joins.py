@@ -44,7 +44,10 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
     joined = lw.join(rw, cond, how)
-    out_cols = [F.col(f"l.{k}").alias(k) for k in keys]
+    # outer variants: the key must survive whichever side is null-padded
+    out_cols = [
+        F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in keys
+    ]
     for c in left.columns:
         if c not in keys:
             out_cols.append(F.col(f"l.{c}").alias(f"l_{c}"))

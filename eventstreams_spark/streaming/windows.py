@@ -72,7 +72,7 @@ def sliding_agg(
 def session_agg(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: str | Column,
     keys: Sequence[str],
     aggs: Sequence[Column],
     watermark: str | None = None,
@@ -80,7 +80,11 @@ def session_agg(
     """Gap-based session windows (T3): sessions merge as events arrive,
     so state per key is the set of open sessions; the watermark closes
     (and emits) sessions whose end + gap < watermark. Same semantics as
-    the batch `sessionize_gap30m_batch` query (W8)."""
+    the batch `sessionize_gap30m_batch` query (W8).
+
+    ``gap`` may be a Column (CalendarIntervalType, e.g. built with
+    make_interval) for PER-EVENT dynamic gaps — batch parity for that
+    variant is pinned by the session_window_dynamic_gap oracle."""
     df = _with_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)

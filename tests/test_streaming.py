@@ -373,3 +373,63 @@ def test_stream_stream_left_outer_null_emission(spark, tmp_path):
     assert (3, 0, None) in got  # event ids restart per staged batch
     open_left = {u for (u, _, r) in got if r is None and u not in (2, 3)}
     assert not open_left
+
+
+def test_session_dynamic_gap_stream_equals_batch(spark, events_slice, tmp_path):
+    """T3 dynamic gap, streamed: error events close after 10 minutes,
+    others after 30 — the streamed result must equal the batch
+    builder for all sessions closed by the final watermark."""
+    gap = F.expr(
+        "CASE WHEN event_type = 'error' THEN make_interval(0, 0, 0, 0, 0, 10, 0)"
+        " ELSE make_interval(0, 0, 0, 0, 0, 30, 0) END"
+    )
+    ev = events_slice.filter(F.col("user_id") <= 20)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = replay_table(spark, ev, str(tmp_path), chunks=2, order_col="ts")
+    out = session_agg(stream, "ts", gap, ["user_id"], aggs, watermark="1 hour")
+    run_to_memory(out, "t_dyn_sess", output_mode="append")
+    got = spark.sql("SELECT user_id, session_start, session_end, n FROM t_dyn_sess")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm")).collect()[0].wm
+    want = (
+        session_agg(ev, "ts", gap, ["user_id"], aggs)
+        .filter(F.col("session_end") <= F.lit(wm))
+        .select("user_id", "session_start", "session_end", "n")
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_stream_stream_full_outer_both_null_sides(spark, tmp_path):
+    """J11 FULL OUTER: expired unmatched rows emit null-padded from
+    BOTH sides once the watermark passes their windows."""
+    from eventstreams_spark.streaming.joins import stream_stream_join
+    from eventstreams_spark.streaming.replay import stage_files
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, u) for i, (t, u) in enumerate(rows)],
+            "event_id long, ts string, user_id long",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    # user 1 matches; user 2 = left-only; user 9 = right-only
+    stage_files(mk([("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 2)]), cdir + "/replay", 1)
+    stage_files(mk([("2024-01-01 10:10:00", 1), ("2024-01-01 10:05:00", 9)]), bdir + "/replay", 1)
+    stage_files(mk([("2024-01-01 13:00:00", 5)]), cdir + "/replay", 2)
+    stage_files(mk([("2024-01-01 13:00:00", 6)]), bdir + "/replay", 2)
+
+    schema = "event_id long, ts timestamp, user_id long"
+    s_l = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdir + "/replay")
+    s_r = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(bdir + "/replay")
+    out = stream_stream_join(
+        s_l, s_r, keys=["user_id"],
+        within="30 minutes", watermark="10 minutes", how="full",
+    )
+    run_to_memory(out, "t_ssj_full", output_mode="append")
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT user_id, l_event_id, r_event_id FROM t_ssj_full").collect()
+    }
+    assert (1, 0, 0) in got            # matched
+    assert (2, 1, None) in got         # left expired unmatched
+    assert (9, None, 1) in got         # right expired unmatched
