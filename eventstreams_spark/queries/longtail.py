@@ -971,3 +971,60 @@ def interval_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("INTERVAL 1 MICROSECOND")
         ).alias("day_end"),
     )
+
+
+_MIX_ORACLE = """
+    WITH counts AS (
+        SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source, cnt,
+               CAST(floor(1000000.0 * (SELECT min(cnt) FROM counts) / cnt)
+                    AS BIGINT) AS thresh
+        FROM counts
+    ), kept AS (
+        SELECT d.source, r.cnt, r.thresh
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh
+    )
+    SELECT source,
+           max(cnt) AS n_orig,
+           count(*) AS n_sampled,
+           round(CAST(count(*) AS DOUBLE) / max(cnt), 2) AS achieved_rate
+    FROM kept GROUP BY source
+"""
+
+
+@query("corpus_mix_resample", category="L-mixing", oracle=_MIX_ORACLE)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing for training-data mixing: downsample every
+    source to the smallest source's size with a DETERMINISTIC
+    per-source rate (Fibonacci-multiplicative hash of doc_id against
+    an integer threshold — reproducible across engines, runs, and
+    partitionings, no RNG state; same idea as sample_stratified_hash
+    but with rates COMPUTED from the data, not constants).
+
+    Plan: one count aggregation produces the tiny rate dim, broadcast
+    back onto the corpus scan; membership is a pure projection, so at
+    100 TB the resample costs one scan plus a kilobyte broadcast —
+    and any later re-run selects the identical document set (audit /
+    incremental-training requirement). achieved_rate is reported
+    coarsely (2dp) because a multiplicative hash is uniform only
+    approximately; exactness here is about membership determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        "source",
+        "cnt",
+        F.floor(1000000.0 * F.col("m") / F.col("cnt")).cast("long").alias("thresh"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        (F.col("doc_id") * 2654435761) % 1000000 < F.col("thresh")
+    )
+    return kept.groupBy("source").agg(
+        F.max("cnt").alias("n_orig"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.count(F.lit(1)).cast("double") / F.max("cnt"), 2).alias(
+            "achieved_rate"
+        ),
+    )
