@@ -1028,3 +1028,59 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_rate"
         ),
     )
+
+
+_PACK_ORACLE = """
+    WITH lens AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tok,
+               (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+                   // 256 AS pack_id
+        FROM lens
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id
+"""
+
+
+@query("sequence_packing_concat", category="L-packing", oracle=_PACK_ORACLE)
+def sequence_packing_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, concat-and-split style (the GPT
+    recipe: concatenate documents in a fixed order, cut every
+    context_len=256 tokens): each document's pack is determined by
+    the running token offset at which it starts — a window cumsum,
+    no sequential loop. Documents keep their order inside a pack, so
+    (source, pack_id, first_doc, last_doc, n_tokens) fully describes
+    the shard a loader would materialize.
+
+    Scale note: packing partitions by source (one window shuffle per
+    source key) — the global-concat variant would serialize into a
+    single partition, so shard-scoped packing is the 100 TB form and
+    epoch reshuffles just permute doc order within shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    lens = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    cum = F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # floor-div, not /+cast: a double-division CAST rounds in DuckDB
+    # but truncates in Spark (tests/oracle_conventions.md); floor on
+    # the non-negative offset matches // exactly
+    packed = lens.withColumn(
+        "pack_id", F.floor((cum - F.col("n_tok")) / 256).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
