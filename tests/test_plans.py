@@ -132,3 +132,43 @@ def test_intersect_all_no_join(spark, sf_dir):
     df = q("setop_intersect_except_all", spark, sf_dir)
     counts = operator_counts(df)
     assert count_prefix(counts, "SortMergeJoin") + count_prefix(counts, "BroadcastNestedLoop") == 0
+
+
+def test_gopher_single_scan_two_exchanges(spark, sf_dir):
+    """The tagged-stream rewrite's contract: ONE documents scan and
+    exactly two Exchanges (gram counts, per-doc rollup) — the naive
+    two-branch formulation costs double on both."""
+    df = q("gopher_repetition_quality", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1
+    assert count_prefix(counts, "Exchange") == 2
+    assert count_prefix(counts, "SortMergeJoin") == 0
+
+
+def test_contamination_single_scan_no_join(spark, sf_dir):
+    """Per-gram flag aggregation: one scan, no join operator at all."""
+    df = q("contamination_ngram_overlap", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1
+    for op in counts:
+        assert "Join" not in op, counts
+
+
+def test_corpus_mix_broadcasts_rate_dim(spark, sf_dir):
+    """Membership filter joins only against the broadcast rate dim —
+    the corpus itself is never shuffled for the resample."""
+    df = q("corpus_mix_resample", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+
+
+def test_line_dedup_no_joins(spark, sf_dir):
+    """Global span keep-first is a window + reassembly aggregation —
+    no self-join on the corpus."""
+    df = q("line_dedup_reassemble", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 1
+    # the occ=1 filter plans as a group-limit pushed below the window
+    # (partial+final) — rows beyond the first per span never sort
+    assert count_prefix(counts, "WindowGroupLimit") == 2
