@@ -1084,3 +1084,54 @@ def sequence_packing_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_BINDEDUP_ORACLE = """
+    WITH media AS (
+        SELECT doc_id, doc_id % 100 AS variant,
+               'doc://' || CAST(doc_id AS VARCHAR) AS path
+        FROM documents
+    )
+    SELECT count(*) AS n_media,
+           count(DISTINCT variant) AS n_unique,
+           count(*) - count(DISTINCT variant) AS n_dups,
+           min(path) AS first_path
+    FROM media
+"""
+
+
+@query("multimodal_binary_dedup", category="L6-bindedup", oracle=_BINDEDUP_ORACLE)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup through the production dedup_media path
+    (sha256 of content, keep lowest path): media bytes are
+    synthesized so that doc_id % 100 defines the true content
+    identity, and the oracle counts identities arithmetically — if
+    the digest grouping or the keep-one winner rule drifted, the
+    survivor count or first_path would mismatch.
+
+    Scale: only (sha256, path) pairs shuffle — never content bytes —
+    which is the property that makes binary dedup viable when rows
+    are megabytes."""
+    from ..operators.multimodal import dedup_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(
+            F.unhex(F.lit("89504E470D0A1A0A")),
+            (F.col("doc_id") % 100).cast("string").cast("binary"),
+        ).alias("content"),
+    )
+    # one declarative plan, no driver-side count() action: the total
+    # and the survivor stats are two single-row aggregates cross-joined
+    tot = media.agg(F.count(F.lit(1)).alias("n_media"))
+    surv = dedup_media(media).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.min("path").alias("first_path"),
+    )
+    return tot.crossJoin(surv).select(
+        "n_media",
+        "n_unique",
+        (F.col("n_media") - F.col("n_unique")).alias("n_dups"),
+        "first_path",
+    )
