@@ -1135,3 +1135,71 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_media") - F.col("n_unique")).alias("n_dups"),
         "first_path",
     )
+
+
+_ATTR_ORACLE = """
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT event_id AS c_id, user_id, ts AS c_ts,
+               CAST(json_extract(props, '$.k') AS INT) % 5 AS channel
+        FROM events WHERE event_type = 'click'
+    ), touches AS (
+        SELECT p.p_id, c.channel
+        FROM purchases p
+        JOIN clicks c ON c.user_id = p.user_id
+                     AND c.c_ts >= p.p_ts - INTERVAL '24 hours'
+                     AND c.c_ts < p.p_ts
+    ), credited AS (
+        SELECT p_id, channel,
+               1000000000000 // count(*) OVER (PARTITION BY p_id) AS credit_scaled
+        FROM touches
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           count(DISTINCT p_id) AS n_purchases,
+           CAST(sum(credit_scaled) AS BIGINT) / 1000000000000.0 AS total_credit
+    FROM credited GROUP BY channel
+"""
+
+
+@query("attribution_linear_multitouch", category="B-attribution", oracle=_ATTR_ORACLE)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit
+    of credit equally across the user's clicks in the preceding 24h,
+    summed per acquisition channel (the product-analytics complement
+    to the as-of/last-touch join J9).
+
+    Exactness: per-touch credit is the INTEGER 1e12 div n (identical
+    on both engines, unlike 1.0/n double sums whose accumulation
+    order drifts); channel totals sum bigints and divide once.
+    Plan: user-keyed range join (equi key + time band — no cross
+    join), one window for the per-purchase touch count, channel agg."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("p_id", "channel")
+    credited = touches.withColumn(
+        "credit_scaled",
+        F.expr("1000000000000 div count(*) over (partition by p_id)"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        (F.sum("credit_scaled") / 1000000000000.0).alias("total_credit"),
+    )
