@@ -1203,3 +1203,100 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("p_id").alias("n_purchases"),
         (F.sum("credit_scaled") / 1000000000000.0).alias("total_credit"),
     )
+
+
+@query(
+    "group_sample_topk_hash",
+    category="P7-groupk",
+    oracle="""
+        SELECT source, doc_id, n_chars
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS pri
+            FROM documents
+        ) WHERE pri <= 5
+    """,
+)
+def group_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling: rank documents
+    within each source by md5 priority (uniform pseudo-order, stable
+    across runs/engines) and keep the first 5 — the fixed-quota
+    complement to rate-based hash sampling (sample_stratified_hash).
+    Plans as Window + WindowGroupLimit: rows beyond k never fully
+    sort, and nothing but the group key shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("pri", F.row_number().over(w))
+        .filter(F.col("pri") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+_SRCSIM_ORACLE = """
+    WITH tf AS (
+        SELECT source, w, count(*) AS c
+        FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        GROUP BY source, w
+    ), norms AS (
+        SELECT source, sum(c * c) AS n2 FROM tf GROUP BY source
+    ), dots AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+        GROUP BY src_a, src_b
+    )
+    SELECT d.src_a, d.src_b, d.dot,
+           round(d.dot / sqrt(na.n2 * nb.n2), 9) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+"""
+
+
+@query("source_similarity_tf", category="L5-srcsim", oracle=_SRCSIM_ORACLE)
+def source_similarity_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise domain similarity: cosine between sources' term-
+    frequency vectors (corpus-mixture analysis — which domains are
+    redundant before mixing). Dot products join the per-source TF
+    table with ITSELF ON THE TOKEN KEY — a sparse-vector multiply
+    shuffling only (token, count) pairs, not a dense source×source
+    cross product; counts are integers so dots are exact, and the
+    final cosine divides once (rounded for cross-engine hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = tf.select(
+        F.col("source").alias("src_a"), "w", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("src_b"), "w", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (a.w == b.w) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(norms.withColumnRenamed("source", "src_a").withColumnRenamed("n2", "na2")), "src_a")
+        .join(F.broadcast(norms.withColumnRenamed("source", "src_b").withColumnRenamed("n2", "nb2")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            F.round(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 9).alias(
+                "cos_sim"
+            ),
+        )
+    )
