@@ -1300,3 +1300,101 @@ def source_similarity_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GROUPED_MAP_ORACLE = """
+    WITH stats AS (
+        SELECT user_id, value,
+               min(value) OVER (PARTITION BY user_id) AS mn,
+               max(value) OVER (PARTITION BY user_id) AS mx
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CASE WHEN mx > mn
+                    THEN CAST(floor((value - mn) / (mx - mn) * 1e9 + 0.5)
+                              AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS norm_sum_scaled
+    FROM stats GROUP BY user_id
+"""
+
+
+@query("grouped_map_minmax_norm", category="2.10-groupedmap", oracle=_GROUPED_MAP_ORACLE)
+def grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map surface (§2.10): per-user min-max
+    normalization computed inside an Arrow-batched pandas function —
+    the escape hatch for per-key logic that needs the whole group in
+    memory (here deliberately something SQL can also express, so the
+    Python path itself is under oracle check).
+
+    Per-element math is IEEE-identical to the SQL formulation; the
+    sum is integer-scaled before accumulation so pandas' summation
+    order cannot drift from the oracle's."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        mn, mx = v.min(), v.max()
+        if mx > mn:
+            import numpy as np
+
+            scaled = np.floor((v - mn) / (mx - mn) * 1e9 + 0.5).astype("int64")
+            total = int(scaled.sum())
+        else:
+            total = 0
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n": [len(pdf)],
+             "norm_sum_scaled": [total]}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        norm, "user_id long, n long, norm_sum_scaled long"
+    )
+
+
+_ARROW_NORM_ORACLE = """
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(list_sum(list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9 + 0.5)
+                    AS BIGINT)))) AS BIGINT) AS norm2_sum_scaled
+    FROM embeddings GROUP BY label
+"""
+
+
+@query("map_in_arrow_vector_norms", category="2.10-arrow", oracle=_ARROW_NORM_ORACLE)
+def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (§2.10): squared L2 norms of embeddings
+    computed on raw Arrow RecordBatches (zero-copy into numpy,
+    vectorized across the whole batch — the lowest-overhead Python
+    extension point, below even pandas conversion). Scaled-integer
+    accumulation keeps the result engine-exact; the label rollup is a
+    plain JVM aggregate on the (tiny) per-row output."""
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            col = batch.column("embedding")
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            offs = np.asarray(col.offsets)
+            sq = np.floor(flat * flat * 1e9 + 0.5).astype("int64")
+            sums = np.add.reduceat(sq, offs[:-1]) if len(offs) > 1 else np.array([], "int64")
+            # guard rows with empty lists (reduceat repeats on equal offsets)
+            lens = np.diff(offs)
+            sums = np.where(lens > 0, sums, 0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("label"), pa.array(sums, type=pa.int64())],
+                names=["label", "norm2_scaled"],
+            )
+
+    per_row = emb.mapInArrow(norms, "label int, norm2_scaled long")
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("norm2_scaled").alias("norm2_sum_scaled"),
+    )
