@@ -433,3 +433,34 @@ def test_stream_stream_full_outer_both_null_sides(spark, tmp_path):
     assert (1, 0, 0) in got            # matched
     assert (2, 1, None) in got         # left expired unmatched
     assert (9, None, 1) in got         # right expired unmatched
+
+
+def test_chained_window_aggregation_single_query(spark, events_slice, tmp_path):
+    """Window-on-window in ONE streaming query (Spark >= 3.4): 5-min
+    partial counts re-aggregated to 1-hour totals without an
+    intermediate sink; hourly totals must equal the direct batch 1h
+    aggregation for all hours closed by the final watermark."""
+    stream = replay_table(spark, events_slice, str(tmp_path), chunks=3, order_col="ts")
+    five = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n5"))
+    )
+    hourly = (
+        five.groupBy(F.window(F.col("w5"), "1 hour").alias("w1"), "event_type")
+        .agg(F.sum("n5").alias("n"))
+        .select(F.col("w1.start").alias("window_start"), "event_type", "n")
+    )
+    run_to_memory(hourly, "t_chain", output_mode="append")
+    got = spark.sql("SELECT window_start, event_type, n FROM t_chain")
+    wm = events_slice.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0].wm
+    want = (
+        events_slice.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
