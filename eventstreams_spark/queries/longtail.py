@@ -1398,3 +1398,37 @@ def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("norm2_scaled").alias("norm2_sum_scaled"),
     )
+
+
+@query(
+    "scalar_udf_arrow_parity",
+    category="2.10-scalarudf",
+    oracle="""
+        SELECT source,
+               upper(reverse(source)) || ':' ||
+               CAST(length(source) AS VARCHAR) AS tag,
+               count(*) AS n
+        FROM documents GROUP BY source
+    """,
+)
+def scalar_udf_arrow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (§2.10, @udf(useArrow=True) —
+    the Logstash `ruby`-filter analog): a per-row Python transform
+    whose semantics are also SQL-expressible, so the UDF execution
+    path itself (Arrow batch transfer, null handling, string
+    round-trip) is under oracle check. reverse() is safe here because
+    source ids are ASCII (tests/oracle_conventions.md forbids it on
+    arbitrary text). Built-ins remain the hot-path rule; this pins
+    the escape hatch's correctness, not its use."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def tag(s: str) -> str:
+        if s is None:
+            return None
+        return f"{s[::-1].upper()}:{len(s)}"
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("source", tag("source").alias("tag"), "n")

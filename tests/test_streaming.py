@@ -464,3 +464,38 @@ def test_chained_window_aggregation_single_query(spark, events_slice, tmp_path):
     )
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_file_sink_exactly_once_across_restarts(spark, tmp_path):
+    """T9: parquet sink + checkpoint — re-running a drained query must
+    not duplicate rows, and new input after restart appends only the
+    new rows (commit-log idempotence)."""
+    from eventstreams_spark.streaming.replay import stage_files
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stage_files(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), src, 1)
+    drain()
+    assert spark.read.parquet(out).count() == 2
+    drain()  # restart with no new data: nothing re-emitted
+    assert spark.read.parquet(out).count() == 2
+    stage_files(spark.createDataFrame([("c", 3)], "k string, v long"), src, 2)
+    drain()  # restart with one new file: only the new row lands
+    got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
