@@ -205,3 +205,50 @@ def test_json_extract_family_parity(spark, triples):
     ).fetchall()
     con.close()
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20000),  # days from 1970
+            st.integers(min_value=0, max_value=86399),  # second of day
+            st.integers(min_value=1, max_value=13),     # months to add
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interval_month_clamp_parity(spark, rows):
+    """Calendar-month addition across month ends (Jan 31 + 1 month,
+    leap-Feb edges, year rollover): Spark's `ts + INTERVAL n MONTH`
+    and DuckDB's must clamp identically, including the time-of-day
+    carry. Hypothesis drives arbitrary dates; fixed testdata only
+    spans January."""
+    pdf = pd.DataFrame(
+        {
+            "id": range(len(rows)),
+            "ts": [
+                pd.Timestamp("1970-01-01")
+                + pd.Timedelta(days=d, seconds=s)
+                for d, s, _ in rows
+            ],
+            "m": [m for _, _, m in rows],
+        }
+    )
+    _compare(
+        spark,
+        pdf,
+        [
+            F.expr("ts + make_interval(0, m)").alias("plus_m"),
+            F.last_day(F.col("ts").cast("date")).alias("eom"),
+            F.add_months(F.col("ts").cast("date"), F.col("m")).alias("am"),
+        ],
+        """
+        SELECT id,
+               ts + to_months(CAST(m AS INT)) AS plus_m,
+               last_day(CAST(ts AS DATE)) AS eom,
+               CAST(CAST(ts AS DATE) + to_months(CAST(m AS INT)) AS DATE) AS am
+        FROM t
+        """,
+    )
