@@ -1432,3 +1432,45 @@ def scalar_udf_arrow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n")
     ).select("source", tag("source").alias("tag"), "n")
+
+
+@query(
+    "join_null_safe_eq",
+    category="J-nullsafe",
+    oracle="""
+        WITH e AS (
+            SELECT event_id,
+                   CASE WHEN user_id % 10 = 0 THEN NULL
+                        ELSE user_id % 7 END AS bucket
+            FROM events
+        ), d AS (
+            SELECT * FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two'),
+                                  (3, 'three'), (NULL, 'unknown')) AS t(bucket, label)
+        )
+        SELECT d.label, count(*) AS n
+        FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+        GROUP BY d.label
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of dropping out — the semantics needed
+    when 'unknown' is itself a dimension member. Spark still plans a
+    hash join (null-safe equi keys hash like values); a plain = join
+    here would silently lose every NULL-bucket event."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id") % 7)
+        .alias("bucket"),
+    )
+    d = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two"), (3, "three"), (None, "unknown")],
+        "bucket long, label string",
+    )
+    return (
+        e.join(F.broadcast(d), e.bucket.eqNullSafe(d.bucket))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
