@@ -499,3 +499,35 @@ def test_file_sink_exactly_once_across_restarts(spark, tmp_path):
     drain()  # restart with one new file: only the new row lands
     got = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
     assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_cdc_keep_latest_update_mode(spark, events_slice, tmp_path):
+    """Streaming CDC keep-latest: update-mode max_by aggregation per
+    key; the final state must equal the batch changelog compaction
+    (latest (ts, event_id) per user)."""
+    ev = events_slice.filter(F.col("user_id") <= 30).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+    latest = stream.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "value"), F.struct("ts", "event_id")
+        ).alias("last")
+    )
+    run_to_memory(latest, "t_cdc", output_mode="complete")
+    got = {
+        r.user_id: (r.last.event_id, r.last.value)
+        for r in spark.sql("SELECT user_id, last FROM t_cdc").collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r.user_id: (r.event_id, r.value)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
