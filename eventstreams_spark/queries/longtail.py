@@ -1474,3 +1474,48 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "window_topk_with_ties",
+    category="W2-ties",
+    oracle="""
+        SELECT p_brand, p_partkey, p_size
+        FROM part
+        QUALIFY rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) <= 2
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (rank, not row_number): every part tied at the
+    k-th size survives, so groups return >= k rows — the WITH TIES /
+    rank()-QUALIFY semantics, distinct from window_top3_per_user's
+    exactly-k. No tiebreak column needed for determinism because the
+    tied set itself is deterministic."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return (
+        part.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") <= 2)
+        .select("p_brand", "p_partkey", "p_size")
+    )
+
+
+@query(
+    "setop_union_distinct",
+    category="O4-distinct",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — completes the set-op family next to
+    setop_union_all: Spark's union() is UNION ALL, so SQL UNION is
+    union + distinct(), one hash-aggregate dedup after the concat."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return buyers.union(signups).distinct()
