@@ -1519,3 +1519,88 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     signups = ev.filter(F.col("event_type") == "signup").select("user_id")
     return buyers.union(signups).distinct()
+
+
+@query(
+    "agg_percentile_disc",
+    category="A6-disc",
+    oracle="""
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentile (nearest-rank, returns an ACTUAL data
+    value): percentile_disc WITHIN GROUP ↔ DuckDB quantile_disc —
+    verified to pick the same element, completing the percentile
+    family next to the interpolating exact and GK-sketch variants."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_pd_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
+        FROM _pd_events GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "explode_outer_empty_arrays",
+    category="2.8-explodeouter",
+    oracle="""
+        WITH base AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN []
+                        ELSE string_split(event_type, 'i') END AS arr
+            FROM events WHERE event_id < 1000
+        )
+        SELECT event_id, u.part
+        FROM base LEFT JOIN LATERAL (SELECT unnest(arr) AS part) u ON true
+    """,
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics pinned: an EMPTY array keeps its parent
+    row with a NULL element (plain explode would drop it — silently
+    losing every third event here). The oracle expresses the same as
+    LEFT JOIN LATERAL unnest; plain unnest-in-FROM drops empties in
+    both dialects."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    base = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("event_type", "i"))
+        .alias("arr"),
+    )
+    return base.select("event_id", F.explode_outer("arr").alias("part"))
+
+
+@query(
+    "agg_decimal_exact_sum",
+    category="A1-decimal",
+    oracle="""
+        SELECT event_type,
+               sum(CAST(round(value, 2) AS DECIMAL(12, 2))) AS total,
+               min(CAST(round(value, 2) AS DECIMAL(12, 2))) AS mn,
+               max(CAST(round(value, 2) AS DECIMAL(12, 2))) AS mx
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType aggregation (§1.3 'support but don't default'):
+    decimal sums are EXACT and accumulation-order-insensitive, so
+    they hash-match across engines without the scaled-bigint idiom —
+    the trade-off is slower non-codegen-friendly arithmetic, which is
+    why money paths here use exact_money_sum instead. (avg is NOT
+    pinned: Spark promotes avg(decimal(12,2)) to decimal(16,6) while
+    DuckDB returns DOUBLE — recorded in oracle_conventions.md.)"""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.round("value", 2).cast("decimal(12,2)")
+    return ev.groupBy("event_type").agg(
+        F.sum(dec).alias("total"),
+        F.min(dec).alias("mn"),
+        F.max(dec).alias("mx"),
+    )
