@@ -1604,3 +1604,36 @@ def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dec).alias("mn"),
         F.max(dec).alias("mx"),
     )
+
+
+@query(
+    "window_collect_last3",
+    category="W-collect",
+    oracle="""
+        SELECT event_id, user_id,
+               array_agg(round(value, 4)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS last3
+        FROM events WHERE user_id <= 20
+    """,
+)
+def window_collect_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list as a WINDOW function (trailing 3-event context per
+    user — the feature-engineering 'recent history as array' shape).
+    Deterministic because the frame is defined over a total order;
+    element order inside the array is the frame order on both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.collect_list(F.round("value", 4)).over(w).alias("last3"),
+    )
