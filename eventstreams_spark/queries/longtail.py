@@ -1637,3 +1637,41 @@ def window_collect_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.collect_list(F.round("value", 4)).over(w).alias("last3"),
     )
+
+
+@query(
+    "greatest_least_null_semantics",
+    category="2.8-greatest",
+    oracle="""
+        WITH v AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS a,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE round(value / 2, 4) END AS b
+            FROM events WHERE event_id < 3000
+        )
+        SELECT event_id,
+               greatest(a, b) AS g,
+               least(a, b) AS l,
+               greatest(a, b) IS NULL AS both_null
+        FROM v
+    """,
+)
+def greatest_least_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least NULL semantics pinned: both engines SKIP null
+    arguments (greatest(1, NULL, 3) = 3) and return NULL only when
+    every argument is null — unlike raw comparison operators, where
+    one NULL poisons the expression. The nullable inputs here hit
+    one-null, other-null, and both-null rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    a = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    b = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.round(F.col("value") / 2, 4)
+    )
+    v = ev.select("event_id", a.alias("a"), b.alias("b"))
+    return v.select(
+        "event_id",
+        F.greatest("a", "b").alias("g"),
+        F.least("a", "b").alias("l"),
+        F.greatest("a", "b").isNull().alias("both_null"),
+    )
