@@ -1675,3 +1675,68 @@ def greatest_least_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame
         F.least("a", "b").alias("l"),
         F.greatest("a", "b").isNull().alias("both_null"),
     )
+
+
+@query(
+    "window_range_interval_frame",
+    category="W6-interval",
+    oracle="""
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '2 hours' PRECEDING AND CURRENT ROW
+               ) AS n_2h,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '2 hours' PRECEDING AND CURRENT ROW
+               ) / 10000.0 AS sv_2h
+        FROM events WHERE user_id <= 25
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame bounded by a calendar INTERVAL directly over the
+    timestamp ordering (SQL-dialect form of the trailing-window family
+    — window_range_1h_trailing does the same via unix-seconds
+    rangeBetween; this pins the INTERVAL PRECEDING syntax both
+    engines accept). Scaled-bigint sum keeps the frame aggregation
+    order-insensitive."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 25)
+    ev.createOrReplaceTempView("_ri_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW
+               ) AS n_2h,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW
+               ) / 10000.0 AS sv_2h
+        FROM _ri_events
+        """
+    )
+
+
+@query(
+    "regexp_count_instr",
+    category="2.8-regexcount",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'ta[a-z]+')) AS n_ta,
+               CASE WHEN regexp_matches(text, 'stream') THEN 1 ELSE 0 END
+                   AS has_stream
+        FROM documents
+    """,
+)
+def regexp_count_instr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count + boolean match (Spark 3.4+ functions) pinned
+    against DuckDB's extract-all-length / regexp_matches
+    equivalents — the Logstash conditional `=~` family in batch
+    form. Pure codegen regex on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("ta[a-z]+")).alias("n_ta"),
+        F.when(F.col("text").rlike("stream"), 1).otherwise(0).alias("has_stream"),
+    )
