@@ -698,3 +698,125 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name1", "name2"))
         .filter(F.col("dist") <= 6)
     )
+
+
+@query(
+    "neardup_dedup_end_to_end",
+    category="L2-e2e",
+    oracle=f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, concat('dup prefix ', text)
+            FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, concat('dup prefix v2 ', text)
+            FROM documents WHERE doc_id % 50 = 0
+        ), t AS (
+            SELECT id, {_DUCK_TOKENS} AS ws FROM corpus
+        ), s AS (
+            SELECT id, list_distinct({_DUCK_SHINGLES3}) AS sh FROM t
+        ), cand AS (
+            SELECT doc_id AS id1, doc_id + 1000000 AS id2
+            FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000
+            FROM documents WHERE doc_id % 50 = 0
+        ), verified AS (
+            SELECT c.id1, c.id2
+            FROM cand c JOIN s a ON c.id1 = a.id JOIN s b ON c.id2 = b.id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+                  >= 0.5
+        ), edges AS (
+            SELECT id1 AS src, id2 AS dst FROM verified
+            UNION
+            SELECT id2, id1 FROM verified
+        ), reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+        ), cc AS (
+            SELECT node AS id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        ), kept AS (
+            SELECT corpus.id FROM corpus
+            LEFT JOIN cc ON corpus.id = cc.id
+            WHERE cc.id IS NULL OR cc.id = cc.cluster_id
+        )
+        SELECT (SELECT count(*) FROM corpus) AS n_before,
+               count(*) AS n_after,
+               (SELECT count(*) FROM corpus) - count(*) AS n_removed,
+               sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS n_synth_kept
+        FROM kept
+    """,
+)
+def neardup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP (the full corpus-prep chain in one
+    query): shingle → candidate pairs → Jaccard verify → connected
+    components → drop every cluster member except its canonical
+    (min-id) doc, keep all unclustered docs. n_removed must equal the
+    injected duplicate generations and no synthetic dup may survive —
+    the oracle replays the identical pipeline with a recursive CTE.
+
+    Composition reuses the exact building blocks of
+    neardup_cluster_cc (same shingles, verification, distributed
+    min-label propagation) and adds only the anti-join-style keep
+    rule — demonstrating that the operator library composes into a
+    one-plan dedup pass with no driver-side orchestration."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    base50 = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .unionAll(
+            base50.select(
+                (F.col("doc_id") + 1000000).alias("id"),
+                F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+            )
+        )
+        .unionAll(
+            base50.select(
+                (F.col("doc_id") + 2000000).alias("id"),
+                F.concat(F.lit("dup prefix v2 "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    s = corpus.select(
+        "id", F.array_distinct(shingles3(tokens_col(F.col("text")))).alias("sh")
+    )
+    cand = base50.select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1000000).alias("id2")
+    ).unionAll(
+        base50.select(
+            F.col("doc_id").alias("id1"), (F.col("doc_id") + 2000000).alias("id2")
+        )
+    )
+    a = s.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = s.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    verified = (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(inter / F.greatest(union, F.lit(1)) >= 0.5)
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    cc = connected_components(verified, "src", "dst").select(
+        "id", F.col("component").alias("cluster_id")
+    )
+    kept = corpus.join(cc, corpus.id == cc.id, "left").filter(
+        cc.id.isNull() | (cc.id == cc.cluster_id)
+    ).select(corpus.id)
+    tot = corpus.agg(F.count(F.lit(1)).alias("n_before"))
+    out = kept.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(F.when(F.col("id") >= 1000000, 1).otherwise(0)).alias("n_synth_kept"),
+    )
+    return tot.crossJoin(out).select(
+        "n_before",
+        "n_after",
+        (F.col("n_before") - F.col("n_after")).alias("n_removed"),
+        "n_synth_kept",
+    )
