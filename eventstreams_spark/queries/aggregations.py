@@ -50,8 +50,10 @@ def agg_count_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataF
     "agg_collect_sorted",
     category="A4",
     oracle="""
+        -- nations is serialized to a CSV string on BOTH sides: array-typed
+        -- result columns crash the driver canonicalizer (unhashable list).
         SELECT r_name,
-               list(n_name ORDER BY n_name) AS nations,
+               array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
                count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
@@ -59,14 +61,16 @@ def agg_count_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataF
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list wrapped in sort_array — the only deterministic form
-    (collect order is partition-arrival order otherwise)."""
+    (collect order is partition-arrival order otherwise). The array is
+    serialized with concat_ws for the comparison: list-valued result
+    columns are unhashable in the driver's canonicalizer."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
@@ -251,7 +255,9 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(r_name, 'ALL') AS region,
                coalesce(n_name, 'ALL') AS nation,
                count(*) AS n_suppliers,
-               sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents
+               -- outer CAST: sum(BIGINT) is HUGEINT in DuckDB -> float64 in
+               -- the driver canonicalizer -> hash red vs Spark int64
+               CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -505,9 +511,9 @@ def agg_decile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
                bit_and(CAST(user_id % 256 AS BIGINT)) AS band,
                bit_or(CAST(user_id % 256 AS BIGINT))  AS bor,
                bit_xor(CAST(user_id % 256 AS BIGINT)) AS bxor,
-               sum(CASE WHEN floor(value) = 0 THEN NULL
+               CAST(sum(CASE WHEN floor(value) = 0 THEN NULL
                         ELSE CAST(100 // CAST(floor(value) AS BIGINT) AS BIGINT) END)
-                   AS sum_try_div,
+                   AS BIGINT) AS sum_try_div,
                count(*) AS n
         FROM events
         GROUP BY event_type

@@ -213,7 +213,7 @@ def cep_sequence_1h_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT r_name, n_name,
-                   sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -318,8 +318,8 @@ def period_over_period_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM firsts GROUP BY first_day
         )
         SELECT day, n_new,
-               sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-                   AS cum_users
+               CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_users
         FROM new_per_day
     """,
 )

@@ -199,8 +199,11 @@ def window_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessioned AS (
             SELECT user_id, ts,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                   -- CAST: DuckDB window sum(INT) yields HUGEINT, which the
+                   -- driver canonicalizer renders as float64 (hash red vs
+                   -- Spark's int64). BIGINT on both sides.
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,

@@ -198,7 +198,7 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), t2 AS (
             SELECT time_bucket(INTERVAL '1 day', h) AS window_start,
                    event_type,
-                   sum(n_events)   AS n_events,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
                    sum(sum_scaled) AS sum_scaled,
                    min(min_value)  AS min_value,
                    max(max_value)  AS max_value
@@ -364,8 +364,8 @@ def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT metric, mtype,
                count(*) AS n,
-               sum(CAST(floor((CASE WHEN mtype = 'c' THEN v / rate ELSE v END)
-                              * 100 + 0.5) AS BIGINT)) AS sum_scaled_cents
+               CAST(sum(CAST(floor((CASE WHEN mtype = 'c' THEN v / rate ELSE v END)
+                              * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled_cents
         FROM synth
         GROUP BY metric, mtype
     """,

@@ -555,8 +555,8 @@ def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                i AS dim,
                count(*) AS n_vecs,
-               sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
-                        AS BIGINT)) AS sum_scaled,
+               CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sum_scaled,
                (sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
                          AS BIGINT)) / 1000000.0) / count(*) AS mean_val
         FROM embeddings, range(0, 64) t(i)

@@ -954,7 +954,9 @@ def interval_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
         (F.col("ts") - F.expr("INTERVAL 2 DAYS")).alias("minus_2d"),
-        F.datediff(anchor, F.col("ts")).alias("days_to_feb"),
+        # cast to long: DuckDB date_diff returns BIGINT while Spark
+        # datediff returns INT — keep result dtypes identical (ADVICE r1)
+        F.datediff(anchor, F.col("ts")).cast("long").alias("days_to_feb"),
         # 7-day buckets anchored at 2024-01-01: explicit integer math
         # (native window() anchors at the 1970 epoch, 4 days off this
         # grid; an origin-anchored bucket is clearer than a startTime
@@ -1041,7 +1043,7 @@ _PACK_ORACLE = """
                    // 256 AS pack_id
         FROM lens
     )
-    SELECT source, pack_id,
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
            count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc,
@@ -1582,10 +1584,14 @@ def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact_sum",
     category="A1-decimal",
     oracle="""
+        -- results serialized to VARCHAR on BOTH sides: DECIMAL result
+        -- columns land as Decimal objects in the driver canonicalizer's
+        -- pandas frame and repr-drift vs Spark's; both engines render a
+        -- scale-2 decimal as a plain fixed-point string.
         SELECT event_type,
-               sum(CAST(round(value, 2) AS DECIMAL(12, 2))) AS total,
-               min(CAST(round(value, 2) AS DECIMAL(12, 2))) AS mn,
-               max(CAST(round(value, 2) AS DECIMAL(12, 2))) AS mx
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(12, 2))) AS VARCHAR) AS total,
+               CAST(min(CAST(round(value, 2) AS DECIMAL(12, 2))) AS VARCHAR) AS mn,
+               CAST(max(CAST(round(value, 2) AS DECIMAL(12, 2))) AS VARCHAR) AS mx
         FROM events GROUP BY event_type
     """,
 )
@@ -1600,9 +1606,9 @@ def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dec = F.round("value", 2).cast("decimal(12,2)")
     return ev.groupBy("event_type").agg(
-        F.sum(dec).alias("total"),
-        F.min(dec).alias("mn"),
-        F.max(dec).alias("mx"),
+        F.sum(dec).cast("string").alias("total"),
+        F.min(dec).cast("string").alias("mn"),
+        F.max(dec).cast("string").alias("mx"),
     )
 
 
@@ -1610,11 +1616,16 @@ def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_collect_last3",
     category="W-collect",
     oracle="""
+        -- elements are exact scaled BIGINTs serialized to one CSV string:
+        -- list-valued result columns crash the driver canonicalizer, and
+        -- double->string formatting differs across engines, so the array
+        -- is both integerized and stringified on BOTH sides.
         SELECT event_id, user_id,
-               array_agg(round(value, 4)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-               ) AS last3
+               array_to_string(
+                   array_agg(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), ',') AS last3
         FROM events WHERE user_id <= 20
     """,
 )
@@ -1623,7 +1634,9 @@ def window_collect_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
     user — the feature-engineering 'recent history as array' shape).
     Deterministic because the frame is defined over a total order;
     element order inside the array is the frame order on both
-    engines."""
+    engines. Values are scaled to exact BIGINT ten-thousandths and the
+    array serialized to CSV for the hash compare (list columns are
+    unhashable driver-side; float formatting drifts across engines)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
@@ -1632,10 +1645,11 @@ def window_collect_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    scaled = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
     return ev.select(
         "event_id",
         "user_id",
-        F.collect_list(F.round("value", 4)).over(w).alias("last3"),
+        F.concat_ws(",", F.collect_list(scaled).over(w)).alias("last3"),
     )
 
 

@@ -133,7 +133,7 @@ def clone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY src_num
     """,

@@ -157,14 +157,21 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sum_sq,
                len(list_filter(embedding, x -> x > 0))           AS n_positive,
-               CAST(embedding[62:64] AS DOUBLE[])                AS tail3
+               -- serialized as exact scaled-BIGINT CSV: list result columns
+               -- crash the driver canonicalizer and double->string formats
+               -- differ across engines
+               array_to_string(list_transform(embedding[62:64],
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+                   ',')                                          AS tail3
         FROM embeddings
         WHERE vec_id < 100
     """,
 )
 def array_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family: size, index, sort, higher-order transform/filter/
-    aggregate, slice — all JVM-side Catalyst expressions."""
+    aggregate, slice — all JVM-side Catalyst expressions. The slice
+    output is serialized to a scaled-integer CSV string for the oracle
+    hash (list columns are unhashable driver-side)."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     arr = F.col("embedding")
     dbl = lambda c: c.cast("double")  # noqa: E731
@@ -180,7 +187,13 @@ def array_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sum_sq"),
         F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
-        F.transform(F.slice(arr, 62, 3), lambda x: x.cast("double")).alias("tail3"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(arr, 62, 3),
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("long"),
+            ),
+        ).alias("tail3"),
     )
 
 
@@ -191,7 +204,7 @@ def array_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                event_type               AS kv_type,
                CAST(user_id AS BIGINT)  AS kv_uid,
-               ['k', 'type', 'uid']     AS kv_keys
+               'k,type,uid'             AS kv_keys
         FROM events
         WHERE event_id < 500
     """,
@@ -214,7 +227,7 @@ def map_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         m["type"].alias("kv_type"),
         m["uid"].cast("bigint").alias("kv_uid"),
-        F.sort_array(F.map_keys(m)).alias("kv_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("kv_keys"),
     )
 
 
@@ -287,7 +300,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="F-map2",
     oracle="""
         SELECT event_id,
-               ['k', 'type', 'uid'] AS keys_sorted,
+               'k,type,uid'         AS keys_sorted,
                event_type           AS v_type,
                upper(event_type)    AS v_type_upper,
                2                    AS n_after_filter,
@@ -313,7 +326,7 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(m, "type").alias("v_type"),
         F.element_at(
             F.transform_values(m, lambda k, v: F.upper(v)), "type"
@@ -382,15 +395,18 @@ def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_series(event_id % 3, event_id % 3 + 3) AS b
             FROM events WHERE event_id < 400
         )
+        -- array outputs serialized to CSV strings on BOTH sides: list
+        -- result columns are unhashable in the driver canonicalizer.
+        -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
         SELECT event_id,
-               list_sort(list_distinct(list_concat(a, b))) AS u,
-               list_sort(list_intersect(a, b))             AS i,
-               list_sort(list_filter(list_distinct(a),
-                                     x -> NOT list_contains(b, x))) AS d,
+               coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+               coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '')             AS i,
+               coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+                                     x -> NOT list_contains(b, x))), ','), '') AS d,
                len(list_intersect(a, b)) > 0               AS overlaps,
                len(a) + len(b)                             AS n_flat,
                list_contains(a, 2)                         AS has_2,
-               b[1:2]                                      AS b_head,
+               coalesce(array_to_string(b[1:2], ','), '')  AS b_head,
                CAST(coalesce(list_position(a, 2), 0) AS BIGINT) AS pos_2
         FROM arr
     """,
@@ -409,12 +425,12 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.sequence(F.col("event_id") % 3, F.col("event_id") % 3 + 3)
     return ev.select(
         "event_id",
-        F.array_sort(F.array_union(a, b)).alias("u"),
-        F.array_sort(F.array_intersect(a, b)).alias("i"),
-        F.array_sort(F.array_except(a, b)).alias("d"),
+        F.concat_ws(",", F.array_sort(F.array_union(a, b))).alias("u"),
+        F.concat_ws(",", F.array_sort(F.array_intersect(a, b))).alias("i"),
+        F.concat_ws(",", F.array_sort(F.array_except(a, b))).alias("d"),
         F.arrays_overlap(a, b).alias("overlaps"),
         F.size(F.flatten(F.array(a, b))).alias("n_flat"),
         F.array_contains(a, 2).alias("has_2"),
-        F.slice(b, 1, 2).alias("b_head"),
+        F.concat_ws(",", F.slice(b, 1, 2)).alias("b_head"),
         F.array_position(a, 2).alias("pos_2"),
     )

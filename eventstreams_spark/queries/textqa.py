@@ -747,7 +747,7 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT count(*) FROM corpus) AS n_before,
                count(*) AS n_after,
                (SELECT count(*) FROM corpus) - count(*) AS n_removed,
-               sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS n_synth_kept
+               CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_synth_kept
         FROM kept
     """,
 )

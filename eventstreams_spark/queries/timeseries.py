@@ -74,7 +74,7 @@ def session_window_native_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    time_bucket(INTERVAL '1 hour', ts) AS h,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_scaled
+                   CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled
             FROM events
             WHERE event_type IN ('error', 'purchase')
             GROUP BY event_type, h
@@ -380,7 +380,7 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dayofweek(ts) AS dow,
                hour(ts)      AS hod,
                count(*)      AS n,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events
         GROUP BY dow, hod
     """,
