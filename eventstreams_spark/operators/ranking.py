@@ -1,0 +1,91 @@
+"""Exact global ranking / equi-depth binning without a global sort.
+
+``ntile(k) OVER (ORDER BY ...)`` and ``row_number() OVER (ORDER BY ...)``
+with no PARTITION BY collapse the whole dataset into ONE sort partition —
+the classic scale-killer. The distributed-exact alternative (the same
+construction every MPP engine uses for global rank / percentile cuts):
+
+1. pick ~``n_buckets`` boundary values with ``percentile_approx``
+   (bounded sketch, one combinable aggregate job);
+2. assign each row a range-bucket by counting boundaries strictly below
+   its key (ties share a bucket, so ordering stays exact);
+3. count rows per bucket (tiny aggregate, <= n_buckets rows collected —
+   bounded metadata, not data) and prefix-sum into per-bucket offsets;
+4. ``row_number()`` partitioned BY BUCKET over the sort key, plus the
+   bucket's offset = the row's exact global rank.
+
+The result is identical to the single-partition form for ANY boundary
+choice — boundaries only balance work, they never affect correctness —
+so an approximate sketch yields an exact rank. Cost: 2 small metadata
+jobs + ONE shuffle of the data (by bucket), each sort bounded at
+~N/n_buckets rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rank_col: str = "global_rank",
+    n_buckets: int = 32,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Add ``rank_col`` = exact 1-based global rank by ``order_cols``.
+
+    ``order_cols[0]`` must be numeric (it feeds the percentile sketch);
+    remaining columns are tie-breakers. ``n_buckets`` bounds per-bucket
+    sort size — size it ~ shuffle parallelism at scale.
+    """
+    lead = order_cols[0]
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # bounded metadata collect: n_buckets-1 floats (like IVF centroids)
+    row = df.agg(F.percentile_approx(lead, qs, accuracy).alias("b")).head()
+    bounds = sorted(set(row["b"] or []))
+
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(lead) > b))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    # tiny aggregate: per-bucket counts -> prefix-sum offsets (<= n_buckets rows)
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    off_expr: Column = F.lit(0)
+    if offsets:
+        pairs: list[Column] = []
+        for b, off in offsets.items():
+            pairs.extend([F.lit(b), F.lit(off)])
+        off_expr = F.element_at(F.create_map(*pairs), F.col("__bucket"))
+
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
+    return (
+        bucketed.withColumn(rank_col, (off_expr + F.row_number().over(w)).cast("long"))
+        .drop("__bucket")
+    )
+
+
+def ntile_from_rank(rank: Column, total: int, k: int) -> Column:
+    """The exact ``ntile(k)`` bucket for a 1-based global ``rank`` over
+    ``total`` rows: the first ``total % k`` tiles hold ``total//k + 1``
+    rows, the rest ``total//k`` (SQL-standard ntile fill)."""
+    q, r = divmod(total, k)
+    big = r * (q + 1)  # rows covered by the larger leading tiles
+    return (
+        F.when(rank <= F.lit(big), F.ceil(rank / F.lit(q + 1)))
+        .otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(q)))
+        .cast("int")
+    )

@@ -484,19 +484,24 @@ def agg_decile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth binning (ntile deciles): equal ROW counts per bucket
     with data-driven boundaries — the complement of width_bucket's
     fixed-width bins. The total-order tiebreak (value, event_id) makes
-    bucket membership deterministic. A global ntile sorts one
-    partition; at 100 TB use approx_percentile boundaries + a
-    width-style bucket join instead (noted here, exact kept for the
-    oracle).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    bucket membership deterministic.
 
-    ranked = ev.select(
-        "value",
-        F.ntile(10).over(W.orderBy("value", "event_id")).alias("decile"),
-    )
-    return ranked.groupBy("decile").agg(
+    Scale-safe form (VERDICT r01): NO unpartitioned ntile window. The
+    exact global rank comes from operators/ranking.exact_global_rank —
+    approx-percentile range buckets + per-bucket row_number + bucket
+    offsets (two bounded metadata jobs, one data shuffle, sorts capped
+    at ~N/32) — and the decile is derived from the rank with the exact
+    SQL ntile fill formula. Result is bit-identical to the oracle's
+    single-partition ntile for any boundary choice; the global ntile
+    survives only in the DuckDB oracle as the reference semantics.
+    """
+    from ..operators.ranking import exact_global_rank, ntile_from_rank
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    total = ev.count()
+    ranked = exact_global_rank(ev, ["value", "event_id"], rank_col="rnk")
+    deciled = ranked.withColumn("decile", ntile_from_rank(F.col("rnk"), total, 10))
+    return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),

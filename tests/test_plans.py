@@ -161,6 +161,48 @@ def test_corpus_mix_broadcasts_rate_dim(spark, sf_dir):
     assert_all_joins_broadcast(df)
 
 
+def test_decile_equidepth_no_global_sort_window(spark, sf_dir):
+    """VERDICT r01 perf-weak fix: the equi-depth deciles must not plan
+    an unpartitioned window (single-partition global sort). The exact
+    rank comes from bucket-partitioned row_number + offsets, so no
+    Exchange may be SinglePartition."""
+    df = q("agg_decile_equidepth", spark, sf_dir)
+    assert_no_operator(df, "SinglePartition")
+    # window runs partitioned by range-bucket
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 1
+
+
+def test_neardup_end_to_end_no_cartesian(spark, sf_dir):
+    """The L2 money path: candidate pairs come only from band-bucket
+    joins — a regression to all-pairs (CartesianProduct / broadcast
+    nested loop over the corpus) is the one thing that cannot ship."""
+    df = q("neardup_dedup_end_to_end", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    # exactly one BroadcastNestedLoopJoin is legitimate: the final
+    # 1-row scalar-count (n_before) crossJoin — never an all-pairs over
+    # the corpus (those would be additional BNLJ/Cartesian nodes)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+
+
+def test_neardup_cluster_cc_no_cartesian(spark, sf_dir):
+    df = q("neardup_cluster_cc", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_ann_ivf_no_cartesian(spark, sf_dir):
+    """L4: IVF probe joins per-bucket candidates only; the coarse
+    centroid assignment is a bounded broadcast, never an all-pairs."""
+    df = q("ann_ivf_recall_probe", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_ann_lsh_bucket_join_no_cartesian(spark, sf_dir):
+    df = q("ann_lsh_recall_probe", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+
+
 def test_line_dedup_no_joins(spark, sf_dir):
     """Global span keep-first is a window + reassembly aggregation —
     no self-join on the corpus."""
