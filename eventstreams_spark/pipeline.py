@@ -506,7 +506,19 @@ def _uuid(target: str = "uuid", deterministic_from: list[str] | None = None) -> 
 
     def t(df: DataFrame) -> DataFrame:
         if deterministic_from:
-            parts = [F.col(c).cast("string") for c in deterministic_from]
+            # Each field is length-prefixed and NULL gets its own token:
+            # concat_ws silently SKIPS nulls, so without this, rows
+            # differing only in which field is NULL (or containing the
+            # separator) would collide and an idempotent sink would
+            # silently drop distinct events.
+            parts = []
+            for c in deterministic_from:
+                s = F.col(c).cast("string")
+                parts.append(
+                    F.when(s.isNull(), F.lit("N")).otherwise(
+                        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                    )
+                )
             return df.withColumn(
                 target, F.sha2(F.concat_ws("\x1f", *parts), 256)
             )
@@ -516,16 +528,17 @@ def _uuid(target: str = "uuid", deterministic_from: list[str] | None = None) -> 
 
 
 @step("truncate")
-def _truncate(fields: list[str], length_bytes: int) -> Transform:
+def _truncate(fields: list[str], length_chars: int) -> Transform:
     """Cap oversized string fields (Logstash ``truncate``) — the guard
     that keeps a pathological event from blowing per-row memory
-    downstream. Codepoint-based substring (Spark has no byte-substr
-    for strings without a binary roundtrip; for ASCII event streams
-    the two coincide)."""
+    downstream. The cap is in CODEPOINTS (the parameter is named
+    accordingly — a multi-byte UTF-8 string may still occupy up to
+    4x this many bytes); a strict byte cap would need a binary
+    roundtrip whose mid-codepoint cut mutates the tail into U+FFFD."""
 
     def t(df: DataFrame) -> DataFrame:
         for f in fields:
-            df = df.withColumn(f, F.substring(F.col(f), 1, length_bytes))
+            df = df.withColumn(f, F.substring(F.col(f), 1, length_chars))
         return df
 
     return t

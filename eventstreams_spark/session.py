@@ -52,26 +52,30 @@ def ship_package(spark: SparkSession) -> None:
     helpers (e.g. the Arrow-batched header parser in
     operators/multimodal.py). Shipping a zip of the package is the
     same mechanism used on a real cluster (``--py-files``)."""
-    app = spark.sparkContext.applicationId
-    if app in _shipped_apps:
-        return
-    import pathlib
-    import tempfile
-    import zipfile
-
-    pkg_root = pathlib.Path(__file__).resolve().parent
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"eventstreams_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for p in sorted(pkg_root.rglob("*.py")):
-                z.write(p, arcname=f"eventstreams_spark/{p.relative_to(pkg_root)}")
     try:
-        spark.sparkContext.addPyFile(zpath)
+        # .sparkContext itself raises on Spark Connect sessions (no
+        # classic SparkContext) — the whole classic-only path lives in
+        # one guard so Connect degrades gracefully (ADVICE r1)
+        sc = spark.sparkContext
+        app = sc.applicationId
+        if app in _shipped_apps:
+            return
+        import pathlib
+        import tempfile
+        import zipfile
+
+        pkg_root = pathlib.Path(__file__).resolve().parent
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"eventstreams_spark_pkg_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for p in sorted(pkg_root.rglob("*.py")):
+                    z.write(p, arcname=f"eventstreams_spark/{p.relative_to(pkg_root)}")
+        sc.addPyFile(zpath)
+        _shipped_apps.add(app)
     except Exception:  # pragma: no cover - e.g. Spark Connect sessions
         pass
-    _shipped_apps.add(app)
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:

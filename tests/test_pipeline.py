@@ -248,7 +248,7 @@ def test_csv_uuid_truncate_steps(spark):
                  "columns": ["name", "tag", "score"]},
                 {"type": "uuid", "target": "eid",
                  "deterministic_from": ["id", "name"]},
-                {"type": "truncate", "fields": ["note"], "length_bytes": 4},
+                {"type": "truncate", "fields": ["note"], "length_chars": 4},
             ]
         }
     )
@@ -261,6 +261,23 @@ def test_csv_uuid_truncate_steps(spark):
     # deterministic: re-applying yields the same ids
     again = {r.id: r.eid for r in pipe.apply(df).collect()}
     assert again == {i: r.eid for i, r in rows.items()}
+
+
+def test_uuid_null_fields_do_not_collide(spark):
+    """ADVICE r1 (medium): rows differing only in WHICH field is NULL
+    must hash to different ids — concat_ws alone would skip NULLs and
+    collide (a, NULL, b) with (a, b, NULL) and (a, b)."""
+    df = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, "a", "b", None), (3, "a", "b", "b"),
+         (4, "a:1", "b", None), (5, "a", None, None)],
+        "id long, x string, y string, z string",
+    )
+    pipe = Pipeline.from_config(
+        {"steps": [{"type": "uuid", "target": "eid",
+                    "deterministic_from": ["x", "y", "z"]}]}
+    )
+    ids = [r.eid for r in pipe.apply(df).collect()]
+    assert len(set(ids)) == 5, "null-position collisions in deterministic uuid"
 
 
 def test_uuid_random_step(spark):
