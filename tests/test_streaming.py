@@ -252,6 +252,61 @@ def test_foreach_batch_sink(spark, events_slice, tmp_path):
     assert len(seen) >= 2  # chunked replay -> multiple batches
 
 
+def test_foreach_batch_idempotent_retry(spark, tmp_path):
+    """K6/T9 retry contract: after a handler crash mid-batch, restarting
+    from the SAME checkpoint re-delivers the SAME batch_id with the SAME
+    rows — so a sink that writes keyed by batch_id (overwrite) stays
+    exactly-once even though foreachBatch itself is at-least-once."""
+    from eventstreams_spark.streaming.replay import stage_files
+
+    ev_path = str(tmp_path / "ev")
+    sink = tmp_path / "sink"
+    ck = str(tmp_path / "ck")
+    ev = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "event_id long, k long"
+    )
+    stage_files(ev.filter("event_id < 6"), ev_path, 1)
+    stage_files(ev.filter("event_id >= 6"), ev_path, 2)
+
+    deliveries: list[tuple[int, tuple]] = []
+    crashed = {"done": False}
+
+    def handler(batch_df, batch_id: int) -> None:
+        rows = tuple(sorted(r["event_id"] for r in batch_df.collect()))
+        deliveries.append((batch_id, rows))
+        # idempotent write: keyed by batch_id, overwrite semantics
+        batch_df.write.mode("overwrite").parquet(str(sink / f"b{batch_id}"))
+        if not crashed["done"]:
+            crashed["done"] = True  # partial work done, THEN crash
+            raise RuntimeError("injected sink failure after write")
+
+    def run():
+        return (
+            spark.readStream.schema("event_id long, k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_path)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(Exception):
+        run().awaitTermination()
+    run().awaitTermination()
+
+    # same batch_id retried with identical content
+    first_ids = [bid for bid, _ in deliveries]
+    assert first_ids.count(0) == 2, deliveries
+    b0 = [rows for bid, rows in deliveries if bid == 0]
+    assert b0[0] == b0[1], "retried batch must replay identical rows"
+    # exactly-once at the sink despite the at-least-once delivery
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(str(sink / "b*")).collect()
+    )
+    assert got == list(range(12))
+
+
 def test_stream_static_dim_refreshes_per_batch(spark, tmp_path):
     """Stream-static join re-reads the static side per micro-batch, so
     a dim table updated between batches enriches later events with the
