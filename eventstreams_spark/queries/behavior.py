@@ -385,3 +385,126 @@ def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("p"),
     )
+
+
+_PAGERANK_ORACLE = """
+    WITH seq AS (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), pairs AS (
+        SELECT a.user_id AS src, b.user_id AS dst
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND b.rn = a.rn + 1
+        WHERE a.user_id <> b.user_id
+    ), edges AS (
+        SELECT DISTINCT src, dst FROM pairs
+    ), outdeg AS (
+        SELECT src, count(*) AS od FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT u
+        FROM (SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges)
+    ), n AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS (
+        SELECT u, CAST(1000000000000 // n_nodes AS BIGINT) AS r
+        FROM nodes, n
+    ), c1 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r0.r * 85) // (100 * o.od)) AS BIGINT) AS c
+        FROM edges e JOIN r0 ON e.src = r0.u JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT nodes.u,
+               CAST((15 * 1000000000000) // (100 * n.n_nodes)
+                    + coalesce(c1.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.u = c1.u
+    ), c2 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r1.r * 85) // (100 * o.od)) AS BIGINT) AS c
+        FROM edges e JOIN r1 ON e.src = r1.u JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT nodes.u,
+               CAST((15 * 1000000000000) // (100 * n.n_nodes)
+                    + coalesce(c2.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.u = c2.u
+    ), c3 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r2.r * 85) // (100 * o.od)) AS BIGINT) AS c
+        FROM edges e JOIN r2 ON e.src = r2.u JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ), r3 AS (
+        SELECT nodes.u,
+               CAST((15 * 1000000000000) // (100 * n.n_nodes)
+                    + coalesce(c3.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.u = c3.u
+    )
+    SELECT u AS user_id, r AS rank_units FROM r3
+"""
+
+
+@query("pagerank_fixed_iterations", category="B7-graph", oracle=_PAGERANK_ORACLE)
+def pagerank_fixed_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 fixed power iterations over the user follow-graph
+    (edge u→v when v's event immediately follows u's within an
+    event_type stream) — the canonical iterative-algorithm shape an
+    analytics engine needs beyond one-shot SQL (influence scoring,
+    spam-domain ranking over a link graph in corpus prep).
+
+    Exactness across engines: ranks are int64 micro-units (1e12 total
+    mass) and every step is integer multiply-then-floor-divide
+    ((r*85) div (100*outdeg)), so accumulation order cannot drift —
+    the oracle unrolls the same three iterations as CTEs. Dangling
+    mass is dropped identically on both sides (documented semantics,
+    matching the damping-only formulation).
+
+    Scale shape (the Pregel/GraphX layout): the edge set is built
+    once, cached, and pre-partitioned; each iteration is ONE shuffle
+    join of edges against the current rank vector (both
+    hash-partitioned on src — the exchange is reused) plus one
+    combinable aggregate by dst. Iterations are a fixed constant, the
+    node count is bounded metadata (one count() scalar), and nothing
+    driver-side ever holds a vector.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    edges = pairs.distinct()
+    # iterative-algorithm practice: cache the loop-invariant edge set
+    # (at cluster scale: checkpoint + pre-partition by src)
+    edges = edges.repartition("src").persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # bounded metadata scalar
+
+    total = 1_000_000_000_000
+    base = (15 * total) // (100 * n_nodes)
+    ranks = nodes.select("u", F.lit(total // n_nodes).cast("long").alias("r"))
+    esrc = edges.join(outdeg, "src")
+    for _ in range(3):
+        contribs = (
+            esrc.join(ranks, esrc.src == ranks.u)
+            .select("dst", F.expr("(r * 85) div (100 * od)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.u == contribs.dst, "left")
+            .select(
+                "u",
+                (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_units"))

@@ -704,3 +704,147 @@ def ann_ivfpq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_EMB_NEARDUP_ORACLE = """
+    WITH sn AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    ), sn2 AS (
+        SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM sn
+    ), buckets AS (
+        SELECT vec_id,
+               t.t * 16
+               + list_sum(list_transform(generate_series(0, 3), j ->
+                   CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                           v[i] * (((1103515245 * ((t.t * 4 + j) * 64 + i) + 12345)
+                                    % 2147483648) - 1073741824))) > 0
+                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS bkt
+        FROM sn2, range(0, 6) t(t)
+    ), pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a JOIN buckets b
+          ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ), verified AS (
+        SELECT p.vec_a, p.vec_b,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> x.v[i] * y.v[i])) AS BIGINT) AS dot_scaled,
+               CAST(x.nrm AS DOUBLE) AS na, CAST(y.nrm AS DOUBLE) AS nb
+        FROM pairs p
+        JOIN sn2 x ON p.vec_a = x.vec_id
+        JOIN sn2 y ON p.vec_b = y.vec_id
+    )
+    SELECT vec_a, vec_b, dot_scaled,
+           round(CAST(dot_scaled AS DOUBLE) / sqrt(na * nb), 6) AS cos_sim
+    FROM verified
+    WHERE dot_scaled > 0
+      AND CAST(dot_scaled AS DOUBLE) * CAST(dot_scaled AS DOUBLE)
+          >= 0.2025 * na * nb
+"""
+
+
+def _lsh_hyperplane(j: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane for sign-LSH bit ``j``:
+    a fixed LCG over (bit, dim) indices — no RNG state, so Spark and
+    the DuckDB oracle derive bit-identical planes from scratch."""
+    return [
+        ((1103515245 * (j * 64 + i) + 12345) % 2147483648) - 1073741824
+        for i in range(1, 65)
+    ]
+
+
+@query("neardup_embedding_lsh", category="L2-embcos", oracle=_EMB_NEARDUP_ORACLE)
+def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member
+    of the dedup family (L2): sign-LSH bucketing (6 tables x 4
+    hyperplane bits) proposes candidates, exact cosine verifies them
+    at >= 0.45. Candidates only ever materialize inside a bucket
+    equi-join — never an all-pairs — so the construction is the same
+    one that survives 100 TB (tables x bits tune the recall/cost
+    curve; buckets shuffle by key and verify locally).
+
+    Cross-engine exactness: embeddings are scaled to BIGINT
+    micro-units; hyperplanes come from a shared LCG on (bit, dim)
+    indices (no RNG); every dot/norm is an integer fold; the final
+    cosine test compares IEEE doubles built from identical integers.
+    The oracle replays the identical construction, so bucket
+    membership, candidate set, and verdicts all hash-match.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    se = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    sn = emb.select(
+        "vec_id",
+        se.alias("v"),
+        F.aggregate(
+            F.transform(se, lambda x: x * x), zero, lambda a, x: a + x
+        ).alias("nrm"),
+    )
+
+    def dot_lit(v: Column, plane: list[int]) -> Column:
+        lits = F.array(*[F.lit(h).cast("long") for h in plane])
+        return F.aggregate(F.zip_with(v, lits, lambda a, b: a * b), zero,
+                           lambda a, x: a + x)
+
+    bucket_exprs = []
+    for t in range(6):
+        bits = F.lit(0).cast("long")
+        for j in range(4):
+            plane = _lsh_hyperplane(t * 4 + j)
+            bits = bits + F.when(
+                dot_lit(F.col("v"), plane) > 0, F.lit(2 ** j).cast("long")
+            ).otherwise(zero)
+        bucket_exprs.append(F.lit(t * 16).cast("long") + bits)
+
+    bucketed = sn.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*bucket_exprs)).alias("bkt")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    scored = cands.select(
+        "vec_a",
+        "vec_b",
+        dot.alias("dot_scaled"),
+        F.col("na").cast("double").alias("nad"),
+        F.col("nb").cast("double").alias("nbd"),
+    )
+    return (
+        scored.filter(
+            (F.col("dot_scaled") > 0)
+            & (
+                F.col("dot_scaled").cast("double") * F.col("dot_scaled").cast("double")
+                >= 0.2025 * F.col("nad") * F.col("nbd")
+            )
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "dot_scaled",
+            F.round(
+                F.col("dot_scaled").cast("double")
+                / F.sqrt(F.col("nad") * F.col("nbd")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

@@ -203,6 +203,12 @@ def test_ann_lsh_bucket_join_no_cartesian(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
 
 
+def test_embedding_lsh_neardup_no_cartesian(spark, sf_dir):
+    """Candidate pairs come only from the sign-LSH bucket equi-join."""
+    df = q("neardup_embedding_lsh", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
 def test_line_dedup_no_joins(spark, sf_dir):
     """Global span keep-first is a window + reassembly aggregation —
     no self-join on the corpus."""
