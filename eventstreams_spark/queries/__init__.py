@@ -13,5 +13,6 @@ from . import (  # noqa: F401
     scalars,
     textqa,
     timeseries,
+    tpch_extra,
     windows,
 )
