@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregations,
+    analysis_extra,
     behavior,
     core,
     extras,

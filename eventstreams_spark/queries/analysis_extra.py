@@ -1,0 +1,249 @@
+"""Graph, text-quality, and vector-cluster analysis additions.
+
+Three operator families a corpus/behavior engine needs beyond the
+round-1 inventory: triangle counting over the interaction graph (the
+standard cohesion metric next to PageRank/CC), character-entropy text
+quality (the classic gibberish/boilerplate discriminator next to the
+stopword and Gopher scores), and nearest-centroid cluster assignment
+(the assignment step of k-means / semantic dedup at fixed centroids).
+
+Determinism notes: every floating sum here is either a fixed-order
+array fold (bit-exact cross-engine — proven pattern from the knn and
+vector-norm queries) or an integer count; argmax ties break on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..registry import query
+
+
+@query(
+    "triangle_count_graph",
+    category="B7-graph",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, user_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), pairs AS (
+            SELECT a.user_id AS src, b.user_id AS dst
+            FROM seq a JOIN seq b
+              ON a.event_type = b.event_type AND b.rn = a.rn + 1
+            WHERE a.user_id <> b.user_id
+        ), und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM pairs
+        ), verts AS (
+            SELECT count(DISTINCT u) AS n_vertices
+            FROM (SELECT a AS u FROM und UNION ALL SELECT b FROM und)
+        )
+        SELECT (SELECT count(*) FROM und) AS n_edges,
+               (SELECT n_vertices FROM verts) AS n_vertices,
+               (SELECT count(*)
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the user interaction graph (same follow-graph
+    edge construction as pagerank_fixed_iterations).
+
+    Scale: compact-forward counting — edges are oriented low→high under
+    the (degree, id) total order, wedges enumerate only at each edge's
+    LOW-degree endpoint, and the closing edge check is a semi join.
+    Degree orientation bounds per-vertex wedge fanout by O(sqrt(m)) on
+    skew-free-by-construction keys (total wedge work O(m^1.5) instead
+    of sum-of-degrees-squared, the difference between feasible and
+    exploding on power-law graphs at 100 TB). The triangle count is
+    orientation-invariant, so the oracle may use the simpler id order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    und = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().persist()
+
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionAll(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b").select(
+        "a",
+        "b",
+        F.struct(F.col("da").alias("d"), F.col("a").alias("u")).alias("ka"),
+        F.struct(F.col("db").alias("d"), F.col("b").alias("u")).alias("kb"),
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("hi_k"),
+    ).persist()
+
+    e1 = oriented.select(F.col("lo"), F.col("hi").alias("x"), F.col("hi_k").alias("xk"))
+    e2 = oriented.select(F.col("lo"), F.col("hi").alias("y"), F.col("hi_k").alias("yk"))
+    wedges = e1.join(e2, "lo").filter(F.col("xk") < F.col("yk")).select("x", "y")
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_vertices = (
+        und.select(F.col("a").alias("u"))
+        .unionAll(und.select(F.col("b").alias("u")))
+        .agg(F.count_distinct("u").alias("n_vertices"))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_vertices).crossJoin(n_tri)
+
+
+@query(
+    "char_entropy_quality",
+    category="L5",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, ch, count(*) AS c
+            FROM chars GROUP BY doc_id, ch
+        ), folded AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_chars_text,
+                   count(*) AS distinct_chars,
+                   list_sum(list(c * log2(c) ORDER BY ch)) AS clogc
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars_text, distinct_chars,
+               round(log2(CAST(n_chars_text AS DOUBLE)) - clogc / n_chars_text, 6)
+                   AS entropy_bits
+        FROM folded
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality score per document (L5): low entropy =
+    repeated/boilerplate text, high = random gibberish; the standard
+    cheap quality gate next to stopword ratio and Gopher repetition.
+
+    entropy = log2(n) - (Σ_c count_c·log2(count_c)) / n, computed from
+    integer char counts; the fold over per-char terms runs in char
+    order on both engines (the knn/vector-norm in-order-fold contract),
+    and the result rounds to 6 decimals because libm log2
+    implementations differ in the last ULP across engines (measured:
+    219/500 docs off by 1 ULP unrounded).
+
+    Scale: explode(chars) is linear in corpus bytes with a (doc_id, ch)
+    map-side-combinable count — no windows, no driver state; alphabet
+    size bounds the per-doc fold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark's split emits a trailing '' element (boundary match at end
+    # of string) that DuckDB's string_split does not — drop it.
+    chars = docs.select("doc_id", F.explode(F.split("text", "(?!^)")).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    folded = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_text"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ch", (F.col("c") * F.log2("c")).alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("clogc"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_chars_text",
+        "distinct_chars",
+        F.round(
+            F.log2(F.col("n_chars_text").cast("double")) - F.col("clogc") / F.col("n_chars_text"),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+@query(
+    "semantic_cluster_assign",
+    category="L4",
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ), sims AS (
+            SELECT e.vec_id, c.centroid_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cvec AS DOUBLE[])) AS sim
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id >= 8
+        ), ranked AS (
+            SELECT vec_id, centroid_id, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rk
+            FROM sims
+        )
+        SELECT centroid_id,
+               count(*) AS n_assigned,
+               min(sim) AS min_sim,
+               max(sim) AS max_sim
+        FROM ranked WHERE rk = 1
+        GROUP BY centroid_id
+        ORDER BY centroid_id
+    """,
+)
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / semantic-dedup
+    bucketing primitive): every vector joins k=8 fixed centroids, takes
+    the argmax-cosine centroid (ties → lower centroid id), and the
+    query reports per-cluster occupancy and similarity envelope.
+
+    Scale: centroids are a bounded broadcast (k rows regardless of
+    corpus size), so the fact scan never shuffles for the assignment;
+    the per-vector argmax is a k-row window partitioned BY VECTOR (no
+    global ordering). min/max are selections, not accumulations — no
+    float-order drift; the cosine itself is the proven in-order fold.
+    This is the assignment step semantic dedup runs repeatedly; full
+    k-means adds the (bounded, k×dim) centroid-update reduce per round.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "centroid_id",
+            cosine_similarity(
+                to_double_array("embedding"), to_double_array("cvec")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    best = sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -209,6 +209,83 @@ def test_embedding_lsh_neardup_no_cartesian(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
 
 
+def test_q6_pushdown_all_predicates(spark, sf_dir):
+    """Q6 is the pushdown showcase: every predicate reaches the scan
+    and ReadSchema is exactly the 4 referenced columns."""
+    df = q("tpch_q6_forecast_revenue", spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert_read_schema_at_most(
+        df,
+        "l_shipdate",
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+    )
+    counts = operator_counts(df)
+    assert count_prefix(counts, "HashAggregate") == 2
+
+
+def test_q8_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    """Q8's only big shuffle is lineitem><orders; the six dimension
+    joins all broadcast."""
+    df = q("tpch_q8_market_share", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 6, counts
+    assert count_prefix(counts, "CartesianProduct") == 0
+
+
+def test_q10_take_ordered_top20(spark, sf_dir):
+    df = q("tpch_q10_returned_items", spark, sf_dir)
+    assert_has_operator(df, "TakeOrderedAndProject")
+    assert "l_returnflag" in " ".join(pushed_filters(df))
+
+
+def test_q15_argmax_no_single_partition_window(spark, sf_dir):
+    """Q15's max-revenue must come from a broadcast scalar join, not a
+    global window over the per-supplier frame."""
+    df = q("tpch_q15_top_supplier", spark, sf_dir)
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 0, counts
+
+
+def test_q18_qualifying_set_broadcasts(spark, sf_dir):
+    """The HAVING-filtered orderkey set is tiny by construction and
+    must broadcast into the semi join."""
+    df = q("tpch_q18_large_orders", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Compact-forward triangle counting: wedges come from the oriented
+    edge self-equi-join on the low endpoint; the only BNLJ nodes are the
+    final three 1-row scalar crossJoins."""
+    df = q("triangle_count_graph", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 2, counts
+
+
+def test_char_entropy_no_python_no_join(spark, sf_dir):
+    """Entropy is pure Catalyst: explode + two hash aggs; no Python
+    eval, no join over the corpus."""
+    df = q("char_entropy_quality", spark, sf_dir)
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython")
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+
+
+def test_semantic_cluster_assign_broadcast_centroids(spark, sf_dir):
+    """The k-centroid E-step must broadcast the centroids (bounded k)
+    and keep the argmax window partitioned by vector."""
+    df = q("semantic_cluster_assign", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "SortMergeJoin")
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 1
+
+
 def test_line_dedup_no_joins(spark, sf_dir):
     """Global span keep-first is a window + reassembly aggregation —
     no self-join on the corpus."""
