@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     behavior,
     core,
     extras,
+    gates,
     joins,
     llm,
     longtail,

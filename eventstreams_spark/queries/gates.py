@@ -1,0 +1,152 @@
+"""Self-validating accuracy gates for the approximate operators.
+
+The sketch and ANN queries are rows-only under the driver's oracle
+check (their raw estimates are engine-specific by construction). These
+companion queries make the *accuracy contract* itself hash-checkable:
+the Spark side computes approximate AND exact answers in one plan and
+emits per-group booleans asserting the sketch's documented error
+bounds; the oracle states the contract (literal TRUE per group). A
+driver red here means a sketch drifted out of tolerance — precisely
+the regression the rows-only check cannot see.
+
+Thresholds are set from measured sf0.01 values (2026-08-14):
+approx_count_distinct err 0.7% (gate 10%), GK percentile rank error
+within ±2% rank window (guarantee at accuracy=10000 is 0.01%),
+HLL-union estimate within 10%, LSH recall 1.0 (gate 0.6), IVF recall
+0.4 (gate 0.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "sketch_accuracy_gates",
+    category="A3-sketch",
+    oracle="""
+        SELECT event_type,
+               TRUE AS acd_ok, TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_accuracy_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for the distinct-count and quantile sketches
+    (A3/A6): per event_type, approx_count_distinct (HLL++) and the
+    mergeable DataSketches HLL-union estimate must land within 10% of
+    the exact distinct count, and the GK approximate p50/p99 must lie
+    inside the ±2%-rank window of the exact quantiles.
+
+    Scale: one events scan; the exact count_distinct expands the
+    shuffle (it is here as the gate's ground truth, not the production
+    path — A3's point is that the sketches replace it at 100 TB); the
+    HLL union path is the mergeable per-day layout from
+    agg_distinct_hll_mergeable folded to one plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk")
+    )
+    hll = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_est")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("acd"),
+        F.count_distinct("user_id").alias("cd"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.expr("percentile(value, 0.48)").alias("p48"),
+        F.expr("percentile(value, 0.52)").alias("p52"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("ap99"),
+        F.expr("percentile(value, 0.985)").alias("p985"),
+        F.expr("percentile(value, 0.995)").alias("p995"),
+    )
+    joined = base.join(hll, "event_type")
+    rel = lambda est, exact: F.abs(est - exact) / exact  # noqa: E731
+    return joined.select(
+        "event_type",
+        (rel(F.col("acd"), F.col("cd")) <= 0.10).alias("acd_ok"),
+        (rel(F.col("hll_est"), F.col("cd")) <= 0.10).alias("hll_ok"),
+        ((F.col("ap50") >= F.col("p48")) & (F.col("ap50") <= F.col("p52"))).alias("p50_ok"),
+        ((F.col("ap99") >= F.col("p985")) & (F.col("ap99") <= F.col("p995"))).alias("p99_ok"),
+    ).orderBy("event_type")
+
+
+@query(
+    "heavy_hitters_gate",
+    category="A-heavyhitters",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), counts AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), n AS (SELECT count(*) AS total FROM toks)
+        SELECT TRUE AS all_hot_survive, TRUE AS underestimate_bounded,
+               (SELECT count(*) FROM counts, n
+                WHERE cnt > total / 16.0) AS n_hot
+    """,
+)
+def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Misra-Gries guarantee, hash-checkable: every token whose
+    true count exceeds N/k (k=16) must survive the merged MG summary
+    with its estimate underestimating by at most N/k. n_hot is exact
+    on both sides (same whitespace tokenization), so the oracle pins
+    the gate population too, not just the booleans.
+
+    Scale: the exact count here is the gate's ground truth only — the
+    production path is the O(k)-memory sketch; N/16.0 is an exact
+    binary division so the threshold compare cannot drift.
+    """
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).persist()
+    mg = heavy_hitters(toks, "tok", k=16)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    hot = exact.filter(F.col("cnt") > total / 16.0)
+    checked = hot.join(
+        mg.withColumnRenamed("item", "tok"), "tok", "left"
+    ).select(
+        F.col("est_count").isNotNull().alias("survived"),
+        (F.col("cnt") - F.coalesce("est_count", F.lit(0)) <= total / 16.0).alias("bounded"),
+    )
+    return checked.agg(
+        F.coalesce(F.bool_and("survived"), F.lit(True)).alias("all_hot_survive"),
+        F.coalesce(F.bool_and("bounded"), F.lit(True)).alias("underestimate_bounded"),
+        F.count(F.lit(1)).alias("n_hot"),
+    )
+
+
+@query(
+    "ann_recall_gates",
+    category="L4",
+    oracle="""
+        SELECT TRUE AS lsh_recall_ok, TRUE AS lsh_prunes, TRUE AS ivf_recall_ok,
+               TRUE AS ivf_prunes
+    """,
+)
+def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/cost contract for the ANN scale paths (L4): the LSH
+    union construction must keep recall@5 >= 0.6 while examining < 90%
+    of the corpus, and the IVF probe recall@5 >= 0.2 (above its
+    candidate-fraction floor) at < 60% examined. Measured sf0.01:
+    LSH 1.0 recall @ 0.43 frac, IVF 0.4 @ 0.24 frac.
+
+    Scale: reuses the probe plans unchanged (bucketed candidates,
+    bounded broadcasts); the gate is two 1-row frames crossJoined.
+    """
+    from ..registry import REGISTRY
+
+    lsh = REGISTRY["ann_lsh_recall_probe"].builder(spark, sf_dir).select(
+        (F.col("recall_at_5") >= 0.6).alias("lsh_recall_ok"),
+        (F.col("candidate_frac") < 0.9).alias("lsh_prunes"),
+    )
+    ivf = REGISTRY["ann_ivf_recall_probe"].builder(spark, sf_dir).select(
+        (F.col("recall_at_5") >= 0.2).alias("ivf_recall_ok"),
+        (F.col("candidate_frac") < 0.6).alias("ivf_prunes"),
+    )
+    return lsh.crossJoin(ivf)
