@@ -415,6 +415,41 @@ def _throttle(key: str, order: str, period: str = "1 hour", limit: int = 1) -> T
 _PERIOD_TRUNC = {"1 second": "second", "1 minute": "minute", "1 hour": "hour", "1 day": "day"}
 
 
+@step("multiline")
+def _multiline(
+    source: str,
+    order: str,
+    pattern: str,
+    group_by: list[str] | None = None,
+    negate: bool = False,
+    what: str = "previous",
+    separator: str = " ",
+) -> Transform:
+    """Logstash ``multiline`` codec, batch form: lines matching
+    ``pattern`` (inverted by ``negate``) are continuations glued onto
+    the previous (``what="previous"``) or next (``what="next"``)
+    event. Emits one row per reassembled event (sessionize shape —
+    one shuffle by ``group_by``, never a single-task scan)."""
+    if what not in ("previous", "next"):
+        raise ValueError(f"multiline: what must be 'previous'/'next', got {what!r}")
+
+    def t(df: DataFrame) -> DataFrame:
+        from .operators.multiline import multiline_reassemble
+
+        return multiline_reassemble(
+            df,
+            line_col=source,
+            order_col=order,
+            pattern=pattern,
+            group_cols=group_by or [],
+            negate=negate,
+            what=what,
+            sep=separator,
+        )
+
+    return t
+
+
 @step("syslog")
 def _syslog(source: str = "value", year: int = 2024) -> Transform:
     """RFC 3164 syslog line → typed fields (Logstash ``syslog`` input's

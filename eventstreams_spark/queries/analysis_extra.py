@@ -180,6 +180,73 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multiline_reassemble_logs",
+    category="S-codec",
+    oracle="""
+        WITH split_docs AS (
+            SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(ls))) AS line_no,
+                   unnest(ls) AS line
+            FROM split_docs
+        ), flagged AS (
+            SELECT doc_id, line_no, line,
+                   CAST(sum(CASE WHEN regexp_matches(line, '^[a-m]')
+                                 THEN 0 ELSE 1 END)
+                        OVER (PARTITION BY doc_id ORDER BY line_no)
+                        AS BIGINT) AS event_id
+            FROM lines
+        )
+        SELECT doc_id, event_id,
+               CAST(min(line_no) AS BIGINT) AS first_line_no,
+               count(*) AS n_lines,
+               string_agg(line, ' | ' ORDER BY line_no) AS message
+        FROM flagged
+        GROUP BY doc_id, event_id
+    """,
+)
+def multiline_reassemble_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline codec semantics under oracle (S-codec): documents are
+    split into pseudo-log-lines (one per word); a line starting a-m is
+    a continuation of the previous event (standing in for the
+    stack-trace indent convention), everything else opens a new event;
+    events reassemble with ' | '. ~half the lines are continuations, so
+    the running-sum minting and ordered reassembly are both exercised
+    over many multi-line events per group.
+
+    Scale: sessionize shape — ONE shuffle by doc_id drives both the
+    running-sum event minting and the ordered reassembly; per-event
+    order is restored from the line number inside each group, so no
+    global ordering anywhere. The pipeline step `multiline` wraps the
+    same operator (operators/multiline.py) for config-driven use, and
+    supports what="next" (backslash-continuation) via a lag flag.
+    """
+    from ..operators.multiline import multiline_reassemble
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "line")
+    ).select("doc_id", (F.col("pos") + 1).alias("line_no"), "line")
+    out = multiline_reassemble(
+        lines,
+        line_col="line",
+        order_col="line_no",
+        pattern="^[a-m]",
+        group_cols=["doc_id"],
+        what="previous",
+        sep=" | ",
+    )
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.col("first_line_no").cast("long").alias("first_line_no"),
+        "n_lines",
+        "message",
+    )
+
+
+@query(
     "semantic_cluster_assign",
     category="L4",
     oracle="""

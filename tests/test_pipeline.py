@@ -309,3 +309,57 @@ def test_geoip_and_udf_steps(spark):
     assert rows[1].geo_region == "r0" and rows[2].geo_region == "r1"
     assert rows[3].geo_region is None      # left join keeps unmatched
     assert rows[1].tagged == "r0:1" and rows[3].tagged == "none:9"
+
+
+def test_multiline_previous_and_next(spark):
+    """Multiline codec: stack-trace glue (what=previous) and
+    backslash-continuation (what=next) both reassemble in line order."""
+    from eventstreams_spark.pipeline import Pipeline
+
+    rows = [
+        ("app.log", 1, "ERROR boom"),
+        ("app.log", 2, "  at Foo.bar(Foo.java:1)"),
+        ("app.log", 3, "  at Baz.qux(Baz.java:2)"),
+        ("app.log", 4, "INFO ok"),
+        ("other.log", 1, "WARN solo"),
+    ]
+    df = spark.createDataFrame(rows, "file string, line_no int, line string")
+    pipe = Pipeline.from_config(
+        {"steps": [{"type": "multiline", "source": "line", "order": "line_no",
+                    "pattern": "^\\s", "group_by": ["file"],
+                    "separator": "\n"}]}
+    )
+    out = {(r.file, r.event_id): r for r in pipe.apply(df).collect()}
+    assert out[("app.log", 1)].message == (
+        "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:2)"
+    )
+    assert out[("app.log", 1)].n_lines == 3
+    assert out[("app.log", 2)].message == "INFO ok"
+    assert out[("other.log", 1)].message == "WARN solo"
+
+    # what=next: a line ending in backslash continues onto the NEXT line
+    from eventstreams_spark.operators.multiline import multiline_reassemble
+
+    rows2 = [
+        ("c", 1, "set x \\"),
+        ("c", 2, "= 1"),
+        ("c", 3, "standalone"),
+    ]
+    df2 = spark.createDataFrame(rows2, "file string, line_no int, line string")
+    got = {
+        r.event_id: r.message
+        for r in multiline_reassemble(
+            df2, "line", "line_no", r"\\$", group_cols=["file"], what="next", sep=" "
+        ).collect()
+    }
+    assert got == {1: "set x \\ = 1", 2: "standalone"}
+
+
+def test_multiline_bad_what_fails_at_compile():
+    from eventstreams_spark.pipeline import Pipeline
+
+    with pytest.raises(ValueError, match="previous"):
+        Pipeline.from_config(
+            {"steps": [{"type": "multiline", "source": "l", "order": "o",
+                        "pattern": "^x", "what": "sideways"}]}
+        )

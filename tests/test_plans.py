@@ -286,6 +286,18 @@ def test_semantic_cluster_assign_broadcast_centroids(spark, sf_dir):
     assert counts.get("Window", 0) == 1
 
 
+def test_multiline_single_shuffle_no_joins(spark, sf_dir):
+    """Multiline reassembly is the sessionize shape: the doc_id
+    shuffle feeds both the running-sum window and the reassembly agg —
+    no join, no second exchange for the groupBy."""
+    df = q("multiline_reassemble_logs", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 1
+    assert count_prefix(counts, "Exchange") == 1, counts
+
+
 def test_line_dedup_no_joins(spark, sf_dir):
     """Global span keep-first is a window + reassembly aggregation —
     no self-join on the corpus."""
