@@ -586,3 +586,37 @@ def test_cdc_keep_latest_update_mode(spark, events_slice, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_multiline_stream_reassembles_across_batches(spark, tmp_path):
+    """S-codec streamed: a stack trace whose continuation lines arrive
+    in a LATER micro-batch must still glue onto the open event held in
+    state; the completed event emits when the next start line arrives,
+    and the trailing open event stays in state (append semantics,
+    flushed only by a later start or the processing-time timeout)."""
+    from eventstreams_spark.streaming.multiline import multiline_stream
+
+    rows = [
+        ("app", 1, "ERROR boom"),
+        ("app", 2, "  at Foo.bar(Foo.java:1)"),
+        # --- micro-batch boundary falls here (chunks=2) ---
+        ("app", 3, "  at Baz.qux(Baz.java:2)"),
+        ("app", 4, "INFO ok"),
+        ("app", 5, "WARN tail stays pending"),
+        ("web", 1, "GET /"),
+    ]
+    df = spark.createDataFrame(rows, "src string, line_no int, line string")
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="line_no")
+    out = multiline_stream(
+        stream, "src", "line", "line_no", pattern=r"^\s", sep="\n"
+    )
+    run_to_memory(out, "t_ml", output_mode="append")
+    got = {(r.src, r.first_line_no): r for r in spark.sql("SELECT * FROM t_ml").collect()}
+    assert got[("app", 1)].message == (
+        "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:2)"
+    )
+    assert got[("app", 1)].n_lines == 3
+    assert got[("app", 4)].message == "INFO ok"
+    # the trailing open events (app line 5, web line 1) are NOT emitted
+    assert ("app", 5) not in got and ("web", 1) not in got
+    assert len(got) == 2
