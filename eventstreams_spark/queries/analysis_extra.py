@@ -114,6 +114,108 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kcore_peel_rounds",
+    category="B7-graph",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, user_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), pairs AS (
+            SELECT a.user_id AS src, b.user_id AS dst
+            FROM seq a JOIN seq b
+              ON a.event_type = b.event_type AND b.rn = a.rn + 1
+            WHERE a.user_id <> b.user_id
+        ), e0 AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM pairs
+        ), d0 AS (
+            SELECT u, count(*) AS d FROM (
+                SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0) GROUP BY u
+        ), keep0 AS (SELECT u FROM d0 WHERE d >= 4),
+        e1 AS (
+            SELECT a, b FROM e0
+            WHERE a IN (SELECT u FROM keep0) AND b IN (SELECT u FROM keep0)
+        ), d1 AS (
+            SELECT u, count(*) AS d FROM (
+                SELECT a AS u FROM e1 UNION ALL SELECT b FROM e1) GROUP BY u
+        ), keep1 AS (SELECT u FROM d1 WHERE d >= 4),
+        e2 AS (
+            SELECT a, b FROM e1
+            WHERE a IN (SELECT u FROM keep1) AND b IN (SELECT u FROM keep1)
+        ), d2 AS (
+            SELECT u, count(*) AS d FROM (
+                SELECT a AS u FROM e2 UNION ALL SELECT b FROM e2) GROUP BY u
+        )
+        SELECT (SELECT count(*) FROM d0) AS n_vertices_0,
+               (SELECT count(*) FROM e1) AS n_edges_1,
+               (SELECT count(*) FROM d1) AS n_vertices_1,
+               (SELECT count(*) FROM e2) AS n_edges_2,
+               (SELECT count(*) FROM d2) AS n_vertices_2
+    """,
+)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition, two unrolled peeling rounds at k=4 over
+    the interaction graph (same edges as pagerank/triangles): drop
+    vertices with degree < k, restrict edges to survivors, repeat —
+    the standard densest-region prefilter before community detection
+    or spam-cluster mining.
+
+    Scale (Pregel-style like the PageRank loop): each round is one
+    degree aggregation (count by endpoint) plus two SEMI JOINS of the
+    edge set against the surviving vertex set — no windows, no
+    driver-side vertex state; at convergence-driven depth the loop
+    adds a scalar count per round (bounded metadata, same contract as
+    connected components' convergence check).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    edges = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().persist()
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("u"))
+            .unionAll(e.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    k = 4
+    d0 = degrees(edges)
+    keep0 = d0.filter(F.col("d") >= k).select("u").persist()
+    e1 = (
+        edges.join(keep0.withColumnRenamed("u", "a"), "a", "left_semi")
+        .join(keep0.withColumnRenamed("u", "b"), "b", "left_semi")
+        .persist()
+    )
+    d1 = degrees(e1)
+    keep1 = d1.filter(F.col("d") >= k).select("u").persist()
+    e2 = (
+        e1.join(keep1.withColumnRenamed("u", "a"), "a", "left_semi")
+        .join(keep1.withColumnRenamed("u", "b"), "b", "left_semi")
+        .persist()
+    )
+    d2 = degrees(e2)
+    return (
+        d0.agg(F.count(F.lit(1)).alias("n_vertices_0"))
+        .crossJoin(e1.agg(F.count(F.lit(1)).alias("n_edges_1")))
+        .crossJoin(d1.agg(F.count(F.lit(1)).alias("n_vertices_1")))
+        .crossJoin(e2.agg(F.count(F.lit(1)).alias("n_edges_2")))
+        .crossJoin(d2.agg(F.count(F.lit(1)).alias("n_vertices_2")))
+    )
+
+
+@query(
     "char_entropy_quality",
     category="L5",
     oracle="""

@@ -298,6 +298,36 @@ def test_multiline_single_shuffle_no_joins(spark, sf_dir):
     assert count_prefix(counts, "Exchange") == 1, counts
 
 
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """§4 optimizer control surface: users migrating hand-tuned
+    queries need join-strategy hints to stick. merge → SortMergeJoin,
+    shuffle_hash → ShuffledHashJoin, broadcast → BroadcastHashJoin,
+    regardless of size estimates."""
+    from eventstreams_spark.catalog import load_table
+    from eventstreams_spark.plans import operator_counts
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    for hint, op in (
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ):
+        df = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        counts = operator_counts(df)
+        assert count_prefix(counts, op) == 1, (hint, counts)
+
+
+def test_kcore_semi_join_shape(spark, sf_dir):
+    """k-core peeling must plan the survivor restriction as semi
+    joins — never an all-pairs or a window over the vertex set."""
+    df = q("kcore_peel_rounds", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    # the only BNLJ nodes are the four 1-row scalar crossJoins
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 4, counts
+
+
 def test_line_dedup_no_joins(spark, sf_dir):
     """Global span keep-first is a window + reassembly aggregation —
     no self-join on the corpus."""
