@@ -23,7 +23,34 @@ its simplicity and because dedup graphs are diameter-bounded.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+
+def interaction_edges(events: DataFrame, *, undirected: bool = False) -> DataFrame:
+    """The user interaction graph shared by the graph-analytics
+    queries (PageRank, triangles, k-core): edge u→v when v's event
+    immediately follows u's within an event_type stream; self-loops
+    dropped, duplicates collapsed.
+
+    ``undirected=True`` returns canonical (a, b) with a < b. ONE
+    definition for all three queries (and one matching CTE prefix on
+    the oracle side, queries/_shared.py) — the graph must mean the
+    same thing everywhere.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    if undirected:
+        return pairs.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    return pairs.distinct()
 
 
 def connected_components(

@@ -43,10 +43,18 @@ def multiline_reassemble(
     if what not in ("previous", "next"):
         raise ValueError(f"what must be 'previous' or 'next', got {what!r}")
     keys = list(group_cols)
+    if not keys:
+        # an unpartitioned window = single-task global sort, the exact
+        # scale-killer this repo bans (VERDICT r01 / SCALE.md §3);
+        # every real line stream has a source key (file, host, pod)
+        raise ValueError(
+            "multiline_reassemble requires group_cols (the per-source key); "
+            "an ungrouped reassembly would single-partition the whole corpus"
+        )
     matched = F.col(line_col).rlike(pattern)
     if negate:
         matched = ~matched
-    w = Window.partitionBy(*keys).orderBy(order_col) if keys else Window.orderBy(order_col)
+    w = Window.partitionBy(*keys).orderBy(order_col)
     if what == "previous":
         # a non-matching line starts a new event
         start = (~matched).cast("int")

@@ -34,14 +34,24 @@ def exact_global_rank(
     rank_col: str = "global_rank",
     n_buckets: int = 32,
     accuracy: int = 10_000,
-) -> DataFrame:
+    with_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Add ``rank_col`` = exact 1-based global rank by ``order_cols``.
 
     ``order_cols[0]`` must be numeric (it feeds the percentile sketch);
     remaining columns are tie-breakers. ``n_buckets`` bounds per-bucket
     sort size — size it ~ shuffle parallelism at scale.
+
+    ``with_total=True`` additionally returns the exact row count (free:
+    it is the sum of the per-bucket counts this construction already
+    collects), saving callers a separate full scan.
+
+    The input is persisted for the duration: the construction reads it
+    three times (percentile sketch, bucket counts, final plan) and the
+    cache turns those into one scan + two cache reads.
     """
     lead = order_cols[0]
+    df = df.persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
     # bounded metadata collect: n_buckets-1 floats (like IVF centroids)
     row = df.agg(F.percentile_approx(lead, qs, accuracy).alias("b")).head()
@@ -72,10 +82,13 @@ def exact_global_rank(
         off_expr = F.element_at(F.create_map(*pairs), F.col("__bucket"))
 
     w = Window.partitionBy("__bucket").orderBy(*order_cols)
-    return (
+    ranked = (
         bucketed.withColumn(rank_col, (off_expr + F.row_number().over(w)).cast("long"))
         .drop("__bucket")
     )
+    if with_total:
+        return ranked, acc
+    return ranked
 
 
 def ntile_from_rank(rank: Column, total: int, k: int) -> Column:

@@ -420,7 +420,7 @@ def _multiline(
     source: str,
     order: str,
     pattern: str,
-    group_by: list[str] | None = None,
+    group_by: list[str],
     negate: bool = False,
     what: str = "previous",
     separator: str = " ",
@@ -428,10 +428,13 @@ def _multiline(
     """Logstash ``multiline`` codec, batch form: lines matching
     ``pattern`` (inverted by ``negate``) are continuations glued onto
     the previous (``what="previous"``) or next (``what="next"``)
-    event. Emits one row per reassembled event (sessionize shape —
-    one shuffle by ``group_by``, never a single-task scan)."""
+    event. ``group_by`` (the per-source key — file, host, pod) is
+    REQUIRED: it is what keeps reassembly a partitioned sessionize
+    (one shuffle) instead of a single-task global sort."""
     if what not in ("previous", "next"):
         raise ValueError(f"multiline: what must be 'previous'/'next', got {what!r}")
+    if not group_by:
+        raise ValueError("multiline: group_by (per-source key) is required")
 
     def t(df: DataFrame) -> DataFrame:
         from .operators.multiline import multiline_reassemble

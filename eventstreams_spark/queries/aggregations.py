@@ -498,8 +498,11 @@ def agg_decile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import exact_global_rank, ntile_from_rank
 
     ev = load_table(spark, sf_dir, "events").select("value", "event_id")
-    total = ev.count()
-    ranked = exact_global_rank(ev, ["value", "event_id"], rank_col="rnk")
+    # total comes free from the construction's bucket counts — no
+    # separate full scan, and the input is cached across its 3 reads
+    ranked, total = exact_global_rank(
+        ev, ["value", "event_id"], rank_col="rnk", with_total=True
+    )
     deciled = ranked.withColumn("decile", ntile_from_rank(F.col("rnk"), total, 10))
     return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

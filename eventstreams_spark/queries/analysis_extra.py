@@ -19,27 +19,16 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.vectors import cosine_similarity, to_double_array
+from ..operators.graph import interaction_edges
 from ..registry import query
+from ._shared import INTERACTION_UND_CTE
 
 
 @query(
     "triangle_count_graph",
     category="B7-graph",
-    oracle="""
-        WITH seq AS (
-            SELECT event_type, user_id,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
-        ), pairs AS (
-            SELECT a.user_id AS src, b.user_id AS dst
-            FROM seq a JOIN seq b
-              ON a.event_type = b.event_type AND b.rn = a.rn + 1
-            WHERE a.user_id <> b.user_id
-        ), und AS (
-            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM pairs
-        ), verts AS (
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, verts AS (
             SELECT count(DISTINCT u) AS n_vertices
             FROM (SELECT a AS u FROM und UNION ALL SELECT b FROM und)
         )
@@ -65,17 +54,7 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so the oracle may use the simpler id order.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-    )
-    und = pairs.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().persist()
+    und = interaction_edges(ev, undirected=True).persist()
 
     deg = (
         und.select(F.col("a").alias("u"))
@@ -116,26 +95,13 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kcore_peel_rounds",
     category="B7-graph",
-    oracle="""
-        WITH seq AS (
-            SELECT event_type, user_id,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
-        ), pairs AS (
-            SELECT a.user_id AS src, b.user_id AS dst
-            FROM seq a JOIN seq b
-              ON a.event_type = b.event_type AND b.rn = a.rn + 1
-            WHERE a.user_id <> b.user_id
-        ), e0 AS (
-            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM pairs
-        ), d0 AS (
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, d0 AS (
             SELECT u, count(*) AS d FROM (
-                SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0) GROUP BY u
+                SELECT a AS u FROM und UNION ALL SELECT b FROM und) GROUP BY u
         ), keep0 AS (SELECT u FROM d0 WHERE d >= 4),
         e1 AS (
-            SELECT a, b FROM e0
+            SELECT a, b FROM und
             WHERE a IN (SELECT u FROM keep0) AND b IN (SELECT u FROM keep0)
         ), d1 AS (
             SELECT u, count(*) AS d FROM (
@@ -170,17 +136,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components' convergence check).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-    )
-    edges = pairs.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().persist()
+    edges = interaction_edges(ev, undirected=True).persist()
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -191,15 +147,17 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     k = 4
+    # persist only the edge frames (reused across rounds and by two
+    # scalar counts each); the keep-sets are one cheap agg to rebuild
     d0 = degrees(edges)
-    keep0 = d0.filter(F.col("d") >= k).select("u").persist()
+    keep0 = d0.filter(F.col("d") >= k).select("u")
     e1 = (
         edges.join(keep0.withColumnRenamed("u", "a"), "a", "left_semi")
         .join(keep0.withColumnRenamed("u", "b"), "b", "left_semi")
         .persist()
     )
     d1 = degrees(e1)
-    keep1 = d1.filter(F.col("d") >= k).select("u").persist()
+    keep1 = d1.filter(F.col("d") >= k).select("u")
     e2 = (
         e1.join(keep1.withColumnRenamed("u", "a"), "a", "left_semi")
         .join(keep1.withColumnRenamed("u", "b"), "b", "left_semi")
@@ -220,8 +178,14 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="L5",
     oracle="""
         WITH chars AS (
-            SELECT doc_id, unnest(string_split(text, '')) AS ch
-            FROM documents
+            -- ch <> '' mirrors the Spark side's trailing-empty filter
+            -- AND drops empty-text docs symmetrically (DuckDB
+            -- string_split('', '') is [''], Spark split('', ...) is
+            -- [''] too — both sides then emit no row for the doc)
+            SELECT doc_id, ch FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents)
+            WHERE ch <> ''
         ), counts AS (
             SELECT doc_id, ch, count(*) AS c
             FROM chars GROUP BY doc_id, ch

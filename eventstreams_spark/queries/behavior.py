@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._shared import INTERACTION_EDGES_CTE
 
 
 @query(
@@ -387,20 +388,8 @@ def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAGERANK_ORACLE = """
-    WITH seq AS (
-        SELECT event_type, user_id,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY ts, event_id) AS rn
-        FROM events
-    ), pairs AS (
-        SELECT a.user_id AS src, b.user_id AS dst
-        FROM seq a JOIN seq b
-          ON a.event_type = b.event_type AND b.rn = a.rn + 1
-        WHERE a.user_id <> b.user_id
-    ), edges AS (
-        SELECT DISTINCT src, dst FROM pairs
-    ), outdeg AS (
+_PAGERANK_ORACLE = f"""
+    WITH {INTERACTION_EDGES_CTE}, outdeg AS (
         SELECT src, count(*) AS od FROM edges GROUP BY src
     ), nodes AS (
         SELECT DISTINCT u
@@ -467,19 +456,12 @@ def pagerank_fixed_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     node count is bounded metadata (one count() scalar), and nothing
     driver-side ever holds a vector.
     """
+    from ..operators.graph import interaction_edges
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-    )
-    edges = pairs.distinct()
     # iterative-algorithm practice: cache the loop-invariant edge set
     # (at cluster scale: checkpoint + pre-partition by src)
-    edges = edges.repartition("src").persist()
+    edges = interaction_edges(ev).repartition("src").persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     nodes = (
         edges.select(F.col("src").alias("u"))

@@ -125,8 +125,8 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampling_gates",
     category="P7",
     oracle="""
-        SELECT TRUE AS fraction_in_band, TRUE AS subset_of_source,
-               TRUE AS seed_repeatable
+        SELECT TRUE AS fraction_in_band, TRUE AS seed_repeatable,
+               TRUE AS seed_sensitive
     """,
 )
 def sampling_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,31 +134,34 @@ def sampling_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable: a seeded 10% sample must (a) land within a
     binomial band around 10% (±4 sigma: n=10000, p=0.1 → ±120 ⇒
     accept 880..1120 per 10k — the unit tests use the same band),
-    (b) be a true subset of the source (anti-join empty), and (c) be
-    identical when re-sampled with the same seed and partitioning.
+    (b) be IDENTICAL when re-sampled with the same seed — checked as
+    the symmetric difference (both anti-join directions), so a
+    superset regression cannot slip through — and (c) actually depend
+    on the seed (a different seed yields a different set; a sampler
+    that ignores its seed fails here, and P(two honest 10% samples of
+    10k rows coincide) is ~0).
 
-    Scale: sampling is a map-side scan filter; all three checks reduce
-    to counts (no data leaves the executors unaggregated).
+    Scale: sampling is a map-side scan filter; all checks reduce to
+    counts (no data leaves the executors unaggregated).
     """
     ev = load_table(spark, sf_dir, "events").select("event_id")
     s1 = ev.sample(fraction=0.1, seed=42)
     s2 = ev.sample(fraction=0.1, seed=42)
+    s3 = ev.sample(fraction=0.1, seed=7)
     n_total = ev.agg(F.count(F.lit(1)).alias("n")).select(F.col("n").alias("n_total"))
     n_s1 = s1.agg(F.count(F.lit(1)).alias("n_s1"))
-    stray = s1.join(ev, "event_id", "left_anti").agg(F.count(F.lit(1)).alias("n_stray"))
-    diff = (
-        s1.join(s2, "event_id", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_diff"))
-    )
+    d12 = s1.join(s2, "event_id", "left_anti").agg(F.count(F.lit(1)).alias("n_d12"))
+    d21 = s2.join(s1, "event_id", "left_anti").agg(F.count(F.lit(1)).alias("n_d21"))
+    d13 = s1.join(s3, "event_id", "left_anti").agg(F.count(F.lit(1)).alias("n_d13"))
     return (
-        n_total.crossJoin(n_s1).crossJoin(stray).crossJoin(diff)
+        n_total.crossJoin(n_s1).crossJoin(d12).crossJoin(d21).crossJoin(d13)
         .select(
             (
                 (F.col("n_s1") >= 0.088 * F.col("n_total"))
                 & (F.col("n_s1") <= 0.112 * F.col("n_total"))
             ).alias("fraction_in_band"),
-            (F.col("n_stray") == 0).alias("subset_of_source"),
-            (F.col("n_diff") == 0).alias("seed_repeatable"),
+            ((F.col("n_d12") == 0) & (F.col("n_d21") == 0)).alias("seed_repeatable"),
+            (F.col("n_d13") > 0).alias("seed_sensitive"),
         )
     )
 

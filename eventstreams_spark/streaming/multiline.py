@@ -72,8 +72,15 @@ def multiline_stream(
             return
         pending = state.get if state.exists else None
         done: list[tuple[int, int, str]] = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(order_col).iterrows():
+        # a key's micro-batch rows can span multiple Arrow chunks (10k
+        # rows/chunk default) arriving in shuffle order — concat FIRST,
+        # then sort once; per-chunk sorting would interleave events
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks).sort_values(order_col) if chunks else pd.DataFrame()
+        )
+        if len(batch):
+            for _, row in batch.iterrows():
                 line = row[line_col]
                 if pending is not None and is_cont(line):
                     pending = (pending[0], pending[1] + 1, pending[2] + sep + line)

@@ -361,5 +361,17 @@ def test_multiline_bad_what_fails_at_compile():
     with pytest.raises(ValueError, match="previous"):
         Pipeline.from_config(
             {"steps": [{"type": "multiline", "source": "l", "order": "o",
-                        "pattern": "^x", "what": "sideways"}]}
+                        "pattern": "^x", "group_by": ["f"], "what": "sideways"}]}
+        )
+    # group_by is required: an ungrouped reassembly would be a
+    # single-task global sort (fails at compile, not mid-job)
+    with pytest.raises(TypeError, match="group_by"):
+        Pipeline.from_config(
+            {"steps": [{"type": "multiline", "source": "l", "order": "o",
+                        "pattern": "^x"}]}
+        )
+    with pytest.raises(ValueError, match="required"):
+        Pipeline.from_config(
+            {"steps": [{"type": "multiline", "source": "l", "order": "o",
+                        "pattern": "^x", "group_by": []}]}
         )

@@ -37,14 +37,11 @@ def canon(v):
     if isinstance(v, (np.floating, np.integer, np.bool_)):
         v = v.item()
     if isinstance(v, float):
-        if v != v:
-            return "NULL"  # NaN == pandas NULL marker
+        # NaN/NaT already returned NULL via pd.isna above
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return "NULL"
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
         v = v.replace(tzinfo=None)
