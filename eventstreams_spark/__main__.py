@@ -68,10 +68,39 @@ def cmd_run(config: dict, await_seconds: int | None) -> None:
     print("done")
 
 
+def cmd_explain(config: dict) -> None:
+    """Compile the pipeline and print its physical plan plus a
+    scale summary (shuffle/scan/Python-eval operator counts) WITHOUT
+    running it — the pre-flight check for 'will this config shuffle
+    my 100 TB corpus more than it must'."""
+    from .pipeline import Pipeline, read_source
+    from .plans import formatted_plan, operator_counts
+    from .session import get_spark
+    from .sources import register_es_bulk, register_generator, register_spool
+
+    spark = get_spark("eventstreams-explain")
+    register_generator(spark)
+    register_spool(spark)
+    register_es_bulk(spark)
+    pipe = Pipeline.from_config(config)
+    df = read_source(spark, config["source"])
+    out = pipe.apply(df)
+    print(formatted_plan(out))
+    counts = operator_counts(out)
+    shuffles = sum(n for op, n in counts.items() if op.startswith("Exchange"))
+    scans = sum(n for op, n in counts.items() if op.startswith("Scan"))
+    python = sum(
+        n
+        for op, n in counts.items()
+        if op.startswith(("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+    )
+    print(f"-- shuffles: {shuffles}  scans: {scans}  python-evals: {python}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="eventstreams_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "validate"):
+    for name in ("run", "validate", "explain"):
         sp = sub.add_parser(name)
         sp.add_argument("config")
         if name == "run":
@@ -87,6 +116,8 @@ def main(argv: list[str] | None = None) -> None:
     config = load_config(args.config)
     if args.cmd == "validate":
         cmd_validate(config)
+    elif args.cmd == "explain":
+        cmd_explain(config)
     else:
         cmd_run(config, args.await_seconds)
 

@@ -69,3 +69,28 @@ def test_cli_json_config_and_validation_errors(tmp_path):
         pass
     else:
         raise AssertionError("unknown step type must fail validation")
+
+
+def test_cli_explain_prints_plan_and_scale_summary(spark, tmp_path, capsys):
+    """`explain` compiles and prints the physical plan + shuffle/scan
+    counts without executing the pipeline (no output files appear)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("10.0.0.9 GET 200\n")
+    out = tmp_path / "out"
+    cfg = {
+        "source": {"format": "text", "path": str(src), "schema": "line string"},
+        "steps": [
+            {"type": "grok", "source": "line",
+             "pattern": "%{IP:client} %{WORD:verb} %{NONNEGINT:status}"},
+            {"type": "filter", "expr": "status <> ''"},
+        ],
+        "sink": {"format": "parquet", "path": str(out)},
+    }
+    cfg_path = tmp_path / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+    main(["explain", str(cfg_path)])
+    printed = capsys.readouterr().out
+    assert "Physical Plan" in printed
+    assert "-- shuffles:" in printed
+    assert not out.exists()  # nothing ran
