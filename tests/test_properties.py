@@ -252,3 +252,72 @@ def test_interval_month_clamp_parity(spark, rows):
         FROM t
         """,
     )
+
+
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.sampled_from(["f1", "f2"]),
+            st.text(alphabet="ab XY", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_multiline_reassembly_partitions_lines(spark, lines):
+    """Invariant: multiline reassembly is a PARTITION of the input —
+    per source, joining the messages back in first_line_no order and
+    re-splitting on the separator reproduces the exact line sequence,
+    and n_lines sums to the line count. Continuation = starts with a
+    lowercase letter."""
+    from eventstreams_spark.operators.multiline import multiline_reassemble
+
+    counters: dict[str, int] = {}
+    rows = []
+    for f, t in lines:
+        counters[f] = counters.get(f, 0) + 1
+        rows.append((f, counters[f], t))
+    df = spark.createDataFrame(rows, "file string, line_no int, line string")
+    out = multiline_reassemble(
+        df, "line", "line_no", pattern="^[a-z]", group_cols=["file"], sep="\x1e"
+    ).collect()
+    by_file: dict[str, list] = {}
+    for r in out:
+        by_file.setdefault(r.file, []).append(r)
+    for f in {r[0] for r in rows}:
+        want = [t for (g, _, t) in rows if g == f]
+        evs = sorted(by_file.get(f, []), key=lambda r: r.first_line_no)
+        got = [piece for r in evs for piece in r.message.split("\x1e")]
+        assert got == want, (f, got, want)
+        assert sum(r.n_lines for r in evs) == len(want)
+        # every event after the first must start with a non-continuation
+        for r in evs:
+            first = r.message.split("\x1e")[0]
+            if r.first_line_no > 1:
+                assert not first[:1].islower(), r
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_exact_global_rank_matches_global_sort(spark, vals):
+    """Invariant: the bucketed exact rank equals the rank a single
+    global sort would assign, for any value distribution (duplicates,
+    skew, all-equal) and any bucket count."""
+    from eventstreams_spark.operators.ranking import exact_global_rank
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        r.id: r.rnk
+        for r in exact_global_rank(df, ["v", "id"], rank_col="rnk", n_buckets=4).collect()
+    }
+    want = {
+        i: rank + 1
+        for rank, (v, i) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert got == want
