@@ -183,6 +183,12 @@ def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: reuses the probe plans unchanged (bucketed candidates,
     bounded broadcasts); the gate is two 1-row frames crossJoined.
+
+    REGEN SENSITIVITY: recall on near-random synthetic embeddings has
+    per-dataset variance (5-neighbor sample, 1 query vector). If the
+    driver regenerates testdata, re-run the sim for this query first
+    and re-measure before trusting the thresholds (round-2 margins:
+    LSH 1.0 vs 0.6 gate, IVF 0.4 vs 0.2 gate).
     """
     from ..registry import REGISTRY
 
