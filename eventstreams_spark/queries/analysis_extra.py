@@ -246,6 +246,144 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_end_to_end",
+    category="L4",
+    oracle="""
+        WITH RECURSIVE cents AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ), sims AS (
+            SELECT e.vec_id, c.cid,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cvec AS DOUBLE[])) AS sim
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id >= 8
+        ), ranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rk
+            FROM sims
+        ), assigned AS (
+            SELECT r.vec_id, r.cid, e.embedding
+            FROM ranked r JOIN embeddings e USING (vec_id) WHERE rk = 1
+        ), dup_pairs AS (
+            SELECT a.cid, a.vec_id AS i, b.vec_id AS j
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        ), edges AS (
+            SELECT i AS src, j AS dst FROM dup_pairs
+            UNION
+            SELECT j, i FROM dup_pairs
+        ), reach AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+        ), cc AS (
+            SELECT node, min(label) AS comp FROM reach GROUP BY node
+        ), removed AS (
+            SELECT a.cid, count(*) AS n_removed
+            FROM cc JOIN assigned a ON cc.node = a.vec_id
+            WHERE cc.node <> cc.comp
+            GROUP BY a.cid
+        ), vec_counts AS (
+            SELECT cid, count(*) AS n_vectors FROM assigned GROUP BY cid
+        ), pair_counts AS (
+            SELECT cid, count(*) AS n_dup_pairs FROM dup_pairs GROUP BY cid
+        )
+        SELECT v.cid AS centroid_id, v.n_vectors,
+               coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+               coalesce(r.n_removed, 0)   AS n_removed
+        FROM vec_counts v
+        LEFT JOIN pair_counts p ON v.cid = p.cid
+        LEFT JOIN removed r     ON v.cid = r.cid
+        ORDER BY centroid_id
+    """,
+)
+def semantic_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, the whole pipeline in one plan (L4 capstone):
+    nearest-centroid assignment buckets the corpus (k=8 broadcast
+    E-step), candidate duplicate pairs form ONLY within a bucket
+    (cosine >= 0.3 over the in-cluster self-join — never an all-pairs
+    over the corpus), connected components glue transitive duplicates,
+    and one canonical vector (min id) survives per component. Reports
+    per-centroid occupancy, duplicate pairs, and removals.
+
+    Scale: the in-bucket self-join is the same bounded construction as
+    LSH-bucket verification — pair work is Σ(bucket²) with buckets
+    sized by k, not corpus; CC is the shared iterative operator
+    (driver sees one scalar per round); the oracle unrolls CC as a
+    recursive CTE. At 100 TB, k grows with the corpus (IVF-style) to
+    hold bucket sizes constant.
+    """
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            cosine_similarity(
+                to_double_array("embedding"), to_double_array("cvec")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "embedding")
+        .persist()
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+    )
+    dup_pairs = (
+        a.join(b, "cid")
+        .filter(F.col("i") < F.col("j"))
+        .filter(
+            cosine_similarity(to_double_array("ea"), to_double_array("eb")) >= 0.3
+        )
+        .select("cid", "i", "j")
+        .persist()
+    )
+    comp = connected_components(dup_pairs.select("i", "j"), src="i", dst="j")
+    removed = (
+        comp.filter(F.col("id") != F.col("component"))
+        .join(assigned.select(F.col("vec_id").alias("id"), "cid"), "id")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    vec_counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    pair_counts = dup_pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    return (
+        vec_counts.join(pair_counts, "cid", "left")
+        .join(removed, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
     "multiline_reassemble_logs",
     category="S-codec",
     oracle="""

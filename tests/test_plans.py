@@ -318,6 +318,21 @@ def test_join_strategy_hints_respected(spark, sf_dir):
         assert count_prefix(counts, op) == 1, (hint, counts)
 
 
+def test_semantic_dedup_end_to_end_bucketed_pairs(spark, sf_dir):
+    """The L4 capstone: duplicate pairs must come only from the
+    in-cluster equi-join (bucketed), never an all-pairs; the only BNLJ
+    is the 8-row centroid broadcast."""
+    df = q("semantic_dedup_end_to_end", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    # the printed tree repeats the persisted `assigned` lineage under
+    # each of the summary branches; every BNLJ in it is the same 8-row
+    # centroid broadcast (once per assigned/dup_pairs reference, ≤6) —
+    # a corpus-level all-pairs would also show as CartesianProduct,
+    # asserted absent above
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 6, counts
+
+
 def test_kcore_semi_join_shape(spark, sf_dir):
     """k-core peeling must plan the survivor restriction as semi
     joins — never an all-pairs or a window over the vertex set."""
