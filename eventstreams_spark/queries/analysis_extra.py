@@ -246,6 +246,70 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_es_topk",
+    category="P7",
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, n_chars,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
+                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
+                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
+                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
+                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
+                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+                  + 0.5) / 4294967296.0 AS u
+            FROM hx
+        )
+        SELECT doc_id, n_chars
+        FROM keyed
+        ORDER BY ln(u) / n_chars DESC, doc_id
+        LIMIT 20
+    """,
+)
+def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    each doc gets key = u^(1/w) (compared as ln(u)/w) with weight w =
+    n_chars and u a DETERMINISTIC uniform minted from md5(doc_id) —
+    the corpus-prep primitive for quality-weighted subset selection
+    that stays reproducible across runs, engines, and partitionings
+    (no RNG state, no randomSplit).
+
+    Cross-engine: the md5-prefix trick from train_test_split_hash,
+    extended to a full uniform — 8 hex digits parsed positionally
+    (Spark locate / DuckDB strpos) into u ∈ (0,1); ln's 1-ULP libm
+    drift only matters if two keys collide within 1e-16 at the k/k+1
+    boundary (~0). Top-k under the (key, doc_id) total order.
+
+    Scale: key is a pure projection; top-k = per-partition heaps +
+    k-row merge (TakeOrderedAndProject) — no shuffle of the corpus,
+    stratified variants partition the window by stratum instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u_int = F.lit(0.0)
+    for i in range(1, 9):
+        digit = F.expr(
+            f"locate(substr(substr(md5(cast(doc_id as string)), 1, 8), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+        u_int = u_int + digit * float(16 ** (8 - i))
+    u = (u_int + 0.5) / float(16**8)
+    keyed = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .select("doc_id", "n_chars")
+        .limit(20)
+    )
+
+
+@query(
     "semantic_dedup_end_to_end",
     category="L4",
     oracle="""
