@@ -16,5 +16,6 @@ from . import (  # noqa: F401
     textqa,
     timeseries,
     tpch_extra,
+    warehouse_extra,
     windows,
 )

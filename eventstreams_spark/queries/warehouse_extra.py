@@ -1,0 +1,188 @@
+"""Warehouse-maintenance and data-cleaning additions (round 2, late):
+SCD Type-2 interval building from a changelog, per-group quantile
+winsorization, and stratified weighted sampling.
+
+Each is a one-shuffle plan over the relevant key; oracles follow the
+conventions in tests/oracle_conventions.md (no raw int sums, rounded
+libm outputs, md5-minted determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "scd2_intervals_from_changelog",
+    category="T11-cdc",
+    oracle="""
+        WITH versions AS (
+            SELECT user_id, event_id, ts AS effective_from, event_type, value,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS effective_to
+            FROM events
+        )
+        SELECT user_id, event_id, effective_from, effective_to,
+               (effective_to IS NULL) AS is_current,
+               event_type, value
+        FROM versions
+    """,
+)
+def scd2_intervals_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension building: turn a keyed changelog into
+    versioned rows with [effective_from, effective_to) validity — each
+    version closes when the key's next change arrives; the open
+    version (effective_to NULL) is the current row. The write-side
+    complement of cdc_latest_by_key: history queries join facts on
+    key AND ts ∈ [from, to) (the range-join family, J8).
+
+    Scale: ONE shuffle by key drives the lead() window; no self-join,
+    no state. At 100 TB the same plan applies incrementally per
+    ingest batch with MERGE (operators/merge.py) closing the previous
+    open versions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        "event_type",
+        "value",
+    ).select(
+        "user_id",
+        "event_id",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "winsorize_by_group",
+    category="A6-clean",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+               round(avg(least(greatest(e.value, c.lo), c.hi)), 6)
+                   AS avg_winsorized,
+               round(min(c.lo), 6) AS p05,
+               round(max(c.hi), 6) AS p95
+        FROM events e JOIN cuts c ON e.event_type = c.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clamp to the [p05, p95] band): the
+    standard outlier-robust cleaning step before training-statistics
+    aggregation. Exact percentiles as the cuts; clamped mean rounded
+    (interpolated quantiles divide, so the last ULP is engine-local).
+
+    Scale: the cuts frame is one row per group — broadcast back onto
+    the fact scan, so the data shuffles once for the final group agg
+    only. At extreme group counts swap percentile() for the mergeable
+    approx_percentile sketch (same plan shape, A6).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("wv"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            ).alias("n_clamped"),
+            F.round(F.avg("wv"), 6).alias("avg_winsorized"),
+            F.round(F.min("lo"), 6).alias("p05"),
+            F.round(F.max("hi"), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "weighted_sample_stratified",
+    category="P7",
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, source, n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
+                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
+                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
+                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
+                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
+                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+                  + 0.5) / 4294967296.0 AS u
+            FROM hx
+        ), ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY ln(u) / n_chars DESC, doc_id)
+                       AS rk
+            FROM keyed
+        )
+        SELECT source, doc_id, n_chars
+        FROM ranked WHERE rk <= 5
+        ORDER BY source, doc_id
+    """,
+)
+def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling: the Efraimidis-Spirakis key from
+    weighted_sample_es_topk, ranked PER SOURCE (5 winners each) — the
+    corpus-mixing primitive 'best-k quality-weighted docs from every
+    source' with zero RNG state.
+
+    Scale: one shuffle by stratum; per-stratum top-k via the
+    WindowGroupLimit pushdown (rows beyond rank 5 never fully sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u_int = F.lit(0.0)
+    for i in range(1, 9):
+        digit = F.expr(
+            f"locate(substr(substr(md5(cast(doc_id as string)), 1, 8), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+        u_int = u_int + digit * float(16 ** (8 - i))
+    u = (u_int + 0.5) / float(16**8)
+    w = Window.partitionBy("source").orderBy(
+        (F.log(u) / F.col("n_chars")).desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
