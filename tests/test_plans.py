@@ -343,6 +343,35 @@ def test_kcore_semi_join_shape(spark, sf_dir):
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 4, counts
 
 
+def test_scd2_single_shuffle_no_join(spark, sf_dir):
+    """SCD2 interval building is one lead() window by key — no
+    self-join, one exchange."""
+    df = q("scd2_intervals_from_changelog", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 1
+    assert count_prefix(counts, "Exchange") == 1, counts
+
+
+def test_winsorize_broadcasts_cuts(spark, sf_dir):
+    """The per-group quantile cuts broadcast back onto the fact scan;
+    the corpus shuffles only for the final group agg."""
+    df = q("winsorize_by_group", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+
+
+def test_stratified_sample_group_limit_pushdown(spark, sf_dir):
+    """Per-stratum top-5 must plan the rank filter as a
+    WindowGroupLimit (partial+final) so rows beyond rank 5 never
+    fully sort."""
+    df = q("weighted_sample_stratified", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "WindowGroupLimit") == 2, counts
+    for op in counts:
+        assert "Join" not in op, counts
+
+
 def test_line_dedup_no_joins(spark, sf_dir):
     """Global span keep-first is a window + reassembly aggregation —
     no self-join on the corpus."""
