@@ -128,6 +128,112 @@ def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_trend_corr",
+    category="T14-anomaly",
+    oracle="""
+        WITH scored AS (
+            SELECT event_id, event_type, ts, value,
+                   corr(value, epoch(ts) - 1600000000.0) OVER w AS c,
+                   count(*) OVER w AS n_win
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, round(c, 6) AS trend_corr
+        FROM scored
+        WHERE n_win >= 30
+    """,
+)
+def rolling_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling value-vs-time correlation per series (trend detector):
+    corr(value, epoch_seconds) over the trailing 100 observations —
+    near +1/-1 flags a sustained drift, near 0 noise; the windowed
+    companion to the global regression aggregate (A7).
+
+    Same shape and determinism treatment as anomaly_zscore_rolling:
+    one shuffle by series, sorted rolling frame, round(6) to absorb
+    the engines' summation-order ULPs. Warm-up rows withheld.
+
+    Cross-engine numeric care: the time axis must be FRACTIONAL epoch
+    seconds on both sides (Spark unix_timestamp truncates — cast the
+    timestamp to double instead; DuckDB epoch() keeps microseconds),
+    shifted by a common base so the co-moment recursion isn't
+    conditioned on 1e9-magnitude offsets (corr is shift-invariant in
+    exact math, not in floating point).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    t = F.col("ts").cast("double") - 1_600_000_000.0
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(F.corr(F.col("value"), t).over(w), 6).alias("trend_corr"),
+            F.count(F.lit(1)).over(w).alias("n_win"),
+        )
+        .filter(F.col("n_win") >= 30)
+        .select("event_id", "event_type", "trend_corr")
+    )
+
+
+@query(
+    "benford_digit_profile",
+    category="Q1-dq",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(floor(abs(value) / power(10, floor(log10(abs(value)))))
+                        AS BIGINT) AS d
+            FROM events WHERE abs(value) > 1e-12
+        ), hist AS (
+            SELECT d, count(*) AS n FROM digits GROUP BY d
+        ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist)
+        SELECT d AS digit, n,
+               round(n * 1.0 / total, 6)        AS observed_freq,
+               round(log10(1.0 + 1.0 / d), 6)   AS benford_freq,
+               round(abs(n * 1.0 / total - log10(1.0 + 1.0 / d)), 6) AS abs_dev
+        FROM hist, tot
+        ORDER BY digit
+    """,
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile (Q1 data-quality):
+    fabricated or truncated numeric feeds deviate from the log10(1+1/d)
+    law — the classic fraud/corruption smoke test for a metrics column.
+
+    Scale: digit extraction is a pure projection; the histogram is a
+    9-row aggregate (map-side combinable), the total a broadcast
+    scalar. round(6) on every libm-derived output, per conventions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    absv = F.abs(F.col("value"))
+    digit = F.floor(absv / F.pow(F.lit(10.0), F.floor(F.log10(absv)))).cast("long")
+    hist = (
+        ev.filter(absv > 1e-12)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = hist.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n") / F.col("total")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
     "weighted_sample_stratified",
     category="P7",
     oracle="""
