@@ -128,6 +128,96 @@ def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_two_level_skew_safe",
+    category="W8",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts)  AS session_start,
+               max(ts)  AS session_end
+        FROM sessioned
+        GROUP BY user_id, session_id
+    """,
+)
+def sessionize_two_level_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sessionization — the HOT-KEY-SAFE form of W8, proven
+    equal to the plain global window: the oracle here is byte-for-byte
+    the one sessionize_gap30m_batch uses, so the driver hash certifies
+    that bucketing + stitching reproduces single-window semantics
+    exactly.
+
+    Level 1 partitions the lag/running-sum window by (user, DAY), so a
+    bot user with 10^8 events splits across days instead of
+    serializing one task (the mitigation SCALE.md §3 documents).
+    Level 2 stitches at bucket boundaries: per-bucket mini-session
+    summaries (a frame ~sessions, not events) re-run the same gap
+    logic on (prev bucket's end → this bucket's start); chains across
+    many midnights merge through the running sum naturally. Session
+    NUMBERING matches the global form because sessions are disjoint
+    and the stitch orders by session start.
+
+    Scale: the event-level shuffle is by (user, day) — finer, skew-
+    resistant; the stitch shuffle moves only mini-session summaries.
+    At even hotter keys, level 1 drops to (user, hour).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    day = F.to_date("ts")
+    w1 = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_local",
+        F.when(
+            F.lag("ts").over(w1).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w1)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn("day", day)
+    local = flagged.withColumn(
+        "local_sess",
+        F.sum("new_local").over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    mini = local.groupBy("user_id", "day", "local_sess").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("mstart"),
+        F.max("ts").alias("mend"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("mstart", "mend")
+    stitched = mini.withColumn(
+        "new_global",
+        F.when(
+            F.lag("mend").over(w2).isNull()
+            | (F.unix_micros("mstart") - F.unix_micros(F.lag("mend").over(w2)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_global").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return stitched.groupBy("user_id", "session_id").agg(
+        F.sum("n").alias("n_events"),
+        F.min("mstart").alias("session_start"),
+        F.max("mend").alias("session_end"),
+    )
+
+
+@query(
     "rolling_trend_corr",
     category="T14-anomaly",
     oracle="""

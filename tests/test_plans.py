@@ -343,6 +343,18 @@ def test_kcore_semi_join_shape(spark, sf_dir):
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 4, counts
 
 
+def test_two_level_sessionize_shape(spark, sf_dir):
+    """Skew-safe sessionize: two window stages — event-level windows
+    partitioned by (user, day), stitch windows over the summary frame
+    — and never an unpartitioned window."""
+    df = q("sessionize_two_level_skew_safe", spark, sf_dir)
+    assert_no_operator(df, "SinglePartition")
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 2, counts
+    for op in counts:
+        assert "Join" not in op, counts
+
+
 def test_scd2_single_shuffle_no_join(spark, sf_dir):
     """SCD2 interval building is one lead() window by key — no
     self-join, one exchange."""
