@@ -350,7 +350,10 @@ def test_two_level_sessionize_shape(spark, sf_dir):
     df = q("sessionize_two_level_skew_safe", spark, sf_dir)
     assert_no_operator(df, "SinglePartition")
     counts = operator_counts(df)
-    assert counts.get("Window", 0) == 2, counts
+    # 2 Window operators per level (lag flag and running sum carry
+    # different frames, so Catalyst plans them as separate nodes over
+    # the SAME exchange) — the partitioning is what matters
+    assert counts.get("Window", 0) == 4, counts
     for op in counts:
         assert "Join" not in op, counts
 
