@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     core,
     extras,
     gates,
+    ir_extra,
     joins,
     llm,
     longtail,

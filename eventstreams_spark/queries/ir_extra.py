@@ -1,0 +1,142 @@
+"""Information-retrieval primitives over the document corpus (L5
+extensions, round-2 late): inverted-index construction and PMI
+collocation mining.
+
+Both are explode → keyed-aggregate plans (the scale-safe text shapes:
+work linear in corpus tokens, shuffles keyed by token/bigram, never a
+doc×doc or token×token product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "inverted_index_postings",
+    category="L5-ir",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), grouped AS (
+            SELECT tok, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM toks GROUP BY tok
+        )
+        SELECT tok, df, postings
+        FROM grouped
+        WHERE df >= 50
+        ORDER BY tok
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (token → sorted posting list of
+    doc ids): the IR backbone for boolean/phrase retrieval and for
+    contamination lookups; emitted here for the hot vocabulary
+    (document frequency >= 50) with postings serialized to one string
+    (oracle-conventions: no LIST result columns).
+
+    Scale: doc-distinct (token, doc) pairs → ONE shuffle by token;
+    posting lists are per-token ordered aggregations. At 100 TB,
+    postings for stop-word-class tokens are the skew — cap df (as
+    here), delta-encode ids, and bucket the index table by token so
+    retrieval joins are shuffle-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    parts = F.array_sort(F.collect_list("doc_id"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.transform(parts, lambda x: x.cast("string")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 50)
+        .orderBy("tok")
+    )
+
+
+@query(
+    "collocation_pmi_bigrams",
+    category="L5-ir",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                       AS pos
+            FROM documents
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        bi AS (
+            SELECT a.tok AS x, b.tok AS y, count(*) AS cxy
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.tok, b.tok
+        ), n_bi AS (SELECT CAST(sum(cxy) AS BIGINT) AS m FROM bi)
+        SELECT x, y, cxy,
+               round(ln((cxy * 1.0 / m) /
+                        ((cx.c * 1.0 / n) * (cy.c * 1.0 / n))), 6) AS pmi
+        FROM bi
+        JOIN uni cx ON bi.x = cx.tok
+        JOIN uni cy ON bi.y = cy.tok
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        ORDER BY cxy DESC, x, y
+        LIMIT 20
+    """,
+)
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: pointwise mutual information of the 20
+    most frequent CONSECUTIVE token bigrams — high PMI = tokens that
+    co-occur far above chance (multi-word expressions, boilerplate
+    signatures worth deduping on).
+
+    Scale: bigrams come from per-doc position adjacency (lead over a
+    doc-partitioned window in Spark; the explicit pos+1 self-join in
+    the oracle) — NEVER all token pairs; unigram/bigram totals are two
+    broadcast scalars; PMI's ln rounds to 6 per conventions. Top-20
+    under the exact-integer (count, x, y) total order.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("y", F.lead("tok").over(w))
+        .filter(F.col("y").isNotNull())
+        .groupBy(F.col("tok").alias("x"), "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n"))
+    n_bi = bi.agg(F.sum("cxy").cast("long").alias("m"))
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    pmi = (
+        (F.col("cxy") / F.col("m"))
+        / ((F.col("cx") / F.col("n")) * (F.col("cy") / F.col("n")))
+    )
+    return (
+        bi.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("x", "y", "cxy", F.round(F.log(pmi), 6).alias("pmi"))
+        .orderBy(F.col("cxy").desc(), "x", "y")
+        .limit(20)
+    )
