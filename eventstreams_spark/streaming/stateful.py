@@ -94,3 +94,64 @@ def accumulate_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def throttle_stream_periodic(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    limit: int,
+    period_seconds: int = 3600,
+) -> DataFrame:
+    """At most ``limit`` events per key per event-time bucket of
+    ``period_seconds`` — the full Logstash ``throttle`` semantic
+    (the lifetime variant above is its period=∞ special case).
+
+    State per key is (bucket_start_epoch, admitted) — two longs, O(1)
+    regardless of stream length: entering a new bucket resets the
+    counter, so state never grows and no timeout eviction is needed
+    for correctness (add one to GC idle keys in production).
+
+    Output: input rows that were admitted, plus ``bucket_start``
+    (epoch seconds) and ``n_admitted`` (1-based within the bucket).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("bucket_start", LongType()), StructField("n_admitted", LongType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bucket, admitted = state.get if state.exists else (-1, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((bucket, admitted))
+            return
+        batch = pd.concat(chunks).sort_values(ts_col)
+        out_rows = []
+        for _, row in batch.iterrows():
+            epoch = int(row[ts_col].timestamp())
+            b = (epoch // period_seconds) * period_seconds
+            if b != bucket:
+                bucket, admitted = b, 0
+            if admitted < limit:
+                admitted += 1
+                r = row.copy()
+                r["bucket_start"] = b
+                r["n_admitted"] = admitted
+                out_rows.append(r)
+        state.update((bucket, admitted))
+        if out_rows:
+            yield pd.DataFrame(out_rows)[out_cols]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="bucket long, admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

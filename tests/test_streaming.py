@@ -620,3 +620,38 @@ def test_multiline_stream_reassembles_across_batches(spark, tmp_path):
     # the trailing open events (app line 5, web line 1) are NOT emitted
     assert ("app", 5) not in got and ("web", 1) not in got
     assert len(got) == 2
+
+
+def test_throttle_periodic_resets_per_bucket_across_batches(spark, tmp_path):
+    """T7 full semantic: at most 2 events per key per hour bucket,
+    counter carried across micro-batches WITHIN a bucket and reset on
+    bucket change — 3 events in hour A (one in batch 2) admit 2; the
+    hour-B event admits again."""
+    from eventstreams_spark.streaming.stateful import throttle_stream_periodic
+
+    rows = [
+        ("a", "2024-01-01 10:00:00"),
+        ("a", "2024-01-01 10:05:00"),
+        # --- batch boundary (chunks=2, ordered by ts) ---
+        ("a", "2024-01-01 10:10:00"),   # same bucket, over limit -> dropped
+        ("a", "2024-01-01 11:00:00"),   # new bucket -> admitted
+        ("b", "2024-01-01 11:30:00"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string")
+        .select("k", F.to_timestamp("ts_s").alias("ts"))
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = throttle_stream_periodic(stream, "k", "ts", limit=2, period_seconds=3600)
+    run_to_memory(out, "t_thr_p", output_mode="append")
+    got = spark.sql(
+        "SELECT k, bucket_start, count(*) AS n, max(n_admitted) AS mx"
+        " FROM t_thr_p GROUP BY k, bucket_start ORDER BY k, bucket_start"
+    ).collect()
+    by = {(r.k, r.bucket_start): (r.n, r.mx) for r in got}
+    h10 = int(__import__("datetime").datetime(2024, 1, 1, 10).timestamp())
+    h11 = int(__import__("datetime").datetime(2024, 1, 1, 11).timestamp())
+    assert by[("a", h10)] == (2, 2), by
+    assert by[("a", h11)] == (1, 1), by
+    assert by[("b", h11)] == (1, 1), by
+    assert sum(n for n, _ in by.values()) == 4
