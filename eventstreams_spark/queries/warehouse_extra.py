@@ -271,6 +271,53 @@ def rolling_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orderby_nulls_ordering",
+    category="O1-nulls",
+    oracle="""
+        WITH nv AS (
+            SELECT event_id,
+                   CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 10
+                        THEN NULL
+                        ELSE CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+            FROM events
+        )
+        SELECT event_id, k,
+               row_number() OVER (ORDER BY k ASC  NULLS LAST,  event_id) AS rn_last,
+               row_number() OVER (ORDER BY k DESC NULLS FIRST, event_id) AS rn_first
+        FROM nv
+        WHERE event_id < 500
+    """,
+)
+def orderby_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering semantics pin (O1): Spark defaults to NULLS FIRST
+    on ASC where DuckDB (and the SQL standard's common reading)
+    defaults to NULLS LAST — silent rank/topk divergence for any user
+    porting ORDER BY over a nullable key. Both directions are pinned
+    EXPLICITLY (asc_nulls_last / desc_nulls_first), which is the
+    engine's documented contract: always spell null placement in a
+    user-facing sort.
+
+    Scale: the ranking windows here are unpartitioned only because the
+    frame is pre-filtered to a bounded slice (<500 ids); the pin is
+    about ordering semantics, not the window plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k_raw = F.get_json_object("props", "$.k").cast("int")
+    nv = ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.when(k_raw < 10, F.lit(None).cast("int")).otherwise(k_raw).alias("k"),
+    )
+    w_last = Window.orderBy(F.col("k").asc_nulls_last(), F.col("event_id"))
+    w_first = Window.orderBy(F.col("k").desc_nulls_first(), F.col("event_id"))
+    return nv.select(
+        "event_id",
+        "k",
+        F.row_number().over(w_last).alias("rn_last"),
+        F.row_number().over(w_first).alias("rn_first"),
+    )
+
+
+@query(
     "benford_digit_profile",
     category="Q1-dq",
     oracle="""
