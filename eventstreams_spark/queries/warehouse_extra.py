@@ -318,6 +318,60 @@ def orderby_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "groupby_null_key_semantics",
+    category="A1-nulls",
+    oracle="""
+        WITH nv AS (
+            SELECT CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 10
+                        THEN NULL
+                        ELSE CAST(json_extract(props, '$.k') AS INTEGER) END AS k,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN NULL ELSE event_type END AS et,
+                   value
+            FROM events
+        )
+        SELECT k, et,
+               count(*)       AS n_rows,
+               count(value)   AS n_value,
+               CAST(count(k) AS BIGINT) AS n_k_nonnull
+        FROM nv
+        GROUP BY k, et
+        ORDER BY k NULLS LAST, et NULLS LAST
+    """,
+)
+def groupby_null_key_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL grouping-key semantics pin (A1): both engines place all
+    NULL keys in ONE group (SQL's 'not distinct' grouping rule) —
+    including the (NULL, NULL) composite — and count(col) skips NULLs
+    while count(*) does not. Ports from systems where NULL != NULL in
+    GROUP BY (or where NULL groups are dropped) silently lose rows
+    without this pin.
+
+    Scale: ordinary two-phase hash aggregate; NULL keys hash to one
+    partition — at extreme NULL fractions treat NULL as a hot key
+    (filter-and-union or salt), same rule as any skewed value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k_raw = F.get_json_object("props", "$.k").cast("int")
+    nv = ev.select(
+        F.when(k_raw < 10, F.lit(None).cast("int")).otherwise(k_raw).alias("k"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        "value",
+    )
+    return (
+        nv.groupBy("k", "et")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_value"),
+            F.count("k").alias("n_k_nonnull"),
+        )
+        .orderBy(F.col("k").asc_nulls_last(), F.col("et").asc_nulls_last())
+    )
+
+
+@query(
     "benford_digit_profile",
     category="Q1-dq",
     oracle="""
