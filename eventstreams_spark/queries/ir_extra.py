@@ -68,6 +68,62 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_blocked_typo_pairs",
+    category="L5-fuzzy",
+    oracle="""
+        WITH v AS (SELECT DISTINCT c_name FROM customer)
+        SELECT a.c_name AS name1, b.c_name AS name2
+        FROM v a JOIN v b ON a.c_name < b.c_name
+        WHERE length(a.c_name) = length(b.c_name)
+          AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def fuzzy_blocked_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join, BLOCKED (the scale path that
+    fuzzy_match_levenshtein's docstring promises): single-substitution
+    pairs (same length, edit distance 1) found via pigeonhole
+    blocking — split each name into halves; a distance-1 pair agrees
+    exactly on the left half OR the right half, so candidates come
+    only from two equi-join key families, never the V×V product. The
+    ORACLE is the brute-force quadratic join: the driver hash is a
+    per-run certificate that blocking lost zero pairs.
+
+    Scale: candidate volume is Σ(block²) with blocks keyed by
+    (len, side, half-string) — vocabulary-sized shuffles; generalizes
+    to edit distance k by splitting into k+1 parts (pigeonhole). The
+    in-block verifier is the exact levenshtein.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    names = c.select(F.col("c_name").alias("name")).distinct()
+    ln = F.length("name")
+    half = F.floor(ln / 2).cast("int")
+    keyed = names.select(
+        "name",
+        ln.alias("klen"),
+        half.alias("h"),
+    )
+    left = keyed.select(
+        "name", "klen", F.lit("L").alias("side"), F.expr("substr(name, 1, h)").alias("kval")
+    )
+    right = keyed.select(
+        "name",
+        "klen",
+        F.lit("R").alias("side"),
+        F.expr("substr(name, h + 1)").alias("kval"),
+    )
+    keys = left.unionByName(right)
+    a = keys.select("klen", "side", "kval", F.col("name").alias("name1"))
+    b = keys.select("klen", "side", "kval", F.col("name").alias("name2"))
+    cand = (
+        a.join(b, ["klen", "side", "kval"])
+        .filter(F.col("name1") < F.col("name2"))
+        .select("name1", "name2")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name1", "name2") == 1)
+
+
+@query(
     "collocation_pmi_bigrams",
     category="L5-ir",
     oracle="""

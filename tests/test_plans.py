@@ -358,6 +358,14 @@ def test_two_level_sessionize_shape(spark, sf_dir):
         assert "Join" not in op, counts
 
 
+def test_fuzzy_blocked_no_cartesian(spark, sf_dir):
+    """The blocked fuzzy join must candidate-generate via the
+    (len, side, half) equi-join — never the V×V product the brute
+    force oracle uses."""
+    df = q("fuzzy_blocked_typo_pairs", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
 def test_scd2_single_shuffle_no_join(spark, sf_dir):
     """SCD2 interval building is one lead() window by key — no
     self-join, one exchange."""
