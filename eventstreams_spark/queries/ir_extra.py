@@ -79,46 +79,51 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_blocked_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution fuzzy join, BLOCKED (the scale path that
-    fuzzy_match_levenshtein's docstring promises): single-substitution
-    pairs (same length, edit distance 1) found via pigeonhole
-    blocking — split each name into halves; a distance-1 pair agrees
-    exactly on the left half OR the right half, so candidates come
-    only from two equi-join key families, never the V×V product. The
-    ORACLE is the brute-force quadratic join: the driver hash is a
-    per-run certificate that blocking lost zero pairs.
+    """Entity-resolution fuzzy join via a MASK INDEX (SymSpell-style
+    deletion neighborhood): single-substitution pairs (same length,
+    edit distance 1) share exactly one masked variant (the string with
+    the differing position replaced by a sentinel), so each name emits
+    len(name) masks and candidates come from an equi-join on the mask
+    — candidate volume ≈ true-pair volume, NEVER block².
 
-    Scale: candidate volume is Σ(block²) with blocks keyed by
-    (len, side, half-string) — vocabulary-sized shuffles; generalizes
-    to edit distance k by splitting into k+1 parts (pigeonhole). The
-    in-block verifier is the exact levenshtein.
+    Chosen over half/pigeonhole blocking after MEASURING the latter
+    degenerate on low-entropy prefixes: customer names share a long
+    constant prefix, so the 'first half' block collapsed to one
+    V-sized bucket and the join went quadratic (341 s at sf0.1 vs
+    ~2 s for this form — the bench_families run that caught it). The
+    mask index has no such data dependence: only genuine pairs (plus
+    exact duplicates) ever collide.
+
+    The ORACLE is the brute-force quadratic join — the driver hash is
+    a per-run certificate that the index loses zero pairs.
+
+    Scale: O(n·len) mask rows, one shuffle by mask; generalizes to
+    edit distance k with k-position masks (C(len,k) per string) or
+    true SymSpell deletes. The in-block verifier is exact
+    levenshtein.
     """
     c = load_table(spark, sf_dir, "customer")
     names = c.select(F.col("c_name").alias("name")).distinct()
-    ln = F.length("name")
-    half = F.floor(ln / 2).cast("int")
-    keyed = names.select(
+    masks = names.select(
         "name",
-        ln.alias("klen"),
-        half.alias("h"),
-    )
-    left = keyed.select(
-        "name", "klen", F.lit("L").alias("side"), F.expr("substr(name, 1, h)").alias("kval")
-    )
-    right = keyed.select(
+        F.length("name").alias("klen"),
+        F.posexplode(F.split("name", "(?!^)")).alias("i", "_ch"),
+    ).select(
         "name",
         "klen",
-        F.lit("R").alias("side"),
-        F.expr("substr(name, h + 1)").alias("kval"),
+        F.col("i").alias("pos"),
+        F.concat(
+            F.expr("substr(name, 1, i)"),
+            F.lit("*"),
+            F.expr("substr(name, i + 2)"),
+        ).alias("mask"),
     )
-    keys = left.unionByName(right)
-    a = keys.select("klen", "side", "kval", F.col("name").alias("name1"))
-    b = keys.select("klen", "side", "kval", F.col("name").alias("name2"))
+    a = masks.select("klen", "pos", "mask", F.col("name").alias("name1"))
+    b = masks.select("klen", "pos", "mask", F.col("name").alias("name2"))
     cand = (
-        a.join(b, ["klen", "side", "kval"])
+        a.join(b, ["klen", "pos", "mask"])
         .filter(F.col("name1") < F.col("name2"))
         .select("name1", "name2")
-        .distinct()
     )
     return cand.filter(F.levenshtein("name1", "name2") == 1)
 
