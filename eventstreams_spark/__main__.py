@@ -50,18 +50,27 @@ def cmd_validate(config: dict) -> None:
     print("config OK:", len(config.get("steps", [])), "steps")
 
 
-def cmd_run(config: dict, await_seconds: int | None) -> None:
-    from .pipeline import Pipeline, read_source, write_sink
+def _compile(config: dict, app_name: str):
+    """Shared session + source + pipeline compilation for run/explain —
+    ONE code path so `explain` always predicts exactly what `run`
+    executes (new source registrations land in both automatically)."""
+    from .pipeline import Pipeline, read_source
     from .session import get_spark
     from .sources import register_es_bulk, register_generator, register_spool
 
-    spark = get_spark("eventstreams-pipeline")
+    spark = get_spark(app_name)
     register_generator(spark)
     register_spool(spark)
     register_es_bulk(spark)
     pipe = Pipeline.from_config(config)
     df = read_source(spark, config["source"])
-    out = pipe.apply(df)
+    return spark, pipe.apply(df)
+
+
+def cmd_run(config: dict, await_seconds: int | None) -> None:
+    from .pipeline import write_sink
+
+    _, out = _compile(config, "eventstreams-pipeline")
     q = write_sink(out, config["sink"])
     if q is not None:  # streaming query
         q.awaitTermination(await_seconds) if await_seconds else q.awaitTermination()
@@ -73,18 +82,9 @@ def cmd_explain(config: dict) -> None:
     scale summary (shuffle/scan/Python-eval operator counts) WITHOUT
     running it — the pre-flight check for 'will this config shuffle
     my 100 TB corpus more than it must'."""
-    from .pipeline import Pipeline, read_source
     from .plans import formatted_plan, operator_counts
-    from .session import get_spark
-    from .sources import register_es_bulk, register_generator, register_spool
 
-    spark = get_spark("eventstreams-explain")
-    register_generator(spark)
-    register_spool(spark)
-    register_es_bulk(spark)
-    pipe = Pipeline.from_config(config)
-    df = read_source(spark, config["source"])
-    out = pipe.apply(df)
+    _, out = _compile(config, "eventstreams-explain")
     print(formatted_plan(out))
     counts = operator_counts(out)
     shuffles = sum(n for op, n in counts.items() if op.startswith("Exchange"))

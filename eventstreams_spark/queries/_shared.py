@@ -34,3 +34,17 @@ INTERACTION_UND_CTE = (
         FROM pairs
     )"""
 )
+
+
+def md5_uniform_sql(expr: str) -> str:
+    """DuckDB expression: deterministic uniform in (0,1) minted from
+    the first 8 hex digits of md5(expr), parsed positionally.
+    EXACT twin of functions/sampling.py::md5_uniform — change both
+    together (the Efraimidis-Spirakis sampling queries hash against
+    it)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        f" * {float(16 ** (8 - i))}"
+        for i in range(1, 9)
+    )
+    return f"(({terms} + 0.5) / 4294967296.0)"

@@ -21,7 +21,11 @@ from ..catalog import load_table
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..operators.graph import interaction_edges
 from ..registry import query
-from ._shared import INTERACTION_UND_CTE
+from ._shared import INTERACTION_UND_CTE, md5_uniform_sql
+
+# shared uniform over documents (ES weighted samplers, here and in
+# warehouse_extra's stratified variant)
+MD5_UNIFORM_DOC = md5_uniform_sql("CAST(doc_id AS VARCHAR)")
 
 
 @query(
@@ -248,23 +252,11 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "weighted_sample_es_topk",
     category="P7",
-    oracle="""
-        WITH hx AS (
+    oracle=f"""
+        WITH keyed AS (
             SELECT doc_id, n_chars,
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                   {MD5_UNIFORM_DOC} AS u
             FROM documents
-        ), keyed AS (
-            SELECT doc_id, n_chars,
-                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
-                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
-                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
-                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
-                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
-                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
-                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
-                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
-                  + 0.5) / 4294967296.0 AS u
-            FROM hx
         )
         SELECT doc_id, n_chars
         FROM keyed
@@ -290,15 +282,10 @@ def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row merge (TakeOrderedAndProject) — no shuffle of the corpus,
     stratified variants partition the window by stratum instead.
     """
+    from ..functions.sampling import md5_uniform
+
     docs = load_table(spark, sf_dir, "documents")
-    u_int = F.lit(0.0)
-    for i in range(1, 9):
-        digit = F.expr(
-            f"locate(substr(substr(md5(cast(doc_id as string)), 1, 8), {i}, 1),"
-            f" '0123456789abcdef') - 1"
-        )
-        u_int = u_int + digit * float(16 ** (8 - i))
-    u = (u_int + 0.5) / float(16**8)
+    u = md5_uniform("cast(doc_id as string)")
     keyed = docs.select(
         "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
     )

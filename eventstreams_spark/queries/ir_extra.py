@@ -104,18 +104,20 @@ def fuzzy_blocked_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     names = c.select(F.col("c_name").alias("name")).distinct()
+    # positions from sequence(), not a char split: split("(?!^)") adds
+    # a trailing '' element that would ship one phantom mask per name
     masks = names.select(
         "name",
         F.length("name").alias("klen"),
-        F.posexplode(F.split("name", "(?!^)")).alias("i", "_ch"),
+        F.explode(F.sequence(F.lit(1), F.length("name"))).alias("pos"),
     ).select(
         "name",
         "klen",
-        F.col("i").alias("pos"),
+        "pos",
         F.concat(
-            F.expr("substr(name, 1, i)"),
+            F.expr("substr(name, 1, pos - 1)"),
             F.lit("*"),
-            F.expr("substr(name, i + 2)"),
+            F.expr("substr(name, pos + 1)"),
         ).alias("mask"),
     )
     a = masks.select("klen", "pos", "mask", F.col("name").alias("name1"))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from .analysis_extra import MD5_UNIFORM_DOC
 
 
 @query(
@@ -223,33 +224,41 @@ def sessionize_two_level_skew_safe(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
         WITH scored AS (
             SELECT event_id, event_type, ts, value,
-                   corr(value, epoch(ts) - 1600000000.0) OVER w AS c,
+                   covar_pop(value, (epoch(ts) - 1600000000.0) / 86400.0)
+                       OVER w AS c,
                    count(*) OVER w AS n_win
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                          ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
         )
-        SELECT event_id, event_type, round(c, 6) AS trend_corr
+        SELECT event_id, event_type, round(c, 4) AS trend_cov
         FROM scored
         WHERE n_win >= 30
     """,
 )
 def rolling_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling value-vs-time correlation per series (trend detector):
-    corr(value, epoch_seconds) over the trailing 100 observations —
-    near +1/-1 flags a sustained drift, near 0 noise; the windowed
+    """Rolling value-vs-time POPULATION covariance per series (trend
+    detector): sign and magnitude of covar_pop(value, days) over the
+    trailing 100 observations flag sustained drift; the windowed
     companion to the global regression aggregate (A7).
 
+    covar_pop rather than corr deliberately: corr divides by the
+    window stddevs, and a zero-variance window (quantized values or
+    repeated timestamps) makes Spark throw DIVIDE_BY_ZERO under the
+    default ANSI mode while DuckDB yields NULL — a data-dependent
+    crash lying in wait for a testdata regen. covar_pop divides only
+    by n (never 0 on a non-empty frame) on both engines.
+
     Same shape and determinism treatment as anomaly_zscore_rolling:
-    one shuffle by series, sorted rolling frame, round(6) to absorb
+    one shuffle by series, sorted rolling frame, rounding to absorb
     the engines' summation-order ULPs. Warm-up rows withheld.
 
     Cross-engine numeric care: the time axis must be FRACTIONAL epoch
     seconds on both sides (Spark unix_timestamp truncates — cast the
     timestamp to double instead; DuckDB epoch() keeps microseconds),
-    shifted by a common base so the co-moment recursion isn't
-    conditioned on 1e9-magnitude offsets (corr is shift-invariant in
-    exact math, not in floating point).
+    shifted by a common base and rescaled to days so the co-moment
+    recursion isn't conditioned on 1e9-magnitude offsets (covariance
+    is shift-invariant in exact math, not in floating point).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -257,16 +266,16 @@ def rolling_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-99, Window.currentRow)
     )
-    t = F.col("ts").cast("double") - 1_600_000_000.0
+    t = (F.col("ts").cast("double") - 1_600_000_000.0) / 86_400.0
     return (
         ev.select(
             "event_id",
             "event_type",
-            F.round(F.corr(F.col("value"), t).over(w), 6).alias("trend_corr"),
+            F.round(F.covar_pop(F.col("value"), t).over(w), 4).alias("trend_cov"),
             F.count(F.lit(1)).over(w).alias("n_win"),
         )
         .filter(F.col("n_win") >= 30)
-        .select("event_id", "event_type", "trend_corr")
+        .select("event_id", "event_type", "trend_cov")
     )
 
 
@@ -376,8 +385,13 @@ def groupby_null_key_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="Q1-dq",
     oracle="""
         WITH digits AS (
-            SELECT CAST(floor(abs(value) / power(10, floor(log10(abs(value)))))
-                        AS BIGINT) AS d
+            -- clamp into [1,9]: at exact power-of-ten boundaries a
+            -- 1-ULP log10 disagreement could yield 0 or 10 (and 1/0
+            -- throws under Spark ANSI); the clamp keeps both engines
+            -- total and identical except on measure-zero inputs
+            SELECT least(greatest(
+                       CAST(floor(abs(value) / power(10, floor(log10(abs(value)))))
+                            AS BIGINT), 1), 9) AS d
             FROM events WHERE abs(value) > 1e-12
         ), hist AS (
             SELECT d, count(*) AS n FROM digits GROUP BY d
@@ -401,7 +415,15 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     absv = F.abs(F.col("value"))
-    digit = F.floor(absv / F.pow(F.lit(10.0), F.floor(F.log10(absv)))).cast("long")
+    # clamped into [1,9] — see the oracle comment (ANSI 1/0 guard +
+    # power-of-ten boundary symmetry)
+    digit = F.least(
+        F.greatest(
+            F.floor(absv / F.pow(F.lit(10.0), F.floor(F.log10(absv)))).cast("long"),
+            F.lit(1),
+        ),
+        F.lit(9),
+    )
     hist = (
         ev.filter(absv > 1e-12)
         .select(digit.alias("digit"))
@@ -427,23 +449,11 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "weighted_sample_stratified",
     category="P7",
-    oracle="""
-        WITH hx AS (
+    oracle=f"""
+        WITH keyed AS (
             SELECT doc_id, source, n_chars,
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                   {MD5_UNIFORM_DOC} AS u
             FROM documents
-        ), keyed AS (
-            SELECT doc_id, source, n_chars,
-                   ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
-                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0
-                  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0
-                  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0
-                  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0
-                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0
-                  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0
-                  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
-                  + 0.5) / 4294967296.0 AS u
-            FROM hx
         ), ranked AS (
             SELECT doc_id, source, n_chars,
                    row_number() OVER (PARTITION BY source
@@ -465,15 +475,10 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle by stratum; per-stratum top-k via the
     WindowGroupLimit pushdown (rows beyond rank 5 never fully sort).
     """
+    from ..functions.sampling import md5_uniform
+
     docs = load_table(spark, sf_dir, "documents")
-    u_int = F.lit(0.0)
-    for i in range(1, 9):
-        digit = F.expr(
-            f"locate(substr(substr(md5(cast(doc_id as string)), 1, 8), {i}, 1),"
-            f" '0123456789abcdef') - 1"
-        )
-        u_int = u_int + digit * float(16 ** (8 - i))
-    u = (u_int + 0.5) / float(16**8)
+    u = md5_uniform("cast(doc_id as string)")
     w = Window.partitionBy("source").orderBy(
         (F.log(u) / F.col("n_chars")).desc(), F.col("doc_id")
     )

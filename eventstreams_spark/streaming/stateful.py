@@ -108,12 +108,20 @@ def throttle_stream_periodic(
     (the lifetime variant above is its period=∞ special case).
 
     State per key is (bucket_start_epoch, admitted) — two longs, O(1)
-    regardless of stream length: entering a new bucket resets the
-    counter, so state never grows and no timeout eviction is needed
-    for correctness (add one to GC idle keys in production).
+    regardless of stream length: advancing into a LATER bucket resets
+    the counter, so state never grows and no timeout eviction is
+    needed for correctness (add one to GC idle keys in production).
+
+    Late rows (bucket older than the key's current bucket) are
+    DROPPED — re-opening a past bucket would reset its counter and
+    over-admit beyond the limit (the bucket's quota state is gone);
+    this is the same watermark-style discipline every bounded-state
+    operator needs.
 
     Output: input rows that were admitted, plus ``bucket_start``
     (epoch seconds) and ``n_admitted`` (1-based within the bucket).
+    Vectorized: bucket assignment + per-bucket cumcount, no per-row
+    Python loop.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -132,21 +140,25 @@ def throttle_stream_periodic(
             state.update((bucket, admitted))
             return
         batch = pd.concat(chunks).sort_values(ts_col)
-        out_rows = []
-        for _, row in batch.iterrows():
-            epoch = int(row[ts_col].timestamp())
-            b = (epoch // period_seconds) * period_seconds
-            if b != bucket:
-                bucket, admitted = b, 0
-            if admitted < limit:
-                admitted += 1
-                r = row.copy()
-                r["bucket_start"] = b
-                r["n_admitted"] = admitted
-                out_rows.append(r)
+        epochs = (batch[ts_col].astype("int64") // 1_000_000_000).astype("int64")
+        b = (epochs // period_seconds) * period_seconds
+        batch = batch.assign(bucket_start=b)
+        batch = batch[batch["bucket_start"] >= bucket]  # drop late buckets
+        if len(batch):
+            # 1-based admission index within each bucket, continuing the
+            # carried-in count for the bucket the state is already in
+            idx = batch.groupby("bucket_start").cumcount() + 1
+            carry = (batch["bucket_start"] == bucket) * admitted
+            batch = batch.assign(n_admitted=idx + carry)
+            last_b = int(batch["bucket_start"].iloc[-1])
+            admitted_last = int(
+                batch.loc[batch["bucket_start"] == last_b, "n_admitted"].max()
+            )
+            out = batch[batch["n_admitted"] <= limit]
+            bucket, admitted = last_b, min(admitted_last, limit)
+            if len(out):
+                yield out[out_cols]
         state.update((bucket, admitted))
-        if out_rows:
-            yield pd.DataFrame(out_rows)[out_cols]
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn,

@@ -359,8 +359,8 @@ def test_two_level_sessionize_shape(spark, sf_dir):
 
 
 def test_fuzzy_blocked_no_cartesian(spark, sf_dir):
-    """The blocked fuzzy join must candidate-generate via the
-    (len, side, half) equi-join — never the V×V product the brute
+    """The mask-index fuzzy join must candidate-generate via the
+    (klen, pos, mask) equi-join — never the V×V product the brute
     force oracle uses."""
     df = q("fuzzy_blocked_typo_pairs", spark, sf_dir)
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")

@@ -649,9 +649,52 @@ def test_throttle_periodic_resets_per_bucket_across_batches(spark, tmp_path):
         " FROM t_thr_p GROUP BY k, bucket_start ORDER BY k, bucket_start"
     ).collect()
     by = {(r.k, r.bucket_start): (r.n, r.mx) for r in got}
-    h10 = int(__import__("datetime").datetime(2024, 1, 1, 10).timestamp())
-    h11 = int(__import__("datetime").datetime(2024, 1, 1, 11).timestamp())
+    from datetime import datetime, timezone
+
+    # operator buckets the session-UTC timestamps as UTC — compute the
+    # expected epochs in UTC too (naive .timestamp() would use the
+    # machine-local zone and fail on any non-UTC box)
+    h10 = int(datetime(2024, 1, 1, 10, tzinfo=timezone.utc).timestamp())
+    h11 = int(datetime(2024, 1, 1, 11, tzinfo=timezone.utc).timestamp())
     assert by[("a", h10)] == (2, 2), by
     assert by[("a", h11)] == (1, 1), by
     assert by[("b", h11)] == (1, 1), by
     assert sum(n for n, _ in by.values()) == 4
+
+
+def test_throttle_periodic_drops_late_buckets(spark, tmp_path):
+    """A late row whose bucket is OLDER than the key's current bucket
+    is dropped, never re-admitted — re-opening a past bucket would
+    reset its exhausted quota (the over-admission bug this pins)."""
+    from eventstreams_spark.streaming.stateful import throttle_stream_periodic
+
+    import os
+    import time as _time
+
+    rows1 = [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:05:00"),
+             ("a", "2024-01-01 11:00:00")]
+    rows2 = [("a", "2024-01-01 10:20:00"),  # late: key already in h11
+             ("a", "2024-01-01 11:10:00")]
+
+    def as_ts(rws):
+        return spark.createDataFrame(rws, "k string, ts_s string").select(
+            "k", F.to_timestamp("ts_s").alias("ts")
+        )
+
+    src = os.path.join(str(tmp_path), "late_src")
+    as_ts(rows1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: file source orders batches by it
+    as_ts(rows2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(as_ts(rows1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = throttle_stream_periodic(stream, "k", "ts", limit=2, period_seconds=3600)
+    run_to_memory(out, "t_thr_late", output_mode="append")
+    admitted_ts = sorted(
+        str(r.ts) for r in spark.sql("SELECT ts FROM t_thr_late").collect()
+    )
+    # the late 10:20 row must be absent; everything else admitted
+    assert "2024-01-01 10:20:00" not in admitted_ts, admitted_ts
+    assert len(admitted_ts) == 4, admitted_ts
