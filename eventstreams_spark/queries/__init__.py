@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     extras,
     gates,
     ir_extra,
+    iterative_extra,
     joins,
     llm,
     longtail,

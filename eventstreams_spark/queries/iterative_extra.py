@@ -1,0 +1,569 @@
+"""Iterative ML, community detection, and metrics-monitoring additions.
+
+Round-2 continuation families (NEXT.md item 5 + the operator classes a
+metrics/event engine still lacked):
+
+- ``kmeans_lloyd_rounds`` — the FULL k-means loop (E-step + M-step,
+  two unrolled Lloyd rounds).  The E-step existed alone
+  (``semantic_cluster_assign``); the M-step existed only inside the
+  IVF coarse-quantizer build (rows-only).  This puts the whole loop
+  under a hash-checked oracle via fixed-point centroid accumulation.
+- ``label_propagation_communities`` — synchronous LPA, the standard
+  community-detection companion to PageRank/CC/k-core.
+- ``counter_rate_resets`` — PromQL-style ``rate()``: monotonic-counter
+  increase with counter-reset detection, the monitoring-engine
+  primitive behind every per-second rate panel.
+- ``anomaly_mad_outliers`` — robust z-score (median/MAD) outlier
+  gate, the Q1 anomaly detector that survives the skewed/heavy-tailed
+  distributions where mean/stddev z-scores break.
+- ``aggregate_task_correlate`` — the Logstash ``aggregate`` filter's
+  batch analog: correlate start/intermediate/end events sharing a
+  task key into one summary row (streaming form:
+  streaming/aggregate.py).
+- ``log_template_signature`` — Drain-lite log-template mining:
+  bucket messages by (token count, first token, last token) — the
+  fixed-structure signature real template miners refine.
+
+Determinism discipline (house rules): every cross-engine float is
+either a fixed-point integer sum, an IEEE expression over identical
+inputs, or an in-order fold; medians run at p=0.5 over integral
+doubles where interpolation is exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine_similarity, norm, to_double_array
+from ..operators.graph import interaction_edges
+from ..registry import query
+from ._shared import INTERACTION_UND_CTE
+
+# fixed-point scale for centroid accumulation: |x| <= ~0.5 per
+# component, so 1e7-scaled components stay < 5e6; int64 overflows only
+# past ~1.8e12 rows per cluster — comfortably past 100 TB cluster sizes
+_CSCALE = 1e7
+
+
+@query(
+    "kmeans_lloyd_rounds",
+    category="L4",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 8
+        ), c0 AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ), s1 AS (
+            SELECT p.vec_id, c.cid,
+                   list_cosine_similarity(p.v, c.cvec) AS sim
+            FROM pts p CROSS JOIN c0 c
+        ), a1 AS (
+            SELECT vec_id, cid AS cid1 FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rk
+                FROM s1) WHERE rk = 1
+        ), dims AS (
+            SELECT a.cid1,
+                   unnest(generate_series(1, len(p.v))) AS dim,
+                   unnest(p.v) AS x
+            FROM a1 a JOIN pts p USING (vec_id)
+        ), qsums AS (
+            SELECT cid1, dim,
+                   CAST(sum(CAST(floor(x * {_CSCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS qsum,
+                   count(*) AS n
+            FROM dims GROUP BY cid1, dim
+        ), c1 AS (
+            SELECT cid1 AS cid,
+                   list(qsum / n / {_CSCALE} ORDER BY dim) AS cvec,
+                   round(sqrt(list_sum(list(
+                       (qsum / n / {_CSCALE}) * (qsum / n / {_CSCALE})
+                       ORDER BY dim))), 6) AS centroid_norm
+            FROM qsums GROUP BY cid1
+        ), s2 AS (
+            SELECT p.vec_id, c.cid,
+                   list_cosine_similarity(p.v, c.cvec) AS sim
+            FROM pts p CROSS JOIN c1 c
+        ), a2 AS (
+            SELECT vec_id, cid AS cid2 FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rk
+                FROM s2) WHERE rk = 1
+        ), n1 AS (SELECT cid1 AS cid, count(*) AS n FROM a1 GROUP BY cid1),
+        n2 AS (SELECT cid2 AS cid, count(*) AS n FROM a2 GROUP BY cid2),
+        mv AS (
+            SELECT a2.cid2 AS cid, count(*) AS n
+            FROM a1 JOIN a2 USING (vec_id)
+            WHERE a1.cid1 <> a2.cid2 GROUP BY a2.cid2
+        )
+        SELECT c.cid AS centroid_id,
+               coalesce(n1.n, 0) AS n_assigned_r1,
+               coalesce(n2.n, 0) AS n_assigned_r2,
+               coalesce(mv.n, 0) AS n_moved_in,
+               coalesce(k.centroid_norm, 0.0) AS centroid_norm
+        FROM c0 c
+        LEFT JOIN n1 ON c.cid = n1.cid
+        LEFT JOIN n2 ON c.cid = n2.cid
+        LEFT JOIN mv ON c.cid = mv.cid
+        LEFT JOIN c1 k ON c.cid = k.cid
+        ORDER BY centroid_id
+    """,
+)
+def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means (Lloyd) loop, two unrolled rounds at k=8: E-step
+    assigns every vector to its argmax-cosine centroid (ties → lower
+    cid), M-step recomputes each centroid as the member mean, round 2
+    re-assigns against the new centroids. Reports per-centroid
+    occupancy both rounds, migration in, and the new centroid's norm.
+
+    Cross-engine M-step exactness: float means are order-dependent, so
+    the mean is computed from FIXED-POINT component sums —
+    ``floor(x*1e7+0.5)`` per element, integer-summed per (cluster,
+    dim), divided back as ``qsum/n/1e7``.  Identical int64 sums give
+    identical IEEE divisions on both engines, so round-2 centroids are
+    bit-equal and the round-2 argmax cannot drift (same trick as
+    ``embedding_int8_quantize``'s error accounting).
+
+    Scale: centroids are a k-row broadcast both rounds (the fact table
+    never shuffles for assignment); the M-step is ONE map-side-
+    combinable (cid, dim) integer aggregation — k·dim result rows
+    regardless of corpus size; at convergence-driven depth each extra
+    round adds one broadcast + one bounded agg (the IVF build,
+    operators/ivf.py, runs this loop rows-only; here it is
+    hash-certified). Empty clusters drop out of round 2 (reported with
+    0/0.0 via the left join), matching the oracle exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    ).persist()
+    c0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec")
+    )
+
+    def assign(cents: DataFrame, out: str) -> DataFrame:
+        sims = pts.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", cosine_similarity(F.col("v"), F.col("cvec")).alias("sim")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            sims.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("cid").alias(out))
+        )
+
+    a1 = assign(c0, "cid1").persist()
+    dims = a1.join(pts, "vec_id").select(
+        "cid1", F.posexplode("v").alias("dim", "x")
+    )
+    qsums = dims.groupBy("cid1", "dim").agg(
+        F.sum(F.floor(F.col("x") * _CSCALE + 0.5).cast("long")).alias("qsum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = (F.col("qsum") / F.col("n") / _CSCALE)
+    c1 = qsums.groupBy("cid1").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", mean.alias("m")))),
+            lambda s: s["m"],
+        ).alias("cvec"),
+    ).select(
+        F.col("cid1").alias("cid"),
+        "cvec",
+        F.round(norm(F.col("cvec")), 6).alias("centroid_norm"),
+    ).persist()
+
+    a2 = assign(c1.select("cid", "cvec"), "cid2")
+    n1 = a1.groupBy(F.col("cid1").alias("cid")).agg(F.count(F.lit(1)).alias("n1"))
+    n2 = a2.groupBy(F.col("cid2").alias("cid")).agg(F.count(F.lit(1)).alias("n2"))
+    mv = (
+        a1.join(a2, "vec_id")
+        .filter(F.col("cid1") != F.col("cid2"))
+        .groupBy(F.col("cid2").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("nm"))
+    )
+    return (
+        c0.select("cid")
+        .join(n1, "cid", "left")
+        .join(n2, "cid", "left")
+        .join(mv, "cid", "left")
+        .join(c1.select("cid", "centroid_norm"), "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.coalesce("n1", F.lit(0)).alias("n_assigned_r1"),
+            F.coalesce("n2", F.lit(0)).alias("n_assigned_r2"),
+            F.coalesce("nm", F.lit(0)).alias("n_moved_in"),
+            F.coalesce("centroid_norm", F.lit(0.0)).alias("centroid_norm"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "label_propagation_communities",
+    category="B7-graph",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, sym AS (
+            SELECT a AS node, b AS nbr FROM und
+            UNION ALL
+            SELECT b AS node, a AS nbr FROM und
+        ), l0 AS (
+            SELECT DISTINCT node, node AS label FROM sym
+        ), v1 AS (
+            SELECT s.node, l.label, count(*) AS c
+            FROM sym s JOIN l0 l ON s.nbr = l.node
+            GROUP BY s.node, l.label
+        ), l1 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rk
+                FROM v1) WHERE rk = 1
+        ), v2 AS (
+            SELECT s.node, l.label, count(*) AS c
+            FROM sym s JOIN l1 l ON s.nbr = l.node
+            GROUP BY s.node, l.label
+        ), l2 AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rk
+                FROM v2) WHERE rk = 1
+        )
+        SELECT label AS community, count(*) AS n_members
+        FROM l2 GROUP BY label ORDER BY community
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA), two
+    unrolled rounds over the interaction graph (same edges as
+    PageRank/triangles/k-core): every node starts labeled with its own
+    id; each round every node adopts the most frequent label among its
+    NEIGHBORS, ties broken by the smaller label — the deterministic
+    synchronous variant (asynchronous LPA is order-dependent and
+    therefore unverifiable).
+
+    Scale (Pregel shape shared with the other graph queries): one
+    round = one edge-to-label join (shuffle on node id) + one
+    map-side-combinable (node, label) count + a per-node argmax window
+    partitioned BY NODE — no global ordering, no driver-side vertex
+    state; convergence-driven depth adds a scalar changed-count probe
+    per round (the connected-components contract, graph.py:54).  LPA's
+    per-round cost matches PageRank's; community graphs converge in
+    O(diameter) rounds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    und = interaction_edges(ev, undirected=True)
+    sym = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .persist()
+    )
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+
+    def lpa_round(lbl: DataFrame) -> DataFrame:
+        votes = (
+            sym.join(lbl.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        return (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+
+    l2 = lpa_round(lpa_round(labels))
+    return (
+        l2.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )
+
+
+@query(
+    "counter_rate_resets",
+    category="T14",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, value, epoch(ts) AS es,
+                   lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS prev
+            FROM events
+        ), inc AS (
+            SELECT event_type, es,
+                   CASE WHEN prev IS NULL THEN 0.0
+                        WHEN value >= prev THEN value - prev
+                        ELSE value END AS increase,
+                   CASE WHEN prev IS NOT NULL AND value < prev
+                        THEN 1 ELSE 0 END AS is_reset
+            FROM seq
+        )
+        SELECT event_type,
+               count(*) AS n_samples,
+               CAST(sum(is_reset) AS BIGINT) AS n_resets,
+               CAST(sum(CAST(floor(increase * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_increase_cents,
+               round(CAST(sum(CAST(floor(increase * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) / 100.0 / (max(es) - min(es)), 6)
+                   AS rate_per_sec
+        FROM inc GROUP BY event_type
+    """,
+)
+def counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style ``rate()`` over a monotonic counter with reset
+    detection (T14): per series (event_type), each sample's increase is
+    ``value - prev``; a DROP in value means the counter restarted, so
+    the increase is the new value itself (Prometheus extrapolation-free
+    reset rule).  Reports per-series sample count, resets observed,
+    total increase, and increase per second over the observed span.
+
+    Cross-engine: increases are quantized to integer cents before
+    summing (the ``exact_money_sum`` discipline — float sums are
+    order-dependent, integer sums are not); the span uses Spark
+    ``ts.cast(double)`` ↔ DuckDB ``epoch(ts)`` (oracle_conventions:
+    unix_timestamp truncates, epoch keeps microseconds).
+
+    Scale: one shuffle on the series key drives both the lag window
+    and the aggregation (the sessionize exchange-reuse shape); series
+    cardinality is the partition key, so hot series need the two-level
+    split ``sessionize_two_level_skew_safe`` demonstrates.  This is
+    the dashboard-engine hot path: billions of samples, one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.col("ts").cast("double").alias("es"),
+        prev.alias("prev"),
+    )
+    increase = (
+        F.when(F.col("prev").isNull(), F.lit(0.0))
+        .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
+        .otherwise(F.col("value"))
+    )
+    is_reset = (F.col("prev").isNotNull() & (F.col("value") < F.col("prev"))).cast(
+        "long"
+    )
+    inc_cents = F.floor(increase * 100 + 0.5).cast("long")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(is_reset).alias("n_resets"),
+        F.sum(inc_cents).alias("total_increase_cents"),
+        F.round(
+            F.sum(inc_cents) / 100.0 / (F.max("es") - F.min("es")), 6
+        ).alias("rate_per_sec"),
+    )
+
+
+@query(
+    "anomaly_mad_outliers",
+    category="Q1",
+    oracle="""
+        WITH cents AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) * 2 AS v2
+            FROM events
+        ), med AS (
+            SELECT event_type, quantile_cont(v2, 0.5) AS med2
+            FROM cents GROUP BY event_type
+        ), dev AS (
+            SELECT c.event_type, c.v2, m.med2,
+                   abs(c.v2 - m.med2) AS d2
+            FROM cents c JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(d2, 0.5) AS mad2
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n_samples,
+               round(any_value(d.med2) / 200.0, 6) AS median_value,
+               round(any_value(m.mad2) / 200.0, 6) AS mad_value,
+               CAST(sum(CASE WHEN d.d2 * 0.6745 > 3.5 * m.mad2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score anomaly gate (Q1): per series, an observation is
+    an outlier when its modified z-score ``0.6745·|x-median|/MAD``
+    exceeds 3.5 (Iglewicz-Hoaglin) — the detector of choice for the
+    skewed, heavy-tailed metrics where mean/stddev z-scores silently
+    widen until nothing alerts.
+
+    Cross-engine exactness by construction: values are doubled cents
+    (integral doubles), so the p=0.5 interpolation is a midpoint of
+    integers — EXACT in IEEE on both engines (no last-ULP percentile
+    drift, unlike general p); deviations and the threshold comparison
+    are then identical-input IEEE expressions.  The usual
+    round-after-compare hazards vanish.
+
+    Scale: two keyed passes over the series (median, then MAD) + one
+    counting pass — exact medians sort each group, so at 100 TB the
+    sketch swap is ``approx_percentile`` twice (mergeable KLL), same
+    shape; the gate itself stays a pure map.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        (F.floor(F.col("value") * 100 + 0.5).cast("long") * 2).alias("v2"),
+    )
+    med = cents.groupBy("event_type").agg(
+        F.percentile("v2", F.lit(0.5)).alias("med2")
+    )
+    dev = cents.join(med, "event_type").select(
+        "event_type", "med2", F.abs(F.col("v2") - F.col("med2")).alias("d2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("d2", F.lit(0.5)).alias("mad2")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.any_value("med2") / 200.0, 6).alias("median_value"),
+            F.round(F.any_value("mad2") / 200.0, 6).alias("mad_value"),
+            F.sum(
+                (F.col("d2") * 0.6745 > 3.5 * F.col("mad2")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "aggregate_task_correlate",
+    category="P-agg",
+    oracle="""
+        WITH starts AS (
+            SELECT user_id, min(ts) AS t_start
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), ends AS (
+            SELECT e.user_id, min(e.ts) AS t_end
+            FROM events e JOIN starts s USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= s.t_start
+            GROUP BY e.user_id
+        )
+        SELECT e.user_id,
+               any_value(s.t_start) AS t_start,
+               any_value(x.t_end) AS t_end,
+               round(any_value(epoch(x.t_end)) - any_value(epoch(s.t_start)), 6)
+                   AS duration_sec,
+               CAST(sum(CASE WHEN e.ts > s.t_start AND e.ts < x.t_end
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_steps,
+               CAST(sum(CASE WHEN e.ts > s.t_start AND e.ts < x.t_end
+                             THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS step_value_cents
+        FROM events e
+        JOIN starts s USING (user_id)
+        JOIN ends x USING (user_id)
+        GROUP BY e.user_id
+    """,
+)
+def aggregate_task_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash ``aggregate``-filter semantics as a batch plan: events
+    sharing a task key (user_id) correlate into ONE summary row — the
+    map opens at the start event (first ``signup``), accumulates
+    intermediate events, and emits at the end event (first ``purchase``
+    after the start).  Tasks with no end event emit nothing (the
+    streaming form evicts them on timeout instead —
+    streaming/aggregate.py holds the map in keyed state).
+
+    Reports per task: start/end timestamps, duration, and the count /
+    cent-exact value sum of strictly-between intermediate events.
+
+    Scale: three passes ALL keyed on user_id (start agg, end agg,
+    final conditional agg) — Catalyst reuses the exchange, so the fact
+    table shuffles once; no windows, no driver state.  The same plan
+    is packaged config-driven as pipeline step ``aggregate``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_start"))
+    )
+    ends = (
+        ev.join(starts, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_start")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_end"))
+    )
+    between = (F.col("ts") > F.col("t_start")) & (F.col("ts") < F.col("t_end"))
+    return (
+        ev.join(starts, "user_id")
+        .join(ends, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("t_start").alias("t_start"),
+            F.any_value("t_end").alias("t_end"),
+            F.round(
+                F.any_value(F.col("t_end").cast("double"))
+                - F.any_value(F.col("t_start").cast("double")),
+                6,
+            ).alias("duration_sec"),
+            F.sum(between.cast("long")).alias("n_steps"),
+            F.sum(
+                F.when(between, F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("step_value_cents"),
+        )
+    )
+
+
+@query(
+    "log_template_signature",
+    category="L5",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS ts
+            FROM documents
+        )
+        SELECT len(ts) AS n_tokens,
+               ts[1] AS first_token,
+               ts[-1] AS last_token,
+               count(*) AS n_docs,
+               min(doc_id) AS example_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM toks
+        GROUP BY len(ts), ts[1], ts[-1]
+    """,
+)
+def log_template_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-lite log-template mining (L5): bucket messages by the
+    fixed-structure signature (token count, first token, last token) —
+    the first-level grouping real template miners (Drain, Spell)
+    refine with per-position wildcard voting.  Messages from one
+    format string share the signature; the bucket census is the
+    template inventory.
+
+    Scale: signature is a pure projection (split + element_at — no
+    explode, the token array never leaves the row), then ONE
+    map-side-combinable aggregation on the signature key.  Template
+    count is bounded by distinct formats, not corpus size, so the
+    result stays tiny at 100 TB; the position-voting refinement step
+    adds one explode + (signature, pos, token) count — same shape as
+    TF-IDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "n_chars", F.split("text", " ").alias("ts")
+    )
+    return toks.groupBy(
+        F.size("ts").alias("n_tokens"),
+        F.element_at("ts", 1).alias("first_token"),
+        F.element_at("ts", -1).alias("last_token"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("example_doc_id"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -406,3 +406,70 @@ def test_line_dedup_no_joins(spark, sf_dir):
     # the occ=1 filter plans as a group-limit pushed below the window
     # (partial+final) — rows beyond the first per span never sort
     assert count_prefix(counts, "WindowGroupLimit") == 2
+
+
+def test_kmeans_rounds_broadcast_both_estep(spark, sf_dir):
+    """Both Lloyd E-steps must broadcast their k-row centroid side —
+    the corpus never shuffles for assignment; the only aggregation
+    shuffles are the bounded (cid, dim) M-step and the final tiny
+    per-centroid joins. No cartesian anywhere."""
+    df = q("kmeans_lloyd_rounds", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    # exactly the two E-step broadcast crossJoins; both argmax windows
+    # partitioned by vec_id (SinglePartition appears only inside
+    # Catalyst's injected runtime bloom-filter agg — bounded buffers,
+    # not a data-path repartition, so it is not asserted against)
+    # formatted plans re-render cached (persist) subtrees under each
+    # InMemoryTableScan, so node counts overcount — assert SHAPE, not
+    # multiplicity: every nested-loop join must be a broadcast Cross
+    for op, n in counts.items():
+        if op.startswith("BroadcastNestedLoopJoin"):
+            assert "Cross Build" in op, counts
+    assert counts.get("Window", 0) >= 2, counts
+
+
+def test_lpa_no_cartesian_windows_per_node(spark, sf_dir):
+    """LPA rounds are join + count + per-node argmax — no cartesian,
+    no unpartitioned window."""
+    df = q("label_propagation_communities", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert_no_operator(df, "SinglePartition")
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) >= 2, counts
+
+
+def test_counter_rate_exchange_reuse(spark, sf_dir):
+    """PromQL rate: the series-key shuffle must feed both the lag
+    window and the per-series aggregation — one exchange, no join."""
+    df = q("counter_rate_resets", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 1
+    assert count_prefix(counts, "Exchange") == 1, counts
+
+
+def test_mad_outliers_keyed_only(spark, sf_dir):
+    """Median/MAD passes are keyed aggregations joined back on the
+    series key — no window at all, no cartesian."""
+    df = q("anomaly_mad_outliers", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin", "Window")
+
+
+def test_aggregate_correlate_single_key_shuffles(spark, sf_dir):
+    """Logstash-aggregate analog: all three passes are keyed on
+    user_id — no window, no cartesian; join count is exactly the
+    start + end correlation joins (plus their exchange reuse)."""
+    df = q("aggregate_task_correlate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin", "Window")
+
+
+def test_template_signature_single_agg_no_explode(spark, sf_dir):
+    """Drain-lite signature: a pure projection + ONE map-side-
+    combinable aggregation — no explode/Generate, no join, no window."""
+    df = q("log_template_signature", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Generate" not in op, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
