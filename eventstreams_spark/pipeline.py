@@ -453,6 +453,59 @@ def _multiline(
     return t
 
 
+@step("aggregate")
+def _aggregate(
+    task_key: str,
+    start_when: str,
+    end_when: str,
+    ts_field: str = "ts",
+    value_expr: str = "0.0",
+) -> Transform:
+    """Logstash ``aggregate`` filter, batch form: correlate all events
+    sharing ``task_key`` into ONE summary row — the task opens at the
+    first event matching ``start_when``, closes at the first event
+    matching ``end_when`` at-or-after the start, and intermediate
+    events strictly between contribute a count plus the sum of
+    ``value_expr``. Tasks without a close emit nothing (the streaming
+    form, streaming/stateful.py::correlate_tasks_stream, evicts those
+    on timeout instead).
+
+    Same plan as the oracle-checked ``aggregate_task_correlate`` query:
+    three passes all keyed on ``task_key``, so Catalyst reuses the
+    exchange — the fact table shuffles once, no windows."""
+
+    def t(df: DataFrame) -> DataFrame:
+        starts = (
+            df.filter(F.expr(start_when))
+            .groupBy(task_key)
+            .agg(F.min(ts_field).alias("t_start"))
+        )
+        ends = (
+            df.join(starts, task_key)
+            .filter(F.expr(end_when) & (F.col(ts_field) >= F.col("t_start")))
+            .groupBy(task_key)
+            .agg(F.min(ts_field).alias("t_end"))
+        )
+        between = (F.col(ts_field) > F.col("t_start")) & (
+            F.col(ts_field) < F.col("t_end")
+        )
+        return (
+            df.join(starts, task_key)
+            .join(ends, task_key)
+            .groupBy(task_key)
+            .agg(
+                F.any_value("t_start").alias("t_start"),
+                F.any_value("t_end").alias("t_end"),
+                F.sum(between.cast("long")).alias("n_steps"),
+                F.sum(
+                    F.when(between, F.expr(value_expr)).otherwise(F.lit(0.0))
+                ).alias("step_value"),
+            )
+        )
+
+    return t
+
+
 @step("syslog")
 def _syslog(source: str = "value", year: int = 2024) -> Transform:
     """RFC 3164 syslog line → typed fields (Logstash ``syslog`` input's

@@ -167,3 +167,116 @@ def throttle_stream_periodic(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def correlate_tasks_stream(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+    start_value: str,
+    end_value: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Logstash ``aggregate`` filter, full streaming semantics (T6):
+    per task key, the START event opens a map in keyed state,
+    intermediate events accumulate into it, and the END event emits
+    ONE summary row and clears the state.  Tasks whose end never
+    arrives are evicted by the processing-time timeout (emitted with
+    ``completed = false`` and a NULL ``t_end``) — the Logstash
+    ``timeout`` + ``push_map_as_event_on_timeout`` behavior.
+
+    Output: (key, t_start, t_end, n_steps, step_value_cents,
+    completed).  Step values accumulate as integer cents (the
+    ``exact_money_sum`` discipline carried into state).  The batch
+    analog of the start/end correlation is the oracle-checked
+    ``aggregate_task_correlate`` query; the pipeline step
+    ``aggregate`` wraps that plan config-driven.
+
+    Scale: one shuffle on the task key; state is three int64s per
+    OPEN task (closed tasks delete their state immediately), so the
+    store is bounded by concurrent in-flight tasks, not history —
+    with the timeout as the leak stopper for abandoned tasks.  The
+    per-row Python loop inside the Arrow batch is the stateful escape
+    hatch's price (control-flow-per-event semantics); throughput is
+    per key-batch, and hot keys serialize as usual.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("t_start", TimestampType()),
+            StructField("t_end", TimestampType()),
+            StructField("n_steps", LongType()),
+            StructField("step_value_cents", LongType()),
+            StructField("completed", BooleanType()),
+        ]
+    )
+
+    def _emit(key, t_start_us, t_end_us, n, cents, completed):
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "t_start": [pd.Timestamp(t_start_us, unit="us")],
+                "t_end": [
+                    pd.Timestamp(t_end_us, unit="us") if t_end_us is not None else pd.NaT
+                ],
+                "n_steps": [n],
+                "step_value_cents": [cents],
+                "completed": [completed],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            started, t_start_us, n, cents = state.get
+            state.remove()
+            if started:
+                yield _emit(key[0], t_start_us, None, n, cents, False)
+            return
+        started, t_start_us, n, cents = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            for r in pdf.sort_values(ts_col).itertuples(index=False):
+                ev_type = getattr(r, type_col)
+                ts_us = getattr(r, ts_col).value // 1000
+                if not started:
+                    if ev_type == start_value:
+                        started, t_start_us, n, cents = 1, ts_us, 0, 0
+                elif ev_type == end_value and ts_us >= t_start_us:
+                    yield _emit(key[0], t_start_us, ts_us, n, cents, True)
+                    started, t_start_us, n, cents = 0, 0, 0, 0
+                else:
+                    n += 1
+                    v = getattr(r, value_col)
+                    cents += int(v * 100 + 0.5) if v == v else 0
+        if started:
+            state.update((started, t_start_us, n, cents))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="started long, t_start_us long, n long, cents long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

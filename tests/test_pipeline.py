@@ -375,3 +375,39 @@ def test_multiline_bad_what_fails_at_compile():
             {"steps": [{"type": "multiline", "source": "l", "order": "o",
                         "pattern": "^x", "group_by": []}]}
         )
+
+
+def test_aggregate_step_correlates_start_end(spark):
+    """Logstash aggregate (batch form): one summary row per task with
+    a start and a matching later end; intermediates strictly between
+    count and sum; tasks without an end emit nothing."""
+    from eventstreams_spark.pipeline import Pipeline
+
+    rows = [
+        # task A: start -> 2 steps -> end (plus a post-end event ignored)
+        ("A", "2024-01-01 10:00:00", "start", 0.0),
+        ("A", "2024-01-01 10:01:00", "step", 1.5),
+        ("A", "2024-01-01 10:02:00", "step", 2.0),
+        ("A", "2024-01-01 10:03:00", "end", 0.0),
+        ("A", "2024-01-01 10:04:00", "step", 99.0),
+        # task B: end BEFORE start, never closes afterwards -> no row
+        ("B", "2024-01-01 09:00:00", "end", 0.0),
+        ("B", "2024-01-01 09:30:00", "start", 0.0),
+        # task C: steps before the start don't count; closes cleanly
+        ("C", "2024-01-01 08:00:00", "step", 7.0),
+        ("C", "2024-01-01 08:10:00", "start", 0.0),
+        ("C", "2024-01-01 08:20:00", "end", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "task string, ts_s string, kind string, v double"
+    ).select("task", F.to_timestamp("ts_s").alias("ts"), "kind", "v")
+    pipe = Pipeline.from_config(
+        {"steps": [{"type": "aggregate", "task_key": "task",
+                    "start_when": "kind = 'start'",
+                    "end_when": "kind = 'end'",
+                    "value_expr": "v"}]}
+    )
+    got = {r.task: r for r in pipe(df).collect()}
+    assert set(got) == {"A", "C"}, got
+    assert got["A"].n_steps == 2 and got["A"].step_value == 3.5
+    assert got["C"].n_steps == 0 and got["C"].step_value == 0.0

@@ -698,3 +698,37 @@ def test_throttle_periodic_drops_late_buckets(spark, tmp_path):
     # the late 10:20 row must be absent; everything else admitted
     assert "2024-01-01 10:20:00" not in admitted_ts, admitted_ts
     assert len(admitted_ts) == 4, admitted_ts
+
+
+def test_correlate_tasks_stream_across_batches(spark, tmp_path):
+    """Logstash aggregate, streamed (T6): a task whose start arrives in
+    batch 1 and end in batch 2 must still emit one summary row — the
+    open map lives in keyed state across micro-batches; a task that
+    never closes stays in state (no emission without a timeout)."""
+    from eventstreams_spark.streaming.stateful import correlate_tasks_stream
+
+    rows = [
+        ("A", "2024-01-01 10:00:00", "start", 0.0),
+        ("A", "2024-01-01 10:01:00", "step", 1.5),
+        ("A", "2024-01-01 10:02:00", "step", 2.0),
+        # --- micro-batch boundary (chunks=2) ---
+        ("A", "2024-01-01 10:03:00", "end", 0.0),
+        ("B", "2024-01-01 10:03:30", "start", 0.0),
+        ("B", "2024-01-01 10:04:00", "step", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "task string, ts_s string, kind string, v double"
+    ).select("task", F.to_timestamp("ts_s").alias("ts"), "kind", "v")
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = correlate_tasks_stream(
+        stream, "task", "kind", "ts", "v",
+        start_value="start", end_value="end",
+    )
+    run_to_memory(out, "t_corr", output_mode="append")
+    got = {r.task: r for r in spark.sql("SELECT * FROM t_corr").collect()}
+    # A closed across the batch boundary: 2 steps, 350 cents, completed
+    assert set(got) == {"A"}, got
+    assert got["A"].n_steps == 2
+    assert got["A"].step_value_cents == 350
+    assert got["A"].completed is True
+    assert got["A"].t_end is not None
