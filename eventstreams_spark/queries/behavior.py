@@ -490,3 +490,161 @@ def pagerank_fixed_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_units"))
+
+
+@query(
+    "streak_islands_by_user",
+    category="B8-islands",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rt
+            FROM events
+        ), islands AS (
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS streak_len,
+                   min(ts) AS streak_start
+            FROM seq
+            GROUP BY user_id, event_type, rn - rt
+        )
+        SELECT user_id, event_type, streak_len, streak_start
+        FROM islands
+        ORDER BY streak_len DESC, user_id, event_type, streak_start
+        LIMIT 20
+    """,
+)
+def streak_islands_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak detection: maximal runs of consecutive
+    same-type events per user (the "N failed logins in a row" /
+    engagement-streak primitive), via the classic two-row_number
+    difference — rn (per user) minus rt (per user+type) is constant
+    exactly within a run, so islands fall out of one groupBy with no
+    self-join and no iteration.
+
+    Scale: both row_numbers partition by user_id, so ONE hash shuffle
+    by user_id feeds two Window nodes and the groupBy (Catalyst reuses
+    the exchange; same shape as sessionize_gap30m_batch). Per-user
+    sequences sort within partitions. Top-20 under a total order on
+    exact integers — no float ordering risk.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_u = Window.partitionBy("user_id").orderBy(*order)
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_len"),
+            F.min("ts").alias("streak_start"),
+        )
+        .select("user_id", "event_type", "streak_len", "streak_start")
+        .orderBy(
+            F.col("streak_len").desc(), "user_id", "event_type", "streak_start"
+        )
+        .limit(20)
+    )
+
+
+def _IMPOSSIBLE_TRAVEL_ORACLE() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat = f"({md5_uniform_sql(chr(39) + 'lat|' + chr(39) + ' || CAST(event_id AS VARCHAR)')} - 0.5) * 180.0"
+    lon = f"({md5_uniform_sql(chr(39) + 'lon|' + chr(39) + ' || CAST(event_id AS VARCHAR)')} - 0.5) * 360.0"
+    return f"""
+        WITH pos AS (
+            SELECT user_id, event_id, ts,
+                   {lat} AS lat, {lon} AS lon
+            FROM events
+        ), seq AS (
+            SELECT user_id, event_id, ts, lat, lon,
+                   lag(lat) OVER w AS plat,
+                   lag(lon) OVER w AS plon,
+                   lag(ts)  OVER w AS pts
+            FROM pos
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), legs AS (
+            SELECT user_id, event_id,
+                   12742.0 * asin(least(1.0, sqrt(
+                       sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                       + cos(radians(plat)) * cos(radians(lat))
+                       * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+                   ))) AS km,
+                   greatest((epoch_us(ts) - epoch_us(pts)) / 3600000000.0,
+                            1.0 / 3600.0) AS hours
+            FROM seq WHERE pts IS NOT NULL
+        )
+        SELECT user_id, event_id, round(km, 6) AS km,
+               round(km / hours, 4) AS speed_kmh
+        FROM legs
+        ORDER BY speed_kmh DESC, user_id, event_id
+        LIMIT 20
+    """
+
+
+@query(
+    "impossible_travel_speed",
+    category="B9-geo",
+    oracle=_IMPOSSIBLE_TRAVEL_ORACLE(),
+)
+def impossible_travel_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel detection (the Elastic-SIEM / Splunk UBA
+    rule): haversine distance between a user's consecutive event
+    locations divided by elapsed time; legs faster than a plane are
+    credential-sharing alerts. The testdata has no coordinates, so
+    positions are minted deterministically per event from md5_uniform
+    (functions/sampling.py) — the plumbing (lag window, great-circle
+    math, rate guard) is the real operator.
+
+    Scale: one hash shuffle by user_id for the lag window, then pure
+    codegen trig — no joins, no UDFs. The asin argument is clamped to
+    1.0 (float guard on antipodal legs) and elapsed time floored at
+    1 s so same-timestamp legs don't divide by zero; speed rounds to 4
+    (not 6) because kmh amplifies ULP drift in km by 1/hours.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = (md5_uniform("concat('lat|', cast(event_id as string))") - 0.5) * 180.0
+    lon = (md5_uniform("concat('lon|', cast(event_id as string))") - 0.5) * 360.0
+    pos = ev.select("user_id", "event_id", "ts", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pos.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("ts").over(w).alias("pts"),
+    ).filter(F.col("pts").isNotNull())
+    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
+    h = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians("plat")) * F.cos(
+        F.radians("lat")
+    ) * F.sin(dlmb) * F.sin(dlmb)
+    km = 12742.0 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    hours = F.greatest(
+        (F.unix_micros("ts") - F.unix_micros("pts")) / 3.6e9,
+        F.lit(1.0 / 3600.0),
+    )
+    return (
+        seq.select(
+            "user_id",
+            "event_id",
+            F.round(km, 6).alias("km"),
+            F.round(km / hours, 4).alias("speed_kmh"),
+        )
+        .orderBy(F.col("speed_kmh").desc(), "user_id", "event_id")
+        .limit(20)
+    )

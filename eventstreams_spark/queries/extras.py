@@ -350,6 +350,97 @@ def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_columns_events",
+    category="Q1-profile",
+    oracle="""
+        SELECT 'event_id' AS col_name,
+               count(*) - count(event_id) AS n_nulls,
+               count(DISTINCT event_id) AS n_distinct,
+               CAST(min(event_id) AS DOUBLE) AS min_num,
+               CAST(max(event_id) AS DOUBLE) AS max_num
+        FROM events
+        UNION ALL
+        SELECT 'event_type', count(*) - count(event_type),
+               count(DISTINCT event_type), NULL, NULL FROM events
+        UNION ALL
+        SELECT 'props', count(*) - count(props),
+               count(DISTINCT props), NULL, NULL FROM events
+        UNION ALL
+        SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
+               CAST(epoch_us(min(ts)) AS DOUBLE),
+               CAST(epoch_us(max(ts)) AS DOUBLE) FROM events
+        UNION ALL
+        SELECT 'user_id', count(*) - count(user_id),
+               count(DISTINCT user_id),
+               CAST(min(user_id) AS DOUBLE),
+               CAST(max(user_id) AS DOUBLE) FROM events
+        UNION ALL
+        SELECT 'value', count(*) - count(value),
+               count(DISTINCT value),
+               CAST(min(value) AS DOUBLE),
+               CAST(max(value) AS DOUBLE) FROM events
+        ORDER BY col_name
+    """,
+)
+def profile_columns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (the Deequ/Glue-profiler shape that
+    feeds schema-drift alerts): per column — null count, exact
+    distinct count, numeric min/max (timestamps as epoch-µs) — as one
+    tidy (col_name, n_nulls, n_distinct, min_num, max_num) frame.
+
+    Scale: ONE scan. All metrics land in a single agg; the multi-
+    column exact distincts make Catalyst Expand the input 6× into one
+    shuffle — exact is the oracle-checkable contract here, and at
+    100 TB the drop-in relaxation is `approx_count_distinct` per
+    column, which removes the Expand entirely (HLL partials merge
+    map-side; see A3). The wide 1-row aggregate is then unpivoted
+    driver-free via `stack`. The oracle's 6-scan UNION ALL is the
+    naive form, kept oracle-side only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    total = F.count(F.lit(1))
+
+    def metrics(c, num=None):
+        return [
+            (total - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            (num.min().cast("double") if num is not None else F.lit(None).cast("double")).alias(f"mn_{c}"),
+            (num.max().cast("double") if num is not None else F.lit(None).cast("double")).alias(f"mx_{c}"),
+        ]
+
+    class _MinMax:
+        """min/max expression pair builder for the numeric columns."""
+
+        def __init__(self, expr):
+            self.expr = expr
+
+        def min(self):
+            return self.expr(F.min)
+
+        def max(self):
+            return self.expr(F.max)
+
+    num_cols = {
+        "event_id": _MinMax(lambda agg: agg("event_id")),
+        "user_id": _MinMax(lambda agg: agg("user_id")),
+        "value": _MinMax(lambda agg: agg("value")),
+        "ts": _MinMax(lambda agg: F.unix_micros(agg("ts"))),
+    }
+    cols = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+    aggs = []
+    for c in cols:
+        aggs.extend(metrics(c, num_cols.get(c)))
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num)"
+    ).orderBy("col_name")
+
+
+@query(
     "statsd_parse_agg",
     category="S6-statsd",
     oracle="""

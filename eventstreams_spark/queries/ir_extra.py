@@ -131,6 +131,142 @@ def fuzzy_blocked_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_topk_docs",
+    category="L5-ir",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks
+            WHERE tok IN ('hash', 'join', 'stream')
+            GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id,
+                   sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))
+                   ) AS raw
+            FROM tf
+            JOIN df USING (tok)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(raw, 6) AS bm25
+        FROM scored
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 15
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query:
+    the standard lexical ranking on top of the inverted-index shapes —
+    what a contamination/retrieval pass over a training corpus runs.
+
+    Scale: tf is the token explode FILTERED to query terms before the
+    shuffle (work ∝ matching postings, not corpus tokens); df and the
+    (n_docs, avgdl) scalars are tiny broadcasts; the per-doc score sum
+    has ≤ |query| rows per key. Top-15 under the rounded-score total
+    order (rounding before ORDER BY keeps the rank cross-engine
+    deterministic; see oracle_conventions on libm drift).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "stream"]
+    k1, b = 1.2, 0.75
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("doclen") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "unigram_surprisal_quality",
+    category="L5-text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                   avg(-log2(c * 1.0 / n)) AS raw
+            FROM toks JOIN uni USING (tok) CROSS JOIN n_tot
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_toks, round(raw, 6) AS bits_per_tok
+        FROM per_doc
+        ORDER BY bits_per_tok DESC, doc_id
+        LIMIT 20
+    """,
+)
+def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM surprisal per document (mean
+    -log2 p(tok), bits/token): the cheap perplexity proxy for quality
+    filtering — abnormally LOW means boilerplate/repetition,
+    abnormally HIGH means gibberish/OOV soup. Real pipelines score
+    against a held-out KenLM; the MLE-on-self form keeps the operator
+    library-free and the plan identical.
+
+    Scale: two shuffles (token counts; tokens⋈counts keyed by token —
+    at 100 TB the vocab join stays a shuffle join since vocab outgrows
+    broadcast, with stop-word keys mitigated by AQE skew splitting) +
+    one per-doc aggregate. Total-count scalar is a 1-row broadcast.
+    Top-20 under the rounded-value total order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.avg(-F.log2(F.col("c") / F.col("n"))), 6).alias(
+                "bits_per_tok"
+            ),
+        )
+        .orderBy(F.col("bits_per_tok").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
     "collocation_pmi_bigrams",
     category="L5-ir",
     oracle="""
