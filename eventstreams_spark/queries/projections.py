@@ -411,3 +411,52 @@ def unpivot_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["event_type"], ["n_events", "avg_value", "max_value"], "metric", "val"
     )
+
+
+@query(
+    "xml_extract_roundtrip",
+    category="P16-xml",
+    oracle="""
+        SELECT event_type AS t,
+               count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_u
+        FROM events
+        WHERE event_id <= 2000
+        GROUP BY event_type
+        ORDER BY t
+    """,
+)
+def xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash ``xml`` filter (pipeline step ``xml``): Spark 4 native
+    ``from_xml`` parse, pinned by a ROUNDTRIP identity — each event is
+    serialized to ``<ev id="..."><t>..</t><u>..</u></ev>``, parsed
+    back with an explicit DDL schema (attribute as ``_id``), and
+    aggregated from the EXTRACTED fields; the oracle aggregates the
+    raw columns directly, so any parse defect (attribute handling,
+    element typing, whitespace) breaks the hash.
+
+    Scale: serialization and parse are both codegen'd JVM expressions
+    per row (no UDF); the aggregate is an ordinary partial+final hash
+    agg. XML never leaves the row — no shuffle is added by the parse.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    xml = F.concat(
+        F.lit('<ev id="'),
+        F.col("event_id"),
+        F.lit('"><t>'),
+        F.col("event_type"),
+        F.lit("</t><u>"),
+        F.col("user_id"),
+        F.lit("</u></ev>"),
+    )
+    parsed = F.from_xml(xml, "_id BIGINT, t STRING, u BIGINT")
+    return (
+        ev.select(parsed.alias("p"))
+        .select("p._id", "p.t", "p.u")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("sum_u"),
+        )
+        .orderBy("t")
+    )

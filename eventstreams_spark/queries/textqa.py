@@ -820,3 +820,123 @@ def neardup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_before") - F.col("n_after")).alias("n_removed"),
         "n_synth_kept",
     )
+
+
+# ------------------------------------------------- containment (quotes)
+
+_DUCK_SHINGLES5 = (
+    "CASE WHEN len(ws) >= 5 THEN list_transform(generate_series(1, len(ws) - 4),"
+    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])) ELSE [] END"
+)
+
+
+def shingles5(ws: Column) -> Column:
+    """5-gram token shingles as an array (map-side only, no explode)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+            F.element_at(ws, i + 3),
+            F.element_at(ws, i + 4),
+        ),
+    )
+    return F.when(F.size(ws) >= 5, grams).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "containment_quote_pairs",
+    category="L2-containment",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id AS id, {_DUCK_TOKENS} AS ws FROM documents
+        ), corpus AS (
+            SELECT id, ws FROM base
+            UNION ALL
+            SELECT id + 2000000, ws[1:12] FROM base WHERE id % 40 = 0
+        ), s AS (
+            SELECT id, list_distinct({_DUCK_SHINGLES5}) AS sh FROM corpus
+        ), grams AS (
+            SELECT DISTINCT id, unnest(sh) AS g FROM s
+        ), rare AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) BETWEEN 2 AND 8
+        ), cand AS (
+            SELECT DISTINCT a.id AS id1, b.id AS id2
+            FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
+            WHERE a.id < b.id
+        ), scored AS (
+            SELECT id1, id2,
+                   len(list_intersect(sa.sh, sb.sh)) * 1.0
+                       / greatest(len(sa.sh), 1) AS c12,
+                   len(list_intersect(sa.sh, sb.sh)) * 1.0
+                       / greatest(len(sb.sh), 1) AS c21
+            FROM cand JOIN s sa ON cand.id1 = sa.id
+                      JOIN s sb ON cand.id2 = sb.id
+        )
+        SELECT id1, id2, round(c12, 6) AS cont_1_in_2,
+               round(c21, 6) AS cont_2_in_1
+        FROM scored
+        WHERE greatest(c12, c21) >= 0.9
+        ORDER BY id1, id2
+    """,
+)
+def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT detection (|Sa∩Sb| / |Sa| over
+    5-gram shingle sets): catches a document quoted/excerpted inside
+    another even when symmetric Jaccard is tiny — the CCNet/Dolma-style
+    complement to near-dup. Injected excerpts (first 12 tokens of every
+    40th doc, id+2e6) score 1.0 in the contained direction.
+
+    Discovery is RARE-GRAM BLOCKING, not a given pair list: a 5-gram
+    with corpus df in [2, 8] nominates at most C(8,2) pairs, so
+    candidate volume is bounded per gram and there is NEVER a doc×doc
+    product; verification then intersects the two bounded shingle
+    arrays per candidate. Scale: grams explode → df count (one token-
+    keyed shuffle) → bucket self-join on rare grams only; stop-gram
+    keys are excluded by the df cap itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("id"), tokens_col(F.col("text")).alias("ws"))
+    corpus = base.unionAll(
+        base.filter(F.col("id") % 40 == 0).select(
+            (F.col("id") + 2000000).alias("id"), F.slice("ws", 1, 12).alias("ws")
+        )
+    )
+    s = corpus.select("id", F.array_distinct(shingles5(F.col("ws"))).alias("sh"))
+    grams = s.select("id", F.explode("sh").alias("g")).distinct()
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 8))
+        .select("g")
+    )
+    ga = grams.join(rare, "g").select("g", F.col("id").alias("id1"))
+    gb = grams.join(rare, "g").select("g", F.col("id").alias("id2"))
+    cand = (
+        ga.join(gb, "g")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    sa = s.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    sb = s.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    c12 = inter / F.greatest(F.size("sh1"), F.lit(1))
+    c21 = inter / F.greatest(F.size("sh2"), F.lit(1))
+    return (
+        cand.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(c12, 6).alias("cont_1_in_2"),
+            F.round(c21, 6).alias("cont_2_in_1"),
+            F.greatest(c12, c21).alias("_best"),
+        )
+        .filter(F.col("_best") >= 0.9)
+        .drop("_best")
+        .orderBy("id1", "id2")
+    )
