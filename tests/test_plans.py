@@ -473,3 +473,75 @@ def test_template_signature_single_agg_no_explode(spark, sf_dir):
     for op in counts:
         assert "Join" not in op and "Generate" not in op, counts
     assert count_prefix(counts, "HashAggregate") == 2, counts
+
+
+def test_bm25_broadcast_scalars_no_cartesian_blowup(spark, sf_dir):
+    """BM25: df and (n_docs, avgdl) are broadcast 1-row/tiny sides;
+    the only nested-loop joins are those scalar broadcasts; doc join
+    is keyed; top-15 via heap, not a global sort."""
+    df = q("bm25_topk_docs", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert_has_operator(df, "TakeOrderedAndProject")
+    # every BNLJ present must be a broadcast of the scalar stats frame
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+
+
+def test_unigram_surprisal_token_join_keyed(spark, sf_dir):
+    """Surprisal: the tokens-vocab join is keyed (shuffle or broadcast
+    hash — NEVER nested-loop except the 1-row total), one per-doc agg."""
+    df = q("unigram_surprisal_quality", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_profile_single_scan_expand(spark, sf_dir):
+    """Column profile: ONE scan of events feeds the multi-distinct
+    Expand — no joins, no windows, no re-reads."""
+    df = q("profile_columns_events", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Expand") == 1, counts
+
+
+def test_streak_islands_one_exchange(spark, sf_dir):
+    """Gaps-and-islands: both row_numbers and the groupBy ride ONE
+    user_id exchange (sessionize-class shape); no joins."""
+    df = q("streak_islands_by_user", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert count_prefix(counts, "Exchange") == 1, counts
+
+
+def test_impossible_travel_pure_window(spark, sf_dir):
+    """Impossible travel: one lag window over the user_id shuffle and
+    codegen trig — no joins, no UDF eval nodes."""
+    df = q("impossible_travel_speed", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 1, counts
+    assert count_prefix(counts, "BatchEvalPython") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 0, counts
+
+
+def test_containment_no_doc_cross_product(spark, sf_dir):
+    """Containment: candidates only from the rare-gram equi-join —
+    no cartesian/BNLJ anywhere in the plan."""
+    df = q("containment_quote_pairs", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_xml_roundtrip_no_shuffle_added_by_parse(spark, sf_dir):
+    """from_xml runs inside the projection: plan is scan → project →
+    two-phase agg → sort, with exactly the agg exchange."""
+    df = q("xml_extract_roundtrip", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
