@@ -614,3 +614,49 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).cast("long").alias("n_pairs"),
     )
+
+
+@query(
+    "agg_regression_family",
+    category="A7-regr",
+    oracle="""
+        SELECT event_type,
+               CAST(regr_count(value, (epoch_us(ts) - 1704067200000000)
+                                      / 86400000000.0) AS BIGINT) AS n,
+               round(regr_slope(value, (epoch_us(ts) - 1704067200000000)
+                                       / 86400000000.0), 6) AS slope,
+               round(regr_intercept(value, (epoch_us(ts) - 1704067200000000)
+                                           / 86400000000.0), 6) AS intercept,
+               round(regr_r2(value, (epoch_us(ts) - 1704067200000000)
+                                    / 86400000000.0), 6) AS r2
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept /
+    r2 / count): trend-per-group in ONE pass — the aggregate form of
+    the T14 trend detector (rolling_trend_corr is its windowed twin).
+
+    Conditioning (oracle_conventions): x is days-since-2024-01-01 as
+    a small double, NOT raw epoch micros — the naive parameterization
+    squares a 1.7e15 offset inside the sums and the cross-engine
+    accumulation drift survives rounding. With x ∈ [0, ~400] the
+    moment sums stay well inside double precision and round(6) pins
+    them. Scale: map-side-combinable moments (count, Σx, Σy, Σxy,
+    Σx², Σy²) — one shuffle, same cost class as avg.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / 86400000000.0
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.regr_count(F.col("value"), x).cast("long").alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

@@ -201,3 +201,54 @@ def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("candidate_frac") < 0.6).alias("ivf_prunes"),
     )
     return lsh.crossJoin(ivf)
+
+
+@query(
+    "bitmap_distinct_gate",
+    category="A2-bitmap",
+    oracle="""
+        SELECT event_type, TRUE AS bitmap_matches_exact,
+               count(DISTINCT user_id) AS n_exact
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def bitmap_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based EXACT distinct counting (Spark 4's bitmap_*
+    family), gated against count_distinct: per (group, 32k-bucket)
+    the member bit positions OR into a fixed 4 KB bitmap, bucket
+    popcounts then SUM — the two-level shape that replaces the
+    count-distinct Expand with map-side-combinable byte arrays (the
+    big win when distinct cardinality per group is huge but bounded
+    per bucket). The oracle pins the exact count AND the literal-TRUE
+    agreement flag, so a driver red means the bitmap path diverged
+    from exact.
+
+    Scale: shuffle carries (group, bucket, 4KB bitmap) rows instead of
+    one row per distinct member — compression ∝ density; bitmaps
+    merge associatively so AQE/partial aggregation apply.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy("event_type", F.bitmap_bucket_number(F.col("user_id")).alias("b"))
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias(
+                "bm"
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_bitmap"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return (
+        per_bucket.join(exact, "event_type")
+        .select(
+            "event_type",
+            (F.col("n_bitmap") == F.col("n_exact")).alias("bitmap_matches_exact"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )

@@ -434,3 +434,32 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.slice(b, 1, 2)).alias("b_head"),
         F.array_position(a, 2).alias("pos_2"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    category="S2-orc",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey,
+               round(s_acctbal, 2) AS bal
+        FROM supplier
+        ORDER BY s_suppkey
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip (S2 columnar-format breadth): write
+    supplier as ORC (zlib), read it back, verify content against the
+    parquet truth. ORC carries the same column-pruning + predicate-
+    pushdown contract as parquet in Spark's DSv1 path — the format is
+    a config choice, not a plan change.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(SCRATCH, "orc_roundtrip", os.path.basename(sf_dir.rstrip("/")))
+    s.write.mode("overwrite").format("orc").save(out)
+    back = spark.read.format("orc").load(out)
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("bal"),
+    ).orderBy("s_suppkey")

@@ -447,3 +447,142 @@ def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("gap_us") / 1000000.0, 6).alias("max_s"),
     )
+
+
+@query(
+    "interval_coverage_merge",
+    category="T16-interval",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+            FROM events
+        ), seq AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_e
+            FROM iv
+        ), flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END AS new_island
+            FROM seq
+        ), islands AS (
+            SELECT user_id, s, e,
+                   CAST(sum(new_island) OVER (PARTITION BY user_id
+                                              ORDER BY s, e) AS BIGINT)
+                       AS island_id
+            FROM flagged
+        ), merged AS (
+            SELECT user_id, island_id, min(s) AS ms, max(e) AS me
+            FROM islands GROUP BY user_id, island_id
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(epoch_us(me) - epoch_us(ms)) AS BIGINT) // 1000000
+                   AS covered_secs
+        FROM merged
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval MERGE + coverage (the "total active time"
+    / SLA-uptime primitive): each event opens a 10-minute activity
+    interval; overlapping intervals per user merge into islands via
+    the running-max-of-end trick (start > max(all previous ends) ⇒
+    new island), then coverage = Σ(merged lengths) — union semantics,
+    double-counting overlaps exactly once.
+
+    Scale: ONE hash shuffle by user_id feeds the running-max window,
+    the island-id running sum, and both aggregations (exchange reuse;
+    sessionize-class shape — this is sessionization generalized to
+    intervals wider than a point). All arithmetic integral µs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = (
+        F.max("e").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_order).cast("long")
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            # integer division on BOTH sides (`div` ↔ DuckDB `//`):
+            # a double divide + cast would truncate here but ROUND in
+            # DuckDB (oracle_conventions, agg_bitwise_try_arith)
+            F.expr(
+                "sum(unix_micros(me) - unix_micros(ms)) div 1000000"
+            ).alias("covered_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "acf_lag_profile",
+    category="T17-acf",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, value,
+                   lag(value, 1) OVER w AS l1,
+                   lag(value, 2) OVER w AS l2,
+                   lag(value, 3) OVER w AS l3
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type,
+               round(corr(value, l1), 6) AS acf1,
+               round(corr(value, l2), 6) AS acf2,
+               round(corr(value, l3), 6) AS acf3,
+               CAST(count(l3) AS BIGINT) AS n3
+        FROM seq
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile (ACF at lags 1..3) per series: the
+    seasonality/memory fingerprint — near-zero here (values are
+    i.i.d. by construction), spiking at the period on real periodic
+    load. Pairwise-complete corr per lag, matching statsmodels'
+    `acf(missing='conservative')` convention.
+
+    Scale: ONE shuffle by series key feeds one Window producing all
+    three lag columns, then one map-side-combinable moment aggregate;
+    corr rounds to 6 (accumulation-order drift, conventions).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "l1"), 6).alias("acf1"),
+            F.round(F.corr("value", "l2"), 6).alias("acf2"),
+            F.round(F.corr("value", "l3"), 6).alias("acf3"),
+            F.count("l3").cast("long").alias("n3"),
+        )
+        .orderBy("event_type")
+    )
