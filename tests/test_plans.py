@@ -545,3 +545,43 @@ def test_xml_roundtrip_no_shuffle_added_by_parse(spark, sf_dir):
     for op in counts:
         assert "Join" not in op and "Window" not in op, counts
     assert count_prefix(counts, "HashAggregate") == 2, counts
+
+
+def test_regression_family_single_agg(spark, sf_dir):
+    """regr_* family: one scan, two-phase moment aggregate, no joins
+    or windows — same cost class as avg."""
+    df = q("agg_regression_family", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
+
+
+def test_bitmap_gate_no_expand_on_bitmap_path(spark, sf_dir):
+    """Bitmap distinct: the bitmap branch aggregates bytes (no
+    Expand); only the exact-side count_distinct contributes one."""
+    df = q("bitmap_distinct_gate", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Expand") <= 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_interval_coverage_one_exchange(spark, sf_dir):
+    """Interval merge: running-max window, island sum, and both aggs
+    all ride ONE user_id exchange."""
+    df = q("interval_coverage_merge", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    # one user_id hash exchange on the data path + the final orderBy's
+    # range exchange (presentation only)
+    assert count_prefix(counts, "Exchange") <= 2, counts
+
+
+def test_acf_single_window_single_agg(spark, sf_dir):
+    """ACF: all three lags from ONE Window node, one moment agg."""
+    df = q("acf_lag_profile", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 1, counts
