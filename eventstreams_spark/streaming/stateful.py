@@ -280,3 +280,83 @@ def correlate_tasks_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def zscore_anomaly_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Online per-key anomaly detection: Welford running mean/variance
+    in GroupState; each event is scored against the distribution of
+    all PRIOR events for its key (z = (x - mean)/stddev, flagged when
+    |z| > threshold), then folded into the state. The streaming twin
+    of the batch `anomaly_mad_outliers` / rolling z-score queries —
+    with O(1) state per key (3 numbers) instead of a window buffer.
+
+    Scoring uses the PRE-update statistics, so results are identical
+    however the stream is micro-batched (state evolution is a pure
+    left fold over the key's events in ``ts_col`` order; rows are
+    sorted within each batch and batches must arrive time-ordered,
+    as replayed file streams do).
+
+    Scale: one shuffle by key; Welford is numerically stable at any
+    count; a hot key serializes through one Python worker — pre-split
+    hot keys upstream if a single series outruns one core.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_prior", LongType()),
+            StructField("z", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).copy()
+            n_prior, zs, flags = [], [], []
+            for x in pdf[value_col]:
+                if n >= min_n and m2 > 0.0:
+                    std = math.sqrt(m2 / (n - 1))
+                    z = (x - mean) / std
+                else:
+                    z = None
+                n_prior.append(n)
+                zs.append(z)
+                flags.append(z is not None and abs(z) > threshold)
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+            pdf["n_prior"] = n_prior
+            pdf["z"] = pd.array(zs, dtype="float64")
+            pdf["is_anomaly"] = flags
+            yield pdf[out_cols]
+        state.update((n, mean, m2))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, mean double, m2 double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

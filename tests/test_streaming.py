@@ -732,3 +732,38 @@ def test_correlate_tasks_stream_across_batches(spark, tmp_path):
     assert got["A"].step_value_cents == 350
     assert got["A"].completed is True
     assert got["A"].t_end is not None
+
+
+def test_zscore_anomaly_stream_welford_across_batches(spark, tmp_path):
+    """Online z-score: each event scored against PRIOR events only,
+    Welford state carried across micro-batches — the spike after the
+    batch boundary is flagged with the exact z of the accumulated
+    distribution, and pre-min_n events score NULL."""
+    from eventstreams_spark.streaming.stateful import zscore_anomaly_stream
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 10.0),
+        ("a", "2024-01-01 10:01:00", 12.0),
+        ("a", "2024-01-01 10:02:00", 11.0),
+        # --- batch boundary (chunks=2, ordered by ts) ---
+        ("a", "2024-01-01 10:03:00", 13.0),
+        ("a", "2024-01-01 10:04:00", 100.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = zscore_anomaly_stream(stream, "k", "ts", "v", threshold=3.0, min_n=3)
+    run_to_memory(out, "t_zscore", output_mode="append")
+    got = spark.sql(
+        "SELECT v, n_prior, z, is_anomaly FROM t_zscore ORDER BY ts"
+    ).collect()
+    assert [r.n_prior for r in got] == [0, 1, 2, 3, 4]
+    assert [r.z for r in got][:3] == [None, None, None]
+    # x=13 vs {10,12,11}: mean 11, sample std 1 -> z = 2, not anomalous
+    assert got[3].z == pytest.approx(2.0)
+    assert not got[3].is_anomaly
+    # x=100 vs {10,12,11,13}: mean 11.5, std sqrt(5/3) -> z = 88.5/1.29099
+    assert got[4].z == pytest.approx(68.5518, abs=1e-3)
+    assert got[4].is_anomaly
