@@ -648,3 +648,194 @@ def impossible_travel_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("speed_kmh").desc(), "user_id", "event_id")
         .limit(20)
     )
+
+
+@query(
+    "markov_transition_matrix",
+    category="B10-markov",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ), trans AS (
+            SELECT src, dst, count(*) AS n
+            FROM seq WHERE dst IS NOT NULL
+            GROUP BY src, dst
+        )
+        SELECT src, dst, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+        FROM trans
+        ORDER BY src, dst
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys:
+    P(next event type | current), from per-user consecutive pairs —
+    the "where do users go next" model behind journey Sankeys and
+    next-step prediction baselines.
+
+    Scale: one user_id shuffle for the lead window, one |types|²-keyed
+    aggregate; the per-src normalization window runs on the TINY
+    aggregated matrix (≤ |types|² rows), not the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@query(
+    "journey_top_paths",
+    category="B10-paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM seq WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 10
+    """,
+)
+def journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's first three event types serialized
+    'a>b>c', censused across users — the journey-analysis complement
+    to the funnel (which tests ONE path; this discovers them).
+
+    Scale: WindowGroupLimit prunes each user to 3 rows before the
+    path aggregation (rank ≤ k pushes into the shuffle), so the path
+    census aggregates ≤ 3 rows per user; top-10 under a total order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "rfm_segment_census",
+    category="B11-rfm",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS f,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS m_cents
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY m_cents, o_custkey)
+                       AS m_rank,
+                   count(*) OVER () AS n_cust
+            FROM cust
+        ), scored AS (
+            SELECT CASE WHEN last_order >= TIMESTAMP '1997-01-01' THEN 3
+                        WHEN last_order >= TIMESTAMP '1995-01-01' THEN 2
+                        ELSE 1 END AS r_score,
+                   least(f, 5) AS f_score,
+                   ((m_rank - 1) * 5) // n_cust + 1 AS m_quint,
+                   m_cents
+            FROM ranked
+        )
+        SELECT r_score, f_score, m_quint,
+               count(*) AS n_customers,
+               CAST(sum(m_cents) AS BIGINT) AS seg_cents
+        FROM scored
+        GROUP BY r_score, f_score, m_quint
+        ORDER BY r_score, f_score, m_quint
+    """,
+)
+def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency band / frequency capped / monetary
+    quintile) with a scale-safe monetary quintile: the global rank
+    comes from operators/ranking.py::exact_global_rank (range-bucketed
+    distributed rank — NO single-partition ntile; the oracle's
+    row_number() OVER () form is rank-identical by the property test
+    exact-rank-vs-sort). Money is summed in integral cents.
+
+    Scale: one o_custkey aggregate, one bucketed rank shuffle, one
+    tiny segment census. The quintile formula ((rank-1)*5) div n + 1
+    is an exact function of (rank, n) — engine-independent, unlike
+    ntile's remainder spreading.
+    """
+    from ..operators.ranking import exact_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    ranked, n_cust = exact_global_rank(
+        cust, ["m_cents", "o_custkey"], rank_col="m_rank", with_total=True
+    )
+    scored = ranked.select(
+        F.when(F.col("last_order") >= F.lit("1997-01-01").cast("timestamp"), 3)
+        .when(F.col("last_order") >= F.lit("1995-01-01").cast("timestamp"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.least(F.col("f"), F.lit(5)).alias("f_score"),
+        # true integer division (div ↔ DuckDB //), never double-cast
+        F.expr(f"((m_rank - 1) * 5) div {int(n_cust)}").alias("_q"),
+        "m_cents",
+    ).withColumn("m_quint", F.col("_q") + 1)
+    return (
+        scored.groupBy("r_score", "f_score", "m_quint")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("seg_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_quint")
+    )

@@ -588,3 +588,52 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS n_not_exists
         """
     )
+
+
+@query(
+    "json_schema_census",
+    category="Q1-schema",
+    oracle="""
+        WITH keysets AS (
+            SELECT CASE WHEN props IS NULL THEN '<null>'
+                        ELSE coalesce(
+                            array_to_string(list_sort(json_keys(props)), ','),
+                            '<invalid>')
+                   END AS key_set
+            FROM events
+        )
+        SELECT key_set, count(*) AS n_rows
+        FROM keysets
+        GROUP BY key_set
+        ORDER BY n_rows DESC, key_set
+    """,
+)
+def json_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured SCHEMA-DRIFT census: the sorted key set of each
+    JSON payload, counted — the one-query answer to "what shapes are
+    actually in this stream, and when did a producer add a field".
+    New/renamed/dropped keys show up as a new key_set row; feeding
+    deployments gate on this census not changing unexpectedly.
+
+    Scale: key extraction is a codegen'd JVM JSON walk per row (no
+    Python), census is one low-cardinality aggregate — same cost as a
+    count by type. Malformed payloads census as '<invalid>' (PERMISSIVE
+    NULL from json_object_keys), NULLs as '<null>'.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key_set = (
+        F.when(F.col("props").isNull(), F.lit("<null>"))
+        .otherwise(
+            F.coalesce(
+                F.array_join(F.array_sort(F.json_object_keys("props")), ","),
+                F.lit("<invalid>"),
+            )
+        )
+        .alias("key_set")
+    )
+    return (
+        ev.select(key_set)
+        .groupBy("key_set")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "key_set")
+    )

@@ -460,3 +460,59 @@ def xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@query(
+    "pseudonymize_stable_ids",
+    category="P12-pseudo",
+    oracle="""
+        WITH tok AS (
+            SELECT event_type, user_id,
+                   substr(sha256('salt|v1|' || CAST(user_id AS VARCHAR)),
+                          1, 16) AS token
+            FROM events
+        )
+        SELECT event_type,
+               count(DISTINCT token) AS n_tokens,
+               count(DISTINCT user_id) = count(DISTINCT token)
+                   AS joins_preserved,
+               min(token) AS min_token
+        FROM tok
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def pseudonymize_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style pseudonymization (P12 fingerprint applied to
+    identity): user_id → salted-SHA256 16-hex token. Stable across
+    runs and tables (same salt ⇒ same token), so joins and sessions
+    keep working on the pseudonym; rotating the salt is crypto-
+    shredding. The query pins the exact token bytes (min per group)
+    AND the join-preservation invariant (distinct tokens == distinct
+    users — no collisions at this cardinality) per event_type.
+
+    Scale: pure projection + one aggregate; sha256 is codegen'd
+    JVM-side. The distinct pair is one Expand like any multi-distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tok = ev.select(
+        "event_type",
+        "user_id",
+        F.substring(
+            F.sha2(F.concat(F.lit("salt|v1|"), F.col("user_id").cast("string")), 256),
+            1,
+            16,
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("token")).alias("n_tokens"),
+            (
+                F.count_distinct(F.col("user_id"))
+                == F.count_distinct(F.col("token"))
+            ).alias("joins_preserved"),
+            F.min("token").alias("min_token"),
+        )
+        .orderBy("event_type")
+    )

@@ -906,7 +906,9 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = corpus.select("id", F.array_distinct(shingles5(F.col("ws"))).alias("sh"))
-    grams = s.select("id", F.explode("sh").alias("g")).distinct()
+    # sh is already per-doc distinct, so the explode IS (id, g)-distinct:
+    # no dedup shuffle needed (the oracle's DISTINCT is a no-op too)
+    grams = s.select("id", F.explode("sh").alias("g"))
     rare = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

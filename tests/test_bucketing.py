@@ -1,8 +1,11 @@
-"""Bucketed-join plan test (SCALE.md §2): the Exchange disappears.
+"""Bucketed-table join elision regression test (SCALE.md §2).
 
-This is the storage-side co-location strategy for 100 TB fact-to-fact
-joins; the assertion that no shuffle remains in the join plan is the
-entire point of the feature.
+Pins the storage-side contract the fact-to-fact strategy depends on:
+two tables bucketed+sorted on the join key must sort-merge join with
+ZERO join-side Exchanges. If a Spark upgrade or a conf regression
+silently re-shuffles bucketed joins, the 3.6× measured win (and the
+bucketing advice throughout SCALE.md) evaporates — this test is the
+tripwire.
 """
 
 from __future__ import annotations
@@ -10,64 +13,50 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from eventstreams_spark.catalog import load_table
-from eventstreams_spark.operators.bucketing import bucketed_join, materialize_bucketed
-from eventstreams_spark.plans import formatted_plan
 
-
-@pytest.fixture(scope="module")
-def bucketed_tables(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+@pytest.fixture()
+def bucketed_pair(spark):
+    # warehouse.dir is a STATIC conf — use the session's default
+    # warehouse; DROP TABLE below removes the managed files
+    left = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") % 7).cast("double").alias("v")
     )
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    right = spark.range(2_000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") % 13).cast("double").alias("w")
     )
-    materialize_bucketed(orders, "orders_b", "o_orderkey", 8)
-    materialize_bucketed(
-        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "lineitem_b",
-        "o_orderkey",
-        8,
+    left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+        "tb_left_bucketed"
     )
-    yield "orders_b", "lineitem_b"
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+        "tb_right_bucketed"
+    )
+    yield spark.table("tb_left_bucketed"), spark.table("tb_right_bucketed")
+    spark.sql("DROP TABLE IF EXISTS tb_left_bucketed")
+    spark.sql("DROP TABLE IF EXISTS tb_right_bucketed")
 
 
-def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
-    left, right = bucketed_tables
-    # at test scale Spark would auto-broadcast; disable so the plan
-    # shows the co-located sort-merge path a 100 TB fact join takes
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+def test_bucketed_join_elides_exchanges(spark, bucketed_pair):
+    lb, rb = bucketed_pair
+    # force the join-strategy decision away from broadcast so the
+    # bucket layout (not size) decides the plan
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, left, right, "o_orderkey")
-        plan = formatted_plan(joined)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    # the point: both sides read pre-bucketed — no shuffle before the join
-    assert "Exchange hashpartitioning" not in plan
-
-
-def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
-    left, right = bucketed_tables
-    joined = bucketed_join(spark, left, right, "o_orderkey")
-    got = joined.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 4).alias("q"),
-    ).collect()[0]
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    want = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 4).alias("q"),
+        joined = lb.join(rb, "k").groupBy("k").agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        before_agg = plan.split("HashAggregate")[-1]
+        # the join subtree (below the aggregates) must contain no Exchange
+        assert "Exchange" not in before_agg, before_agg
+        assert "SortMergeJoin" in plan, plan
+        # and it must still be correct
+        expected = (
+            lb.join(rb.hint("shuffle_hash"), "k")
+            .groupBy("k")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
         )
-        .collect()[0]
-    )
-    assert tuple(got) == tuple(want)
+        got = {r.k: r.s for r in joined.collect()}
+        want = {r.k: r.s for r in expected.collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

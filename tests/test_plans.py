@@ -585,3 +585,43 @@ def test_acf_single_window_single_agg(spark, sf_dir):
     for op in counts:
         assert "Join" not in op, counts
     assert counts.get("Window", 0) == 1, counts
+
+
+def test_markov_window_on_tiny_matrix(spark, sf_dir):
+    """Markov: lead window shuffles by user; the normalization window
+    runs AFTER the aggregate (tiny frame), so exactly two Windows and
+    no joins."""
+    df = q("markov_transition_matrix", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert counts.get("Window", 0) == 2, counts
+
+
+def test_journey_paths_group_limit_pushdown(spark, sf_dir):
+    """Journey paths: rn <= 3 must push as WindowGroupLimit so each
+    user ships at most 3 rows into the path aggregation."""
+    df = q("journey_top_paths", spark, sf_dir)
+    assert_has_operator(df, "WindowGroupLimit")
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_rfm_no_single_partition_sort(spark, sf_dir):
+    """RFM: the monetary quintile must come from the bucketed exact
+    rank — no SinglePartition window over the customer frame."""
+    import re
+
+    df = q("rfm_segment_census", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Window .*SinglePartition", plan), plan[:2000]
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_pseudonymize_single_scan(spark, sf_dir):
+    """Pseudonymize: projection + one (expanded) aggregate over one
+    scan; no joins/windows."""
+    df = q("pseudonymize_stable_ids", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "Scan parquet") == 1, counts
