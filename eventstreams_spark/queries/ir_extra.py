@@ -339,3 +339,56 @@ def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cxy").desc(), "x", "y")
         .limit(20)
     )
+
+
+@query(
+    "bpe_first_merge_census",
+    category="L5-bpe",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), pairs AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, length(tok) - 1),
+                       i -> substr(tok, CAST(i AS INT), 2))) AS pair
+            FROM toks
+            WHERE length(tok) >= 2
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
+)
+def bpe_first_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding bootstrap: the corpus-wide census of
+    adjacent CHARACTER pairs inside tokens — the statistic the first
+    BPE merge maximizes (and each later round recomputes on the
+    merged vocabulary). The top pair here IS tokenizer-training raw
+    material; the query pins the counting machinery an iterative
+    trainer would loop.
+
+    Scale: pair generation is a map-side array transform (no join,
+    no per-char explode until after the transform), then ONE pair-
+    keyed count shuffle; census cardinality is bounded by charset².
+    Top-20 under the exact (count, pair) total order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

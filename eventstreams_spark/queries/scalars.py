@@ -463,3 +463,55 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.round("s_acctbal", 2).alias("bal"),
     ).orderBy("s_suppkey")
+
+
+@query(
+    "timezone_conversion_suite",
+    category="2.8-tz",
+    oracle="""
+        WITH loc AS (
+            SELECT ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                       AS ny,
+                   ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata'
+                       AS kolkata
+            FROM events
+        )
+        SELECT CAST(hour(ny) AS INT) AS ny_hour,
+               CAST(minute(kolkata) AS INT) AS kolkata_min,
+               count(*) AS n,
+               min(ny) AS min_ny,
+               max(kolkata) AS max_kolkata
+        FROM loc
+        GROUP BY ny_hour, kolkata_min
+        ORDER BY ny_hour, kolkata_min
+    """,
+)
+def timezone_conversion_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion family pinned cross-engine: UTC instants →
+    wall-clock in a DST zone (America/New_York — offset −5/−4 varies
+    through the year) and a half-hour-offset zone (Asia/Kolkata,
+    +5:30, which shifts the MINUTE field — the classic bug a census by
+    (hour, minute) catches). Spark `from_utc_timestamp` must agree
+    with DuckDB's double `AT TIME ZONE` on every instant, DST
+    transitions included — both resolve via the IANA tzdb.
+
+    Scale: pure codegen projections + one low-cardinality aggregate.
+    Conversions never require a shuffle; the tzdb lookup is a
+    constant-folded zone rule, not a join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    kolkata = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    return (
+        ev.select(ny.alias("ny"), kolkata.alias("kolkata"))
+        .groupBy(
+            F.hour("ny").cast("int").alias("ny_hour"),
+            F.minute("kolkata").cast("int").alias("kolkata_min"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ny").alias("min_ny"),
+            F.max("kolkata").alias("max_kolkata"),
+        )
+        .orderBy("ny_hour", "kolkata_min")
+    )
