@@ -43,6 +43,20 @@ REPRESENTATIVE = [
     ("triangles", "triangle_count_graph"),
     ("multiline codec", "multiline_reassemble_logs"),
     ("sketch gates", "sketch_accuracy_gates"),
+    # round-2 continuation families
+    ("kmeans 2 rounds", "kmeans_lloyd_rounds"),
+    ("bm25 retrieval", "bm25_topk_docs"),
+    ("unigram surprisal", "unigram_surprisal_quality"),
+    ("containment pairs", "containment_quote_pairs"),
+    ("column profile", "profile_columns_events"),
+    ("streak islands", "streak_islands_by_user"),
+    ("impossible travel", "impossible_travel_speed"),
+    ("interval coverage", "interval_coverage_merge"),
+    ("markov matrix", "markov_transition_matrix"),
+    ("rfm census", "rfm_segment_census"),
+    ("bitmap distinct", "bitmap_distinct_gate"),
+    ("tz conversion", "timezone_conversion_suite"),
+    ("bpe pair census", "bpe_first_merge_census"),
 ]
 
 
