@@ -569,3 +569,120 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+def _MMR_ORACLE() -> str:
+    cos = "list_cosine_similarity"
+    head = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        pool AS (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+                   {cos}(CAST(e.embedding AS DOUBLE[]), q.qe) AS rel
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY rel DESC, vec_id LIMIT 12
+        ),
+        sel1 AS (
+            SELECT vec_id, emb, rel, 1 AS pick FROM pool
+            ORDER BY rel DESC, vec_id LIMIT 1
+        )"""
+    prev = "sel1"
+    for r in (2, 3, 4):
+        head += f""",
+        sel{r} AS (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT vec_id, emb, rel, {r} AS pick FROM (
+                SELECT * FROM (
+                    SELECT p.vec_id, p.emb, p.rel,
+                           0.7 * p.rel - 0.3 * (
+                               SELECT max({cos}(p.emb, s.emb)) FROM {prev} s
+                           ) AS mmr
+                    FROM pool p
+                    WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+                ) ORDER BY mmr DESC, vec_id LIMIT 1
+            )
+        )"""
+        prev = f"sel{r}"
+    return head + """
+        SELECT pick, vec_id, round(rel, 6) AS rel
+        FROM sel4 ORDER BY pick
+    """
+
+
+@query(
+    "mmr_diverse_topk",
+    category="L4-mmr",
+    oracle=_MMR_ORACLE(),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7, k=4 over a
+    12-candidate pool): the diversity-aware top-k used by RAG
+    retrieval and dedup-aware sampling — each pick maximizes
+    λ·sim(query, d) − (1−λ)·max_sim(d, already-picked), so near-
+    duplicate neighbors of an earlier pick are penalized out.
+
+    The greedy loop is UNROLLED (k−1 rounds) over the bounded pool:
+    each round anti-joins the picked set (≤ k rows, broadcast),
+    computes the marginal score per candidate, and takes the argmax
+    under a total order. The oracle mirrors the rounds with chained
+    CTEs + correlated max subqueries; cosine is bit-identical
+    cross-engine (oracle_conventions), so argmax selection is stable.
+
+    Scale: the candidate pool is the bounded output of an ANN/top-k
+    stage (L3/L4) — MMR cost is k·|pool| cosines on ≤ k-row broadcast
+    frames, independent of corpus size. The pool-build is the scan.
+    """
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("emb"))
+    qv = vecs.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    pool = (
+        vecs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "emb", cosine_similarity(F.col("emb"), F.col("qe")).alias("rel")
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(12)
+        .persist()
+    )
+    selected = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "emb", "rel", F.lit(1).alias("pick"))
+    )
+    for r in (2, 3, 4):
+        sel_embs = selected.select(
+            F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb")
+        )
+        cand = pool.join(
+            selected.select(F.col("vec_id").alias("s_id")), 
+            pool["vec_id"] == F.col("s_id"),
+            "left_anti",
+        )
+        nxt = (
+            cand.crossJoin(F.broadcast(sel_embs))
+            .groupBy("vec_id")
+            .agg(
+                F.any_value("emb").alias("emb"),
+                F.any_value("rel").alias("rel"),
+                F.max(cosine_similarity(F.col("emb"), F.col("s_emb"))).alias(
+                    "max_sel"
+                ),
+            )
+            .select(
+                "vec_id",
+                "emb",
+                "rel",
+                (0.7 * F.col("rel") - 0.3 * F.col("max_sel")).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "emb", "rel", F.lit(r).alias("pick"))
+        )
+        selected = selected.unionAll(nxt)
+    return selected.select(
+        "pick", "vec_id", F.round("rel", 6).alias("rel")
+    ).orderBy("pick")
