@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     pipeline_demo,
     projections,
     scalars,
+    stats_tests,
     textqa,
     timeseries,
     tpch_extra,

@@ -1,0 +1,226 @@
+"""Statistical-test operators (A/B experimentation analytics).
+
+The three workhorse tests an event-analytics engine runs on metric
+streams: Welch's t (means under unequal variance), Mann-Whitney U
+(rank-based, outlier-robust), and the chi-square independence test
+(categorical × categorical). All are one-or-two-aggregate plans over
+the fact table; the only windows run on bounded post-aggregation
+frames (≤ distinct-bucket cardinality), never on raw events.
+
+Float discipline: test statistics round to 6 (moment accumulation
+order differs across engines — oracle_conventions); all counts and
+rank sums are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "welch_t_test",
+    category="ST1-ttest",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 'treat'
+                        ELSE 'ctrl' END AS grp,
+                   value
+            FROM events
+            WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        ), s AS (
+            SELECT grp, count(*) AS n, avg(value) AS m,
+                   var_samp(value) AS v
+            FROM g GROUP BY grp
+        )
+        SELECT t.n AS n_treat, c.n AS n_ctrl,
+               round(t.m - c.m, 6) AS mean_diff,
+               round((t.m - c.m) / sqrt(t.v / t.n + c.v / c.n), 6)
+                   AS t_stat,
+               round(pow(t.v / t.n + c.v / c.n, 2) /
+                     (pow(t.v / t.n, 2) / (t.n - 1)
+                      + pow(c.v / c.n, 2) / (c.n - 1)), 2) AS df_welch
+        FROM (SELECT * FROM s WHERE grp = 'treat') t,
+             (SELECT * FROM s WHERE grp = 'ctrl') c
+    """,
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts
+    (purchase vs click values): t statistic + Welch-Satterthwaite
+    degrees of freedom from ONE moment aggregate per group.
+
+    Scale: a single partial+final aggregate over the fact scan (no
+    window, no join on data — the two 1-row group summaries cross-join
+    at the end). This is the canonical map-side-combinable test: at
+    100 TB the whole test is one shuffle of 2 rows. df rounds to 2
+    (it divides two 4th-power moment terms — more drift-prone than t).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    g = ev.select(
+        F.when(F.col("event_type") == "purchase", "treat")
+        .otherwise("ctrl")
+        .alias("grp"),
+        "value",
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    t = s.filter(F.col("grp") == "treat").select(
+        F.col("n").alias("n_treat"), F.col("m").alias("mt"), F.col("v").alias("vt")
+    )
+    c = s.filter(F.col("grp") == "ctrl").select(
+        F.col("n").alias("n_ctrl"), F.col("m").alias("mc"), F.col("v").alias("vc")
+    )
+    se2 = F.col("vt") / F.col("n_treat") + F.col("vc") / F.col("n_ctrl")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("vt") / F.col("n_treat"), 2) / (F.col("n_treat") - 1)
+        + F.pow(F.col("vc") / F.col("n_ctrl"), 2) / (F.col("n_ctrl") - 1)
+    )
+    return t.crossJoin(c).select(
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("mt") - F.col("mc"), 6).alias("mean_diff"),
+        F.round((F.col("mt") - F.col("mc")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_w, 2).alias("df_welch"),
+    )
+
+
+@query(
+    "mann_whitney_u",
+    category="ST2-ranktest",
+    oracle="""
+        WITH g AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_treat,
+                   CAST(floor(value) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        ), per_v AS (
+            SELECT v, count(*) AS cnt,
+                   CAST(sum(is_treat) AS BIGINT) AS cnt_treat
+            FROM g GROUP BY v
+        ), ranked AS (
+            SELECT v, cnt, cnt_treat,
+                   CAST(sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT) AS below
+            FROM per_v
+        )
+        SELECT CAST(sum(cnt_treat) AS BIGINT) AS n_treat,
+               CAST(sum(cnt - cnt_treat) AS BIGINT) AS n_ctrl,
+               round(sum(cnt_treat *
+                         (coalesce(below, 0) + (cnt + 1) / 2.0)), 1)
+                   AS rank_sum_treat
+        FROM ranked
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum between two cohorts with midrank tie
+    handling: values bucket to integers, per-bucket counts prefix-sum
+    into "rows strictly below", and each bucket's members take the
+    average rank below + (cnt+1)/2. The treatment rank sum (from
+    which U = R1 − n1(n1+1)/2) is exact — integer counts and halves.
+
+    Scale: the ONLY window runs over the distinct-bucket frame
+    (≤ 501 rows here — bounded by the metric's bucketing, not the
+    fact table), the documented acceptable global-window case; the
+    fact table itself sees one bucket-keyed aggregate. This is the
+    rank-test construction that avoids ranking N raw rows globally.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    g = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("is_treat"),
+        F.floor("value").cast("long").alias("v"),
+    )
+    per_v = g.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("is_treat").cast("long").alias("cnt_treat"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn("below", F.sum("cnt").over(w).cast("long"))
+    return ranked.agg(
+        F.sum("cnt_treat").cast("long").alias("n_treat"),
+        F.sum(F.col("cnt") - F.col("cnt_treat")).cast("long").alias("n_ctrl"),
+        F.round(
+            F.sum(
+                F.col("cnt_treat")
+                * (F.coalesce(F.col("below"), F.lit(0)) + (F.col("cnt") + 1) / 2.0)
+            ),
+            1,
+        ).alias("rank_sum_treat"),
+    )
+
+
+@query(
+    "chi_square_independence",
+    category="ST3-chisq",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type AS et, CAST(dayofweek(ts) AS INT) AS dow,
+                   count(*) AS o
+            FROM events GROUP BY et, dow
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+        ), margins AS (
+            SELECT et, dow, o,
+                   CAST(sum(o) OVER (PARTITION BY et) AS BIGINT) AS row_t,
+                   CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_t
+            FROM obs
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum(pow(o - row_t * col_t * 1.0 / n, 2)
+                         / (row_t * col_t * 1.0 / n)), 6) AS chi2,
+               CAST((count(DISTINCT et) - 1) * (count(DISTINCT dow) - 1)
+                    AS BIGINT) AS dof
+        FROM margins CROSS JOIN tot
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event_type × day-of-week):
+    is activity mix stable across weekdays — the categorical drift
+    detector behind "did the traffic composition change".
+
+    Scale: the fact table collapses to a |types|×7 contingency census
+    in one aggregate; margins, expected counts, and the χ² fold all
+    run on that ≤ 35-row frame (windows over tiny partitions).
+    Convention trap pinned here: Spark `dayofweek` is 1=Sunday..7,
+    DuckDB's is 0=Sunday..6 — the Spark side shifts by −1 so both
+    emit 0..6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    w_et = Window.partitionBy("et")
+    w_dow = Window.partitionBy("dow")
+    margins = obs.select(
+        "et",
+        "dow",
+        "o",
+        F.sum("o").over(w_et).cast("long").alias("row_t"),
+        F.sum("o").over(w_dow).cast("long").alias("col_t"),
+    )
+    e = F.col("row_t") * F.col("col_t") / F.col("n")
+    return margins.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.count_distinct(F.col("et")) - 1)
+            * (F.count_distinct(F.col("dow")) - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
