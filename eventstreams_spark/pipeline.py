@@ -618,6 +618,34 @@ def _uuid(target: str = "uuid", deterministic_from: list[str] | None = None) -> 
     return t
 
 
+@step("anonymize")
+def _anonymize(fields: list[str], salt: str = "v1") -> Transform:
+    """Pseudonymize fields in place with a salted SHA-256 16-hex token
+    (Logstash ``anonymize``): stable across runs and tables for the
+    same salt — joins/sessions keep working on the pseudonym; rotate
+    the salt to crypto-shred. Query twin: ``pseudonymize_stable_ids``
+    (pins token bytes + collision-freedom)."""
+
+    def t(df: DataFrame) -> DataFrame:
+        for f_ in fields:
+            df = df.withColumn(
+                f_,
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit(f"salt|{salt}|"), F.col(f_).cast("string")
+                        ),
+                        256,
+                    ),
+                    1,
+                    16,
+                ),
+            )
+        return df
+
+    return t
+
+
 @step("truncate")
 def _truncate(fields: list[str], length_chars: int) -> Transform:
     """Cap oversized string fields (Logstash ``truncate``) — the guard

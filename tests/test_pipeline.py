@@ -411,3 +411,25 @@ def test_aggregate_step_correlates_start_end(spark):
     assert set(got) == {"A", "C"}, got
     assert got["A"].n_steps == 2 and got["A"].step_value == 3.5
     assert got["C"].n_steps == 0 and got["C"].step_value == 0.0
+
+
+def test_anonymize_step_stable_and_rotatable(spark):
+    df = spark.createDataFrame(
+        [(1, "alice", "10.0.0.1"), (2, "bob", "10.0.0.2"), (3, "alice", "10.0.0.9")],
+        "id long, user string, ip string",
+    )
+    pipe = Pipeline.from_config(
+        {"steps": [{"type": "anonymize", "fields": ["user", "ip"]}]}
+    )
+    rows = {r.id: r for r in pipe.apply(df).collect()}
+    # pseudonymous: raw values gone, 16-hex tokens in place
+    assert rows[1].user != "alice" and len(rows[1].user) == 16
+    # join-preserving: same input -> same token
+    assert rows[1].user == rows[3].user
+    assert rows[1].ip != rows[2].ip
+    # salt rotation crypto-shreds (different token universe)
+    rotated = Pipeline.from_config(
+        {"steps": [{"type": "anonymize", "fields": ["user"], "salt": "v2"}]}
+    )
+    r2 = {r.id: r for r in rotated.apply(df).collect()}
+    assert r2[1].user != rows[1].user
