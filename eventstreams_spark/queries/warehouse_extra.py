@@ -488,3 +488,57 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "recursive_cte_hierarchy_walk",
+    category="4.2-recursive",
+    oracle="""
+        WITH RECURSIVE anc AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+            FROM customer WHERE c_custkey BETWEEN 1 AND 1023
+            UNION ALL
+            SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 1
+        )
+        SELECT depth,
+               count(*) AS n_at_depth,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM anc WHERE cur = 1
+        GROUP BY depth
+        ORDER BY depth
+    """,
+)
+def recursive_cte_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE — new SQL
+    surface this engine exposes): walk every node of an implicit
+    binary hierarchy (parent = node div 2, the org-chart /
+    bill-of-materials ancestor chain) to the root and census walk
+    depths. Both engines execute the SAME recursive SQL — the only
+    dialect delta is integer division (div vs //).
+
+    Scale: each recursive step is one self-referencing map over the
+    frontier (no join against the full table after seeding); depth is
+    bounded by log2(max key), so the iteration count is ~10 — the
+    same unrolled-iteration cost model as PageRank/k-core, but
+    expressed declaratively and planned by Catalyst's recursion
+    operator. Acyclic by construction, so UNION ALL terminates.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+            FROM customer WHERE c_custkey BETWEEN 1 AND 1023
+            UNION ALL
+            SELECT node, cur div 2, depth + 1 FROM anc WHERE cur > 1
+        )
+        SELECT depth,
+               count(*) AS n_at_depth,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM anc WHERE cur = 1
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
