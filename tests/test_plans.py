@@ -625,3 +625,40 @@ def test_pseudonymize_single_scan(spark, sf_dir):
     for op in counts:
         assert "Join" not in op and "Window" not in op, counts
     assert count_prefix(counts, "Scan parquet") == 1, counts
+
+
+def test_mmr_bounded_pool_only(spark, sf_dir):
+    """MMR: every nested-loop join is a bounded broadcast (query vec /
+    picked set); no CartesianProduct; pool build ends in a top-k heap."""
+    df = q("mmr_diverse_topk", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_welch_t_single_aggregate_over_scan(spark, sf_dir):
+    """Welch t: one (partial+final) moment aggregate; the only join is
+    the final 1-row × 1-row combine."""
+    df = q("welch_t_test", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") == 0, counts
+    assert count_prefix(counts, "Scan parquet") <= 2, counts
+
+
+def test_mann_whitney_window_on_buckets_only(spark, sf_dir):
+    """Mann-Whitney: the prefix-sum window may be global BUT runs on
+    the distinct-bucket frame (post-aggregation), never raw events —
+    assert the window sits above a HashAggregate in the plan."""
+    df = q("mann_whitney_u", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the aggregate reducing events to buckets must be below the window
+    assert plan.index("Window") < plan.rindex("HashAggregate"), plan[:2000]
+
+
+def test_chi_square_windows_on_census(spark, sf_dir):
+    """Chi-square: windows partition by et/dow over the tiny census."""
+    df = q("chi_square_independence", spark, sf_dir)
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 2, counts
+    # census scan + the 1-row grand-total branch (broadcast scalar)
+    assert count_prefix(counts, "Scan parquet") <= 2, counts
