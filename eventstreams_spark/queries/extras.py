@@ -637,3 +637,63 @@ def json_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.col("n_rows").desc(), "key_set")
     )
+
+
+@query(
+    "key_skew_profile",
+    category="Q2-skew",
+    oracle="""
+        WITH u AS (
+            SELECT count(*) AS c FROM events GROUP BY user_id
+        ), t AS (
+            SELECT count(*) AS c FROM events GROUP BY event_type
+        ), up AS (
+            SELECT 'user_id' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   round(max(c) * 1.0 / sum(c), 6) AS top1_share,
+                   round(-sum((c * 1.0 / (SELECT sum(c) FROM u))
+                              * ln(c * 1.0 / (SELECT sum(c) FROM u))), 6)
+                       AS entropy
+            FROM u
+        ), tp AS (
+            SELECT 'event_type',
+                   CAST(count(*) AS BIGINT),
+                   round(max(c) * 1.0 / sum(c), 6),
+                   round(-sum((c * 1.0 / (SELECT sum(c) FROM t))
+                              * ln(c * 1.0 / (SELECT sum(c) FROM t))), 6)
+            FROM t
+        )
+        SELECT * FROM up UNION ALL SELECT * FROM tp
+        ORDER BY key_col
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW profiler: per candidate partition key — key
+    cardinality, heaviest-key share, and Shannon entropy of the key
+    distribution. This is the measurement that decides the join/agg
+    strategy this repo's SCALE.md prescribes (top1_share ≫ 1/n_keys ⇒
+    AQE skew split or salting; high entropy ⇒ plain hash partitioning
+    is fine). Profiling before partitioning is how the 341 s fuzzy-
+    join blocking regression was caught — this query productizes it.
+
+    Scale: one count-per-key aggregate per candidate column (map-side
+    combinable) and a tiny second-level fold; entropy needs the total,
+    a 1-row broadcast. Never sorts, never windows over raw data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(col: str):
+        per_key = ev.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        tot = per_key.agg(F.sum("c").alias("n"))
+        p = F.col("c") / F.col("n")
+        return (
+            per_key.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(col).alias("key_col"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.round(F.max("c") / F.any_value("n"), 6).alias("top1_share"),
+                F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            )
+        )
+
+    return profile("user_id").unionAll(profile("event_type")).orderBy("key_col")

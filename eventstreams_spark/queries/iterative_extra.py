@@ -39,7 +39,7 @@ from ..catalog import load_table
 from ..functions.vectors import cosine_similarity, norm, to_double_array
 from ..operators.graph import interaction_edges
 from ..registry import query
-from ._shared import INTERACTION_UND_CTE
+from ._shared import INTERACTION_EDGES_CTE, INTERACTION_UND_CTE
 
 # fixed-point scale for centroid accumulation: |x| <= ~0.5 per
 # component, so 1e7-scaled components stay < 5e6; int64 overflows only
@@ -566,4 +566,165 @@ def log_template_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("example_doc_id"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "promql_histogram_quantile",
+    category="M2-histq",
+    oracle="""
+        WITH h AS (
+            SELECT event_type,
+                   count(*) AS total,
+                   count(CASE WHEN value <= 50 THEN 1 END) AS le50,
+                   count(CASE WHEN value <= 100 THEN 1 END) AS le100,
+                   count(CASE WHEN value <= 200 THEN 1 END) AS le200,
+                   count(CASE WHEN value <= 350 THEN 1 END) AS le350
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(total AS BIGINT) AS total,
+               round(CASE
+                 WHEN 0.95 * total <= le50
+                   THEN 50.0 * (0.95 * total) / le50
+                 WHEN 0.95 * total <= le100
+                   THEN 50 + (0.95 * total - le50) * 50.0 / (le100 - le50)
+                 WHEN 0.95 * total <= le200
+                   THEN 100 + (0.95 * total - le100) * 100.0 / (le200 - le100)
+                 WHEN 0.95 * total <= le350
+                   THEN 200 + (0.95 * total - le200) * 150.0 / (le350 - le200)
+                 ELSE 350.0
+               END, 6) AS q95_est
+        FROM h
+        ORDER BY event_type
+    """,
+)
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.95, ...)`` semantics over
+    cumulative (le-bucketed) counters: find the bucket containing the
+    target rank and interpolate linearly within it (the lowest bucket
+    interpolates from 0; ranks beyond the last finite bucket clamp to
+    its upper bound — Prometheus's exact convention). The monitoring
+    dual of the exact percentile family: histograms are mergeable
+    counters, so this is what 100 TB fleets actually aggregate.
+
+    Scale: the cumulative bucket counts are ONE conditional aggregate
+    per group (each `le` bucket a count(CASE ...) — map-side
+    combinable); the quantile pick is pure scalar CASE arithmetic on
+    the |groups|-row frame. No window, no sort, no join.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    les = [50, 100, 200, 350]
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.count(F.when(F.col("value") <= le, 1)).alias(f"le{le}") for le in les
+    ]
+    h = ev.groupBy("event_type").agg(*aggs)
+    rank = 0.95 * F.col("total")
+    q = (
+        F.when(rank <= F.col("le50"), 50.0 * rank / F.col("le50"))
+        .when(
+            rank <= F.col("le100"),
+            50 + (rank - F.col("le50")) * 50.0 / (F.col("le100") - F.col("le50")),
+        )
+        .when(
+            rank <= F.col("le200"),
+            100
+            + (rank - F.col("le100")) * 100.0 / (F.col("le200") - F.col("le100")),
+        )
+        .when(
+            rank <= F.col("le350"),
+            200
+            + (rank - F.col("le200")) * 150.0 / (F.col("le350") - F.col("le200")),
+        )
+        .otherwise(F.lit(350.0))
+    )
+    return h.select(
+        "event_type",
+        F.col("total").cast("long").alias("total"),
+        F.round(q, 6).alias("q95_est"),
+    ).orderBy("event_type")
+
+
+@query(
+    "hits_two_rounds",
+    category="B7-hits",
+    oracle="""
+        WITH
+    """ + INTERACTION_EDGES_CTE.strip().lstrip("WITH").strip() + """,
+        h0 AS (
+            SELECT src AS u FROM edges UNION SELECT dst FROM edges
+        ),
+        a1 AS (
+            SELECT dst AS u, CAST(count(*) AS BIGINT) AS a
+            FROM edges GROUP BY dst
+        ),
+        h1 AS (
+            SELECT src AS u, CAST(sum(coalesce(a1.a, 0)) AS BIGINT) AS h
+            FROM edges LEFT JOIN a1 ON edges.dst = a1.u
+            GROUP BY src
+        ),
+        a2 AS (
+            SELECT dst AS u, CAST(sum(coalesce(h1.h, 0)) AS BIGINT) AS a
+            FROM edges LEFT JOIN h1 ON edges.src = h1.u
+            GROUP BY dst
+        )
+        SELECT n.u AS user_id,
+               coalesce(a2.a, 0) AS authority,
+               coalesce(h1.h, 0) AS hub
+        FROM h0 n
+        LEFT JOIN a2 ON n.u = a2.u
+        LEFT JOIN h1 ON n.u = h1.u
+        ORDER BY authority DESC, hub DESC, user_id
+        LIMIT 25
+    """,
+)
+def hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities), two unnormalized power-iteration
+    rounds over the interaction graph with EXACT integer accounting
+    (h₀=1 ⇒ a₁ = in-degree, h₁ = Σ a₁(out-neighbors), a₂ = Σ h₁
+    (in-neighbors) — pure path counts, so no float normalization
+    drift and the oracle is an unrolled CTE). The directional
+    complement to PageRank: authorities collect from hubs, hubs from
+    authorities.
+
+    Scale: same Pregel shape as pagerank_fixed_iterations — the edge
+    list shuffles once per round keyed by src/dst; each round is one
+    join + one combinable aggregate. Normalize at read when real HITS
+    scores are needed; ranking is scale-invariant.
+    """
+    from ..operators.graph import interaction_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = interaction_edges(ev).persist()
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .distinct()
+    )
+    a1 = edges.groupBy(F.col("dst").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    h1 = (
+        edges.join(a1, edges["dst"] == a1["u"], "left")
+        .groupBy(F.col("src").alias("u2"))
+        .agg(F.sum(F.coalesce(F.col("a"), F.lit(0))).cast("long").alias("h"))
+        .select(F.col("u2").alias("u"), "h")
+    )
+    a2 = (
+        edges.join(h1, edges["src"] == h1["u"], "left")
+        .groupBy(F.col("dst").alias("u3"))
+        .agg(F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("long").alias("a"))
+        .select(F.col("u3").alias("u"), "a")
+    )
+    return (
+        nodes.join(a2, "u", "left")
+        .join(h1, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.coalesce(F.col("a"), F.lit(0)).alias("authority"),
+            F.coalesce(F.col("h"), F.lit(0)).alias("hub"),
+        )
+        .orderBy(F.col("authority").desc(), F.col("hub").desc(), "user_id")
+        .limit(25)
     )
