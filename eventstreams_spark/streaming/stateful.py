@@ -16,6 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -357,6 +358,92 @@ def zscore_anomaly_stream(
         fn,
         outputStructType=out_schema,
         stateStructType="n long, mean double, m2 double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    k: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per hash-bucket of the
+    token space, a bounded k-counter summary folded across micro-
+    batches in GroupState — the streaming twin of the batch
+    `heavy_hitters_tokens` / `heavy_hitters_gate` queries.
+
+    Buckets PARTITION the token space (token → one bucket), so each
+    bucket's Misra-Gries guarantee holds independently: a surviving
+    counter under-estimates its token's true count by at most
+    N_bucket/(k+1), and any token with true count above that bound
+    survives. Emits the full summary snapshot per bucket per batch,
+    tagged with a monotonically increasing ``snap`` — readers take
+    the max-snap rows per bucket for the current summary.
+
+    Scale: state is O(k) per bucket regardless of stream length; the
+    shuffle is keyed by bucket (raise ``n_buckets`` to spread load —
+    each bucket serializes through one Python worker per batch).
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("snap", LongType()),
+            StructField("token", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        summary_s, snap = state.get if state.exists else ("", 0)
+        counters: dict[str, int] = {}
+        if summary_s:
+            for part in summary_s.split("\x1e"):
+                tok, _, cnt = part.rpartition("\x1f")
+                counters[tok] = int(cnt)
+        for pdf in pdfs:
+            for tok in pdf.sort_values(order_col)[token_col]:
+                tok = str(tok)
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all round; drop exhausted counters
+                    for t in list(counters):
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            del counters[t]
+        snap += 1
+        state.update(
+            (
+                "\x1e".join(f"{t}\x1f{c}" for t, c in sorted(counters.items())),
+                snap,
+            )
+        )
+        yield pd.DataFrame(
+            [(key[0], snap, t, c) for t, c in sorted(counters.items())],
+            columns=["bucket", "snap", "token", "cnt"],
+        )
+
+    bucketed = df.withColumn(
+        "_bucket", F.pmod(F.hash(F.col(token_col)), F.lit(n_buckets)).cast("long")
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="summary string, snap long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

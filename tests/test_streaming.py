@@ -767,3 +767,28 @@ def test_zscore_anomaly_stream_welford_across_batches(spark, tmp_path):
     # x=100 vs {10,12,11,13}: mean 11.5, std sqrt(5/3) -> z = 88.5/1.29099
     assert got[4].z == pytest.approx(68.5518, abs=1e-3)
     assert got[4].is_anomaly
+
+
+def test_heavy_hitters_stream_misra_gries_fold(spark, tmp_path):
+    """Streaming MG: counters fold across micro-batches exactly as the
+    sequential algorithm — decrement-all on overflow, state carried.
+    Sequence a,b,a,c,a,b with k=2 (single bucket): after the full
+    stream the summary is {a:2, b:1}."""
+    from eventstreams_spark.streaming.stateful import heavy_hitters_stream
+
+    toks = ["a", "b", "a", "c", "a", "b"]
+    rows = [(t, f"2024-01-01 10:0{i}:00") for i, t in enumerate(toks)]
+    df = (
+        spark.createDataFrame(rows, "tok string, ts_s string")
+        .select("tok", F.to_timestamp("ts_s").alias("ts"))
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = heavy_hitters_stream(stream, "tok", "ts", k=2, n_buckets=1)
+    run_to_memory(out, "t_mg", output_mode="append")
+    final = spark.sql(
+        "SELECT token, cnt FROM t_mg WHERE snap = (SELECT max(snap) FROM t_mg)"
+        " ORDER BY token"
+    ).collect()
+    assert [(r.token, r.cnt) for r in final] == [("a", 2), ("b", 1)]
+    # MG guarantee on the fold: counter >= true - N/(k+1) = 3 - 2
+    assert final[0].cnt >= 1
