@@ -848,3 +848,49 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "quality_filter_ablation",
+    category="L5-ablation",
+    oracle="""
+        WITH flags AS (
+            SELECT n_chars BETWEEN 50 AND 5000 AS len_ok,
+                   lang = 'en' AS lang_en,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       BETWEEN 20 AND 200 AS toks_ok,
+                   list_contains(string_split(text, ' '), 'the') AS has_stop
+            FROM documents
+        )
+        SELECT len_ok, lang_en, toks_ok, has_stop,
+               count(*) AS n_docs
+        FROM flags
+        GROUP BY len_ok, lang_en, toks_ok, has_stop
+        ORDER BY len_ok, lang_en, toks_ok, has_stop
+    """,
+)
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION census: every document evaluated
+    against each cleaning rule (length band, language, token-count
+    band, stopword presence) in one pass, censused by the full flag
+    combination — the observability view a pipeline owner reads
+    before tightening thresholds ("rule X alone would drop 40%;
+    X∧Y only 2% more"). Survivor count = the all-true cell.
+
+    Scale: ONE scan, flags are row-local codegen, census is a 16-cell
+    aggregate — the ablation over k filters costs the same as
+    applying them once (no per-rule re-scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    flags = docs.select(
+        F.col("n_chars").between(50, 5000).alias("len_ok"),
+        (F.col("lang") == "en").alias("lang_en"),
+        F.size(toks).between(20, 200).alias("toks_ok"),
+        F.array_contains(F.split(F.col("text"), " "), "the").alias("has_stop"),
+    )
+    return (
+        flags.groupBy("len_ok", "lang_en", "toks_ok", "has_stop")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("len_ok", "lang_en", "toks_ok", "has_stop")
+    )
