@@ -515,3 +515,49 @@ def timezone_conversion_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ny_hour", "kolkata_min")
     )
+
+
+@query(
+    "aes_roundtrip_identity",
+    category="2.8-crypto",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               count(*) AS n_roundtrip_ok,
+               min(props) AS min_props
+        FROM events
+        WHERE event_id <= 2000
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def aes_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption pinned by ROUNDTRIP identity:
+    aes_encrypt (GCM, key derived from a salt via sha2 — 16-byte hex
+    prefix) then try_aes_decrypt must restore every payload byte, so
+    the oracle is the PLAINTEXT census (n_roundtrip_ok counts rows
+    where decrypt == original — hash-red if any byte diverges).
+    DuckDB has no AES; the identity construction makes the contract
+    checkable anyway (same pattern as xml_extract_roundtrip).
+
+    Scale: both sides are codegen'd JVM expressions; GCM's random IV
+    makes ciphertexts non-deterministic, which is WHY the pin is on
+    the decrypted payload, never the ciphertext. Key distribution at
+    scale is a broadcast literal (or KMS lookup), not a join.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    key = F.substring(F.sha2(F.lit("keysalt|v1"), 256), 1, 16)
+    enc = F.aes_encrypt(F.col("props").cast("binary"), key.cast("binary"))
+    dec = F.try_aes_decrypt(enc, key.cast("binary")).cast("string")
+    return (
+        ev.select("event_type", "props", dec.alias("rt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("rt") == F.col("props"), 1)).alias(
+                "n_roundtrip_ok"
+            ),
+            F.min("props").alias("min_props"),
+        )
+        .orderBy("event_type")
+    )
