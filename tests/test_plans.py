@@ -662,3 +662,50 @@ def test_chi_square_windows_on_census(spark, sf_dir):
     assert counts.get("Window", 0) == 2, counts
     # census scan + the 1-row grand-total branch (broadcast scalar)
     assert count_prefix(counts, "Scan parquet") <= 2, counts
+
+
+def test_promql_histq_no_sort_no_window(spark, sf_dir):
+    """histogram_quantile: conditional aggregate + scalar CASE — no
+    window, no sort before the final ORDER BY, no join."""
+    df = q("promql_histogram_quantile", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
+
+
+def test_hits_keyed_joins_only(spark, sf_dir):
+    """HITS rounds: every join is keyed (src/dst) — no cartesian, no
+    nested loop; rounds are joins + combinable aggregates."""
+    df = q("hits_two_rounds", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_key_skew_profile_broadcast_totals(spark, sf_dir):
+    """Skew profiler: the only nested-loop joins are the 1-row total
+    broadcasts (one per profiled column)."""
+    df = q("key_skew_profile", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 2, counts
+
+
+def test_ablation_single_scan(spark, sf_dir):
+    """Ablation census: one documents scan, one two-phase aggregate."""
+    df = q("quality_filter_ablation", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+
+
+def test_aes_roundtrip_stays_in_codegen(spark, sf_dir):
+    """AES roundtrip: no Python eval nodes — encrypt/decrypt are JVM
+    expressions inside the projection."""
+    df = q("aes_roundtrip_identity", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BatchEvalPython") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 0, counts
+    for op in counts:
+        assert "Join" not in op, counts
