@@ -84,3 +84,19 @@ class MetricsListener(StreamingQueryListener):
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     out[k] = out.get(k, 0) + v
         return out
+
+
+# ---- pipeline-step bridge: observations registered by step name ----
+
+_observations: dict[str, Observation | str] = {}
+
+
+def register_observation(name: str, obs: Observation | str) -> None:
+    _observations[name] = obs
+
+
+def get_observation(name: str) -> Observation | str:
+    """Fetch the Observation attached by a ``metrics`` pipeline step
+    (batch: read ``.get`` after an action; streaming: the observation
+    name to look up in query progress / MetricsListener)."""
+    return _observations[name]

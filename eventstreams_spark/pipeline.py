@@ -618,6 +618,23 @@ def _uuid(target: str = "uuid", deterministic_from: list[str] | None = None) -> 
     return t
 
 
+@step("metrics")
+def _metrics(name: str = "pipeline", value_field: str | None = None) -> Transform:
+    """Inline flow metrics (Logstash ``metrics``): count (+min/max/sum
+    of ``value_field``) ride the existing job via ``df.observe`` —
+    zero extra scan or shuffle. Read the numbers after an action with
+    ``operators.metrics.get_observation(name)`` (batch ``.get``;
+    streaming: per-batch via MetricsListener)."""
+    from .operators.metrics import observe, register_observation, standard_metrics
+
+    def t(df: DataFrame) -> DataFrame:
+        observed, obs = observe(df, name, *standard_metrics(value_field))
+        register_observation(name, obs)
+        return observed
+
+    return t
+
+
 @step("anonymize")
 def _anonymize(fields: list[str], salt: str = "v1") -> Transform:
     """Pseudonymize fields in place with a salted SHA-256 16-hex token

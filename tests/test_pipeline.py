@@ -433,3 +433,23 @@ def test_anonymize_step_stable_and_rotatable(spark):
     )
     r2 = {r.id: r for r in rotated.apply(df).collect()}
     assert r2[1].user != rows[1].user
+
+
+def test_metrics_step_inline_observation(spark):
+    from eventstreams_spark.operators.metrics import get_observation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0)], "id long, v double"
+    )
+    pipe = Pipeline.from_config(
+        {"steps": [
+            {"type": "metrics", "name": "t_obs", "value_field": "v"},
+            {"type": "filter", "expr": "v > 15"},
+        ]}
+    )
+    out = pipe.apply(df)
+    assert out.count() == 2          # the action that feeds the observation
+    got = get_observation("t_obs").get
+    # metrics observe the PRE-filter flow (step order matters)
+    assert got["events"] == 3 and got["sum_value"] == 60.0
+    assert got["min_value"] == 10.0 and got["max_value"] == 30.0
