@@ -321,3 +321,94 @@ def test_exact_global_rank_matches_global_sort(spark, vals):
         for rank, (v, i) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=500),    # start offset (s)
+            st.integers(min_value=1, max_value=60),     # duration (s)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interval_coverage_matches_brute_force(spark, rows):
+    """Property: the running-max-of-end island merge computes EXACTLY
+    the measure and component-count of the union of intervals — for
+    any overlap pattern hypothesis produces — vs a brute-force
+    second-by-second union per user."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(rows, columns=["u", "s", "d"])
+    pdf["e"] = pdf["s"] + pdf["d"]
+    sdf = spark.createDataFrame(pdf[["u", "s", "e"]])
+    w = Window.partitionBy("u").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = sdf.withColumn(
+        "ni", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    islands = flagged.withColumn("iid", F.sum("ni").over(w))
+    got = {
+        r.u: (r.n, r.cov)
+        for r in islands.groupBy("u", "iid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("me") - F.col("ms")).alias("cov"),
+        )
+        .collect()
+    }
+    for u, grp in pdf.groupby("u"):
+        covered = set()
+        for _, r in grp.iterrows():
+            covered.update(range(r.s, r.e))
+        # component count: covered seconds with no predecessor
+        comps = sum(1 for x in covered if x - 1 not in covered)
+        assert got[u] == (comps, len(covered)), (u, got[u], comps)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                                # treatment?
+            st.integers(min_value=0, max_value=8),        # bucketed metric
+        ),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda xs: any(t for t, _ in xs) and any(not t for t, _ in xs))
+)
+def test_mann_whitney_midrank_matches_naive(spark, rows):
+    """Property: the distinct-bucket prefix-sum rank construction
+    equals naive midranks (scipy-style average ranks) for any tie
+    pattern."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(rows, columns=["t", "v"])
+    sdf = spark.createDataFrame(pdf)
+    per_v = sdf.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("t").cast("int")).alias("ct"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn("below", F.sum("cnt").over(w))
+    got = ranked.agg(
+        F.sum(
+            F.col("ct")
+            * (F.coalesce(F.col("below"), F.lit(0)) + (F.col("cnt") + 1) / 2.0)
+        ).alias("r1")
+    ).collect()[0].r1
+    # naive midranks
+    s = pdf["v"].sort_values().reset_index(drop=True)
+    ranks = {}
+    for val, grp in s.groupby(s):
+        idx = grp.index + 1  # 1-based positions in the sorted order
+        ranks[val] = idx.to_series().mean()
+    want = sum(ranks[v] for t, v in rows if t)
+    assert got == pytest.approx(want)
