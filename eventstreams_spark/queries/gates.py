@@ -252,3 +252,47 @@ def bitmap_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "profile_approx_distinct_gate",
+    category="Q1-profile-approx",
+    oracle="""
+        SELECT 'event_id' AS col_name, TRUE AS within_10pct
+        UNION ALL SELECT 'event_type', TRUE
+        UNION ALL SELECT 'props', TRUE
+        UNION ALL SELECT 'user_id', TRUE
+        UNION ALL SELECT 'value', TRUE
+        ORDER BY col_name
+    """,
+)
+def profile_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB relaxation of `profile_columns_events`, made
+    hash-checkable: per column, `approx_count_distinct` (HLL++, rsd
+    5%) must land within 10% of the exact distinct count. This is the
+    gate that licenses swapping the Expand-based exact profile for
+    the sketch profile at scale — a driver red here means the sketch
+    accuracy regressed below the documented margin.
+
+    Scale: the approx side is ONE aggregate with NO Expand (HLL
+    partials merge map-side); the exact side exists only to judge it
+    (drop it in production). Measured sf0.01 errors are ≤ ~3% per
+    column (rsd 0.05), so the 10% gate has ≥ 3× headroom.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "props", "user_id", "value"]
+    approx = ev.agg(
+        *[F.approx_count_distinct(c, rsd=0.05).alias(f"a_{c}") for c in cols]
+    )
+    exact = ev.agg(*[F.count_distinct(F.col(c)).alias(f"e_{c}") for c in cols])
+    wide = approx.crossJoin(exact)
+    stack = ", ".join(f"'{c}', a_{c}, e_{c}" for c in cols)
+    tall = wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, a, e)"
+    )
+    return tall.select(
+        "col_name",
+        (F.abs(F.col("a") - F.col("e")) <= 0.10 * F.col("e")).alias(
+            "within_10pct"
+        ),
+    ).orderBy("col_name")
