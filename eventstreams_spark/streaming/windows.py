@@ -93,3 +93,33 @@ def session_agg(
         .withColumn("session_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def topk_per_window_at_read(
+    sink_df: DataFrame,
+    k: int,
+    order_col: str = "n",
+    window_col: str = "window_start",
+) -> DataFrame:
+    """Streaming top-k per window, the RANK-AT-READ pattern: the
+    stream itself only maintains per-(window, key) counts (cheap,
+    mergeable, append-mode state) and the ranking runs as a batch
+    window over the SINK — ranking inside the stream would need
+    all-keys-per-window state and re-emission on every change, which
+    no output mode expresses cleanly. This is the standard
+    lambda-free decomposition (heavy mergeable state in-stream,
+    order-dependent finishing at read).
+
+    Scale: the read-side window partitions by window_start — bounded
+    partitions (keys-per-window), never a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(window_col).orderBy(
+        F.col(order_col).desc(), *[c for c in sink_df.columns if c not in (order_col, window_col)]
+    )
+    return (
+        sink_df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -792,3 +792,35 @@ def test_heavy_hitters_stream_misra_gries_fold(spark, tmp_path):
     assert [(r.token, r.cnt) for r in final] == [("a", 2), ("b", 1)]
     # MG guarantee on the fold: counter >= true - N/(k+1) = 3 - 2
     assert final[0].cnt >= 1
+
+
+def test_streaming_topk_rank_at_read_equals_batch(spark, events_slice, tmp_path):
+    """Windowed top-k via rank-at-read: stream maintains tumbling
+    per-type counts (append mode), ranking runs over the sink — the
+    result must equal the batch top-k over the same closed windows."""
+    from eventstreams_spark.streaming.windows import (
+        topk_per_window_at_read,
+        tumbling_agg,
+    )
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    stream = replay_table(spark, events_slice, str(tmp_path), chunks=2, order_col="ts")
+    out = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"], aggs, watermark="10 minutes"
+    )
+    run_to_memory(out, "t_topk_sink", output_mode="append")
+    sink = spark.sql("SELECT window_start, event_type, n FROM t_topk_sink")
+    got = topk_per_window_at_read(sink, k=2)
+    wm = events_slice.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0].wm
+    want_sink = (
+        tumbling_agg(events_slice, "ts", "1 hour", ["event_type"], aggs)
+        .filter(F.col("window_end") <= F.lit(wm))
+        .select("window_start", "event_type", "n")
+    )
+    want = topk_per_window_at_read(want_sink, k=2)
+    assert _rows(got) == _rows(want)
+    # each closed window keeps at most 2 rows
+    per_w = got.groupBy("window_start").count().agg(F.max("count")).collect()[0][0]
+    assert per_w <= 2
