@@ -839,3 +839,122 @@ def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_quint")
     )
+
+
+@query(
+    "dau_wau_mau_actives",
+    category="B12-actives",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), days AS (
+            SELECT DISTINCT day FROM ud
+        ), contrib AS (
+            SELECT user_id, unnest(generate_series(day, day + 13, INTERVAL 1 DAY))
+                       AS target_day, day
+            FROM ud
+        )
+        SELECT d.day,
+               (SELECT count(DISTINCT u.user_id) FROM ud u
+                WHERE u.day = d.day) AS dau,
+               count(DISTINCT CASE WHEN date_diff('day', c.day,
+                                        CAST(c.target_day AS DATE)) <= 6
+                                   THEN c.user_id END) AS wau,
+               count(DISTINCT c.user_id) AS mau14,
+               round((SELECT count(DISTINCT u.user_id) FROM ud u
+                      WHERE u.day = d.day) * 1.0
+                     / count(DISTINCT c.user_id), 6) AS stickiness
+        FROM days d
+        JOIN contrib c ON CAST(c.target_day AS DATE) = d.day
+        GROUP BY d.day
+        ORDER BY d.day
+    """,
+)
+def dau_wau_mau_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / 14-day-MAU / stickiness per day — the product-
+    analytics headline metrics. Trailing distinct counts are computed
+    by CONTRIBUTION EXPLODE: each (user, active-day) pair emits one
+    row per future day it keeps the user "active" for (≤ 13), then
+    one distinct-count per target day — never a distinct OVER a
+    sliding window (unsupported AND quadratic) and never a self-join
+    of the fact table.
+
+    Scale: work = actives × window-days (bounded fan-out), shuffles
+    keyed by (target_day) — at 100 TB switch the exact distinct to
+    per-day HLL sketches unioned over the trailing window (A3
+    mergeability is the whole point of sketches here; the
+    `profile_approx_distinct_gate` licenses that swap).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 13), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("target_day"),
+    )
+    # dau / wau / mau in ONE aggregate via conditional distincts
+    agg = contrib.groupBy(F.col("target_day")).agg(
+        F.count_distinct(
+            F.when(F.datediff("target_day", "day") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(F.datediff("target_day", "day") <= 6, F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct(F.col("user_id")).alias("mau14"),
+    )
+    days = ud.select("day").distinct()
+    return (
+        days.join(agg, days["day"] == agg["target_day"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau14",
+            F.round(F.col("dau") / F.col("mau14"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "new_vs_returning_daily",
+    category="B12-newret",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), first_seen AS (
+            SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id
+        )
+        SELECT ud.day,
+               count(CASE WHEN ud.day = f.d0 THEN 1 END) AS new_users,
+               count(CASE WHEN ud.day > f.d0 THEN 1 END) AS returning_users
+        FROM ud JOIN first_seen f ON ud.user_id = f.user_id
+        GROUP BY ud.day
+        ORDER BY ud.day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day: each active (user, day) is
+    "new" iff it is the user's first active day (cohort B2's entry
+    event, censused daily). One first-seen aggregate + one keyed join
+    back — the standard two-pass shape; at scale both passes share
+    the user_id partitioning (exchange reuse).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("d0"), 1)).alias("new_users"),
+            F.count(F.when(F.col("day") > F.col("d0"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("day")
+    )
