@@ -709,3 +709,22 @@ def test_aes_roundtrip_stays_in_codegen(spark, sf_dir):
     assert count_prefix(counts, "ArrowEvalPython") == 0, counts
     for op in counts:
         assert "Join" not in op, counts
+
+
+def test_dau_contribution_explode_no_selfjoin(spark, sf_dir):
+    """DAU/WAU/MAU: trailing actives from the contribution explode —
+    no fact self-join, no sliding distinct window; the only join is
+    days × per-day aggregates."""
+    df = q("dau_wau_mau_actives", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert counts.get("Window", 0) == 0, counts
+    assert count_prefix(counts, "Generate") == 1, counts  # the explode
+
+
+def test_new_vs_returning_keyed_join(spark, sf_dir):
+    """first-seen join rides the user_id partitioning; no windows."""
+    df = q("new_vs_returning_daily", spark, sf_dir)
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
