@@ -542,3 +542,158 @@ def recursive_cte_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY depth
         """
     )
+
+
+@query(
+    "net_revenue_retention_monthly",
+    category="B13-ndr",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey, mon
+        ), paired AS (
+            SELECT cur.mon,
+                   cur.cents AS cur_cents,
+                   prev.cents AS prev_cents
+            FROM m cur
+            JOIN m prev ON prev.o_custkey = cur.o_custkey
+                       AND prev.mon = cur.mon - INTERVAL 1 MONTH
+        )
+        SELECT mon,
+               CAST(count(*) AS BIGINT) AS n_retained_customers,
+               CAST(sum(cur_cents) AS BIGINT) AS retained_cents,
+               CAST(sum(prev_cents) AS BIGINT) AS base_cents,
+               round(sum(cur_cents) * 1.0 / sum(prev_cents), 6) AS ndr
+        FROM paired
+        GROUP BY mon
+        ORDER BY mon
+    """,
+)
+def net_revenue_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention per month: revenue this month from
+    customers who also spent LAST month, over last month's revenue
+    from those same customers — the SaaS expansion/contraction metric
+    (>1 = expansion). Money in integral cents end-to-end; only the
+    final ratio is floating.
+
+    Scale: one (customer, month) aggregate, then a self-join keyed on
+    customer — both sides share the o_custkey partitioning (exchange
+    reuse), and the month census is tiny. The month-shift join beats
+    a lag window here because a customer's month series is sparse
+    (lag gives the previous ACTIVE month, not the previous calendar
+    month — pinned by the oracle's explicit interval join).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    cur = m.select("o_custkey", "mon", F.col("cents").alias("cur_cents"))
+    prev = m.select(
+        "o_custkey",
+        (F.col("mon") + F.expr("INTERVAL 1 MONTH")).alias("mon"),
+        F.col("cents").alias("prev_cents"),
+    )
+    return (
+        cur.join(prev, ["o_custkey", "mon"])
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retained_customers"),
+            F.sum("cur_cents").cast("long").alias("retained_cents"),
+            F.sum("prev_cents").cast("long").alias("base_cents"),
+            F.round(F.sum("cur_cents") / F.sum("prev_cents"), 6).alias("ndr"),
+        )
+        .orderBy("mon")
+    )
+
+
+@query(
+    "pareto_revenue_deciles",
+    category="B14-pareto",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents DESC, o_custkey)
+                       AS rk,
+                   count(*) OVER () AS n
+            FROM cust
+        ), dec AS (
+            SELECT ((rk - 1) * 10) // n + 1 AS decile,
+                   CAST(sum(cents) AS BIGINT) AS dec_cents,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM ranked GROUP BY decile
+        )
+        SELECT decile, n_customers, dec_cents,
+               round(dec_cents * 1.0 /
+                     (SELECT sum(dec_cents) FROM dec), 6) AS rev_share,
+               round(CAST(sum(dec_cents) OVER (ORDER BY decile) AS BIGINT)
+                     * 1.0 / (SELECT sum(dec_cents) FROM dec), 6)
+                   AS cum_share
+        FROM dec
+        ORDER BY decile
+    """,
+)
+def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by lifetime revenue
+    (descending), split into value deciles; each decile's revenue
+    share and the cumulative share (the "top 10% of customers carry
+    X% of revenue" curve). Ranking uses exact_global_rank — the
+    bucketed distributed rank, NO single-partition sort; the
+    cumulative window runs over the 10-row decile frame only.
+
+    Scale: customer aggregate → bucketed rank shuffle → 10-row
+    finishing. Money integral cents; shares rounded 6.
+    """
+    from ..operators.ranking import exact_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    # rank descending: exact_global_rank orders ascending on its lead
+    # column, so rank on negated cents (ties broken by custkey, same
+    # as the oracle's ORDER BY cents DESC, o_custkey)
+    neg = cust.select(
+        "o_custkey", "cents", (-F.col("cents")).alias("neg_cents")
+    )
+    ranked, n_cust = exact_global_rank(
+        neg, ["neg_cents", "o_custkey"], rank_col="rk", with_total=True
+    )
+    dec = (
+        ranked.select(
+            F.expr(f"((rk - 1) * 10) div {int(n_cust)} + 1").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("dec_cents"),
+        )
+    )
+    tot = dec.agg(F.sum("dec_cents").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "dec_cents",
+            F.round(F.col("dec_cents") / F.col("t"), 6).alias("rev_share"),
+            F.round(
+                F.sum("dec_cents").over(w).cast("long") / F.col("t"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
