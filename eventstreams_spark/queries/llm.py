@@ -894,3 +894,138 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("len_ok", "lang_en", "toks_ok", "has_stop")
     )
+
+
+@query(
+    "embedding_drift_by_label",
+    category="L3-drift",
+    oracle="""
+        WITH comp AS (
+            SELECT label, vec_id % 2 AS half, i AS dim,
+                   count(*) AS n,
+                   sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                                  + 0.5) AS BIGINT)) AS ss
+            FROM embeddings, range(0, 64) t(i)
+            GROUP BY label, half, dim
+        )
+        SELECT a.label,
+               CAST(any_value(a.n) AS BIGINT) AS n_even,
+               CAST(any_value(b.n) AS BIGINT) AS n_odd,
+               round(sqrt(sum(pow(a.ss * 1.0 / a.n - b.ss * 1.0 / b.n, 2)))
+                     / 1000000.0, 6) AS drift_l2
+        FROM comp a JOIN comp b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+        ORDER BY a.label
+    """,
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT monitor: split each label's vectors into two
+    deterministic halves (vec_id parity — in production: time
+    windows), compute both centroids with exact micro-unit integer
+    sums (the embedding_centroid_per_label construction), and report
+    the L2 distance between them — the alarm that an encoder change
+    or data shift moved a class's embedding distribution.
+
+    Scale: one (label, half, dim) combinable aggregate (64 rows per
+    vector), a (label, dim)-keyed self-join of the tiny centroid
+    frame, and a per-label fold — no driver-side vectors anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("dim", "val"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("long")
+            ).alias("ss"),
+        )
+    )
+    a = comp.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("n_even"), F.col("ss").alias("ss_a")
+    )
+    b = comp.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("n_odd"), F.col("ss").alias("ss_b")
+    )
+    d = F.col("ss_a") / F.col("n_even") - F.col("ss_b") / F.col("n_odd")
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.any_value("n_even").cast("long").alias("n_even"),
+            F.any_value("n_odd").cast("long").alias("n_odd"),
+            F.round(F.sqrt(F.sum(F.pow(d, 2))) / 1000000.0, 6).alias("drift_l2"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "token_kl_divergence_sources",
+    category="L5-drift",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE source IN ('src0', 'src1')
+        ), vocab AS (
+            SELECT DISTINCT tok FROM toks
+        ), c AS (
+            SELECT v.tok,
+                   count(CASE WHEN t.source = 'src0' THEN 1 END) AS c0,
+                   count(CASE WHEN t.source = 'src1' THEN 1 END) AS c1
+            FROM vocab v LEFT JOIN toks t ON v.tok = t.tok
+            GROUP BY v.tok
+        ), tot AS (
+            SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM c
+        )
+        SELECT any_value(n0) AS n_tokens_a,
+               any_value(n1) AS n_tokens_b,
+               any_value(v) AS vocab_size,
+               round(sum(((c0 + 1.0) / (n0 + v))
+                         * ln(((c0 + 1.0) / (n0 + v))
+                              / ((c1 + 1.0) / (n1 + v)))), 6) AS kl_a_b
+        FROM c CROSS JOIN tot
+    """,
+)
+def token_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL divergence D(src0 ‖ src1) with add-one
+    smoothing over the joint vocabulary — the text-drift twin of the
+    embedding drift monitor ("did source B's language shift away from
+    A"), and the statistic behind corpus-mixing sanity checks.
+
+    Scale: token counts are one conditional aggregate keyed by token
+    (the vocab LEFT JOIN in the oracle is expressed as a full-outer
+    conditional count in Spark — same result, one shuffle); totals
+    are a 1-row broadcast; the KL fold is a map-side-combinable sum.
+    Smoothing guarantees no zero denominators on either side.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c0"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c1"),
+    )
+    tot = c.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    p = (F.col("c0") + 1.0) / (F.col("n0") + F.col("v"))
+    q_ = (F.col("c1") + 1.0) / (F.col("n1") + F.col("v"))
+    return c.crossJoin(F.broadcast(tot)).agg(
+        F.any_value("n0").alias("n_tokens_a"),
+        F.any_value("n1").alias("n_tokens_b"),
+        F.any_value("v").alias("vocab_size"),
+        F.round(F.sum(p * F.log(p / q_)), 6).alias("kl_a_b"),
+    )
