@@ -958,3 +958,249 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "funnel_3step_windowed",
+    category="B1-funnel-windowed",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            SELECT 1 AS stage_order, 'view' AS stage,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click<=7d', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase<=7d', (SELECT count(*) FROM s3)
+        )
+    """,
+)
+def funnel_3step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each stage must happen within 7 days
+    of the previous stage's anchor (the semantics real funnel reports
+    use — an unbounded funnel overstates conversion by counting
+    returns months later). Same sequential-min join shape as
+    funnel_3step_conversion with the interval bound added to each
+    stage's range predicate.
+
+    Scale: unchanged from the unbounded funnel — user_id-keyed
+    aggregates and joins sharing one partitioning; the window bound
+    is a within-partition filter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAY")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(order: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", s1)
+        .unionAll(stage(2, "click<=7d", s2))
+        .unionAll(stage(3, "purchase<=7d", s3))
+    )
+
+
+@query(
+    "attribution_first_last_compare",
+    category="B15-attrib",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id, ts AS conv_ts, event_id AS conv_id
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id, ts, event_id, event_type AS channel
+            FROM events WHERE event_type IN ('view', 'click')
+        ), joined AS (
+            SELECT c.user_id, c.conv_id,
+                   printf('%020d|%010d|%s', epoch_us(t.ts), t.event_id,
+                          t.channel) AS okey
+            FROM conv c JOIN touch t
+              ON t.user_id = c.user_id
+             AND t.ts < c.conv_ts
+             AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+        ), per_conv AS (
+            SELECT conv_id,
+                   split_part(min(okey), '|', 3) AS first_touch,
+                   split_part(max(okey), '|', 3) AS last_touch
+            FROM joined GROUP BY conv_id
+        )
+        SELECT 'view' AS channel,
+               count(CASE WHEN first_touch = 'view' THEN 1 END)
+                   AS first_touch_convs,
+               count(CASE WHEN last_touch = 'view' THEN 1 END)
+                   AS last_touch_convs
+        FROM per_conv
+        UNION ALL
+        SELECT 'click',
+               count(CASE WHEN first_touch = 'click' THEN 1 END),
+               count(CASE WHEN last_touch = 'click' THEN 1 END)
+        FROM per_conv
+        ORDER BY channel
+    """,
+)
+def attribution_first_last_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution over a 7-day lookback:
+    each purchase credits the earliest and the latest qualifying
+    touch (view/click) — reported side by side per channel, the
+    comparison marketers run against the linear model
+    (attribution_linear_multitouch). Touch order is made totally
+    deterministic by the zero-padded (epoch_us, event_id) sort key
+    (min/max on a string — no argmin-tie ambiguity cross-engine).
+
+    Scale: one user_id-keyed range join (conversion × trailing-7d
+    touches — bounded fan-out per conversion), one per-conversion
+    aggregate, then a 2-row census.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("channel"),
+    )
+    okey = F.format_string(
+        "%020d|%010d|%s", F.unix_micros("ts"), F.col("event_id"), F.col("channel")
+    )
+    joined = conv.join(
+        touch,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select("conv_id", okey.alias("okey"))
+    per_conv = joined.groupBy("conv_id").agg(
+        F.split_part(F.min("okey"), F.lit("|"), F.lit(3)).alias("first_touch"),
+        F.split_part(F.max("okey"), F.lit("|"), F.lit(3)).alias("last_touch"),
+    )
+
+    def channel_row(ch: str) -> DataFrame:
+        return per_conv.agg(
+            F.lit(ch).alias("channel"),
+            F.count(F.when(F.col("first_touch") == ch, 1)).alias(
+                "first_touch_convs"
+            ),
+            F.count(F.when(F.col("last_touch") == ch, 1)).alias(
+                "last_touch_convs"
+            ),
+        )
+
+    return channel_row("view").unionAll(channel_row("click")).orderBy("channel")
+
+
+@query(
+    "retention_decay_slope",
+    category="B2-decay",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), sizes AS (
+            SELECT cohort_day, count(*) AS n_cohort
+            FROM first_seen GROUP BY cohort_day
+        ), tri AS (
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, a.d) AS day_offset,
+                   count(DISTINCT a.user_id) * 1.0 / any_value(s.n_cohort)
+                       AS retention
+            FROM active a
+            JOIN first_seen f ON a.user_id = f.user_id
+            JOIN sizes s ON s.cohort_day = f.cohort_day
+            GROUP BY f.cohort_day, day_offset
+        ), curve AS (
+            SELECT day_offset, avg(retention) AS avg_ret
+            FROM tri WHERE day_offset BETWEEN 1 AND 13
+            GROUP BY day_offset
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               round(regr_slope(ln(avg_ret), day_offset), 6) AS decay_slope,
+               round(regr_r2(ln(avg_ret), day_offset), 6) AS r2
+        FROM curve
+    """,
+)
+def retention_decay_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-curve decay fit: the cohort triangle collapses to an
+    average retention curve (offsets 1–13), then a log-linear
+    regression estimates the exponential decay rate — the one-number
+    summary growth teams track release-over-release (and the input
+    to LTV extrapolation). Composes B2 (cohort triangle) with A7's
+    regression family.
+
+    Scale: everything after the triangle runs on ≤14 rows; the
+    triangle itself is the B2 plan (co-partitioned user joins,
+    per-day distincts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    tri = (
+        active.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            (F.count_distinct("user_id") * 1.0 / F.any_value("n_cohort")).alias(
+                "retention"
+            )
+        )
+    )
+    curve = (
+        tri.filter(F.col("day_offset").between(1, 13))
+        .groupBy("day_offset")
+        .agg(F.avg("retention").alias("avg_ret"))
+    )
+    return curve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.regr_slope(F.log("avg_ret"), F.col("day_offset")), 6).alias(
+            "decay_slope"
+        ),
+        F.round(F.regr_r2(F.log("avg_ret"), F.col("day_offset")), 6).alias("r2"),
+    )

@@ -515,3 +515,81 @@ def tpch_q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_money_sum(F.col("c_acctbal"), 100).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "session_stats_summary",
+    category="W8-stats",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       // 1000000 AS dur_s
+            FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               round(avg(n_events), 6) AS avg_events,
+               round(count(CASE WHEN n_events = 1 THEN 1 END) * 1.0
+                     / count(*), 6) AS bounce_rate,
+               CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS p50_dur_s,
+               CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_dur_s
+        FROM sessions
+    """,
+)
+def session_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session QUALITY rollup on top of gap-30m sessionization: session
+    count, mean events/session, bounce rate (single-event sessions),
+    and p50/p90 session duration — the product-analytics dashboard
+    row derived from the W8 construction (same two windows over ONE
+    user_id exchange, then a tiny global summary).
+
+    Scale: identical to sessionize_gap30m_batch until the session
+    frame (which is |sessions|-sized, already aggregated); the final
+    percentiles sort only that frame. Durations integral seconds via
+    `div`; the discrete percentile picks an actual element
+    (percentile_disc ↔ quantile_disc, conventions).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(w).cast("long").alias("session_id"),
+    )
+    sessions = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+            "dur_s"
+        ),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)) / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_s)")
+        .cast("long")
+        .alias("p50_dur_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_s)")
+        .cast("long")
+        .alias("p90_dur_s"),
+    )

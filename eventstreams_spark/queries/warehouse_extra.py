@@ -549,7 +549,8 @@ def recursive_cte_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="B13-ndr",
     oracle="""
         WITH m AS (
-            SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+            SELECT o_custkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS cents
             FROM orders GROUP BY o_custkey, mon
@@ -586,8 +587,10 @@ def net_revenue_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
     month — pinned by the oracle's explicit interval join).
     """
     o = load_table(spark, sf_dir, "orders")
+    # trunc() (DATE), not date_trunc() (TIMESTAMP): DuckDB's
+    # date_trunc('month', DATE) stays DATE — type-identical months
     m = o.groupBy(
-        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+        "o_custkey", F.trunc("o_orderdate", "month").alias("mon")
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
@@ -596,7 +599,7 @@ def net_revenue_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
     cur = m.select("o_custkey", "mon", F.col("cents").alias("cur_cents"))
     prev = m.select(
         "o_custkey",
-        (F.col("mon") + F.expr("INTERVAL 1 MONTH")).alias("mon"),
+        F.add_months(F.col("mon"), 1).alias("mon"),
         F.col("cents").alias("prev_cents"),
     )
     return (
