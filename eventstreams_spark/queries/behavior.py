@@ -1204,3 +1204,124 @@ def retention_decay_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2(F.log("avg_ret"), F.col("day_offset")), 6).alias("r2"),
     )
+
+
+@query(
+    "time_to_convert_percentiles",
+    category="B1-ttc",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_buy
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ), d AS (
+            SELECT (epoch_us(p.t_buy) - epoch_us(v.t_view)) // 60000000
+                       AS mins
+            FROM p JOIN v ON p.user_id = v.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converters,
+               CAST(quantile_disc(mins, 0.5) AS BIGINT) AS p50_mins,
+               CAST(quantile_disc(mins, 0.9) AS BIGINT) AS p90_mins,
+               CAST(max(mins) AS BIGINT) AS max_mins
+        FROM d
+    """,
+)
+def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from a user's first view
+    to their first subsequent purchase, summarized as discrete
+    percentiles — the latency histogram behind funnel SLAs ("half of
+    converters buy within N hours").
+
+    Scale: two user-keyed min aggregates + one co-partitioned join;
+    the percentile sorts only the converter frame (≤ users). Integer
+    minutes via `div`; percentile_disc picks actual elements.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    d = p.join(v, "user_id").select(
+        F.expr("(unix_micros(t_buy) - unix_micros(t_view)) div 60000000").alias(
+            "mins"
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mins)")
+        .cast("long")
+        .alias("p50_mins"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY mins)")
+        .cast("long")
+        .alias("p90_mins"),
+        F.max("mins").cast("long").alias("max_mins"),
+    )
+
+
+@query(
+    "seasonal_residual_outliers",
+    category="T18-seasonal",
+    oracle="""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL 1 hour, ts) AS h,
+                   CAST(dayofweek(ts) AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hod,
+                   count(*) AS n
+            FROM events
+            GROUP BY h, dow, hod
+        ), baseline AS (
+            SELECT dow, hod, avg(n) AS mu, stddev_samp(n) AS sd
+            FROM hourly GROUP BY dow, hod
+        )
+        SELECT hourly.h, hourly.n,
+               round(mu, 6) AS expected,
+               round((hourly.n - mu) / sd, 4) AS z
+        FROM hourly JOIN baseline USING (dow, hod)
+        WHERE sd > 0 AND abs((hourly.n - mu) / sd) >= 1.25
+        ORDER BY h
+    """,
+)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: hourly event counts
+    scored against their (day-of-week, hour-of-day) baseline (|z| >= 1.25 — sized to the testdata's tame variance so the check exercises rows; production would use 3σ) — the
+    deseasonalized z that avoids paging on every Monday-morning ramp
+    (a plain global z flags the daily cycle itself; cf.
+    anomaly_mad_outliers for the robust-location variant).
+
+    Scale: the fact table reduces to an hourly census once; baseline
+    and scoring both run on that census (168-key baseline broadcast).
+    DuckDB dayofweek is 0-based, Spark's 1-based — shifted here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("h"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = hourly.groupBy("dow", "hod").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(baseline), ["dow", "hod"])
+        .filter((F.col("sd") > 0) & (F.abs(z) >= 1.25))
+        .select(
+            "h",
+            "n",
+            F.round("mu", 6).alias("expected"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("h")
+    )
