@@ -824,3 +824,47 @@ def test_streaming_topk_rank_at_read_equals_batch(spark, events_slice, tmp_path)
     # each closed window keeps at most 2 rows
     per_w = got.groupBy("window_start").count().agg(F.max("count")).collect()[0][0]
     assert per_w <= 2
+
+
+def test_stateful_throttle_state_recovers_across_restarts(spark, tmp_path):
+    """T6 checkpoint recovery: the applyInPandasWithState admitted-
+    counter must SURVIVE a full query restart (new query object, same
+    checkpoint) — events over the limit stay rejected after recovery,
+    not re-admitted from a zero counter."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import throttle_stream
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            throttle_stream(stream, "k", "ts", limit=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows(minutes):
+        return spark.createDataFrame(
+            [("a", f"2024-01-01 10:{m:02d}:00") for m in minutes],
+            "k string, ts_s string",
+        ).select("k", F.to_timestamp("ts_s").alias("ts"))
+
+    stage_files(rows([0, 1]), src, 1)
+    drain()
+    got1 = sorted(r.n_admitted for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]
+    # restart: three more events; recovered counter (2) admits ONE
+    stage_files(rows([2, 3, 4]), src, 2)
+    drain()
+    got2 = sorted(r.n_admitted for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3], got2
