@@ -700,3 +700,93 @@ def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "basket_copurchase_lift",
+    category="B16-basket",
+    oracle="""
+        WITH lines AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), n_orders AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+            FROM lines
+        ), brand_orders AS (
+            SELECT p_brand, count(*) AS c FROM lines GROUP BY p_brand
+        ), pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS c_ab
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY brand_a, brand_b
+        )
+        SELECT brand_a, brand_b, CAST(c_ab AS BIGINT) AS n_co,
+               round(c_ab * 1.0 / n, 6) AS support,
+               round((c_ab * 1.0 / n)
+                     / ((ca.c * 1.0 / n) * (cb.c * 1.0 / n)), 4) AS lift
+        FROM pairs
+        JOIN brand_orders ca ON pairs.brand_a = ca.p_brand
+        JOIN brand_orders cb ON pairs.brand_b = cb.p_brand
+        CROSS JOIN n_orders
+        ORDER BY n_co DESC, brand_a, brand_b
+        LIMIT 20
+    """,
+)
+def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: brand co-occurrence within orders with
+    support and lift (observed co-rate over independence) — the
+    association-rule primitive behind "frequently bought together".
+
+    Scale: the pair join is WITHIN-ORDER ONLY (equi-join on
+    l_orderkey) — pair volume is Σ lines-per-order², bounded by the
+    order-size cap (≤ 7 lines in TPC-H), never brand×brand over the
+    corpus; brand marginals and the order count are broadcast dims.
+    Top-20 under the exact (count, pair) order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lines = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = lines.agg(
+        F.count_distinct(F.col("l_orderkey")).cast("long").alias("n")
+    )
+    brand_orders = lines.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = lines.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = lines.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = brand_orders.select(
+        F.col("p_brand").alias("brand_a"), F.col("c").alias("ca")
+    )
+    cb = brand_orders.select(
+        F.col("p_brand").alias("brand_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c_ab").cast("long").alias("n_co"),
+            F.round(F.col("c_ab") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("c_ab") / F.col("n"))
+                / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_co").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
