@@ -586,3 +586,46 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "hourly_percentile_bands",
+    category="T19-bands",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 hour, ts) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(max(value), 6) AS mx
+        FROM events
+        WHERE value IS NOT NULL
+          AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY h
+        ORDER BY h
+    """,
+)
+def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-band chart data: p50/p95/max of the metric per hour —
+    the percentile ribbon every service dashboard draws. Exact
+    interpolated percentiles per bucket (small per-bucket sort);
+    at fleet scale each bucket's percentile becomes the mergeable
+    approx_percentile sketch with the same plan shape, and
+    `promql_histogram_quantile` is the counter-based alternative.
+
+    Scale: one (hour)-keyed aggregate; the time filter prunes at the
+    scan (pushdown asserted by the plan tests' conventions).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.max("value"), 6).alias("mx"),
+        )
+        .orderBy("h")
+    )
