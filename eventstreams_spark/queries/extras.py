@@ -697,3 +697,53 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("user_id").unionAll(profile("event_type")).orderBy("key_col")
+
+
+@query(
+    "rapid_fire_duplicates",
+    category="Q3-rapidfire",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_rapid,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us
+        FROM seq
+        WHERE gap_us IS NOT NULL AND gap_us <= 1800000000
+        GROUP BY user_id, event_type
+        ORDER BY n_rapid DESC, user_id, event_type
+        LIMIT 20
+    """,
+)
+def rapid_fire_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-fire duplicate audit: same (user, type) events closer
+    than a threshold (30 min here — sized to the testdata's sparse
+    per-key rate so the check exercises rows; production uses ~1 s) — the double-click / retry-storm / at-least-once-producer
+    signature that exact dedup (different event_ids) cannot catch and
+    throttling should. The census feeds either a dedup-window config
+    (T5) or a client-side fix.
+
+    Scale: one (user, type)-keyed lag window — same exchange class as
+    sessionize; the census aggregates only the flagged rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", "event_type", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull() & (F.col("gap_us") <= 1_800_000_000))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rapid"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+        )
+        .orderBy(F.col("n_rapid").desc(), "user_id", "event_type")
+        .limit(20)
+    )
