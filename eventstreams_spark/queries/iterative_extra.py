@@ -728,3 +728,87 @@ def hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), F.col("hub").desc(), "user_id")
         .limit(25)
     )
+
+
+@query(
+    "hits_normalized_scores",
+    category="B7-hits-norm",
+    oracle="""
+        WITH
+    """ + INTERACTION_EDGES_CTE.strip().lstrip("WITH").strip() + """,
+        a1 AS (
+            SELECT dst AS u, CAST(count(*) AS BIGINT) AS a
+            FROM edges GROUP BY dst
+        ),
+        h1 AS (
+            SELECT src AS u, CAST(sum(coalesce(a1.a, 0)) AS BIGINT) AS h
+            FROM edges LEFT JOIN a1 ON edges.dst = a1.u
+            GROUP BY src
+        ),
+        a2 AS (
+            SELECT dst AS u, CAST(sum(coalesce(h1.h, 0)) AS BIGINT) AS a
+            FROM edges LEFT JOIN h1 ON edges.src = h1.u
+            GROUP BY dst
+        ),
+        norms AS (
+            SELECT (SELECT sqrt(sum(a * a * 1.0)) FROM a2) AS na,
+                   (SELECT sqrt(sum(h * h * 1.0)) FROM h1) AS nh
+        )
+        SELECT u AS user_id,
+               round(a / na, 6) AS authority_norm,
+               round(coalesce(h1.h, 0) / nh, 6) AS hub_norm
+        FROM a2
+        LEFT JOIN h1 USING (u)
+        CROSS JOIN norms
+        ORDER BY authority_norm DESC, hub_norm DESC, user_id
+        LIMIT 25
+    """,
+)
+def hits_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS with the standard L2 normalization applied at READ time
+    over the integer path counts of `hits_two_rounds` — scores in
+    [0, 1] comparable across graphs, while the iteration itself stays
+    exact-integer (normalizing every round, as textbook HITS does,
+    only rescales: with one final normalization the ranking and the
+    normalized values match round-for-round scale factors).
+
+    Scale: identical rounds to hits_two_rounds plus two 1-row norm
+    scalars broadcast into the final projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    edges = interaction_edges(ev).persist()
+    a1 = edges.groupBy(F.col("dst").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    h1 = (
+        edges.join(a1, edges["dst"] == a1["u"], "left")
+        .groupBy(F.col("src").alias("u2"))
+        .agg(F.sum(F.coalesce(F.col("a"), F.lit(0))).cast("long").alias("h"))
+        .select(F.col("u2").alias("u"), "h")
+    )
+    a2 = (
+        edges.join(h1, edges["src"] == h1["u"], "left")
+        .groupBy(F.col("dst").alias("u3"))
+        .agg(F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("long").alias("a"))
+        .select(F.col("u3").alias("u"), "a")
+    )
+    norms = a2.agg(
+        F.sqrt(F.sum(F.col("a") * F.col("a") * 1.0)).alias("na")
+    ).crossJoin(
+        h1.agg(F.sqrt(F.sum(F.col("h") * F.col("h") * 1.0)).alias("nh"))
+    )
+    return (
+        a2.join(h1, "u", "left")
+        .crossJoin(F.broadcast(norms))
+        .select(
+            F.col("u").alias("user_id"),
+            F.round(F.col("a") / F.col("na"), 6).alias("authority_norm"),
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / F.col("nh"), 6).alias(
+                "hub_norm"
+            ),
+        )
+        .orderBy(
+            F.col("authority_norm").desc(), F.col("hub_norm").desc(), "user_id"
+        )
+        .limit(25)
+    )
