@@ -316,3 +316,79 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(20)
     )
+
+
+@query(
+    "rank_movers_week_over_week",
+    category="W9-movers",
+    oracle="""
+        WITH wk AS (
+            SELECT user_id,
+                   CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+                        THEN 1 ELSE 2 END AS week,
+                   count(*) AS n
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts < TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY user_id, week
+        ), ranked AS (
+            SELECT user_id, week, n,
+                   CAST(row_number() OVER (PARTITION BY week
+                        ORDER BY n DESC, user_id) AS BIGINT) AS rk
+            FROM wk
+        )
+        SELECT a.user_id,
+               a.rk AS rank_w1, b.rk AS rank_w2,
+               a.rk - b.rk AS rank_delta,
+               CAST(a.n AS BIGINT) AS n_w1, CAST(b.n AS BIGINT) AS n_w2
+        FROM ranked a JOIN ranked b
+          ON a.user_id = b.user_id AND a.week = 1 AND b.week = 2
+        ORDER BY abs(a.rk - b.rk) DESC, a.user_id
+        LIMIT 15
+    """,
+)
+def rank_movers_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard MOVERS: activity rank per user in two consecutive
+    weeks, joined to surface the biggest rank swings — the "trending
+    up/down" panel (B5 period-over-period applied to ranks instead of
+    values).
+
+    Scale: ranks partition BY WEEK (each week's row_number sorts only
+    that week's actives — with calendar partitioning this is the safe
+    per-partition global rank; for whole-history ranks use
+    exact_global_rank); the movers join is keyed on user_id. Exact
+    integer ordering throughout — no float rank drift.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    wk = ev.groupBy(
+        "user_id",
+        F.when(
+            F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("week"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("week").orderBy(F.col("n").desc(), "user_id")
+    ranked = wk.withColumn("rk", F.row_number().over(w).cast("long"))
+    a = ranked.filter(F.col("week") == 1).select(
+        "user_id", F.col("rk").alias("rank_w1"), F.col("n").alias("n1")
+    )
+    b = ranked.filter(F.col("week") == 2).select(
+        "user_id", F.col("rk").alias("rank_w2"), F.col("n").alias("n2")
+    )
+    return (
+        a.join(b, "user_id")
+        .select(
+            "user_id",
+            "rank_w1",
+            "rank_w2",
+            (F.col("rank_w1") - F.col("rank_w2")).alias("rank_delta"),
+            F.col("n1").cast("long").alias("n_w1"),
+            F.col("n2").cast("long").alias("n_w2"),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), "user_id")
+        .limit(15)
+    )
