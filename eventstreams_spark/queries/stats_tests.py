@@ -224,3 +224,81 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
     )
+
+
+@query(
+    "cramers_v_lang_source",
+    category="ST4-cramersv",
+    oracle="""
+        WITH obs AS (
+            SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY lang, source
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                   CAST(count(DISTINCT source) AS BIGINT) AS c
+            FROM obs
+        ), margins AS (
+            SELECT lang, source, o,
+                   CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS row_t,
+                   CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS col_t
+            FROM obs
+        ), chi AS (
+            SELECT sum(pow(o - row_t * col_t * 1.0 / n, 2)
+                       / (row_t * col_t * 1.0 / n)) AS chi2
+            FROM margins CROSS JOIN tot
+        )
+        SELECT any_value(n) AS n_docs,
+               any_value(r) AS n_langs,
+               any_value(c) AS n_sources,
+               round(any_value(chi2), 6) AS chi2,
+               round(sqrt(any_value(chi2)
+                          / (any_value(n) * least(any_value(r) - 1,
+                                                  any_value(c) - 1))), 6)
+                   AS cramers_v
+        FROM chi CROSS JOIN tot
+    """,
+)
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the language × source association in
+    the corpus — the normalized [0, 1] strength measure on top of χ²
+    (chi_square_independence reports the raw statistic; V answers "is
+    the dependence LARGE", which is what a corpus-balance report needs
+    when n is huge and every χ² is 'significant').
+
+    Scale: same contingency-census shape as ST3 — the fact table
+    collapses once, everything else runs on the |langs|×|sources|
+    frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct(F.col("lang")).cast("long").alias("r"),
+        F.count_distinct(F.col("source")).cast("long").alias("c"),
+    )
+    w_r = Window.partitionBy("lang")
+    w_c = Window.partitionBy("source")
+    margins = obs.select(
+        "o",
+        F.sum("o").over(w_r).cast("long").alias("row_t"),
+        F.sum("o").over(w_c).cast("long").alias("col_t"),
+    )
+    e = F.col("row_t") * F.col("col_t") / F.col("n")
+    chi = (
+        margins.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

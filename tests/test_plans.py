@@ -792,3 +792,56 @@ def test_seasonal_outliers_census_then_broadcast(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "Scan parquet") <= 2, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_basket_pairs_within_order_only(spark, sf_dir):
+    """Basket lift: pair join keyed on l_orderkey; part dim broadcast;
+    no cartesian anywhere."""
+    df = q("basket_copurchase_lift", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    # scalar order-count broadcast is the only BNLJ
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_percentile_bands_pushdown(spark, sf_dir):
+    """Bands: the time filter must reach the scan."""
+    df = q("hourly_percentile_bands", spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "ts" in pushed, pushed
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+
+
+def test_rapid_fire_single_exchange(spark, sf_dir):
+    """Rapid-fire audit: lag window + census ride the (user,type)
+    exchange; top-k via heap."""
+    df = q("rapid_fire_duplicates", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    assert_has_operator(df, "TakeOrderedAndProject")
+
+
+def test_rank_movers_partitioned_ranks(spark, sf_dir):
+    """Movers: row_number partitions by week (never SinglePartition
+    over the user frame); movers join keyed on user_id."""
+    df = q("rank_movers_week_over_week", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", plan), (
+        plan[:2000]
+    )
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_modularity_keyed_joins_only(spark, sf_dir):
+    """Modularity: every join keyed (node/community) except the 1-row
+    edge-count broadcast."""
+    df = q("community_modularity_score", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
