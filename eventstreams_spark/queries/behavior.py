@@ -1325,3 +1325,119 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "path_trigrams_census",
+    category="B10-trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+               count(*) AS n
+        FROM seq
+        WHERE t3 IS NOT NULL
+        GROUP BY trigram
+        ORDER BY n DESC, trigram
+        LIMIT 15
+    """,
+)
+def path_trigrams_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding path trigrams: every 3-step subsequence of a user's
+    event stream, censused — the n-gram generalization of the entry-
+    path census (journey_top_paths) and the input to higher-order
+    Markov models (markov_transition_matrix is the order-1 cut).
+
+    Scale: ONE user_id window emits both leads; the census shuffles
+    |types|³-bounded keys. No self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(15)
+    )
+
+
+@query(
+    "exposure_outcome_relative_risk",
+    category="B17-uplift",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS exposed,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(sum(CASE WHEN exposed = 1 THEN 1 END) AS BIGINT)
+                   AS n_exposed,
+               CAST(sum(CASE WHEN exposed = 0 THEN 1 END) AS BIGINT)
+                   AS n_control,
+               round(sum(CASE WHEN exposed = 1 AND converted = 1
+                              THEN 1 ELSE 0 END) * 1.0
+                     / sum(CASE WHEN exposed = 1 THEN 1 END), 6)
+                   AS rate_exposed,
+               round(sum(CASE WHEN exposed = 0 AND converted = 1
+                              THEN 1 ELSE 0 END) * 1.0
+                     / sum(CASE WHEN exposed = 0 THEN 1 END), 6)
+                   AS rate_control,
+               round((sum(CASE WHEN exposed = 1 AND converted = 1
+                               THEN 1 ELSE 0 END) * 1.0
+                      / sum(CASE WHEN exposed = 1 THEN 1 END))
+                     / (sum(CASE WHEN exposed = 0 AND converted = 1
+                                 THEN 1 ELSE 0 END) * 1.0
+                        / sum(CASE WHEN exposed = 0 THEN 1 END)), 6)
+                   AS relative_risk
+        FROM per_user
+    """,
+)
+def exposure_outcome_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure → outcome 2×2 analysis (relative risk): conversion
+    rate among users who hit an error vs those who didn't — the
+    observational uplift/impact readout ("do errors depress
+    purchases"), the census the Welch/Mann-Whitney tests then judge.
+
+    Scale: one per-user flag aggregate + one global 2×2 fold — two
+    combinable aggregates, no joins or windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "error").cast("int")).alias("exposed"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )
+    n_exp = F.sum(F.when(F.col("exposed") == 1, 1))
+    n_ctl = F.sum(F.when(F.col("exposed") == 0, 1))
+    conv_exp = F.sum(
+        F.when((F.col("exposed") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+    )
+    conv_ctl = F.sum(
+        F.when((F.col("exposed") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+    )
+    return per_user.agg(
+        n_exp.cast("long").alias("n_exposed"),
+        n_ctl.cast("long").alias("n_control"),
+        F.round(conv_exp * 1.0 / n_exp, 6).alias("rate_exposed"),
+        F.round(conv_ctl * 1.0 / n_ctl, 6).alias("rate_control"),
+        F.round((conv_exp * 1.0 / n_exp) / (conv_ctl * 1.0 / n_ctl), 6).alias(
+            "relative_risk"
+        ),
+    )
