@@ -63,6 +63,40 @@ def timed(df) -> float:
     return time.monotonic() - t0
 
 
+def sweep_thresholds():
+    """AQE skew-threshold sweep: how sensitive is the mitigated join
+    to skewedPartitionThresholdInBytes? (default 256 MB never fires
+    at local scale — the knob must be sized to ~median partition
+    bytes × skewedPartitionFactor or the hot key silently serializes)
+    """
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    left, right = build(spark)
+    left.persist().count()
+    right.persist().count()
+    for thr in ["256m", "64m", "16m", "4m"]:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            {"256m": "64m", "64m": "16m", "16m": "4m", "4m": "1m"}[thr],
+        )
+        timed(agg_join(left, right))  # warm / replan
+        t = min(timed(agg_join(left, right)) for _ in range(3))
+        print(f"skew threshold {thr:>5}: {t:6.2f} s")
+    spark.stop()
+
+
 def main():
     shutil.rmtree(WAREHOUSE, ignore_errors=True)
     spark = (
@@ -129,4 +163,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_thresholds()
+    else:
+        main()
