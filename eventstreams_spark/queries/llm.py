@@ -1029,3 +1029,209 @@ def token_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("v").alias("vocab_size"),
         F.round(F.sum(p * F.log(p / q_)), 6).alias("kl_a_b"),
     )
+
+
+@query(
+    "incremental_dedup_vs_reference",
+    category="L2-incremental",
+    oracle=f"""
+        WITH ref AS (
+            SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0
+        ), newb AS (
+            SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT id + 3000000, concat('dup prefix ', text)
+            FROM ref WHERE id % 30 = 0
+            UNION ALL
+            SELECT id + 4000000, text FROM ref WHERE id % 60 = 0
+        ), exact_dup AS (
+            SELECT DISTINCT n.id
+            FROM newb n JOIN (SELECT DISTINCT md5(text) AS h FROM ref) r
+              ON md5(n.text) = r.h
+        ), surv AS (
+            SELECT * FROM newb WHERE id NOT IN (SELECT id FROM exact_dup)
+        ), ntoks AS (
+            SELECT id, list_filter(string_split_regex(lower(text),
+                '{TOKEN_SPLIT}'), x -> x <> '') AS ws FROM surv
+        ), rtoks AS (
+            SELECT id, list_filter(string_split_regex(lower(text),
+                '{TOKEN_SPLIT}'), x -> x <> '') AS ws FROM ref
+        ), nsh AS (
+            SELECT DISTINCT id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+            FROM ntoks, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+            WHERE len(ws) >= 3
+        ), rsh AS (
+            SELECT DISTINCT id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+            FROM rtoks, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+            WHERE len(ws) >= 3
+        ), nmh AS (
+            SELECT id, s.seed,
+                   min(substr(md5(concat(s.seed, '|', shingle)), 1, 16)) AS h
+            FROM nsh, (SELECT unnest(range({N_MINHASH})) AS seed) s
+            GROUP BY id, s.seed
+        ), rmh AS (
+            SELECT id, s.seed,
+                   min(substr(md5(concat(s.seed, '|', shingle)), 1, 16)) AS h
+            FROM rsh, (SELECT unnest(range({N_MINHASH})) AS seed) s
+            GROUP BY id, s.seed
+        ), nbands AS (
+            SELECT id, seed // 2 AS band,
+                   concat(max(CASE WHEN seed % 2 = 0 THEN h END),
+                          max(CASE WHEN seed % 2 = 1 THEN h END)) AS sig
+            FROM nmh GROUP BY id, seed // 2
+        ), rbands AS (
+            SELECT id, seed // 2 AS band,
+                   concat(max(CASE WHEN seed % 2 = 0 THEN h END),
+                          max(CASE WHEN seed % 2 = 1 THEN h END)) AS sig
+            FROM rmh GROUP BY id, seed // 2
+        ), cand AS (
+            SELECT DISTINCT nb.id AS nid, rb.id AS rid
+            FROM nbands nb JOIN rbands rb
+              ON nb.band = rb.band AND nb.sig = rb.sig
+        ), nsets AS (
+            SELECT id, list(DISTINCT shingle) AS sh FROM nsh GROUP BY id
+        ), rsets AS (
+            SELECT id, list(DISTINCT shingle) AS sh FROM rsh GROUP BY id
+        ), near AS (
+            SELECT DISTINCT c.nid
+            FROM cand c
+            JOIN nsets a ON c.nid = a.id
+            JOIN rsets b ON c.rid = b.id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / greatest(len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+        )
+        SELECT (SELECT count(*) FROM newb) AS n_new,
+               (SELECT count(*) FROM exact_dup) AS n_exact_dup,
+               (SELECT count(*) FROM near) AS n_near_dup,
+               (SELECT count(*) FROM surv)
+                   - (SELECT count(*) FROM near) AS n_kept
+    """,
+)
+def incremental_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production crawl mode: dedup a NEW
+    batch against an existing REFERENCE corpus without ever pairing
+    reference docs with each other. Exact phase: content-hash semi
+    join (drops verbatim copies). Near phase: BIPARTITE MinHash-LSH —
+    new-side bands join reference-side bands only, so candidate
+    volume is (new ∩ ref bucket collisions), then exact Jaccard ≥ 0.5
+    verification. Injected: verbatim copies (caught exact) and
+    'dup prefix' variants (caught near) of reference docs.
+
+    Scale: reference bands are computed ONCE and persisted in real
+    pipelines (amortized across batches — only the new batch pays
+    per-crawl); the bipartite join never grows with ref×ref. This is
+    the composition of L1 + L2 the per-corpus capstone
+    (neardup_dedup_end_to_end) doesn't cover: dedup ACROSS snapshots.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    newb = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("id"), "text")
+        .unionAll(
+            ref.filter(F.col("id") % 30 == 0).select(
+                (F.col("id") + 3000000).alias("id"),
+                F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+            )
+        )
+        .unionAll(
+            ref.filter(F.col("id") % 60 == 0).select(
+                (F.col("id") + 4000000).alias("id"), "text"
+            )
+        )
+    ).persist()
+    ref_hash = ref.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    hashed = newb.withColumn("h", F.md5(F.col("text").cast("binary")))
+    exact_dup = hashed.join(ref_hash, "h", "left_semi").select("id")
+    surv = hashed.join(ref_hash, "h", "left_anti").select("id", "text").persist()
+
+    def shingle_sets(frame: DataFrame) -> DataFrame:
+        toks = frame.select("id", tokens_col(F.col("text")).alias("ws")).filter(
+            F.size("ws") >= 3
+        )
+        return toks.select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                )
+            ).alias("sh"),
+        ).persist()
+
+    def bands_of(sets: DataFrame) -> DataFrame:
+        sh = sets.select("id", F.explode("sh").alias("shingle"))
+        seeds = sets.sparkSession.range(N_MINHASH).select(
+            F.col("id").alias("seed")
+        )
+        mh = (
+            sh.crossJoin(F.broadcast(seeds))
+            .groupBy("id", "seed")
+            .agg(
+                F.min(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("seed").cast("string"),
+                                F.lit("|"),
+                                F.col("shingle"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        16,
+                    )
+                ).alias("h")
+            )
+        )
+        return mh.groupBy(
+            "id", (F.col("seed") / 2).cast("long").alias("band")
+        ).agg(
+            F.concat(
+                F.max(F.when(F.col("seed") % 2 == 0, F.col("h"))),
+                F.max(F.when(F.col("seed") % 2 == 1, F.col("h"))),
+            ).alias("sig")
+        )
+    nsets = shingle_sets(surv)
+    rsets = shingle_sets(ref)
+    nb = bands_of(nsets).select(F.col("id").alias("nid"), "band", "sig")
+    rb = bands_of(rsets).select(F.col("id").alias("rid"), "band", "sig")
+    cand = nb.join(rb, ["band", "sig"]).select("nid", "rid").distinct()
+    a = nsets.select(F.col("id").alias("nid"), F.col("sh").alias("sh1"))
+    b = rsets.select(F.col("id").alias("rid"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    near = (
+        cand.join(a, "nid")
+        .join(b, "rid")
+        .filter(inter / F.greatest(union, F.lit(1)) >= 0.5)
+        .select("nid")
+        .distinct()
+    )
+    n_new = newb.agg(F.count(F.lit(1)).alias("c"))
+    n_exact = exact_dup.agg(F.count(F.lit(1)).alias("c"))
+    n_near = near.agg(F.count(F.lit(1)).alias("c"))
+    n_surv = surv.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        n_new.select(F.col("c").cast("long").alias("n_new"))
+        .crossJoin(
+            n_exact.select(F.col("c").cast("long").alias("n_exact_dup"))
+        )
+        .crossJoin(n_near.select(F.col("c").cast("long").alias("n_near_dup")))
+        .crossJoin(
+            n_surv.select(F.col("c").cast("long").alias("_n_surv"))
+        )
+        .select(
+            "n_new",
+            "n_exact_dup",
+            "n_near_dup",
+            (F.col("_n_surv") - F.col("n_near_dup")).alias("n_kept"),
+        )
+    )
