@@ -271,7 +271,10 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame.
     """
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # persist: tot and chi both consume the census (3 scans -> 1)
+    obs = (
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    ).persist()
     tot = obs.agg(
         F.sum("o").cast("long").alias("n"),
         F.count_distinct(F.col("lang")).cast("long").alias("r"),

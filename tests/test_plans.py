@@ -845,3 +845,41 @@ def test_modularity_keyed_joins_only(spark, sf_dir):
     counts = operator_counts(df)
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+
+
+def test_incremental_dedup_bipartite_only(spark, sf_dir):
+    """Incremental dedup: the ONLY nested-loop is the broadcast seed
+    frame (and the final 1-row census crossJoins); candidates come
+    from the bipartite band equi-join — no ref×ref, no CartesianProduct."""
+    df = q("incremental_dedup_vs_reference", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    # seeds ×2 sides + 3 scalar-census combines
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 5, counts
+
+
+def test_path_trigrams_one_window(spark, sf_dir):
+    """Trigrams: both leads from ONE window; census keyed bounded."""
+    df = q("path_trigrams_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 1, counts
+    for op in counts:
+        assert "Join" not in op, counts
+
+
+def test_relative_risk_two_aggregates(spark, sf_dir):
+    """2×2 exposure census: per-user flags + global fold, no joins."""
+    df = q("exposure_outcome_relative_risk", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+
+
+def test_cramers_v_census_only(spark, sf_dir):
+    # three census consumers in the STATIC plan (obs/tot/chi); the
+    # builder persists obs so only one scan runs at execution time —
+    # unexecuted plans don't show InMemoryRelation, hence <= 3 here
+    df = q("cramers_v_lang_source", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "Scan parquet") <= 3, counts
