@@ -447,3 +447,80 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_changepoint_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """CUSUM change-point detection (Page's test), per key: the
+    classic sequential drift detector — S⁺ accumulates positive
+    deviations max(0, S⁺ + (x − target − slack)), S⁻ the negative
+    side, and a crossing of ``threshold`` raises an alarm and RESETS
+    the side that fired. A sequential fold (each step depends on the
+    last), so it is inexpressible as a window function — GroupState
+    is the right home; the batch analog would need a per-key sorted
+    applyInPandas with the same loop.
+
+    Emits one row per event with both statistics and the alarm flag;
+    state is two floats per key, identical however the stream is
+    micro-batched (rows sorted by ``ts_col`` within batches, batches
+    time-ordered as replayed file streams are).
+
+    Scale: one shuffle by key, O(1) state, pure-Python per-row loop
+    over Arrow batches (the fold is inherently sequential per key —
+    parallelism comes from key count, like all keyed stateful ops).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("s_pos", DoubleType()),
+            StructField("s_neg", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s_pos, s_neg = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).copy()
+            pos_out, neg_out, alarms = [], [], []
+            for x in pdf[value_col]:
+                s_pos = max(0.0, s_pos + (x - target - slack))
+                s_neg = max(0.0, s_neg + (target - x - slack))
+                fired = s_pos > threshold or s_neg > threshold
+                pos_out.append(s_pos)
+                neg_out.append(s_neg)
+                alarms.append(fired)
+                if s_pos > threshold:
+                    s_pos = 0.0
+                if s_neg > threshold:
+                    s_neg = 0.0
+            pdf["s_pos"] = pos_out
+            pdf["s_neg"] = neg_out
+            pdf["alarm"] = alarms
+            yield pdf[out_cols]
+        state.update((s_pos, s_neg))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="s_pos double, s_neg double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -868,3 +868,28 @@ def test_stateful_throttle_state_recovers_across_restarts(spark, tmp_path):
     drain()
     got2 = sorted(r.n_admitted for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3], got2
+
+
+def test_cusum_changepoint_fires_and_resets_across_batches(spark, tmp_path):
+    """Page's CUSUM: deviations accumulate ACROSS micro-batches, the
+    alarm fires when S+ crosses the threshold, and the fired side
+    resets. target=10, slack=0, threshold=5; values 12,12 (S+ 2,4) —
+    batch boundary — 12,12 (S+ 6 -> ALARM+reset, then 2), 8 (S+ 0,
+    S- accumulates 2)."""
+    from eventstreams_spark.streaming.stateful import cusum_changepoint_stream
+
+    vals = [12.0, 12.0, 12.0, 12.0, 8.0]
+    rows = [("a", f"2024-01-01 10:0{i}:00", v) for i, v in enumerate(vals)]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = cusum_changepoint_stream(
+        stream, "k", "ts", "v", target=10.0, slack=0.0, threshold=5.0
+    )
+    run_to_memory(out, "t_cusum", output_mode="append")
+    got = spark.sql("SELECT v, s_pos, s_neg, alarm FROM t_cusum ORDER BY ts").collect()
+    assert [r.s_pos for r in got] == [2.0, 4.0, 6.0, 2.0, 0.0]
+    assert [r.alarm for r in got] == [False, False, True, False, False]
+    assert got[4].s_neg == pytest.approx(2.0)
