@@ -893,3 +893,38 @@ def test_cusum_changepoint_fires_and_resets_across_batches(spark, tmp_path):
     assert [r.s_pos for r in got] == [2.0, 4.0, 6.0, 2.0, 0.0]
     assert [r.alarm for r in got] == [False, False, True, False, False]
     assert got[4].s_neg == pytest.approx(2.0)
+
+
+def test_cusum_batch_equals_stream(spark, tmp_path):
+    """The batch applyInPandas CUSUM and the streaming GroupState
+    CUSUM must produce identical per-event statistics — same fold,
+    different carry mechanism."""
+    from eventstreams_spark.operators.changepoint import cusum_batch
+    from eventstreams_spark.streaming.stateful import cusum_changepoint_stream
+
+    vals = [12.0, 9.0, 14.0, 7.0, 13.0, 6.0, 15.0, 10.0]
+    rows = [
+        (k, f"2024-01-01 10:{i:02d}:00", v)
+        for k in ("a", "b")
+        for i, v in enumerate(vals)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    kw = dict(target=10.0, slack=1.0, threshold=4.0)
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="ts")
+    run_to_memory(
+        cusum_changepoint_stream(stream, "k", "ts", "v", **kw),
+        "t_cusum_s",
+        output_mode="append",
+    )
+    got_stream = _rows(
+        spark.sql("SELECT k, ts, v, s_pos, s_neg, alarm FROM t_cusum_s")
+    )
+    got_batch = _rows(
+        cusum_batch(df, "k", "ts", "v", **kw).select(
+            "k", "ts", "v", "s_pos", "s_neg", "alarm"
+        )
+    )
+    assert got_stream == got_batch
