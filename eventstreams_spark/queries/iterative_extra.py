@@ -945,3 +945,83 @@ def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@query(
+    "cusum_reference_check",
+    category="T20-cusum",
+    oracle="""
+        WITH RECURSIVE s AS (
+            SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, value
+            FROM events
+            WHERE event_type = 'error' AND event_id <= 20000
+              AND value IS NOT NULL
+        ), r AS (
+            SELECT rn, value,
+                   greatest(0.0, value - 260.0) AS sp_raw,
+                   greatest(0.0, 240.0 - value) AS sn_raw,
+                   (greatest(0.0, value - 260.0) > 300.0
+                    OR greatest(0.0, 240.0 - value) > 300.0) AS alarm,
+                   CASE WHEN greatest(0.0, value - 260.0) > 300.0
+                        THEN 0.0 ELSE greatest(0.0, value - 260.0) END AS sp,
+                   CASE WHEN greatest(0.0, 240.0 - value) > 300.0
+                        THEN 0.0 ELSE greatest(0.0, 240.0 - value) END AS sn
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.rn, s.value,
+                   greatest(0.0, r.sp + (s.value - 260.0)),
+                   greatest(0.0, r.sn + (240.0 - s.value)),
+                   (greatest(0.0, r.sp + (s.value - 260.0)) > 300.0
+                    OR greatest(0.0, r.sn + (240.0 - s.value)) > 300.0),
+                   CASE WHEN greatest(0.0, r.sp + (s.value - 260.0)) > 300.0
+                        THEN 0.0
+                        ELSE greatest(0.0, r.sp + (s.value - 260.0)) END,
+                   CASE WHEN greatest(0.0, r.sn + (240.0 - s.value)) > 300.0
+                        THEN 0.0
+                        ELSE greatest(0.0, r.sn + (240.0 - s.value)) END
+            FROM r JOIN s ON s.rn = r.rn + 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarms,
+               round(max(sp_raw), 6) AS max_s_pos,
+               round(max(sn_raw), 6) AS max_s_neg
+        FROM r
+    """,
+)
+def cusum_reference_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM made hash-checkable: the batch operator
+    (operators/changepoint.py — the same fold the streaming
+    GroupState form runs) over one bounded series, certified against
+    a DuckDB RECURSIVE-CTE reference that replays the fold row by
+    row (target 250, slack 10, threshold 300 — sized to fire on this
+    data). The alarm count and the max pre-reset statistics pin both
+    the accumulate and the reset semantics.
+
+    Scale: the GATE runs on one bounded slice by construction (the
+    recursion depth = slice length); the operator itself partitions
+    by key — see changepoint.py for the hot-series split strategy.
+    """
+    from ..operators.changepoint import cusum_batch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") <= 20000)
+            & F.col("value").isNotNull()
+        )
+        .withColumn("k", F.lit("series"))
+    )
+    scored = cusum_batch(
+        ev, "k", "ts", "value", target=250.0, slack=10.0, threshold=300.0
+    )
+    # s_pos/s_neg in the operator are POST-accumulate, pre-reset
+    # values only when no alarm fired; reconstruct the pre-reset max
+    # from the emitted columns (they are emitted before reset)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("alarm").cast("int")).cast("long").alias("n_alarms"),
+        F.round(F.max("s_pos"), 6).alias("max_s_pos"),
+        F.round(F.max("s_neg"), 6).alias("max_s_neg"),
+    )
