@@ -790,3 +790,105 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@query(
+    "orders_aging_buckets",
+    category="B18-aging",
+    oracle="""
+        SELECT o_orderstatus,
+               CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   DATE '1998-12-31') < 365 THEN '<1y'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   DATE '1998-12-31') < 1095 THEN '1-3y'
+                    ELSE '3y+' END AS age_bucket,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS open_cents
+        FROM orders
+        GROUP BY o_orderstatus, age_bucket
+        ORDER BY o_orderstatus, age_bucket
+    """,
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report: order count and value by status × age band
+    relative to a fixed anchor (the receivables/backlog view every
+    warehouse ships). One conditional-bucket census — codegen CASE,
+    cent-exact money, no window/join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(days < 365, "<1y").when(days < 1095, "1-3y").otherwise("3y+")
+    )
+    return (
+        o.groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("open_cents"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+@query(
+    "dedup_storage_savings",
+    category="L1-roi",
+    oracle="""
+        WITH groups AS (
+            SELECT md5(text) AS h,
+                   count(*) AS copies,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(n_chars) AS BIGINT) AS keep_chars
+            FROM (
+                SELECT text, n_chars FROM documents
+                UNION ALL
+                SELECT text, n_chars FROM documents WHERE doc_id % 25 = 0
+            )
+            GROUP BY h
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_unique_payloads,
+               CAST(sum(copies) AS BIGINT) AS n_rows,
+               CAST(sum(copies - 1) AS BIGINT) AS n_duplicate_rows,
+               CAST(sum(total_chars - keep_chars) AS BIGINT)
+                   AS chars_reclaimed,
+               round(sum(total_chars - keep_chars) * 1.0
+                     / sum(total_chars), 6) AS reclaim_fraction
+        FROM groups
+    """,
+)
+def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI census: how many rows and how many bytes exact
+    dedup reclaims (duplicates injected: every 25th doc twice) — the
+    capacity-planning number that justifies the dedup pass before
+    anyone runs it. Content-addressed by md5, keep-one accounting.
+
+    Scale: one hash-keyed aggregate + a 1-row fold; identical shape
+    to dedup_exact_distinct with byte accounting attached.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("text", "n_chars").unionAll(
+        docs.filter(F.col("doc_id") % 25 == 0).select("text", "n_chars")
+    )
+    groups = corpus.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("keep_chars"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_payloads"),
+        F.sum("copies").cast("long").alias("n_rows"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_duplicate_rows"),
+        F.sum(F.col("total_chars") - F.col("keep_chars"))
+        .cast("long")
+        .alias("chars_reclaimed"),
+        F.round(
+            F.sum(F.col("total_chars") - F.col("keep_chars"))
+            / F.sum("total_chars"),
+            6,
+        ).alias("reclaim_fraction"),
+    )
