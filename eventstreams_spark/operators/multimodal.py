@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 #: Magic-byte prefixes → mime, checked JVM-side (no Python in the scan).
 _MAGIC = {
     "89504E470D0A1A0A": "image/png",
+    "424D": "image/bmp",
     "FFD8FF": "image/jpeg",
     "474946383761": "image/gif",
     "474946383961": "image/gif",
@@ -91,6 +92,10 @@ def _parse_one(content: bytes | None) -> tuple:
         w, h = struct.unpack(">II", content[16:24])
         depth = content[24]
         return (w, h, None, None, depth)
+    if content[:2] == b"BM" and len(content) >= 30:
+        w, h = struct.unpack("<ii", content[18:26])
+        bits = struct.unpack("<H", content[28:30])[0]
+        return (w, h, None, None, bits)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE" and len(content) >= 36:
         channels, rate = struct.unpack("<HI", content[22:28])
         bits = struct.unpack("<H", content[34:36])[0]

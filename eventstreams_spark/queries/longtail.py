@@ -1754,3 +1754,72 @@ def regexp_count_instr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("ta[a-z]+")).alias("n_ta"),
         F.when(F.col("text").rlike("stream"), 1).otherwise(0).alias("has_stream"),
     )
+
+
+_BMP_ORACLE = """
+    WITH meta AS (
+        SELECT doc_id,
+               32 + (doc_id % 6) * 16 AS width,
+               24 + (doc_id % 4) * 8 AS height,
+               54 + octet_length(CAST(text AS BLOB)) AS nbytes
+        FROM documents
+    )
+    SELECT 'image/bmp' AS mime,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(24 AS INT) AS bit_depth,
+           count(*) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM meta GROUP BY width, height
+"""
+
+
+@query("multimodal_bmp_header_parse", category="L6-multimodal", oracle=_BMP_ORACLE)
+def multimodal_bmp_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third container under oracle check (after PNG big-endian and
+    WAV little-endian): BMP's SIGNED little-endian dimensions — the
+    remaining unpack path in operators/multimodal.py. Synthesizes a
+    full 54-byte BITMAPINFOHEADER file per document (magic, LE file
+    size, data offset, LE i32 width/height, planes, 24-bit depth)
+    with pure codegen hex construction, parses it back through
+    sniff_mime → parse_headers, and aggregates.
+    """
+    from ..operators.multimodal import parse_headers, sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.lit(32) + (F.col("doc_id") % 6) * 16).cast("int")
+    height = (F.lit(24) + (F.col("doc_id") % 4) * 8).cast("int")
+
+    def le32(col):
+        h = F.lpad(F.hex(col.cast("bigint")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+
+    file_size = (F.length(F.col("text").cast("binary")) + 54).cast("bigint")
+    header_hex = F.concat(
+        F.lit("424D"),                # 'BM'
+        le32(file_size),              # file size (LE u32)
+        F.lit("00000000"),            # reserved
+        F.lit("36000000"),            # data offset = 54 (LE)
+        F.lit("28000000"),            # DIB header size = 40 (LE)
+        le32(width),                  # width  (LE i32)
+        le32(height),                 # height (LE i32)
+        F.lit("0100"),                # planes = 1 (LE u16)
+        F.lit("1800"),                # bit count = 24 (LE u16)
+        F.lit("00000000" * 6),        # compression..colors-important
+    )
+    media = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary")).alias(
+            "content"
+        ),
+    ).withColumn("length", F.length("content").cast("long"))
+    parsed = parse_headers(sniff_mime(media))
+    return parsed.groupBy("mime", "width", "height", "bit_depth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length").alias("sum_bytes"),
+    )
