@@ -524,3 +524,70 @@ def cusum_changepoint_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def page_hinkley_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    delta: float = 0.5,
+    lam: float = 5.0,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detection, per key: the running-mean
+    companion to CUSUM (no target needed — the test tracks the
+    stream's own mean): m accumulates (x − mean_so_far − δ), M tracks
+    min(m), and m − M > λ alarms and resets. Like CUSUM this is a
+    sequential fold (the running mean itself depends on every prior
+    row), so GroupState is the natural home.
+
+    State: (n, sum, m, M) — four numbers per key; batching-invariant
+    given time-ordered arrival (rows sorted per batch).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("ph", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, m, m_min = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).copy()
+            phs, alarms = [], []
+            for x in pdf[value_col]:
+                n += 1
+                total += x
+                mean = total / n
+                m += x - mean - delta
+                m_min = min(m_min, m)
+                ph = m - m_min
+                fired = ph > lam
+                phs.append(ph)
+                alarms.append(fired)
+                if fired:
+                    n, total, m, m_min = 0, 0.0, 0.0, 0.0
+            pdf["ph"] = phs
+            pdf["alarm"] = alarms
+            yield pdf[out_cols]
+        state.update((n, total, m, m_min))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, total double, m double, m_min double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -928,3 +928,41 @@ def test_cusum_batch_equals_stream(spark, tmp_path):
         )
     )
     assert got_stream == got_batch
+
+
+def test_page_hinkley_stream_matches_single_pass(spark, tmp_path):
+    """Page-Hinkley: the micro-batched GroupState fold must equal a
+    single-pass reference loop over the same time-ordered values —
+    the state carry (n, sum, m, M) is what batching could corrupt.
+    The injected mean shift must raise exactly one alarm."""
+    from eventstreams_spark.streaming.stateful import page_hinkley_stream
+
+    vals = [10.0, 10.5, 9.5, 10.0, 20.0, 20.5, 19.5, 20.0]
+    rows = [("a", f"2024-01-01 10:{i:02d}:00", v) for i, v in enumerate(vals)]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="ts")
+    out = page_hinkley_stream(stream, "k", "ts", "v", delta=0.5, lam=5.0)
+    run_to_memory(out, "t_ph", output_mode="append")
+    got = [
+        (r.ph, r.alarm)
+        for r in spark.sql("SELECT ph, alarm FROM t_ph ORDER BY ts").collect()
+    ]
+    # independent single-pass reference
+    n, total, m, m_min = 0, 0.0, 0.0, 0.0
+    want = []
+    for x in vals:
+        n += 1
+        total += x
+        m += x - total / n - 0.5
+        m_min = min(m_min, m)
+        ph = m - m_min
+        fired = ph > 5.0
+        want.append((ph, fired))
+        if fired:
+            n, total, m, m_min = 0, 0.0, 0.0, 0.0
+    assert [a for _, a in got].count(True) == 1
+    for (gp, ga), (wp, wa) in zip(got, want):
+        assert ga == wa and gp == pytest.approx(wp)
