@@ -57,6 +57,17 @@ REPRESENTATIVE = [
     ("bitmap distinct", "bitmap_distinct_gate"),
     ("tz conversion", "timezone_conversion_suite"),
     ("bpe pair census", "bpe_first_merge_census"),
+    # final round-2 wave
+    ("incremental dedup", "incremental_dedup_vs_reference"),
+    ("basket lift", "basket_copurchase_lift"),
+    ("dau/wau/mau", "dau_wau_mau_actives"),
+    ("ndr monthly", "net_revenue_retention_monthly"),
+    ("pareto deciles", "pareto_revenue_deciles"),
+    ("modularity", "community_modularity_score"),
+    ("mmr rerank", "mmr_diverse_topk"),
+    ("stats tests", "welch_t_test"),
+    ("cusum gate", "cusum_reference_check"),
+    ("bmp headers", "multimodal_bmp_header_parse"),
 ]
 
 
