@@ -1441,3 +1441,75 @@ def exposure_outcome_relative_risk(spark: SparkSession, sf_dir: str) -> DataFram
             "relative_risk"
         ),
     )
+
+
+@query(
+    "funnel_by_segment",
+    category="B1-funnel-segment",
+    oracle="""
+        WITH seg AS (
+            SELECT c_custkey AS user_id, c_mktsegment AS segment
+            FROM customer
+        ), s1 AS (
+            SELECT e.user_id, min(e.ts) AS t1
+            FROM events e JOIN seg ON e.user_id = seg.user_id
+            WHERE e.event_type = 'view' GROUP BY e.user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        )
+        SELECT seg.segment,
+               count(s1.user_id) AS n_viewed,
+               count(s2.user_id) AS n_clicked,
+               round(count(s2.user_id) * 1.0
+                     / greatest(count(s1.user_id), 1), 6) AS conversion
+        FROM seg
+        LEFT JOIN s1 ON seg.user_id = s1.user_id
+        LEFT JOIN s2 ON seg.user_id = s2.user_id
+        GROUP BY seg.segment
+        ORDER BY seg.segment
+    """,
+)
+def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel CUT BY DIMENSION: the view→click sequential-min funnel
+    broken out per customer market segment — the "which cohort
+    converts" report that joins the event funnel to a dimension
+    table. Composes B1 with the J1 broadcast-enrichment pattern.
+
+    Scale: funnel stages are user-keyed aggregates sharing one
+    partitioning; the segment dim is broadcast; the segment census is
+    |segments| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(seg.select("user_id"), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        seg.join(s1.select("user_id", F.lit(1).alias("v")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("c")), "user_id", "left")
+        .groupBy("segment")
+        .agg(
+            F.count("v").alias("n_viewed"),
+            F.count("c").alias("n_clicked"),
+            F.round(
+                F.count("c") / F.greatest(F.count("v"), F.lit(1)), 6
+            ).alias("conversion"),
+        )
+        .orderBy("segment")
+    )
