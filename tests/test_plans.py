@@ -883,3 +883,47 @@ def test_cramers_v_census_only(spark, sf_dir):
     counts = operator_counts(df)
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "Scan parquet") <= 3, counts
+
+
+def test_aging_buckets_single_pass(spark, sf_dir):
+    df = q("orders_aging_buckets", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
+
+
+def test_dedup_savings_digest_keyed(spark, sf_dir):
+    """Storage savings: hash-keyed group + 1-row fold; text bytes
+    never shuffle beyond the digest aggregate's input."""
+    df = q("dedup_storage_savings", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op and "Window" not in op, counts
+
+
+def test_funnel_by_segment_broadcast_dim(spark, sf_dir):
+    """Segment funnel: customer dim joins broadcast; stage joins
+    keyed on user_id — no cartesian."""
+    df = q("funnel_by_segment", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_bmp_parse_python_only_in_map(spark, sf_dir):
+    """BMP: exactly one Python stage (the Arrow mapInPandas header
+    parse); construction and aggregation stay JVM-side."""
+    df = q("multimodal_bmp_header_parse", spark, sf_dir)
+    counts = operator_counts(df)
+    python_nodes = sum(
+        n
+        for name, n in counts.items()
+        if "Python" in name or "Arrow" in name or "MapInPandas" in name
+    )
+    assert python_nodes == 1, counts
+
+
+def test_hits_normalized_no_cartesian(spark, sf_dir):
+    df = q("hits_normalized_scores", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
