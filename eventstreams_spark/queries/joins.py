@@ -235,3 +235,61 @@ def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("kind") == 0)
         .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts")
     )
+
+
+@query(
+    "supplier_return_rate_by_nation",
+    category="J1-supplier",
+    oracle="""
+        SELECT n.n_name AS nation,
+               count(*) AS n_lines,
+               count(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                   AS n_returned,
+               round(count(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                     * 1.0 / count(*), 6) AS return_rate,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                             THEN CAST(round(l.l_extendedprice * 100)
+                                       AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS returned_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+)
+def supplier_return_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier quality scorecard: return rate and returned value per
+    supplier nation — the ops-dashboard cut of the returns data
+    (TPC-H Q10 looks at customers; this is the supply side). Pure J1
+    broadcast-enrichment chain + one conditional census; money in
+    integral cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(dim, li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(ret, 1)).alias("n_returned"),
+            F.round(F.count(F.when(ret, 1)) / F.count(F.lit(1)), 6).alias(
+                "return_rate"
+            ),
+            F.sum(
+                F.when(
+                    ret, F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("returned_cents"),
+        )
+        .orderBy("nation")
+    )
