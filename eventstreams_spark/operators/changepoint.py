@@ -49,7 +49,12 @@ def cusum_batch(
     out_cols = [f.name for f in out_schema.fields]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col).copy()
+        # (ts, event_id) fold order — ts alone leaves duplicate
+        # timestamps in nondeterministic partition order (ADVICE r2)
+        cols = [ts_col] + [
+            c for c in ("event_id",) if c in pdf.columns and c != ts_col
+        ]
+        pdf = pdf.sort_values(cols, kind="mergesort").copy()
         s_pos = s_neg = 0.0
         pos_out, neg_out, alarms = [], [], []
         for x in pdf[value_col]:

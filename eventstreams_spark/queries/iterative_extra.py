@@ -19,7 +19,7 @@ metrics/event engine still lacked):
 - ``aggregate_task_correlate`` — the Logstash ``aggregate`` filter's
   batch analog: correlate start/intermediate/end events sharing a
   task key into one summary row (streaming form:
-  streaming/aggregate.py).
+  streaming/stateful.py::correlate_tasks_stream).
 - ``log_template_signature`` — Drain-lite log-template mining:
   bucket messages by (token count, first token, last token) — the
   fixed-structure signature real template miners refine.
@@ -476,7 +476,8 @@ def aggregate_task_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate events, and emits at the end event (first ``purchase``
     after the start).  Tasks with no end event emit nothing (the
     streaming form evicts them on timeout instead —
-    streaming/aggregate.py holds the map in keyed state).
+    streaming/stateful.py::correlate_tasks_stream holds the map in
+    keyed state).
 
     Reports per task: start/end timestamps, duration, and the count /
     cent-exact value sum of strictly-between intermediate events.

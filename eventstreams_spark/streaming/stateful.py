@@ -14,10 +14,26 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _fold_sort(pdf: pd.DataFrame, ts_col: str) -> pd.DataFrame:
+    """Deterministic fold order for sequential stateful operators.
+
+    Sorting by the timestamp alone leaves duplicate-ts rows in Spark's
+    nondeterministic partition order (ADVICE r2, medium) — the fold
+    outputs (CUSUM s_pos/s_neg, z-scores, admitted rows…) would then
+    vary run to run and diverge from the (ts, event_id) ordering the
+    repo's oracles pin.  We tiebreak on ``event_id`` when the frame
+    has it, plus a stable mergesort so equal keys keep input order.
+    """
+    cols = [ts_col] + [c for c in ("event_id",) if c in pdf.columns and c != ts_col]
+    return pdf.sort_values(cols, kind="mergesort")
 
 
 def throttle_stream(
@@ -49,7 +65,7 @@ def throttle_stream(
         for pdf in pdfs:
             if admitted >= limit:
                 continue
-            take = pdf.sort_values(ts_col).head(limit - admitted).copy()
+            take = _fold_sort(pdf, ts_col).head(limit - admitted).copy()
             take["n_admitted"] = range(admitted + 1, admitted + len(take) + 1)
             admitted += len(take)
             if len(take):
@@ -140,7 +156,7 @@ def throttle_stream_periodic(
         if not chunks:
             state.update((bucket, admitted))
             return
-        batch = pd.concat(chunks).sort_values(ts_col)
+        batch = _fold_sort(pd.concat(chunks), ts_col)
         epochs = (batch[ts_col].astype("int64") // 1_000_000_000).astype("int64")
         b = (epochs // period_seconds) * period_seconds
         batch = batch.assign(bucket_start=b)
@@ -195,7 +211,12 @@ def correlate_tasks_stream(
     ``aggregate_task_correlate`` query; the pipeline step
     ``aggregate`` wraps that plan config-driven.
 
-    Scale: one shuffle on the task key; state is three int64s per
+    Steps follow the batch step's STRICT-BETWEEN rule: only events
+    with t_start < ts < t_end count (see the staging-buffer note in
+    the loop), so a closed task's summary equals the batch
+    ``aggregate`` step's row for the same events.
+
+    Scale: one shuffle on the task key; state is seven int64s per
     OPEN task (closed tasks delete their state immediately), so the
     store is bounded by concurrent in-flight tasks, not history —
     with the timeout as the leak stopper for abandoned tasks.  The
@@ -237,34 +258,57 @@ def correlate_tasks_stream(
             }
         )
 
+    # Strict-between semantics (ADVICE r2): steps are events with
+    # t_start < ts < t_end, matching the batch `aggregate` step and
+    # the oracle-checked aggregate_task_correlate query exactly.
+    # - rows at ts == t_start never count (skip below);
+    # - rows at ts == t_end must not count either, but the close event
+    #   is only seen when we reach it — so contributions are staged in
+    #   a (cur_ts, n_cur, cents_cur) buffer, committed when a LATER
+    #   timestamp arrives and discarded when the close lands on cur_ts.
+    # Equality with batch holds when the task's opening start event is
+    # first (by event_id) among same-timestamp events, which the
+    # (ts, event_id) fold order guarantees for replayed event logs.
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            started, t_start_us, n, cents = state.get
+            started, t_start_us, n, cents, cur_ts, n_cur, cents_cur = state.get
             state.remove()
             if started:
-                yield _emit(key[0], t_start_us, None, n, cents, False)
+                # no close → no t_end bound; pending rows count
+                yield _emit(key[0], t_start_us, None, n + n_cur, cents + cents_cur, False)
             return
-        started, t_start_us, n, cents = (
-            state.get if state.exists else (0, 0, 0, 0)
+        started, t_start_us, n, cents, cur_ts, n_cur, cents_cur = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
         )
         for pdf in pdfs:
-            for r in pdf.sort_values(ts_col).itertuples(index=False):
+            for r in _fold_sort(pdf, ts_col).itertuples(index=False):
                 ev_type = getattr(r, type_col)
                 ts_us = getattr(r, ts_col).value // 1000
                 if not started:
                     if ev_type == start_value:
                         started, t_start_us, n, cents = 1, ts_us, 0, 0
+                        cur_ts, n_cur, cents_cur = ts_us, 0, 0
                 elif ev_type == end_value and ts_us >= t_start_us:
+                    if cur_ts != ts_us:  # strict <t_end: drop same-ts stage
+                        n += n_cur
+                        cents += cents_cur
                     yield _emit(key[0], t_start_us, ts_us, n, cents, True)
                     started, t_start_us, n, cents = 0, 0, 0, 0
-                else:
-                    n += 1
+                    cur_ts, n_cur, cents_cur = 0, 0, 0
+                elif ts_us > t_start_us:  # strict >t_start
+                    if ts_us != cur_ts:
+                        n += n_cur
+                        cents += cents_cur
+                        cur_ts, n_cur, cents_cur = ts_us, 0, 0
+                    n_cur += 1
                     v = getattr(r, value_col)
-                    cents += int(v * 100 + 0.5) if v == v else 0
+                    # floor(v*100 + 0.5): exact_money_sum rounding —
+                    # int() would truncate negatives toward zero
+                    cents_cur += math.floor(v * 100 + 0.5) if v == v else 0
         if started:
-            state.update((started, t_start_us, n, cents))
+            state.update((started, t_start_us, n, cents, cur_ts, n_cur, cents_cur))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
         elif state.exists:
@@ -273,7 +317,10 @@ def correlate_tasks_stream(
     return df.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="started long, t_start_us long, n long, cents long",
+        stateStructType=(
+            "started long, t_start_us long, n long, cents long, "
+            "cur_ts long, n_cur long, cents_cur long"
+        ),
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
@@ -333,7 +380,7 @@ def zscore_anomaly_stream(
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col).copy()
+            pdf = _fold_sort(pdf, ts_col).copy()
             n_prior, zs, flags = [], [], []
             for x in pdf[value_col]:
                 if n >= min_n and m2 > 0.0:
@@ -406,14 +453,14 @@ def heavy_hitters_stream(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import json
+
         summary_s, snap = state.get if state.exists else ("", 0)
-        counters: dict[str, int] = {}
-        if summary_s:
-            for part in summary_s.split("\x1e"):
-                tok, _, cnt = part.rpartition("\x1f")
-                counters[tok] = int(cnt)
+        # JSON state: separator-based packing corrupted on tokens that
+        # themselves contain the separator byte (ADVICE r2)
+        counters: dict[str, int] = json.loads(summary_s) if summary_s else {}
         for pdf in pdfs:
-            for tok in pdf.sort_values(order_col)[token_col]:
+            for tok in _fold_sort(pdf, order_col)[token_col]:
                 tok = str(tok)
                 if tok in counters:
                     counters[tok] += 1
@@ -426,12 +473,7 @@ def heavy_hitters_stream(
                         if counters[t] == 0:
                             del counters[t]
         snap += 1
-        state.update(
-            (
-                "\x1e".join(f"{t}\x1f{c}" for t, c in sorted(counters.items())),
-                snap,
-            )
-        )
+        state.update((json.dumps(counters, sort_keys=True), snap))
         yield pd.DataFrame(
             [(key[0], snap, t, c) for t, c in sorted(counters.items())],
             columns=["bucket", "snap", "token", "cnt"],
@@ -498,7 +540,7 @@ def cusum_changepoint_stream(
     ) -> Iterator[pd.DataFrame]:
         s_pos, s_neg = state.get if state.exists else (0.0, 0.0)
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col).copy()
+            pdf = _fold_sort(pdf, ts_col).copy()
             pos_out, neg_out, alarms = [], [], []
             for x in pdf[value_col]:
                 s_pos = max(0.0, s_pos + (x - target - slack))
@@ -565,7 +607,7 @@ def page_hinkley_stream(
     ) -> Iterator[pd.DataFrame]:
         n, total, m, m_min = state.get if state.exists else (0, 0.0, 0.0, 0.0)
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col).copy()
+            pdf = _fold_sort(pdf, ts_col).copy()
             phs, alarms = [], []
             for x in pdf[value_col]:
                 n += 1

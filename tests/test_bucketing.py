@@ -38,7 +38,9 @@ def bucketed_pair(spark):
 def test_bucketed_join_elides_exchanges(spark, bucketed_pair):
     lb, rb = bucketed_pair
     # force the join-strategy decision away from broadcast so the
-    # bucket layout (not size) decides the plan
+    # bucket layout (not size) decides the plan; restore whatever the
+    # session had, not a hardcoded default (ADVICE r2)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = lb.join(rb, "k").groupBy("k").agg(F.sum(F.col("v") * F.col("w")).alias("s"))
@@ -59,4 +61,4 @@ def test_bucketed_join_elides_exchanges(spark, bucketed_pair):
         for k in want:
             assert got[k] == pytest.approx(want[k])
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -21,6 +21,23 @@ def test_oracle_parity(spec, spark, sf_dir):
         _warnings.warn(f"{spec.name}: {w}")
 
 
+def test_oracle_type_audit_clean():
+    """Every oracle's DuckDB result schema must be free of driver-
+    canonicalizer trap types (HUGEINT/DECIMAL/LIST/STRUCT/MAP) — the
+    failure class behind ALL eight round-1 driver reds. Wiring the
+    audit into the suite makes it impossible to skip after an oracle
+    edit (VERDICT r2 #8). No Spark needed: types come from DuckDB
+    relation description only (~2 s)."""
+    import importlib.util
+    import os
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "oracle_type_audit.py")
+    spec = importlib.util.spec_from_file_location("oracle_type_audit", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main("/root/testdata/sf0.001") == 0, "oracle type audit found traps/errors (see stdout)"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -24,6 +24,19 @@ from eventstreams_spark.plans import (
 registry._ensure_loaded()
 
 
+@pytest.fixture(autouse=True)
+def _pristine_cache(spark):
+    """Static-plan assertions depend on cache state: a subtree left
+    persisted by an earlier test substitutes InMemoryRelation (or
+    blocks substitution mid-analysis), changing scan counts
+    (VERDICT r2: test_cramers_v_census_only flaked at suite position
+    with 6 parquet scans vs 3 solo). Clearing before each plan test
+    makes every assertion order-independent; builders that persist
+    within a query still do so fresh inside the test."""
+    spark.catalog.clearCache()
+    yield
+
+
 def q(name, spark, sf_dir):
     return registry.REGISTRY[name].builder(spark, sf_dir)
 

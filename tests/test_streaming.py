@@ -734,6 +734,77 @@ def test_correlate_tasks_stream_across_batches(spark, tmp_path):
     assert got["A"].t_end is not None
 
 
+def test_correlate_batch_equals_stream_at_boundaries(spark, tmp_path):
+    """The batch `aggregate` step and correlate_tasks_stream must agree
+    on BOUNDARY timestamps (ADVICE r2): events sharing t_start, events
+    at exactly t_end, re-matching start events, and negative step
+    values (floor rounding) — strict-between on both sides."""
+    from eventstreams_spark.pipeline import _STEP_FACTORIES
+    from eventstreams_spark.streaming.stateful import correlate_tasks_stream
+
+    rows = [
+        # (event_id, task, ts, kind, v)
+        (1, "A", "2024-01-01 10:00:00", "start", 0.0),
+        (2, "A", "2024-01-01 10:00:00", "step", 5.0),   # ts == t_start: excluded
+        (3, "A", "2024-01-01 10:01:00", "step", 1.5),
+        (4, "A", "2024-01-01 10:01:30", "start", 2.0),  # re-start: counts as a step
+        (5, "A", "2024-01-01 10:02:00", "step", -0.996),  # floor → -100 cents
+        (6, "A", "2024-01-01 10:03:00", "step", 7.0),   # ts == t_end: excluded
+        (7, "A", "2024-01-01 10:03:00", "end", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, task string, ts_s string, kind string, v double"
+    ).select("event_id", "task", F.to_timestamp("ts_s").alias("ts"), "kind", "v")
+
+    batch_t = _STEP_FACTORIES["aggregate"](
+        task_key="task",
+        start_when="kind = 'start'",
+        end_when="kind = 'end'",
+        ts_field="ts",
+        value_expr="floor(v * 100 + 0.5)",
+    )
+    b = batch_t(df).collect()[0]
+    assert b.n_steps == 3 and int(b.step_value) == 250, b
+
+    # order_col=event_id: ids are assigned in (ts, event_id) order, so
+    # chunks stay time-contiguous even at collision timestamps
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="event_id")
+    out = correlate_tasks_stream(
+        stream, "task", "kind", "ts", "v", start_value="start", end_value="end"
+    )
+    run_to_memory(out, "t_corr_eq", output_mode="append")
+    s = spark.sql("SELECT * FROM t_corr_eq").collect()
+    assert len(s) == 1, s
+    assert s[0].n_steps == b.n_steps == 3
+    assert s[0].step_value_cents == int(b.step_value) == 250
+    assert s[0].t_start == b.t_start and s[0].t_end == b.t_end
+
+
+def test_heavy_hitters_state_survives_separator_tokens(spark, tmp_path):
+    """MG state is JSON-encoded (ADVICE r2): tokens containing the old
+    record/field separator bytes must round-trip through GroupState
+    across micro-batches without corrupting the summary."""
+    from eventstreams_spark.streaming.stateful import heavy_hitters_stream
+
+    evil = "a\x1eb\x1fc"
+    rows = (
+        [(i, evil) for i in range(4)]
+        + [(i, "plain") for i in range(4, 6)]
+        # --- batch 2 re-parses the state containing the evil token ---
+        + [(i, evil) for i in range(6, 9)]
+        + [(8 + i, "plain") for i in range(1, 3)]
+    )
+    df = spark.createDataFrame(rows, "ts long, tok string")
+    stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+    out = heavy_hitters_stream(stream, "tok", "ts", k=2, n_buckets=1)
+    run_to_memory(out, "t_hh_sep", output_mode="append")
+    rows_out = spark.sql(
+        "SELECT token, cnt FROM t_hh_sep WHERE snap = (SELECT max(snap) FROM t_hh_sep)"
+    ).collect()
+    got = {r.token: r.cnt for r in rows_out}
+    assert got == {evil: 7, "plain": 4}, got
+
+
 def test_zscore_anomaly_stream_welford_across_batches(spark, tmp_path):
     """Online z-score: each event scored against PRIOR events only,
     Welford state carried across micro-batches — the spike after the

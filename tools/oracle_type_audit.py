@@ -40,8 +40,11 @@ def is_trap(type_str: str) -> str | None:
     return None
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def main(sf_dir: str | None = None) -> int:
+    if sf_dir is None:
+        # argv only when invoked as a script; under pytest argv holds
+        # pytest's own flags, so callers pass sf_dir explicitly
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     sys.path.insert(0, "/root/repo")
     from eventstreams_spark.registry import all_oracles, _ensure_loaded
 
