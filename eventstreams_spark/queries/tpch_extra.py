@@ -430,3 +430,346 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    category="J2",
+    oracle="""
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(floor(l_extendedprice * (1 - l_discount) / l_quantity
+                                * 10000 + 0.5) AS BIGINT)) AS offer_cents
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), eu_offers AS (
+          SELECT o.l_partkey, o.offer_cents, eu.s_name, eu.s_acctbal, eu.n_name
+          FROM offers o JOIN eu ON o.l_suppkey = eu.s_suppkey
+        ), best AS (
+          SELECT l_partkey, min(offer_cents) AS min_cents
+          FROM eu_offers GROUP BY l_partkey
+        )
+        SELECT eo.s_acctbal, eo.s_name, eo.n_name,
+               p.p_partkey, p.p_name,
+               eo.offer_cents / 10000.0 AS min_unit_price
+        FROM eu_offers eo
+        JOIN best b ON eo.l_partkey = b.l_partkey AND eo.offer_cents = b.min_cents
+        JOIN part p ON eo.l_partkey = p.p_partkey
+        WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+        ORDER BY eo.s_acctbal DESC, eo.n_name, eo.s_name, p.p_partkey
+        LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: per-pair min unit price from lineitem
+    stands in for the absent partsupp supplycost): the correlated
+    min-cost scalar subquery, DECORRELATED — per-part minimum over the
+    region-restricted offers, equi-joined back on (part, min) instead
+    of re-running a subquery per row.
+
+    Ties keep every supplier at the minimum (canonical Q2 semantics);
+    the (s_acctbal DESC, n_name, s_name, p_partkey) sort is a total
+    order over the (part, supplier) output rows, so LIMIT 100 is
+    deterministic.
+
+    Scale: lineitem aggregates once on (partkey, suppkey) — the only
+    big shuffle; the EUROPE supplier dim broadcasts into it; `best` is
+    an agg over the already-small offers frame, and the min-join is
+    offers><best on partkey (both tiny vs lineitem). Unit price is a
+    scaled bigint so min/equality survive cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    unit_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("l_quantity")
+        * MONEY_SCALE + F.lit(0.5)
+    ).cast("long")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("offer_cents")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_offers = offers.join(
+        F.broadcast(eu), offers.l_suppkey == eu.s_suppkey
+    ).select("l_partkey", "offer_cents", "s_name", "s_acctbal", "n_name")
+    best = eu_offers.groupBy("l_partkey").agg(F.min("offer_cents").alias("min_cents"))
+    return (
+        eu_offers.join(
+            best,
+            (eu_offers.l_partkey == best.l_partkey)
+            & (eu_offers.offer_cents == best.min_cents),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("offer_cents") / F.lit(float(MONEY_SCALE))).alias("min_unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_profit_decomposition",
+    category="J2",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                   - CAST(floor(p_retailprice * l_quantity * 0.6 * 10000 + 0.5) AS BIGINT))
+                   / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%re%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_profit_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: 60% of p_retailprice × quantity stands
+    in for the absent ps_supplycost): product-line profit decomposed by
+    supplier nation and order year across a 5-table join with a
+    substring part filter.
+
+    Scale: ONE big shuffle (lineitem><orders on orderkey); part,
+    supplier and nation all broadcast — part carries the '%re%' filter
+    to cut the probe early. Profit is a difference of two scaled
+    bigints per row, summed as bigint: order-insensitive and
+    cross-engine exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%re%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit_cents = _scaled(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 0.6 * MONEY_SCALE + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents) / F.lit(float(MONEY_SCALE))).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock_share",
+    category="A11",
+    oracle="""
+        WITH natval AS (
+          SELECT l_partkey,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                     AS value_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+        ), per_part AS (
+          SELECT l_partkey, sum(value_cents) AS part_cents
+          FROM natval GROUP BY l_partkey
+        ), total AS (
+          SELECT sum(part_cents) AS total_cents FROM per_part
+        )
+        SELECT l_partkey, part_cents / 10000.0 AS part_value
+        FROM per_part, total
+        WHERE part_cents * 1000 > total_cents
+        ORDER BY part_cents DESC, l_partkey
+    """,
+)
+def tpch_q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: shipped value from NATION_7 suppliers
+    stands in for partsupp stock value): per-part value with a HAVING
+    threshold against a SCALAR global-share subquery — the decorrelated
+    form computes the total once and broadcasts it, instead of
+    re-evaluating the subquery per group.
+
+    The share test multiplies integers (part_cents * 1000 >
+    total_cents ⇔ share > 0.1%) — no double division, so the
+    threshold is bit-exact on both engines.
+
+    Scale: lineitem shuffles once on partkey (supplier/nation
+    broadcast before it); the total folds the per-part frame to one
+    row broadcast back over it. Ordering ties broken by partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natval = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value_cents"
+            ),
+        )
+    )
+    per_part = natval.groupBy("l_partkey").agg(
+        F.sum("value_cents").alias("part_cents")
+    )
+    total = per_part.agg(F.sum("part_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("part_cents") / F.lit(float(MONEY_SCALE))).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    category="J5",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#9'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: distinct lineitem (part, supplier)
+    pairs stand in for partsupp; negative-balance suppliers stand in
+    for the complaint-comment exclusion): NOT-IN anti join + distinct
+    supplier counts per (brand, type, size) bucket.
+
+    Scale: the DISTINCT pair extraction is the one lineitem shuffle;
+    the excluded-supplier set (6 rows at sf0.01) broadcasts as a LEFT
+    ANTI join — NOT IN over a non-nullable key is exactly anti-join
+    semantics; part broadcasts with all three predicates pushed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    category="J4",
+    oracle="""
+        WITH bparts AS (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'b%'
+        ), q97 AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS BIGINT)) AS qty97
+          FROM lineitem JOIN bparts ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ), qall AS (
+          SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qtyall
+          FROM lineitem JOIN bparts ON l_partkey = p_partkey
+          GROUP BY l_partkey
+        ), excess AS (
+          SELECT DISTINCT q97.l_suppkey
+          FROM q97 JOIN qall ON q97.l_partkey = qall.l_partkey
+          WHERE q97.qty97 * 50 > qall.qtyall * 3
+        )
+        SELECT s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+        ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: '1997 share of a part's lifetime
+    shipped quantity > 6%' stands in for the availqty-vs-half-of-
+    shipped test): the NESTED semi-join — an inner correlated
+    aggregate comparison decorrelated into two aggregates joined on
+    partkey, collapsed to a supplier set, then semi-joined into the
+    supplier dim.
+
+    The share test is integer math (qty97*50 > qtyall*3): quantities
+    are integral, summed as bigint — bit-exact both engines.
+
+    Scale: lineitem is read twice but both passes keep the pushed
+    'b%'-part semi filter (broadcast) and aggregate before any wide
+    join; the final IN collapses to a broadcast LEFT SEMI against the
+    100-row supplier dim. No correlated re-execution anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("b%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lib = li.join(F.broadcast(bparts), li.l_partkey == bparts.p_partkey)
+    q97 = (
+        lib.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty97"))
+    )
+    qall = lib.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qtyall")
+    )
+    excess = (
+        q97.join(qall, "l_partkey")
+        .filter(F.col("qty97") * 50 > F.col("qtyall") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )

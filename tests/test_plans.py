@@ -940,3 +940,68 @@ def test_bmp_parse_python_only_in_map(spark, sf_dir):
 def test_hits_normalized_no_cartesian(spark, sf_dir):
     df = q("hits_normalized_scores", spark, sf_dir)
     assert_no_operator(df, "CartesianProduct")
+
+
+# ---------------------------------------------------------- TPC-H r3 wave
+
+
+def test_q2_decorrelated_min_join(spark, sf_dir):
+    """Q2 shape: the correlated min-cost subquery must decorrelate to
+    aggregate + equi-join — no nested-loop re-execution per row, dims
+    broadcast, top-100 via TakeOrderedAndProject (no global sort)."""
+    df = q("tpch_q2_min_cost_supplier", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    # offers (partkey,suppkey) + best (partkey): two 2-phase aggs
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_q9_single_big_shuffle(spark, sf_dir):
+    """Q9 shape: part/supplier/nation broadcast; the only non-broadcast
+    join is lineitem><orders on orderkey."""
+    df = q("tpch_q9_profit_decomposition", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 3, counts
+    non_broadcast = sum(
+        n for name, n in counts.items()
+        if "Join" in name and not name.startswith("Broadcast")
+    )
+    assert non_broadcast <= 1, counts
+
+
+def test_q11_scalar_share_broadcast(spark, sf_dir):
+    """Q11 shape: the global-total scalar subquery decorrelates to a
+    1-row broadcast over the per-part frame — at most ONE nested-loop
+    join (the quarantined 1-row scalar), never a real cartesian."""
+    df = q("tpch_q11_important_stock_share", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    # per-part agg + global-total agg, both two-phase
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    """Q16 shape: NOT IN over the non-null complaint-supplier set must
+    plan as a broadcast LEFT ANTI hash join; distinct-pair extraction
+    and distinct supplier counts stay hash aggregates."""
+    df = q("tpch_q16_supplier_part_counts", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_q20_nested_semi_no_reexecution(spark, sf_dir):
+    """Q20 shape: nested correlated aggregates decorrelate to two
+    grouped aggregates joined on partkey; the supplier membership test
+    is a broadcast LEFT SEMI. The 1997 predicate pushes to the scan."""
+    df = q("tpch_q20_excess_shippers", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+    counts = operator_counts(df)
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
