@@ -282,3 +282,74 @@ def test_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
     # exact when k exceeds the vocabulary
     exact = {r.item: r.est_count for r in heavy_hitters(toks, "tok", k=10_000).collect()}
     assert exact == true
+
+
+def test_grok_pattern_dictionary_sweep():
+    """Every atom in the core pattern dictionary compiles standalone
+    and matches a canonical example (and rejects a counter-example
+    where the pattern is anchored enough to say so) — the pattern
+    library is data, so this is its table-driven spec."""
+    import re
+
+    from eventstreams_spark.functions.grok import PATTERNS, grok_to_regex
+
+    examples = {
+        "WORD": "hello_1",
+        "NOTSPACE": "a/b:c",
+        "DATA": "",
+        "GREEDYDATA": "anything at all",
+        "INT": "-42",
+        "POSINT": "17",
+        "NONNEGINT": "0",
+        "NUMBER": "3.14",
+        "BASE10NUM": "-0.5",
+        "BASE16NUM": "0xDEADbeef",
+        "IP": "192.168.0.1",
+        "IPV6": "2001:db8::1",
+        "HOSTNAME": "web-01.example.com",
+        "IPORHOST": "10.0.0.1",
+        "USERNAME": "svc.user-1",
+        "USER": "root",
+        "EMAILADDRESS": "a.b+c@example.org",
+        "MAC": "00:1A:2b:3C:4d:5E",
+        "UUID": "123e4567-e89b-12d3-a456-426614174000",
+        "LOGLEVEL": "ERROR",
+        "MONTH": "Sep",
+        "MONTHNUM": "09",
+        "MONTHDAY": "31",
+        "DAY": "Fri",
+        "YEAR": "2024",
+        "HOUR": "23",
+        "MINUTE": "59",
+        "SECOND": "59.123",
+        "TIME": "23:59:59",
+        "TIMESTAMP_ISO8601": "2024-01-02T03:04:05.678Z",
+        "HTTPDATE": "18/Nov/2023:10:27:31 +0000",
+        "SYSLOGTIMESTAMP": "Jan  2 03:04:05",
+        "URIPROTO": "https",
+        "URIHOST": "example.com:8443",
+        "URIPATH": "/a/b-c/d.e",
+        "URIPARAM": "?k=v&x=1",
+        "URIPATHPARAM": "/p?q=1",
+        "URI": "https://u:p@example.com:80/path?x=1",
+        "QS": '"quoted \\" string"',
+        "QUOTEDSTRING": '"ok"',
+        "PROG": "systemd-logind",
+        "SYSLOGHOST": "host1",
+    }
+    missing = set(PATTERNS) - set(examples) - {
+        "SPACE",  # matches empty by design
+        "SYSLOGPROG",  # carries fields; covered by SYSLOGLINE test
+        "COMMONAPACHELOG", "COMBINEDAPACHELOG", "SYSLOGLINE",  # composites, own tests
+    }
+    assert not missing, f"patterns without examples: {missing}"
+    for name, example in examples.items():
+        regex, fields = grok_to_regex("%{" + name + ":x}")
+        assert fields == ["x"], name
+        m = re.fullmatch(regex, example)
+        assert m and m.group(1) == example, (name, example, regex[:80])
+    # a few counter-examples on the anchored atoms
+    for name, bad in [("IP", "300.1.2"), ("POSINT", "0"), ("LOGLEVEL", "NOISE"),
+                      ("UUID", "123"), ("MAC", "001A2b3C4d5E")]:
+        regex, _ = grok_to_regex("%{" + name + ":x}")
+        assert re.fullmatch(regex, bad) is None, (name, bad)
