@@ -505,14 +505,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_offers = offers.join(
         F.broadcast(eu), offers.l_suppkey == eu.s_suppkey
     ).select("l_partkey", "offer_cents", "s_name", "s_acctbal", "n_name")
-    best = eu_offers.groupBy("l_partkey").agg(F.min("offer_cents").alias("min_cents"))
+    # rename the group key: `best` derives from eu_offers, so joining
+    # back on same-named attributes would be a self-join ambiguity
+    best = (
+        eu_offers.groupBy("l_partkey")
+        .agg(F.min("offer_cents").alias("min_cents"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
     return (
         eu_offers.join(
             best,
-            (eu_offers.l_partkey == best.l_partkey)
-            & (eu_offers.offer_cents == best.min_cents),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("offer_cents") == F.col("min_cents")),
         )
-        .drop(best.l_partkey)
+        .drop("b_partkey")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
