@@ -1037,3 +1037,100 @@ def test_page_hinkley_stream_matches_single_pass(spark, tmp_path):
     assert [a for _, a in got].count(True) == 1
     for (gp, ga), (wp, wa) in zip(got, want):
         assert ga == wa and gp == pytest.approx(wp)
+
+
+def test_session_dynamic_gap_late_data_golden(spark, tmp_path):
+    """T3×T4 interaction (VERDICT r2 #7): dynamic-gap session windows
+    under LATE data in one availableNow run — a late row older than
+    the watermark is DROPPED (the closed session stays n=2), a late
+    row within the watermark opens its own session, and sessions not
+    yet closed by the final watermark are withheld."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.windows import session_agg
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+    d = str(tmp_path / "replay")
+    # batch 1: user 1 — two normal events (30m gap) + one error (10m gap)
+    stage_files(mk([(1, "2024-01-01 10:00:00", "click"),
+                    (1, "2024-01-01 10:05:00", "click"),
+                    (1, "2024-01-01 10:40:00", "error")]), d, 1)
+    # batch 2: watermark mover (user 2 at 13:00 → wm 12:00, effective
+    # one batch AFTER the next — see test_watermark_drops_late_rows)
+    stage_files(mk([(2, "2024-01-01 13:00:00", "click")]), d, 2)
+    # batch 3: on-time spacer so the 12:00 watermark takes effect
+    stage_files(mk([(2, "2024-01-01 13:01:00", "click")]), d, 3)
+    # batch 4: two LATE rows for user 1 — 10:06 is behind the 12:00
+    # watermark (dropped); 12:30 is within it (new session)
+    stage_files(mk([(1, "2024-01-01 10:06:00", "click"),
+                    (1, "2024-01-01 12:30:00", "click")]), d, 4)
+    # batch 5: flush — wm 13:31 closes user 2's session
+    stage_files(mk([(3, "2024-01-01 14:31:00", "click")]), d, 5)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    gap = F.expr(
+        "CASE WHEN event_type = 'error' THEN make_interval(0, 0, 0, 0, 0, 10, 0)"
+        " ELSE make_interval(0, 0, 0, 0, 0, 30, 0) END"
+    )
+    out = session_agg(
+        stream, "ts", gap, ["user_id"], [F.count(F.lit(1)).alias("n")],
+        watermark="1 hour",
+    )
+    run_to_memory(out, "t_sess_late", output_mode="append")
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n)
+        for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n FROM t_sess_late"
+        ).collect()
+    }
+    want = {
+        # 10:06 late row DROPPED: session stays [10:00, 10:35) n=2
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 2),
+        # error gap 10m → its own session
+        (1, "2024-01-01 10:40:00", "2024-01-01 10:50:00", 1),
+        # accepted late row → own session [12:30, 13:00)
+        (1, "2024-01-01 12:30:00", "2024-01-01 13:00:00", 1),
+        # 13:00 + 13:01 merge; closed by final watermark 13:31
+        (2, "2024-01-01 13:00:00", "2024-01-01 13:31:00", 2),
+        # user 3's session [14:31, 15:01) still open → withheld
+    }
+    assert got == want, got
+
+
+def test_throttle_state_machine_on_rocksdb(spark, tmp_path):
+    """T7 on the RocksDB provider (VERDICT r2 #7): the GroupState
+    throttle counter must behave identically on the production state
+    store — a key exhausted in batch 1 admits nothing in batch 2."""
+    from eventstreams_spark.streaming.state import (
+        disable_rocksdb_state,
+        enable_rocksdb_state,
+    )
+    from eventstreams_spark.streaming.stateful import throttle_stream
+
+    rows = [("a", f"2024-01-01 10:{m:02d}:00") for m in range(6)] + [
+        ("b", "2024-01-01 10:00:00")
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string")
+        .select("k", F.to_timestamp("ts_s").alias("ts"))
+    )
+    enable_rocksdb_state(spark)
+    try:
+        stream = replay_table(spark, df, str(tmp_path), chunks=2, order_col="ts")
+        out = throttle_stream(stream, "k", "ts", limit=3)
+        run_to_memory(out, "t_thr_rocks", output_mode="append")
+    finally:
+        disable_rocksdb_state(spark)
+    got = spark.sql(
+        "SELECT k, count(*) AS n, max(n_admitted) AS mx FROM t_thr_rocks GROUP BY k"
+    )
+    by_key = {r.k: (r.n, r.mx) for r in got.collect()}
+    assert by_key["a"] == (3, 3), by_key
+    assert by_key["b"] == (1, 1), by_key
