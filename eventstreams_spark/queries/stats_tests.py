@@ -305,3 +305,183 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "ks_two_sample_test",
+    category="ST5",
+    oracle="""
+        WITH pts AS (
+            SELECT value AS x,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+            FROM events WHERE event_type IN ('error', 'click')
+        ), tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+            FROM pts
+        ), steps AS (
+            SELECT x, CAST(sum(a) AS BIGINT) AS da, CAST(sum(b) AS BIGINT) AS db
+            FROM pts GROUP BY x
+        ), cum AS (
+            SELECT x,
+                   CAST(sum(da) OVER (ORDER BY x) AS BIGINT) AS ca,
+                   CAST(sum(db) OVER (ORDER BY x) AS BIGINT) AS cb
+            FROM steps
+        ), dmax AS (
+            SELECT CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_scaled
+            FROM cum, tot
+        )
+        SELECT na, nb, d_scaled,
+               round(d_scaled * 1.0 / (na * nb), 9) AS d_stat,
+               d_scaled * 1.0 / (na * nb)
+                   > 1.358 * sqrt((na + nb) * 1.0 / (na * nb)) AS reject_95
+        FROM dmax, tot
+    """,
+)
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (ST5): D = sup|F_a − F_b|
+    between the error-value and click-value distributions, with the
+    large-sample 5% rejection rule c(α)·√((nₐ+n_b)/(nₐ·n_b)),
+    c(0.05) = 1.358 — the classic distribution-shift detector a data
+    pipeline runs between corpus snapshots.
+
+    Determinism: D is computed as max|cumA·nB − cumB·nA| in BIGINT
+    (exact, order-insensitive; ≤ 6e4·3e4 ≈ 2e9·1e4 ≪ 2^63) and
+    divided once at the end — both engines evaluate the identical
+    final double expression.
+
+    Scale: one scan → per-distinct-value step counts (hash agg) → a
+    cumulative window over DISTINCT values only (bounded: |values| ≪
+    rows; same distinct-bucket trick as mann_whitney_u) → 1-row max.
+    The unpartitioned window is over ~49k distinct doubles at sf0.01
+    and is bounded by the value domain, not the row count — stated
+    per the Window.orderBy audit convention.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "click")
+    )
+    pts = ev.select(
+        F.col("value").alias("x"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("b"),
+    )
+    tot = pts.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    steps = pts.groupBy("x").agg(
+        F.sum("a").cast("long").alias("da"), F.sum("b").cast("long").alias("db")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = steps.select(
+        "x",
+        F.sum("da").over(w).cast("long").alias("ca"),
+        F.sum("db").over(w).cast("long").alias("cb"),
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("long")
+            .alias("d_scaled")
+        )
+    )
+    d = F.col("d_scaled") / (F.col("na") * F.col("nb"))
+    return dmax.crossJoin(F.broadcast(tot)).select(
+        "na", "nb", "d_scaled",
+        F.round(d, 9).alias("d_stat"),
+        (
+            d > 1.358 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+        ).alias("reject_95"),
+    )
+
+
+@query(
+    "spearman_rank_correlation",
+    category="ST6",
+    oracle="""
+        WITH base AS (
+            SELECT l_quantity AS x, l_extendedprice AS y
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+        ), xr AS (
+            SELECT x, 2 * CAST(sum(c) OVER (ORDER BY x) AS BIGINT) - c + 1
+                       AS mr2
+            FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x)
+        ), yr AS (
+            SELECT y, 2 * CAST(sum(c) OVER (ORDER BY y) AS BIGINT) - c + 1
+                       AS mr2
+            FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY y)
+        ), ranked AS (
+            SELECT xr.mr2 AS rx, yr.mr2 AS ry
+            FROM base JOIN xr USING (x) JOIN yr USING (y)
+        ), sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS BIGINT) AS sx,
+                   CAST(sum(ry) AS BIGINT) AS sy,
+                   CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                   CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                   CAST(sum(ry * ry) AS BIGINT) AS syy
+            FROM ranked
+        )
+        SELECT n,
+               round((n * sxy - sx * sy)
+                     / sqrt(1.0 * (n * sxx - sx * sx) * (n * syy - sy * sy)),
+                     9) AS spearman_rho
+        FROM sums
+    """,
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with tie-aware midranks (ST6):
+    ρ = Pearson over the rank transforms of (l_quantity,
+    l_extendedprice) on the 1996 shipment slice — the monotone-
+    association test that is robust where raw Pearson is leveraged by
+    price outliers.
+
+    Determinism: midranks are held DOUBLED (mr2 = 2·cum − c + 1, an
+    integer) via the distinct-bucket construction from mann_whitney_u,
+    so every sum (Σr, Σr², Σrxry ≤ ~2.6e16) is an exact BIGINT; the
+    single final expression divides the exact integer numerator by a
+    sqrt evaluated identically in both engines (the doubling cancels).
+
+    Scale: midrank tables are per-DISTINCT-value (50 quantities; price
+    domain bounded by the price book, not row count) and join back by
+    value; the unpartitioned cumulative windows run over those
+    distinct-value frames only — bounded per the Window.orderBy audit
+    convention. Sums are one two-phase agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    base = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+
+    def midranks(col):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(
+                col,
+                (2 * F.sum("c").over(w).cast("long") - F.col("c") + 1).alias("mr2"),
+            )
+        )
+    ranked = (
+        base.join(midranks("x").withColumnRenamed("mr2", "rx"), "x")
+        .join(midranks("y").withColumnRenamed("mr2", "ry"), "y")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        1.0
+        * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("n", F.round(num / den, 9).alias("spearman_rho"))

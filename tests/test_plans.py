@@ -1060,3 +1060,52 @@ def test_interval_coverage_single_user_shuffle(spark, sf_dir):
         assert "Join" not in op, counts
     assert counts.get("Window", 0) == 2, counts
     assert count_prefix(counts, "Exchange") <= 2, counts
+
+
+# --------------------------------------------------- r3 breadth queries
+
+
+def test_betweenness_level_joins_no_cartesian(spark, sf_dir):
+    """Sampled Brandes: every level is a frontier><edges equi join;
+    the only broadcasts are the source sample and small frontiers —
+    no cartesian, no nested loop."""
+    df = q("betweenness_sampled_brandes", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_session_path_one_user_shuffle(spark, sf_dir):
+    """Path clustering reuses ONE user_id partitioning for the gap
+    flag, session ids and per-session collection; the cluster census
+    shuffles only (cluster, path) keys."""
+    df = q("session_path_clusters", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) >= 3, counts  # gap lag, sid sum, rn, exemplar
+
+
+def test_ks_window_over_distinct_values_only(spark, sf_dir):
+    """KS: the cumulative window runs over per-DISTINCT-value steps
+    (one HashAggregate BEFORE the window), never over raw rows."""
+    df = q("ks_two_sample_test", spark, sf_dir)
+    counts = operator_counts(df)
+    assert counts.get("Window", 0) == 1, counts
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_countmin_cells_broadcast_probe(spark, sf_dir):
+    """CMS gate: sketch cells aggregate map-side; the probe slice
+    joins by equi key — no cartesian beyond the 1-row N scalar."""
+    df = q("countmin_error_gate", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+
+
+def test_histogram_gate_bucket_window_bounded(spark, sf_dir):
+    """Histogram quantile gate: windows run over the 128-bucket frames
+    (bounded by sketch width, not rows); bounds join broadcast."""
+    df = q("histogram_quantile_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
