@@ -697,6 +697,76 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pick")
 
 
+def _sampled_bfs_levels(spark, sf_dir):
+    """Shared 3-hop BFS from the deterministic source sample (node id
+    % 5 = 0) over the interaction graph: returns (e, l1, l2, l3) where
+    e is the bidirectional edge frame and each level holds (s, v, sig)
+    = shortest-path counts at distance 1/2/3 from source s. Consumed
+    by betweenness (dependency sweep) and closeness (distance sums).
+
+    Frontier frames broadcast into the edge joins (sample-bounded) and
+    cache at cluster parallelism — see the SCALE.md §3b width lesson.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    und = (
+        interaction_edges(ev, undirected=True)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    e = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    srcs = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .distinct()
+        .filter(F.col("x") % 5 == 0)
+        .select(F.col("x").alias("s"))
+    )
+    l1 = (
+        e.join(F.broadcast(srcs), e.u == F.col("s"))
+        .filter(F.col("v") != F.col("s"))
+        .groupBy("s", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("sig"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()  # consumed by l2, seen12, c1, d1
+    )
+    l2 = (
+        e.join(F.broadcast(l1.select("s", F.col("v").alias("fu"), "sig")),
+               F.col("fu") == e.u)
+        .filter(F.col("v") != F.col("s"))
+        .join(
+            F.broadcast(
+                l1.select("s", "v")
+                .withColumnRenamed("s", "xs").withColumnRenamed("v", "xv")
+            ),
+            (F.col("s") == F.col("xs")) & (F.col("v") == F.col("xv")),
+            "left_anti",
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("sig").cast("long").alias("sig"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()  # consumed by l3, seen12, c2, d2
+    )
+    seen12 = l1.select("s", "v").unionAll(l2.select("s", "v"))
+    l3 = (
+        e.join(F.broadcast(l2.select("s", F.col("v").alias("fu"), "sig")),
+               F.col("fu") == e.u)
+        .filter(F.col("v") != F.col("s"))
+        .join(
+            F.broadcast(
+                seen12.withColumnRenamed("s", "xs").withColumnRenamed("v", "xv")
+            ),
+            (F.col("s") == F.col("xs")) & (F.col("v") == F.col("xv")),
+            "left_anti",
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("sig").cast("long").alias("sig"))
+    )
+    return e, l1, l2, l3
+
+
 @query(
     "betweenness_sampled_brandes",
     category="B7-graph",
@@ -786,71 +856,7 @@ def betweenness_sampled_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
     case; no windows, no cartesian.
     """
     SCALE_I = 1_000_000
-    ev = load_table(spark, sf_dir, "events")
-    # persist the canonical edge set: e (×2 orientations) and srcs all
-    # derive from it — without this the events window recomputes per
-    # consumer (6 forward/backward joins + the source sample)
-    # cache at cluster parallelism: the window that builds the edge
-    # set runs at shuffle-partition width (200), but a cached frame
-    # pins that width for every downstream stage AND blocks AQE
-    # coalescing — 400-task stages over a KB-scale frontier are pure
-    # task-launch overhead. defaultParallelism tracks the cluster.
-    und = (
-        interaction_edges(ev, undirected=True)
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
-    e = (
-        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    )
-    srcs = (
-        und.select(F.col("a").alias("x"))
-        .unionAll(und.select(F.col("b").alias("x")))
-        .distinct()
-        .filter(F.col("x") % 5 == 0)
-        .select(F.col("x").alias("s"))
-    )
-    l1 = (
-        e.join(F.broadcast(srcs), e.u == F.col("s"))
-        .filter(F.col("v") != F.col("s"))
-        .groupBy("s", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("sig"))
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()  # consumed by l2, seen12, c1, d1
-    )
-    l2 = (
-        e.join(F.broadcast(l1.select("s", F.col("v").alias("fu"), "sig")),
-               F.col("fu") == e.u)
-        .filter(F.col("v") != F.col("s"))
-        .join(
-            F.broadcast(
-                l1.select("s", "v")
-                .withColumnRenamed("s", "xs").withColumnRenamed("v", "xv")
-            ),
-            (F.col("s") == F.col("xs")) & (F.col("v") == F.col("xv")),
-            "left_anti",
-        )
-        .groupBy("s", "v")
-        .agg(F.sum("sig").cast("long").alias("sig"))
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()  # consumed by l3, seen12, c2, d2
-    )
-    seen12 = l1.select("s", "v").unionAll(l2.select("s", "v"))
-    l3 = (
-        e.join(F.broadcast(l2.select("s", F.col("v").alias("fu"), "sig")),
-               F.col("fu") == e.u)
-        .filter(F.col("v") != F.col("s"))
-        .join(
-            F.broadcast(
-                seen12.withColumnRenamed("s", "xs").withColumnRenamed("v", "xv")
-            ),
-            (F.col("s") == F.col("xs")) & (F.col("v") == F.col("xv")),
-            "left_anti",
-        )
-        .groupBy("s", "v")
-        .agg(F.sum("sig").cast("long").alias("sig"))
-    )
+    e, l1, l2, l3 = _sampled_bfs_levels(spark, sf_dir)
     # backward sweep: per-edge contributions start from the DEEPER
     # level (inner joins with a broadcastable frontier side), then a
     # frontier-sized LEFT join pads delta=0 for nodes with no deeper
@@ -920,5 +926,87 @@ def betweenness_sampled_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("bc_scaled") / F.lit(float(SCALE_I)), 6).alias("bc"),
         )
         .orderBy(F.col("bc_scaled").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "closeness_harmonic_sampled",
+    category="B7-graph",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, e AS (
+            SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und
+        ), srcs AS (
+            SELECT DISTINCT x AS s FROM (
+                SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+            WHERE x % 5 = 0
+        ), l1 AS (
+            SELECT s, e.v, CAST(count(*) AS BIGINT) AS sig
+            FROM srcs JOIN e ON e.u = srcs.s
+            WHERE e.v <> srcs.s
+            GROUP BY s, e.v
+        ), l2 AS (
+            SELECT l1.s, e.v, CAST(sum(l1.sig) AS BIGINT) AS sig
+            FROM l1 JOIN e ON e.u = l1.v
+            WHERE e.v <> l1.s
+              AND NOT EXISTS (SELECT 1 FROM l1 i
+                              WHERE i.s = l1.s AND i.v = e.v)
+            GROUP BY l1.s, e.v
+        ), l3 AS (
+            SELECT l2.s, e.v, CAST(sum(l2.sig) AS BIGINT) AS sig
+            FROM l2 JOIN e ON e.u = l2.v
+            WHERE e.v <> l2.s
+              AND NOT EXISTS (SELECT 1 FROM l1 i
+                              WHERE i.s = l2.s AND i.v = e.v)
+              AND NOT EXISTS (SELECT 1 FROM l2 i
+                              WHERE i.s = l2.s AND i.v = e.v)
+            GROUP BY l2.s, e.v
+        ), contrib AS (
+            SELECT v, 6 AS h6 FROM l1
+            UNION ALL SELECT v, 3 FROM l2
+            UNION ALL SELECT v, 2 FROM l3
+        )
+        SELECT v AS user_id,
+               CAST(sum(h6) AS BIGINT) AS h6_scaled,
+               round(sum(h6) / 6.0, 6) AS harmonic,
+               CAST(count(*) AS BIGINT) AS n_reached
+        FROM contrib
+        GROUP BY v
+        ORDER BY h6_scaled DESC, user_id
+        LIMIT 10
+    """,
+)
+def closeness_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality from the sampled 3-hop BFS (B7
+    breadth): h(v) = Σ_s 1/d(s, v) over the deterministic source
+    sample, truncated at distance 3 — the standard estimator for "how
+    near is this node to everything" that, unlike classic closeness,
+    is well-defined on disconnected graphs. Shares the BFS level
+    machinery (and cost) with betweenness_sampled_brandes — the two
+    run off identical (s, v, σ) level frames.
+
+    Determinism: contributions are 1, 1/2, 1/3 held as integers
+    scaled by 6 (6/3/2), so the sum is an exact BIGINT and the /6.0
+    happens once at the end.
+
+    Scale: identical to the betweenness forward pass (frontier
+    broadcasts, one agg per level) minus the backward sweep — the
+    cheapest of the centrality family.
+    """
+    e, l1, l2, l3 = _sampled_bfs_levels(spark, sf_dir)
+    contrib = (
+        l1.select("v", F.lit(6).alias("h6"))
+        .unionAll(l2.select("v", F.lit(3).alias("h6")))
+        .unionAll(l3.select("v", F.lit(2).alias("h6")))
+    )
+    return (
+        contrib.groupBy(F.col("v").alias("user_id"))
+        .agg(
+            F.sum("h6").cast("long").alias("h6_scaled"),
+            F.round(F.sum("h6") / 6.0, 6).alias("harmonic"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+        )
+        .orderBy(F.col("h6_scaled").desc(), "user_id")
         .limit(10)
     )

@@ -747,3 +747,83 @@ def rapid_fire_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rapid").desc(), "user_id", "event_type")
         .limit(20)
     )
+
+
+@query(
+    "pk_candidate_census",
+    category="Q1-profile",
+    oracle="""
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+        SELECT c.combo, c.n_distinct, n.n_rows,
+               c.n_distinct = n.n_rows AS is_unique,
+               round(c.n_distinct * 1.0 / n.n_rows, 6) AS uniqueness
+        FROM (
+            SELECT 'event_id' AS combo,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'user_id+ts',
+                   CAST(count(DISTINCT user_id || '|' || CAST(epoch_us(ts) AS VARCHAR))
+                        AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'event_type+ts',
+                   CAST(count(DISTINCT event_type || '|' || CAST(epoch_us(ts) AS VARCHAR))
+                        AS BIGINT)
+            FROM events
+        ) c, n
+        ORDER BY c.combo
+    """,
+)
+def pk_candidate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key candidate detection (Q1 profiling breadth): for
+    each candidate column combo, distinct-count vs row-count decides
+    whether it is a valid key — the first question every ingestion
+    pipeline asks of an unknown feed (and the input to choosing dedup
+    and MERGE keys). Composite candidates hash through a '|'-joined
+    string exactly as the dedup operators mint their keys.
+
+    Scale: one scan, one multi-count-distinct aggregate (Catalyst
+    expands to one Expand + two-phase agg — same shape as A2); the
+    row count rides the same pass. At 100 TB swap the exact distincts
+    for approx_count_distinct and gate with sketch_accuracy_gates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    combo_ts = F.concat_ws(
+        "|", F.col("user_id"), F.unix_micros("ts").cast("string")
+    )
+    combo_et = F.concat_ws(
+        "|", F.col("event_type"), F.unix_micros("ts").cast("string")
+    )
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("event_id").cast("long").alias("d_eid"),
+        F.count_distinct("user_id").cast("long").alias("d_uid"),
+        F.count_distinct(combo_ts).cast("long").alias("d_uts"),
+        F.count_distinct(combo_et).cast("long").alias("d_ets"),
+    )
+    # explode the single agg row into 4 presentation rows — a 4-way
+    # union of the agg frame would recompute it (4 scans); this keeps
+    # ONE scan + one Expand-based multi-distinct aggregate
+    kv = F.explode(
+        F.array(
+            F.struct(F.lit("event_id").alias("combo"), F.col("d_eid").alias("n_distinct")),
+            F.struct(F.lit("event_type+ts").alias("combo"), F.col("d_ets").alias("n_distinct")),
+            F.struct(F.lit("user_id").alias("combo"), F.col("d_uid").alias("n_distinct")),
+            F.struct(F.lit("user_id+ts").alias("combo"), F.col("d_uts").alias("n_distinct")),
+        )
+    )
+    return (
+        agg.select(kv.alias("kv"), "n_rows")
+        .select(
+            F.col("kv.combo").alias("combo"),
+            F.col("kv.n_distinct").alias("n_distinct"),
+            "n_rows",
+            (F.col("kv.n_distinct") == F.col("n_rows")).alias("is_unique"),
+            F.round(F.col("kv.n_distinct") / F.col("n_rows"), 6).alias("uniqueness"),
+        )
+        .orderBy("combo")
+    )

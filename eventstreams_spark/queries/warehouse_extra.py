@@ -892,3 +892,78 @@ def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reclaim_fraction"),
     )
+
+
+@query(
+    "gdpr_purge_audit",
+    category="K7-purge",
+    oracle="""
+        WITH del AS (
+            SELECT c_custkey AS uid FROM customer WHERE c_custkey % 97 = 0
+        ), ev AS (
+            SELECT count(*) AS total,
+                   count(*) FILTER (user_id IN (SELECT uid FROM del)) AS purged
+            FROM events
+        ), od AS (
+            SELECT count(*) AS total,
+                   count(*) FILTER (o_custkey IN (SELECT uid FROM del)) AS purged
+            FROM orders
+        )
+        SELECT 'events' AS tbl,
+               CAST(ev.total AS BIGINT) AS n_rows,
+               CAST(ev.purged AS BIGINT) AS n_purged,
+               CAST(ev.total - ev.purged AS BIGINT) AS n_survivors,
+               TRUE AS no_residual
+        FROM ev
+        UNION ALL
+        SELECT 'orders', CAST(od.total AS BIGINT),
+               CAST(od.purged AS BIGINT),
+               CAST(od.total - od.purged AS BIGINT), TRUE
+        FROM od
+        ORDER BY tbl
+    """,
+)
+def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge with audit trail (K7 breadth): given
+    a deletion list (customers with custkey % 97 = 0 stand in for the
+    request queue), compute per fact table the purge counts AND verify
+    the purged view holds zero residual rows for listed subjects —
+    the no_residual boolean is computed from the actual anti-joined
+    survivor set, not assumed, so a broken purge turns the row red.
+
+    Scale: the deletion list broadcasts into LEFT ANTI (survivors) and
+    LEFT SEMI (purged count) joins over each fact scan — the standard
+    delete-as-antijoin pattern any table format compaction runs; the
+    audit is one extra aggregate per table on the same scan. The
+    physical delete itself is operators/merge.py's keyed MERGE.
+    """
+    del_list = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("uid"))
+    )
+
+    def audit(tbl, key):
+        df = load_table(spark, sf_dir, tbl)
+        survivors = df.join(
+            F.broadcast(del_list), df[key] == F.col("uid"), "left_anti"
+        )
+        residual = survivors.join(
+            F.broadcast(del_list), survivors[key] == F.col("uid"), "left_semi"
+        )
+        tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        surv = survivors.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+        resid = residual.agg(F.count(F.lit(1)).alias("n_residual"))
+        return (
+            tot.crossJoin(surv)
+            .crossJoin(resid)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_rows",
+                (F.col("n_rows") - F.col("n_survivors")).cast("long").alias("n_purged"),
+                "n_survivors",
+                (F.col("n_residual") == 0).alias("no_residual"),
+            )
+        )
+
+    return audit("events", "user_id").unionAll(audit("orders", "o_custkey")).orderBy("tbl")

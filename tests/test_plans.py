@@ -1109,3 +1109,31 @@ def test_histogram_gate_bucket_window_bounded(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_closeness_shares_bfs_shape(spark, sf_dir):
+    """Closeness reuses the sampled-BFS levels: frontier joins only,
+    no cartesian/nested-loop; one agg over the level union."""
+    df = q("closeness_harmonic_sampled", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_pk_census_single_expand_pass(spark, sf_dir):
+    """PK census: all four distinct counts in ONE Expand + two-phase
+    agg over one scan — not four scans."""
+    df = q("pk_candidate_census", spark, sf_dir)
+    counts = operator_counts(df)
+    for op in counts:
+        assert "Join" not in op, counts
+    # union of 4 presentation rows re-reads the 1-row agg, not the table
+    assert count_prefix(counts, "Scan parquet") <= 4, counts
+    assert count_prefix(counts, "Expand") >= 1, counts
+
+
+def test_gdpr_purge_broadcast_anti_semi(spark, sf_dir):
+    """Purge audit: deletion list broadcasts into anti/semi joins;
+    only the two 1-row count scalars cross-join."""
+    df = q("gdpr_purge_audit", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:1500]
