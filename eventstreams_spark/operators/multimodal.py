@@ -100,6 +100,27 @@ def _parse_one(content: bytes | None) -> tuple:
         channels, rate = struct.unpack("<HI", content[22:28])
         bits = struct.unpack("<H", content[34:36])[0]
         return (None, None, channels, rate, bits)
+    if content[:3] == b"\xff\xd8\xff":
+        # JPEG: walk marker segments to the first SOF (start-of-frame)
+        # — unlike PNG/BMP the dimensions are not at a fixed offset
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                break
+            marker = content[pos + 1]
+            if marker in sof:
+                if pos + 9 <= len(content):
+                    precision = content[pos + 4]
+                    h, w = struct.unpack(">HH", content[pos + 5:pos + 9])
+                    return (w, h, None, None, precision)
+                break
+            seglen = struct.unpack(">H", content[pos + 2:pos + 4])[0]
+            if seglen < 2:
+                break
+            pos += 2 + seglen
+        return (None, None, None, None, None)
     return (None, None, None, None, None)
 
 

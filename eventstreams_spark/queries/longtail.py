@@ -1823,3 +1823,61 @@ def multimodal_bmp_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("length").alias("sum_bytes"),
     )
+
+
+_JPEG_ORACLE = """
+    WITH meta AS (
+        SELECT doc_id,
+               320 + (doc_id % 6) * 32 AS width,
+               240 + (doc_id % 4) * 32 AS height,
+               39 + octet_length(CAST(text AS BLOB)) AS nbytes
+        FROM documents
+    )
+    SELECT 'image/jpeg' AS mime,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           count(*) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM meta GROUP BY width, height
+"""
+
+
+@query("multimodal_jpeg_sof_parse", category="L6-multimodal", oracle=_JPEG_ORACLE)
+def multimodal_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 JPEG twin of the PNG/BMP/WAV header parsers — but JPEG has
+    no fixed-offset dimensions: the parser must WALK the marker
+    segments (skipping the APP0/JFIF segment this query deliberately
+    prepends) to the first SOF frame header. Byte streams are real
+    JPEG prefixes built with pure codegen (SOI + APP0 + SOF0 with
+    doc_id-derived height/width + the text as payload); the oracle
+    recomputes the arithmetic, so construction, magic sniffing, AND
+    the segment walker are all under the hash.
+
+    Scale: same contract as the other container parsers — bytes stay
+    in the Arrow-batched mapInPandas stage, only (mime, width,
+    height, depth) partial aggregates shuffle.
+    """
+    from ..operators.multimodal import parse_headers, sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.lit(320) + (F.col("doc_id") % 6) * 32).cast("int")
+    height = (F.lit(240) + (F.col("doc_id") % 4) * 32).cast("int")
+    header_hex = F.concat(
+        F.lit("FFD8"),                       # SOI
+        F.lit("FFE000104A46494600010100000100010000"),  # APP0/JFIF, len 16
+        F.lit("FFC00011"),                   # SOF0 marker + len 17
+        F.lit("08"),                         # precision 8
+        F.lpad(F.hex(height), 4, "0"),       # height (big-endian u16)
+        F.lpad(F.hex(width), 4, "0"),        # width  (big-endian u16)
+        F.lit("03011100021101031101"),       # 3 components
+    )
+    media = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary")).alias("content"),
+    ).withColumn("length", F.length("content").cast("long"))
+    parsed = parse_headers(sniff_mime(media))
+    return parsed.groupBy("mime", "width", "height", "bit_depth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length").alias("sum_bytes"),
+    )

@@ -124,3 +124,25 @@ def test_sample_frames_fake(spark, media_dir):
     assert set(by_path) == {"a.png", "b.png", "dup_of_a.png"}
     for frames in by_path.values():
         assert frames and sorted(frames) == list(range(len(frames)))
+
+
+def test_jpeg_sof_walker_edge_cases():
+    """The JPEG marker walker must survive malformed streams: truncated
+    segments, missing SOF, bogus lengths — nulls, never exceptions."""
+    from eventstreams_spark.operators.multimodal import _parse_one
+
+    app0 = bytes.fromhex("FFE000104A46494600010100000100010000")
+    sof0 = bytes.fromhex("FFC00011" + "08" + "00F0" + "0140" + "03011100021101031101")
+    good = b"\xff\xd8" + app0 + sof0 + b"data"
+    assert _parse_one(good) == (320, 240, None, None, 8)
+    # progressive SOF2 also recognized
+    sof2 = bytes.fromhex("FFC20011" + "08" + "0010" + "0020" + "03011100021101031101")
+    assert _parse_one(b"\xff\xd8" + app0 + sof2) == (32, 16, None, None, 8)
+    # truncated right after APP0: no SOF -> all nulls
+    assert _parse_one(b"\xff\xd8" + app0) == (None, None, None, None, None)
+    # bogus zero segment length: walker stops, no infinite loop
+    assert _parse_one(b"\xff\xd8\xff\xe0\x00\x00rest") == (None, None, None, None, None)
+    # SOF marker but truncated dimensions
+    assert _parse_one(b"\xff\xd8" + sof0[:6]) == (None, None, None, None, None)
+    # garbage after SOI (no 0xFF marker alignment)
+    assert _parse_one(b"\xff\xd8\xffZZZZZ") == (None, None, None, None, None)
