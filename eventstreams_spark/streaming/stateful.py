@@ -633,3 +633,77 @@ def page_hinkley_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def counter_rate_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming PromQL-style ``rate()`` with counter-reset detection —
+    the GroupState twin of the batch ``counter_rate_resets`` query
+    (T14): per series, each sample's increase is value − prev, or the
+    raw value after a drop (reset). State is seven numbers per key
+    (prev, span endpoints, counts, cent-exact increase sum); one
+    summary row per key per micro-batch carries the running totals, so
+    the max-snapshot row always equals the batch aggregate over the
+    same prefix — pinned by test_counter_rate_batch_equals_stream.
+
+    Scale: one shuffle on the series key, O(1) state; the per-row
+    Python fold is the sequential-semantics price, parallel across
+    series as usual.
+    """
+    out_schema = (
+        f"{key_col} string, n_samples long, n_resets long, "
+        "total_increase_cents long, rate_per_sec double"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        has_prev, prev, min_es, max_es, n, resets, cents = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            for r in _fold_sort(pdf, ts_col).itertuples(index=False):
+                v = getattr(r, value_col)
+                es = getattr(r, ts_col).value / 1e9
+                if not n:
+                    min_es = es
+                max_es = es
+                n += 1
+                if not has_prev:
+                    inc = 0.0
+                elif v >= prev:
+                    inc = v - prev
+                else:
+                    inc = v
+                    resets += 1
+                cents += math.floor(inc * 100 + 0.5)
+                has_prev, prev = 1, v
+        state.update((has_prev, prev, min_es, max_es, n, resets, cents))
+        rate = (
+            round(cents / 100.0 / (max_es - min_es), 6)
+            if max_es > min_es else None
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_samples": [n],
+                "n_resets": [resets],
+                "total_increase_cents": [cents],
+                "rate_per_sec": [rate],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "has_prev long, prev double, min_es double, max_es double, "
+            "n long, resets long, cents long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -6,6 +6,7 @@ batch builders (T1/T3/T10) and hand-computed late-data goldens (T4/T5).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eventstreams_spark.catalog import load_table
@@ -1134,3 +1135,55 @@ def test_throttle_state_machine_on_rocksdb(spark, tmp_path):
     by_key = {r.k: (r.n, r.mx) for r in got.collect()}
     assert by_key["a"] == (3, 3), by_key
     assert by_key["b"] == (1, 1), by_key
+
+
+def test_counter_rate_batch_equals_stream(spark, events_slice, tmp_path):
+    """T14 twin equality: the streaming GroupState counter-rate fold's
+    final snapshot must equal the batch lag-window aggregate over the
+    same events — increases, resets, and the per-second rate."""
+    from eventstreams_spark.streaming.stateful import counter_rate_stream
+
+    ev = events_slice.select("event_id", "ts", "event_type", "value")
+    stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+    out = counter_rate_stream(stream, "event_type", "ts", "value")
+    run_to_memory(out, "t_rate_s", output_mode="update")
+    got = {
+        r.event_type: (r.n_samples, r.n_resets, r.total_increase_cents, r.rate_per_sec)
+        for r in spark.sql(
+            """SELECT * FROM t_rate_s
+               WHERE (event_type, n_samples) IN
+                     (SELECT event_type, max(n_samples) FROM t_rate_s GROUP BY event_type)"""
+        ).collect()
+    }
+    # batch twin: same fold expressed as lag window + aggregate
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    increase = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col("value") >= prev, F.col("value") - prev)
+        .otherwise(F.col("value"))
+    )
+    is_reset = (prev.isNotNull() & (F.col("value") < prev)).cast("long")
+    want = {
+        r.event_type: (r.n, r.nr, r.cents, r.rate)
+        for r in ev.select(
+            "event_type", F.col("ts").cast("double").alias("es"),
+            increase.alias("inc"), is_reset.alias("rst"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rst").alias("nr"),
+            F.sum(F.floor(F.col("inc") * 100 + 0.5).cast("long")).alias("cents"),
+            F.round(
+                F.sum(F.floor(F.col("inc") * 100 + 0.5).cast("long"))
+                / 100.0 / (F.max("es") - F.min("es")),
+                6,
+            ).alias("rate"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3], (k, got[k], want[k])
+        assert got[k][3] == pytest.approx(want[k][3], abs=1e-6), k
