@@ -1,0 +1,78 @@
+"""Holt double-exponential smoothing (level + trend) — batch form.
+
+Like CUSUM (changepoint.py), Holt's method is a per-key SEQUENTIAL
+fold — level and trend are COUPLED recurrences (each step needs both
+previous states), so no window function expresses it; ``applyInPandas``
+over each key's (ts, event_id)-sorted rows is the right home, with the
+same hot-series split strategy as every keyed fold.
+
+The one-step forecast error sum (SSE) accumulates INSIDE the fold:
+a post-hoc float SUM over shuffled rows would be order-dependent
+across engines, the sequential running sum is bit-exact vs the
+recursive-CTE oracle replay (functions/exact.py rationale, applied to
+an inherently sequential statistic).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def holt_linear_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's linear method per key: l_t = αx + (1−α)(l+b),
+    b_t = β(l_t − l_prev) + (1−β)b; initialized l₁ = x₁, b₁ = 0.
+    Output = input + (rn, level, trend, forecast, sse_running) where
+    forecast is the PRE-update one-step-ahead prediction (null for
+    the first row) and sse_running the sequential Σ(x−forecast)²."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+            StructField("sse_running", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [ts_col] + [
+            c for c in ("event_id",) if c in pdf.columns and c != ts_col
+        ]
+        pdf = pdf.sort_values(cols, kind="mergesort").copy()
+        lvl = trend = sse = 0.0
+        rns, lvls, trends, fcs, sses = [], [], [], [], []
+        for i, x in enumerate(pdf[value_col]):
+            if i == 0:
+                lvl, trend, fc = x, 0.0, None
+            else:
+                fc = lvl + trend
+                err = x - fc
+                sse = sse + err * err
+                new_lvl = alpha * x + (1.0 - alpha) * (lvl + trend)
+                trend = beta * (new_lvl - lvl) + (1.0 - beta) * trend
+                lvl = new_lvl
+            rns.append(i + 1)
+            lvls.append(lvl)
+            trends.append(trend)
+            fcs.append(fc)
+            sses.append(sse)
+        pdf["rn"] = rns
+        pdf["level"] = lvls
+        pdf["trend"] = trends
+        pdf["forecast"] = pd.array(fcs, dtype="float64")
+        pdf["sse_running"] = sses
+        return pdf[out_cols]
+
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

@@ -1026,3 +1026,72 @@ def cusum_reference_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("s_pos"), 6).alias("max_s_pos"),
         F.round(F.max("s_neg"), 6).alias("max_s_neg"),
     )
+
+
+@query(
+    "holt_linear_reference_check",
+    category="T21-holt",
+    oracle="""
+        WITH RECURSIVE s AS (
+            SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, value
+            FROM events
+            WHERE event_type = 'error' AND event_id <= 20000
+              AND value IS NOT NULL
+        ), r AS (
+            SELECT rn, value, value AS lvl,
+                   CAST(0.0 AS DOUBLE) AS trend, CAST(0.0 AS DOUBLE) AS sse
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.rn, s.value,
+                   0.5 * s.value + 0.5 * (r.lvl + r.trend),
+                   0.3 * ((0.5 * s.value + 0.5 * (r.lvl + r.trend)) - r.lvl)
+                       + 0.7 * r.trend,
+                   r.sse + (s.value - (r.lvl + r.trend))
+                         * (s.value - (r.lvl + r.trend))
+            FROM r JOIN s ON s.rn = r.rn + 1
+        ), last AS (
+            SELECT * FROM r ORDER BY rn DESC LIMIT 1
+        )
+        SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_events,
+               round(lvl, 6) AS last_level,
+               round(trend, 6) AS last_trend,
+               round(lvl + trend, 6) AS forecast_next,
+               round(sse, 6) AS sse
+        FROM last
+    """,
+)
+def holt_linear_reference_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level+trend forecasting,
+    T21) made hash-checkable, CUSUM-gate style: the applyInPandas fold
+    (operators/smoothing.py) runs over one bounded series and its
+    final (level, trend, one-step forecast, sequential SSE) are
+    certified against a DuckDB RECURSIVE-CTE replay of the identical
+    recurrence (α=0.5, β=0.3). The SSE accumulates inside the fold on
+    BOTH sides — a post-hoc float sum would be shuffle-order-dependent
+    and break the hash; the sequential running sum is bit-exact.
+
+    Scale: the GATE bounds recursion to one slice; the operator
+    itself partitions by key (per-series forecasting over millions of
+    series is the production shape — state is two floats per series).
+    """
+    from ..operators.smoothing import holt_linear_batch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") <= 20000)
+            & F.col("value").isNotNull()
+        )
+        .withColumn("k", F.lit("series"))
+    )
+    scored = holt_linear_batch(ev, "k", "ts", "value", alpha=0.5, beta=0.3)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max_by("level", "rn"), 6).alias("last_level"),
+        F.round(F.max_by("trend", "rn"), 6).alias("last_trend"),
+        F.round(
+            F.max_by(F.col("level") + F.col("trend"), "rn"), 6
+        ).alias("forecast_next"),
+        F.round(F.max_by("sse_running", "rn"), 6).alias("sse"),
+    )

@@ -707,3 +707,72 @@ def counter_rate_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def holt_linear_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Streaming Holt double-exponential smoothing — the GroupState
+    twin of operators/smoothing.py::holt_linear_batch: coupled
+    level/trend recurrences fold per key with four numbers of state
+    (n, level, trend, sequential SSE); each event emits its rn,
+    post-update level/trend, pre-update forecast, and running SSE,
+    identical to the batch fold however the stream is micro-batched
+    (pinned by test_holt_batch_equals_stream)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+            StructField("sse_running", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, lvl, trend, sse = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col).copy()
+            rns, lvls, trends, fcs, sses = [], [], [], [], []
+            for x in pdf[value_col]:
+                if n == 0:
+                    lvl, trend, fc = x, 0.0, None
+                else:
+                    fc = lvl + trend
+                    err = x - fc
+                    sse = sse + err * err
+                    new_lvl = alpha * x + (1.0 - alpha) * (lvl + trend)
+                    trend = beta * (new_lvl - lvl) + (1.0 - beta) * trend
+                    lvl = new_lvl
+                n += 1
+                rns.append(n)
+                lvls.append(lvl)
+                trends.append(trend)
+                fcs.append(fc)
+                sses.append(sse)
+            pdf["rn"] = rns
+            pdf["level"] = lvls
+            pdf["trend"] = trends
+            pdf["forecast"] = pd.array(fcs, dtype="float64")
+            pdf["sse_running"] = sses
+            yield pdf[out_cols]
+        state.update((n, lvl, trend, sse))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, lvl double, trend double, sse double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1187,3 +1187,38 @@ def test_counter_rate_batch_equals_stream(spark, events_slice, tmp_path):
     for k in want:
         assert got[k][:3] == want[k][:3], (k, got[k], want[k])
         assert got[k][3] == pytest.approx(want[k][3], abs=1e-6), k
+
+
+def test_holt_batch_equals_stream(spark, tmp_path):
+    """T21 twin equality: streaming Holt (GroupState) must reproduce
+    the batch applyInPandas fold per event — level, trend, forecast
+    and the sequential SSE — across micro-batch boundaries."""
+    from eventstreams_spark.operators.smoothing import holt_linear_batch
+    from eventstreams_spark.streaming.stateful import holt_linear_stream
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 21.0]
+    rows = [
+        (k, f"2024-01-01 10:{i:02d}:00", v)
+        for k in ("a", "b")
+        for i, v in enumerate(vals)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    kw = dict(alpha=0.5, beta=0.3)
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="ts")
+    run_to_memory(
+        holt_linear_stream(stream, "k", "ts", "v", **kw),
+        "t_holt_s",
+        output_mode="append",
+    )
+    got = _rows(spark.sql(
+        "SELECT k, rn, level, trend, forecast, sse_running FROM t_holt_s"
+    ))
+    want = _rows(
+        holt_linear_batch(df, "k", "ts", "v", **kw).select(
+            "k", "rn", "level", "trend", "forecast", "sse_running"
+        )
+    )
+    assert got == want
