@@ -827,3 +827,113 @@ def pk_candidate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("combo")
     )
+
+
+def _spatial_oracle() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat_u = md5_uniform_sql("concat('clat|', cast(c_custkey as varchar))")
+    lon_u = md5_uniform_sql("concat('clon|', cast(c_custkey as varchar))")
+    lat = f"({lat_u} - 0.5) * 180.0"
+    lon = f"({lon_u} - 0.5) * 360.0"
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS id, {lat} AS lat, {lon} AS lon
+            FROM customer
+        ), cells AS (
+            SELECT id, lat, lon,
+                   CAST(floor(lat) AS BIGINT) AS cy,
+                   CAST(floor(lon) AS BIGINT) AS cx
+            FROM pts
+        ), probe AS (
+            SELECT id, lat, lon, cy + dy AS ty, cx + dx AS tx
+            FROM cells,
+                 (SELECT unnest([-1, 0, 1]) AS dy) a,
+                 (SELECT unnest([-1, 0, 1]) AS dx) b
+        ), pairs AS (
+            SELECT p.id AS id1, c.id AS id2,
+                   p.lat AS lat1, p.lon AS lon1, c.lat AS lat2, c.lon AS lon2
+            FROM probe p JOIN cells c ON p.ty = c.cy AND p.tx = c.cx
+            WHERE p.id < c.id
+              AND abs(p.lat - c.lat) <= 1.0
+              AND abs(p.lon - c.lon) <= 1.0
+        )
+        SELECT id1, id2,
+               round(2.0 * 6371.0088 * asin(least(1.0, sqrt(
+                   sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+                   + cos(radians(lat1)) * cos(radians(lat2))
+                     * sin(radians(lon2 - lon1) / 2)
+                     * sin(radians(lon2 - lon1) / 2)))), 4) AS dist_km
+        FROM pairs
+        ORDER BY id1, id2
+    """
+
+
+@query("spatial_grid_join_pairs", category="J12-spatial", oracle=_spatial_oracle())
+def spatial_grid_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial self-join (J12, new family): all customer
+    pairs within a 1°×1° degree box, found by bucketing points into
+    1° grid cells and probing each point's 9-neighbor cells — the
+    canonical spatial-join-at-scale shape (DJ/partition-based spatial
+    join): candidate pairs exist only inside a cell equi join, never
+    point×point. Each surviving pair is reported with its haversine
+    distance. Coordinates are md5-minted per customer (the repo's
+    deterministic mint), the box predicate is exact in degree space
+    (no lon wraparound at ±180 — stated limitation of the degree box;
+    production would wrap cx modulo 360).
+
+    Pair uniqueness is structural: a point's HOME cell is unique, so
+    probe(9 cells) >< home emits each (a < b) pair exactly once — no
+    DISTINCT needed.
+
+    Scale: explode ×9 on the probe side only; the join is an equi
+    join on cell ids, so work is Σ(per-cell points²) bounded by
+    density, and AQE skew-split handles hot cells (cities). The
+    verify predicate and distance run as codegen trig post-join.
+    """
+    from ..functions.sampling import md5_uniform
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat = (md5_uniform("concat('clat|', cast(c_custkey as string))") - 0.5) * 180.0
+    lon = (md5_uniform("concat('clon|', cast(c_custkey as string))") - 0.5) * 360.0
+    pts = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon"),
+        F.floor(lat).cast("long").alias("cy"),
+        F.floor(lon).cast("long").alias("cx"),
+    )
+    offsets = F.explode(
+        F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])
+    )
+    probe = pts.select(
+        F.col("id").alias("id1"), F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"), "cy", "cx", offsets.alias("o")
+    ).select(
+        "id1", "lat1", "lon1",
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+    )
+    home = pts.select(
+        F.col("id").alias("id2"), F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"), "cy", "cx",
+    )
+    pairs = probe.join(
+        home, (F.col("ty") == F.col("cy")) & (F.col("tx") == F.col("cx"))
+    ).filter(
+        (F.col("id1") < F.col("id2"))
+        & (F.abs(F.col("lat1") - F.col("lat2")) <= 1.0)
+        & (F.abs(F.col("lon1") - F.col("lon2")) <= 1.0)
+    )
+    dphi = F.radians(F.col("lat2") - F.col("lat1")) / 2
+    dlmb = F.radians(F.col("lon2") - F.col("lon1")) / 2
+    h = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians("lat1")) * F.cos(F.radians("lat2"))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist = 2.0 * 6371.0088 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    return pairs.select(
+        "id1", "id2", F.round(dist, 4).alias("dist_km")
+    ).orderBy("id1", "id2")

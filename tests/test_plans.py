@@ -1137,3 +1137,12 @@ def test_gdpr_purge_broadcast_anti_semi(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:1500]
+
+
+def test_spatial_grid_join_equi_only(spark, sf_dir):
+    """Spatial join: candidates exist only inside the 9-neighbor cell
+    equi join — never point×point."""
+    df = q("spatial_grid_join_pairs", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert sum(n for op, n in counts.items() if "Join" in op) == 1, counts
