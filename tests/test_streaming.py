@@ -1222,3 +1222,63 @@ def test_holt_batch_equals_stream(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_static_dim_refresh_foreachbatch(spark, tmp_path):
+    """J10 refresh semantics, pinned BOTH ways: a plain static-frame
+    join caches the dim's FILE LISTING at plan time, so overwriting
+    the dim path mid-stream breaks (FAILED_READ_FILE — verified while
+    writing this test); the production pattern re-reads the dim INSIDE
+    foreachBatch, where every micro-batch plans a fresh batch join.
+    Run 1 enriches event 100 with dim v1; after an overwrite, run 2
+    (same checkpoint — source offsets resume, only NEW files process)
+    enriches event 200 with v2."""
+    import os
+
+    from eventstreams_spark.streaming.replay import stage_files
+
+    dim_dir = os.path.join(str(tmp_path), "dim")
+    ev_dir = os.path.join(str(tmp_path), "ev")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    results = []
+
+    def write_dim(tag):
+        spark.createDataFrame(
+            [(1, f"{tag}-one"), (2, f"{tag}-two")], "user_id long, label string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def enrich(bdf, bid):
+        dim = bdf.sparkSession.read.parquet(dim_dir)  # fresh per batch
+        results.extend(
+            (r.event_id, r.label)
+            for r in bdf.join(dim, "user_id").select("event_id", "label").collect()
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ev(eid, ts, uid):
+        return spark.createDataFrame(
+            [(eid, ts, uid)], "event_id long, ts string, user_id long"
+        ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id")
+
+    write_dim("v1")
+    stage_files(ev(100, "2024-01-01 10:00:00", 1), ev_dir, 1)
+    run_once()
+    assert results == [(100, "v1-one")], results
+
+    write_dim("v2")
+    stage_files(ev(200, "2024-01-01 11:00:00", 2), ev_dir, 2)
+    run_once()  # checkpoint resume: only the new file processes
+    assert results == [(100, "v1-one"), (200, "v2-two")], results
