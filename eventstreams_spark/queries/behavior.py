@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._shared import INTERACTION_EDGES_CTE
+from ._shared import INTERACTION_EDGES_CTE, INTERACTION_PAIRS_CTE
 
 
 @query(
@@ -1632,4 +1632,227 @@ def session_path_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("top_cnt").cast("long").alias("top_cnt"))
         .orderBy(F.col("n_sessions").desc(), "cluster")
         .limit(20)
+    )
+
+
+_PPR_ORACLE = f"""
+    WITH {INTERACTION_EDGES_CTE}, outdeg AS (
+        SELECT src, count(*) AS od FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT u
+        FROM (SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges)
+    ), seeds AS (
+        SELECT u FROM nodes WHERE u % 10 = 0
+    ), ns AS (SELECT count(*) AS n_seeds FROM seeds),
+    r0 AS (
+        SELECT nodes.u,
+               CASE WHEN seeds.u IS NOT NULL
+                    THEN CAST(1000000000000 // ns.n_seeds AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS r
+        FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.u = seeds.u
+    ), c1 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r0.r * 85) // (100 * o.od)) AS BIGINT) AS c
+        FROM edges e JOIN r0 ON e.src = r0.u JOIN outdeg o ON e.src = o.src
+        WHERE r0.r > 0
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT nodes.u,
+               CAST(CASE WHEN seeds.u IS NOT NULL
+                         THEN (15 * 1000000000000) // (100 * ns.n_seeds)
+                         ELSE 0 END
+                    + coalesce(c1.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN ns
+        LEFT JOIN seeds ON nodes.u = seeds.u
+        LEFT JOIN c1 ON nodes.u = c1.u
+    ), c2 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r1.r * 85) // (100 * o.od)) AS BIGINT) AS c
+        FROM edges e JOIN r1 ON e.src = r1.u JOIN outdeg o ON e.src = o.src
+        WHERE r1.r > 0
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT nodes.u,
+               CAST(CASE WHEN seeds.u IS NOT NULL
+                         THEN (15 * 1000000000000) // (100 * ns.n_seeds)
+                         ELSE 0 END
+                    + coalesce(c2.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN ns
+        LEFT JOIN seeds ON nodes.u = seeds.u
+        LEFT JOIN c2 ON nodes.u = c2.u
+    )
+    SELECT u AS user_id, r AS rank_units,
+           CASE WHEN u % 10 = 0 THEN TRUE ELSE FALSE END AS is_seed
+    FROM r2
+    ORDER BY rank_units DESC, user_id
+    LIMIT 15
+"""
+
+
+@query("personalized_pagerank_seeds", category="B7-graph", oracle=_PPR_ORACLE)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (PPR), 2 power iterations: teleport mass
+    restarts ONLY to the seed set (nodes with id % 10 = 0) instead of
+    uniformly — the "related to THESE users/domains" ranking behind
+    recommendation candidates, trust propagation, and seed-expanded
+    crawl scheduling, where global PageRank answers the wrong
+    question.
+
+    Exactness: identical int64 micro-unit accounting to
+    pagerank_fixed_iterations ((r·85) div (100·od), floor divisions)
+    with the restart term (15%·mass) // (100·|S|) paid only at seeds
+    — no float ever appears, so accumulation order cannot drift.
+
+    Scale: same Pregel layout as PageRank — loop-invariant edges
+    cached pre-partitioned by src, one join + one combinable agg per
+    iteration; the r>0 filter keeps early iterations proportional to
+    the seed frontier, which is the PPR-specific win (mass is sparse
+    until it diffuses).
+    """
+    from ..operators.graph import interaction_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = interaction_edges(ev).repartition("src").persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .persist()
+    )
+    n_seeds = nodes.filter(F.col("u") % 10 == 0).count()  # bounded scalar
+
+    total = 1_000_000_000_000
+    is_seed = F.col("u") % 10 == 0
+    restart = F.when(is_seed, F.lit((15 * total) // (100 * n_seeds))).otherwise(
+        F.lit(0)
+    )
+    ranks = nodes.select(
+        "u",
+        F.when(is_seed, F.lit(total // n_seeds)).otherwise(F.lit(0))
+        .cast("long").alias("r"),
+    )
+    esrc = edges.join(outdeg, "src")
+    for _ in range(2):
+        contribs = (
+            esrc.join(ranks.filter(F.col("r") > 0), esrc.src == F.col("u"))
+            .select("dst", F.expr("(r * 85) div (100 * od)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.u == contribs.dst, "left")
+            .select(
+                "u",
+                (restart + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("u").alias("user_id"),
+            F.col("r").alias("rank_units"),
+            (F.col("u") % 10 == 0).alias("is_seed"),
+        )
+        .orderBy(F.col("rank_units").desc(), "user_id")
+        .limit(15)
+    )
+
+
+_BELLMAN_ORACLE = f"""
+    WITH {INTERACTION_PAIRS_CTE}, wedges AS (
+        SELECT src, dst, CAST(1000000 // count(*) AS BIGINT) AS cost
+        FROM pairs GROUP BY src, dst
+    ), d0 AS (
+        SELECT DISTINCT src AS u, CAST(0 AS BIGINT) AS dist
+        FROM wedges WHERE src = 0
+    ), d1 AS (
+        SELECT u, min(dist) AS dist FROM (
+            SELECT u, dist FROM d0
+            UNION ALL
+            SELECT w.dst AS u, d0.dist + w.cost AS dist
+            FROM d0 JOIN wedges w ON w.src = d0.u
+        ) GROUP BY u
+    ), d2 AS (
+        SELECT u, min(dist) AS dist FROM (
+            SELECT u, dist FROM d1
+            UNION ALL
+            SELECT w.dst AS u, d1.dist + w.cost AS dist
+            FROM d1 JOIN wedges w ON w.src = d1.u
+        ) GROUP BY u
+    ), d3 AS (
+        SELECT u, min(dist) AS dist FROM (
+            SELECT u, dist FROM d2
+            UNION ALL
+            SELECT w.dst AS u, d2.dist + w.cost AS dist
+            FROM d2 JOIN wedges w ON w.src = d2.u
+        ) GROUP BY u
+    )
+    SELECT u AS user_id, dist AS cost_units
+    FROM d3
+    ORDER BY cost_units, user_id
+    LIMIT 25
+"""
+
+
+@query("bellman_ford_rounds", category="B7-graph", oracle=_BELLMAN_ORACLE)
+def bellman_ford_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path — 3 unrolled Bellman-Ford
+    relaxations over the interaction graph with data-derived edge
+    costs (cost = 10⁶ // co-occurrence count: frequent transitions are
+    cheap). The min-plus-semiring iteration is the third iterative
+    template next to PageRank's sum-product and CC's min-propagation;
+    3 rounds bound the horizon exactly like the sampled-BFS queries.
+
+    Exactness: costs and distances are integers (floor-divided once at
+    edge minting), min/+ cannot drift — no float appears anywhere.
+
+    Scale: each relaxation is frontier⋈edges (keyed on the settled
+    node) + a min-combinable aggregate — the same one-join-one-agg
+    per-round layout as PageRank, with edges cached pre-partitioned
+    by src. Cheapest-25 via heap, not a global sort.
+    """
+    from ..operators.graph import interaction_edges as _  # noqa: F401  (shared def)
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = _W.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    wedges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.expr("CAST(1000000 div count(1) AS BIGINT)").alias("cost"))
+        .repartition("src")
+        .persist()
+    )
+    # seed from the DATA, not a literal 1-row frame: a literal seed's
+    # join key constant-folds away and every relaxation degrades to a
+    # nested-loop; a data-derived seed keeps them equi joins
+    d = (
+        wedges.select("src").filter(F.col("src") == 0).distinct()
+        .select(F.col("src").alias("u"), F.lit(0).cast("long").alias("dist"))
+    )
+    for _i in range(3):
+        relaxed = (
+            d.join(wedges, d.u == wedges.src)
+            .select(F.col("dst").alias("u"), (F.col("dist") + F.col("cost")).alias("dist"))
+        )
+        # persist each round: d is consumed twice (union branch + join
+        # probe); without it round k recomputes the whole prefix and
+        # the plan doubles per round. At many rounds, checkpoint.
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("u")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .coalesce(spark.sparkContext.defaultParallelism)
+            .persist()
+        )
+    return (
+        d.select(F.col("u").alias("user_id"), F.col("dist").alias("cost_units"))
+        .orderBy("cost_units", "user_id")
+        .limit(25)
     )

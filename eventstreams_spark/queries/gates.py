@@ -313,12 +313,14 @@ def histogram_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     histograms built PER DAY and merged by bucket addition (the
     mergeability that lets every executor/day/partition summarize
     independently at 100 TB) — answers p50/p99 by locating the target
-    rank's bucket. The gate asserts the sketch's structural error
-    contract: the exact quantile must lie within one bucket width of
-    the bucket midpoint (guaranteed: the target rank's bucket contains
-    the exact quantile), and Spark's GK approx_percentile must land
-    within 1.5 widths of the histogram estimate (GK's ±0.01% rank
-    error is far inside one ~94-row bucket at sf0.01).
+    rank's bucket. The gate asserts the sketch's STRUCTURAL error
+    contract: the exact (interpolated) quantile lies in the sandwich
+    [lo(floor-rank bucket), hi(ceil-rank bucket)] — interpolation
+    happens between two order statistics that can span EMPTY buckets
+    in sparse tails, so the naive "exact is inside the ceil-rank
+    bucket" is not a theorem (it failed for p99 at sf0.001); the
+    floor/ceil sandwich is. GK's approx p50 (±0.01% rank error) must
+    land within one extra bucket of the same sandwich.
 
     Scale: two passes over one events scan — per-type (lo, hi) bounds
     broadcast back, then per-(type, day, bucket) counts merged to
@@ -359,12 +361,25 @@ def histogram_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n"),
     )
 
-    def est(q):
-        # first bucket whose cumulative count reaches ceil(q*n)
-        hit = cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("n"))).groupBy(
-            "event_type"
-        ).agg(F.min("bucket").alias(f"b{int(q * 100)}"))
-        return hit
+    def est(tag, rank_expr):
+        # first bucket whose cumulative count reaches the target rank
+        return (
+            cum.filter(F.col("cum") >= rank_expr)
+            .groupBy("event_type")
+            .agg(F.min("bucket").alias(tag))
+        )
+
+    # Spark `percentile` INTERPOLATES between the order statistics at
+    # ranks floor/ceil(1 + (n-1)q) — in sparse regions those two data
+    # points can span EMPTY buckets, so "exact lies in the ceil-rank
+    # bucket" is NOT structural (it failed at sf0.001 for p99). The
+    # structural sandwich: exact ∈ [lo(floor-rank bucket),
+    # hi(ceil-rank bucket)].
+    def rk_floor(q):
+        return F.floor(F.lit(1.0) + (F.col("n") - 1) * q)
+
+    def rk_ceil(q):
+        return F.ceil(F.lit(1.0) + (F.col("n") - 1) * q)
 
     exact = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("x50"),
@@ -372,16 +387,27 @@ def histogram_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("gk50"),
     )
     joined = (
-        exact.join(est(0.5), "event_type")
-        .join(est(0.99), "event_type")
+        exact.join(est("b50f", rk_floor(0.5)), "event_type")
+        .join(est("b50c", rk_ceil(0.5)), "event_type")
+        .join(est("b99f", rk_floor(0.99)), "event_type")
+        .join(est("b99c", rk_ceil(0.99)), "event_type")
         .join(F.broadcast(bounds), "event_type")
     )
-    mid = lambda b: F.col("lo") + (b + 0.5) * width  # noqa: E731
+    blo = lambda b: F.col("lo") + b * width  # noqa: E731
+    bhi = lambda b: F.col("lo") + (b + 1) * width  # noqa: E731
+    slack = width * 1e-6  # FP guard on bucket-edge exact quantiles
+    sandwich = lambda x, bf, bc: (  # noqa: E731
+        (x >= blo(bf) - slack) & (x <= bhi(bc) + slack)
+    )
     return joined.select(
         "event_type",
-        (F.abs(mid(F.col("b50")) - F.col("x50")) <= width).alias("hist_p50_ok"),
-        (F.abs(mid(F.col("b99")) - F.col("x99")) <= width).alias("hist_p99_ok"),
-        (F.abs(mid(F.col("b50")) - F.col("gk50")) <= 1.5 * width).alias("gk_close_ok"),
+        sandwich(F.col("x50"), F.col("b50f"), F.col("b50c")).alias("hist_p50_ok"),
+        sandwich(F.col("x99"), F.col("b99f"), F.col("b99c")).alias("hist_p99_ok"),
+        # GK p50's ±0.01% rank error stays within one extra bucket
+        (
+            (F.col("gk50") >= blo(F.col("b50f")) - width)
+            & (F.col("gk50") <= bhi(F.col("b50c")) + width)
+        ).alias("gk_close_ok"),
     ).orderBy("event_type")
 
 

@@ -1146,3 +1146,25 @@ def test_spatial_grid_join_equi_only(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
     counts = operator_counts(df)
     assert sum(n for op, n in counts.items() if "Join" in op) == 1, counts
+
+
+def test_ppr_pregel_layout(spark, sf_dir):
+    """Personalized PageRank keeps the PageRank Pregel layout: edges
+    cached pre-partitioned by src, one equi join + one combinable agg
+    per iteration, no cartesian/nested-loop; top-15 via heap."""
+    df = q("personalized_pagerank_seeds", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_bellman_ford_one_join_one_agg_per_round(spark, sf_dir):
+    """Bellman-Ford: frontier><edges + min-agg per round, heap top-25,
+    no cartesian. Round 1's frontier is the literal 1-row source, so
+    Catalyst constant-folds its join key away — at most that ONE
+    benign 1-row nested loop; later rounds stay equi joins."""
+    df = q("bellman_ford_rounds", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
