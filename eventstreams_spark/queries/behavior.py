@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from ._shared import INTERACTION_EDGES_CTE, INTERACTION_PAIRS_CTE
+from ._shared import (
+    INTERACTION_EDGES_CTE,
+    INTERACTION_PAIRS_CTE,
+    INTERACTION_UND_CTE,
+)
 
 
 @query(
@@ -1855,4 +1859,258 @@ def bellman_ford_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("u").alias("user_id"), F.col("dist").alias("cost_units"))
         .orderBy("cost_units", "user_id")
         .limit(25)
+    )
+
+
+_WPAGERANK_ORACLE = f"""
+    WITH {INTERACTION_PAIRS_CTE}, wedges AS (
+        SELECT src, dst, count(*) AS w FROM pairs GROUP BY src, dst
+    ), outw AS (
+        SELECT src, sum(w) AS ow FROM wedges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT u
+        FROM (SELECT src AS u FROM wedges UNION ALL SELECT dst FROM wedges)
+    ), n AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS (
+        SELECT u, CAST(1000000000000 // n_nodes AS BIGINT) AS r
+        FROM nodes, n
+    ), c1 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r0.r * 85 * e.w) // (100 * o.ow)) AS BIGINT) AS c
+        FROM wedges e JOIN r0 ON e.src = r0.u JOIN outw o ON e.src = o.src
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT nodes.u,
+               CAST((15 * 1000000000000) // (100 * n.n_nodes)
+                    + coalesce(c1.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.u = c1.u
+    ), c2 AS (
+        SELECT e.dst AS u,
+               CAST(sum((r1.r * 85 * e.w) // (100 * o.ow)) AS BIGINT) AS c
+        FROM wedges e JOIN r1 ON e.src = r1.u JOIN outw o ON e.src = o.src
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT nodes.u,
+               CAST((15 * 1000000000000) // (100 * n.n_nodes)
+                    + coalesce(c2.c, 0) AS BIGINT) AS r
+        FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.u = c2.u
+    )
+    SELECT u AS user_id, r AS rank_units
+    FROM r2
+    ORDER BY rank_units DESC, user_id
+    LIMIT 25
+"""
+
+
+@query("pagerank_weighted_edges", category="B7-graph", oracle=_WPAGERANK_ORACLE)
+def pagerank_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 2 power iterations: edge weight = transition
+    multiplicity (how often v followed u), so rank mass flows along an
+    edge in proportion to observed traffic instead of splitting
+    uniformly across out-neighbors — the variant link-spam scoring and
+    crawl prioritization actually run, where a 1000×-traveled edge
+    must carry 1000× the endorsement of a one-off.
+
+    Exactness: identical int64 micro-unit discipline to the unweighted
+    query with the weight folded INSIDE the floor division
+    ((r·85·w) div (100·Σw)) — one rounding per edge per round, so both
+    engines floor at the same point and accumulation order cannot
+    drift.
+
+    Scale: same Pregel layout — weighted edges built once with ONE
+    groupBy(src,dst) count (strictly smaller than the raw pair stream),
+    cached pre-partitioned by src; each iteration is one equi join +
+    one combinable sum by dst. Weights add zero extra shuffles over
+    the unweighted form.
+    """
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = _W.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    wedges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    outw = wedges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = (
+        wedges.select(F.col("src").alias("u"))
+        .unionAll(wedges.select(F.col("dst").alias("u")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # bounded metadata scalar
+
+    total = 1_000_000_000_000
+    base = (15 * total) // (100 * n_nodes)
+    ranks = nodes.select("u", F.lit(total // n_nodes).cast("long").alias("r"))
+    esrc = wedges.join(outw, "src")
+    for _ in range(2):
+        contribs = (
+            esrc.join(ranks, esrc.src == ranks.u)
+            .select("dst", F.expr("(r * 85 * w) div (100 * ow)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.u == contribs.dst, "left")
+            .select(
+                "u",
+                (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_units"))
+        .orderBy(F.col("rank_units").desc(), "user_id")
+        .limit(25)
+    )
+
+
+_LOUVAIN_ORACLE = f"""
+    WITH {INTERACTION_UND_CTE}, adj AS (
+        SELECT a AS u, b AS v FROM und
+        UNION ALL
+        SELECT b AS u, a AS v FROM und
+    ), deg AS (
+        SELECT u, count(*) AS k FROM adj GROUP BY u
+    ), m AS (SELECT count(*) AS m_edges FROM und),
+    moves AS (
+        SELECT adj.u, adj.v,
+               2 * m.m_edges - du.k * dv.k AS gain_num
+        FROM adj
+        JOIN deg du ON adj.u = du.u
+        JOIN deg dv ON adj.v = dv.u
+        CROSS JOIN m
+    ), best AS (
+        SELECT u, v AS target, gain_num,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY gain_num DESC, v) AS rn
+        FROM moves
+    ), labels AS (
+        SELECT deg.u,
+               CASE WHEN b.gain_num > 0 THEN b.target ELSE deg.u END AS c
+        FROM deg LEFT JOIN best b ON deg.u = b.u AND b.rn = 1
+    ), comm AS (
+        SELECT c,
+               count(*) AS n_nodes,
+               CAST(sum(deg.k) AS BIGINT) AS tot_deg
+        FROM labels JOIN deg ON labels.u = deg.u
+        GROUP BY c
+    ), inedges AS (
+        SELECT la.c, count(*) AS in_edges
+        FROM und
+        JOIN labels la ON und.a = la.u
+        JOIN labels lb ON und.b = lb.u
+        WHERE la.c = lb.c
+        GROUP BY la.c
+    ), q AS (
+        SELECT CAST(sum(4 * m.m_edges * coalesce(i.in_edges, 0)
+                        - comm.tot_deg * comm.tot_deg) AS BIGINT) AS q_num
+        FROM comm LEFT JOIN inedges i ON comm.c = i.c CROSS JOIN m
+    )
+    SELECT comm.c AS community,
+           CAST(comm.n_nodes AS BIGINT) AS n_nodes,
+           comm.tot_deg,
+           CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
+           q.q_num
+    FROM comm LEFT JOIN inedges i ON comm.c = i.c CROSS JOIN q
+    ORDER BY n_nodes DESC, community
+    LIMIT 15
+"""
+
+
+@query("louvain_first_sweep", category="B7-graph", oracle=_LOUVAIN_ORACLE)
+def louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain community detection, phase-1 first sweep: from singleton
+    communities every node SYNCHRONOUSLY evaluates moving into each
+    neighbor's community and takes the move with the largest positive
+    modularity gain (ties to the smallest neighbor id). For singleton
+    targets the gain reduces exactly to ΔQ·2m² = 2m − k_u·k_v, so the
+    whole sweep is integer arithmetic — no float modularity ever
+    computed. Output: the 15 largest resulting communities with their
+    size, total degree, internal edge count, and the partition's
+    integer modularity numerator Q_num = Σ_c(4m·in_c − tot_c²)
+    (Q = Q_num/4m²) as the hash-checked quality witness.
+
+    Synchronous one-sweep semantics (vs the sequential classic) is the
+    deterministic, order-free variant a distributed engine can run:
+    every decision depends only on the frozen singleton state, so the
+    result is partitioning-invariant — the property the asynchronous
+    textbook formulation lacks. Later sweeps would iterate the same
+    plan on the coarsened label frame (the LPA query pins that loop
+    shape).
+
+    Scale: degrees and gains are one groupBy + one self-equi-join on
+    the adjacency list (never node×node); m is a broadcast scalar;
+    the argmax move is a per-node window over each node's OWN
+    adjacency. Community rollups re-key by label — one shuffle each.
+    """
+    from ..operators.graph import interaction_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    und = interaction_edges(ev, undirected=True).persist()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).persist()
+    m_edges = und.count()  # bounded metadata scalar
+
+    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    moves = (
+        adj.join(deg, "u")
+        .join(dv, "v")
+        .select("u", "v", (F.lit(2 * m_edges) - F.col("k") * F.col("kv")).alias("gain_num"))
+    )
+    w_best = Window.partitionBy("u").orderBy(F.col("gain_num").desc(), "v")
+    best = moves.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
+    labels = (
+        deg.join(best.select("u", "v", "gain_num"), "u", "left")
+        .select(
+            "u", "k",
+            F.when(F.col("gain_num") > 0, F.col("v")).otherwise(F.col("u")).alias("c"),
+        )
+        .persist()
+    )
+    comm = labels.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("k").cast("long").alias("tot_deg"),
+    )
+    la = labels.select(F.col("u").alias("a"), F.col("c").alias("ca"))
+    lb = labels.select(F.col("u").alias("b"), F.col("c").alias("cb"))
+    inedges = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_edges"))
+    )
+    enriched = (
+        comm.join(inedges, "c", "left")
+        .select(
+            "c", "n_nodes", "tot_deg",
+            F.coalesce("in_edges", F.lit(0)).cast("long").alias("in_edges"),
+        )
+        .persist()  # two consumers: Q_num rollup + top-15 output
+    )
+    q_num = enriched.agg(
+        F.sum(
+            F.lit(4 * m_edges) * F.col("in_edges")
+            - F.col("tot_deg") * F.col("tot_deg")
+        ).cast("long").alias("q_num")
+    )
+    return (
+        enriched.crossJoin(F.broadcast(q_num))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes", "tot_deg", "in_edges", "q_num",
+        )
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(15)
     )
