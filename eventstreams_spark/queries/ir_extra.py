@@ -392,3 +392,139 @@ def bpe_first_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled N-round BPE trainer oracle. Each round: weighted
+    adjacent-symbol-pair census over the distinct-word table, scalar
+    argmax pair ((n DESC, s1, s2) total order), then left-to-right
+    non-overlapping merge via replace() on the separator-wrapped
+    symbol string — replace()'s scan-resume-after-match semantics IS
+    greedy BPE merging, identically in DuckDB and Spark."""
+    s = "\x1f"
+    ss = s + s
+    parts = [
+        f"""w0 AS (
+        SELECT tok, count(*) AS wc,
+               regexp_replace(tok, '(.)', '{s}\\1{s}', 'g') AS wrapped
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""pr{r} AS (
+        SELECT wc, string_split(trim(wrapped, '{s}'), '{ss}') AS syms
+        FROM w{r - 1}
+    ), pc{r} AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(syms) - 1),
+                   i -> syms[i] || '{s}' || syms[i + 1])) AS pair,
+               wc
+        FROM pr{r}
+        WHERE len(syms) >= 2
+    ), pn{r} AS (
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pc{r} GROUP BY pair
+    ), best{r} AS (
+        SELECT pair, n FROM pn{r}
+        ORDER BY n DESC, split_part(pair, '{s}', 1), split_part(pair, '{s}', 2)
+        LIMIT 1
+    ), w{r} AS (
+        SELECT tok, wc,
+               replace(wrapped,
+                       '{s}' || replace((SELECT pair FROM best{r}), '{s}', '{ss}')
+                              || '{s}',
+                       '{s}' || replace((SELECT pair FROM best{r}), '{s}', '')
+                              || '{s}') AS wrapped
+        FROM w{r - 1}
+    )""")
+    selects = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({r} AS INT) AS round,
+               split_part((SELECT pair FROM best{r}), '{s}', 1) AS left_sym,
+               split_part((SELECT pair FROM best{r}), '{s}', 2) AS right_sym,
+               replace((SELECT pair FROM best{r}), '{s}', '') AS merged,
+               (SELECT n FROM best{r}) AS n"""
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + "\n    SELECT * FROM (\n" + selects + "\n    ) ORDER BY round"
+    )
+
+
+@query("bpe_merge_rounds", category="L5-bpe", oracle=_bpe_oracle(3))
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE trainer loop, 3 merge rounds (completes the
+    bpe_first_merge_census machinery into the iterative algorithm a
+    tokenizer trainer actually runs): each round counts adjacent
+    SYMBOL pairs across the corpus weighted by word frequency, picks
+    the global argmax pair ((count DESC, left, right) total order),
+    and merges every non-overlapping left-to-right occurrence into a
+    new symbol — so round 2 can (and does) build on round 1's merged
+    symbol. Output: the learned merge table (round, pair, merged
+    symbol, pair count).
+
+    The merge step is the trick that keeps both engines bit-identical:
+    words are held as \\x1f-wrapped symbol strings
+    ("\\x1fa\\x1f\\x1fb\\x1f…"), and merging pair (a,b) is ONE
+    string replace of "\\x1fa\\x1f\\x1fb\\x1f" with "\\x1fab\\x1f" —
+    replace()'s resume-after-match scan gives exactly greedy
+    non-overlapping BPE semantics ([a,a,a] merges to [aa,a], not
+    [a,aa]) in Spark and DuckDB alike. No per-row Python ever runs.
+
+    Scale: the state is the DISTINCT-WORD table (vocab-sized, not
+    corpus-sized — the standard BPE trainer compression), cached and
+    re-mapped per round; each round is one explode + one combinable
+    sum shuffle + a 1-row argmax collect (bounded scalar, the merge
+    rule itself) + a map-side replace. Rounds are a fixed constant;
+    at production merge counts the same loop checkpoints the word
+    frame every ~50 rounds.
+    """
+    S, SS = "\x1f", "\x1f\x1f"
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("wrapped", F.regexp_replace("tok", "(.)", S + "$1" + S))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    merges = []
+    cur = words
+    for r in range(1, 4):
+        syms = F.split(F.expr(f"trim(BOTH '{S}' FROM wrapped)"), SS)
+        # F.sequence(1, 0) counts BACKWARDS — guard single-symbol words
+        pairs = cur.filter(F.size(syms) >= 2).select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("s1"),
+                        F.element_at(syms, i + 1).alias("s2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "s1", "s2")
+            .limit(1)
+            .collect()[0]  # bounded 1-row scalar: the merge rule itself
+        )
+        merges.append((r, best.s1, best.s2, best.s1 + best.s2, best.n))
+        nxt = cur.withColumn(
+            "wrapped",
+            F.replace(
+                F.col("wrapped"),
+                F.lit(S + best.s1 + SS + best.s2 + S),
+                F.lit(S + best.s1 + best.s2 + S),
+            ),
+        ).persist()
+        cur = nxt
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, merged string, n long"
+    ).orderBy("round")
