@@ -937,3 +937,117 @@ def spatial_grid_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id1", "id2", F.round(dist, 4).alias("dist_km")
     ).orderBy("id1", "id2")
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_expr(div: str) -> str:
+    """Geohash-6 (30 bits: 15 lon + 15 lat, lon leads) as pure integer
+    arithmetic over pre-quantized cell indices ``lon_idx``/``lat_idx``
+    — one shared expression text, parameterized only by the integer-
+    division token (DuckDB ``//`` vs Spark ``div``), so bit
+    interleaving cannot drift between engines."""
+    terms = []
+    for k in range(15):
+        terms.append(f"((lon_idx {div} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+        terms.append(f"((lat_idx {div} {1 << k}) % 2) * {1 << (2 * k)}")
+    combined = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GH32}', CAST((c {div} {32 ** (5 - j)}) % 32 AS INT) + 1, 1)"
+        for j in range(6)
+    )
+    return f"SELECT *, ({chars}) AS gh6 FROM (SELECT *, ({combined}) AS c FROM pts_idx)"
+
+
+def _geohash_oracle() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat_u = md5_uniform_sql("concat('glat|', cast(c_custkey as varchar))")
+    lon_u = md5_uniform_sql("concat('glon|', cast(c_custkey as varchar))")
+    return f"""
+        WITH raw AS (
+            SELECT c_custkey AS id,
+                   ({lat_u} - 0.5) * 180.0 AS lat,
+                   ({lon_u} - 0.5) * 540.0 AS lon_raw
+            FROM customer
+        ), wrapped AS (
+            SELECT id, lat,
+                   lon_raw - 360.0 * floor((lon_raw + 180.0) / 360.0) AS lon,
+                   CASE WHEN lon_raw < -180.0 OR lon_raw >= 180.0
+                        THEN 1 ELSE 0 END AS was_wrapped
+            FROM raw
+        ), pts_idx AS (
+            SELECT id, was_wrapped,
+                   least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT),
+                         32767) AS lat_idx,
+                   least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT),
+                         32767) AS lon_idx
+            FROM wrapped
+        ), hashed AS ({_geohash_expr('//')})
+        SELECT gh6, count(*) AS n_points,
+               CAST(sum(was_wrapped) AS BIGINT) AS n_wrapped
+        FROM hashed
+        GROUP BY gh6
+        ORDER BY n_points DESC, gh6
+        LIMIT 25
+    """
+
+
+@query("geohash_cell_census", category="J12-spatial", oracle=_geohash_oracle())
+def geohash_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 cell census WITH longitude wraparound — the spatial
+    bucketing companion to spatial_grid_join_pairs, which documents
+    its no-wrap limitation; this query closes it. Points are md5-minted
+    per customer with lon deliberately minted in (-270°, 270°) so a
+    third of them cross the antimeridian and MUST be wrapped into
+    [-180°, 180°) (lon − 360·floor((lon+180)/360)) before encoding —
+    n_wrapped per cell is the hash-checked witness that wrapping
+    actually happened. Encoding is the real geohash bit layout (30
+    bits, lon leads, base32 "0123456789bcdefghjkmnpqrstuvwxyz"),
+    computed as pure integer interleaving over quantized cell indices
+    — one generated expression shared with the oracle modulo the
+    integer-division token, so no per-row Python and no float in the
+    bit path (the only floats are the quantizers, mirrored op-for-op).
+
+    Scale: stateless map over the scan + ONE count shuffle on gh6;
+    geohash prefixes are the standard spatial partitioning key at
+    100 TB (co-locating neighbors for range/knn probes), which is why
+    the cell id must be engine-reproducible down to the bit.
+    """
+    from ..functions.sampling import md5_uniform
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat = (md5_uniform("concat('glat|', cast(c_custkey as string))") - 0.5) * 180.0
+    lon_raw = (md5_uniform("concat('glon|', cast(c_custkey as string))") - 0.5) * 540.0
+    raw = cust.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon_raw.alias("lon_raw")
+    )
+    lon = F.col("lon_raw") - 360.0 * F.floor((F.col("lon_raw") + 180.0) / 360.0)
+    wrapped = raw.select(
+        "id", "lat", lon.alias("lon"),
+        F.when((F.col("lon_raw") < -180.0) | (F.col("lon_raw") >= 180.0), 1)
+        .otherwise(0).alias("was_wrapped"),
+    )
+    pts_idx = wrapped.select(
+        "id", "was_wrapped",
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0).cast("long"),
+            F.lit(32767),
+        ).alias("lat_idx"),
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0).cast("long"),
+            F.lit(32767),
+        ).alias("lon_idx"),
+    )
+    pts_idx.createOrReplaceTempView("pts_idx")
+    hashed = spark.sql(_geohash_expr("div"))
+    return (
+        hashed.groupBy("gh6")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("was_wrapped").cast("long").alias("n_wrapped"),
+        )
+        .orderBy(F.col("n_points").desc(), "gh6")
+        .limit(25)
+    )
