@@ -496,3 +496,63 @@ def countmin_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_cnt").desc(), "tok")
     )
+
+
+@query(
+    "tdigest_quantile_gate",
+    category="A3-sketch",
+    oracle="""
+        SELECT event_type,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+               TRUE AS compressed_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def tdigest_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy + compression contract for the real t-digest
+    (operators/tdigest.py — k1 scale function, merging build): per
+    event_type, p50/p90/p99 estimated from digests built per
+    (event_type, user_id % 8) shard and MERGED must each land within
+    ±2% rank error of the exact distribution (the digest's guarantee
+    is in q-space, so the gate measures exactly that: the fraction of
+    true values ≤ the estimate vs the target q), and the merged digest
+    must have actually compressed (≤ 2δ centroids AND ≥5× fewer
+    centroids than input rows). Shards are data-derived, so the gate
+    is partitioning-invariant — a re-run cannot flake it.
+
+    This closes NEXT.md's "t-digest with actual centroid compression"
+    item: histogram_quantile_gate pins fixed-boundary mergeability;
+    this pins the adaptive-capacity sketch whose tails stay tight.
+
+    Scale: stage 1 digests are O(δ) per shard, stage 2 merges 8 of
+    them per group; the exact-rank probe (ground truth only) is one
+    broadcast of the 5-row estimate frame + one combinable avg.
+    """
+    from ..operators.tdigest import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    est = tdigest_quantiles(
+        ev, "event_type", "value", F.col("user_id") % 8,
+        qs=(0.5, 0.9, 0.99), delta=100.0, n_shards=8,
+    ).withColumnRenamed("g", "event_type")
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q500")).cast("double")).alias("r50"),
+            F.avg((F.col("value") <= F.col("q900")).cast("double")).alias("r90"),
+            F.avg((F.col("value") <= F.col("q990")).cast("double")).alias("r99"),
+            F.first("n_centroids").alias("n_centroids"),
+            F.first("total_weight").alias("total_weight"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.02).alias("p90_ok"),
+        (F.abs(F.col("r99") - 0.99) <= 0.02).alias("p99_ok"),
+        (
+            (F.col("n_centroids") <= 200)
+            & (F.col("n_centroids") * 5 < F.col("total_weight"))
+        ).alias("compressed_ok"),
+    ).orderBy("event_type")
