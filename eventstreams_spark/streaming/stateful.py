@@ -776,3 +776,85 @@ def holt_linear_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_path_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+) -> DataFrame:
+    """Streaming sessionize-with-path (the stream twin of the batch
+    session_path_clusters shape): per key, consecutive events within
+    ``gap_seconds`` belong to one session whose first ``max_steps``
+    step labels are assembled into a '>'-joined path; an event beyond
+    the gap CLOSES the previous session (emitted) and opens a new one.
+
+    Emission contract (append mode): only CLOSED sessions are emitted
+    — the trailing open session lives in GroupState until a later
+    event closes it. Batch==stream goldens therefore compare against
+    the batch sessionization minus each key's final session.
+
+    Determinism: rows fold in (ts, event_id) order per micro-batch
+    (_fold_sort); replayed chunks are ts-ordered, so the cross-batch
+    fold equals the batch window fold. State is O(1) per key
+    (4 scalars + a ≤max_steps path string).
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    gap_ns = int(gap_seconds) * 1_000_000_000
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("path", StringType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            start_ns, last_ns, n, path = state.get
+        else:
+            start_ns, last_ns, n, path = (-1, -1, 0, "")
+        closed: list[tuple[int, int, int, str]] = []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            ts_ns = pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
+            steps = pdf[step_col].astype(str).values
+            for t, s in zip(ts_ns, steps):
+                if start_ns < 0:
+                    start_ns, last_ns, n, path = (int(t), int(t), 1, s)
+                elif t - last_ns > gap_ns:
+                    closed.append((start_ns, last_ns, n, path))
+                    start_ns, last_ns, n, path = (int(t), int(t), 1, s)
+                else:
+                    n += 1
+                    last_ns = int(t)
+                    if n <= max_steps:
+                        path = path + ">" + s
+        state.update((start_ns, last_ns, n, path))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed]),
+                    "session_end": pd.to_datetime([c[1] for c in closed]),
+                    "n_events": [c[2] for c in closed],
+                    "path": [c[3] for c in closed],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="start_ns long, last_ns long, n long, path string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

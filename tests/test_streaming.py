@@ -1282,3 +1282,65 @@ def test_stream_static_dim_refresh_foreachbatch(spark, tmp_path):
     stage_files(ev(200, "2024-01-01 11:00:00", 2), ev_dir, 2)
     run_once()  # checkpoint resume: only the new file processes
     assert results == [(100, "v1-one"), (200, "v2-two")], results
+
+
+def test_session_path_batch_equals_stream(spark, events_slice, tmp_path):
+    """T6 twin equality: the streaming session-path fold (GroupState,
+    gap-closed sessions with '>'-joined first-5 paths) must equal the
+    batch gap-sessionize + path aggregation over the same events —
+    excluding each user's final session, which the stream correctly
+    keeps open in state (append-mode contract)."""
+    from eventstreams_spark.streaming.stateful import session_path_stream
+
+    ev = events_slice.select("event_id", "ts", "user_id", "event_type")
+    stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+    out = session_path_stream(
+        stream, "user_id", "ts", "event_type", gap_seconds=1800, max_steps=5
+    )
+    run_to_memory(out, "t_spath_s", output_mode="append")
+    got = _rows(spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, path FROM t_spath_s"
+    ))
+    assert len(got) > 0
+
+    # batch twin: gap sessionize -> per-session path -> drop last session
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800)
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+    )
+    per = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda x: x.event_type,
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("path"),
+        )
+    )
+    last = per.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    want = _rows(
+        per.join(last, "user_id")
+        .filter(F.col("sid") < F.col("max_sid"))
+        .select("user_id", "session_start", "session_end", "n_events", "path")
+    )
+    assert got == want
