@@ -1168,3 +1168,47 @@ def test_bellman_ford_one_join_one_agg_per_round(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
     assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_weighted_pagerank_pregel_layout(spark, sf_dir):
+    """Weighted PageRank: weights fold into the existing Pregel layout
+    — edge-count groupBy once, one equi join + one combinable sum per
+    iteration, heap top-25, no cartesian/nested-loop anywhere."""
+    df = q("pagerank_weighted_edges", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_louvain_adjacency_joins_only(spark, sf_dir):
+    """Louvain first sweep: gains come from adjacency⋈degree equi
+    joins (never node×node); the only cross join is the broadcast of
+    the 1-row Q_num scalar; argmax move is a per-node window."""
+    df = q("louvain_first_sweep", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts  # 1-row q_num
+    assert count_prefix(counts, "Window") >= 1, counts
+
+
+def test_geohash_single_count_shuffle(spark, sf_dir):
+    """Geohash census: stateless map over ONE customer scan + one
+    count aggregate — no join at all; the bit interleave stays inside
+    whole-stage codegen (no Python UDF node)."""
+    df = q("geohash_cell_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+
+
+def test_tdigest_two_level_pandas_then_broadcast_probe(spark, sf_dir):
+    """t-digest gate: two FlatMapGroupsInPandasWithState-free batch
+    stages (shard digest + merge = 2 FlatMapGroupsInPandas), estimates
+    re-joined to events as a broadcast; no cartesian, no sort of the
+    raw values on the Spark side."""
+    df = q("tdigest_quantile_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "FlatMapGroupsInPandas") == 2, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
