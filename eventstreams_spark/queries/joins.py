@@ -293,3 +293,121 @@ def supplier_return_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nation")
     )
+
+
+def _bloom_oracle() -> str:
+    from ._shared import md5_uniform_sql
+
+    def pos(expr: str, i: int) -> str:
+        u = md5_uniform_sql(f"concat('bloom{i}|', cast({expr} as varchar))")
+        return f"CAST(floor({u} * 65536.0) AS BIGINT)"
+
+    return f"""
+        WITH keys AS (
+            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), pos AS (
+            SELECT DISTINCT p FROM (
+                SELECT {pos('k', 0)} AS p FROM keys
+                UNION ALL SELECT {pos('k', 1)} FROM keys
+                UNION ALL SELECT {pos('k', 2)} FROM keys
+            )
+        ), flags AS (
+            SELECT o_orderkey,
+                   ({pos('o_custkey', 0)} IN (SELECT p FROM pos)
+                    AND {pos('o_custkey', 1)} IN (SELECT p FROM pos)
+                    AND {pos('o_custkey', 2)} IN (SELECT p FROM pos)) AS is_cand,
+                   o_custkey IN (SELECT k FROM keys) AS is_true
+            FROM orders
+        )
+        SELECT count(*) AS n_total,
+               CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+               CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+                    AS BIGINT) = 0 AS no_false_negatives,
+               sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+                   <= 0.05 * sum(CASE WHEN NOT is_true THEN 1 ELSE 0 END)
+                   AS fp_rate_ok
+        FROM flags
+    """
+
+
+@query("bloom_prefilter_semi_join", category="J13-runtime-filter", oracle=_bloom_oracle())
+def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime prefilter for a selective semi join — the
+    shape behind Spark's own runtime row-group filtering and every
+    100 TB "build a filter from the dim side, prune the fact scan
+    before the shuffle" optimization, made explicit and hash-checked:
+    BUILDING-segment customer keys are hashed into a 65536-slot / 3-
+    probe Bloom position set; each order tests its 3 probe positions
+    against the set (three BROADCAST left joins — the entire probe is
+    map-side, no fact shuffle) and only candidates would proceed to
+    the real join. One aggregate certifies the contract: zero false
+    negatives (structural for a Bloom filter, audited anyway) and
+    false-positive rate ≤ 5%.
+
+    Cross-engine exactness: probe positions are minted from the md5
+    positional-digit uniform (functions/sampling.py::md5_uniform — the
+    repo's proven-identical mint), so BOTH engines build the identical
+    position set and n_candidates is hash-checked EXACTLY, not gated.
+
+    Scale: the position set is ≤ 65536 rows (here ~3·|keys|),
+    broadcast; the fact side never shuffles — flags fold in ONE
+    combinable aggregate. At larger key counts, size m from an
+    upstream approx_count_distinct (fill ≤ ~25% keeps fp under
+    (fill)³ ≈ 1.6%); this build pins m so the oracle can replay it.
+    """
+    from ..functions.sampling import md5_uniform
+
+    def pos(expr: str, i: int):
+        return F.floor(
+            md5_uniform(f"concat('bloom{i}|', cast({expr} as string))") * 65536.0
+        ).cast("long")
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    positions = (
+        keys.select(pos("k", 0).alias("p"))
+        .unionAll(keys.select(pos("k", 1).alias("p")))
+        .unionAll(keys.select(pos("k", 2).alias("p")))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    probe = orders.select(
+        "o_orderkey", "o_custkey",
+        pos("o_custkey", 0).alias("p0"),
+        pos("o_custkey", 1).alias("p1"),
+        pos("o_custkey", 2).alias("p2"),
+    )
+    bp = F.broadcast(positions)
+    flagged = (
+        probe.join(bp.withColumnRenamed("p", "p0").withColumnRenamed("hit", "h0"),
+                   "p0", "left")
+        .join(bp.withColumnRenamed("p", "p1").withColumnRenamed("hit", "h1"),
+              "p1", "left")
+        .join(bp.withColumnRenamed("p", "p2").withColumnRenamed("hit", "h2"),
+              "p2", "left")
+        .join(
+            F.broadcast(keys.withColumn("is_true", F.lit(True))),
+            probe.o_custkey == keys.k, "left",
+        )
+        .select(
+            (F.col("h0").isNotNull() & F.col("h1").isNotNull()
+             & F.col("h2").isNotNull()).alias("is_cand"),
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum(F.col("is_cand").cast("long")).alias("n_candidates"),
+        (F.sum((F.col("is_true") & ~F.col("is_cand")).cast("long")) == 0)
+        .alias("no_false_negatives"),
+        (
+            F.sum((F.col("is_cand") & ~F.col("is_true")).cast("long"))
+            <= 0.05 * F.sum((~F.col("is_true")).cast("long"))
+        ).alias("fp_rate_ok"),
+    )

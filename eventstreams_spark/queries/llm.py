@@ -1235,3 +1235,118 @@ def incremental_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("_n_surv") - F.col("n_near_dup")).alias("n_kept"),
         )
     )
+
+
+@query(
+    "winnowing_fingerprint_pairs",
+    category="L2-winnow",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS id, 'dup prefix ' || text AS text
+            FROM documents WHERE doc_id % 50 = 0
+        ), grams AS (
+            SELECT id,
+                   list_transform(
+                       generate_series(1, length(text) - 7),
+                       i -> substr(md5('w|' || substr(text, CAST(i AS INT), 8)),
+                                   1, 16)) AS hs
+            FROM corpus
+            WHERE length(text) >= 8
+        ), fps AS (
+            SELECT DISTINCT id,
+                   unnest(list_transform(
+                       generate_series(1, len(hs) - 3),
+                       j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fp
+            FROM grams
+            WHERE len(hs) >= 4
+        ), blocked AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND 8
+        ), pairs AS (
+            SELECT a.id AS id1, b.id AS id2
+            FROM fps a
+            JOIN blocked USING (fp)
+            JOIN fps b USING (fp)
+            WHERE a.id < b.id
+        )
+        SELECT id1, id2, count(*) AS n_shared
+        FROM pairs
+        GROUP BY id1, id2
+        HAVING count(*) >= 2
+        ORDER BY n_shared DESC, id1, id2
+        LIMIT 20
+    """,
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03): hash
+    every character 8-gram, then keep the MINIMUM hash of each window
+    of 4 consecutive gram hashes — the guarantee is that any shared
+    substring of length ≥ 11 (= k + w − 1) yields at least one shared
+    fingerprint, so excerpt/plagiarism overlap is detected from a
+    fingerprint EQUI JOIN, never doc×doc comparison. Same injected
+    near-dups as the MinHash chain ('dup prefix ' + every 50th doc);
+    pairs sharing ≥ 2 fingerprints, strongest first.
+
+    Cross-engine hashing: md5 hex PREFIX strings (the repo's L2
+    convention) — lexicographic min over hex strings is engine-neutral
+    where xxhash64 would be Spark-only. Window mins are array_min over
+    slice(hs, j, 4): per-doc map work, no explode until the final
+    distinct fingerprint set.
+
+    Scale: O(n·L) map-side gram hashing, fingerprint density 2/(w+1)
+    per char; the ONLY shuffle is the fingerprint groupBy + bucket
+    join, and boilerplate buckets are df-capped (2..8 — same blocking
+    discipline as containment_quote_pairs: a fingerprint shared by
+    every doc is boilerplate, not plagiarism). Pair work is Σ(df²) ≤
+    64·|buckets|, never corpus².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    grams = corpus.filter(F.length("text") >= 8).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 7),
+            lambda i: F.substring(
+                F.md5(F.concat(F.lit("w|"), F.col("text").substr(i, F.lit(8))).cast("binary")),
+                1, 16,
+            ),
+        ).alias("hs"),
+    )
+    fps = (
+        grams.filter(F.size("hs") >= 4)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - 3),
+                    lambda j: F.array_min(F.slice("hs", j, 4)),
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+        .persist()  # two consumers: df-blocking census + both join sides
+    )
+    blocked = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 8))
+        .select("fp")
+    )
+    a = fps.join(blocked, "fp").select("fp", F.col("id").alias("id1"))
+    b = fps.select("fp", F.col("id").alias("id2"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy(F.col("n_shared").desc(), "id1", "id2")
+        .limit(20)
+    )

@@ -1212,3 +1212,27 @@ def test_tdigest_two_level_pandas_then_broadcast_probe(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "FlatMapGroupsInPandas") == 2, counts
     assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_winnowing_bucket_join_only(spark, sf_dir):
+    """Winnowing: gram hashing + window mins are map-side array
+    transforms; pairs exist only inside the df-capped fingerprint
+    equi join — no cartesian/BNLJ, no Python UDF node."""
+    df = q("winnowing_fingerprint_pairs", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_bloom_probe_is_all_broadcast(spark, sf_dir):
+    """Bloom prefilter: the fact side must NEVER shuffle — every join
+    in the probe (3 position tests + the truth flag) is a broadcast
+    hash join, and the only exchange left is the 1-row final agg."""
+    df = q("bloom_prefilter_semi_join", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") == 4, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "ShuffledHashJoin") == 0, counts
