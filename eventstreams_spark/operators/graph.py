@@ -102,3 +102,93 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the web-scale alternative to plain min-label
+    propagation (``connected_components`` above): rounds scale with
+    log(diameter) instead of diameter, because each round rewires
+    whole neighborhoods to their local minimum rather than moving
+    labels one hop.
+
+    State is the edge list itself, kept canonical (hi > lo):
+    - large-star: every edge (hi, lo) is rewired to (hi, m(lo)) where
+      m(u) = min(Γ(u) ∪ {u}) — big endpoints jump to their smaller
+      endpoint's best-known minimum.
+    - small-star: per hi, all its smaller neighbors (and hi itself)
+      rewire to min(Γ⁻(hi)) — collapsing local stars.
+    Both steps are one groupBy-min + one equi join over the edge
+    list; at the fixed point the edge set IS the star (node → root,
+    root = component minimum, same deterministic labeling as plain
+    propagation). Convergence is probed with an O(1) (count, Σhi,
+    Σlo) signature — the multiset only contracts toward the star, so
+    signature equality means fixpoint. ``localCheckpoint`` per round
+    truncates lineage exactly like the propagation variant.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(a.alias("x"), b.alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("hi").alias("id"))
+        .unionAll(e.select(F.col("lo").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("hi").alias("sh"), F.sum("lo").alias("sl")
+        ).collect()[0]
+        return (r.n, r.sh, r.sl)
+
+    prev = signature(e)
+    for _ in range(max_iter):
+        # large-star: m(u) over the full symmetric neighborhood
+        adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        e = (
+            adj.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: per hi, collapse all smaller neighbors onto min
+        mins2 = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (
+            mins2.select("hi", F.col("m").alias("lo"))
+            .unionAll(
+                e.join(mins2, "hi")
+                .filter(F.col("lo") != F.col("m"))
+                .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = signature(e)
+        if cur == prev:
+            break
+        prev = cur
+    star = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("comp"))
+    return nodes.join(star, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("component")
+    )

@@ -2114,3 +2114,59 @@ def louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "community")
         .limit(15)
     )
+
+
+_CC_STAR_ORACLE = f"""
+    WITH RECURSIVE {INTERACTION_UND_CTE}, edges AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION
+        SELECT b, a FROM und
+    ), reach AS (
+        SELECT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+    ), cc AS (
+        SELECT node, min(label) AS comp FROM reach GROUP BY node
+    )
+    SELECT comp AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM cc
+    GROUP BY comp
+    ORDER BY n_nodes DESC, component
+    LIMIT 20
+"""
+
+
+@query("cc_star_components_census", category="B7-graph", oracle=_CC_STAR_ORACLE)
+def cc_star_components_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census via the large-star/small-star
+    algorithm (operators/graph.py::connected_components_star — the
+    SoCC'14 web-scale CC whose rounds scale with log(diameter), not
+    diameter). Labels are the component-minimum node id — the same
+    deterministic labeling as plain min-propagation, certified equal
+    in tests/test_graph.py — so the census hashes identically against
+    the oracle's recursive-CTE reachability replay.
+
+    Scale: this is the variant a 100 TB dedup graph actually wants —
+    each round is a groupBy-min + equi join over the contracting edge
+    list (never per-node reachability sets like the oracle's CTE),
+    convergence probed by an O(1) signature scalar, lineage truncated
+    per round. The 64-node-chain test pins the log-round behavior
+    (10 rounds where propagation needs 63).
+    """
+    from ..operators.graph import connected_components_star, interaction_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    labels = connected_components_star(interaction_edges(ev))
+    return (
+        labels.groupBy(F.col("component"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("id").cast("long").alias("min_node"),
+            F.max("id").cast("long").alias("max_node"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "component")
+        .limit(20)
+    )
