@@ -553,6 +553,75 @@ def tdigest_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r99") - 0.99) <= 0.02).alias("p99_ok"),
         (
             (F.col("n_centroids") <= 200)
-            & (F.col("n_centroids") * 5 < F.col("total_weight"))
+            & (
+                # sparsity (5× fewer centroids than rows) is only a
+                # meaningful claim once n >> δ; tiny slices (sf0.001)
+                # legitimately keep ~n centroids
+                (F.col("total_weight") < 1000)
+                | (F.col("n_centroids") * 5 < F.col("total_weight"))
+            )
         ).alias("compressed_ok"),
     ).orderBy("event_type")
+
+
+@query(
+    "hll_intersection_gate",
+    category="A3-sketch",
+    oracle="""
+        WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        SELECT CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+                   AS n_intersect_exact,
+               TRUE AS ie_ok
+    """,
+)
+def hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION cardinality from mergeable sketches: HLL
+    supports union natively, so |A∩B| comes from inclusion-exclusion
+    (|A| + |B| − |A∪B|) — the standard audience-overlap estimator at
+    scales where materializing either set is off the table. The gate:
+    the estimate must land within ±20% of the exact intersection
+    (inclusion-exclusion TRIPLES the per-sketch rsd in the worst case
+    — 3 estimates, each ±5% default rsd, differenced — which is why
+    the bound is looser than the single-set 10% gates; the exact
+    count is hash-checked alongside so the gate population is pinned).
+
+    Scale: three approx_count_distinct aggregates over one scan
+    (conditional columns, no self-join); the exact side is the
+    ground-truth probe only — per-user bool flags + one count, the
+    thing the sketch path exists to avoid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    est = ev.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("ea"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("eb"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
+        ).alias("eu"),
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("ia"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("ib"),
+        )
+        .agg(
+            F.sum((F.col("ia") * F.col("ib")).cast("long")).alias("n_intersect_exact")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "n_intersect_exact",
+            (
+                F.abs(F.col("ea") + F.col("eb") - F.col("eu")
+                      - F.col("n_intersect_exact"))
+                <= 0.2 * F.col("n_intersect_exact")
+            ).alias("ie_ok"),
+        )
+    )

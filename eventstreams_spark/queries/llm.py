@@ -1350,3 +1350,279 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "id1", "id2")
         .limit(20)
     )
+
+
+@query(
+    "contamination_winnowing_bipartite",
+    category="L5-contamination",
+    oracle="""
+        WITH bench AS (
+            SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 = 0
+        ), train AS (
+            SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 <> 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS id,
+                   'leading padding ' || text || ' trailing padding' AS text
+            FROM documents WHERE doc_id % 100 = 0
+        ), bfp AS (
+            SELECT DISTINCT id, unnest(list_transform(
+                       generate_series(1, length(text) - 10),
+                       j -> list_aggregate(
+                                list_transform(generate_series(j, j + 3),
+                                    i -> substr(md5('w|' || substr(text, CAST(i AS INT), 8)),
+                                                1, 16)),
+                                'min'))) AS fp
+            FROM bench WHERE length(text) >= 11
+        ), tfp AS (
+            SELECT DISTINCT id, unnest(list_transform(
+                       generate_series(1, length(text) - 10),
+                       j -> list_aggregate(
+                                list_transform(generate_series(j, j + 3),
+                                    i -> substr(md5('w|' || substr(text, CAST(i AS INT), 8)),
+                                                1, 16)),
+                                'min'))) AS fp
+            FROM train WHERE length(text) >= 11
+        ), rare AS (
+            SELECT fp FROM bfp GROUP BY fp HAVING count(*) <= 4
+        ), hits AS (
+            SELECT t.id AS train_id, b.id AS bench_id, count(*) AS n_shared
+            FROM tfp t
+            JOIN (SELECT bfp.id, bfp.fp FROM bfp JOIN rare USING (fp)) b
+              USING (fp)
+            GROUP BY t.id, b.id
+            HAVING count(*) >= 3
+        )
+        SELECT train_id, bench_id, n_shared
+        FROM hits
+        ORDER BY n_shared DESC, train_id, bench_id
+        LIMIT 20
+    """,
+)
+def contamination_winnowing_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection via BIPARTITE winnowing — the
+    production eval-decontamination mode: fingerprint the benchmark
+    set (every 50th doc) and the training corpus (the rest, plus
+    injected contaminated docs that embed a full benchmark text inside
+    padding), then join train fingerprints against benchmark
+    fingerprints ONLY — never train×train (the same bipartite
+    discipline as incremental_dedup_vs_reference). Pairs sharing ≥ 3
+    fingerprints are contamination candidates; the winnowing guarantee
+    (k=8, w=4) means any shared run of ≥ 11 chars leaves a shared
+    fingerprint, so embedded excerpts can't hide behind padding —
+    exactly what n-gram-overlap misses when boundaries shift.
+
+    Here the gram windows are built directly as min-over-4 of the
+    md5-prefix gram hashes (one nested transform — identical list
+    algebra on both engines); benchmark fingerprints with df > 4 are
+    dropped as boilerplate (blocking bound: pair fanout per
+    fingerprint ≤ 4·|train dups|).
+
+    Scale: the benchmark side is the small side by construction
+    (eval sets are MBs, corpora are TBs) — its rare-fingerprint set
+    broadcasts; train-side work is the linear fingerprint map + one
+    bucket join keyed on fp. Nothing pairs inside the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("id"), "text"
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 2000000).alias("id"),
+            F.concat(
+                F.lit("leading padding "), F.col("text"), F.lit(" trailing padding")
+            ).alias("text"),
+        )
+    )
+
+    def fps(corpus: DataFrame) -> DataFrame:
+        win = F.transform(
+            F.sequence(F.lit(1), F.length("text") - 10),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(j, j + 3),
+                    lambda i: F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("w|"), F.col("text").substr(i, F.lit(8))
+                            ).cast("binary")
+                        ),
+                        1, 16,
+                    ),
+                )
+            ),
+        )
+        return (
+            corpus.filter(F.length("text") >= 11)
+            .select("id", F.explode(win).alias("fp"))
+            .distinct()
+        )
+
+    bfp = fps(bench).persist()  # small side: census + join
+    rare = (
+        bfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 4)
+        .select("fp")
+    )
+    b = bfp.join(rare, "fp").select("fp", F.col("id").alias("bench_id"))
+    t = fps(train).select("fp", F.col("id").alias("train_id"))
+    return (
+        t.join(F.broadcast(b), "fp")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy(F.col("n_shared").desc(), "train_id", "bench_id")
+        .limit(20)
+    )
+
+
+@query(
+    "weighted_jaccard_pairs",
+    category="L2-weighted",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS id, 'dup prefix ' || text AS text
+            FROM documents WHERE doc_id % 50 = 0
+        ), tok AS (
+            SELECT id, t AS tok, count(*) AS c
+            FROM corpus,
+                 unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                                    x -> x <> '')) AS u(t)
+            GROUP BY id, t
+        ), totals AS (
+            SELECT id, CAST(sum(c) AS BIGINT) AS s FROM tok GROUP BY id
+        ), bg AS (
+            SELECT DISTINCT id, t AS big
+            FROM (
+                SELECT id,
+                       unnest(list_transform(
+                           generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i + 1])) AS t
+                FROM (
+                    SELECT id,
+                           list_filter(string_split_regex(lower(text),
+                                                          '{TOKEN_SPLIT}'),
+                                       x -> x <> '') AS ws
+                    FROM corpus
+                )
+                WHERE len(ws) >= 2
+            )
+        ), rare AS (
+            SELECT big FROM bg GROUP BY big
+            HAVING count(*) BETWEEN 2 AND 8
+        ), cand AS (
+            SELECT DISTINCT a.id AS id1, b.id AS id2
+            FROM bg a JOIN rare USING (big) JOIN bg b USING (big)
+            WHERE a.id < b.id
+        ), smin AS (
+            SELECT c.id1, c.id2,
+                   CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS mn
+            FROM cand c
+            JOIN tok ta ON ta.id = c.id1
+            JOIN tok tb ON tb.id = c.id2 AND tb.tok = ta.tok
+            GROUP BY c.id1, c.id2
+        )
+        SELECT s.id1, s.id2,
+               round(CAST(s.mn AS DOUBLE) / (t1.s + t2.s - s.mn), 6) AS jw
+        FROM smin s
+        JOIN totals t1 ON t1.id = s.id1
+        JOIN totals t2 ON t2.id = s.id2
+        WHERE CAST(s.mn AS DOUBLE) / (t1.s + t2.s - s.mn) >= 0.5
+        ORDER BY jw DESC, id1, id2
+        LIMIT 20
+    """,
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (multiset) Jaccard near-dup pairs — the measure ICWS
+    sketches estimate, computed exactly: J_w = Σ_t min(c_a,c_b) /
+    Σ_t max(c_a,c_b), which scores repeated-token structure that set
+    Jaccard flattens (a doc that repeats one line 50× vs once is
+    identical under set semantics, very different here). Candidate
+    pairs come from rare-token blocking (df ∈ [2,8] — the repo's
+    containment/fuzzy discipline), and the denominator uses the
+    identity Σmax = Σ_a + Σ_b − Σmin, so only the INNER join on
+    shared tokens is ever computed — no full-outer token alignment.
+    Same injected dups as the MinHash chain; pairs with J_w ≥ 0.5.
+
+    Exactness: numerator and totals are exact BIGINTs; the single
+    division rounds to 6 at the very end (oracle_conventions).
+
+    Scale: token counts are one groupBy; blocking bounds pair fanout
+    per token at 8; the per-pair Σmin join is keyed on (doc, token)
+    equi pairs. At ICWS-sketch scale the same blocking feeds the
+    sketch instead of the exact join — this query is the ground-truth
+    form and the sketch's future gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    tok = (
+        corpus.select("id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # consumers: totals, rare census, candidates, Σmin ×2
+    )
+    totals = tok.groupBy("id").agg(F.sum("c").cast("long").alias("s"))
+    # blocking key: token BIGRAMS — the synthetic vocab is common
+    # enough that unigram df rarely lands in [2,8], but consecutive
+    # pairs are high-cardinality and a full-text dup shares them all
+    ws = tokens_col(F.col("text"))
+    bg = (
+        corpus.select(F.col("id"), ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("big"),
+        )
+        .distinct()
+        .persist()  # consumers: rarity census + both join sides
+    )
+    rare = (
+        bg.groupBy("big")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 8))
+        .select("big")
+    )
+    ra = bg.join(rare, "big").select("big", F.col("id").alias("id1"))
+    rb = bg.select("big", F.col("id").alias("id2"))
+    cand = (
+        ra.join(rb, "big")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id1"), "tok", F.col("c").alias("ca"))
+    tb = tok.select(F.col("id").alias("id2"), "tok", F.col("c").alias("cb"))
+    smin = (
+        cand.join(ta, "id1")
+        .join(tb, ["id2", "tok"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("mn"))
+    )
+    t1 = totals.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
+    t2 = totals.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
+    jw = F.col("mn") / (F.col("s1") + F.col("s2") - F.col("mn"))
+    return (
+        smin.join(t1, "id1")
+        .join(t2, "id2")
+        .filter(jw >= 0.5)
+        .select("id1", "id2", F.round(jw, 6).alias("jw"))
+        .orderBy(F.col("jw").desc(), "id1", "id2")
+        .limit(20)
+    )

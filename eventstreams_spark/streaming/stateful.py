@@ -858,3 +858,152 @@ def session_path_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tdigest_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs=(0.5, 0.9, 0.99),
+    delta: float = 100.0,
+) -> DataFrame:
+    """Streaming t-digest (the GroupState twin of
+    operators/tdigest.py): per key, the centroid set lives in state as
+    two double arrays; each micro-batch's values are digested and
+    MERGED into it (the same k1 compress as batch — mergeability is
+    the whole point of the sketch), and an updated quantile snapshot
+    is emitted per batch (update mode).
+
+    State is O(δ) per key forever — the streaming quantile story that
+    neither watermarked windows (which evict) nor exact percentiles
+    (unbounded state) can tell. Fold order differs from the batch
+    shard build, so snapshots are compared against ACCURACY contracts
+    (rank error ≤ 2%), not bitwise equality — same discipline as the
+    batch gate.
+    """
+    import numpy as np
+
+    from ..operators.tdigest import build as td_build
+    from ..operators.tdigest import merge as td_merge
+    from ..operators.tdigest import quantile as td_quantile
+
+    qs = list(qs)
+    q_fields = ", ".join(f"q{int(q * 1000)} double" for q in qs)
+    out_schema = f"{key_col} string, {q_fields}, n_centroids int, total_weight double"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            means, weights = state.get
+            m = np.asarray(means, dtype=np.float64)
+            w = np.asarray(weights, dtype=np.float64)
+        else:
+            m = np.empty(0)
+            w = np.empty(0)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            if len(vals):
+                m, w = td_merge([(m, w), td_build(vals, delta=delta)], delta=delta)
+        state.update((m.tolist(), w.tolist()))
+        row = {key_col: [key[0]]}
+        for q in qs:
+            row[f"q{int(q * 1000)}"] = [td_quantile(m, w, q)]
+        row["n_centroids"] = [int(len(m))]
+        row["total_weight"] = [float(w.sum())]
+        yield pd.DataFrame(row)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="means array<double>, weights array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def decayed_topk_stream(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    ts_col: str,
+    half_life_seconds: float = 21600.0,
+    k: int = 5,
+    max_tokens: int = 1024,
+) -> DataFrame:
+    """Streaming top-k with exponential decay: per key, token weights
+    decay by 2^(−Δt/half_life) in EVENT time and gain +1 per
+    occurrence — trending-now semantics where yesterday's flood ranks
+    below this hour's trickle. Emits the current top-k snapshot per
+    key per batch (weights decayed to the key's max seen event time),
+    tagged with a monotonically increasing ``snap``.
+
+    Decay uses event time exclusively (never wall clock) and rows fold
+    in (ts, event_id) order, so the final snapshot is deterministic
+    and — as long as ``max_tokens`` isn't hit — batching-invariant:
+    per token the fold is (multiply-by-decay, add-1) in timestamp
+    order regardless of micro-batch boundaries. ``max_tokens`` bounds
+    state per key; when exceeded, the lightest tokens are pruned
+    (standard decayed-counter approximation — pruned tokens restart
+    from 0, a bounded underestimate like Misra-Gries).
+
+    State: JSON token → (weight, ref_ts_ns), O(max_tokens) per key.
+    """
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    hl_ns = float(half_life_seconds) * 1e9
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("snap", LongType()),
+            StructField("token", StringType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        blob, snap = state.get if state.exists else ("", 0)
+        w: dict[str, list] = json.loads(blob) if blob else {}
+        max_ts = max((v[1] for v in w.values()), default=0)
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            ts_ns = pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
+            toks = pdf[token_col].astype(str).values
+            for t, tok in zip(ts_ns, toks):
+                t = int(t)
+                max_ts = max(max_ts, t)
+                if tok in w:
+                    wt, ref = w[tok]
+                    w[tok] = [wt * 2.0 ** (-(t - ref) / hl_ns) + 1.0, t]
+                else:
+                    w[tok] = [1.0, t]
+            if len(w) > max_tokens:
+                decayed = {
+                    tok: wt * 2.0 ** (-(max_ts - ref) / hl_ns)
+                    for tok, (wt, ref) in w.items()
+                }
+                keep = sorted(decayed, key=lambda x: (-decayed[x], x))[:max_tokens]
+                w = {tok: w[tok] for tok in keep}
+        snap += 1
+        state.update((json.dumps(w, sort_keys=True), snap))
+        decayed = sorted(
+            (
+                (tok, wt * 2.0 ** (-(max_ts - ref) / hl_ns))
+                for tok, (wt, ref) in w.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        yield pd.DataFrame(
+            [(str(key[0]), snap, tok, round(wt, 6)) for tok, wt in decayed],
+            columns=["key", "snap", "token", "weight"],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="blob string, snap long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

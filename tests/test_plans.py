@@ -1236,3 +1236,36 @@ def test_bloom_probe_is_all_broadcast(spark, sf_dir):
     assert count_prefix(counts, "BroadcastHashJoin") == 4, counts
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "ShuffledHashJoin") == 0, counts
+
+
+def test_contamination_bipartite_broadcast_bench_side(spark, sf_dir):
+    """Winnowing contamination: the benchmark fingerprint side must
+    BROADCAST into the bucket join (eval sets are small by
+    construction) and nothing may pair train×train — no cartesian,
+    no BNLJ, no sort-merge on the fingerprint join."""
+    df = q("contamination_winnowing_bipartite", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_hll_intersection_single_scan_sketch_side(spark, sf_dir):
+    """HLL inclusion-exclusion gate: the sketch side is ONE aggregate
+    over one scan (3 conditional HLLs, no self-join); the only
+    nested-loop is the broadcast of that 1-row estimate frame."""
+    df = q("hll_intersection_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "SortMergeJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts  # 1-row est
+    assert count_prefix(counts, "Scan parquet") == 2, counts
+
+
+def test_weighted_jaccard_blocked_pairs_only(spark, sf_dir):
+    """Weighted Jaccard: candidates exist only through the df-capped
+    rare-token bucket join; Σmin is (doc, token) equi joins — no
+    cartesian/BNLJ anywhere, heap for the top-20."""
+    df = q("weighted_jaccard_pairs", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts

@@ -1344,3 +1344,98 @@ def test_session_path_batch_equals_stream(spark, events_slice, tmp_path):
         .select("user_id", "session_start", "session_end", "n_events", "path")
     )
     assert got == want
+
+
+def test_tdigest_stream_accuracy_and_bounded_state(spark, events_slice, tmp_path):
+    """T6 sketch twin: the streaming t-digest's final per-key snapshot
+    must satisfy the same contracts as the batch gate — ≤2% rank error
+    at p50/p90/p99 against the exact distribution, centroid count
+    bounded (O(δ), not O(n)) — after folding values across 3
+    micro-batches through GroupState merges."""
+    from eventstreams_spark.streaming.stateful import tdigest_stream
+
+    ev = events_slice.select("event_id", "ts", "event_type", "value")
+    stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+    out = tdigest_stream(stream, "event_type", "value")
+    run_to_memory(out, "t_td_s", output_mode="update")
+    last = {
+        r.event_type: r
+        for r in spark.sql(
+            """SELECT * FROM t_td_s
+               WHERE (event_type, total_weight) IN
+                     (SELECT event_type, max(total_weight)
+                      FROM t_td_s GROUP BY event_type)"""
+        ).collect()
+    }
+    import collections
+    by_type = collections.defaultdict(list)
+    for r in ev.select("event_type", "value").collect():
+        by_type[r.event_type].append(r.value)
+    assert set(last) == set(by_type)
+    for et, xs in by_type.items():
+        snap = last[et]
+        assert snap.total_weight == len(xs)
+        assert snap.n_centroids <= min(200, len(xs))
+        xs_sorted = sorted(xs)
+        n = len(xs_sorted)
+        # rank granularity is 1/n — tiny types can't beat that
+        tol = max(0.02, 1.5 / n)
+        for q, est in ((0.5, snap.q500), (0.9, snap.q900), (0.99, snap.q990)):
+            rank = sum(1 for x in xs_sorted if x <= est) / n
+            assert abs(rank - q) <= tol, (et, q, rank)
+
+
+def test_decayed_topk_stream_matches_reference_fold(spark, events_slice, tmp_path):
+    """T-series trending top-k: the streamed final snapshot must equal
+    a Python reference fold of the same (ts, event_id)-ordered events
+    — decay in event time is batching-invariant while max_tokens is
+    not hit, so 3-chunk replay and the single fold agree exactly."""
+    from eventstreams_spark.streaming.stateful import decayed_topk_stream
+
+    ev = events_slice.select(
+        "event_id", "ts", "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+    out = decayed_topk_stream(
+        stream, "event_type", "uid", "ts",
+        half_life_seconds=21600.0, k=5, max_tokens=1 << 20,
+    )
+    run_to_memory(out, "t_dtop_s", output_mode="append")
+    got = {
+        (r.key, r.token): r.weight
+        for r in spark.sql(
+            """SELECT * FROM t_dtop_s
+               WHERE (key, snap) IN
+                     (SELECT key, max(snap) FROM t_dtop_s GROUP BY key)"""
+        ).collect()
+    }
+
+    import pandas as pd
+
+    rows = sorted(
+        ev.collect(), key=lambda r: (r.ts, r.event_id)
+    )
+    hl_ns = 21600.0 * 1e9
+    folds: dict = {}
+    maxts: dict = {}
+    for r in rows:
+        # naive ns, exactly the stream side's datetime64→int64 view
+        # (datetime.timestamp() would inject the local timezone)
+        t = int(pd.Timestamp(r.ts).value)
+        d = folds.setdefault(r.event_type, {})
+        maxts[r.event_type] = max(maxts.get(r.event_type, 0), t)
+        if r.uid in d:
+            wt, ref = d[r.uid]
+            d[r.uid] = (wt * 2.0 ** (-(t - ref) / hl_ns) + 1.0, t)
+        else:
+            d[r.uid] = (1.0, t)
+    want = {}
+    for et, d in folds.items():
+        decayed = sorted(
+            ((tok, wt * 2.0 ** (-(maxts[et] - ref) / hl_ns))
+             for tok, (wt, ref) in d.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        for tok, wt in decayed:
+            want[(et, tok)] = round(wt, 6)
+    assert got == want
