@@ -2170,3 +2170,218 @@ def cc_star_components_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "component")
         .limit(20)
     )
+
+
+_LOUVAIN2_ORACLE = f"""
+    WITH {INTERACTION_UND_CTE}, adj AS (
+        SELECT a AS u, b AS v FROM und
+        UNION ALL
+        SELECT b AS u, a AS v FROM und
+    ), deg AS (
+        SELECT u, count(*) AS k FROM adj GROUP BY u
+    ), m AS (SELECT count(*) AS m_edges FROM und),
+    moves1 AS (
+        SELECT adj.u, adj.v,
+               2 * m.m_edges - du.k * dv.k AS gain_num
+        FROM adj
+        JOIN deg du ON adj.u = du.u
+        JOIN deg dv ON adj.v = dv.u
+        CROSS JOIN m
+    ), best1 AS (
+        SELECT u, v AS target, gain_num,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY gain_num DESC, v) AS rn
+        FROM moves1
+    ), labels1 AS (
+        SELECT deg.u,
+               CASE WHEN b.gain_num > 0 THEN b.target ELSE deg.u END AS c
+        FROM deg LEFT JOIN best1 b ON deg.u = b.u AND b.rn = 1
+    ), sdeg AS (
+        SELECT c, CAST(sum(deg.k) AS BIGINT) AS kk
+        FROM labels1 JOIN deg ON labels1.u = deg.u
+        GROUP BY c
+    ), sedges AS (
+        SELECT least(la.c, lb.c) AS a, greatest(la.c, lb.c) AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM und
+        JOIN labels1 la ON und.a = la.u
+        JOIN labels1 lb ON und.b = lb.u
+        WHERE la.c <> lb.c
+        GROUP BY 1, 2
+    ), sadj AS (
+        SELECT a AS u, b AS v, w FROM sedges
+        UNION ALL
+        SELECT b AS u, a AS v, w FROM sedges
+    ), moves2 AS (
+        SELECT sadj.u, sadj.v,
+               2 * m.m_edges * sadj.w - du.kk * dv.kk AS gain_num
+        FROM sadj
+        JOIN sdeg du ON sadj.u = du.c
+        JOIN sdeg dv ON sadj.v = dv.c
+        CROSS JOIN m
+    ), best2 AS (
+        SELECT u, v AS target, gain_num,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY gain_num DESC, v) AS rn
+        FROM moves2
+    ), labels2 AS (
+        SELECT sdeg.c AS c1,
+               CASE WHEN b.gain_num > 0 THEN b.target ELSE sdeg.c END AS c2
+        FROM sdeg LEFT JOIN best2 b ON sdeg.c = b.u AND b.rn = 1
+    ), final AS (
+        SELECT l1.u, l2.c2 AS c
+        FROM labels1 l1 JOIN labels2 l2 ON l1.c = l2.c1
+    ), comm AS (
+        SELECT c, count(*) AS n_nodes,
+               CAST(sum(deg.k) AS BIGINT) AS tot_deg
+        FROM final JOIN deg ON final.u = deg.u
+        GROUP BY c
+    ), inedges AS (
+        SELECT la.c, count(*) AS in_edges
+        FROM und
+        JOIN final la ON und.a = la.u
+        JOIN final lb ON und.b = lb.u
+        WHERE la.c = lb.c
+        GROUP BY la.c
+    ), q AS (
+        SELECT CAST(sum(4 * m.m_edges * coalesce(i.in_edges, 0)
+                        - comm.tot_deg * comm.tot_deg) AS BIGINT) AS q_num
+        FROM comm LEFT JOIN inedges i ON comm.c = i.c CROSS JOIN m
+    )
+    SELECT comm.c AS community,
+           CAST(comm.n_nodes AS BIGINT) AS n_nodes,
+           comm.tot_deg,
+           CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
+           q.q_num
+    FROM comm LEFT JOIN inedges i ON comm.c = i.c CROSS JOIN q
+    ORDER BY n_nodes DESC, community
+    LIMIT 15
+"""
+
+
+@query("louvain_coarsened_two_level", category="B7-graph", oracle=_LOUVAIN2_ORACLE)
+def louvain_coarsened_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain with COARSENING — the structure that makes Louvain
+    Louvain: after the synchronous first sweep
+    (louvain_first_sweep), communities contract into supernodes
+    (superdegree = Σ member degrees, superedge weight = inter-
+    community edge count) and the SAME integer gain rule runs again
+    on the weighted supergraph (2m·w_cd − K_c·K_d — the weighted
+    generalization of sweep 1's 2m − k_u·k_v, same argmax/tiebreak).
+    Final labels compose node → community → supercommunity; the
+    partition's integer Q_num over the ORIGINAL edges is the quality
+    witness, hash-compared against sweep 1's via the registry pair.
+
+    Scale: coarsening is the scalability mechanism — after sweep 1
+    the graph shrinks to |communities| nodes, so sweep 2's joins run
+    on a frame orders of magnitude smaller; every step stays
+    groupBy + equi join (supergraph build is ONE relabel join + one
+    count shuffle). Production would loop sweeps until Q_num stops
+    rising; two levels pin the contraction machinery.
+    """
+    from ..operators.graph import interaction_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    und = interaction_edges(ev, undirected=True).persist()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).persist()
+    m_edges = und.count()  # bounded metadata scalar
+
+    # sweep 1 (identical to louvain_first_sweep)
+    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    moves1 = (
+        adj.join(deg, "u")
+        .join(dv, "v")
+        .select("u", "v",
+                (F.lit(2 * m_edges) - F.col("k") * F.col("kv")).alias("gain_num"))
+    )
+    w1 = Window.partitionBy("u").orderBy(F.col("gain_num").desc(), "v")
+    best1 = moves1.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1)
+    labels1 = (
+        deg.join(best1.select("u", "v", "gain_num"), "u", "left")
+        .select(
+            "u", "k",
+            F.when(F.col("gain_num") > 0, F.col("v")).otherwise(F.col("u")).alias("c"),
+        )
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+
+    # coarsen: supernode degrees + inter-community superedges
+    sdeg = (
+        labels1.groupBy("c").agg(F.sum("k").cast("long").alias("kk"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    la = labels1.select(F.col("u").alias("a"), F.col("c").alias("ca"))
+    lb = labels1.select(F.col("u").alias("b"), F.col("c").alias("cb"))
+    sedges = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy(
+            F.least("ca", "cb").alias("sa"), F.greatest("ca", "cb").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sadj = sedges.select(F.col("sa").alias("u"), F.col("sb").alias("v"), "w").unionAll(
+        sedges.select(F.col("sb").alias("u"), F.col("sa").alias("v"), "w")
+    )
+
+    # sweep 2 on the weighted supergraph
+    sdu = sdeg.select(F.col("c").alias("u"), F.col("kk").alias("ku"))
+    sdv = sdeg.select(F.col("c").alias("v"), F.col("kk").alias("kv"))
+    moves2 = (
+        sadj.join(sdu, "u")
+        .join(sdv, "v")
+        .select(
+            "u", "v",
+            (F.lit(2 * m_edges) * F.col("w") - F.col("ku") * F.col("kv"))
+            .alias("gain_num"),
+        )
+    )
+    best2 = moves2.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1)
+    labels2 = (
+        sdeg.join(best2.select(F.col("u").alias("c"), "v", "gain_num"), "c", "left")
+        .select(
+            F.col("c").alias("c1"),
+            F.when(F.col("gain_num") > 0, F.col("v")).otherwise(F.col("c")).alias("c2"),
+        )
+    )
+    final = labels1.join(labels2, labels1.c == labels2.c1).select(
+        "u", "k", F.col("c2").alias("c")
+    ).coalesce(spark.sparkContext.defaultParallelism).persist()
+
+    comm = final.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("k").cast("long").alias("tot_deg"),
+    )
+    fa = final.select(F.col("u").alias("a"), F.col("c").alias("fa"))
+    fb = final.select(F.col("u").alias("b"), F.col("c").alias("fb"))
+    inedges = (
+        und.join(fa, "a").join(fb, "b")
+        .filter(F.col("fa") == F.col("fb"))
+        .groupBy(F.col("fa").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_edges"))
+    )
+    enriched = (
+        comm.join(inedges, "c", "left")
+        .select(
+            "c", "n_nodes", "tot_deg",
+            F.coalesce("in_edges", F.lit(0)).cast("long").alias("in_edges"),
+        )
+        .persist()
+    )
+    q_num = enriched.agg(
+        F.sum(
+            F.lit(4 * m_edges) * F.col("in_edges")
+            - F.col("tot_deg") * F.col("tot_deg")
+        ).cast("long").alias("q_num")
+    )
+    return (
+        enriched.crossJoin(F.broadcast(q_num))
+        .select(F.col("c").alias("community"), "n_nodes", "tot_deg", "in_edges", "q_num")
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(15)
+    )

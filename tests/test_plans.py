@@ -1269,3 +1269,14 @@ def test_weighted_jaccard_blocked_pairs_only(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
     counts = operator_counts(df)
     assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_louvain_two_level_no_cartesian(spark, sf_dir):
+    """Two-level Louvain: both sweeps and the coarsening relabel are
+    adjacency equi joins + window argmaxes; the only cross join is the
+    broadcast 1-row Q_num scalar."""
+    df = q("louvain_coarsened_two_level", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    assert count_prefix(counts, "Window") >= 2, counts
