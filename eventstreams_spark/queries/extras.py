@@ -1051,3 +1051,135 @@ def geohash_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_points").desc(), "gh6")
         .limit(25)
     )
+
+
+def _knn_wrap_oracle() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat_u = md5_uniform_sql("concat('glat|', cast(c_custkey as varchar))")
+    lon_u = md5_uniform_sql("concat('glon|', cast(c_custkey as varchar))")
+    return f"""
+        WITH raw AS (
+            SELECT c_custkey AS id,
+                   ({lat_u} - 0.5) * 180.0 AS lat,
+                   ({lon_u} - 0.5) * 540.0 AS lon_raw
+            FROM customer
+        ), pts AS (
+            SELECT id, lat,
+                   lon_raw - 360.0 * floor((lon_raw + 180.0) / 360.0) AS lon
+            FROM raw
+        ), cells AS (
+            SELECT id, lat, lon,
+                   CAST(floor(lat / 10.0) AS BIGINT) AS cy,
+                   CAST(floor(lon / 10.0) AS BIGINT) AS cx
+            FROM pts
+        ), q AS (
+            SELECT * FROM cells
+            WHERE abs(lon) >= 170.0
+            ORDER BY id LIMIT 1
+        ), probe AS (
+            SELECT q.id AS qid, q.lat AS qlat, q.lon AS qlon,
+                   q.cy + dy.d AS ty,
+                   ((q.cx + dx.d + 18) % 36 + 36) % 36 - 18 AS tx
+            FROM q,
+                 (SELECT unnest([-1, 0, 1]) AS d) dy,
+                 (SELECT unnest([-1, 0, 1]) AS d) dx
+        ), cand AS (
+            SELECT p.qid, c.id, c.lat, c.lon, p.qlat, p.qlon
+            FROM probe p JOIN cells c ON p.ty = c.cy AND p.tx = c.cx
+            WHERE c.id <> p.qid
+        )
+        SELECT id AS cand_id,
+               round(2.0 * 6371.0088 * asin(least(1.0, sqrt(
+                   sin(radians(lat - qlat) / 2) * sin(radians(lat - qlat) / 2)
+                   + cos(radians(qlat)) * cos(radians(lat))
+                     * sin(radians(lon - qlon) / 2)
+                     * sin(radians(lon - qlon) / 2)))), 4) AS dist_km,
+               CASE WHEN lon >= 0 THEN 'E' ELSE 'W' END AS lon_side
+        FROM cand
+        ORDER BY dist_km, cand_id
+        LIMIT 5
+    """
+
+
+@query("spatial_knn_wrapped_probe", category="J12-spatial", oracle=_knn_wrap_oracle())
+def spatial_knn_wrapped_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-probed kNN AT THE ANTIMERIDIAN — the failure case
+    spatial_grid_join_pairs documents and geohash_cell_census's
+    wraparound fixes, completed into a query: the query point is the
+    first customer within 10° of ±180° (deterministic argmin pick),
+    its 3×3 neighborhood of 10° cells is probed with the cell COLUMN
+    wrapped modulo 36 (((cx+dx+18) mod 36 + 36) mod 36 − 18 — the
+    cells at cx=17 and cx=−18 are adjacent), and candidates re-rank
+    by exact haversine. No distance correction is needed: haversine's
+    sin(Δλ/2)² is 360°-periodic, so only CANDIDATE GENERATION breaks
+    at the seam — precisely what the wrap repairs. The lon_side
+    column witnesses that the top-5 straddles E and W longitudes.
+
+    Shares the glat/glon md5 mint with geohash_cell_census — one
+    point cloud, two spatial index queries.
+
+    Scale: the probe side is 9 rows broadcast against the cell-keyed
+    point table (equi join on (cy, cx)); candidates are one
+    neighborhood's points, re-ranked by a heap. Ring expansion (probe
+    5×5 if < k found) is the documented production extension.
+    """
+    from ..functions.sampling import md5_uniform
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat = (md5_uniform("concat('glat|', cast(c_custkey as string))") - 0.5) * 180.0
+    lon_raw = (md5_uniform("concat('glon|', cast(c_custkey as string))") - 0.5) * 540.0
+    lon = F.col("lon_raw") - 360.0 * F.floor((F.col("lon_raw") + 180.0) / 360.0)
+    cells = (
+        cust.select(
+            F.col("c_custkey").alias("id"), lat.alias("lat"), lon_raw.alias("lon_raw")
+        )
+        .select("id", "lat", lon.alias("lon"))
+        .select(
+            "id", "lat", "lon",
+            F.floor(F.col("lat") / 10.0).cast("long").alias("cy"),
+            F.floor(F.col("lon") / 10.0).cast("long").alias("cx"),
+        )
+    )
+    qpt = (
+        cells.filter(F.abs(F.col("lon")) >= 170.0)
+        .orderBy("id")
+        .limit(1)
+        .select(
+            F.col("id").alias("qid"), F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"), F.col("cy").alias("qcy"),
+            F.col("cx").alias("qcx"),
+        )
+    )
+    offsets = F.explode(
+        F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])
+    )
+    probe = qpt.select("qid", "qlat", "qlon", "qcy", "qcx", offsets.alias("o")).select(
+        "qid", "qlat", "qlon",
+        (F.col("qcy") + F.col("o.dy")).alias("ty"),
+        (((F.col("qcx") + F.col("o.dx") + 18) % 36 + 36) % 36 - 18).alias("tx"),
+    )
+    cand = cells.join(
+        F.broadcast(probe),
+        (F.col("ty") == F.col("cy")) & (F.col("tx") == F.col("cx")),
+    ).filter(F.col("id") != F.col("qid"))
+    dphi = F.radians(F.col("lat") - F.col("qlat")) / 2
+    dlmb = F.radians(F.col("lon") - F.col("qlon")) / 2
+    h = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians("qlat")) * F.cos(F.radians("lat"))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist = 2.0 * 6371.0088 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    return (
+        cand.select(
+            F.col("id").alias("cand_id"),
+            F.round(dist, 4).alias("dist_km"),
+            F.when(F.col("lon") >= 0, F.lit("E")).otherwise(F.lit("W")).alias("lon_side"),
+        )
+        .orderBy("dist_km", "cand_id")
+        .limit(5)
+    )

@@ -625,3 +625,70 @@ def hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ie_ok"),
         )
     )
+
+
+@query(
+    "hll_sketch_persist_roundtrip",
+    category="A3-sketch",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS persisted_equals_direct, TRUE AS est_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def hll_sketch_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches as STORED columns — the production pattern behind
+    pre-aggregated rollup tables: per (event_type, day) HLL sketches
+    (Datasketches binary, lgK=12) are WRITTEN to parquet, read back,
+    and union-merged per event_type; the merged estimate must be
+    bit-identical to the direct single-pass estimate over the raw
+    rows (HLL union is exact over sketch state — the identity that
+    licenses storing daily sketches and answering any date-range
+    distinct query without rescanning raw data), and within 10% of
+    the exact distinct count, which is hash-checked alongside.
+
+    Scale: this is THE 100 TB distinct-count architecture — a
+    sketch-per-partition rollup is ~KBs/day versus a raw rescan;
+    any range's estimate is a merge of stored binaries. The roundtrip
+    pins that Spark's sketch binary format survives parquet
+    serialization (a regression here silently corrupts every stored
+    rollup).
+    """
+    import os
+
+    from .scalars import SCRATCH
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"))
+    out = os.path.join(
+        SCRATCH, "hll_rollup", os.path.basename(sf_dir.rstrip("/"))
+    )
+    daily.write.mode("overwrite").parquet(out)
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_persisted"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("est_direct"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.col("est_persisted") == F.col("est_direct"))
+            .alias("persisted_equals_direct"),
+            (
+                F.abs(F.col("est_persisted") - F.col("n_exact"))
+                <= 0.1 * F.col("n_exact")
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -1280,3 +1280,23 @@ def test_louvain_two_level_no_cartesian(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
     assert count_prefix(counts, "Window") >= 2, counts
+
+
+def test_knn_wrapped_probe_broadcast_cells(spark, sf_dir):
+    """Antimeridian kNN: the 9-cell probe frame broadcasts into the
+    cell equi join; top-5 via heap; no cartesian anywhere."""
+    df = q("spatial_knn_wrapped_probe", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
+
+
+def test_hll_persist_roundtrip_two_scans(spark, sf_dir):
+    """Sketch persistence: one raw-events scan for the direct/exact
+    side; the merged side reads the PARQUET ROLLUP (not raw events
+    again) — the whole point of storing sketches."""
+    df = q("hll_sketch_persist_roundtrip", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 2, counts
