@@ -41,3 +41,75 @@ def test_tumbling_agg_on_rocksdb_matches_batch(spark, sf_dir, tmp_path):
         .select("window_start", "event_type", "n")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_path_stream_on_rocksdb_matches_batch(spark, sf_dir, tmp_path):
+    """The round-3 session-path GroupState fold must survive the
+    RocksDB state-store provider identically to the HDFS-backed
+    default — same closed sessions, same paths."""
+    from pyspark.sql import Window
+
+    from eventstreams_spark.streaming.stateful import session_path_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    enable_rocksdb_state(spark)
+    try:
+        stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+        out = session_path_stream(
+            stream, "user_id", "ts", "event_type", gap_seconds=1800, max_steps=5
+        )
+        run_to_memory(out, "t_spath_rocks", output_mode="append")
+    finally:
+        disable_rocksdb_state(spark)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events, path"
+            " FROM t_spath_rocks"
+        ).collect()
+    )
+    assert len(got) > 0
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800)
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                1,
+                5,
+            ),
+        ).alias("path"),
+    )
+    last = per.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    want = sorted(
+        tuple(r)
+        for r in per.join(last, "user_id")
+        .filter(F.col("sid") < F.col("max_sid"))
+        .select("user_id", "session_start", "session_end", "n_events", "path")
+        .collect()
+    )
+    assert got == want
