@@ -692,3 +692,87 @@ def hll_sketch_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "tdigest_band_classification",
+    category="A3-sketch",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS c50,
+                   quantile_disc(value, 0.9) AS c90
+            FROM events GROUP BY event_type
+        ), banded AS (
+            SELECT e.event_type,
+                   CASE WHEN e.value <= c.c50 THEN 'low'
+                        WHEN e.value <= c.c90 THEN 'mid'
+                        ELSE 'high' END AS band
+            FROM events e JOIN cuts c USING (event_type)
+        )
+        SELECT event_type, band, count(*) AS n_exact,
+               TRUE AS digest_band_ok
+        FROM banded
+        GROUP BY event_type, band
+        ORDER BY event_type, band
+    """,
+)
+def tdigest_band_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest as a BROADCAST DIMENSION — the production read
+    path for stored digests: per event_type the merged digest's
+    p50/p90 estimates become a 5-row cut table broadcast onto the
+    fact stream, classifying every event into low/mid/high latency
+    bands (the SLO-dashboard / anomaly-routing shape). The gate: each
+    digest-banded count must sit within ±2.5% of the type's row count
+    from the EXACT percentile_disc banding, whose counts are
+    hash-checked alongside (percentile_disc picks actual data values
+    — engine-identical, no interpolation ULP risk at the band edge).
+
+    Scale: the digest side never touches raw data twice — cuts come
+    from the O(δ) summaries (operators/tdigest.py); classification is
+    a broadcast join + map, the exact side exists only as the gate's
+    ground truth.
+    """
+    from ..operators.tdigest import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts_d = tdigest_quantiles(
+        ev, "event_type", "value", F.col("user_id") % 8,
+        qs=(0.5, 0.9), delta=100.0,
+    ).select(
+        F.col("g").alias("event_type"),
+        F.col("q500").alias("d50"), F.col("q900").alias("d90"),
+    )
+    cuts_x = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("c50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("c90"),
+    )
+    both = F.broadcast(cuts_x.join(cuts_d, "event_type"))
+    banded = ev.join(both, "event_type").select(
+        "event_type",
+        F.when(F.col("value") <= F.col("c50"), "low")
+        .when(F.col("value") <= F.col("c90"), "mid")
+        .otherwise("high").alias("band"),
+        F.when(F.col("value") <= F.col("d50"), "low")
+        .when(F.col("value") <= F.col("d90"), "mid")
+        .otherwise("high").alias("dband"),
+    )
+    per_type = banded.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    exact = banded.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    dig = banded.groupBy("event_type", F.col("dband").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_digest")
+    )
+    return (
+        exact.join(dig, ["event_type", "band"], "left")
+        .join(per_type, "event_type")
+        .select(
+            "event_type", "band", "n_exact",
+            (
+                F.abs(F.coalesce("n_digest", F.lit(0)) - F.col("n_exact"))
+                <= 0.025 * F.col("n_type")
+            ).alias("digest_band_ok"),
+        )
+        .orderBy("event_type", "band")
+    )

@@ -1300,3 +1300,13 @@ def test_hll_persist_roundtrip_two_scans(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
     counts = operator_counts(df)
     assert count_prefix(counts, "Scan parquet") == 2, counts
+
+
+def test_tdigest_band_broadcast_dimension(spark, sf_dir):
+    """Digest-as-dimension: the 5-row cut table broadcasts onto the
+    fact scan; banding is map-side; no cartesian/BNLJ/SMJ on the
+    classification path."""
+    df = q("tdigest_band_classification", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
