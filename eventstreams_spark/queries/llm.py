@@ -29,6 +29,35 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda x: x != "")
 
 
+def winnow_fps(corpus: DataFrame, id_col: str = "id") -> DataFrame:
+    """MOSS winnowing fingerprints (k=8 char grams, window w=4) for a
+    frame with (id, text): per doc, the distinct set of window-min
+    md5-prefix gram hashes. Pure Column algebra — works identically on
+    batch AND streaming frames (stateless map + explode), which is
+    what lets the contamination check run as a stream-static join."""
+    win = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 10),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(j, j + 3),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("w|"), F.col("text").substr(i, F.lit(8))
+                        ).cast("binary")
+                    ),
+                    1, 16,
+                ),
+            )
+        ),
+    )
+    return (
+        corpus.filter(F.length("text") >= 11)
+        .select(id_col, F.explode(win).alias("fp"))
+        .distinct()
+    )
+
+
 @query(
     "tfidf_top_terms",
     category="L5",
@@ -1436,30 +1465,7 @@ def contamination_winnowing_bipartite(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("text"),
         )
     )
-
-    def fps(corpus: DataFrame) -> DataFrame:
-        win = F.transform(
-            F.sequence(F.lit(1), F.length("text") - 10),
-            lambda j: F.array_min(
-                F.transform(
-                    F.sequence(j, j + 3),
-                    lambda i: F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("w|"), F.col("text").substr(i, F.lit(8))
-                            ).cast("binary")
-                        ),
-                        1, 16,
-                    ),
-                )
-            ),
-        )
-        return (
-            corpus.filter(F.length("text") >= 11)
-            .select("id", F.explode(win).alias("fp"))
-            .distinct()
-        )
-
+    fps = winnow_fps
     bfp = fps(bench).persist()  # small side: census + join
     rare = (
         bfp.groupBy("fp")

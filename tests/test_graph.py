@@ -81,3 +81,18 @@ def test_star_equals_propagation_on_data_graph(spark, sf_dir):
         for r in connected_components_star(edges).collect()
     }
     assert got == want
+
+
+def test_louvain_coarsening_does_not_decrease_modularity(spark, sf_dir):
+    """The Louvain invariant that licenses loop-until-Q-stops: the
+    coarsened second sweep's partition modularity (integer Q_num over
+    the ORIGINAL edges) must be >= the first sweep's — moves are only
+    taken on positive gain."""
+    from eventstreams_spark import registry
+
+    registry._ensure_loaded()
+    q1 = registry.REGISTRY["louvain_first_sweep"].builder(spark, sf_dir)
+    q2 = registry.REGISTRY["louvain_coarsened_two_level"].builder(spark, sf_dir)
+    qn1 = q1.select("q_num").first().q_num
+    qn2 = q2.select("q_num").first().q_num
+    assert qn2 >= qn1, (qn1, qn2)

@@ -1439,3 +1439,63 @@ def test_decayed_topk_stream_matches_reference_fold(spark, events_slice, tmp_pat
         for tok, wt in decayed:
             want[(et, tok)] = round(wt, 6)
     assert got == want
+
+
+def test_streaming_winnowing_contamination_stream_static(spark, sf_dir, tmp_path):
+    """L5×T crossover: the contamination check runs as a STREAM-STATIC
+    join — crawled docs stream in, the benchmark's rare winnowing
+    fingerprints sit as a static broadcast frame, and per-batch
+    streamed (train, bench, n_shared) aggregates must converge to the
+    batch query's verdicts. winnow_fps is pure Column algebra, so the
+    exact same builder fingerprints both sides."""
+    from eventstreams_spark.queries.llm import winnow_fps
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("id"), "text"
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 2000000).alias("id"),
+            F.concat(
+                F.lit("leading padding "), F.col("text"), F.lit(" trailing padding")
+            ).alias("text"),
+        )
+    )
+    bfp = winnow_fps(bench).persist()
+    rare = (
+        bfp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 4).select("fp")
+    )
+    b = bfp.join(rare, "fp").select("fp", F.col("id").alias("bench_id"))
+
+    stream = replay_table(spark, train, str(tmp_path), chunks=3, order_col="id")
+    hits = (
+        winnow_fps(stream)
+        .join(F.broadcast(b), "fp")  # stream-static join, stateless
+        .groupBy(F.col("id").alias("train_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    run_to_memory(hits, "t_contam_s", output_mode="update")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """SELECT train_id, bench_id, max(n_shared) AS n_shared
+               FROM t_contam_s GROUP BY train_id, bench_id
+               HAVING max(n_shared) >= 3"""
+        ).collect()
+    )
+    assert len(got) > 0
+
+    want = sorted(
+        tuple(r)
+        for r in winnow_fps(train)
+        .join(b, "fp")
+        .groupBy(F.col("id").alias("train_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .collect()
+    )
+    assert got == want
