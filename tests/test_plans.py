@@ -1310,3 +1310,14 @@ def test_tdigest_band_broadcast_dimension(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_icws_sketch_no_pair_work_before_collision(spark, sf_dir):
+    """ICWS: the only cross join is the broadcast 16-row seed frame;
+    sketches meet in an equi join on (doc, k); argmin is a per-(doc,k)
+    window, never a global sort."""
+    df = q("icws_weighted_minhash_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts  # seed frame
+    assert count_prefix(counts, "Window") >= 1, counts
