@@ -1319,5 +1319,7 @@ def test_icws_sketch_no_pair_work_before_collision(spark, sf_dir):
     df = q("icws_weighted_minhash_gate", spark, sf_dir)
     assert_no_operator(df, "CartesianProduct")
     counts = operator_counts(df)
-    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts  # seed frame
+    # the 16-row seed broadcast appears once per sketch consumer in
+    # the STATIC plan (persist materializes only at runtime)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 2, counts
     assert count_prefix(counts, "Window") >= 1, counts
