@@ -124,8 +124,13 @@ def lsh_bucket_tables(
             for t in range(n_tables)
         ]
     )
+    # broadcast the 1-row plane frame via a literal-key equi join, not
+    # crossJoin: identical plan cost, but stream-static cross joins are
+    # unsupported so this keeps the bucketing usable on STREAMING query
+    # frames (online vector search probes the same static index)
     return (
-        df.crossJoin(F.broadcast(all_planes))
+        df.withColumn("_pk", F.lit(1))
+        .join(F.broadcast(all_planes.withColumn("_pk", F.lit(1))), "_pk")
         .withColumn("_sig", F.explode(sigs))
         .select(*df.columns, "_sig.table_id", "_sig.bucket")
     )

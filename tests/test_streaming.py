@@ -1499,3 +1499,78 @@ def test_streaming_winnowing_contamination_stream_static(spark, sf_dir, tmp_path
         .collect()
     )
     assert got == want
+
+
+def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Online vector search: STREAMED query vectors are LSH-bucketed
+    map-side (lsh_bucket_tables now runs on streams), probe the
+    static bucketed index via a stream-static equi join on
+    (table_id, bucket), and re-rank by exact cosine — per query, the
+    streamed candidate top-3 must equal the batch ANN probe's."""
+    from eventstreams_spark.operators.similarity import (
+        ann_candidates,
+        lsh_bucket_tables,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    bucketed = lsh_bucket_tables(
+        corpus, "vec", n_planes=4, n_tables=8, dim=64
+    ).persist()
+
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.round(dot / (norm(F.col("vec")) * norm(F.col("qvec"))), 6)
+
+    stream = replay_table(
+        spark, queries, str(tmp_path), chunks=2, order_col="vec_id"
+    )
+    qb = lsh_bucket_tables(
+        stream.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")),
+        "qvec", n_planes=4, n_tables=8, dim=64,
+    )
+    probed = (
+        qb.join(bucketed, ["table_id", "bucket"])  # stream-static equi
+        .select("qid", "vec_id", "qvec", "vec")
+        .dropDuplicates(["qid", "vec_id"])
+        .select("qid", "vec_id", cos.alias("cos"))
+    )
+    run_to_memory(probed, "t_ann_s", output_mode="append")
+    got = {}
+    for r in spark.sql(
+        """SELECT qid, vec_id, cos,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id) AS rk
+           FROM t_ann_s"""
+    ).filter("rk <= 3").collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.cos))
+
+    want = {}
+    for q in range(5):
+        qsig = lsh_bucket_tables(
+            queries.filter(F.col("vec_id") == q), "vec",
+            n_planes=4, n_tables=8, dim=64,
+        )
+        qrow = queries.filter(F.col("vec_id") == q).select(
+            F.col("vec").alias("qvec")
+        )
+        cands = ann_candidates(bucketed, qsig)
+        top = (
+            cands.crossJoin(F.broadcast(qrow))
+            .select("vec_id", cos.alias("cos"))
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(3)
+            .collect()
+        )
+        if top:
+            want[q] = [(r.vec_id, r.cos) for r in top]
+    assert len(got) > 0
+    assert got == want
