@@ -544,6 +544,84 @@ def _cidr(source: str, networks: list[str], target: str = "network") -> Transfor
     return t
 
 
+@step("tld")
+def _tld(source: str, target: str = "tld") -> Transform:
+    """Top-level-domain extraction (Logstash ``tld``): struct of
+    (tld, sld, domain) from a hostname column — pure Column regex, no
+    UDF. Multi-label public suffixes (co.uk-class) follow a bundled
+    common-suffix list; unknown suffixes fall back to the last label
+    (the filter's documented behavior without the full PSL)."""
+    # the high-traffic multi-label suffixes; the full Public Suffix
+    # List is a data-file swap, not a code change
+    multi = ["co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+             "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn",
+             "com.mx", "co.in", "co.kr", "com.tw", "co.za", "com.ar"]
+
+    def t(df: DataFrame) -> DataFrame:
+        host = F.lower(F.col(source))
+        is_multi = F.lit(False)
+        tld = F.regexp_extract(host, r"\.([^.]+)$", 1)
+        for m in multi:
+            cond = host.endswith("." + m)
+            tld = F.when(cond, F.lit(m)).otherwise(tld)
+            is_multi = is_multi | cond
+        # sld = label left of the (possibly multi-label) suffix
+        stripped = F.expr(
+            f"substring({'lower(' + source + ')'}, 1, "
+            f"length(lower({source})) - length(_tld_tmp) - 1)"
+        )
+        return (
+            df.withColumn("_tld_tmp", tld)
+            .withColumn("_sld_tmp", F.regexp_extract(stripped, r"([^.]+)$", 1))
+            .withColumn(
+                target,
+                F.struct(
+                    F.col("_tld_tmp").alias("tld"),
+                    F.col("_sld_tmp").alias("sld"),
+                    F.when(
+                        F.col("_sld_tmp") != "",
+                        F.concat_ws(".", F.col("_sld_tmp"), F.col("_tld_tmp")),
+                    ).otherwise(F.col("_tld_tmp")).alias("domain"),
+                ),
+            )
+            .drop("_tld_tmp", "_sld_tmp")
+        )
+
+    return t
+
+
+@step("range")
+def _range(
+    checks: dict[str, list[float]],
+    tag: str = "_rangefail",
+) -> Transform:
+    """Numeric range validation (Logstash ``range``): each field gets
+    [min, max] bounds; rows breaking ANY bound are tagged with the
+    list of failing fields (empty array = clean). Tag-don't-drop so a
+    downstream ``deadletter``/``filter`` step owns the policy —
+    same contract as the other validating steps."""
+    for f_, mm in checks.items():
+        if len(mm) != 2 or mm[0] > mm[1]:
+            raise ValueError(f"range: bad bounds for {f_}: {mm}")
+
+    def t(df: DataFrame) -> DataFrame:
+        fails = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f_).isNull()
+                        | (F.col(f_) < lo) | (F.col(f_) > hi),
+                        F.lit(f_),
+                    )
+                    for f_, (lo, hi) in sorted(checks.items())
+                ]
+            )
+        )
+        return df.withColumn(tag, fails)
+
+    return t
+
+
 @step("useragent")
 def _useragent(source: str = "user_agent") -> Transform:
     """Browser family/version/OS extraction (Logstash ``useragent``)."""

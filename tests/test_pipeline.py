@@ -453,3 +453,36 @@ def test_metrics_step_inline_observation(spark):
     # metrics observe the PRE-filter flow (step order matters)
     assert got["events"] == 3 and got["sum_value"] == 60.0
     assert got["min_value"] == 10.0 and got["max_value"] == 30.0
+
+
+def test_tld_step(spark):
+    from eventstreams_spark.pipeline import _STEP_FACTORIES
+
+    t = _STEP_FACTORIES["tld"](source="host")
+    df = spark.createDataFrame(
+        [("www.example.com",), ("news.bbc.co.uk",), ("example.com.au",),
+         ("localhost",)],
+        "host string",
+    )
+    got = {r.host: (r.tld.tld, r.tld.sld, r.tld.domain) for r in t(df).collect()}
+    assert got["www.example.com"] == ("com", "example", "example.com")
+    assert got["news.bbc.co.uk"] == ("co.uk", "bbc", "bbc.co.uk")
+    assert got["example.com.au"] == ("com.au", "example", "example.com.au")
+    # no dot: tld empty, domain degrades gracefully
+    assert got["localhost"][0] == ""
+
+
+def test_range_step_tags_violations(spark):
+    import pytest as _pytest
+
+    from eventstreams_spark.pipeline import _STEP_FACTORIES
+
+    t = _STEP_FACTORIES["range"](checks={"v": [0.0, 100.0], "n": [1, 5]})
+    df = spark.createDataFrame(
+        [(50.0, 3), (150.0, 3), (50.0, 9), (-1.0, 0), (None, 3)],
+        "v double, n int",
+    )
+    got = [sorted(r._rangefail) for r in t(df).collect()]
+    assert got == [[], ["v"], ["n"], ["n", "v"], ["v"]]
+    with _pytest.raises(ValueError):
+        _STEP_FACTORIES["range"](checks={"v": [5.0, 1.0]})
