@@ -621,3 +621,62 @@ def grok_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verb", "response")
     )
+
+
+@query(
+    "tld_extract_census",
+    category="P15",
+    oracle="""
+        WITH hosts AS (
+            SELECT event_type,
+                   CASE CAST(user_id % 4 AS INT)
+                        WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                        WHEN 2 THEN 'com.au' ELSE 'io' END AS suffix
+            FROM events WHERE event_id < 2000
+        )
+        SELECT suffix AS tld,
+               event_type AS sld,
+               event_type || '.' || suffix AS domain,
+               count(*) AS n
+        FROM hosts
+        GROUP BY suffix, event_type
+        ORDER BY tld, sld
+    """,
+)
+def tld_extract_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``tld`` pipeline step under oracle check (P15 companion to
+    url_parse's synthesize→parse→ground-truth pattern): hostnames are
+    synthesized across single- AND multi-label public suffixes
+    (com / co.uk / com.au / io), the step extracts (tld, sld, domain)
+    with its bundled suffix list, and the census must equal the
+    oracle's direct construction — a wrong multi-label split (e.g.
+    tld='uk', sld='co') shifts whole census rows and fails the hash.
+
+    Scale: the step is a fixed chain of endswith/regexp Columns —
+    map-side, codegen'd, no UDF; the census is one shuffle.
+    """
+    from ..pipeline import _STEP_FACTORIES
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    suffix = (
+        F.when(F.col("user_id") % 4 == 0, "com")
+        .when(F.col("user_id") % 4 == 1, "co.uk")
+        .when(F.col("user_id") % 4 == 2, "com.au")
+        .otherwise("io")
+    )
+    hosts = ev.select(
+        F.concat(
+            F.lit("svc-"), (F.col("user_id") % 20).cast("string"),
+            F.lit("."), F.col("event_type"), F.lit("."), suffix,
+        ).alias("host")
+    )
+    tagged = _STEP_FACTORIES["tld"](source="host")(hosts)
+    return (
+        tagged.groupBy(
+            F.col("tld.tld").alias("tld"),
+            F.col("tld.sld").alias("sld"),
+            F.col("tld.domain").alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tld", "sld")
+    )
