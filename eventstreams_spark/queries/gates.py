@@ -776,3 +776,57 @@ def tdigest_band_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "band")
     )
+
+
+@query(
+    "hll_difference_gate",
+    category="A3-sketch",
+    oracle="""
+        WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        SELECT CAST((SELECT count(*) FROM a
+                     WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT)
+                   AS n_diff_exact,
+               TRUE AS diff_ok
+    """,
+)
+def hll_difference_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-DIFFERENCE cardinality from sketches (theta-sketch A-not-B
+    semantics on HLL): |A\\B| = |A∪B| − |B| — two union-friendly
+    estimates differenced, the audience-exclusion counterpart to
+    hll_intersection_gate. Gate ±20% of the exact difference (two
+    ±5%-rsd estimates differenced), exact count hash-checked
+    alongside. Together the three gates (∩, \\, roundtrip) pin the
+    full sketch set-algebra surface a rollup store needs.
+
+    Scale: two approx aggregates over one scan; the exact side (anti
+    semantics via per-user flags) is ground truth only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    est = ev.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("eb"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
+        ).alias("eu"),
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("ia"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("ib"),
+        )
+        .agg(
+            F.sum((F.col("ia") * (1 - F.col("ib"))).cast("long"))
+            .alias("n_diff_exact")
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_diff_exact",
+        (
+            F.abs(F.col("eu") - F.col("eb") - F.col("n_diff_exact"))
+            <= 0.2 * F.col("n_diff_exact")
+        ).alias("diff_ok"),
+    )
