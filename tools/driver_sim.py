@@ -95,6 +95,13 @@ def main():
             continue
         t0 = time.time()
         try:
+            # builders persist intermediates and (house style) never
+            # unpersist — across ~300 queries in ONE session the
+            # accumulated cache OOMs the heap (seen at 295 queries:
+            # java heap space on the alphabetically-late heavy joins).
+            # Each query must be self-contained anyway, so drop all
+            # cached state between queries, like test_plans' fixture.
+            spark.catalog.clearCache()
             df = qs[name](spark, SF_DIR)
             spdf = df.toPandas()
             scols = list(spdf.columns)
