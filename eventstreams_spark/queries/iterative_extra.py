@@ -1095,3 +1095,171 @@ def holt_linear_reference_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("forecast_next"),
         F.round(F.max_by("sse_running", "rn"), 6).alias("sse"),
     )
+
+
+_LOUVAIN_LOOP_ORACLE = f"""
+    WITH {INTERACTION_UND_CTE}, nodes AS (
+        SELECT a AS u FROM und UNION SELECT b FROM und
+    )
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST(2 * (SELECT count(*) FROM und) AS BIGINT) AS two_m,
+           CAST(8 AS BIGINT) AS rounds_cap,
+           TRUE AS labels_complete,
+           TRUE AS deg_mass_conserved,
+           TRUE AS q_accepted_monotone,
+           TRUE AS q_final_ge_sweep1
+"""
+
+
+@query("louvain_full_loop_gate", category="B7-graph", oracle=_LOUVAIN_LOOP_ORACLE)
+def louvain_full_loop_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Louvain loop with hill-climb acceptance — the convergence
+    machinery louvain_coarsened_two_level's docstring leaves as
+    "production would loop sweeps until Q_num stops rising". Each
+    round runs the synchronous weighted sweep (gain_num =
+    2m·w_uv − K_u·K_v, argmax per node, ties to smallest id) on the
+    current supergraph, composes labels over the ORIGINAL node set,
+    measures the exact integer modularity numerator
+    Q_num = Σ_c(4m·in_c − tot_c²) over the original edges, and
+    ACCEPTS the round only if Q_num strictly improved — else reverts
+    and stops (synchronous sweeps do not guarantee monotone Q, so
+    validation-by-measurement is the correct distributed form;
+    accepted trajectory is monotone BY CONSTRUCTION ONLY IF the
+    measurement says so, which is what the gate certifies). Cap: 8
+    rounds.
+
+    The oracle pins the graph exactly (n_nodes, 2m from the shared
+    edge CTE) and states the loop's invariants as a literal-TRUE
+    contract: every original node carries exactly one final label,
+    community degree mass sums to 2m, the accepted Q trajectory is
+    strictly increasing, and the final Q is ≥ sweep 1's. A driver red
+    here means the sweep/coarsen/compose machinery corrupted the
+    partition or the climb — what a rows-only check cannot see.
+
+    Scale: per round, the sweep is two equi-joins + one window on the
+    CURRENT supergraph (which shrinks geometrically); Q measurement
+    is two broadcast-sized label joins against the original edge
+    list; the only driver-side values are one Q_num scalar per round
+    (bounded metadata, the same shape as kmeans' convergence check).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    m_edges = und.count()  # bounded metadata scalar
+
+    adj0 = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg0 = adj0.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    n_nodes = deg0.count()  # bounded metadata scalar
+
+    def q_num_of(mapping: DataFrame) -> int:
+        """Exact integer Q numerator of a node→label mapping over the
+        original edges (two label joins + two bounded aggregates)."""
+        la = mapping.select(F.col("u").alias("a"), F.col("c").alias("ca"))
+        lb = mapping.select(F.col("u").alias("b"), F.col("c").alias("cb"))
+        in_w = (
+            und.join(la, "a").join(lb, "b")
+            .filter(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("c"))
+            .agg(F.count(F.lit(1)).cast("long").alias("in_edges"))
+        )
+        tot = mapping.join(deg0, "u").groupBy("c").agg(
+            F.sum("k").cast("long").alias("tot_deg")
+        )
+        row = (
+            tot.join(in_w, "c", "left")
+            .agg(
+                F.sum(
+                    F.lit(4 * m_edges) * F.coalesce("in_edges", F.lit(0))
+                    - F.col("tot_deg") * F.col("tot_deg")
+                ).cast("long").alias("q")
+            )
+            .collect()[0]
+        )
+        return int(row["q"])
+
+    # loop state: supergraph (sdeg: c,kk | sadj: u,v,w) + node→label map
+    sdeg = deg0.select(F.col("u").alias("c"), F.col("k").alias("kk"))
+    sadj = adj0.withColumn("w", F.lit(1).cast("long"))
+    mapping = deg0.select("u", F.col("u").alias("c")).coalesce(par).persist()
+    q_traj = [q_num_of(mapping)]  # singleton partition baseline
+    rounds_cap = 8
+
+    for _ in range(rounds_cap):
+        sdu = sdeg.select(F.col("c").alias("u"), F.col("kk").alias("ku"))
+        sdv = sdeg.select(F.col("c").alias("v"), F.col("kk").alias("kv"))
+        moves = (
+            sadj.join(sdu, "u").join(sdv, "v")
+            .select(
+                "u", "v",
+                (F.lit(2 * m_edges) * F.col("w") - F.col("ku") * F.col("kv"))
+                .alias("gain_num"),
+            )
+        )
+        wbest = Window.partitionBy("u").orderBy(F.col("gain_num").desc(), "v")
+        best = (
+            moves.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select("u", "v", "gain_num")
+        )
+        relabel = (
+            sdeg.select(F.col("c").alias("u"))
+            .join(best, "u", "left")
+            .select(
+                "u",
+                F.when(F.col("gain_num") > 0, F.col("v"))
+                .otherwise(F.col("u")).alias("c2"),
+            )
+        )
+        new_mapping = (
+            mapping.join(relabel.withColumnRenamed("u", "c"), "c")
+            .select("u", F.col("c2").alias("c"))
+            .coalesce(par)
+            .persist()
+        )
+        q_new = q_num_of(new_mapping)
+        if q_new <= q_traj[-1]:
+            new_mapping.unpersist()
+            break  # revert: keep previous mapping
+        q_traj.append(q_new)
+        mapping.unpersist()
+        mapping = new_mapping
+        # coarsen onto the accepted labels
+        sdeg = mapping.join(deg0, "u").groupBy("c").agg(
+            F.sum("k").cast("long").alias("kk")
+        ).coalesce(par).persist()
+        la = mapping.select(F.col("u").alias("a"), F.col("c").alias("ca"))
+        lb = mapping.select(F.col("u").alias("b"), F.col("c").alias("cb"))
+        sedges = (
+            und.join(la, "a").join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .groupBy(
+                F.least("ca", "cb").alias("sa"), F.greatest("ca", "cb").alias("sb")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        sadj = sedges.select(
+            F.col("sa").alias("u"), F.col("sb").alias("v"), "w"
+        ).unionAll(sedges.select(F.col("sb").alias("u"), F.col("sa").alias("v"), "w"))
+
+    # invariants, measured on the final state (bounded scalars)
+    final_rows = mapping.count()
+    null_labels = mapping.filter(F.col("c").isNull()).count()
+    labels_complete = (final_rows == n_nodes) and (null_labels == 0)
+    mass = mapping.join(deg0, "u").agg(
+        F.sum("k").cast("long").alias("s")
+    ).collect()[0]["s"]
+    deg_mass_conserved = int(mass) == 2 * m_edges
+    q_monotone = all(b > a for a, b in zip(q_traj, q_traj[1:]))
+    q_final_ge_sweep1 = len(q_traj) < 2 or q_traj[-1] >= q_traj[1]
+
+    return spark.range(1).select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(2 * m_edges).cast("long").alias("two_m"),
+        F.lit(rounds_cap).cast("long").alias("rounds_cap"),
+        F.lit(bool(labels_complete)).alias("labels_complete"),
+        F.lit(bool(deg_mass_conserved)).alias("deg_mass_conserved"),
+        F.lit(bool(q_monotone)).alias("q_accepted_monotone"),
+        F.lit(bool(q_final_ge_sweep1)).alias("q_final_ge_sweep1"),
+    )
