@@ -830,3 +830,84 @@ def hll_difference_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.2 * F.col("n_diff_exact")
         ).alias("diff_ok"),
     )
+
+
+@query(
+    "kll_tdigest_shootout_gate",
+    category="A3-sketch",
+    oracle="""
+        SELECT event_type,
+               TRUE AS kll_p50_ok, TRUE AS kll_p90_ok, TRUE AS kll_p99_ok,
+               TRUE AS kll_bounded_ok, TRUE AS kll_weight_ok,
+               TRUE AS agree_p50_ok, TRUE AS agree_p99_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def kll_tdigest_shootout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL vs t-digest SHOOTOUT — the two mergeable quantile sketches
+    production engines choose between, certified against each other
+    and against the exact distribution in one plan. Per event_type:
+    KLL (operators/kll.py, k=200, deterministic coins, shards
+    user_id % 8 merged in shard order) estimates p50/p90/p99; each
+    estimate's TRUE rank (fraction of values ≤ it) must land within
+    ±2.5% of the target; the sketch must stay bounded (≤1200 retained
+    items = k·log headroom) with total weight within 2% of the true
+    row count (KLL's compaction conserves weight only up to odd-buffer
+    rounding — a documented property, so the gate claims the bound,
+    not equality). Cross-sketch agreement: the RANKS of the KLL and
+    t-digest estimates at p50 and p99 must sit within 4% of each
+    other (each is within 2–2.5% of target ⇒ ≤ ~5% worst case;
+    measured ≪). A red on agree_* with both accuracy families green
+    would mean the rank probe itself broke.
+
+    Scale: both sketches are two-level applyInPandas builds with O(k)
+    / O(δ) state per shard; the exact-rank probe joins a broadcast
+    5-row estimate frame back to the fact scan — ground truth for the
+    gate only, not the production path.
+    """
+    from ..operators.kll import kll_quantiles
+    from ..operators.tdigest import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    kll = kll_quantiles(
+        ev, "event_type", "value", F.col("user_id") % 8, qs=(0.5, 0.9, 0.99), k=200
+    ).select(
+        F.col("g").alias("event_type"),
+        F.col("q500").alias("k50"), F.col("q900").alias("k90"),
+        F.col("q990").alias("k99"),
+        "n_retained", F.col("total_weight").alias("kll_weight"),
+    )
+    td = tdigest_quantiles(
+        ev, "event_type", "value", F.col("user_id") % 8,
+        qs=(0.5, 0.99), delta=100.0, n_shards=8,
+    ).select(
+        F.col("g").alias("event_type"),
+        F.col("q500").alias("t50"), F.col("q990").alias("t99"),
+    )
+    est = kll.join(td, "event_type")
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg((F.col("value") <= F.col("k50")).cast("double")).alias("rk50"),
+            F.avg((F.col("value") <= F.col("k90")).cast("double")).alias("rk90"),
+            F.avg((F.col("value") <= F.col("k99")).cast("double")).alias("rk99"),
+            F.avg((F.col("value") <= F.col("t50")).cast("double")).alias("rt50"),
+            F.avg((F.col("value") <= F.col("t99")).cast("double")).alias("rt99"),
+            F.first("n_retained").alias("n_retained"),
+            F.first("kll_weight").alias("kll_weight"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        (F.abs(F.col("rk50") - 0.5) <= 0.025).alias("kll_p50_ok"),
+        (F.abs(F.col("rk90") - 0.9) <= 0.025).alias("kll_p90_ok"),
+        (F.abs(F.col("rk99") - 0.99) <= 0.025).alias("kll_p99_ok"),
+        (F.col("n_retained") <= 1200).alias("kll_bounded_ok"),
+        (
+            F.abs(F.col("kll_weight") - F.col("n")) <= 0.02 * F.col("n")
+        ).alias("kll_weight_ok"),
+        (F.abs(F.col("rk50") - F.col("rt50")) <= 0.04).alias("agree_p50_ok"),
+        (F.abs(F.col("rk99") - F.col("rt99")) <= 0.04).alias("agree_p99_ok"),
+    ).orderBy("event_type")
