@@ -911,3 +911,68 @@ def kll_tdigest_shootout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("rk50") - F.col("rt50")) <= 0.04).alias("agree_p50_ok"),
         (F.abs(F.col("rk99") - F.col("rt99")) <= 0.04).alias("agree_p99_ok"),
     ).orderBy("event_type")
+
+
+@query(
+    "qdigest_quantile_gate",
+    category="A3-sketch",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+               TRUE AS size_ok, TRUE AS weight_exact_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def qdigest_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-digest contract (operators/qdigest.py) — the INTEGER-domain
+    quantile sketch with hard deterministic bounds, certified per
+    event_type over value-CENTS (floor(value·100+0.5), clamped to the
+    16-bit universe; max observed cents ≈ 49k, so clamping is a
+    domain statement, not data loss). Claims: each of p50/p90/p99
+    lands within the sketch's PROVABLE rank bound log2(U)/k =
+    16/1024 ≈ 1.6% (gated at 2% for probe slack); the merged digest
+    holds ≤ 3k nodes (the classic size bound); and — the property
+    neither KLL nor t-digest has — total weight equals the EXACT row
+    count, hash-checked against the oracle's own count(*) per group,
+    because q-digest compression only moves counts to ancestors.
+
+    Scale: per-shard leaf maps are bounded by min(rows, U) = at most
+    65536 entries no matter the corpus; shard digests are ≤3k nodes;
+    the merge is nodewise addition. The exact-rank probe (broadcast
+    5-row estimates joined back to the scan) is gate ground truth
+    only.
+    """
+    from ..operators.qdigest import qdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.least(
+        F.greatest(F.floor(F.col("value") * 100 + F.lit(0.5)), F.lit(0)),
+        F.lit(65535),
+    )
+    est = qdigest_quantiles(
+        ev, "event_type", cents, F.col("user_id") % 8,
+        qs=(0.5, 0.9, 0.99), bits=16, k=1024,
+    ).withColumnRenamed("g", "event_type")
+    ranks = (
+        ev.withColumn("cents", cents)
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.avg((F.col("cents") <= F.col("q500")).cast("double")).alias("r50"),
+            F.avg((F.col("cents") <= F.col("q900")).cast("double")).alias("r90"),
+            F.avg((F.col("cents") <= F.col("q990")).cast("double")).alias("r99"),
+            F.first("n_nodes").alias("n_nodes"),
+            F.first("total_weight").alias("total_weight"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.02).alias("p90_ok"),
+        (F.abs(F.col("r99") - 0.99) <= 0.02).alias("p99_ok"),
+        (F.col("n_nodes") <= 3 * 1024).alias("size_ok"),
+        (F.col("total_weight") == F.col("n_exact")).alias("weight_exact_ok"),
+    ).orderBy("event_type")
