@@ -976,3 +976,94 @@ def qdigest_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nodes") <= 3 * 1024).alias("size_ok"),
         (F.col("total_weight") == F.col("n_exact")).alias("weight_exact_ok"),
     ).orderBy("event_type")
+
+
+@query(
+    "tdigest_band_agreement_gate",
+    category="T16-band",
+    oracle="""
+        SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               TRUE AS p50_rank_ok, TRUE AS band_agree_ok
+        FROM events
+    """,
+)
+def tdigest_band_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-powered percentile bands — the 100 TB path behind
+    percentile_band_daily: per-day t-digests (one O(δ) summary per
+    day, mergeable across that day's shards) estimate p25/p50/p75,
+    the same trailing-7-day band logic runs on the estimates, and the
+    gate certifies the sketch can OWN the monitor: (a) the mean
+    absolute rank error of the t-digest daily median across all days
+    is ≤ 4% (per-day n is small at test SFs, where the digest is
+    near-exact because nothing compresses; at production n the k1
+    tails take over), and (b) the out-of-band verdicts from the
+    sketch band agree with the exact band on ≥ 90% of warm days. The
+    day count is hash-pinned exactly.
+
+    Scale: this is the shape that removes percentile_band_daily's
+    per-day exact sort — each day folds to ≤2δ centroids on the map
+    side, the band windows run on the ~30-row day frame, and the
+    exact-percentile twin here is gate ground truth only.
+    """
+    from ..operators.tdigest import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    est = tdigest_quantiles(
+        ev.withColumn("day", F.to_date("ts").cast("string")),
+        "day", "value", F.col("user_id") % 8,
+        qs=(0.25, 0.5, 0.75), delta=100.0,
+    ).select(
+        F.to_date("g").alias("day"),
+        F.col("q250").alias("e25"), F.col("q500").alias("e50"),
+        F.col("q750").alias("e75"),
+    )
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.50)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n_day"),
+    )
+
+    def banded(df: DataFrame, lo: str, mid: str, hi: str, out: str) -> DataFrame:
+        trail = Window.orderBy("day").rowsBetween(-7, -1)
+        return df.select(
+            "day", *df.columns[1:],
+            F.when(
+                F.count(F.lit(1)).over(trail) >= 3,
+                (F.col(mid) < F.avg(lo).over(trail))
+                | (F.col(mid) > F.avg(hi).over(trail)),
+            ).alias(out),
+        )
+
+    flag_e = banded(est, "e25", "e50", "e75", "flag_est").select("day", "e50", "flag_est")
+    flag_x = banded(exact, "p25", "p50", "p75", "flag_exact").select(
+        "day", "n_day", "flag_exact"
+    )
+    # per-day true rank of the estimated median
+    ranks = (
+        ev.withColumn("day", F.to_date("ts"))
+        .join(F.broadcast(flag_e), "day")
+        .groupBy("day")
+        .agg(
+            F.avg((F.col("value") <= F.col("e50")).cast("double")).alias("r50"),
+            F.first("flag_est").alias("flag_est"),
+        )
+    )
+    joined = ranks.join(flag_x, "day")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.avg(F.abs(F.col("r50") - 0.5)) <= 0.04).alias("p50_rank_ok"),
+        (
+            F.coalesce(
+                F.avg(
+                    F.when(
+                        F.col("flag_est").isNotNull()
+                        & F.col("flag_exact").isNotNull(),
+                        (F.col("flag_est") == F.col("flag_exact")).cast("double"),
+                    )
+                ),
+                F.lit(1.0),
+            )
+            >= 0.9
+        ).alias("band_agree_ok"),
+    )

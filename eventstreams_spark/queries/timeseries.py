@@ -629,3 +629,75 @@ def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "percentile_band_daily",
+    category="T16-band",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), banded AS (
+            SELECT day, p25, p50, p75,
+                   round(avg(p25) OVER trail, 6) AS band_lo,
+                   round(avg(p75) OVER trail, 6) AS band_hi,
+                   count(*) OVER trail AS n_trail
+            FROM daily
+            WINDOW trail AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                             AND 1 PRECEDING)
+        )
+        SELECT day, p25, p50, p75, band_lo, band_hi,
+               CASE WHEN n_trail >= 3
+                    THEN p50 < band_lo OR p50 > band_hi
+                    ELSE NULL END AS out_of_band
+        FROM banded ORDER BY day
+    """,
+)
+def percentile_band_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile REGRESSION BANDS — the daily-quantile drift monitor:
+    per day, exact p25/p50/p75 of event value; the trailing 7-day
+    averages of p25 and p75 form the expected band, and a day is
+    flagged when its median exits it. Days with fewer than 3 trailing
+    observations emit NULL (warm-up, not a verdict). This is the
+    metric-quality monitor a training pipeline runs on every numeric
+    feed: quantiles instead of means so heavy tails don't own the
+    band, a band instead of a point so seasonal wobble doesn't page.
+
+    Cross-engine float discipline: both engines interpolate quantiles
+    with rank = q·(n−1) over the same doubles; results round to 6
+    before the band arithmetic REUSES the rounded values, so the
+    comparison operands are bit-identical.
+
+    Scale: one groupBy(day) percentile aggregate over the scan (exact
+    per-day quantiles are cheap because the partition IS the day at
+    100 TB — partition-local sort, no cross-day shuffle), then
+    windows over the ~30-row day frame — bounded metadata. The
+    sketch-powered twin (tdigest_band_agreement_gate) certifies the
+    O(δ) path that replaces the exact sort when a single day is too
+    large to sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+    # ~30 day rows: the unpartitioned window is a bounded metadata frame
+    trail = Window.orderBy("day").rowsBetween(-7, -1)
+    banded = daily.select(
+        "day", "p25", "p50", "p75",
+        F.round(F.avg("p25").over(trail), 6).alias("band_lo"),
+        F.round(F.avg("p75").over(trail), 6).alias("band_hi"),
+        F.count(F.lit(1)).over(trail).alias("n_trail"),
+    )
+    return banded.select(
+        "day", "p25", "p50", "p75", "band_lo", "band_hi",
+        F.when(
+            F.col("n_trail") >= 3,
+            (F.col("p50") < F.col("band_lo")) | (F.col("p50") > F.col("band_hi")),
+        ).alias("out_of_band"),
+    ).orderBy("day")
