@@ -680,3 +680,70 @@ def tld_extract_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("tld", "sld")
     )
+
+
+@query(
+    "tld_psl_join_census",
+    category="P15",
+    oracle="""
+        WITH hosts AS (
+            SELECT event_type,
+                   CASE CAST(user_id % 5 AS INT)
+                        WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                        WHEN 2 THEN 'act.edu.au' WHEN 3 THEN 'k12.ca.us'
+                        ELSE 'xx' END AS suffix
+            FROM events WHERE event_id < 2000
+        )
+        SELECT suffix, event_type AS sld,
+               event_type || '.' || suffix AS domain,
+               count(*) AS n
+        FROM hosts
+        GROUP BY suffix, event_type
+        ORDER BY suffix, sld
+    """,
+)
+def tld_psl_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction against the PACKAGED Public-
+    Suffix-List subset (functions/psl.py + data/
+    public_suffix_subset.txt) — the data-driven upgrade of the ``tld``
+    step's 18-entry when-chain, closing NEXT.md's "PSL data-file"
+    item. Hosts are synthesized across the rule shapes that
+    distinguish the PSL algorithm from naive last-label splitting:
+    1-label (com), 2-label (co.uk), 3-label (act.edu.au, k12.ca.us —
+    the latter also proves longest-match wins when the middle
+    candidate ca.us is NOT a rule), and an unknown suffix (xx)
+    exercising the last-label fallback. The census of (suffix, sld,
+    registered domain) must equal the oracle's direct construction —
+    any wrong split shifts whole rows.
+
+    Scale: the rule table broadcasts once per candidate length (4
+    map-side BroadcastHashJoins, no explode, no groupBy inside the
+    operator — row multiplicity untouched); the census is the only
+    shuffle. Swapping in the full ~9k-rule PSL changes nothing but
+    the data file.
+    """
+    from ..functions.psl import extract_registered_domain, load_psl
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    suffix = (
+        F.when(F.col("user_id") % 5 == 0, "com")
+        .when(F.col("user_id") % 5 == 1, "co.uk")
+        .when(F.col("user_id") % 5 == 2, "act.edu.au")
+        .when(F.col("user_id") % 5 == 3, "k12.ca.us")
+        .otherwise("xx")
+    )
+    hosts = ev.select(
+        F.concat(
+            F.lit("www."), F.col("event_type"), F.lit("."), suffix
+        ).alias("host")
+    )
+    tagged = extract_registered_domain(hosts, "host", load_psl(spark))
+    return (
+        tagged.groupBy(
+            F.col("psl.suffix").alias("suffix"),
+            F.col("psl.sld").alias("sld"),
+            F.col("psl.domain").alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("suffix", "sld")
+    )
