@@ -701,3 +701,153 @@ def percentile_band_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p50") < F.col("band_lo")) | (F.col("p50") > F.col("band_hi")),
         ).alias("out_of_band"),
     ).orderBy("day")
+
+
+@query(
+    "theil_sen_daily_slope",
+    category="T18-robust",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+                   round(avg(value), 6) AS m
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), slopes AS (
+            SELECT a.event_type,
+                   (b.m - a.m) / (b.d - a.d) AS s
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.d > a.d
+        ), ts_est AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(quantile_cont(s, 0.5), 6) AS sen_slope
+            FROM slopes GROUP BY event_type
+        )
+        SELECT t.event_type, t.n_pairs, t.sen_slope,
+               round(quantile_cont(d.m - t.sen_slope * d.d, 0.5), 6)
+                   AS sen_intercept
+        FROM ts_est t JOIN daily d ON t.event_type = d.event_type
+        GROUP BY t.event_type, t.n_pairs, t.sen_slope
+        ORDER BY t.event_type
+    """,
+)
+def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event_type: slope = the
+    MEDIAN of all pairwise slopes between daily mean values, intercept
+    = median(y − slope·x) — the trend line a single outlier day cannot
+    move (vs least-squares, where one bad day owns the fit; the regr_
+    family pins that estimator, this pins its robust sibling).
+
+    Float discipline: daily means round to 6 first (moment order
+    differs across engines), day indices are exact integers, so every
+    pairwise slope is the same IEEE division in both engines; medians
+    interpolate between identical doubles; results round to 6.
+
+    Scale: the pairwise join is WITHIN-GROUP over the DAILY
+    AGGREGATE, never over raw events — pair volume is
+    |groups|·days²/2 (435 pairs per group here), a metadata-sized
+    frame regardless of corpus size. The raw scan collapses in one
+    map-side-combinable avg first; that pre-aggregation is what makes
+    Theil–Sen feasible at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.round(F.avg("value"), 6).alias("m")).persist()
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("m").alias("m1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("m").alias("m2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            ((F.col("m2") - F.col("m1")) / (F.col("d2") - F.col("d1"))).alias("s"),
+        )
+    )
+    est = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("sen_slope"),
+    )
+    return (
+        daily.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "n_pairs", "sen_slope")
+        .agg(
+            F.round(
+                F.expr("percentile(m - sen_slope * d, 0.5)"), 6
+            ).alias("sen_intercept")
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "xcorr_lag_scan",
+    category="T19-xcorr",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS DOUBLE) AS x,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS DOUBLE) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), lags AS (
+            SELECT unnest([-7,-6,-5,-4,-3,-2,-1,0,1,2,3,4,5,6,7]) AS lag
+        ), paired AS (
+            SELECT l.lag, a.x, b.y
+            FROM lags l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.day = a.day + CAST(l.lag || ' days' AS INTERVAL)
+        )
+        SELECT lag AS lag_days,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(x, y), 6) AS r
+        FROM paired
+        GROUP BY lag
+        ORDER BY lag
+    """,
+)
+def xcorr_lag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation LAG SCAN between two metric series: Pearson r
+    between daily click volume and daily purchase volume at every
+    shift in [−7, +7] days — the lead/lag detector behind "does
+    clicking predict purchasing k days later?" (r maximized at
+    lag k > 0 ⇒ x leads y). Each lag correlates only the overlapping
+    day span, and n_days is emitted so a spuriously high r on a short
+    overlap is visible next to its support.
+
+    Float discipline: inputs are exact integer counts cast to double,
+    corr is the one aggregate both engines compute over identical
+    values; round 6 absorbs accumulation-order drift.
+
+    Scale: the raw scan folds to ONE ~30-row daily frame (map-side
+    combinable conditional counts); the 15-lag explosion and the
+    self-join run on that metadata frame — the corpus is touched
+    once, the scan costs |days|·|lags| rows total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("double").alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double").alias("y"),
+    ).persist()
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("day_a"), "x")
+    b = daily.select(F.col("day").alias("day_b"), "y")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag")),
+        )
+    )
+    return (
+        paired.groupBy(F.col("lag").alias("lag_days"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.corr("x", "y"), 6).alias("r"),
+        )
+        .orderBy("lag_days")
+    )
