@@ -2385,3 +2385,224 @@ def louvain_coarsened_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "community")
         .limit(15)
     )
+
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_STEPS = 400
+
+
+def _markov_removal_oracle() -> str:
+    chans = _MK_CHANNELS
+    us = ["START"] + chans
+    vs = chans + ["CONV"]
+    pivot_cols = ",\n               ".join(
+        f"coalesce(max(CASE WHEN u = '{u}' AND v = '{v}' THEN p END),"
+        f" CAST(0.0 AS DOUBLE)) AS p_{u.lower()}_{v.lower()}"
+        for u in us for v in vs
+    )
+    anchor_v = ",\n               ".join(
+        f"p_start_{c} AS v_{c}" for c in chans
+    )
+    step_v = ",\n               ".join(
+        f"{' + '.join(f'it.v_{u} * pv.p_{u}_{c}' for u in chans)} AS v_{c}"
+        for c in chans
+    )
+    conv_inc = " + ".join(f"it.v_{u} * pv.p_{u}_conv" for u in chans)
+    return f"""
+        WITH RECURSIVE fp AS (
+            SELECT user_id, min(ts) AS fpts FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), tch AS (
+            SELECT e.user_id, e.ts, e.event_id, e.event_type
+            FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+            WHERE e.event_type <> 'purchase'
+              AND (fp.fpts IS NULL OR e.ts < fp.fpts)
+        ), seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM tch
+        ), pairs AS (
+            SELECT 'START' AS u, event_type AS v FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT a.event_type, b.event_type
+            FROM seq a JOIN seq b
+              ON a.user_id = b.user_id AND b.rn = a.rn + 1
+            UNION ALL
+            SELECT s.event_type,
+                   CASE WHEN fp.user_id IS NOT NULL
+                        THEN 'CONV' ELSE 'NULL' END
+            FROM seq s LEFT JOIN fp ON s.user_id = fp.user_id
+            WHERE s.rn = s.n
+            UNION ALL
+            SELECT 'START', 'CONV' FROM fp
+            WHERE user_id NOT IN (SELECT DISTINCT user_id FROM tch)
+        ), counts AS (
+            SELECT u, v, count(*) AS c FROM pairs GROUP BY u, v
+        ), rowsum AS (
+            SELECT u, sum(c) AS t FROM counts GROUP BY u
+        ), prob AS (
+            SELECT counts.u, counts.v,
+                   CAST(counts.c AS DOUBLE) / CAST(rowsum.t AS DOUBLE) AS p
+            FROM counts JOIN rowsum ON counts.u = rowsum.u
+        ), scen AS (
+            SELECT unnest(['full', {", ".join(f"'{c}'" for c in chans)}])
+                AS removed
+        ), padj AS (
+            SELECT scen.removed, prob.u, prob.v, prob.p
+            FROM scen, prob
+            WHERE prob.u <> scen.removed AND prob.v <> scen.removed
+        ), pv AS MATERIALIZED (
+            SELECT removed,
+               {pivot_cols}
+            FROM padj GROUP BY removed
+        ), it AS (
+            SELECT removed, 0 AS step,
+               {anchor_v},
+               p_start_conv AS conv
+            FROM pv
+            UNION ALL
+            SELECT pv.removed, it.step + 1,
+               {step_v},
+               it.conv + {conv_inc} AS conv
+            FROM it JOIN pv ON it.removed = pv.removed
+            WHERE it.step < {_MK_STEPS}
+        ), final AS (
+            SELECT removed, conv FROM it WHERE step = {_MK_STEPS}
+        ), re AS (
+            SELECT f.removed AS channel, f.conv AS conv_removed,
+                   b.conv AS conv_full,
+                   1.0 - f.conv / b.conv AS re
+            FROM final f, (SELECT conv FROM final WHERE removed = 'full') b
+            WHERE f.removed <> 'full'
+        )
+        SELECT channel,
+               round(conv_full, 6) AS p_conv_full,
+               round(conv_removed, 6) AS p_conv_removed,
+               round(re, 6) AS removal_effect,
+               round(re / (SELECT sum(re) FROM re), 6) AS attribution_share
+        FROM re ORDER BY channel
+    """
+
+
+@query(
+    "markov_removal_attribution",
+    category="B10-markov",
+    oracle=_markov_removal_oracle(),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution — the data-driven
+    multi-touch model that first/last/linear attribution approximate:
+    user journeys (pre-conversion touches ordered by ts, event_id;
+    CONV/NULL absorbing ends) define a first-order transition matrix;
+    the conversion probability from START is the chain's absorption
+    mass into CONV; channel x's removal effect is the relative drop
+    in that probability when x is deleted from the graph (its inbound
+    mass redirected to NULL — row sums keep the full denominator);
+    shares normalize the four effects. Absorption runs as a FIXED
+    400-step power iteration in BOTH engines — same state order, same
+    left-to-right accumulation, so every float op is IEEE-identical
+    and the result is a defined functional even before convergence
+    (residual transient mass < (1−ε)^400, far under the 1e-6 round).
+
+    Scale: the distributed work is the journey→pair→count pipeline
+    (one window over user partitions + one count shuffle — the same
+    shape as markov_transition_matrix); the collected count table is
+    ≤ (|types|+1)·(|types|+2) rows of bounded metadata, and the 5
+    scenario chains iterate on a 4-vector driver-side, exactly like
+    the oracle's recursive CTE. At 100 TB nothing but the count table
+    ever reaches the driver.
+
+    Oracle: generated recursive-CTE twin (geohash-style shared
+    construction), CAST-to-DOUBLE discipline per oracle_conventions
+    (a DECIMAL-typed probability would poison all 400 iterations).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fp = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("fpts")
+    )
+    tch = (
+        ev.join(fp, "user_id", "left")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("fpts").isNull() | (F.col("ts") < F.col("fpts")))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = tch.select(
+        "user_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    ).persist()
+    first = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("u"), F.col("event_type").alias("v")
+    )
+    nxt = seq.alias("a").join(
+        seq.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.event_type").alias("u"), F.col("b.event_type").alias("v"))
+    last = (
+        seq.filter(F.col("rn") == F.col("n"))
+        .join(fp, "user_id", "left")
+        .select(
+            F.col("event_type").alias("u"),
+            F.when(F.col("fpts").isNotNull(), "CONV").otherwise("NULL").alias("v"),
+        )
+    )
+    notouch = fp.join(
+        seq.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(F.lit("START").alias("u"), F.lit("CONV").alias("v"))
+    counts = (
+        first.unionAll(nxt).unionAll(last).unionAll(notouch)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: <= (|types|+1) x (|types|+2) metadata rows
+    )
+    c_map: dict = {}
+    row_t: dict = {}
+    for r in counts:
+        c_map[(r["u"], r["v"])] = r["c"]
+        row_t[r["u"]] = row_t.get(r["u"], 0) + r["c"]
+
+    chans = _MK_CHANNELS
+
+    def prob(u: str, v: str, removed: str) -> float:
+        if u == removed or v == removed or u not in row_t:
+            return 0.0
+        return c_map.get((u, v), 0) / row_t[u]
+
+    def absorb(removed: str) -> float:
+        v = {c: prob("START", c, removed) for c in chans}
+        conv = prob("START", "CONV", removed)
+        for _ in range(_MK_STEPS):
+            nv = {}
+            for s in chans:
+                acc = 0.0
+                for u in chans:  # fixed order = the oracle's expression order
+                    acc = acc + v[u] * prob(u, s, removed)
+                nv[s] = acc
+            inc = conv
+            for u in chans:
+                inc = inc + v[u] * prob(u, "CONV", removed)
+            conv = inc
+            v = nv
+        return conv
+
+    conv_full = absorb("full")
+    res = [(c, conv_full, absorb(c)) for c in chans]
+    re = [(c, cf, cr, 1.0 - cr / cf) for c, cf, cr in res]
+    tot = 0.0
+    for _c, _cf, _cr, r in re:
+        tot = tot + r
+    rows = [
+        (c, round(cf, 6), round(cr, 6), round(r, 6), round(r / tot, 6))
+        for c, cf, cr, r in re
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_full double, p_conv_removed double,"
+        " removal_effect double, attribution_share double",
+    ).orderBy("channel")
