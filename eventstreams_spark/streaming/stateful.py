@@ -1007,3 +1007,92 @@ def decayed_topk_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kll_quantile_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    qs=(0.5, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Streaming quantile monitor: a per-key KLL sketch
+    (operators/kll.py — deterministic coins) folded across
+    micro-batches in GroupState; after each batch the key emits a
+    snapshot row with the current quantile estimates, total weight,
+    and retained-item count. The streaming twin of the batch
+    kll_quantiles build — O(k·log(n/k)) state per key forever, where
+    a windowed exact percentile would buffer the stream.
+
+    Determinism: the sketch is a pure fold over the sequence of
+    micro-batches (rows sorted by (ts, event_id-free) _fold_sort
+    within each batch; KLL.update_batch is input-order-invariant
+    inside a batch) — replaying the same files with the same batch
+    boundaries reproduces the state bit-for-bit (pinned by
+    tests/test_streaming.py::test_kll_stream_matches_offline_fold).
+    Batch-boundary INDEPENDENCE is deliberately not claimed: KLL
+    compaction points depend on arrival chunking (any one sketch is
+    valid; the rank guarantee holds regardless — also pinned).
+
+    Scale: one shuffle by key; state is a few hundred doubles per
+    key; JSON-serialized (separator-safe, same discipline as
+    heavy_hitters_stream).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.kll import KLL
+
+    qs = list(qs)
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("snap", LongType()),
+            StructField("total_weight", DoubleType()),
+            StructField("n_retained", IntegerType()),
+        ]
+        + [StructField(f"q{int(q * 1000)}", DoubleType()) for q in qs]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        blob, snap = state.get if state.exists else ("", 0)
+        if blob:
+            d = json.loads(blob)
+            sk = KLL.deserialize(d["items"], d["levels"], d["flips"], k=k)
+        else:
+            sk = KLL(k=k)
+        for pdf in pdfs:
+            sk.update_batch(_fold_sort(pdf, ts_col)[value_col].to_numpy())
+        snap += 1
+        items, levels, flips = sk.serialize()
+        state.update(
+            (json.dumps({"items": items, "levels": levels, "flips": flips}), snap)
+        )
+        row = {
+            "key": [str(key[0])],
+            "snap": [snap],
+            "total_weight": [sk.total_weight()],
+            "n_retained": [sk.n_retained()],
+        }
+        for q in qs:
+            row[f"q{int(q * 1000)}"] = [sk.quantile(q)]
+        yield pd.DataFrame(row)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="blob string, snap long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1574,3 +1574,51 @@ def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
             want[q] = [(r.vec_id, r.cos) for r in top]
     assert len(got) > 0
     assert got == want
+
+
+def test_kll_stream_matches_offline_fold(spark, tmp_path):
+    """Streaming KLL: the per-key sketch folded across micro-batches
+    must equal the offline KLL fed the same chunks in the same order
+    (bit-identical quantiles/state size), and the final snapshot's
+    rank guarantee must hold against the full value set."""
+    import numpy as np
+
+    from eventstreams_spark.operators.kll import KLL
+    from eventstreams_spark.streaming.stateful import kll_quantile_stream
+
+    rng = np.random.default_rng(42)
+    vals = rng.lognormal(0.0, 1.0, 600)
+    rows = [
+        ("a", f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="ts")
+    out = kll_quantile_stream(stream, "k", "ts", "v", qs=(0.5, 0.99), k=64)
+    run_to_memory(out, "t_kll", output_mode="append")
+    got = spark.sql(
+        "SELECT snap, total_weight, n_retained, q500, q990 FROM t_kll"
+        " WHERE key = 'a' ORDER BY snap"
+    ).collect()
+    assert [r.snap for r in got] == [1, 2, 3]
+
+    # offline twin: same 3 time-ordered chunks through the same class
+    order = np.argsort([r[1] for r in rows], kind="mergesort")
+    sorted_vals = vals[order]
+    chunk = len(rows) // 3
+    sk = KLL(k=64)
+    bounds = [0, chunk, 2 * chunk, len(rows)]
+    for i, r in enumerate(got):
+        sk.update_batch(sorted_vals[bounds[i]:bounds[i + 1]])
+        assert r.total_weight == sk.total_weight()
+        assert r.n_retained == sk.n_retained()
+        assert r.q500 == sk.quantile(0.5)
+        assert r.q990 == sk.quantile(0.99)
+
+    # rank guarantee on the final snapshot, independent of batching
+    final = got[-1]
+    assert abs(float((vals <= final.q500).mean()) - 0.5) <= 0.05
+    assert abs(float((vals <= final.q990).mean()) - 0.99) <= 0.05
