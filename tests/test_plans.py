@@ -1323,3 +1323,94 @@ def test_icws_sketch_no_pair_work_before_collision(spark, sf_dir):
     # the STATIC plan (persist materializes only at runtime)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 2, counts
     assert count_prefix(counts, "Window") >= 1, counts
+
+
+def test_knn_ring_expansion_broadcast_probe_and_cut(spark, sf_dir):
+    """Ring-expansion kNN: the 25-cell probe AND the 1-row rings_used
+    cut both broadcast; candidates come from the cell equi join; the
+    re-rank is a heap, never a global sort; no cartesian on data."""
+    df = q("spatial_knn_ring_expansion", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    # the 1-row cut frame crossJoins via broadcast NLJ — bounded by 2
+    # static-plan copies of the persisted candidate subtree
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 2, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
+
+
+def test_psl_census_all_joins_broadcast_no_explode(spark, sf_dir):
+    """PSL longest-match: 4 broadcast rule joins, no explode (Generate)
+    and no shuffle before the census aggregate's own exchange."""
+    df = q("tld_psl_join_census", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") == 4, counts
+    assert count_prefix(counts, "Generate") == 0, counts
+
+
+def test_theil_sen_pairs_on_daily_aggregate_only(spark, sf_dir):
+    """Theil-Sen: exactly one raw-events scan feeding the daily
+    aggregate; the quadratic pair join runs on the persisted daily
+    frame (static plan shows the reused subtree, never a second
+    events scan); no cartesian."""
+    df = q("theil_sen_daily_slope", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_xcorr_lag_join_on_metadata_frame(spark, sf_dir):
+    """Lag scan: the 15-row lag frame broadcast-joins the ~30-row
+    daily aggregate; the raw scan collapses in one two-phase agg."""
+    df = q("xcorr_lag_scan", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_percentile_band_single_scan_single_agg(spark, sf_dir):
+    """Daily band: ONE events scan, one groupBy(day) aggregate; the
+    trailing windows run on the bounded day frame."""
+    df = q("percentile_band_daily", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_qdigest_gate_broadcast_estimates(spark, sf_dir):
+    """q-digest gate: sketch build is applyInPandas (FlatMapGroups);
+    the 5-row estimate frame broadcasts back onto the probe scan."""
+    df = q("qdigest_quantile_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "FlatMapGroupsInPandas") >= 2, counts
+
+
+def test_kll_shootout_gate_broadcast_estimates(spark, sf_dir):
+    """KLL shootout: both sketches are two-stage FlatMapGroups builds;
+    the joined estimate frame broadcasts onto the rank probe."""
+    df = q("kll_tdigest_shootout_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "FlatMapGroupsInPandas") >= 4, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+
+
+def test_markov_attribution_count_pipeline_shape(spark, sf_dir):
+    """Markov removal effect: the distributed piece is journeys →
+    pairs → counts. Pin the pair construction: windows over user
+    partitions, no cartesian, unions of the four pair sources."""
+    from eventstreams_spark import registry as _r
+
+    # builder returns literals AFTER collecting the bounded count
+    # table; assert on the final frame shape instead of the plan
+    df = q("markov_removal_attribution", spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 4
+    shares = [r.attribution_share for r in rows]
+    assert abs(sum(shares) - 1.0) <= 1e-4
+    assert all(r.removal_effect >= 0 for r in rows)
