@@ -1328,3 +1328,253 @@ def spatial_knn_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_km", "cand_id")
         .limit(10)
     )
+
+
+def _zkey_expr(div: str) -> str:
+    """8-bit×8-bit Morton (Z-order) interleave over lat_idx/lon_idx —
+    same generated-integer-arithmetic trick as _geohash_expr."""
+    terms = []
+    for k in range(8):
+        terms.append(f"((lon_idx {div} {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"((lat_idx {div} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hilbert_ctes(base: str, div: str, xor) -> str:
+    """The unrolled Hilbert xy2d loop (8 levels, 256×256 grid) as a
+    chain of CTEs: per level s, quadrant digit d += s²·((3·rx) XOR
+    ry), then the reflect+swap rotation. ONE generated text shared by
+    both engines, parameterized by the integer-division token and the
+    XOR syntax (`xor` is a callable (a, b) -> sql) — the curve cannot
+    drift between Spark and the oracle. ``base`` must provide
+    (id, lat_idx, lon_idx)."""
+    parts = [
+        f"""h0 AS (
+            SELECT id, lat_idx, lon_idx,
+                   lon_idx AS x, lat_idx AS y,
+                   CAST(0 AS BIGINT) AS d,
+                   {_zkey_expr(div)} AS zkey
+            FROM {base}
+        )"""
+    ]
+    prev = "h0"
+    for i in range(8):
+        s = 128 >> i
+        nxt = f"h{i + 1}"
+        parts.append(f"""{nxt}a AS (
+            SELECT id, lat_idx, lon_idx, x, y, d, zkey,
+                   CASE WHEN (x % {2 * s}) {div} {s} = 1 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y % {2 * s}) {div} {s} = 1 THEN 1 ELSE 0 END AS ry
+            FROM {prev}
+        ), {nxt} AS (
+            SELECT id, lat_idx, lon_idx,
+                   CASE WHEN ry = 0
+                        THEN CASE WHEN rx = 1 THEN 255 - y ELSE y END
+                        ELSE x END AS x,
+                   CASE WHEN ry = 0
+                        THEN CASE WHEN rx = 1 THEN 255 - x ELSE x END
+                        ELSE y END AS y,
+                   d + {s * s} * {xor("3 * rx", "ry")} AS d,
+                   zkey
+            FROM {nxt}a
+        )""")
+        prev = nxt
+    return ",\n        ".join(parts)
+
+
+def _hilbert_base_oracle() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat_u = md5_uniform_sql("concat('glat|', cast(c_custkey as varchar))")
+    lon_u = md5_uniform_sql("concat('glon|', cast(c_custkey as varchar))")
+    return f"""raw AS (
+            SELECT c_custkey AS id,
+                   ({lat_u} - 0.5) * 180.0 AS lat,
+                   ({lon_u} - 0.5) * 540.0 AS lon_raw
+            FROM customer
+        ), pts_hb AS (
+            SELECT id,
+                   least(CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT),
+                         255) AS lat_idx,
+                   least(CAST(floor(((lon_raw - 360.0 * floor((lon_raw + 180.0)
+                         / 360.0)) + 180.0) / 360.0 * 256.0) AS BIGINT),
+                         255) AS lon_idx
+            FROM raw
+        )"""
+
+
+def _hilbert_census_oracle() -> str:
+    ctes = _hilbert_ctes("pts_hb", "//", lambda a, b: f"xor({a}, {b})")
+    return f"""
+        WITH {_hilbert_base_oracle()},
+        {ctes}
+        SELECT CAST(d // 256 AS BIGINT) AS hbucket,
+               count(*) AS n_points,
+               CAST(min(d) AS BIGINT) AS min_key,
+               CAST(max(d) AS BIGINT) AS max_key
+        FROM h8
+        GROUP BY hbucket
+        ORDER BY n_points DESC, hbucket
+        LIMIT 25
+    """
+
+
+def _hilbert_spark_keys(spark: SparkSession, sf_dir: str, view: str):
+    """Shared Spark side: mint the point cloud (same glat/glon md5
+    cloud as the geohash family), quantize to the 256² grid, register
+    ``view`` and run the generated Hilbert+Z-order key SQL."""
+    from ..functions.sampling import md5_uniform
+
+    cust = load_table(spark, sf_dir, "customer")
+    lat = (md5_uniform("concat('glat|', cast(c_custkey as string))") - 0.5) * 180.0
+    lon_raw = (md5_uniform("concat('glon|', cast(c_custkey as string))") - 0.5) * 540.0
+    lon = F.col("lon_raw") - 360.0 * F.floor((F.col("lon_raw") + 180.0) / 360.0)
+    pts = (
+        cust.select(
+            F.col("c_custkey").alias("id"), lat.alias("lat"),
+            lon_raw.alias("lon_raw"),
+        )
+        .select("id", "lat", lon.alias("lon"))
+        .select(
+            "id",
+            F.least(
+                F.floor((F.col("lat") + 90.0) / 180.0 * 256.0).cast("long"),
+                F.lit(255),
+            ).alias("lat_idx"),
+            F.least(
+                F.floor((F.col("lon") + 180.0) / 360.0 * 256.0).cast("long"),
+                F.lit(255),
+            ).alias("lon_idx"),
+        )
+    )
+    pts.createOrReplaceTempView(view)
+    ctes = _hilbert_ctes(view, "div", lambda a, b: f"(({a}) ^ ({b}))")
+    return spark.sql(
+        f"WITH {ctes} SELECT id, lat_idx, lon_idx, d AS hkey, zkey FROM h8"
+    )
+
+
+@query("hilbert_cell_census", category="J13-layout", oracle=_hilbert_census_oracle())
+def hilbert_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys — the data-LAYOUT companion to
+    geohash_cell_census (Z-order/Morton): the xy2d quadrant-rotation
+    loop unrolled to 8 levels over the 256×256 grid as ONE generated
+    CTE chain shared with the oracle (parameterized only by the
+    int-div and XOR tokens), so the curve's bit path cannot drift
+    between engines. The census buckets the keyspace into 256
+    contiguous Hilbert ranges — exactly how a table clustered on this
+    key splits into files — and pins each bucket's occupancy and
+    min/max key.
+
+    Scale: the key is pure per-row integer arithmetic (codegen'd, no
+    UDF); the census is one count shuffle. Hilbert keys are what
+    Delta/Iceberg-style OPTIMIZE ZORDER aspires to: better locality
+    than Morton at the same cost — certified by
+    layout_locality_hilbert_vs_zorder.
+    """
+    keys = _hilbert_spark_keys(spark, sf_dir, "pts_hb_census")
+    return (
+        keys.groupBy((F.col("hkey") / 256).cast("long").alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("hkey").cast("long").alias("min_key"),
+            F.max("hkey").cast("long").alias("max_key"),
+        )
+        .orderBy(F.col("n_points").desc(), "hbucket")
+        .limit(25)
+    )
+
+
+def _locality_oracle() -> str:
+    ctes = _hilbert_ctes("pts_hb", "//", lambda a, b: f"xor({a}, {b})")
+    return f"""
+        WITH {_hilbert_base_oracle()},
+        {ctes},
+        keys AS (SELECT id, lat_idx, lon_idx, d AS hkey, zkey FROM h8),
+        rh AS (
+            SELECT *, row_number() OVER (ORDER BY hkey, id) AS r FROM keys
+        ), rz AS (
+            SELECT *, row_number() OVER (ORDER BY zkey, id) AS r FROM keys
+        ), ph AS (
+            SELECT CAST(sum(abs(b.lon_idx - a.lon_idx)
+                            + abs(b.lat_idx - a.lat_idx)) AS BIGINT) AS s,
+                   count(*) AS c
+            FROM rh a JOIN rh b ON b.r = a.r + 1
+        ), pz AS (
+            SELECT CAST(sum(abs(b.lon_idx - a.lon_idx)
+                            + abs(b.lat_idx - a.lat_idx)) AS BIGINT) AS s,
+                   count(*) AS c
+            FROM rz a JOIN rz b ON b.r = a.r + 1
+        )
+        SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_points,
+               round(CAST(ph.s AS DOUBLE) / ph.c, 6) AS avg_step_hilbert,
+               round(CAST(pz.s AS DOUBLE) / pz.c, 6) AS avg_step_zorder,
+               CAST(ph.s AS DOUBLE) / ph.c < CAST(pz.s AS DOUBLE) / pz.c
+                   AS hilbert_wins
+        FROM ph, pz
+    """
+
+
+@query(
+    "layout_locality_hilbert_vs_zorder",
+    category="J13-layout",
+    oracle=_locality_oracle(),
+)
+def layout_locality_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The locality SHOOTOUT that justifies the Hilbert key: lay the
+    same point cloud out in Hilbert order and in Z-order, measure the
+    mean Manhattan distance between grid cells of CONSECUTIVE rows in
+    each layout (the thing that decides how many file zone-maps a
+    spatial range probe must touch), and emit both averages plus the
+    verdict — computed from data on BOTH engines, so the comparison
+    itself is hash-checked, not asserted. Z-order's quadrant seams
+    produce its famous long jumps; Hilbert's rotation removes them.
+
+    Scale: ranks come from operators/ranking.py::exact_global_rank
+    (percentile-bucketed row_number + prefix offsets — NO
+    single-partition global sort; the oracle's plain row_number is
+    the semantic spec only); consecutive pairs are a rank → rank+1
+    self equi-join; both averages are exact integer sums divided
+    once.
+    """
+    from ..operators.ranking import exact_global_rank
+
+    keys = _hilbert_spark_keys(spark, sf_dir, "pts_hb_loc").persist()
+
+    def avg_step(key_col: str):
+        ranked, total = exact_global_rank(
+            keys, [key_col, "id"], rank_col="r", with_total=True
+        )
+        a = ranked.select(
+            F.col("r").alias("ra"), F.col("lon_idx").alias("xa"),
+            F.col("lat_idx").alias("ya"),
+        )
+        b = ranked.select(
+            (F.col("r") - 1).alias("ra"), F.col("lon_idx").alias("xb"),
+            F.col("lat_idx").alias("yb"),
+        )
+        agg = a.join(b, "ra").agg(
+            F.sum(
+                F.abs(F.col("xb") - F.col("xa")) + F.abs(F.col("yb") - F.col("ya"))
+            ).cast("long").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        return agg, total
+
+    ph, n_total = avg_step("hkey")
+    pz, _ = avg_step("zkey")
+    h = ph.select(
+        (F.col("s").cast("double") / F.col("c")).alias("ah")
+    )
+    z = pz.select(
+        (F.col("s").cast("double") / F.col("c")).alias("az")
+    )
+    return (
+        h.crossJoin(F.broadcast(z))
+        .select(
+            F.lit(n_total).cast("long").alias("n_points"),
+            F.round("ah", 6).alias("avg_step_hilbert"),
+            F.round("az", 6).alias("avg_step_zorder"),
+            (F.col("ah") < F.col("az")).alias("hilbert_wins"),
+        )
+    )
