@@ -967,3 +967,99 @@ def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit("events", "user_id").unionAll(audit("orders", "o_custkey")).orderBy("tbl")
+
+
+@query(
+    "zonemap_skipping_census",
+    category="W10-layout",
+    oracle="""
+        WITH assigned AS (
+            SELECT l_orderkey // 150 AS f_ingest,
+                   date_diff('day', DATE '1995-01-01',
+                             CAST(l_shipdate AS DATE)) // 25 AS f_clustered,
+                   CAST(l_shipdate AS DATE) AS sd
+            FROM lineitem
+        ), layouts AS (
+            SELECT 'ingest_order' AS layout, f_ingest AS f, sd FROM assigned
+            UNION ALL
+            SELECT 'shipdate_clustered', f_clustered, sd FROM assigned
+        ), zonemaps AS (
+            SELECT layout, f, min(sd) AS zmin, max(sd) AS zmax,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN sd >= DATE '1998-03-01'
+                                  AND sd < DATE '1998-04-01'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM layouts GROUP BY layout, f
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN zmax < DATE '1998-03-01'
+                              OR zmin >= DATE '1998-04-01'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_files_skipped,
+               CAST(sum(CASE WHEN zmax < DATE '1998-03-01'
+                              OR zmin >= DATE '1998-04-01'
+                        THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+               CAST(sum(n_match) AS BIGINT) AS rows_matching
+        FROM zonemaps
+        GROUP BY layout
+        ORDER BY layout
+    """,
+)
+def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map FILE-SKIPPING simulation — the mechanism that makes
+    clustering keys (hilbert_cell_census, Z-order) pay at 100 TB:
+    assign every lineitem row to a ~100-file layout two ways (ingest
+    order = orderkey ranges, vs clustered on l_shipdate), compute
+    each file's min/max zone map, and measure how many files a
+    one-month shipdate predicate can PROVE empty (zmax < lo or
+    zmin ≥ hi) and how many rows the survivors force through the
+    scan. Same rows_matching either way — the layouts differ only in
+    rows_scanned, which is exactly the I/O a real engine's footer
+    pruning saves. The census is hash-checked end-to-end, so a
+    regression in the bucket arithmetic or the skip predicate flips
+    rows.
+
+    Scale: one scan, one (layout, file) aggregate (map-side
+    combinable), one ~200-row rollup; at real scale this query IS the
+    layout-planner's cost model — run it before choosing a cluster
+    key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.to_date("l_shipdate")
+    assigned = li.select(
+        (F.col("l_orderkey") / 150).cast("long").alias("f_ingest"),
+        F.floor(
+            F.datediff(sd, F.lit("1995-01-01").cast("date")) / 25
+        ).cast("long").alias("f_clustered"),
+        sd.alias("sd"),
+    )
+    layouts = assigned.select(
+        F.lit("ingest_order").alias("layout"), F.col("f_ingest").alias("f"), "sd"
+    ).unionAll(
+        assigned.select(
+            F.lit("shipdate_clustered").alias("layout"),
+            F.col("f_clustered").alias("f"), "sd",
+        )
+    )
+    lo = F.lit("1998-03-01").cast("date")
+    hi = F.lit("1998-04-01").cast("date")
+    zonemaps = layouts.groupBy("layout", "f").agg(
+        F.min("sd").alias("zmin"),
+        F.max("sd").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((F.col("sd") >= lo) & (F.col("sd") < hi)).cast("int")
+        ).cast("long").alias("n_match"),
+    )
+    skipped = (F.col("zmax") < lo) | (F.col("zmin") >= hi)
+    return (
+        zonemaps.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(skipped.cast("int")).cast("long").alias("n_files_skipped"),
+            F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+            .cast("long").alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )
