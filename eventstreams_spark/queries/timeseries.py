@@ -851,3 +851,89 @@ def xcorr_lag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@query(
+    "twap_daily_by_type",
+    category="T20-twap",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                   lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS t_next,
+                   CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                        AS BIGINT) + 86400 AS day_end
+            FROM events WHERE value IS NOT NULL
+        ), weighted AS (
+            SELECT event_type, day,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       * (coalesce(t_next, day_end) - t) AS cw,
+                   coalesce(t_next, day_end) - t AS w
+            FROM obs
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(twa), 6) AS mean_daily_twa
+        FROM (
+            SELECT event_type, day,
+                   CAST(sum(cw) AS DOUBLE)
+                       / (100.0 * CAST(sum(w) AS DOUBLE)) AS twa
+            FROM weighted GROUP BY event_type, day
+        )
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average (the hypertable ``time_weight``
+    primitive, LOCF interpolation): within each (event_type, day),
+    every observation's value holds until the next observation — the
+    last one holds until midnight — and the day's TWA is
+    Σ v·Δt / Σ Δt. A plain avg over-weights bursts; TWA is what
+    billing/utilization metrics actually need. The daily TWAs then
+    average per type.
+
+    Exactness discipline: the weighted numerator accumulates as
+    INTEGER cents×seconds (floor(v·100+0.5)·Δt — int64 headroom:
+    49k cents × 86400 s × rows), so both engines sum the same
+    integers and perform ONE identical IEEE division per day; the
+    final cross-day avg rounds to 6.
+
+    Scale: the lead window partitions by (event_type, day) — the
+    partition is the day, so state is bounded and no cross-day
+    shuffle dependency exists; the rollups are two map-side-
+    combinable aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.to_date("ts")
+    w = Window.partitionBy("event_type", day.alias("day")).orderBy("ts", "event_id")
+    obs = ev.select(
+        "event_type", day.alias("day"), "value",
+        F.unix_timestamp("ts").alias("t"),
+        F.lead(F.unix_timestamp("ts")).over(
+            Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+        ).alias("t_next"),
+        (F.unix_timestamp(day.cast("timestamp")) + 86400).alias("day_end"),
+    )
+    weighted = obs.select(
+        "event_type", "day",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            * (F.coalesce("t_next", "day_end") - F.col("t"))
+        ).alias("cw"),
+        (F.coalesce("t_next", "day_end") - F.col("t")).alias("w"),
+    )
+    daily = weighted.groupBy("event_type", "day").agg(
+        (
+            F.sum("cw").cast("double") / (F.lit(100.0) * F.sum("w").cast("double"))
+        ).alias("twa")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("twa"), 6).alias("mean_daily_twa"),
+        )
+        .orderBy("event_type")
+    )
