@@ -1067,3 +1067,64 @@ def tdigest_band_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.9
         ).alias("band_agree_ok"),
     )
+
+
+@query(
+    "hll_sliding_window_distinct_gate",
+    category="A3-sketch",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        ), contrib AS (
+            SELECT d.day, e.user_id
+            FROM events e JOIN days d
+              ON CAST(e.ts AS DATE) <= d.day
+             AND CAST(e.ts AS DATE) >= d.day - INTERVAL '6 days'
+        )
+        SELECT day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS est_ok
+        FROM contrib GROUP BY day ORDER BY day
+    """,
+)
+def hll_sliding_window_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window distinct counts from mergeable daily sketches —
+    the layout that makes 7-day-actives cheap at 100 TB: one HLL
+    sketch per day (lgK=12), then each day's trailing-7 estimate is
+    an hll_union_agg WINDOW over the ~30-row day frame — the raw
+    corpus is scanned once, and a 90-day-actives variant would reuse
+    the same daily sketches with a wider frame instead of a rescan.
+    The gate hash-pins the exact trailing-7 distinct count per day
+    (oracle recomputes it independently) and claims the sketch lands
+    within 10% (lgK=12 rsd ≈ 1.6%; measured ≪).
+
+    The exact twin explodes each event onto the ≤7 window days it
+    feeds — one shuffle at 7× fan-out, gate ground truth only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("est"),
+    )
+    exact = (
+        ev.select(F.to_date("ts").alias("eday"), "user_id")
+        .withColumn("day", F.explode(F.expr(
+            "sequence(eday, date_add(eday, 6), interval 1 day)"
+        )))
+        .join(daily.select("day"), "day")  # only observed days emit rows
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            "day", "n_exact",
+            (F.abs(F.col("est") - F.col("n_exact"))
+             <= 0.10 * F.col("n_exact")).alias("est_ok"),
+        )
+        .orderBy("day")
+    )

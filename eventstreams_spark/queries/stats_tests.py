@@ -485,3 +485,73 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return sums.select("n", F.round(num / den, 9).alias("spearman_rho"))
+
+
+@query(
+    "ab_wilson_interval",
+    category="ST4-interval",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ), s AS (
+            SELECT variant,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS k,
+                   CAST(sum(converted) AS DOUBLE) / count(*) AS p
+            FROM assign GROUP BY variant
+        )
+        SELECT variant, n, k,
+               round(p, 6) AS conv_rate,
+               round((p + 1.959964 * 1.959964 / (2 * n)
+                      - 1.959964 * sqrt(p * (1 - p) / n
+                            + 1.959964 * 1.959964 / (4.0 * n * n)))
+                     / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+               round((p + 1.959964 * 1.959964 / (2 * n)
+                      + 1.959964 * sqrt(p * (1 - p) / n
+                            + 1.959964 * 1.959964 / (4.0 * n * n)))
+                     / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+        FROM s ORDER BY variant
+    """,
+)
+def ab_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval for per-variant conversion
+    rates — the interval that behaves at small n and extreme p where
+    the naive normal (Wald) interval collapses; the experimentation
+    readout that accompanies welch_t_test/mann_whitney_u. Users hash
+    into A/B by parity; a user converts if they ever purchase; the
+    closed-form Wilson bounds use z = 1.959964 as an exact literal so
+    both engines run the identical expression tree over identical
+    integer counts (one IEEE division minting p, everything after is
+    deterministic libm), rounded to 6.
+
+    Scale: one user-grain aggregate (map-side combinable max) + one
+    2-row rollup; the interval math is driver-free column arithmetic
+    on the 2-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    s = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p"),
+    )
+    z = F.lit(1.959964)
+    n, p = F.col("n"), F.col("p")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return s.select(
+        "variant", "n", "k",
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("variant")

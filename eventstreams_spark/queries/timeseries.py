@@ -937,3 +937,105 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "clamped_running_balance",
+    category="T21-fold",
+    oracle="""
+        WITH RECURSIVE seq AS MATERIALIZED (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CASE WHEN event_type IN ('purchase', 'signup')
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   END AS delta
+            FROM events WHERE value IS NOT NULL
+        ), mx AS MATERIALIZED (
+            SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id
+        ), fold AS (
+            SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS bal,
+                   CAST(0 AS BIGINT) AS n_lo, CAST(0 AS BIGINT) AS n_hi
+            FROM mx
+            UNION ALL
+            SELECT f.user_id, f.rn + 1,
+                   greatest(CAST(0 AS BIGINT),
+                            least(CAST(20000 AS BIGINT), f.bal + s.delta)),
+                   f.n_lo + CASE WHEN f.bal + s.delta < 0 THEN 1 ELSE 0 END,
+                   f.n_hi + CASE WHEN f.bal + s.delta > 20000 THEN 1 ELSE 0 END
+            FROM fold f JOIN seq s
+              ON s.user_id = f.user_id AND s.rn = f.rn + 1
+        )
+        SELECT f.user_id,
+               f.bal AS final_bal_cents,
+               f.n_lo AS n_clamp_lo,
+               f.n_hi AS n_clamp_hi
+        FROM fold f JOIN mx ON f.user_id = mx.user_id AND f.rn = mx.n
+        ORDER BY f.user_id
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLAMPED running balance — the fold no window frame can express:
+    per user, credits (purchase/signup cents) and debits (all other
+    event cents) apply in (ts, event_id) order to a balance clamped to
+    [0, 20000]; because the clamp is applied at EVERY step, the result
+    depends on the full path, not the sum (sum-then-clamp is wrong the
+    moment the path touches a bound). Emits each user's final balance
+    plus how often each bound clipped. This is the inventory/credit-
+    limit/token-bucket primitive; the streaming twins
+    (throttle/accumulate in streaming/stateful.py) run the same class
+    of fold in GroupState.
+
+    Exactness: all arithmetic is int64 cents; the fold order is the
+    repo-wide (ts, event_id) total order, so both engines walk
+    identical integer sequences.
+
+    Scale: one shuffle by user into applyInPandas; per-key state is 3
+    integers; the oracle's recursive CTE (depth = max events/user) is
+    the semantic spec, not the production shape.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    deltas = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).otherwise(
+            -F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        bal, lo, hi = 0, 0, 0
+        for d in pdf["delta"]:
+            t = bal + int(d)
+            if t < 0:
+                lo += 1
+                bal = 0
+            elif t > 20000:
+                hi += 1
+                bal = 20000
+            else:
+                bal = t
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_bal_cents": [bal],
+                "n_clamp_lo": [lo],
+                "n_clamp_hi": [hi],
+            }
+        )
+
+    return (
+        deltas.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id long, final_bal_cents long, n_clamp_lo long,"
+            " n_clamp_hi long",
+        )
+        .orderBy("user_id")
+    )
