@@ -100,6 +100,12 @@ def _parse_one(content: bytes | None) -> tuple:
         channels, rate = struct.unpack("<HI", content[22:28])
         bits = struct.unpack("<H", content[34:36])[0]
         return (None, None, channels, rate, bits)
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 11:
+        # logical screen descriptor: u16-LE dims + packed flags byte
+        w, h = struct.unpack("<HH", content[6:10])
+        packed = content[10]
+        depth = (packed & 0x07) + 1  # global color table bits/pixel
+        return (w, h, None, None, depth)
     if content[:3] == b"\xff\xd8\xff":
         # JPEG: walk marker segments to the first SOF (start-of-frame)
         # — unlike PNG/BMP the dimensions are not at a fixed offset

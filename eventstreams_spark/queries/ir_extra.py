@@ -9,7 +9,7 @@ doc×doc or token×token product).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -528,3 +528,68 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, merged string, n long"
     ).orderBy("round")
+
+
+@query(
+    "zipf_rank_frequency_fit",
+    category="L5-zipf",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), counts AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), top AS (
+            SELECT tok, cnt FROM counts
+            ORDER BY cnt DESC, tok LIMIT 200
+        ), ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, tok) AS r
+            FROM top
+        )
+        SELECT CAST((SELECT count(*) FROM counts) AS BIGINT) AS n_vocab,
+               CAST(count(*) AS BIGINT) AS n_fit,
+               round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                                ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+               round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                             ln(CAST(r AS DOUBLE))), 6) AS zipf_r2
+        FROM ranked
+    """,
+)
+def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic that
+    catches template spam and boilerplate floods before they poison a
+    training mix: natural language shows ln(count) ≈ a + s·ln(rank)
+    with s near −1; machine-generated or deduplicated-to-death text
+    bends the curve. OLS slope + R² over the top-200 tokens
+    (rank ties broken by token, so the fit set is deterministic),
+    with the exact vocabulary size pinned alongside.
+
+    Scale: token counts are one explode + combinable count; the
+    top-200 is a TakeOrdered heap (never a global sort of the vocab);
+    the regression runs on the 200-row frame. ln() is the same libm
+    call on identical doubles; regr moments round to 6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    n_vocab = counts.count()  # bounded metadata scalar
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(200)
+    ranked = top.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "tok")  # 200-row frame
+        ).alias("r"),
+    )
+    return ranked.agg(
+        F.lit(n_vocab).cast("long").alias("n_vocab"),
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.round(
+            F.regr_slope(F.log(F.col("cnt").cast("double")),
+                         F.log(F.col("r").cast("double"))), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_r2(F.log(F.col("cnt").cast("double")),
+                      F.log(F.col("r").cast("double"))), 6
+        ).alias("zipf_r2"),
+    )

@@ -1881,3 +1881,62 @@ def multimodal_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("length").alias("sum_bytes"),
     )
+
+
+_GIF_ORACLE = """
+    WITH meta AS (
+        SELECT doc_id,
+               32 + (doc_id % 6) * 32 AS width,
+               32 + (doc_id % 4) * 24 AS height,
+               CAST((doc_id % 8) AS INT) + 1 AS bit_depth,
+               13 + octet_length(CAST(text AS BLOB)) AS nbytes
+        FROM documents
+    )
+    SELECT 'image/gif' AS mime,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           bit_depth,
+           count(*) AS n,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM meta GROUP BY width, height, bit_depth
+"""
+
+
+@query("multimodal_gif_header_parse", category="L6-multimodal", oracle=_GIF_ORACLE)
+def multimodal_gif_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF logical-screen-descriptor parse — completes the L6 header
+    family (PNG/BMP/WAV/JPEG/GIF): GIF dimensions are u16
+    LITTLE-endian (vs PNG's big-endian u32 — the parser branch the
+    oracle distinguishes bit-for-bit) and color depth hides in the
+    packed flags byte (bits 0–2 = GCT bits/pixel − 1). Bytes are
+    minted with pure codegen (unhex/concat: GIF89a magic +
+    byte-swapped dims + packed byte with GCT flag set), then run the
+    production sniff_mime → parse_headers pipeline.
+
+    Scale: same contract as the PNG twin — bytes never shuffle; the
+    exchange carries only the parsed-metadata partial aggregates.
+    """
+    from ..operators.multimodal import parse_headers, sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.lit(32) + (F.col("doc_id") % 6) * 32).cast("int")
+    height = (F.lit(32) + (F.col("doc_id") % 4) * 24).cast("int")
+    gct_bits = (F.col("doc_id") % 8).cast("int")  # depth = bits + 1
+    le16 = lambda c: F.concat(  # noqa: E731 — u16 little-endian hex
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("int")), 2, "0")
+    )
+    header_hex = F.concat(
+        F.lit("474946383961"),                     # "GIF89a"
+        le16(width), le16(height),
+        F.lpad(F.hex(F.lit(128) + gct_bits), 2, "0"),  # packed: GCT flag | bits
+        F.lit("0000"),                             # bg color + aspect
+    )
+    media = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.unhex(header_hex), F.col("text").cast("binary")).alias("content"),
+    ).withColumn("length", F.length("content").cast("long"))
+    parsed = parse_headers(sniff_mime(media))
+    return parsed.groupBy("mime", "width", "height", "bit_depth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length").alias("sum_bytes"),
+    )
