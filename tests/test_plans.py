@@ -1414,3 +1414,89 @@ def test_markov_attribution_count_pipeline_shape(spark, sf_dir):
     shares = [r.attribution_share for r in rows]
     assert abs(sum(shares) - 1.0) <= 1e-4
     assert all(r.removal_effect >= 0 for r in rows)
+
+
+def test_hilbert_census_pure_codegen_single_scan(spark, sf_dir):
+    """Hilbert keys: pure Column integer arithmetic — no Python UDF
+    (BatchEvalPython/ArrowEvalPython), one customer scan, no joins."""
+    df = q("hilbert_cell_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "BatchEvalPython") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_zonemap_census_two_scans_no_joins(spark, sf_dir):
+    """Zone-map census: the two layouts are a unionAll of the same
+    scan; zero joins anywhere; two-phase rollups."""
+    df = q("zonemap_skipping_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 2, counts
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_twap_single_scan_day_partitioned_window(spark, sf_dir):
+    """TWAP: one scan, the lead window partitioned by (type, day),
+    no joins at all."""
+    df = q("twap_daily_by_type", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_hll_sliding_gate_window_over_daily_sketches(spark, sf_dir):
+    """Sliding HLL: the union window runs over the ~30-row day frame;
+    the exact twin's explode is the only Generate; the est↔exact meet
+    is an equi join."""
+    df = q("hll_sliding_window_distinct_gate", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert count_prefix(counts, "Generate") >= 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_wilson_interval_pure_aggregate_no_joins(spark, sf_dir):
+    """Wilson bounds: two stacked aggregates (user grain, variant
+    rollup), all closed-form column math — no joins, no windows."""
+    df = q("ab_wilson_interval", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
+    assert count_prefix(counts, "Window") == 0, counts
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_clamped_balance_single_grouped_fold(spark, sf_dir):
+    """Clamped fold: exactly one FlatMapGroupsInPandas over the user
+    shuffle; no window reconstruction; one scan."""
+    df = q("clamped_running_balance", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
+    assert count_prefix(counts, "Window") == 0, counts
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+
+
+def test_zipf_topk_heap_then_bounded_window(spark, sf_dir):
+    """Zipf fit: vocabulary top-200 via TakeOrdered heap (never a
+    global vocab sort); the rank window runs on the 200-row frame."""
+    df = q("zipf_rank_frequency_fit", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
+    assert count_prefix(counts, "Generate") >= 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_gif_parse_bytes_stay_mapside(spark, sf_dir):
+    """GIF parse: construction + sniff are codegen; the only Python
+    stage is the Arrow-batched header parse; the exchange carries
+    aggregates, not bytes."""
+    df = q("multimodal_gif_header_parse", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "MapInPandas") == 1, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
