@@ -2606,3 +2606,110 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conv_full double, p_conv_removed double,"
         " removal_effect double, attribution_share double",
     ).orderBy("channel")
+
+
+@query(
+    "cohort_ltv_cumulative",
+    category="B2-ltv",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+            GROUP BY user_id
+        ), cohorts AS (
+            SELECT user_id, date_trunc('week', d0) AS cohort_week
+            FROM first_seen
+        ), sizes AS (
+            SELECT cohort_week, count(*) AS cohort_users
+            FROM cohorts GROUP BY cohort_week
+        ), rev AS (
+            SELECT c.cohort_week,
+                   date_diff('week', c.cohort_week,
+                             date_trunc('week', CAST(e.ts AS DATE))) AS wk,
+                   CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events e
+            JOIN cohorts c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+            GROUP BY c.cohort_week, wk
+        ), tri AS (
+            SELECT cohort_week, wk,
+                   sum(cents) OVER (PARTITION BY cohort_week ORDER BY wk
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents
+            FROM rev
+        )
+        SELECT t.cohort_week, CAST(t.wk AS BIGINT) AS week_index,
+               s.cohort_users,
+               CAST(t.cum_cents AS BIGINT) AS cum_revenue_cents,
+               round(CAST(t.cum_cents AS DOUBLE)
+                     / (100.0 * s.cohort_users), 6) AS ltv_per_user
+        FROM tri t JOIN sizes s ON t.cohort_week = s.cohort_week
+        ORDER BY t.cohort_week, week_index
+    """,
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV triangle — the revenue side of the B2 cohort
+    family: users cohort by first-seen week; purchase revenue
+    accumulates per (cohort, weeks-since-signup) as exact integer
+    cents; LTV-per-user is ONE division of pinned integers by the
+    pinned cohort size. The cumulative window runs over each cohort's
+    ≤|weeks| row triangle — bounded metadata, like every window in
+    the B-series.
+
+    This is the curve LTV extrapolation (retention_decay_slope's
+    docstring) is fit against; together they close the
+    acquisition-payback readout.
+
+    Scale: two combinable aggregates over the scan (first-seen, and
+    the revenue rollup after an equi join on user) + a triangle-sized
+    window; nothing user-grain ever sorts globally.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    cohorts = first_seen.select(
+        "user_id", F.date_trunc("week", "d0").cast("date").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.to_date("ts")).cast("date"),
+                        F.col("cohort_week"),
+                    ) / 7
+                )
+            ).alias("wk"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long").alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week").orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tri = rev.select(
+        "cohort_week", "wk", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return (
+        tri.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("wk").cast("long").alias("week_index"),
+            "cohort_users",
+            F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / (F.lit(100.0) * F.col("cohort_users")), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_index")
+    )

@@ -1578,3 +1578,79 @@ def layout_locality_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("ah") < F.col("az")).alias("hilbert_wins"),
         )
     )
+
+
+@query(
+    "slo_burn_rate_alerts",
+    category="Q2-slo",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS total,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errs
+            FROM events GROUP BY h
+        ), windowed AS (
+            SELECT h, total, errs,
+                   sum(errs)  OVER w6 AS errs6,
+                   sum(total) OVER w6 AS total6
+            FROM hourly
+            WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        ), rates AS (
+            SELECT h,
+                   CAST(errs AS DOUBLE) / total AS rate1,
+                   CAST(errs6 AS DOUBLE) / total6 AS rate6
+            FROM windowed
+        )
+        SELECT count(*) AS n_hours,
+               CAST(sum(CASE WHEN rate1 > 14.4 * 0.01 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fast_burn_1h,
+               CAST(sum(CASE WHEN rate1 > 14.4 * 0.01
+                              AND rate6 > 6.0 * 0.01
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_page_alerts,
+               round(max(rate6), 6) AS worst_rate_6h
+        FROM rates
+    """,
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alerting (the Google-SRE
+    page rule): with a 1% error SLO, page only when BOTH the 1-hour
+    burn rate exceeds 14.4× AND the 6-hour exceeds 6× — the fast
+    window gives detection speed, the slow window suppresses blips.
+    Census of hours in each alert state plus the worst 6 h rate.
+
+    Float discipline: window aggregates carry INTEGER error/total
+    sums (exact); each rate is one IEEE division of identical
+    integers, so the threshold comparisons cannot drift (the repo
+    rule: never window-average floats when you can window-sum ints).
+
+    Scale: one hour-grain combinable aggregate over the scan; the
+    burn windows run on the hour frame (720 rows/month) — bounded
+    metadata, the same shape Prometheus recording rules materialize.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long").alias("errs"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)  # hour-grain frame, bounded
+    rates = hourly.select(
+        "h",
+        (F.col("errs").cast("double") / F.col("total")).alias("rate1"),
+        (
+            F.sum("errs").over(w6).cast("double") / F.sum("total").over(w6)
+        ).alias("rate6"),
+    )
+    return rates.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum((F.col("rate1") > 14.4 * 0.01).cast("int"))
+        .cast("long").alias("n_fast_burn_1h"),
+        F.sum(
+            ((F.col("rate1") > 14.4 * 0.01) & (F.col("rate6") > 6.0 * 0.01))
+            .cast("int")
+        ).cast("long").alias("n_page_alerts"),
+        F.round(F.max("rate6"), 6).alias("worst_rate_6h"),
+    )

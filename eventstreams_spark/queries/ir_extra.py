@@ -593,3 +593,167 @@ def zipf_rank_frequency_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.log(F.col("r").cast("double"))), 6
         ).alias("zipf_r2"),
     )
+
+
+@query(
+    "hybrid_rrf_fusion",
+    category="L5-hybrid",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks
+            WHERE tok IN ('hash', 'join', 'stream')
+            GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))
+                   ), 6) AS bm25
+            FROM tf
+            JOIN dfreq USING (tok)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ), lrank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM scored
+        ), vsim AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ), vrank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+            FROM vsim
+        ), l50 AS (SELECT doc_id, r FROM lrank WHERE r <= 50),
+           v50 AS (SELECT doc_id, r FROM vrank WHERE r <= 50),
+        fused AS (
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r),
+                            CAST(0.0 AS DOUBLE))
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r),
+                              CAST(0.0 AS DOUBLE)) AS rrf,
+                   l.r AS lex_rank, v.r AS vec_rank
+            FROM l50 l FULL OUTER JOIN v50 v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, round(rrf, 6) AS rrf_score,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal-Rank Fusion — the standard way
+    production search combines a lexical ranker (BM25, k1=1.2/b=0.75,
+    fixed 3-term query) with a vector ranker (exact cosine against
+    the vec_id-0 query embedding): each top-50 list contributes
+    1/(60 + rank) and documents found by BOTH modalities rise. Ranks
+    are minted over scores ROUNDED to 6 with doc_id tie-break
+    (oracle_conventions: rounded-score total order), so the fusion
+    input — and therefore the fused list — is cross-engine exact;
+    lex_rank/vec_rank are emitted (NULL when one modality missed the
+    doc) so the oracle verifies the JOIN structure, not just scores.
+
+    Scale: BM25 work ∝ matching postings (token filter precedes the
+    shuffle); cosine side is a broadcast-1-query scan +
+    TakeOrderedAndProject; fusion itself is a full-outer join of two
+    50-row frames — metadata. The doc_id↔vec_id aligned id space is
+    the testdata contract.
+    """
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "stream"]
+    k1, b = 1.2, 0.75
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    l50 = (
+        scored.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")  # 50-row frame
+            ).alias("lr"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("vec")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    vsim = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6).alias("sim"),
+        )
+    )
+    v50 = (
+        vsim.orderBy(F.col("sim").desc(), "doc_id").limit(50)
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), "doc_id")  # 50-row frame
+            ).alias("vr"),
+        )
+    )
+    fused = (
+        l50.join(v50, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vr")), F.lit(0.0))
+            ).alias("rrf"),
+            F.col("lr").cast("long").alias("lex_rank"),
+            F.col("vr").cast("long").alias("vec_rank"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id", F.round("rrf", 6).alias("rrf_score"), "lex_rank", "vec_rank", "rrf"
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .drop("rrf")
+    )

@@ -555,3 +555,92 @@ def ab_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("variant")
+
+
+@query(
+    "ab_cuped_adjustment",
+    category="ST5-cuped",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS DOUBLE) AS x,
+                   CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+            GROUP BY user_id
+        ), pooled AS (
+            SELECT covar_samp(x, y) / var_samp(x) AS theta,
+                   avg(x) AS mx
+            FROM per_user
+        )
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(avg(y) / 100.0, 6) AS mean_post,
+               round(avg(y - theta * (x - mx)) / 100.0, 6) AS mean_cuped,
+               round(1.0 - var_samp(y - theta * (x - mx)) / var_samp(y), 6)
+                   AS var_reduction,
+               round(theta, 6) AS theta
+        FROM per_user CROSS JOIN pooled
+        GROUP BY variant, theta ORDER BY variant
+    """,
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the pre-experiment-covariate
+    adjustment every mature experimentation platform applies before
+    the t-test: per user, x = pre-period spend (days 1–15, integer
+    cents) and y = post-period spend; θ = cov(x,y)/var(x) pooled
+    across variants; the adjusted metric y − θ(x − x̄) keeps the same
+    mean (CUPED is unbiased) but sheds the variance x explains —
+    var_reduction quantifies exactly how much smaller the experiment
+    could have been. Users split A/B by parity like ab_wilson_interval.
+
+    Float discipline: x/y are exact integer cents cast once; θ and
+    the moments are order-dependent aggregates, but every OUTPUT is a
+    ratio or a cent-scale mean, so 1e-12-relative drift dies at
+    round 6 (raw variances of cent-scaled values would NOT — they sit
+    at 1e10 where absolute rounding can't absorb drift; that's why
+    var_reduction ships instead).
+
+    Scale: one user-grain conditional aggregate, a 1-row pooled-stats
+    broadcast, one variant rollup — three map-side-combinable
+    aggregates over a single scan.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        .cast("double").alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+        .cast("double").alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "x", "y",
+    )
+    pooled = per_user.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).withColumn(
+        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+    )
+    return (
+        adj.groupBy("variant", "theta")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y") / 100.0, 6).alias("mean_post"),
+            F.round(F.avg("y_adj") / 100.0, 6).alias("mean_cuped"),
+            F.round(
+                F.lit(1.0) - F.var_samp("y_adj") / F.var_samp("y"), 6
+            ).alias("var_reduction"),
+        )
+        .select(
+            "variant", "n_users", "mean_post", "mean_cuped",
+            "var_reduction", F.round("theta", 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )
