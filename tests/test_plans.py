@@ -1500,3 +1500,129 @@ def test_gif_parse_bytes_stay_mapside(spark, sf_dir):
     assert count_prefix(counts, "MapInPandas") == 1, counts
     assert count_prefix(counts, "HashAggregate") == 2, counts
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_cohort_ltv_window_on_triangle_sizes_broadcast(spark, sf_dir):
+    """LTV triangle: cumulative window runs after the (cohort, week)
+    rollup — one Window — and cohort sizes join back broadcast."""
+    df = q("cohort_ltv_cumulative", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") == 1, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_slo_burn_rate_single_scan_hour_frame_window(spark, sf_dir):
+    """SLO burn rates: one scan, hourly rollup, burn windows on the
+    hour frame, final 1-row census — no joins anywhere."""
+    df = q("slo_burn_rate_alerts", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Window") == 1, counts
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_rrf_fusion_heaps_and_bounded_fusion_join(spark, sf_dir):
+    """Hybrid RRF: each modality tops out through a TakeOrdered heap
+    (never a global sort), rank windows run on 50-row frames, and the
+    only non-broadcast join is the 50×50 full-outer fusion."""
+    df = q("hybrid_rrf_fusion", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "TakeOrderedAndProject") >= 2, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_cuped_three_stacked_aggregates_no_window(spark, sf_dir):
+    """CUPED: user-grain conditional agg, 1-row pooled-stats
+    broadcast, variant rollup — no windows, no shuffled joins."""
+    df = q("ab_cuped_adjustment", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
+    assert count_prefix(counts, "Window") == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_roc_auc_windows_on_score_bucket_frame(spark, sf_dir):
+    """ROC/KS scorecard: rank math runs on the distinct-score-bucket
+    frame (windows after the bucket aggregate), totals broadcast."""
+    df = q("roc_auc_ks_scorecard", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_calibration_bins_pure_aggregate(spark, sf_dir):
+    """Calibration: integer-division binning + one 10-ary aggregate;
+    no windows; the only join is the 1-row total broadcast."""
+    df = q("calibration_bins_brier", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") == 0, counts
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_gini_single_scan_bucket_frame_window(spark, sf_dir):
+    """Gini: one orders scan -> customer rollup -> distinct-dollar
+    buckets; the ONLY window is the prefix count over that bucket
+    frame — no global rank of customers."""
+    df = q("gini_revenue_concentration", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Window") == 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_kaplan_meier_duration_frame_windows(spark, sf_dir):
+    """KM churn: user-grain aggregate + 1-row horizon broadcast; risk
+    sets and the survival product run on the duration-day frame."""
+    df = q("kaplan_meier_churn", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert count_prefix(counts, "HashAggregate") >= 4, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_mase_gapfilled_spine_single_window(spark, sf_dir):
+    """MASE: day spine via sequence+explode (Generate), both lags
+    share one calendar-frame window, final 1-row scorecard."""
+    df = q("seasonal_naive_mase", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Generate") == 1, counts
+    assert count_prefix(counts, "Window") == 1, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_mutual_information_margins_on_cell_frame(spark, sf_dir):
+    """MI: one type×hour aggregate; margins are windows over the
+    ≤120-cell frame; total is a 1-row broadcast."""
+    df = q("mutual_information_type_hour", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_readability_explode_single_rollup_no_joins(spark, sf_dir):
+    """Readability: explode + one source-grain aggregate; zero joins,
+    zero windows — the whole query is codegen string math."""
+    df = q("syllable_readability_profile", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Generate") == 1, counts
+    assert count_prefix(counts, "Window") == 0, counts
+    assert_no_operator(
+        df, "CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"
+    )
+
+
+def test_permutation_test_replica_explode_then_aggregate(spark, sf_dir):
+    """Permutation test: one Generate (replica explode) feeding a
+    combinable per-replica aggregate; observed stat is a 1-row
+    broadcast; no windows."""
+    df = q("permutation_test_mean_diff", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Generate") == 1, counts
+    assert count_prefix(counts, "Window") == 0, counts
+    assert_no_operator(df, "CartesianProduct")
