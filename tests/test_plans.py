@@ -1626,3 +1626,56 @@ def test_permutation_test_replica_explode_then_aggregate(spark, sf_dir):
     assert count_prefix(counts, "Generate") == 1, counts
     assert count_prefix(counts, "Window") == 0, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_luhn_census_pure_codegen_single_scan(spark, sf_dir):
+    """Luhn census: minted-digit checksum math is all codegen string/
+    integer expressions — one events scan, one two-phase aggregate,
+    zero joins, zero windows, zero Python."""
+    df = q("luhn_validity_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "HashAggregate") == 2, counts
+    assert count_prefix(counts, "Window") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 0, counts
+    assert_no_operator(
+        df, "CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"
+    )
+
+
+def test_jaro_winkler_pairs_blocked_equi_join(spark, sf_dir):
+    """JW matching: the pair generator is an EQUI join on the block
+    key (never all-pairs), the UDF is Arrow-vectorized, and the final
+    top-25 is a heap."""
+    df = q("jaro_winkler_blocked_pairs", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_adamic_adar_wedge_join_no_allpairs(spark, sf_dir):
+    """AA link prediction: candidate pairs come from the wedge join
+    keyed on the common-neighbor node id; existing edges leave via a
+    join (anti); top-20 is a TakeOrdered heap — no cartesian shapes
+    anywhere."""
+    df = q("adamic_adar_link_prediction", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_phrase_match_generate_window_broadcast(spark, sf_dir):
+    """Phrase query: one tokenize Generate feeds per-doc lead windows
+    (partitioned — fully parallel); the top-1 phrase joins back as a
+    broadcast; doc ranking is a heap. The 1-row phrase attach is the
+    only nested-loop (broadcast-of-one) allowed."""
+    df = q("phrase_bigram_positional_match", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Generate") >= 1, counts
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    # 3 heaps: the top-1 phrase (built once per consumer) + final top-10
+    assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
+    assert count_prefix(counts, "Sort ") == 0, counts  # no global sort
+    assert_no_operator(df, "CartesianProduct")
