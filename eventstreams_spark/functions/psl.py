@@ -12,7 +12,10 @@ rule table, and the LONGEST matching rule wins via coalesce in
 longest-first order (the PSL's prevailing-rule algorithm, restricted
 to this subset's rule shapes: no wildcard/exception rules —
 documented limitation). Unmatched hosts fall back to the last label,
-matching the ``tld`` step's documented fallback.
+matching the ``tld`` step's documented fallback. A host EQUAL to a
+rule is a pure public suffix (suffix = host, NULL sld/domain); a
+dotless unmatched host ('localhost') gets suffix = '' and
+sld = domain = host.
 
 Scale: the rule table is a few-KB broadcast hit 4×; every join is a
 map-side BroadcastHashJoin, there is NO explode, NO groupBy, and row
@@ -59,13 +62,15 @@ def extract_registered_domain(
     labels = F.split(F.lower(F.col(host_col)), r"\.")
     n = F.size(labels)
     cur = df.withColumn("_host_lc", F.lower(F.col(host_col)))
-    # candidate suffixes, one column per length; NULL when the host
-    # has too few labels (a registrable domain needs ≥1 label left)
+    # candidate suffixes, one column per length; the k == n candidate
+    # is minted too so a host EQUAL to a rule (e.g. 'co.uk') matches —
+    # PSL prevailing-rule behavior: such a host is a pure public
+    # suffix and has NO registrable domain (sld/domain come out NULL)
     for k in range(1, _MAX_SUFFIX_LABELS + 1):
         cur = cur.withColumn(
             f"_c{k}",
             F.when(
-                n > F.lit(k),
+                n >= F.lit(k),
                 F.array_join(F.slice(labels, n - F.lit(k) + 1, F.lit(k)), "."),
             ),
         )
@@ -84,7 +89,24 @@ def extract_registered_domain(
     rest = F.expr(
         "substring(_host_lc, 1, length(_host_lc) - length(_suffix_c) - 1)"
     )
-    sld = F.regexp_extract(rest, r"([^.]+)$", 1)
+    # three edge shapes besides the common case:
+    #  - host == matched rule → pure public suffix: NULL sld/domain
+    #  - dotless unmatched host ('localhost') → empty suffix; sld and
+    #    domain are the host itself (no substring/concat mangling)
+    is_pure_suffix = F.col("_suffix_c") == F.col("_host_lc")
+    no_suffix = F.col("_suffix_c") == ""
+    sld_raw = F.regexp_extract(rest, r"([^.]+)$", 1)
+    sld = (
+        F.when(is_pure_suffix, F.lit(None).cast("string"))
+        .when(no_suffix, F.col("_host_lc"))
+        .otherwise(sld_raw)
+    )
+    domain = (
+        F.when(is_pure_suffix, F.lit(None).cast("string"))
+        .when(no_suffix, F.col("_host_lc"))
+        .when(sld_raw != "", F.concat_ws(".", sld_raw, F.col("_suffix_c")))
+        .otherwise(F.col("_suffix_c"))
+    )
     drop_cols = (
         ["_host_lc", "_suffix_c"]
         + [f"_c{k}" for k in range(1, _MAX_SUFFIX_LABELS + 1)]
@@ -97,9 +119,7 @@ def extract_registered_domain(
             F.struct(
                 F.col("_suffix_c").alias("suffix"),
                 sld.alias("sld"),
-                F.when(
-                    sld != "", F.concat_ws(".", sld, F.col("_suffix_c"))
-                ).otherwise(F.col("_suffix_c")).alias("domain"),
+                domain.alias("domain"),
             ),
         )
         .drop(*drop_cols)

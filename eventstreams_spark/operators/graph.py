@@ -22,6 +22,8 @@ its simplicity and because dedup graphs are diameter-bounded.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -150,12 +152,22 @@ def connected_components_star(
     )
 
     def signature(df):
+        # collision-resistant fixpoint check: a multiset-sensitive
+        # 64-bit hash-sum over (hi, lo) pairs alongside count and
+        # linear sums — (count, Σhi, Σlo) alone can collide when one
+        # edge's hi gains what another's loses, breaking early with
+        # wrong components
         r = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("hi").alias("sh"), F.sum("lo").alias("sl")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hi").alias("sh"),
+            F.sum("lo").alias("sl"),
+            # decimal sum: a long sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(20,0)")).alias("hh"),
         ).collect()[0]
-        return (r.n, r.sh, r.sl)
+        return (r.n, r.sh, r.sl, r.hh)
 
     prev = signature(e)
+    converged = False
     for _ in range(max_iter):
         # large-star: m(u) over the full symmetric neighborhood
         adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
@@ -186,8 +198,16 @@ def connected_components_star(
         )
         cur = signature(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: hit max_iter={max_iter} without "
+            "a fixpoint; labels may be unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     star = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("comp"))
     return nodes.join(star, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("component")

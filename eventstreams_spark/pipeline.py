@@ -570,18 +570,28 @@ def _tld(source: str, target: str = "tld") -> Transform:
             f"substring({'lower(' + source + ')'}, 1, "
             f"length(lower({source})) - length(_tld_tmp) - 1)"
         )
+        # dotless hosts ('localhost') extract no tld; guard them so the
+        # -1 substring and trailing-dot concat never fire: tld = '',
+        # sld = domain = host
         return (
             df.withColumn("_tld_tmp", tld)
-            .withColumn("_sld_tmp", F.regexp_extract(stripped, r"([^.]+)$", 1))
+            .withColumn(
+                "_sld_tmp",
+                F.when(F.col("_tld_tmp") == "", host).otherwise(
+                    F.regexp_extract(stripped, r"([^.]+)$", 1)
+                ),
+            )
             .withColumn(
                 target,
                 F.struct(
                     F.col("_tld_tmp").alias("tld"),
                     F.col("_sld_tmp").alias("sld"),
-                    F.when(
+                    F.when(F.col("_tld_tmp") == "", host)
+                    .when(
                         F.col("_sld_tmp") != "",
                         F.concat_ws(".", F.col("_sld_tmp"), F.col("_tld_tmp")),
-                    ).otherwise(F.col("_tld_tmp")).alias("domain"),
+                    )
+                    .otherwise(F.col("_tld_tmp")).alias("domain"),
                 ),
             )
             .drop("_tld_tmp", "_sld_tmp")

@@ -223,6 +223,12 @@ def correlate_tasks_stream(
     per-row Python loop inside the Arrow batch is the stateful escape
     hatch's price (control-flow-per-event semantics); throughput is
     per key-batch, and hot keys serialize as usual.
+
+    Checkpoint compatibility: the r3 strict-between fix grew the
+    state schema from 4 to 7 int64s; applyInPandasWithState state
+    schemas are fixed at checkpoint creation, so restarting from a
+    pre-r3 checkpoint requires a FRESH checkpoint directory (state
+    rows cannot be migrated in place).
     """
     from pyspark.sql.types import (
         BooleanType,
@@ -410,6 +416,27 @@ def zscore_anomaly_stream(
     )
 
 
+def _parse_mg_state(summary_s: str) -> dict[str, int]:
+    """Decode a Misra-Gries state blob. Current format is JSON
+    (separator packing corrupted tokens containing the separator
+    byte — ADVICE r2); blobs from pre-JSON checkpoints
+    (\\x1e-separated ``token\\x1fcount`` entries) are detected by
+    their non-'{' first byte and migrated on read so restarts across
+    the format change keep their counters (ADVICE r3)."""
+    import json
+
+    if not summary_s:
+        return {}
+    if not summary_s.startswith("{"):
+        counters: dict[str, int] = {}
+        for entry in summary_s.split("\x1e"):
+            if "\x1f" in entry:
+                tok_, cnt_ = entry.rsplit("\x1f", 1)
+                counters[tok_] = int(cnt_)
+        return counters
+    return json.loads(summary_s)
+
+
 def heavy_hitters_stream(
     df: DataFrame,
     token_col: str,
@@ -433,6 +460,10 @@ def heavy_hitters_stream(
     Scale: state is O(k) per bucket regardless of stream length; the
     shuffle is keyed by bucket (raise ``n_buckets`` to spread load —
     each bucket serializes through one Python worker per batch).
+
+    Checkpoint compatibility: summaries from the pre-r3 packed state
+    format (\\x1e/\\x1f separators) are detected on read and migrated
+    to JSON in place, so restarts across the upgrade keep counters.
     """
     from pyspark.sql.types import (
         LongType,
@@ -456,9 +487,7 @@ def heavy_hitters_stream(
         import json
 
         summary_s, snap = state.get if state.exists else ("", 0)
-        # JSON state: separator-based packing corrupted on tokens that
-        # themselves contain the separator byte (ADVICE r2)
-        counters: dict[str, int] = json.loads(summary_s) if summary_s else {}
+        counters = _parse_mg_state(summary_s)
         for pdf in pdfs:
             for tok in _fold_sort(pdf, order_col)[token_col]:
                 tok = str(tok)

@@ -468,8 +468,34 @@ def test_tld_step(spark):
     assert got["www.example.com"] == ("com", "example", "example.com")
     assert got["news.bbc.co.uk"] == ("co.uk", "bbc", "bbc.co.uk")
     assert got["example.com.au"] == ("com.au", "example", "example.com.au")
-    # no dot: tld empty, domain degrades gracefully
-    assert got["localhost"][0] == ""
+    # no dot (ADVICE r3): tld empty, sld/domain are the host itself —
+    # no trailing dot, no last-char truncation
+    assert got["localhost"] == ("", "localhost", "localhost")
+
+
+def test_psl_edge_hosts(spark):
+    """ADVICE r3 edges for the data-driven PSL extractor: a host equal
+    to a multi-label rule is a pure public suffix (NULL sld/domain);
+    a dotless unmatched host passes through unmangled."""
+    from eventstreams_spark.functions.psl import (
+        extract_registered_domain,
+        load_psl,
+    )
+
+    df = spark.createDataFrame(
+        [("co.uk",), ("com",), ("localhost",), ("bbc.co.uk",),
+         ("deep.sub.example.org",)],
+        "host string",
+    )
+    got = {
+        r.host: (r.psl.suffix, r.psl.sld, r.psl.domain)
+        for r in extract_registered_domain(df, "host", load_psl(spark)).collect()
+    }
+    assert got["co.uk"] == ("co.uk", None, None)
+    assert got["com"] == ("com", None, None)
+    assert got["localhost"] == ("", "localhost", "localhost")
+    assert got["bbc.co.uk"] == ("co.uk", "bbc", "bbc.co.uk")
+    assert got["deep.sub.example.org"] == ("org", "example", "example.org")
 
 
 def test_range_step_tags_violations(spark):

@@ -1622,3 +1622,18 @@ def test_kll_stream_matches_offline_fold(spark, tmp_path):
     final = got[-1]
     assert abs(float((vals <= final.q500).mean()) - 0.5) <= 0.05
     assert abs(float((vals <= final.q990).mean()) - 0.99) <= 0.05
+
+
+def test_mg_state_legacy_blob_migration():
+    """Pre-JSON checkpoints stored \x1e-separated token\x1fcount
+    entries; the parser must migrate them instead of raising
+    (ADVICE r3), while JSON and empty states decode as before."""
+    from eventstreams_spark.streaming.stateful import _parse_mg_state
+
+    assert _parse_mg_state("") == {}
+    assert _parse_mg_state('{"a": 3, "b": 1}') == {"a": 3, "b": 1}
+    legacy = "alpha\x1f5\x1ebeta\x1f2"
+    assert _parse_mg_state(legacy) == {"alpha": 5, "beta": 2}
+    # a legacy token that itself contains \x1f splits on the LAST
+    # separator (count is always the final field)
+    assert _parse_mg_state("x\x1fy\x1f7") == {"x\x1fy": 7}
