@@ -2,8 +2,12 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Per BASELINE.md method: each query runs
-twice in one session (cold then warm); reported seconds are the warm
-run, keyed by BASELINE.md query names. `value` = total warm seconds.
+cold once, then N warm reps; reported seconds are the MEDIAN warm rep
+(best-of-2 proved load-sensitive: r3's committed number regressed 8%
+purely from box load — VERDICT r3 #1/#2). The JSON carries the noise
+guards alongside the timings: 1/5/15-min load averages sampled before
+and after, warm rep count, and per-query warm spread (max/min ratio)
+so a loaded-box artifact is self-identifying.
 """
 
 from __future__ import annotations
@@ -16,11 +20,13 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from eventstreams_spark import registry
     from eventstreams_spark.session import get_spark
 
+    load_before = os.getloadavg()
     spark = get_spark("eventstreams-bench")
     registry._ensure_loaded()
 
@@ -39,19 +45,23 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for bench_name, reg_name in headline.items():
         spec = registry.REGISTRY.get(reg_name)
         if spec is None:
             continue
-        best = float("inf")
-        for run in range(3):  # 1 cold + 2 warm; report best warm (noise-robust)
+        warm: list[float] = []
+        for run in range(1 + warm_reps):  # 1 cold + N warm
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             if run > 0:
-                best = min(best, dt)
-        timings[bench_name] = round(best, 4)
+                warm.append(dt)
+        warm.sort()
+        timings[bench_name] = round(warm[len(warm) // 2], 4)  # median
+        spreads[bench_name] = round(warm[-1] / warm[0], 2)
 
+    load_after = os.getloadavg()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -63,6 +73,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "noise_guard": {
+            "warm_reps": warm_reps,
+            "stat": "median",
+            "loadavg_before": [round(v, 2) for v in load_before],
+            "loadavg_after": [round(v, 2) for v in load_after],
+            "warm_spread_maxmin": spreads,
+        },
     }
     print(json.dumps(result))
 
