@@ -149,7 +149,12 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components' convergence check).
     """
     ev = load_table(spark, sf_dir, "events")
-    edges = interaction_edges(ev, undirected=True).persist()
+    # coalesce-before-persist (SCALE.md §3b): a cached frame pins its
+    # partition width AND blocks AQE coalescing, so under a vanilla
+    # 200-shuffle-partition session every downstream round pays 200
+    # near-empty tasks per stage unless the cache is narrowed first
+    par = spark.sparkContext.defaultParallelism
+    edges = interaction_edges(ev, undirected=True).coalesce(par).persist()
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -167,6 +172,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = (
         edges.join(keep0.withColumnRenamed("u", "a"), "a", "left_semi")
         .join(keep0.withColumnRenamed("u", "b"), "b", "left_semi")
+        .coalesce(par)
         .persist()
     )
     d1 = degrees(e1)
@@ -174,6 +180,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = (
         e1.join(keep1.withColumnRenamed("u", "a"), "a", "left_semi")
         .join(keep1.withColumnRenamed("u", "b"), "b", "left_semi")
+        .coalesce(par)
         .persist()
     )
     d2 = degrees(e2)

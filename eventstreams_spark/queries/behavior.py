@@ -2056,11 +2056,15 @@ def louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import interaction_edges
 
     ev = load_table(spark, sf_dir, "events")
-    und = interaction_edges(ev, undirected=True).persist()
+    # coalesce-before-persist (SCALE.md §3b): und/deg are re-read by
+    # every sweep and quality pass; uncoalesced caches pin the vanilla
+    # session's 200 shuffle partitions onto every downstream stage
+    par = spark.sparkContext.defaultParallelism
+    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).persist()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).coalesce(par).persist()
     m_edges = und.count()  # bounded metadata scalar
 
     dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
@@ -2282,11 +2286,15 @@ def louvain_coarsened_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import interaction_edges
 
     ev = load_table(spark, sf_dir, "events")
-    und = interaction_edges(ev, undirected=True).persist()
+    # coalesce-before-persist (SCALE.md §3b): und/deg are re-read by
+    # every sweep and quality pass; uncoalesced caches pin the vanilla
+    # session's 200 shuffle partitions onto every downstream stage
+    par = spark.sparkContext.defaultParallelism
+    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).persist()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).coalesce(par).persist()
     m_edges = und.count()  # bounded metadata scalar
 
     # sweep 1 (identical to louvain_first_sweep)
