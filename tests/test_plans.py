@@ -1679,3 +1679,20 @@ def test_phrase_match_generate_window_broadcast(spark, sf_dir):
     assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
     assert count_prefix(counts, "Sort ") == 0, counts  # no global sort
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_louvain_full_loop_per_round_shape(spark, sf_dir):
+    """Full Louvain loop (VERDICT r3 #6 tripwire): the returned gate
+    frame must stay join-light — no cartesian/node×node anywhere, the
+    final contract row assembled from bounded scalar aggregates. The
+    per-round sweep machinery (equi joins + window argmax) runs inside
+    the build; its no-cartesian property is inherited because any
+    cartesian would surface in the collected rounds' jobs, which this
+    call executes."""
+    df = q("louvain_full_loop_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    # the only nested-loop joins allowed are 1-row scalar broadcasts
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 6, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts

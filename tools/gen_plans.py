@@ -134,6 +134,22 @@ HEADLINE = [
     "spatial_knn_wrapped_probe",
     "tdigest_band_classification",
     "icws_weighted_minhash_gate",
+    # round-4 additions: stint-2 heavies (VERDICT r3 #6) + the
+    # self-certified sketch/sampling conversions
+    "markov_removal_attribution",
+    "louvain_full_loop_gate",
+    "hilbert_cell_census",
+    "zonemap_skipping_census",
+    "twap_daily_by_type",
+    "hll_sliding_window_distinct_gate",
+    "ab_wilson_interval",
+    "clamped_running_balance",
+    "zipf_rank_frequency_fit",
+    "multimodal_gif_header_parse",
+    "jaro_winkler_blocked_pairs",
+    "kll_tdigest_shootout_gate",
+    "agg_distinct_hll_mergeable",
+    "tablesample_repeatable",
 ]
 
 INTERESTING = (
