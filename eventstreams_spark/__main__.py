@@ -68,12 +68,22 @@ def _compile(config: dict, app_name: str):
 
 
 def cmd_run(config: dict, await_seconds: int | None) -> None:
-    from .pipeline import write_sink
+    from .pipeline import split_dead_letters, write_sink
 
     _, out = _compile(config, "eventstreams-pipeline")
-    q = write_sink(out, config["sink"])
-    if q is not None:  # streaming query
-        q.awaitTermination(await_seconds) if await_seconds else q.awaitTermination()
+    queries = []
+    if "dlq" in config:
+        # dead-letter routing (Logstash DLQ): rows tagged by
+        # deadletter/date/range/... steps go to the dlq sink, healthy
+        # rows to the main sink — tag-don't-drop ends here
+        healthy, dead = split_dead_letters(out)
+        queries.append(write_sink(healthy, config["sink"]))
+        queries.append(write_sink(dead, config["dlq"]))
+    else:
+        queries.append(write_sink(out, config["sink"]))
+    for q in queries:
+        if q is not None:  # streaming query
+            q.awaitTermination(await_seconds) if await_seconds else q.awaitTermination()
     print("done")
 
 

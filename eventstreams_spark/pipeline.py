@@ -453,6 +453,54 @@ def _multiline(
     return t
 
 
+@step("sessionize")
+def _sessionize(
+    key: str,
+    ts: str,
+    gap_minutes: float = 30.0,
+    target: str = "session_id",
+) -> Transform:
+    """Assign a gap-based session id per key (the sessionize family's
+    W8 rule as a pipeline step): a new session opens when the gap to
+    the key's previous event exceeds ``gap_minutes``. ``target`` is
+    ``key#opening_epoch_seconds`` — deterministic, meaningful (the
+    session's start time), and stable across reruns, unlike a dense
+    counter. Batch form (windows over the key partition — ONE shuffle
+    on the key, same plan as sessionize_gap30m_batch); the streaming
+    twins are session_window aggregation (T3) and the stateful
+    operators in streaming/stateful.py.
+
+    Rows with NULL ``ts`` (e.g. date-parse dead letters still riding
+    the frame under tag-don't-drop) get a NULL session id rather than
+    poisoning a session boundary."""
+    gap_s = float(gap_minutes) * 60.0
+
+    def t(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(ts)
+        prev = F.lag(F.col(ts)).over(w)
+        is_new = (
+            prev.isNull()
+            | (F.col(ts).cast("double") - prev.cast("double") > gap_s)
+        ).cast("long")
+        # session id = key + '#' + epoch seconds of the session's
+        # first event: max(ts where a new session opened) over the
+        # running frame
+        open_ts = F.max(
+            F.when(is_new == 1, F.col(ts).cast("double"))
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        sid = F.when(
+            F.col(ts).isNotNull(),
+            F.concat_ws(
+                "#", F.col(key), open_ts.cast("long").cast("string")
+            ),
+        )
+        return df.withColumn(target, sid)
+
+    return t
+
+
 @step("aggregate")
 def _aggregate(
     task_key: str,
