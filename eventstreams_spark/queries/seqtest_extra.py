@@ -74,9 +74,9 @@ _B = repr(math.log(0.05 / 0.95))         # accept-H0 bound -ln(19)
                     THEN 'continue'
                     WHEN min_by(llr, hr) FILTER (WHERE crossed) >= {_A}
                     THEN 'accept_H1' ELSE 'accept_H0' END AS decision,
-               round(min_by(llr, hr) FILTER (WHERE crossed), 6)
-                   AS llr_at_decision,
-               round(max_by(llr, hr), 6) AS llr_final
+               CAST(round(min_by(llr, hr) FILTER (WHERE crossed), 6)
+                    AS DOUBLE) AS llr_at_decision,
+               CAST(round(max_by(llr, hr), 6) AS DOUBLE) AS llr_final
         FROM flagged GROUP BY variant ORDER BY variant
     """,
 )
@@ -180,14 +180,14 @@ _P_SQL = _erfc_sql("(0.7071067811865476 * abs(z))")
                               AND user_id % 3 = 0)) AS event_type_conv
                   FROM events)
             GROUP BY event_type, extract(hour FROM ts)
-        ), glob AS (
+        ), gstats AS (
             SELECT CAST(sum(n) AS DOUBLE) AS ng, CAST(sum(x) AS DOUBLE) AS xg
             FROM cells
         ), zscored AS (
             SELECT event_type, hod, n, x,
                    (x - n * (xg / ng))
                        / sqrt(n * (xg / ng) * (1.0 - xg / ng)) AS z
-            FROM cells CROSS JOIN glob
+            FROM cells CROSS JOIN gstats
         ), pvals AS (
             SELECT event_type, hod, n, x, z, {_P_SQL} AS p FROM zscored
         ), ranked AS (
