@@ -1,0 +1,350 @@
+"""Market-analytics family: OHLC bars, drawdown, RSI, Bollinger,
+Sharpe — the tick-to-indicator pipeline of a quant/telemetry stack,
+treating each event_type's ``value`` stream as a price series.
+
+Why it belongs here: every real deployment of a stream engine in
+fin/ops monitoring reduces ticks to daily bars and then runs
+path-dependent indicators over the bar frame. The scale shape is the
+whole point: ONE rollup collapses the raw scan to |types| × |days|
+bar rows (map-side combinable min/max/count and order-keyed
+first/last), and every indicator window runs on that bounded frame —
+never on raw ticks.
+
+Float discipline (house rule): prices accumulate as integer cents
+(floor(v*100+0.5)); open/close are picked by an explicit total-order
+key (zero-padded epoch_micros || event_id — DuckDB's min_by/max_by
+has no composite key, so both engines order by the SAME varchar);
+RSI is the single division 100·ΣG/(ΣG+ΣL) of integer sums; Bollinger
+variance comes from the integer identity n·Σx²−(Σx)²; Sharpe's
+mean/std over ≤30 daily returns are rounded to 6dp (magnitudes where
+1-ulp disagreement is ~1e-17, far inside the grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# total-order tick key: epoch microseconds then event_id, both
+# zero-padded so VARCHAR order == numeric order (min_by/max_by in
+# DuckDB take one scalar ordering argument)
+_ORD_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+_BARS_SQL = f"""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(min_by(CAST(floor(value * 100 + 0.5) AS BIGINT), {_ORD_SQL})
+                AS BIGINT) AS open_cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS high_cents,
+           CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS low_cents,
+           CAST(max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), {_ORD_SQL})
+                AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            cents.alias("cents"),
+            ordk.alias("ordk"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("cents", "ordk").cast("long").alias("open_cents"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max_by("cents", "ordk").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+    )
+
+
+@query("ohlc_daily_bars", category="MK-ohlc", oracle=f"{_BARS_SQL} ORDER BY event_type, day")
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV bars per event_type: open/close picked by the
+    explicit (epoch_micros, event_id) total order, high/low/volume as
+    plain min/max/count — the tick-compaction primitive under every
+    indicator in this family.
+
+    Scale: one aggregate, map-side combinable (min_by/max_by partials
+    merge associatively); output is |types|×|days| rows regardless of
+    tick volume.
+    """
+    return _daily_bars(spark, sf_dir).orderBy("event_type", "day")
+
+
+@query(
+    "max_drawdown_path",
+    category="MK-drawdown",
+    oracle=f"""
+        WITH bars AS ({_BARS_SQL}),
+        walked AS (
+            SELECT event_type, day, close_cents,
+                   CAST(max(close_cents) OVER (PARTITION BY event_type
+                        ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS peak_cents
+            FROM bars
+        ), dd AS (
+            SELECT event_type, day, close_cents, peak_cents,
+                   peak_cents - close_cents AS dd_cents
+            FROM walked
+        )
+        SELECT event_type,
+               CAST(max(dd_cents) AS BIGINT) AS max_drawdown_cents,
+               min_by(day, lpad(CAST(999999999 - dd_cents AS VARCHAR), 12, '0')
+                           || CAST(day AS VARCHAR)) AS trough_day,
+               CAST(min_by(peak_cents,
+                           lpad(CAST(999999999 - dd_cents AS VARCHAR), 12, '0')
+                           || CAST(day AS VARCHAR)) AS BIGINT)
+                   AS peak_at_trough_cents
+        FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+)
+def max_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's daily close series — the
+    path-dependent risk readout (running peak minus current close,
+    maximized over the path). The trough day tiebreaks to the
+    EARLIEST day at the maximal drawdown via one composite varchar
+    key (inverted-drawdown || day) so both engines pick the same row
+    without a second window pass.
+
+    Scale: the path runs over the bar frame (|types|×|days| rows) —
+    the running-peak window and the final argmax never see raw ticks.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = bars.withColumn(
+        "peak_cents", F.max("close_cents").over(w).cast("long")
+    ).withColumn("dd_cents", F.col("peak_cents") - F.col("close_cents"))
+    pick = F.concat(
+        F.lpad((F.lit(999999999) - F.col("dd_cents")).cast("string"), 12, "0"),
+        F.col("day").cast("string"),
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.max("dd_cents").cast("long").alias("max_drawdown_cents"),
+            F.min_by("day", pick).alias("trough_day"),
+            F.min_by("peak_cents", pick).cast("long").alias("peak_at_trough_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "rsi_cutler_14",
+    category="MK-rsi",
+    oracle=f"""
+        WITH bars AS ({_BARS_SQL}),
+        diffed AS (
+            SELECT event_type, day,
+                   close_cents - lag(close_cents) OVER (
+                       PARTITION BY event_type ORDER BY day) AS d,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS rn
+            FROM bars
+        ), gl AS (
+            SELECT event_type, day, rn,
+                   CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS sum_gain,
+                   CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS sum_loss
+            FROM diffed
+        )
+        SELECT event_type, day, sum_gain, sum_loss,
+               CAST(round(100.0 * sum_gain / (sum_gain + sum_loss), 6)
+                    AS DOUBLE) AS rsi14
+        FROM gl WHERE rn >= 15 ORDER BY event_type, day
+    """,
+)
+def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Cutler's simple-moving-average variant — chosen
+    over Wilder's recursive smoothing precisely because it reduces to
+    RSI = 100·ΣG/(ΣG+ΣL), a SINGLE division of two integer window
+    sums, bit-identical across engines; Wilder's form is a recursive
+    fold, which this repo implements under the EWMA/Holt family).
+    Rows start once a full 14-delta window exists (rn ≥ 15).
+
+    Scale: deltas and the two trailing sums are windows over the bar
+    frame only.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    w14 = wo.rowsBetween(-13, 0)
+    diffed = bars.withColumn(
+        "d", F.col("close_cents") - F.lag("close_cents").over(wo)
+    ).withColumn("rn", F.row_number().over(wo))
+    gl = diffed.withColumn(
+        "sum_gain",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0)).over(w14)
+        .cast("long"),
+    ).withColumn(
+        "sum_loss",
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0)).over(w14)
+        .cast("long"),
+    )
+    return (
+        gl.filter(F.col("rn") >= 15)
+        .select(
+            "event_type", "day", "sum_gain", "sum_loss",
+            F.round(
+                100.0 * F.col("sum_gain")
+                / (F.col("sum_gain") + F.col("sum_loss")),
+                6,
+            ).alias("rsi14"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "bollinger_band_breakouts",
+    category="MK-bollinger",
+    oracle=f"""
+        WITH bars AS ({_BARS_SQL}),
+        winsum AS (
+            SELECT event_type, day, close_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(close_cents) OVER w AS BIGINT) AS s1,
+                   CAST(sum(close_cents * close_cents) OVER w AS BIGINT) AS s2,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS rn
+            FROM bars
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ), banded AS (
+            SELECT event_type, day, close_cents,
+                   CAST(s1 AS DOUBLE) / n AS ma,
+                   sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1.0)))
+                       AS sd
+            FROM winsum WHERE rn >= 20
+        )
+        SELECT event_type, day, close_cents,
+               CAST(round(ma, 6) AS DOUBLE) AS ma20_cents,
+               CAST(round(ma + 2 * sd, 6) AS DOUBLE) AS upper_cents,
+               CAST(round(ma - 2 * sd, 6) AS DOUBLE) AS lower_cents,
+               (close_cents > ma + 2 * sd OR close_cents < ma - 2 * sd)
+                   AS breakout
+        FROM banded ORDER BY event_type, day
+    """,
+)
+def bollinger_band_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-day MA ± 2σ) with breakout flags. The
+    rolling variance is the integer identity (n·Σx² − (Σx)²)/(n(n−1))
+    over cent sums — both engines derive σ from IDENTICAL integers,
+    so the bands and the breakout booleans cannot drift (Σx² of cents
+    over 20 days ≈ 5e10, far inside int64).
+
+    Scale: three window sums over the bar frame; no raw-tick windows.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    w20 = wo.rowsBetween(-19, 0)
+    winsum = (
+        bars.withColumn("n", F.count(F.lit(1)).over(w20).cast("long"))
+        .withColumn("s1", F.sum("close_cents").over(w20).cast("long"))
+        .withColumn(
+            "s2",
+            F.sum(F.col("close_cents") * F.col("close_cents")).over(w20)
+            .cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(wo))
+    )
+    ma = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    )
+    return (
+        winsum.filter(F.col("rn") >= 20)
+        .select(
+            "event_type", "day", "close_cents",
+            F.round(ma, 6).alias("ma20_cents"),
+            F.round(ma + 2 * sd, 6).alias("upper_cents"),
+            F.round(ma - 2 * sd, 6).alias("lower_cents"),
+            (
+                (F.col("close_cents") > ma + 2 * sd)
+                | (F.col("close_cents") < ma - 2 * sd)
+            ).alias("breakout"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "sharpe_daily_returns",
+    category="MK-sharpe",
+    oracle=f"""
+        WITH bars AS ({_BARS_SQL}),
+        rets AS (
+            SELECT event_type,
+                   CAST(close_cents - lag(close_cents) OVER (
+                        PARTITION BY event_type ORDER BY day) AS DOUBLE)
+                   / lag(close_cents) OVER (
+                        PARTITION BY event_type ORDER BY day) AS r
+            FROM bars
+        )
+        SELECT event_type,
+               CAST(count(r) AS BIGINT) AS n_days,
+               CAST(round(avg(r), 6) AS DOUBLE) AS mean_return,
+               CAST(round(stddev_samp(r), 6) AS DOUBLE) AS sd_return,
+               CAST(round(avg(r) / stddev_samp(r), 6) AS DOUBLE)
+                   AS sharpe_daily
+        FROM rets WHERE r IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sharpe_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-return Sharpe ratio per type (risk-free rate 0): each
+    return is ONE division of integer cents; mean/stddev aggregate
+    ≤ |days| such returns and round to 6dp (float-sum order effects
+    ~1e-17 against a 1e-6 grid — the agg_stats_value_by_type
+    precedent).
+
+    Scale: returns are a lag window on the bar frame; the final agg
+    is |types| rows.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    rets = bars.select(
+        "event_type",
+        (
+            (F.col("close_cents") - F.lag("close_cents").over(wo)).cast("double")
+            / F.lag("close_cents").over(wo)
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    return (
+        rets.groupBy("event_type")
+        .agg(
+            F.count("r").cast("long").alias("n_days"),
+            F.round(F.avg("r"), 6).alias("mean_return"),
+            F.round(F.stddev_samp("r"), 6).alias("sd_return"),
+            F.round(F.avg("r") / F.stddev_samp("r"), 6).alias("sharpe_daily"),
+        )
+        .orderBy("event_type")
+    )
