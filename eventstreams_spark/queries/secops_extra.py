@@ -277,7 +277,7 @@ def rare_pair_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="SEC-spray",
     oracle="""
         WITH fails AS (
-            SELECT date_trunc('day', ts) AS win,
+            SELECT CAST(ts AS DATE) AS win,
                    CAST(floor(value / 100) AS BIGINT) AS account,
                    user_id
             FROM events
@@ -293,9 +293,9 @@ def rare_pair_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Password-spray detector: within tumbling windows (daily here —
-    the width is a config knob; the fixture's error density makes
-    sub-hour windows empty at small sf), 'accounts' (value bands
+    """Password-spray detector: within tumbling windows (daily DATE
+    buckets here — the width is a config knob; the fixture's error
+    density makes sub-hour windows empty at small sf), 'accounts' (value bands
     standing in for target account ids) hit by failed attempts
     (= error events) from ≥ 3 DISTINCT sources — the many-sources-
     one-target inversion that separates spraying from a single
@@ -310,7 +310,7 @@ def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails = ev.filter(
         (F.col("event_type") == "error") & F.col("value").isNotNull()
     ).select(
-        F.date_trunc("day", "ts").alias("window_start"),
+        F.to_date("ts").alias("window_start"),
         F.floor(F.col("value") / 100).cast("long").alias("account"),
         "user_id",
     )
