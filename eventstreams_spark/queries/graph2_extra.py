@@ -1,0 +1,271 @@
+"""Graph analytics II: local clustering coefficient, degree
+assortativity, and k-truss peeling — completing the structural-
+metrics family (triangles, k-core, PageRank, CC, Louvain, HITS,
+betweenness live elsewhere) over the SAME interaction graph and the
+same shared oracle CTE, so every graph query means the same edges.
+
+Scale discipline (family rule, SCALE.md §3b): triangles enumerate
+through the two-hop equi join on canonical a<b edges (work bounded by
+Σ per-node deg², the standard distributed triangle bound), per-node /
+per-edge rollups aggregate triangle rows — never node×node; peeled
+rounds recompute on the SHRINKING survivor edge set with coalesce-
+before-persist lineage control.
+
+Float discipline: degrees, triangle counts, and supports are exact
+integers; clustering = one division 2T/(d(d−1)); assortativity r is
+one quotient of integer-sum expressions (the n·Σxy−ΣxΣy form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.graph import interaction_edges
+from ..registry import query
+from ._shared import INTERACTION_UND_CTE
+
+# triangle enumeration over canonical edges: (e1.a, e1.b, e2.b) with
+# a < b < c, closing edge (e1.b, e2.b) present
+_TRIS_SQL = """tris AS (
+        SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    )"""
+
+
+def _und_tris(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    e1 = und.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    e3 = und.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    tris = (
+        e1.join(e2, "ta")
+        .filter(F.col("tc") > F.col("tb"))
+        .join(e3, ["tb", "tc"])
+    )
+    return und, tris
+
+
+@query(
+    "local_clustering_coefficient",
+    category="B7-graph2",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, {_TRIS_SQL},
+        deg AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS u FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY u
+        ), tcount AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS t FROM (
+                SELECT ta AS u FROM tris
+                UNION ALL SELECT tb FROM tris
+                UNION ALL SELECT tc FROM tris
+            ) GROUP BY u
+        )
+        SELECT deg.u AS user_id, d AS degree,
+               CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+               CAST(round(CAST(2 * coalesce(t, 0) AS DOUBLE)
+                          / (d * (d - 1)), 6) AS DOUBLE) AS clustering
+        FROM deg LEFT JOIN tcount ON tcount.u = deg.u
+        WHERE d >= 3
+        ORDER BY clustering DESC, user_id LIMIT 20
+    """,
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2T_v / (d_v(d_v−1)),
+    the fraction of a node's neighbor pairs that are themselves
+    connected; the node-level cohesion readout under community
+    detection (a node with high degree and low clustering is a hub, a
+    high-clustering node sits inside a clique). Top-20 among nodes
+    with degree ≥ 3, deterministic order (clustering DESC, id).
+
+    Scale: ONE triangle enumeration (two-hop equi join, Σ deg²
+    bound), exploded to 3 node rows per triangle and rolled up; the
+    division happens per node row. The top-20 is a TakeOrdered heap.
+    """
+    und, tris = _und_tris(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionAll(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    tcount = (
+        tris.select(F.col("ta").alias("u"))
+        .unionAll(tris.select(F.col("tb").alias("u")))
+        .unionAll(tris.select(F.col("tc").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tcount, "u", "left")
+        .filter(F.col("d") >= 3)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce("t", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("clustering").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "degree_assortativity",
+    category="B7-graph2",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE},
+        deg AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS u FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY u
+        ), dpairs AS (
+            SELECT da.d AS x, db.d AS y
+            FROM und JOIN deg da ON da.u = und.a
+                     JOIN deg db ON db.u = und.b
+            UNION ALL
+            SELECT db.d, da.d
+            FROM und JOIN deg da ON da.u = und.a
+                     JOIN deg db ON db.u = und.b
+        ), sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM dpairs
+        )
+        SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+               CAST(round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                          / nullif(m2 * sxx - sx * sx, 0), 6) AS DOUBLE)
+                   AS assortativity
+        FROM sums
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    endpoint degrees over the symmetrized edge list — positive means
+    hubs link to hubs (social nets), negative means hubs link to leaves
+    (infrastructure). By symmetry Σx = Σy and Σx² = Σy², so
+    r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²): ONE division where every term
+    is an exact integer sum — no means, no ratio-of-ratios. On a
+    regular graph the degree variance is zero and r is undefined —
+    emitted as NULL via nullif (the sf0.001 fixture graph is complete,
+    so its r IS NULL by construction).
+
+    Scale: degrees join back to edges via two equi joins on the edge
+    frame; the sums aggregate edge rows once (map-side combinable);
+    output is a single row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionAll(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("y"))
+    joined = und.join(da, "a").join(db, "b")
+    dpairs = joined.select("x", "y").unionAll(
+        joined.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    sums = dpairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / F.nullif(
+                F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "ktruss_support_rounds",
+    category="B7-graph2",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, {_TRIS_SQL},
+        sup0 AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+                SELECT ta AS a, tb AS b FROM tris
+                UNION ALL SELECT ta, tc FROM tris
+                UNION ALL SELECT tb, tc FROM tris
+            ) GROUP BY a, b
+        ), e1 AS (
+            SELECT a, b FROM sup0 WHERE s >= 2
+        ), tris1 AS (
+            SELECT x.a AS ta, x.b AS tb, y.b AS tc
+            FROM e1 x
+            JOIN e1 y ON y.a = x.a AND y.b > x.b
+            JOIN e1 z ON z.a = x.b AND z.b = y.b
+        ), sup1 AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+                SELECT ta AS a, tb AS b FROM tris1
+                UNION ALL SELECT ta, tc FROM tris1
+                UNION ALL SELECT tb, tc FROM tris1
+            ) GROUP BY a, b
+        ), e2 AS (SELECT a, b FROM sup1 WHERE s >= 2)
+        SELECT (SELECT count(*) FROM und) AS n_edges_0,
+               (SELECT count(*) FROM e1) AS n_edges_1,
+               (SELECT count(*) FROM e2) AS n_edges_2
+    """,
+)
+def ktruss_support_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling, two unrolled rounds: an edge survives when it
+    participates in ≥ k−2 = 2 triangles among CURRENT edges; dropped
+    edges dissolve triangles, so the support recomputes on survivors —
+    the triangle-density core filter (stricter than k-core) that
+    front-ends community mining.
+
+    Scale (kcore_peel_rounds' contract, triangle edition): each round
+    is one triangle enumeration on the shrinking survivor set (Σ deg²
+    on a smaller graph every round) + one support rollup + one filter;
+    the loop carries scalar edge counts only. coalesce-before-persist
+    keeps the cached survivor frames narrow under vanilla sessions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    edges0 = interaction_edges(ev, undirected=True).coalesce(par).persist()
+
+    def survivors(e: DataFrame) -> DataFrame:
+        x = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+        y = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        z = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+        tris = (
+            x.join(y, "ta").filter(F.col("tc") > F.col("tb")).join(z, ["tb", "tc"])
+        )
+        sup = (
+            tris.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+            .unionAll(tris.select(F.col("ta").alias("a"), F.col("tc").alias("b")))
+            .unionAll(tris.select(F.col("tb").alias("a"), F.col("tc").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        )
+        return sup.filter(F.col("s") >= 2).select("a", "b")
+
+    e1 = survivors(edges0).coalesce(par).persist()
+    e2 = survivors(e1).coalesce(par).persist()
+    return (
+        edges0.agg(F.count(F.lit(1)).alias("n_edges_0"))
+        .crossJoin(e1.agg(F.count(F.lit(1)).alias("n_edges_1")))
+        .crossJoin(e2.agg(F.count(F.lit(1)).alias("n_edges_2")))
+    )
