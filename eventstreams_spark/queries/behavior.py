@@ -2721,3 +2721,117 @@ def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_index")
     )
+
+
+@query(
+    "shapley_channel_attribution",
+    category="B8-attribution",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(max(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END)
+                      + 2 * max(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END)
+                      + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                      + 8 * max(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END)
+                        AS BIGINT) AS mask,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), cm AS (
+            SELECT mask, CAST(count(*) AS BIGINT) AS c
+            FROM daily WHERE conv = 1 GROUP BY mask
+        ), subsets AS (SELECT CAST(unnest(range(16)) AS BIGINT) AS s),
+        v AS (
+            SELECT s, CAST(coalesce(sum(CASE WHEN (mask & s) = mask
+                                              THEN c END), 0) AS BIGINT) AS v
+            FROM subsets LEFT JOIN cm ON TRUE GROUP BY s
+        ), channels AS (
+            SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                                  ('view', CAST(2 AS BIGINT)),
+                                  ('signup', CAST(4 AS BIGINT)),
+                                  ('error', CAST(8 AS BIGINT)))
+                     AS t(channel, bit)
+        ), terms AS (
+            SELECT ch.channel,
+                   (CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                         WHEN 2 THEN 2 ELSE 6 END)
+                   * (v2.v - v1.v) AS t
+            FROM channels ch
+            JOIN v v1 ON (v1.s & ch.bit) = 0
+            JOIN v v2 ON v2.s = v1.s + ch.bit
+        )
+        SELECT channel, CAST(sum(t) AS BIGINT) AS phi24,
+               CAST(round(sum(t) / 24.0, 6) AS DOUBLE) AS shapley
+        FROM terms GROUP BY channel ORDER BY channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over four touch
+    channels — the game-theoretic credit split that marketing stacks
+    approximate by sampling; with |N| = 4 the 2⁴ coalition lattice is
+    enumerated exactly. Journey unit: (user, day); the characteristic
+    function v(S) counts converting user-days whose touched-channel
+    set ⊆ S (a conversion is credited to a coalition only when it
+    covers everything the user touched that day). Completes the
+    attribution family: first/last, linear, and Markov removal-effect
+    live above; Shapley is the axiomatic one (efficiency:
+    Σφ = v(N) − v(∅) by construction).
+
+    Integer discipline: masks and coalition values are exact integers;
+    the Shapley weights |S|!(n−|S|−1)!/n! are premultiplied by 4! = 24
+    → literal integer weights {6,2,2,6}, so φ·24 is an exact integer
+    and the emitted value is its SINGLE division by 24.0.
+
+    Scale: ONE rollup of the scan to user-day masks (map-side
+    combinable maxes), one 16-row count frame; everything after —
+    subset sums, the 4×8 marginal-contribution lattice — is
+    constant-size broadcast algebra independent of data volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            F.max((F.col("event_type") == "click").cast("long"))
+            + 2 * F.max((F.col("event_type") == "view").cast("long"))
+            + 4 * F.max((F.col("event_type") == "signup").cast("long"))
+            + 8 * F.max((F.col("event_type") == "error").cast("long"))
+        ).cast("long").alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    cm = (
+        daily.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        F.broadcast(subsets)
+        .join(cm, F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit long",
+    )
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("va"))
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("vb"))
+    w24 = (
+        F.when(F.bit_count("s1") == 0, 6)
+        .when(F.bit_count("s1") == 1, 2)
+        .when(F.bit_count("s1") == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        F.broadcast(channels)
+        .join(v1, F.expr("(s1 & bit) = 0"))
+        .join(v2, F.expr("s2 = s1 + bit"))
+        .select("channel", (w24 * (F.col("vb") - F.col("va"))).alias("t"))
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.sum("t").cast("long").alias("phi24"),
+            F.round(F.sum("t") / 24.0, 6).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
