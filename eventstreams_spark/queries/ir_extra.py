@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._shared import md5_uniform_sql
 
 
 @query(
@@ -756,4 +757,156 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
         .drop("rrf")
+    )
+
+
+@query(
+    "ndcg_at_10_eval",
+    category="L5-ndcg",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks
+            WHERE tok IN ('hash', 'join', 'stream')
+            GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ), rel AS (
+            SELECT doc_id, bm25,
+                   CAST(floor({md5_uniform_sql("'rel:' || CAST(doc_id AS VARCHAR)")}
+                              * 4) AS BIGINT) AS rel
+            FROM scored
+        ), ranked AS (
+            SELECT doc_id, rel,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM rel
+        ), ideal AS (
+            SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+            FROM rel
+        ), dcg AS (
+            SELECT rnk, doc_id, rel,
+                   sum((CAST(2 AS DOUBLE) ** rel - 1) / log2(rnk + 1.0))
+                       OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS dcg_run
+            FROM ranked WHERE rnk <= 10
+        ), idcg AS (
+            SELECT rnk,
+                   sum((CAST(2 AS DOUBLE) ** rel - 1) / log2(rnk + 1.0))
+                       OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS idcg_run
+            FROM ideal WHERE rnk <= 10
+        )
+        SELECT d.rnk AS rank, d.doc_id, d.rel,
+               CAST(round(d.dcg_run, 6) AS DOUBLE) AS dcg_running,
+               CAST(round(d.dcg_run / i.idcg_run, 6) AS DOUBLE)
+                   AS ndcg_at_rank
+        FROM dcg d JOIN idcg i ON i.rnk = d.rnk
+        ORDER BY rank
+    """,
+)
+def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranker against md5-minted graded relevance
+    (0–3 per doc, the repo's deterministic ground-truth mint) — the
+    ranking-quality readout that pairs with hybrid_rrf_fusion: DCG
+    gains (2^rel − 1)/log₂(rank+1) accumulate down the ranked list and
+    normalize by the ideal ordering's DCG at the same depth, emitted
+    per rank so the oracle checks the whole trajectory, not one
+    scalar.
+
+    Determinism: ranks are minted over 6dp-ROUNDED BM25 with doc_id
+    tiebreak (the rounded-score total order from oracle_conventions);
+    relevance comes from the shared md5_uniform mint; both DCG
+    accumulations run in pinned rank order.
+
+    Scale: BM25 cost ∝ matching postings; relevance/rank/DCG all run
+    on the scored-candidates frame; @10 truncation bounds the output.
+    """
+    from ..functions.sampling import md5_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "stream"]
+    k1, b = 1.2, 0.75
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    rel = scored.withColumn(
+        "rel",
+        F.floor(
+            md5_uniform("concat('rel:', cast(doc_id as string))") * 4
+        ).cast("long"),
+    )
+    wr = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    wi = Window.orderBy(F.col("rel").desc(), "doc_id")
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1.0)
+    ranked = (
+        rel.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .withColumn(
+            "dcg_run",
+            F.sum(gain).over(
+                Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ideal = (
+        rel.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= 10)
+        .withColumn(
+            "idcg_run",
+            F.sum(gain).over(
+                Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("rnk", "idcg_run")
+    )
+    return (
+        ranked.join(ideal, "rnk")
+        .select(
+            F.col("rnk").alias("rank"),
+            "doc_id",
+            "rel",
+            F.round("dcg_run", 6).alias("dcg_running"),
+            F.round(F.col("dcg_run") / F.col("idcg_run"), 6).alias("ndcg_at_rank"),
+        )
+        .orderBy("rank")
     )

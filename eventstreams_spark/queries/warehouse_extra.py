@@ -1063,3 +1063,154 @@ def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+_SNAP_ORD = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "snapshot_diff_audit",
+    category="WH-snapdiff",
+    oracle=f"""
+        WITH snap_a AS (
+            SELECT user_id, event_type,
+                   CAST(max_by(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                               {_SNAP_ORD}) AS BIGINT) AS cents
+            FROM events
+            WHERE value IS NOT NULL AND extract(day FROM ts) <= 15
+            GROUP BY user_id, event_type
+        ), snap_b AS (
+            SELECT user_id, event_type,
+                   CAST(max_by(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                               {_SNAP_ORD}) AS BIGINT) AS cents
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY user_id, event_type
+        ), diff AS (
+            SELECT coalesce(a.event_type, b.event_type) AS event_type,
+                   CASE WHEN a.user_id IS NULL THEN 'added'
+                        WHEN a.cents = b.cents THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM snap_a a FULL OUTER JOIN snap_b b
+                 ON a.user_id = b.user_id AND a.event_type = b.event_type
+        )
+        SELECT event_type, status, CAST(count(*) AS BIGINT) AS n
+        FROM diff GROUP BY event_type, status
+        ORDER BY event_type, status
+    """,
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff audit: the keep-latest state of every
+    (user, event_type) entity as of day 15 vs as of month end, full-
+    outer joined and tabulated into added / changed / unchanged — the
+    reconciliation report a warehouse runs after every incremental
+    load to prove the merge landed ('removed' is structurally absent
+    in an append-only changelog and would appear with a purge source).
+    Latest-per-entity uses the padded (epoch_micros, event_id) total
+    order so both engines pick the same closing row.
+
+    Scale: two keep-latest rollups (map-side combinable max_by) over
+    one scan each — the day-15 snapshot's filter prunes at the scan;
+    the diff joins SNAPSHOTS (|users|×|types| rows), not raw events;
+    the census is a rollup of the diff frame.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = ev.select(
+        "user_id", "event_type", cents.alias("cents"), ordk.alias("ordk"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.max_by("cents", "ordk").cast("long").alias("cents")
+        )
+
+    a = snap(base.filter(F.col("dom") <= 15)).select(
+        F.col("user_id").alias("ua"), F.col("event_type").alias("ta"),
+        F.col("cents").alias("ca"),
+    )
+    b = snap(base).select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("tb"),
+        F.col("cents").alias("cb"),
+    )
+    diff = a.join(
+        b, (F.col("ua") == F.col("ub")) & (F.col("ta") == F.col("tb")), "full_outer"
+    ).select(
+        F.coalesce("ta", "tb").alias("event_type"),
+        F.when(F.col("ua").isNull(), "added")
+        .when(F.col("ca") == F.col("cb"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("event_type", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "status")
+    )
+
+
+@query(
+    "sequence_gap_islands",
+    category="WH-gaps",
+    oracle="""
+        WITH present AS (
+            SELECT event_id AS id
+            FROM events
+            WHERE substr(md5('gap:' || CAST(event_id AS VARCHAR)), 1, 1)
+                  <> 'f'
+        ), grouped AS (
+            SELECT id,
+                   id - row_number() OVER (ORDER BY id) AS grp
+            FROM present
+        ), islands AS (
+            SELECT CAST(min(id) AS BIGINT) AS island_start,
+                   CAST(max(id) AS BIGINT) AS island_end,
+                   CAST(count(*) AS BIGINT) AS island_len
+            FROM grouped GROUP BY grp
+        )
+        SELECT island_start, island_end, island_len
+        FROM islands
+        ORDER BY island_len DESC, island_start
+        LIMIT 25
+    """,
+)
+def sequence_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over a sequence column: find contiguous runs
+    of present event_ids (holes are minted deterministically — ids
+    whose md5 starts with 'f', ~6.25%, model lost/unacked records)
+    via the classic id − row_number() grouping trick; report the 25
+    longest islands. The inverse readout — missing-id ranges — is the
+    completeness audit run against every ingest ledger.
+
+    Scale: the island id is ONE ordered window over present ids —
+    this is the documented single-sequence cost (a global order by id;
+    per-partition ledgers would partition the window by shard key,
+    the streak_islands_by_user shape); the rollup and top-25 heap run
+    on island rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    present = ev.filter(
+        F.substring(F.md5(F.concat(F.lit("gap:"), F.col("event_id").cast("string"))), 1, 1)
+        != "f"
+    ).select(F.col("event_id").alias("id"))
+    grouped = present.withColumn(
+        "grp", F.col("id") - F.row_number().over(Window.orderBy("id"))
+    )
+    islands = grouped.groupBy("grp").agg(
+        F.min("id").cast("long").alias("island_start"),
+        F.max("id").cast("long").alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("island_len"),
+    )
+    return (
+        islands.select("island_start", "island_end", "island_len")
+        .orderBy(F.col("island_len").desc(), "island_start")
+        .limit(25)
+    )
