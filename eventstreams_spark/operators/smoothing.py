@@ -76,3 +76,88 @@ def holt_linear_batch(
         return pdf[out_cols]
 
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+def holt_winters_batch(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.4,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) per key — the
+    seasonal extension of holt_linear_batch, same sequential-fold
+    contract. Initialization: the first ``period`` rows seed
+    l = mean(first period), b = 0, s_i = y_i − l; the recurrence runs
+    from row period+1 with the one-step forecast l + b + s_{t−m}
+    and the SSE accumulating inside the fold (bit-exact vs a
+    recursive-CTE replay, like Holt linear).
+
+    Rows before the seed window complete are emitted with NULL
+    level/trend/forecast (their ``season`` carries the seed
+    s_i = y_i − l₀, so a reader can reconstruct the full state). State per key is period + 2 floats — the
+    production shape for per-series seasonal forecasting at millions
+    of keys.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("season", DoubleType()),
+            StructField("forecast", DoubleType()),
+            StructField("sse_running", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    m = int(period)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").copy()
+        ys = list(pdf[value_col])
+        n = len(ys)
+        rns = list(range(1, n + 1))
+        lvls, trends, seas, fcs, sses = [], [], [], [], []
+        if n < m:
+            pdf["rn"] = rns
+            for c in ("level", "trend", "season", "forecast", "sse_running"):
+                pdf[c] = pd.array([None] * n, dtype="float64")
+            return pdf[out_cols]
+        lvl = sum(ys[:m]) / float(m)
+        trend, sse = 0.0, 0.0
+        seed = [y - lvl for y in ys[:m]]
+        sarr = list(seed)
+        for i in range(n):
+            if i < m - 1:
+                lvls.append(None); trends.append(None)
+                seas.append(seed[i]); fcs.append(None); sses.append(None)
+            elif i == m - 1:
+                lvls.append(lvl); trends.append(0.0)
+                seas.append(seed[i]); fcs.append(None); sses.append(0.0)
+            else:
+                y = ys[i]
+                s_old = sarr[0]
+                fc = lvl + trend + s_old
+                sse = sse + (y - fc) * (y - fc)
+                new_lvl = alpha * (y - s_old) + (1.0 - alpha) * (lvl + trend)
+                trend = beta * (new_lvl - lvl) + (1.0 - beta) * trend
+                s_new = gamma * (y - new_lvl) + (1.0 - gamma) * s_old
+                sarr = sarr[1:] + [s_new]
+                lvl = new_lvl
+                lvls.append(lvl); trends.append(trend)
+                seas.append(s_new); fcs.append(fc); sses.append(sse)
+        pdf["rn"] = rns
+        pdf["level"] = pd.array(lvls, dtype="float64")
+        pdf["trend"] = pd.array(trends, dtype="float64")
+        pdf["season"] = pd.array(seas, dtype="float64")
+        pdf["forecast"] = pd.array(fcs, dtype="float64")
+        pdf["sse_running"] = pd.array(sses, dtype="float64")
+        return pdf[out_cols]
+
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

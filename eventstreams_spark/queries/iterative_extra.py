@@ -1263,3 +1263,98 @@ def louvain_full_loop_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(q_monotone)).alias("q_accepted_monotone"),
         F.lit(bool(q_final_ge_sweep1)).alias("q_final_ge_sweep1"),
     )
+
+
+@query(
+    "holt_winters_seasonal_check",
+    category="T21-hw",
+    oracle="""
+        WITH RECURSIVE s AS (
+            SELECT row_number() OVER (ORDER BY day) AS rn,
+                   CAST(n AS DOUBLE) AS y
+            FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY CAST(ts AS DATE))
+        ), l7 AS (
+            SELECT sum(y) / 7.0 AS l0 FROM s WHERE rn <= 7
+        ), seed AS (
+            SELECT CAST(7 AS BIGINT) AS rn, l7.l0 AS lvl,
+                   CAST(0.0 AS DOUBLE) AS trend,
+                   (SELECT list(y - l7.l0 ORDER BY rn)
+                    FROM s WHERE rn <= 7) AS sarr,
+                   CAST(0.0 AS DOUBLE) AS sse
+            FROM l7
+        ), r AS (
+            SELECT * FROM seed
+            UNION ALL
+            SELECT s.rn,
+                   0.4 * (s.y - r.sarr[1]) + 0.6 * (r.lvl + r.trend),
+                   0.2 * ((0.4 * (s.y - r.sarr[1])
+                           + 0.6 * (r.lvl + r.trend)) - r.lvl)
+                       + 0.8 * r.trend,
+                   r.sarr[2:] || [0.3 * (s.y - (0.4 * (s.y - r.sarr[1])
+                                               + 0.6 * (r.lvl + r.trend)))
+                                  + 0.7 * r.sarr[1]],
+                   r.sse + (s.y - (r.lvl + r.trend + r.sarr[1]))
+                         * (s.y - (r.lvl + r.trend + r.sarr[1]))
+            FROM r JOIN s ON s.rn = r.rn + 1
+        ), last AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1)
+        SELECT CAST(rn AS BIGINT) AS n_days,
+               round(lvl, 6) AS last_level,
+               round(trend, 6) AS last_trend,
+               round(sse, 6) AS sse,
+               round(lvl + trend + sarr[1], 6) AS forecast_next
+        FROM last
+    """,
+)
+def holt_winters_seasonal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + WEEKLY seasonal, m=7,
+    α=0.4 β=0.2 γ=0.3) over the daily click-count series — the
+    seasonal completion of the T15/T21 smoothing family (EWMA → Holt
+    → Holt-Winters). The applyInPandas fold
+    (operators/smoothing.py::holt_winters_batch) carries period+2
+    floats of state; its final (level, trend, sequential SSE,
+    next-step forecast l+b+s_{t+1−m}) are certified against a DuckDB
+    RECURSIVE CTE that carries the 7-slot seasonal ring as a list and
+    replays the identical literal recurrence — bit-exact, same
+    contract as holt_linear_reference_check.
+
+    Scale: the fold input is the DAILY rollup (30 rows), not raw
+    events — one map-side-combinable count collapses the scan first;
+    recursion depth = days, not events. The operator itself
+    partitions by key for millions of concurrent series.
+    """
+    from ..operators.smoothing import holt_winters_batch
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .withColumn("k", F.lit("clicks"))
+    )
+    scored = holt_winters_batch(
+        daily, "k", "day", "y", period=7, alpha=0.4, beta=0.2, gamma=0.3
+    )
+    last = scored.agg(
+        F.max("rn").cast("long").alias("n_days"),
+        F.round(F.max_by("level", "rn"), 6).alias("last_level"),
+        F.round(F.max_by("trend", "rn"), 6).alias("last_trend"),
+        F.round(F.max_by("sse_running", "rn"), 6).alias("sse"),
+        F.max_by("level", "rn").alias("_l"),
+        F.max_by("trend", "rn").alias("_b"),
+        F.max("rn").alias("_n"),
+    )
+    s_next = scored.select("rn", F.col("season").alias("_s"))
+    return (
+        last.join(
+            F.broadcast(s_next),
+            s_next["rn"] == last["_n"] - F.lit(6),
+        )
+        .select(
+            "n_days", "last_level", "last_trend", "sse",
+            F.round(F.col("_l") + F.col("_b") + F.col("_s"), 6)
+            .alias("forecast_next"),
+        )
+    )
