@@ -2808,7 +2808,9 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cm, F.expr("(mask & s) = mask"), "left")
         .groupBy("s")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
-    )
+        .coalesce(1)
+        .persist()
+    )  # 16 rows, read twice (v1/v2) — persisting keeps the fact scan single
     channels = spark.createDataFrame(
         [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
         "channel string, bit long",

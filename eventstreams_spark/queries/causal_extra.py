@@ -1,0 +1,557 @@
+"""Causal-inference / experimentation utilities II: geometric adstock
+(JVM array-fold recursion — no Python worker), difference-in-
+differences, deterministic stratified k-fold assignment, and a
+log-log price-elasticity OLS — extending the A/B family (CUPED,
+Wilson, SPRT, permutation test live elsewhere).
+
+Float discipline: cell counts and cent sums are exact integers; DiD
+is a composition of four single divisions; the elasticity slope is
+one quotient of ln-term sums accumulated in pinned order; adstock's
+recurrence runs as a LITERAL-coefficient fold identically on both
+engines (Spark: F.aggregate over a day-ordered array — whole-stage
+codegen, no Python; DuckDB: recursive CTE).
+
+Scale: every query collapses the scan to a bounded frame first
+(daily cells, fold buckets, 2×2 DiD cells); folds run over ≤|days|
+elements per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ._shared import md5_uniform_sql
+
+
+@query(
+    "adstock_geometric_fold",
+    category="CA-adstock",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, day, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ), r AS (
+            SELECT event_type, rn, day, cents,
+                   CAST(cents AS DOUBLE) AS adstock
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.rn, s.day, s.cents,
+                   CAST(s.cents AS DOUBLE) + 0.6 * r.adstock
+            FROM r JOIN seq s
+                 ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, day, cents,
+               CAST(round(adstock, 6) AS DOUBLE) AS adstock
+        FROM r
+        ORDER BY event_type, day
+    """,
+)
+def adstock_geometric_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock (marketing carry-over): a_t = x_t + λ·a_{t−1}
+    with λ = 0.6 over each channel's daily spend (cent sums) — the
+    transform every media-mix model applies before regression. The
+    recurrence is inherently sequential, and this query demonstrates
+    the THIRD recursion technique in the repo: a JVM-side
+    ``aggregate()`` fold over the day-ordered array (whole-stage
+    codegen — no Python worker, unlike the applyInPandas folds; no
+    driver loop, unlike the iterative graph queries), certified
+    against a DuckDB recursive CTE.
+
+    Determinism: daily spend is exact integer cents; the fold applies
+    the literal 0.6 in identical order on both engines, so every
+    emitted adstock is bit-identical before the cosmetic round.
+
+    Scale: ONE rollup to |channels|×|days| rows; collect_list packs
+    each channel's ≤|days| values (bounded by the calendar, not the
+    data); the fold is O(|days|) per channel inside codegen.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long").alias("cents")
+    )
+    packed = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "cents"))
+        ).alias("series")
+    )
+    # JVM fold: accumulator = array of (day, cents, adstock); each
+    # step appends x + 0.6 * previous adstock
+    folded = packed.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+                series,
+                CAST(array() AS ARRAY<STRUCT<day DATE, cents BIGINT,
+                                             adstock DOUBLE>>),
+                (acc, x) -> array_append(
+                    acc,
+                    struct(
+                        x.day AS day, x.cents AS cents,
+                        CAST(x.cents AS DOUBLE) + CASE WHEN size(acc) = 0
+                             THEN 0.0D
+                             ELSE 0.6D * element_at(acc, -1).adstock END
+                            AS adstock))
+            )
+            """
+        ).alias("walked"),
+    )
+    return (
+        folded.select("event_type", F.explode("walked").alias("w"))
+        .select(
+            "event_type",
+            F.col("w.day").alias("day"),
+            F.col("w.cents").alias("cents"),
+            F.round("w.adstock", 6).alias("adstock"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "difference_in_differences",
+    category="CA-did",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN {md5_uniform_sql("'did:' || CAST(user_id AS VARCHAR)")}
+                        < 0.5 THEN 1 ELSE 0 END AS treated,
+                   CASE WHEN extract(day FROM ts) > 15 THEN 1 ELSE 0 END
+                       AS post,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+        ), cells AS (
+            SELECT treated, post,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s
+            FROM labeled GROUP BY treated, post
+        ), wide AS (
+            SELECT
+                max(CASE WHEN treated = 1 AND post = 1
+                         THEN CAST(s AS DOUBLE) / n END) AS t1,
+                max(CASE WHEN treated = 1 AND post = 0
+                         THEN CAST(s AS DOUBLE) / n END) AS t0,
+                max(CASE WHEN treated = 0 AND post = 1
+                         THEN CAST(s AS DOUBLE) / n END) AS c1,
+                max(CASE WHEN treated = 0 AND post = 0
+                         THEN CAST(s AS DOUBLE) / n END) AS c0
+            FROM cells
+        )
+        SELECT CAST(round(t1, 6) AS DOUBLE) AS treated_post,
+               CAST(round(t0, 6) AS DOUBLE) AS treated_pre,
+               CAST(round(c1, 6) AS DOUBLE) AS control_post,
+               CAST(round(c0, 6) AS DOUBLE) AS control_pre,
+               CAST(round((t1 - t0) - (c1 - c0), 6) AS DOUBLE)
+                   AS did_estimate_cents
+        FROM wide
+    """,
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: md5-assigned treatment (the repo's
+    deterministic variant mint), pre/post split at mid-month, outcome
+    = mean event value in cents per 2×2 cell; the DiD estimate
+    (Δtreated − Δcontrol) removes both group-level and time-level
+    confounds — the workhorse quasi-experimental estimator when
+    randomized exposure isn't available.
+
+    Determinism: each cell mean is ONE division of an exact integer
+    cent sum by an exact count; DiD composes four such doubles with
+    literal arithmetic — no ratio-of-rounded-ratios.
+
+    Scale: one conditional rollup to 4 cells; everything after is
+    constant-size.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    labeled = ev.select(
+        (
+            md5_uniform("concat('did:', cast(user_id as string))") < 0.5
+        ).cast("long").alias("treated"),
+        (F.dayofmonth("ts") > 15).cast("long").alias("post"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cells = labeled.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    wide = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)).alias("t1"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)).alias("t0"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)).alias("c1"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)).alias("c0"),
+    )
+    return wide.select(
+        F.round("t1", 6).alias("treated_post"),
+        F.round("t0", 6).alias("treated_pre"),
+        F.round("c1", 6).alias("control_post"),
+        F.round("c0", 6).alias("control_pre"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
+        ).alias("did_estimate_cents"),
+    )
+
+
+@query(
+    "stratified_kfold_assignment",
+    category="CA-kfold",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CAST(floor({md5_uniform_sql("'fold:' || CAST(doc_id AS VARCHAR)")}
+                              * 5) AS BIGINT) AS fold
+            FROM documents
+        ), census AS (
+            SELECT lang, fold, CAST(count(*) AS BIGINT) AS n
+            FROM assigned GROUP BY lang, fold
+        ), spread AS (
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS n_lang,
+                   CAST(max(n) AS BIGINT) AS max_fold,
+                   CAST(min(n) AS BIGINT) AS min_fold
+            FROM census GROUP BY lang
+        )
+        SELECT lang, n_lang, min_fold, max_fold,
+               (CAST(max_fold - min_fold AS DOUBLE) * 5 <= 0.5 * n_lang)
+                   AS balanced
+        FROM spread ORDER BY lang
+    """,
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment over the
+    document corpus with a per-stratum balance audit: folds come from
+    the md5 mint (reproducible across engines, runs, partitionings —
+    the train_test_split_hash discipline extended to k folds), and
+    the emitted gate asserts each language's fold spread stays within
+    10% of the stratum mean (max−min ≤ 0.1·n/5, stated as the
+    integer-safe cross-multiplication (max−min)·5 ≤ 0.5·n).
+
+    Scale: the assignment is a pure narrow map (no shuffle, no seed
+    state); the census is one rollup to |langs|×5 rows; any worker
+    can re-derive any document's fold from its id alone — the
+    property that makes distributed k-fold training runs consistent
+    without a membership table.
+    """
+    from ..functions.sampling import md5_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id", "lang",
+        F.floor(
+            md5_uniform("concat('fold:', cast(doc_id as string))") * 5
+        ).cast("long").alias("fold"),
+    )
+    census = assigned.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spread = census.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_lang"),
+        F.max("n").cast("long").alias("max_fold"),
+        F.min("n").cast("long").alias("min_fold"),
+    )
+    return spread.select(
+        "lang", "n_lang", "min_fold", "max_fold",
+        (
+            (F.col("max_fold") - F.col("min_fold")).cast("double") * 5
+            <= 0.5 * F.col("n_lang")
+        ).alias("balanced"),
+    ).orderBy("lang")
+
+
+@query(
+    "price_elasticity_loglog",
+    category="CA-elasticity",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS q,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY CAST(ts AS DATE)
+        ), lx AS (
+            SELECT day, ln(CAST(cents AS DOUBLE) / q / 100.0) AS x,
+                   ln(CAST(q AS DOUBLE)) AS y,
+                   row_number() OVER (ORDER BY day) AS rn,
+                   count(*) OVER () AS m
+            FROM daily
+        ), sums AS (
+            SELECT rn, m,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+            FROM lx
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT CAST(m AS BIGINT) AS n_days,
+               CAST(round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                    AS DOUBLE) AS elasticity,
+               CAST(round((sy - ((m * sxy - sx * sy)
+                                 / (m * sxx - sx * sx)) * sx) / m, 6)
+                    AS DOUBLE) AS intercept
+        FROM sums WHERE rn = m
+    """,
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand: OLS slope of ln(daily
+    purchase count) on ln(mean purchase price) — the constant-
+    elasticity estimate every pricing team reads (slope ≈ %Δdemand
+    per %Δprice). Both ln() inputs derive from exact integers (count;
+    cent sum / count / 100 as one chained division), and the OLS
+    sums accumulate in PINNED day order via running windows (the
+    mleval prefix-sum discipline) with the slope as one quotient at
+    the final row.
+
+    Scale: one rollup to |days| rows; windows on that frame; single-
+    row output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("q"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long").alias("cents"),
+    )
+    lx = daily.select(
+        "day",
+        F.log(F.col("cents").cast("double") / F.col("q") / 100.0).alias("x"),
+        F.log(F.col("q").cast("double")).alias("y"),
+    )
+    wo = Window.orderBy("day")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    sums = (
+        lx.withColumn("rn", F.row_number().over(wo))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("sx", F.sum("x").over(wrun))
+        .withColumn("sy", F.sum("y").over(wrun))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(wrun))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(wrun))
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.filter(F.col("rn") == F.col("m")).select(
+        F.col("m").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6)
+        .alias("intercept"),
+    )
+
+
+@query(
+    "uplift_by_decile",
+    category="CA-uplift",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN {md5_uniform_sql("'uplift:' || CAST(user_id AS VARCHAR)")}
+                        < 0.5 THEN 1 ELSE 0 END AS treated,
+                   CAST(least(floor(value / 50), 9) AS BIGINT) AS band,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS converted
+            FROM events WHERE value IS NOT NULL
+        ), cells AS (
+            SELECT band, treated,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS x
+            FROM labeled GROUP BY band, treated
+        ), wide AS (
+            SELECT band,
+                   max(CASE WHEN treated = 1 THEN n END) AS n_t,
+                   max(CASE WHEN treated = 1 THEN x END) AS x_t,
+                   max(CASE WHEN treated = 0 THEN n END) AS n_c,
+                   max(CASE WHEN treated = 0 THEN x END) AS x_c
+            FROM cells GROUP BY band
+        )
+        SELECT band, n_t, x_t, n_c, x_c,
+               CAST(round(CAST(x_t AS DOUBLE) / n_t, 6) AS DOUBLE) AS rate_t,
+               CAST(round(CAST(x_c AS DOUBLE) / n_c, 6) AS DOUBLE) AS rate_c,
+               CAST(round(CAST(x_t AS DOUBLE) / n_t
+                          - CAST(x_c AS DOUBLE) / n_c, 6) AS DOUBLE)
+                   AS uplift
+        FROM wide ORDER BY band
+    """,
+)
+def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (incrementality) by score band: md5-assigned treatment,
+    conversion-rate difference treated − control per value band — the
+    readout an uplift model ships so campaigns target persuadables
+    (high-uplift bands) instead of sure-things. Each rate is one
+    division of exact integers; uplift composes the two divisions
+    with literal arithmetic.
+
+    Scale: one conditional rollup to 10×2 cells; constant-size after.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    labeled = ev.select(
+        (
+            md5_uniform("concat('uplift:', cast(user_id as string))") < 0.5
+        ).cast("long").alias("treated"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias("band"),
+        (F.col("event_type") == "purchase").cast("long").alias("converted"),
+    )
+    cells = labeled.groupBy("band", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    wide = cells.groupBy("band").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("treated") == 1, F.col("x"))).alias("x_t"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("treated") == 0, F.col("x"))).alias("x_c"),
+    )
+    rt = F.col("x_t").cast("double") / F.col("n_t")
+    rc = F.col("x_c").cast("double") / F.col("n_c")
+    return wide.select(
+        "band", "n_t", "x_t", "n_c", "x_c",
+        F.round(rt, 6).alias("rate_t"),
+        F.round(rc, 6).alias("rate_c"),
+        F.round(rt - rc, 6).alias("uplift"),
+    ).orderBy("band")
+
+
+@query(
+    "alert_flap_suppression_fsm",
+    category="CA-fsm",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), typ AS (
+            SELECT event_type,
+                   CAST(sum(n) // count(*) AS BIGINT) AS mean_n
+            FROM daily GROUP BY event_type
+        ), seq AS (
+            SELECT d.event_type, d.day, d.n,
+                   CASE WHEN d.n * 10 > t.mean_n * 11 THEN 1 ELSE 0 END
+                       AS breach,
+                   row_number() OVER (PARTITION BY d.event_type
+                                      ORDER BY d.day) AS rn
+            FROM daily d JOIN typ t USING (event_type)
+        ), fsm AS (
+            SELECT event_type, rn, day, breach,
+                   CAST(0 AS BIGINT) AS alert,
+                   CAST(breach AS BIGINT) AS cb,
+                   CAST(1 - breach AS BIGINT) AS cg
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.rn, s.day, s.breach,
+                   CASE WHEN f.alert = 0
+                             AND s.breach = 1 AND f.cb + 1 >= 3 THEN 1
+                        WHEN f.alert = 1
+                             AND s.breach = 0 AND f.cg + 1 >= 2 THEN 0
+                        ELSE f.alert END,
+                   CASE WHEN s.breach = 1 THEN f.cb + 1 ELSE 0 END,
+                   CASE WHEN s.breach = 0 THEN f.cg + 1 ELSE 0 END
+            FROM fsm f JOIN seq s
+                 ON s.event_type = f.event_type AND s.rn = f.rn + 1
+        )
+        SELECT event_type,
+               CAST(sum(breach) AS BIGINT) AS n_breach_days,
+               CAST(sum(alert) AS BIGINT) AS n_alert_days,
+               CAST(sum(CASE WHEN alert = 1 AND breach = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppressed_clears
+        FROM fsm GROUP BY event_type ORDER BY event_type
+    """,
+)
+def alert_flap_suppression_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert flap suppression as a finite-state machine: a daily
+    volume breach (count > 1.1× the type's mean, stated as the
+    integer cross-multiplication n·10 > mean·11) must persist 3
+    consecutive days to RAISE and 2 consecutive quiet days to CLEAR —
+    the hysteresis every paging system applies so a flapping metric
+    doesn't wake anyone twice. Per type: breach days, alert-active
+    days, and suppressed clears (alert held through a quiet day).
+
+    The FSM is the repo's third sequential-fold technique applied to
+    control flow: Spark runs it as a JVM ``aggregate()`` fold over
+    the day-ordered array (integer state: alert flag + two run
+    counters — whole-stage codegen, no Python worker); the oracle
+    replays the identical transition table in a recursive CTE. All
+    state and all transitions are integers — nothing can drift.
+
+    Scale: one rollup to |types|×|days| rows; the fold is O(|days|)
+    per type; output is |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    typ = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) div count(*) AS BIGINT)").alias("mean_n")
+    )
+    seq = daily.join(typ, "event_type").select(
+        "event_type", "day",
+        (F.col("n") * 10 > F.col("mean_n") * 11).cast("long").alias("breach"),
+        F.col("n"),
+    )
+    packed = seq.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "breach"))).alias("series")
+    )
+    folded = packed.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+                series,
+                struct(
+                    CAST(array() AS ARRAY<STRUCT<breach BIGINT,
+                                                 alert BIGINT>>) AS rows,
+                    CAST(0 AS BIGINT) AS alert,
+                    CAST(0 AS BIGINT) AS cb,
+                    CAST(0 AS BIGINT) AS cg),
+                (st, x) -> struct(
+                    array_append(st.rows, struct(
+                        x.breach AS breach,
+                        CASE WHEN st.alert = 0 AND x.breach = 1
+                                  AND st.cb + 1 >= 3 THEN CAST(1 AS BIGINT)
+                             WHEN st.alert = 1 AND x.breach = 0
+                                  AND st.cg + 1 >= 2 THEN CAST(0 AS BIGINT)
+                             ELSE st.alert END AS alert)) AS rows,
+                    CASE WHEN st.alert = 0 AND x.breach = 1
+                              AND st.cb + 1 >= 3 THEN CAST(1 AS BIGINT)
+                         WHEN st.alert = 1 AND x.breach = 0
+                              AND st.cg + 1 >= 2 THEN CAST(0 AS BIGINT)
+                         ELSE st.alert END AS alert,
+                    CASE WHEN x.breach = 1 THEN st.cb + 1
+                         ELSE CAST(0 AS BIGINT) END AS cb,
+                    CASE WHEN x.breach = 0 THEN st.cg + 1
+                         ELSE CAST(0 AS BIGINT) END AS cg)
+            ).rows
+            """
+        ).alias("walked"),
+    )
+    rows = folded.select("event_type", F.explode("walked").alias("w"))
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.sum("w.breach").cast("long").alias("n_breach_days"),
+            F.sum("w.alert").cast("long").alias("n_alert_days"),
+            F.sum(
+                F.when((F.col("w.alert") == 1) & (F.col("w.breach") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_suppressed_clears"),
+        )
+        .orderBy("event_type")
+    )

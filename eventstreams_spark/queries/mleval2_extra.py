@@ -441,3 +441,174 @@ def psi_score_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c", 6).alias("psi_contrib"),
         F.round(F.sum("c").over(w), 6).alias("psi_running"),
     ).orderBy("bin")
+
+
+@query(
+    "weighted_median_by_flag",
+    category="ML2-wmedian",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+            FROM lineitem
+        ), cum AS (
+            SELECT l_returnflag, price_cents, w,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag
+                        ORDER BY price_cents, w
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag)
+                        AS BIGINT) AS tw
+            FROM base
+        ), hit AS (
+            SELECT l_returnflag, price_cents, cw, tw,
+                   row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY price_cents, w) AS rn
+            FROM cum WHERE 2 * cw >= tw
+        )
+        SELECT l_returnflag,
+               CAST(price_cents AS BIGINT) AS weighted_median_cents,
+               tw AS total_weight
+        FROM hit WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag: the first
+    price (in cents) whose running weight reaches half the group's
+    total — the weighted-percentile primitive (inventory-weighted
+    price points, duration-weighted latency) that plain
+    percentile()/median() cannot express. Entirely integer: prices
+    and weights are exact cents/units, the crossing test is the
+    cross-multiplication 2·cumw ≥ totw, and the pick is the FIRST
+    crossing row under a pinned (price, weight) order.
+
+    Scale: one window pass partitioned by the group key (the same
+    single-shuffle shape as the running-agg family); no collect, no
+    per-group sort beyond the window's.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    wo = W.partitionBy("l_returnflag").orderBy("price_cents", "w")
+    cum = base.withColumn(
+        "cw", F.sum("w").over(wo.rowsBetween(W.unboundedPreceding, 0)).cast("long")
+    ).withColumn(
+        "tw", F.sum("w").over(W.partitionBy("l_returnflag")).cast("long")
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    return (
+        hit.filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("price_cents").alias("weighted_median_cents"),
+            F.col("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "decision_stump_train",
+    category="ML2-stump",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(value) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS np
+            FROM events
+            WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+            GROUP BY floor(value)
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(np) AS BIGINT) AS p
+            FROM b
+        ), cand AS (
+            SELECT v AS split,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+                   CAST(sum(np) OVER w AS BIGINT) AS pl
+            FROM b
+            WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        ), scored AS (
+            SELECT split, nl, pl,
+                   n - nl AS nr, p - pl AS pr,
+                   CAST(floor(1000000000.0 * (
+                       (CAST(nl AS DOUBLE)
+                        - (CAST(pl * pl AS DOUBLE) / nl)
+                        - (CAST((nl - pl) * (nl - pl) AS DOUBLE) / nl))
+                     + (CAST(n - nl AS DOUBLE)
+                        - (CAST((p - pl) * (p - pl) AS DOUBLE) / (n - nl))
+                        - (CAST(((n - nl) - (p - pl))
+                                * ((n - nl) - (p - pl)) AS DOUBLE)
+                           / (n - nl)))
+                   ) / n) AS BIGINT) AS impurity_nano
+            FROM cand, tot
+            WHERE nl > 0 AND n - nl > 0
+        )
+        SELECT split AS best_split, nl, pl, nr, pr, impurity_nano
+        FROM scored
+        ORDER BY impurity_nano, split LIMIT 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a decision stump (one-split tree) on purchase-vs-click
+    over integer score buckets: for every candidate threshold, the
+    quantity n·gini_weighted = Σ_side (n_s − pos_s²/n_s − neg_s²/n_s)
+    is evaluated from cumulative integer counts and the argmin split
+    wins (ties to the smaller split). Proof the engine trains models,
+    not just scores them — the same cumulative-count frame a
+    gradient-boosting histogram builder uses per feature per round.
+
+    Determinism: every input to the impurity expression is an exact
+    integer from ONE pinned-order window pass; both engines evaluate
+    the identical rational expression and FLOOR it to nanos, so the
+    argmin is over identical integers (float compare never decides).
+
+    Scale: one rollup to ≤|score domain| buckets, one cumulative
+    window over them, argmin via TakeOrdered(1) — the scan is touched
+    once regardless of candidate count.
+    """
+    from pyspark.sql import Window as W
+
+    b = _score_buckets(spark, sf_dir)
+    tot = b.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("np").cast("long").alias("p"),
+    )
+    wrun = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cand = (
+        b.withColumn("nl", F.sum("cnt").over(wrun).cast("long"))
+        .withColumn("pl", F.sum("np").over(wrun).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n") - nl
+    pr = F.col("p") - pl
+    left = (
+        nl.cast("double")
+        - (pl * pl).cast("double") / nl
+        - ((nl - pl) * (nl - pl)).cast("double") / nl
+    )
+    right = (
+        nr.cast("double")
+        - (pr * pr).cast("double") / nr
+        - ((nr - pr) * (nr - pr)).cast("double") / nr
+    )
+    scored = cand.select(
+        F.col("v").alias("best_split"),
+        "nl", "pl",
+        nr.alias("nr"), pr.alias("pr"),
+        F.floor(F.lit(1000000000.0) * (left + right) / F.col("n"))
+        .cast("long").alias("impurity_nano"),
+    )
+    return scored.orderBy("impurity_nano", "best_split").limit(1)

@@ -1,0 +1,255 @@
+"""Text analysis II: RAKE keyword extraction with integer-scaled
+scores, and a self-training character-trigram language classifier
+with its confusion census — extending the text family (lang-ID by
+stopwords, quality scores, surprisal, readability, PMI collocations
+live elsewhere).
+
+Float discipline: RAKE's word score deg/freq is emitted as the FLOOR
+integer division (deg·10⁶)//freq, so phrase scores are exact integer
+sums (no float accumulation at all); the trigram classifier is pure
+integer counting with lexicographic argmax tiebreaks.
+
+Scale: both queries explode text into bounded-per-byte token/gram
+streams (the tokenization cost class), collapse immediately to count
+frames, and keep every join keyed (gram → profile is a broadcast; no
+doc×doc anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# the analysis stoplist: high-frequency function words of the
+# synthetic corpus domain (same spirit as lang_id_stopword's profile
+# lists — a data-file swap away from a real stoplist)
+_RAKE_STOP = (
+    "the a an of to and in is are on for with as by at this that "
+    "it be or from was were which"
+).split()
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@query(
+    "rake_keyword_phrases",
+    category="TX-rake",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS pos,
+                   tok IN ({_STOP_SQL}) AS is_stop
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ) WHERE tok <> ''
+        ), runs AS (
+            SELECT doc_id, tok, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM toks WHERE NOT is_stop
+        ), phrases AS (
+            SELECT doc_id, grp,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen,
+                   list(tok ORDER BY pos) AS words
+            FROM runs GROUP BY doc_id, grp
+        ), word_stats AS (
+            SELECT tok,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(plen) AS BIGINT) AS deg
+            FROM (SELECT p.doc_id, unnest(p.words) AS tok, p.plen
+                  FROM phrases p)
+            GROUP BY tok
+        ), wscore AS (
+            SELECT tok, CAST(deg * 1000000 // freq AS BIGINT) AS ws
+            FROM word_stats
+        ), pscore AS (
+            SELECT phrase,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(max(score) AS BIGINT) AS score_micro
+            FROM (
+                SELECT p.doc_id, p.grp, p.phrase,
+                       CAST(sum(w.ws) AS BIGINT) AS score
+                FROM (SELECT doc_id, grp, phrase, unnest(words) AS tok
+                      FROM phrases) p
+                JOIN wscore w ON w.tok = p.tok
+                GROUP BY p.doc_id, p.grp, p.phrase
+            ) GROUP BY phrase
+            HAVING count(*) >= 3
+        )
+        SELECT phrase, n_occurrences, score_micro
+        FROM pscore
+        ORDER BY score_micro DESC, phrase LIMIT 15
+    """,
+)
+def rake_keyword_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus:
+    candidate phrases are maximal stopword-free token runs (the
+    pos − row_number island trick, per doc); each word scores
+    degree/frequency where degree sums the lengths of every phrase
+    containing it; a phrase scores the sum of its words' scores.
+    Top-15 phrases seen ≥ 3 times.
+
+    Integer discipline: word score is the FLOOR division
+    (deg·10⁶)//freq — both engines floor the same integers — so
+    phrase scores are exact integer sums; no float enters the ranking
+    at all (most RAKE implementations rank on drifting doubles).
+
+    Scale: tokenize-explode (∝ corpus bytes) → island windows keyed
+    per doc → two count rollups; the word-score table is vocabulary-
+    sized and joins the phrase-words frame on the token key; top-15
+    is a heap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id", "tok",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos0")
+            ).alias("pos"),
+            F.col("tok").isin(_RAKE_STOP).alias("is_stop"),
+        )
+    )
+    runs = toks.filter(~F.col("is_stop")).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phrases = runs.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    phrase_words = phrases.select(
+        "doc_id", "grp", "phrase", "plen",
+        F.explode(F.split("phrase", " ")).alias("tok"),
+    )
+    word_stats = phrase_words.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wscore = word_stats.select(
+        "tok",
+        F.expr("CAST(deg * 1000000 div freq AS BIGINT)").alias("ws"),
+    )
+    per_occurrence = (
+        phrase_words.join(wscore, "tok")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("ws").cast("long").alias("score"))
+    )
+    pscore = (
+        per_occurrence.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score").cast("long").alias("score_micro"),
+        )
+        .filter(F.col("n_occurrences") >= 3)
+    )
+    return pscore.orderBy(F.col("score_micro").desc(), "phrase").limit(15)
+
+
+@query(
+    "langid_char_trigram_confusion",
+    category="TX-langid",
+    oracle="""
+        WITH grams AS (
+            SELECT d.doc_id, d.lang, substr(d.text, i, 3) AS g,
+                   (d.doc_id % 2 = 0) AS is_train
+            FROM documents d,
+                 LATERAL unnest(range(1, length(d.text) - 1)) t(i)
+        ), profile AS (
+            SELECT lang AS plang, g FROM (
+                SELECT lang, g, count(*) AS c,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY count(*) DESC, g) AS rnk
+                FROM grams WHERE is_train
+                GROUP BY lang, g
+            ) WHERE rnk <= 8
+        ), hits AS (
+            SELECT doc_id, lang, plang, CAST(count(*) AS BIGINT) AS score
+            FROM grams JOIN profile USING (g)
+            WHERE NOT is_train
+            GROUP BY doc_id, lang, plang
+        ), best AS (
+            SELECT doc_id, lang,
+                   min_by(plang, lpad(CAST(999999 - score AS VARCHAR), 8, '0')
+                                 || plang) AS predicted
+            FROM hits GROUP BY doc_id, lang
+        )
+        SELECT lang AS true_lang, predicted,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM best GROUP BY lang, predicted
+        ORDER BY true_lang, predicted
+    """,
+)
+def langid_char_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-training character-trigram language classifier with its
+    confusion census: even doc_ids train per-language profiles (top-8
+    trigrams by count, ties to lexicographic gram), odd doc_ids are
+    classified by profile-hit count with argmax tiebroken through one
+    composite varchar key (inverted score || lang — same idiom as
+    max_drawdown's trough pick), and the result is the
+    (true, predicted) confusion matrix. The n-gram upgrade of
+    lang_id_stopword: no curated wordlists, the profile IS derived
+    from data.
+
+    Scale: gram explode ∝ corpus bytes; the profile is |langs|×8 rows
+    and BROADCASTS into the scoring join (grams never shuffle); the
+    argmax runs per doc on ≤|langs| rows. Training and scoring are
+    the same scan with a hash-split — one pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 2, 0)),"
+                   " i -> substring(text, i, 3))")
+        ).alias("g"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+    )
+    profile = (
+        grams.filter("is_train")
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+            ),
+        )
+        .filter(F.col("rnk") <= 8)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    hits = (
+        grams.filter(~F.col("is_train"))
+        .join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    pick = F.concat(
+        F.lpad((F.lit(999999) - F.col("score")).cast("string"), 8, "0"),
+        F.col("plang"),
+    )
+    best = hits.groupBy("doc_id", "lang").agg(
+        F.min_by("plang", pick).alias("predicted")
+    )
+    return (
+        best.groupBy(F.col("lang").alias("true_lang"), "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "predicted")
+    )

@@ -1696,3 +1696,67 @@ def test_louvain_full_loop_per_round_shape(spark, sf_dir):
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 6, counts
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert count_prefix(counts, bad) == 0, counts
+
+
+def test_adstock_fold_stays_jvm_side(spark, sf_dir):
+    """Geometric adstock: the fold must run as a JVM aggregate() over
+    packed arrays — no Python eval node, no join at all; one rollup
+    shuffle + one pack shuffle."""
+    df = q("adstock_geometric_fold", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "Join") == 0, counts
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+
+
+def test_alert_fsm_fold_stays_jvm_side(spark, sf_dir):
+    """Alert-flap FSM: same contract as adstock — the state machine
+    lives in whole-stage codegen, not a Python worker; the only join
+    is the broadcast of the per-type mean."""
+    df = q("alert_flap_suppression_fsm", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_shapley_constant_size_lattice(spark, sf_dir):
+    """Shapley: one scan rollup feeding a persisted 16-row coalition
+    frame (the cached lineage's scan still prints, so ≤2 scans appear
+    in the formatted plan); the coalition algebra is broadcast joins
+    over ≤16-row frames — no cartesian blowup, no shuffle join."""
+    df = q("shapley_channel_attribution", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") <= 2, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_ktruss_triangle_join_shape(spark, sf_dir):
+    """k-truss rounds: triangle enumeration must stay an equi join
+    (two-hop + closing edge) — no cartesian/BNLJ beyond the 1-row
+    scalar crossJoins of the final census."""
+    df = q("ktruss_support_rounds", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 2, counts
+
+
+def test_weighted_median_single_shuffle_window(spark, sf_dir):
+    """Weighted median: one window pass on the group key; no join,
+    no TakeOrdered of raw rows, no Python."""
+    df = q("weighted_median_by_flag", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "Window") >= 1, counts
+
+
+def test_langid_profile_broadcasts(spark, sf_dir):
+    """Trigram lang-ID: the profile must broadcast into the scoring
+    join (the gram stream never shuffles for the join)."""
+    df = q("langid_char_trigram_confusion", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
