@@ -150,6 +150,33 @@ HEADLINE = [
     "kll_tdigest_shootout_gate",
     "agg_distinct_hll_mergeable",
     "tablesample_repeatable",
+    # round-4 families
+    "pr_auc_average_precision",
+    "confusion_threshold_sweep",
+    "cohens_kappa_rules",
+    "psi_score_stability",
+    "ohlc_daily_bars",
+    "max_drawdown_path",
+    "rsi_cutler_14",
+    "beaconing_interval_regularity",
+    "dga_domain_entropy_score",
+    "rare_pair_novelty",
+    "local_clustering_coefficient",
+    "degree_assortativity",
+    "ktruss_support_rounds",
+    "shapley_channel_attribution",
+    "adstock_geometric_fold",
+    "alert_flap_suppression_fsm",
+    "rake_keyword_phrases",
+    "langid_char_trigram_confusion",
+    "ndcg_at_10_eval",
+    "holt_winters_seasonal_check",
+    "snapshot_diff_audit",
+    "sequence_gap_islands",
+    "weighted_median_by_flag",
+    "decision_stump_train",
+    "sprt_sequential_ab",
+    "bh_fdr_cell_screen",
 ]
 
 INTERESTING = (
