@@ -429,6 +429,24 @@ def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("band")
 
 
+def breach_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily breach flags per type (count > 1.1x the type mean, as the
+    integer cross-multiplication n*10 > mean*11) - shared by the batch
+    FSM query and its streaming GroupState twin's golden test."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    typ = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) div count(*) AS BIGINT)").alias("mean_n")
+    )
+    return daily.join(typ, "event_type").select(
+        "event_type", "day",
+        (F.col("n") * 10 > F.col("mean_n") * 11).cast("long").alias("breach"),
+        F.col("n"),
+    )
+
+
 @query(
     "alert_flap_suppression_fsm",
     category="CA-fsm",
@@ -494,18 +512,7 @@ def alert_flap_suppression_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one rollup to |types|×|days| rows; the fold is O(|days|)
     per type; output is |types| rows.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    typ = daily.groupBy("event_type").agg(
-        F.expr("CAST(sum(n) div count(*) AS BIGINT)").alias("mean_n")
-    )
-    seq = daily.join(typ, "event_type").select(
-        "event_type", "day",
-        (F.col("n") * 10 > F.col("mean_n") * 11).cast("long").alias("breach"),
-        F.col("n"),
-    )
+    seq = breach_series(spark, sf_dir)
     packed = seq.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "breach"))).alias("series")
     )

@@ -348,3 +348,96 @@ def sharpe_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rsi_wilder_reference_check",
+    category="MK-rsi-wilder",
+    oracle=f"""
+        WITH RECURSIVE bars AS ({_BARS_SQL}),
+        ser AS (
+            SELECT day, close_cents,
+                   close_cents - lag(close_cents) OVER (ORDER BY day) AS d,
+                   row_number() OVER (ORDER BY day) AS rn
+            FROM bars WHERE event_type = 'purchase'
+        ), seed AS (
+            SELECT CAST(15 AS BIGINT) AS rn,
+                   (SELECT sum(CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+                                    ELSE 0.0 END) / 14.0
+                    FROM ser WHERE rn BETWEEN 2 AND 15) AS ag,
+                   (SELECT sum(CASE WHEN d < 0 THEN CAST(-d AS DOUBLE)
+                                    ELSE 0.0 END) / 14.0
+                    FROM ser WHERE rn BETWEEN 2 AND 15) AS al
+        ), r AS (
+            SELECT * FROM seed
+            UNION ALL
+            SELECT s.rn,
+                   (r.ag * 13.0 + CASE WHEN s.d > 0
+                                       THEN CAST(s.d AS DOUBLE)
+                                       ELSE 0.0 END) / 14.0,
+                   (r.al * 13.0 + CASE WHEN s.d < 0
+                                       THEN CAST(-s.d AS DOUBLE)
+                                       ELSE 0.0 END) / 14.0
+            FROM r JOIN ser s ON s.rn = r.rn + 1
+        ), last AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1)
+        SELECT rn AS n_days,
+               CAST(round(ag, 6) AS DOUBLE) AS avg_gain,
+               CAST(round(al, 6) AS DOUBLE) AS avg_loss,
+               CAST(round(100.0 - 100.0 / (1.0 + ag / al), 6) AS DOUBLE)
+                   AS rsi_wilder
+        FROM last
+    """,
+)
+def rsi_wilder_reference_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's ORIGINAL RSI (recursive smoothing
+    avg_t = (avg_{t−1}·13 + x_t)/14 — the form rsi_cutler_14's
+    docstring delegates here): the coupled gain/loss recurrences run
+    as an applyInPandas fold over the purchase series' daily bars and
+    the final (avg_gain, avg_loss, RSI) is certified against a DuckDB
+    recursive-CTE replay of the identical literal arithmetic — the
+    same fold ≡ recursive-CTE contract as Holt/Holt-Winters/CUSUM.
+
+    Determinism: deltas are integer cents; the seed is one division
+    of a 14-term conditional sum; each step is literal (·13 + x)/14
+    in identical order — bit-exact before the cosmetic round.
+
+    Scale: the fold input is the daily bar frame (≤|days| rows per
+    key); the operator shape is per-key state of two floats — the
+    millions-of-series production layout.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    bars = _daily_bars(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_type", "day", "close_cents")
+
+    out_schema = StructType(
+        [
+            StructField("n_days", LongType()),
+            StructField("avg_gain", DoubleType()),
+            StructField("avg_loss", DoubleType()),
+            StructField("rsi_wilder", DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        closes = list(pdf["close_cents"])
+        ds = [b - a for a, b in zip(closes, closes[1:])]
+        ag = sum(float(d) for d in ds[:14] if d > 0) / 14.0
+        al = sum(float(-d) for d in ds[:14] if d < 0) / 14.0
+        for d in ds[14:]:
+            ag = (ag * 13.0 + (float(d) if d > 0 else 0.0)) / 14.0
+            al = (al * 13.0 + (float(-d) if d < 0 else 0.0)) / 14.0
+        rsi = 100.0 - 100.0 / (1.0 + ag / al)
+        return pd.DataFrame(
+            {
+                "n_days": [len(closes)],
+                "avg_gain": [round(ag, 6)],
+                "avg_loss": [round(al, 6)],
+                "rsi_wilder": [round(rsi, 6)],
+            }
+        )
+
+    return bars.groupBy("event_type").applyInPandas(fold, schema=out_schema)

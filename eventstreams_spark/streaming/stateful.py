@@ -1125,3 +1125,73 @@ def kll_quantile_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def alert_fsm_stream(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    breach_col: str,
+    raise_after: int = 3,
+    clear_after: int = 2,
+) -> DataFrame:
+    """Streaming alert flap suppression — the GroupState twin of the
+    batch ``alert_flap_suppression_fsm`` query's JVM fold: per key,
+    a breach must persist ``raise_after`` consecutive observations to
+    RAISE and ``clear_after`` quiet ones to CLEAR. State is five
+    integers (alert flag, two run counters, alert-day and
+    suppressed-clear totals); each micro-batch emits the running
+    census row, so the max-snapshot row equals the batch fold over
+    the same prefix regardless of micro-batching (pinned by
+    test_alert_fsm_batch_equals_stream).
+
+    Scale: one shuffle on the key, O(1) state; input is expected to
+    be the pre-aggregated breach series (e.g. daily flags), not raw
+    events — the same contract as the batch query.
+    """
+    out_schema = (
+        f"{key_col} string, n_obs long, n_breach long, "
+        "n_alert long, n_suppressed long, alert_now long"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        alert, cb, cg, n_obs, n_breach, n_alert, n_supp = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            for r in _fold_sort(pdf, order_col).itertuples(index=False):
+                b = int(getattr(r, breach_col))
+                if alert == 0 and b == 1 and cb + 1 >= raise_after:
+                    alert = 1
+                elif alert == 1 and b == 0 and cg + 1 >= clear_after:
+                    alert = 0
+                cb = cb + 1 if b == 1 else 0
+                cg = cg + 1 if b == 0 else 0
+                n_obs += 1
+                n_breach += b
+                n_alert += alert
+                n_supp += 1 if (alert == 1 and b == 0) else 0
+        state.update((alert, cb, cg, n_obs, n_breach, n_alert, n_supp))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_obs": [n_obs],
+                "n_breach": [n_breach],
+                "n_alert": [n_alert],
+                "n_suppressed": [n_supp],
+                "alert_now": [alert],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "alert long, cb long, cg long, n_obs long, "
+            "n_breach long, n_alert long, n_supp long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

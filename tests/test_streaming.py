@@ -1637,3 +1637,35 @@ def test_mg_state_legacy_blob_migration():
     # a legacy token that itself contains \x1f splits on the LAST
     # separator (count is always the final field)
     assert _parse_mg_state("x\x1fy\x1f7") == {"x\x1fy": 7}
+
+
+def test_alert_fsm_batch_equals_stream(spark, tmp_path):
+    """Round-4 FSM twin equality: the streaming GroupState alert fold
+    over the replayed daily breach series must end at exactly the
+    batch query's per-type census (breach days, alert days,
+    suppressed clears) — however the stream is micro-batched."""
+    from eventstreams_spark.queries.causal_extra import breach_series
+    from eventstreams_spark.registry import REGISTRY
+    from eventstreams_spark.streaming.stateful import alert_fsm_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    seq = breach_series(spark, sf_dir).select("event_type", "day", "breach")
+    stream = replay_table(spark, seq, str(tmp_path), chunks=4, order_col="day")
+    out = alert_fsm_stream(stream, "event_type", "day", "breach")
+    run_to_memory(out, "t_fsm_s", output_mode="update")
+    got = {
+        r.event_type: (r.n_breach, r.n_alert, r.n_suppressed)
+        for r in spark.sql(
+            """SELECT * FROM t_fsm_s
+               WHERE (event_type, n_obs) IN
+                     (SELECT event_type, max(n_obs) FROM t_fsm_s
+                      GROUP BY event_type)"""
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n_breach_days, r.n_alert_days, r.n_suppressed_clears)
+        for r in REGISTRY["alert_flap_suppression_fsm"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
