@@ -1214,3 +1214,89 @@ def sequence_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("island_len").desc(), "island_start")
         .limit(25)
     )
+
+
+@query(
+    "quantile_normalize_daily_sources",
+    category="WH-qnorm",
+    oracle="""
+        WITH daily AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY sum(length(text)), lang) AS r,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents GROUP BY lang
+        ), pool AS (
+            SELECT n_chars AS gval,
+                   row_number() OVER (ORDER BY n_chars, gval) AS gr,
+                   count(*) OVER () AS gn
+            FROM daily
+        ), mapped AS (
+            SELECT d.lang, d.n_chars, d.r, d.n,
+                   (SELECT max(p.gval) FROM pool p
+                    WHERE p.gr * d.n * 2 <= (2 * d.r - 1) * p.gn + d.n)
+                       AS normalized
+            FROM daily d
+        )
+        SELECT lang,
+               n_chars AS raw_chars,
+               CAST(coalesce(normalized,
+                             (SELECT min(gval) FROM pool)) AS BIGINT)
+                   AS normalized_chars
+        FROM mapped ORDER BY lang, raw_chars
+    """,
+)
+def quantile_normalize_daily_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the bioinformatics /
+    training-data-balancing transform): each source's per-group
+    statistic (here total chars per language stratum) is replaced by
+    the POOLED distribution's value at the same rank fraction, making
+    source distributions comparable without fitting anything. The
+    pick is the largest pooled value whose rank fraction ≤ the
+    source-row's midrank fraction (2r−1)/2n, stated as the integer
+    cross-multiplication gr·n·2 ≤ (2r−1)·gn + n — float never decides
+    the pick; rows below the first boundary take the pooled minimum.
+
+    Scale: the normalized frame is |sources| here (stratum-level by
+    construction); the production shape replaces the scalar subquery
+    with a range join of midrank boundaries against the pooled
+    rank frame, both metadata-sized after the first rollup — raw
+    rows are touched once.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    daily = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy("n_chars", "lang")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("lang")))
+    )
+    pool = daily.select(F.col("n_chars").alias("gval")).withColumn(
+        "gr", F.row_number().over(W.orderBy("gval"))
+    ).withColumn("gn", F.count(F.lit(1)).over(W.partitionBy()))
+    joined = daily.join(
+        F.broadcast(pool),
+        F.col("gr") * F.col("n") * 2 <= (2 * F.col("r") - 1) * F.col("gn") + F.col("n"),
+        "left",
+    )
+    gmin = pool.agg(F.min("gval").alias("gmin"))
+    mapped = (
+        joined.groupBy("lang", "n_chars", "r", "n")
+        .agg(F.max("gval").alias("normalized"))
+        .crossJoin(F.broadcast(gmin))
+    )
+    return mapped.select(
+        "lang",
+        F.col("n_chars").alias("raw_chars"),
+        F.coalesce("normalized", "gmin").cast("long").alias("normalized_chars"),
+    ).orderBy("lang", "raw_chars")
