@@ -269,3 +269,92 @@ def ktruss_support_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(e1.agg(F.count(F.lit(1)).alias("n_edges_1")))
         .crossJoin(e2.agg(F.count(F.lit(1)).alias("n_edges_2")))
     )
+
+
+@query(
+    "ktruss_fixpoint_gate",
+    category="B7-graph2",
+    oracle=f"""
+        WITH {INTERACTION_UND_CTE}, {_TRIS_SQL},
+        sup0 AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS s FROM (
+                SELECT ta AS a, tb AS b FROM tris
+                UNION ALL SELECT ta, tc FROM tris
+                UNION ALL SELECT tb, tc FROM tris
+            ) GROUP BY a, b
+        ), e1 AS (SELECT a, b FROM sup0 WHERE s >= 2)
+        SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges_0,
+               CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges_1,
+               CAST(8 AS BIGINT) AS rounds_cap,
+               TRUE AS monotone_nonincreasing,
+               TRUE AS fixpoint_reached,
+               TRUE AS final_within_round1
+    """,
+)
+def ktruss_fixpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeled TO FIXPOINT — the convergence loop
+    ktruss_support_rounds unrolls twice: recompute edge support on
+    survivors until no edge drops (cap 8 rounds). Like the Louvain
+    loop gate, the oracle pins what SQL can state exactly (initial
+    and round-1 edge counts from the shared CTE) and certifies the
+    loop's invariants as a literal-TRUE contract: survivor counts
+    never increase, a fixpoint was reached within the cap, and the
+    final set is contained in round 1's.
+
+    Scale: each round is one triangle enumeration on a shrinking
+    graph + one support rollup; the loop carries ONE scalar per round
+    (the kcore/CC convergence contract); coalesce-before-persist on
+    every survivor frame keeps vanilla-session stages narrow.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    edges = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    n0 = edges.count()
+
+    def survivors(e: DataFrame) -> DataFrame:
+        x = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+        y = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        z = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+        tris = (
+            x.join(y, "ta").filter(F.col("tc") > F.col("tb")).join(z, ["tb", "tc"])
+        )
+        sup = (
+            tris.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+            .unionAll(tris.select(F.col("ta").alias("a"), F.col("tc").alias("b")))
+            .unionAll(tris.select(F.col("tb").alias("a"), F.col("tc").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        )
+        return sup.filter(F.col("s") >= 2).select("a", "b")
+
+    counts = [n0]
+    cur = edges
+    fixpoint = False
+    for _ in range(8):
+        nxt = survivors(cur).coalesce(par).persist()
+        n = nxt.count()
+        counts.append(n)
+        if n == counts[-2]:
+            fixpoint = True
+            cur = nxt
+            break
+        cur = nxt
+    monotone = all(b <= a for a, b in zip(counts, counts[1:]))
+    # containment: final survivors minus round-1 survivors must be empty
+    r1 = survivors(edges)
+    within = cur.join(r1, ["a", "b"], "left_anti").count() == 0
+    return spark.createDataFrame(
+        [
+            (
+                n0,
+                counts[1] if len(counts) > 1 else n0,
+                8,
+                bool(monotone),
+                bool(fixpoint),
+                bool(within),
+            )
+        ],
+        "n_edges_0 long, n_edges_1 long, rounds_cap long, "
+        "monotone_nonincreasing boolean, fixpoint_reached boolean, "
+        "final_within_round1 boolean",
+    )
