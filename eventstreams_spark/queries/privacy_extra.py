@@ -1,0 +1,209 @@
+"""Privacy-engineering family: k-anonymity / l-diversity audits and
+deterministic Laplace-mechanism counts — the compliance queries that
+sit next to the existing GDPR purge audit and PII redaction in a
+production pipeline.
+
+Float discipline: equivalence-class sizes and distinct counts are
+exact integers; the Laplace quantile transform runs on md5-minted
+uniforms (the repo's deterministic mint — documented as the TEST-MODE
+noise source; production swaps in a CSPRNG and loses replayability by
+design) with literal scale arithmetic, so both engines compute the
+identical 'noisy' integers.
+
+Scale: all three queries collapse the scan to the quasi-identifier
+class frame first (one rollup); audits and noise run on class rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ._shared import md5_uniform_sql
+
+
+@query(
+    "k_anonymity_census",
+    category="PV-kanon",
+    oracle="""
+        WITH classes AS (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour_band,
+                   CAST(user_id % 25 AS BIGINT) AS user_bucket,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT CAST(floor(value / 50) AS BIGINT))
+                        AS BIGINT) AS n_sensitive
+            FROM events WHERE value IS NOT NULL
+            GROUP BY ALL
+        )
+        SELECT (class_size < 5) AS under_k,
+               (n_sensitive < 3) AS under_l,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(class_size) AS BIGINT) AS n_rows,
+               CAST(min(class_size) AS BIGINT) AS min_class_size
+        FROM classes
+        GROUP BY (class_size < 5), (n_sensitive < 3)
+        ORDER BY under_k, under_l
+    """,
+)
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit in one pass: rows group into
+    equivalence classes by their quasi-identifiers (event_type,
+    hour, user bucket — the generalized attributes a release
+    would publish), and the census tabulates classes failing k = 5
+    (re-identifiable: fewer than 5 indistinguishable rows) and
+    failing l = 3 (attribute-disclosing: fewer than 3 distinct
+    sensitive values — value bands here) with affected row counts.
+    The release decision ('suppress these cells') reads directly off
+    this frame.
+
+    Scale: ONE rollup with an embedded distinct-count to the class
+    frame (|QI-combinations| rows); the audit aggregates classes.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    classes = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_band"),
+        (F.col("user_id") % 25).cast("long").alias("user_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct(F.floor(F.col("value") / 50).cast("long"))
+        .cast("long").alias("n_sensitive"),
+    )
+    return (
+        classes.groupBy(
+            (F.col("class_size") < 5).alias("under_k"),
+            (F.col("n_sensitive") < 3).alias("under_l"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.min("class_size").cast("long").alias("min_class_size"),
+        )
+        .orderBy("under_k", "under_l")
+    )
+
+
+@query(
+    "dp_laplace_counts",
+    category="PV-dp",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        ), noised AS (
+            SELECT event_type, n,
+                   {md5_uniform_sql("'dp:' || event_type")} - 0.5 AS u
+            FROM cells
+        )
+        SELECT event_type, n AS true_count,
+               CAST(n + round(-1.0 * (CASE WHEN u >= 0 THEN 1.0
+                                           ELSE -1.0 END)
+                              * ln(1.0 - 2.0 * abs(u))) AS BIGINT)
+                   AS dp_count,
+               CAST(round(-1.0 * (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END)
+                          * ln(1.0 - 2.0 * abs(u)), 6) AS DOUBLE)
+                   AS laplace_draw
+        FROM noised ORDER BY event_type
+    """,
+)
+def dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the Laplace mechanism
+    (ε = 1, sensitivity 1 → scale b = 1): each published count gets
+    Laplace noise drawn through the inverse CDF
+    −b·sgn(u)·ln(1 − 2|u|) on a uniform minted from md5 of the cell
+    key — DETERMINISTIC noise, which is exactly what a TEST of a DP
+    release pipeline needs (replayable, cross-engine hash-checkable);
+    the docstring is the contract that production swaps the mint for
+    a CSPRNG, giving up replayability by design. The mechanism
+    plumbing — sensitivity bookkeeping, inverse-CDF transform,
+    integer rounding of the release — is what this query pins.
+
+    Scale: noise is a per-row map over the aggregated cell frame.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = md5_uniform("concat('dp:', event_type)") - 0.5
+    draw = (
+        F.lit(-1.0)
+        * F.when(u >= 0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return cells.select(
+        "event_type",
+        F.col("n").alias("true_count"),
+        (F.col("n") + F.round(draw)).cast("long").alias("dp_count"),
+        F.round(draw, 6).alias("laplace_draw"),
+    ).orderBy("event_type")
+
+
+@query(
+    "skyline_pareto_frontier",
+    category="PV-skyline",
+    oracle="""
+        WITH pts AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+            FROM lineitem
+        ), ranked AS (
+            SELECT *,
+                   max(qty) OVER (ORDER BY price_cents, qty DESC,
+                                  l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_qty_cheaper
+            FROM pts
+        )
+        SELECT l_orderkey, l_linenumber, price_cents, qty
+        FROM ranked
+        WHERE best_qty_cheaper IS NULL OR qty > best_qty_cheaper
+        ORDER BY price_cents, qty DESC, l_orderkey, l_linenumber
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): line items not dominated on
+    (minimize price, maximize quantity) — the multi-criteria
+    shortlist query (cheapest-for-its-size offers) that no plain
+    ORDER BY expresses. Sorted by price with a deterministic
+    tiebreak, a point survives iff its quantity strictly exceeds the
+    best quantity among all STRICTLY ordered predecessors — one
+    running-max window computes the whole frontier.
+
+    Determinism: prices/quantities are integer cents/units; the
+    window order tiebreaks through (qty DESC, orderkey, linenumber),
+    and under that order equal-price points correctly dominate their
+    successors (the first of an equal-price run has the run's max
+    qty).
+
+    Scale: the documented cost is the single-sequence window (global
+    order by price) — the standard skyline-sweep layout; a
+    partitioned variant would grid price into bands, compute local
+    frontiers, and merge band boundaries (same two-level trick as
+    exact_global_rank).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    wo = W.orderBy(
+        "price_cents", F.col("qty").desc(), "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, -1)
+    ranked = pts.withColumn("best_qty_cheaper", F.max("qty").over(wo))
+    return (
+        ranked.filter(
+            F.col("best_qty_cheaper").isNull()
+            | (F.col("qty") > F.col("best_qty_cheaper"))
+        )
+        .select("l_orderkey", "l_linenumber", "price_cents", "qty")
+        .orderBy("price_cents", F.col("qty").desc(), "l_orderkey", "l_linenumber")
+    )
