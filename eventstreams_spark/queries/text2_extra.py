@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._shared import md5_uniform_sql
 
 # the analysis stoplist: high-frequency function words of the
 # synthetic corpus domain (same spirit as lang_id_stopword's profile
@@ -252,4 +253,136 @@ def langid_char_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         best.groupBy(F.col("lang").alias("true_lang"), "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "predicted")
+    )
+
+
+@query(
+    "negative_sampling_pairs",
+    category="TX-negsample",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS p
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents WHERE doc_id < 60
+            ) WHERE tok <> ''
+        ), pos_pairs AS (
+            SELECT a.doc_id, a.p AS pos_idx, a.tok AS center,
+                   b.tok AS context
+            FROM toks a JOIN toks b
+                 ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        ), vocab AS (
+            SELECT tok,
+                   pow(CAST(count(*) AS DOUBLE), 0.75) AS w,
+                   row_number() OVER (ORDER BY tok) AS vid
+            FROM toks GROUP BY tok
+        ), vcum AS (
+            SELECT tok, vid,
+                   sum(w) OVER (ORDER BY vid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lo,
+                   sum(w) OVER (ORDER BY vid ROWS UNBOUNDED PRECEDING) AS hi,
+                   sum(w) OVER () AS tot
+            FROM vocab
+        ), draws AS (
+            SELECT p.doc_id, p.pos_idx, p.center, p.context,
+                   j.j,
+                   {md5_uniform_sql("'neg:' || CAST(p.doc_id AS VARCHAR) || ':' || CAST(p.pos_idx AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")}
+                       AS u
+            FROM pos_pairs p,
+                 (SELECT unnest([1, 2]) AS j) j
+        ), negs AS (
+            SELECT d.doc_id, d.pos_idx, d.center, d.context, d.j,
+                   v.tok AS negative
+            FROM draws d JOIN vcum v
+                 ON d.u * v.tot >= coalesce(v.lo, 0.0)
+                AND d.u * v.tot < v.hi
+        )
+        SELECT negative, CAST(count(*) AS BIGINT) AS n_drawn
+        FROM negs GROUP BY negative
+        HAVING count(*) >= 20
+        ORDER BY n_drawn DESC, negative
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative sampling for training pairs: positives
+    are adjacent (center, context) token pairs; each positive draws 2
+    negatives from the unigram^0.75 distribution (Mikolov et al.'s
+    smoothing) via inverse-CDF lookup — an md5-minted uniform lands in
+    a token's cumulative-weight interval. The emitted census (tokens
+    drawn ≥ 20 times) pins the whole machinery: tokenization, pair
+    minting, the smoothed distribution, and the interval join.
+
+    Determinism: the cumulative weights accumulate in ONE pinned
+    vocabulary order (vid) on both engines, each uniform is minted
+    from the (doc, position, draw) key, and the interval test
+    u·tot ∈ [lo, hi) is evaluated on identical doubles — every draw
+    lands identically.
+
+    Scale: the vocabulary frame (with cumulative bounds) BROADCASTS
+    into a range join against the draw stream — the standard
+    distributed alias-table substitute; draws ∝ positives × k, all
+    map-side until the census rollup. doc_id < 60 bounds the demo
+    corpus; production removes the cap and shards the interval join
+    by weight-range buckets.
+    """
+    from ..functions.sampling import md5_uniform
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id", "tok",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("pos0")
+            ).alias("p"),
+        )
+    )
+    a = toks.select("doc_id", F.col("p").alias("pos_idx"), F.col("tok").alias("center"))
+    b = toks.select("doc_id", (F.col("p") - 1).alias("pos_idx"), F.col("tok").alias("context"))
+    pos_pairs = a.join(b, ["doc_id", "pos_idx"])
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.pow(F.count(F.lit(1)).cast("double"), 0.75).alias("w"))
+        .withColumn("vid", F.row_number().over(W.orderBy("tok")))
+    )
+    vcum = (
+        vocab.withColumn(
+            "lo",
+            F.sum("w").over(
+                W.orderBy("vid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.sum("w").over(W.orderBy("vid").rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn("tot", F.sum("w").over(W.partitionBy()))
+    )
+    js = spark.range(1, 3).select(F.col("id").alias("j"))
+    draws = pos_pairs.crossJoin(F.broadcast(js)).withColumn(
+        "u",
+        md5_uniform(
+            "concat('neg:', cast(doc_id as string), ':', "
+            "cast(pos_idx as string), ':', cast(j as string))"
+        ),
+    )
+    negs = draws.join(
+        F.broadcast(vcum),
+        (F.col("u") * F.col("tot") >= F.coalesce("lo", F.lit(0.0)))
+        & (F.col("u") * F.col("tot") < F.col("hi")),
+    )
+    return (
+        negs.groupBy(F.col("tok").alias("negative"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
+        .filter(F.col("n_drawn") >= 20)
+        .orderBy(F.col("n_drawn").desc(), "negative")
     )
