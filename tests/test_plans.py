@@ -1760,3 +1760,56 @@ def test_langid_profile_broadcasts(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_beaconing_single_entity_shuffle(spark, sf_dir):
+    """Beaconing: the lag window and CV agg share the entity-key
+    partitioning; ranking is a TakeOrdered heap, never a global
+    sort; no join, no Python."""
+    df = q("beaconing_interval_regularity", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") == 1, counts
+
+
+def test_skyline_single_sweep_window(spark, sf_dir):
+    """Skyline: ONE running-max window computes the frontier — no
+    join, no self-product (the naive skyline is O(n²))."""
+    df = q("skyline_pareto_frontier", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Join") == 0, counts
+    assert count_prefix(counts, "Window") >= 1, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_snapshot_diff_joins_snapshots_not_events(spark, sf_dir):
+    """Snapshot diff: the full-outer join runs on the two keep-latest
+    SNAPSHOT frames (post-aggregation), and the day-15 filter is
+    pushed to its scan."""
+    df = q("snapshot_diff_audit", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin FullOuter") \
+        + count_prefix(counts, "ShuffledHashJoin FullOuter") >= 1, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_matryoshka_single_scan_broadcast_query(spark, sf_dir):
+    """Matryoshka recall: both rankings derive from ONE candidate
+    scan with the 1-row query vector broadcast; the zip_with cosine
+    stays JVM-side (no Python eval)."""
+    df = q("matryoshka_prefix_recall", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+
+
+def test_negative_sampling_vocab_broadcasts(spark, sf_dir):
+    """Negative sampling: the cumulative-weight vocabulary must
+    BROADCAST into the interval join against the draw stream (a
+    shuffle range-join here would shuffle every draw)."""
+    df = q("negative_sampling_pairs", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") >= 1, counts
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
