@@ -562,3 +562,171 @@ def alert_flap_suppression_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HUBER_K = "50000.0"  # cents; fixed tuning constant stated literally
+
+
+@query(
+    "huber_irls_daily_trend",
+    category="CA-huber",
+    oracle=f"""
+        WITH daily AS (
+            SELECT row_number() OVER (ORDER BY day) AS x,
+                   CAST(cents AS DOUBLE) AS y
+            FROM (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL
+                GROUP BY CAST(ts AS DATE)
+            )
+        ), s0 AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(CAST(x AS DOUBLE)) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS DOUBLE) * y) AS sxy,
+                   sum(CAST(x AS DOUBLE) * x) AS sxx
+            FROM daily
+        ), fit0 AS (
+            SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS a
+            FROM s0
+        ), w1 AS (
+            SELECT d.x, d.y,
+                   CASE WHEN abs(d.y - (f.a + f.b * d.x)) <= {_HUBER_K}
+                        THEN 1.0
+                        ELSE {_HUBER_K} / abs(d.y - (f.a + f.b * d.x)) END
+                       AS w
+            FROM daily d, fit0 f
+        ), s1 AS (
+            SELECT sum(w) AS n, sum(w * x) AS sx, sum(w * y) AS sy,
+                   sum(w * x * y) AS sxy, sum(w * x * x) AS sxx,
+                   CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nd
+            FROM w1
+        ), fit1 AS (
+            SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS a,
+                   nd
+            FROM s1
+        ), w2 AS (
+            SELECT d.x, d.y,
+                   CASE WHEN abs(d.y - (f.a + f.b * d.x)) <= {_HUBER_K}
+                        THEN 1.0
+                        ELSE {_HUBER_K} / abs(d.y - (f.a + f.b * d.x)) END
+                       AS w
+            FROM daily d, fit1 f
+        ), s2 AS (
+            SELECT sum(w) AS n, sum(w * x) AS sx, sum(w * y) AS sy,
+                   sum(w * x * y) AS sxy, sum(w * x * x) AS sxx,
+                   CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nd
+            FROM w2
+        )
+        SELECT CAST(round((SELECT b FROM fit0), 6) AS DOUBLE) AS slope_ols,
+               CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                    AS DOUBLE) AS slope_huber,
+               CAST(round((sy - (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx) * sx) / n, 6) AS DOUBLE)
+                   AS intercept_huber,
+               (SELECT nd FROM fit1) AS n_downweighted_r1,
+               nd AS n_downweighted_r2
+        FROM s2
+    """,
+)
+def huber_irls_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-loss robust trend via IRLS, two unrolled rounds: fit OLS
+    on the daily purchase-revenue series, down-weight points whose
+    residual exceeds the Huber constant (w = k/|r|), refit weighted,
+    repeat — the outlier-resistant slope the Theil-Sen query gets by
+    medians, here by the estimator production stacks actually run
+    (IRLS is how every robust-regression library iterates).
+
+    Determinism: the daily frame is exact integer cents; OLS moments
+    aggregate ≤|days| terms; every weight and refit is the identical
+    literal expression on identical doubles in both engines — the
+    aggregation order concern is bounded by the 30-row frame and the
+    6dp round (agg_regression_family precedent).
+
+    Scale: rounds reuse the SAME |days|-row frame with 1-row
+    broadcast fits — each IRLS round is one crossJoin(broadcast) +
+    one aggregate, not a rescan; unrolling depth is a literal.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    from pyspark.sql import Window as W
+
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long").alias("cents")
+        )
+        .select(
+            F.row_number().over(W.orderBy("day")).cast("double").alias("x"),
+            F.col("cents").cast("double").alias("y"),
+        )
+    )
+    k = float(_HUBER_K)
+
+    def wls_fit(df: DataFrame, w=None):
+        wcol = F.lit(1.0) if w is None else F.col(w)
+        s = df.agg(
+            F.sum(wcol).alias("n"),
+            F.sum(wcol * F.col("x")).alias("sx"),
+            F.sum(wcol * F.col("y")).alias("sy"),
+            F.sum(wcol * F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(wcol * F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.when(wcol < 1.0, 1).otherwise(0)).cast("long").alias("nd"),
+        )
+        b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        return s.select(
+            b.alias("b"),
+            ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+            "nd",
+        )
+
+    fit0 = wls_fit(daily)
+    w1 = daily.crossJoin(F.broadcast(fit0.select("a", "b"))).withColumn(
+        "w",
+        F.when(
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))) <= k,
+            F.lit(1.0),
+        ).otherwise(
+            k / F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+        ),
+    ).select("x", "y", "w")
+    fit1 = wls_fit(w1, "w")
+    w2 = daily.crossJoin(F.broadcast(fit1.select("a", "b"))).withColumn(
+        "w",
+        F.when(
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))) <= k,
+            F.lit(1.0),
+        ).otherwise(
+            k / F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+        ),
+    ).select("x", "y", "w")
+    fit2 = wls_fit(w2, "w")
+    return (
+        fit0.select(F.round("b", 6).alias("slope_ols"))
+        .crossJoin(F.broadcast(fit1.select(F.col("nd").alias("n_downweighted_r1"))))
+        .crossJoin(
+            F.broadcast(
+                fit2.select(
+                    F.round("b", 6).alias("slope_huber"),
+                    F.round("a", 6).alias("intercept_huber"),
+                    F.col("nd").alias("n_downweighted_r2"),
+                )
+            )
+        )
+        .select(
+            "slope_ols", "slope_huber", "intercept_huber",
+            "n_downweighted_r1", "n_downweighted_r2",
+        )
+    )
