@@ -358,3 +358,187 @@ def ktruss_fixpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monotone_nonincreasing boolean, fixpoint_reached boolean, "
         "final_within_round1 boolean",
     )
+
+
+# sweep-1 CTE chain shared with behavior.py's _LOUVAIN2_ORACLE (same
+# integer gain rule 2m - k_u*k_v, same argmax/tiebreak) — inlined here
+# because this oracle continues into a RECURSIVE refinement phase
+_SWEEP1_SQL = """adj AS (
+        SELECT a AS u, b AS v FROM und
+        UNION ALL
+        SELECT b AS u, a AS v FROM und
+    ), deg AS (
+        SELECT u, count(*) AS k FROM adj GROUP BY u
+    ), m AS (SELECT count(*) AS m_edges FROM und),
+    moves1 AS (
+        SELECT adj.u, adj.v,
+               2 * m.m_edges - du.k * dv.k AS gain_num
+        FROM adj
+        JOIN deg du ON adj.u = du.u
+        JOIN deg dv ON adj.v = dv.u
+        CROSS JOIN m
+    ), best1 AS (
+        SELECT u, v AS target, gain_num,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY gain_num DESC, v) AS rn
+        FROM moves1
+    ), labels1 AS (
+        SELECT deg.u, deg.k,
+               CASE WHEN b.gain_num > 0 THEN b.target ELSE deg.u END AS c
+        FROM deg LEFT JOIN best1 b ON deg.u = b.u AND b.rn = 1
+    )"""
+
+
+@query(
+    "leiden_refine_connectivity",
+    category="B7-leiden",
+    oracle=f"""
+        WITH RECURSIVE {INTERACTION_UND_CTE}, {_SWEEP1_SQL},
+        intra AS (
+            SELECT und.a, und.b FROM und
+            JOIN labels1 la ON und.a = la.u
+            JOIN labels1 lb ON und.b = lb.u
+            WHERE la.c = lb.c
+        ), iedges AS (
+            SELECT a AS src, b AS dst FROM intra
+            UNION
+            SELECT b, a FROM intra
+        ), reach AS (
+            SELECT src AS node, src AS label FROM iedges
+            UNION
+            SELECT e.dst, r.label FROM iedges e JOIN reach r ON e.src = r.node
+        ), cc AS (
+            SELECT node, min(label) AS comp FROM reach GROUP BY node
+        ), refined AS (
+            SELECT l.u, l.c, l.k, coalesce(cc.comp, l.u) AS rc
+            FROM labels1 l LEFT JOIN cc ON cc.node = l.u
+        ), pieces AS (
+            SELECT c, rc,
+                   CAST(count(*) AS BIGINT) AS pn,
+                   CAST(sum(k) AS BIGINT) AS pk
+            FROM refined GROUP BY c, rc
+        ), census AS (
+            SELECT c,
+                   CAST(sum(pn) AS BIGINT) AS n_nodes,
+                   CAST(sum(pk) AS BIGINT) AS tot_deg,
+                   CAST(count(*) AS BIGINT) AS n_pieces,
+                   CAST(max(pn) AS BIGINT) AS largest_piece
+            FROM pieces GROUP BY c
+        ), splits AS (
+            SELECT CAST(count(*) FILTER (WHERE n_pieces > 1) AS BIGINT)
+                       AS n_disconnected_parents,
+                   CAST(count(*) AS BIGINT) AS n_parents
+            FROM census
+        )
+        SELECT census.c AS community, n_nodes, tot_deg, n_pieces,
+               largest_piece, splits.n_disconnected_parents,
+               splits.n_parents
+        FROM census CROSS JOIN splits
+        ORDER BY n_nodes DESC, community
+        LIMIT 20
+    """,
+)
+def leiden_refine_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style REFINEMENT on the Louvain sweep — the fix Traag,
+    Waltman & van Eck (Sci. Rep. 2019) showed Louvain needs: a
+    synchronous sweep can assign nodes to a community they are no
+    longer connected to INSIDE (up to ~25% of Louvain communities are
+    internally disconnected), so before coarsening, Leiden splits
+    every community into its connected pieces. Here the refinement is
+    the deterministic core of that phase: run sweep 1 (identical
+    integer gain rule / argmax / tiebreak as louvain_coarsened_two_
+    level), restrict the edge set to INTRA-community edges, and
+    relabel each node by the connected component it occupies within
+    its own community (min-node labeling; nodes with no intra edge
+    become singleton pieces). The census certifies the guarantee
+    hash-exactly: per parent community its piece count and largest
+    piece, plus the global count of parents the sweep left
+    disconnected — the number Leiden exists to drive to zero at the
+    next coarsening level.
+
+    Scale: refinement reuses the SoCC'14 large-star/small-star CC
+    (operators/graph.py) on the intra-community edge subset — a
+    FILTER of the original edge list, never node×node; rounds scale
+    with log(piece diameter). The oracle replays refinement as
+    recursive-CTE reachability, feasible only at gate scale — the
+    Spark side is the 100 TB form.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components_star
+
+    ev = load_table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).coalesce(par).persist()
+    m_edges = und.count()  # bounded metadata scalar
+
+    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    moves1 = (
+        adj.join(deg, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v",
+            (F.lit(2 * m_edges) - F.col("k") * F.col("kv")).alias("gain_num"),
+        )
+    )
+    w1 = Window.partitionBy("u").orderBy(F.col("gain_num").desc(), "v")
+    best1 = (
+        moves1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("u", "v", "gain_num")
+    )
+    labels1 = (
+        deg.join(best1, "u", "left")
+        .select(
+            "u", "k",
+            F.when(F.col("gain_num") > 0, F.col("v"))
+            .otherwise(F.col("u")).alias("c"),
+        )
+        .coalesce(par)
+        .persist()
+    )
+
+    la = labels1.select(F.col("u").alias("a"), F.col("c").alias("ca"))
+    lb = labels1.select(F.col("u").alias("b"), F.col("c").alias("cb"))
+    intra = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .select("a", "b")
+    )
+    cc = connected_components_star(intra, src="a", dst="b")
+    refined = (
+        labels1.join(cc, labels1.u == cc.id, "left")
+        .select(
+            labels1.u, "k", "c",
+            F.coalesce("component", labels1.u).alias("rc"),
+        )
+    )
+    pieces = refined.groupBy("c", "rc").agg(
+        F.count(F.lit(1)).cast("long").alias("pn"),
+        F.sum("k").cast("long").alias("pk"),
+    )
+    census = pieces.groupBy("c").agg(
+        F.sum("pn").cast("long").alias("n_nodes"),
+        F.sum("pk").cast("long").alias("tot_deg"),
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.max("pn").cast("long").alias("largest_piece"),
+    )
+    splits = census.agg(
+        F.sum(F.when(F.col("n_pieces") > 1, 1).otherwise(0))
+        .cast("long").alias("n_disconnected_parents"),
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+    )
+    return (
+        census.crossJoin(F.broadcast(splits))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes", "tot_deg", "n_pieces", "largest_piece",
+            "n_disconnected_parents", "n_parents",
+        )
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(20)
+    )
