@@ -1,0 +1,476 @@
+"""Statistical inference II: the k-group and resampling half of the
+experimentation toolbox — Kruskal-Wallis H (k-group rank test, the
+≥3-arm generalization of the existing mann_whitney_u), one-way ANOVA
+F (the parametric twin), delete-one-group jackknife, and the Poisson
+bootstrap (the distributed-systems bootstrap: per-row independent
+Poisson(1) weights replace multinomial resampling so every replicate
+is one map-side-combinable weighted aggregate — the only bootstrap
+that works when no single machine can hold the data).
+
+Float discipline (house rules): the metric is exact integer cents;
+rank machinery carries DOUBLED midranks (2·rank + ties − 1) so every
+rank sum is an exact integer; ANOVA/jackknife moments are quotients
+of exact integer sums; every bootstrap replicate mean is an exact
+integer quotient (Σw·cents / Σw with integer weights), so the
+replicate distribution is bit-identical across engines before the
+final interpolated percentiles. Test statistics round to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "kruskal_wallis_h",
+    category="ST2-ranktest",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type AS grp, {_CENTS} AS cents
+            FROM events WHERE value IS NOT NULL
+        ), ranked AS (
+            SELECT grp, cents,
+                   rank() OVER (ORDER BY cents) AS rmin,
+                   count(*) OVER (PARTITION BY cents) AS t
+            FROM base
+        ), per_grp AS (
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(2 * rmin + t - 1) AS BIGINT) AS rank_sum2
+            FROM ranked GROUP BY grp
+        ), ties AS (
+            SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+            FROM (SELECT count(*) AS t FROM base GROUP BY cents)
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM per_grp
+        ), h AS (
+            SELECT n, k, tie3,
+                   12.0 / (n * (n + 1.0))
+                     * (SELECT sum((rank_sum2 / 2.0) * (rank_sum2 / 2.0)
+                                   / n_g) FROM per_grp)
+                     - 3.0 * (n + 1.0) AS h_raw
+            FROM tot CROSS JOIN ties
+        )
+        SELECT p.grp, p.n_g, p.rank_sum2,
+               CAST(round(h.h_raw, 6) AS DOUBLE) AS h_stat,
+               CAST(round(h.h_raw / (1.0 - CAST(h.tie3 AS DOUBLE)
+                    / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n)), 6)
+                    AS DOUBLE) AS h_tie_adj,
+               h.k AS k_groups, h.n AS n_total
+        FROM per_grp p CROSS JOIN h
+        ORDER BY p.grp
+    """,
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-group rank test (does at least one of
+    the k event-type arms shift the metric distribution?), the ≥3-arm
+    generalization of mann_whitney_u: pooled midranks, per-group rank
+    sums R_g, H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1), then the standard
+    tie correction H/(1 − Σ(t³−t)/(N³−N)).
+
+    Determinism: the metric is exact integer cents so tie groups are
+    exact; midranks are carried DOUBLED (2·rank_min + t − 1 — an
+    integer: rank_min is the window rank, t the tie count), making
+    every per-group rank sum an exact integer; H is assembled from
+    those integers in identical double arithmetic on both engines.
+
+    Scale: one global sort for the pooled ranking (the price of any
+    exact rank test — Spark range-partitions it), a per-value tie
+    count, then two hash aggregates; output is k rows.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    ranked = base.select(
+        "grp", "cents",
+        F.rank().over(Window.orderBy("cents")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("t"),
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(2 * F.col("rmin") + F.col("t") - 1).cast("long").alias("rank_sum2"),
+    )
+    ties = base.groupBy("cents").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie3")
+    )
+    tot = per_grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    rsq = per_grp.agg(
+        F.sum(
+            (F.col("rank_sum2") / 2.0) * (F.col("rank_sum2") / 2.0) / F.col("n_g")
+        ).alias("srq")
+    )
+    h = (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(rsq))
+        .select(
+            "n", "k", "tie3",
+            (
+                12.0 / (F.col("n") * (F.col("n") + 1.0)) * F.col("srq")
+                - 3.0 * (F.col("n") + 1.0)
+            ).alias("h_raw"),
+        )
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(h))
+        .select(
+            "grp", "n_g", "rank_sum2",
+            F.round("h_raw", 6).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (
+                    1.0
+                    - F.col("tie3").cast("double")
+                    / (F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n"))
+                ),
+                6,
+            ).alias("h_tie_adj"),
+            F.col("k").alias("k_groups"),
+            F.col("n").alias("n_total"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "anova_oneway_f",
+    category="ST7-anova",
+    oracle=f"""
+        WITH per_grp AS (
+            SELECT event_type AS grp,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum({_CENTS}) AS BIGINT) AS s_g,
+                   CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS q_g
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(s_g) AS BIGINT) AS s,
+                   CAST(sum(q_g) AS BIGINT) AS q,
+                   sum(CAST(s_g AS DOUBLE) * s_g / n_g) AS sb_part
+            FROM per_grp
+        )
+        SELECT n AS n_total, k AS k_groups,
+               CAST(round(CAST(q AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          4) AS DOUBLE) AS var_total,
+               CAST(round(((sb_part - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                          / ((q - sb_part) / (n - k)), 6) AS DOUBLE) AS f_stat,
+               CAST(round((sb_part - CAST(s AS DOUBLE) * s / n)
+                          / (q - CAST(s AS DOUBLE) * s / n), 6)
+                    AS DOUBLE) AS eta_sq
+        FROM tot
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F — the parametric k-group mean test paired with
+    kruskal_wallis_h: SS_between = ΣS_g²/n_g − S²/N, SS_within =
+    ΣQ_g − ΣS_g²/n_g from the per-group (count, sum, sum-of-squares)
+    triple; F = (SSB/(k−1)) / (SSW/(N−k)), effect size η² = SSB/SST.
+
+    Determinism: all moments are exact integer cent sums (Q fits
+    comfortably: 60k rows × (2·10^4)² ≈ 2.4·10^13 « 2^63); the F
+    assembly is a handful of identical double ops.
+
+    Scale: ONE map-side-combinable hash aggregate over the fact
+    table, then arithmetic on a k-row frame — the cheapest possible
+    test; output is a single row.
+    """
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_grp = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(cents).cast("long").alias("s_g"),
+            F.sum(cents * cents).cast("long").alias("q_g"),
+        )
+    )
+    tot = per_grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"))
+        .alias("sb_part"),
+    )
+    ssb = F.col("sb_part") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb_part")
+    sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    sn = F.col("s").cast("double") / F.col("n")
+    return tot.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.round(F.col("q").cast("double") / F.col("n") - sn * sn, 4)
+        .alias("var_total"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6)
+        .alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "jackknife_loo_day_means",
+    category="ST8-resample",
+    oracle=f"""
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum({_CENTS}) AS BIGINT) AS s_i
+            FROM events WHERE value IS NOT NULL
+            GROUP BY CAST(ts AS DATE)
+        ), tot AS (
+            SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(sum(s_i) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS g
+            FROM per_day
+        ), loo AS (
+            SELECT day, n_i,
+                   CAST(tot.s - s_i AS DOUBLE) / (tot.n - n_i) AS theta_i,
+                   tot.g, tot.n, tot.s
+            FROM per_day CROSS JOIN tot
+        ), jk AS (
+            SELECT g, n, s,
+                   sum(theta_i) / g AS theta_bar,
+                   sum(theta_i * theta_i) AS theta_sq
+            FROM loo GROUP BY g, n, s
+        )
+        SELECT loo.day, loo.n_i,
+               CAST(round(loo.theta_i, 6) AS DOUBLE) AS theta_loo,
+               CAST(round(CAST(jk.s AS DOUBLE) / jk.n, 6) AS DOUBLE)
+                   AS mean_full,
+               CAST(round(sqrt((jk.g - 1.0) / jk.g
+                    * (jk.theta_sq - jk.g * jk.theta_bar * jk.theta_bar)),
+                    6) AS DOUBLE) AS jk_se
+        FROM loo JOIN jk ON loo.g = jk.g
+        ORDER BY loo.day
+    """,
+)
+def jackknife_loo_day_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife for the metric mean, grouped by day
+    (the delete-a-block variant that respects within-day dependence —
+    the form production experimentation systems use when rows are not
+    i.i.d.): θ_(i) = (S − S_i)/(N − n_i) per left-out day, jackknife
+    SE = sqrt((G−1)/G · Σ(θ_(i) − θ̄)²).
+
+    Determinism: per-day (count, cent-sum) pairs are exact integers;
+    each θ_(i) is one exact-integer quotient; the Σθ² accumulation
+    drifts at libm/order scale (~1e-15 rel), far under round 6.
+
+    Scale: one day-grain rollup (calendar-bounded frame), a 1-row
+    broadcast of the totals, one bounded aggregate for the SE —
+    replicates never touch the fact table a second time.
+    """
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_day = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(cents).cast("long").alias("s_i"),
+        )
+    )
+    tot = per_day.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    loo = per_day.crossJoin(F.broadcast(tot)).select(
+        "day", "n_i", "g", "n", "s",
+        ((F.col("s") - F.col("s_i")).cast("double") / (F.col("n") - F.col("n_i")))
+        .alias("theta_i"),
+    )
+    jk = loo.groupBy("g", "n", "s").agg(
+        (F.sum("theta_i") / F.col("g")).alias("theta_bar"),
+        F.sum(F.col("theta_i") * F.col("theta_i")).alias("theta_sq"),
+    )
+    return (
+        loo.join(F.broadcast(jk.select("g", "theta_bar", "theta_sq")), "g")
+        .select(
+            "day", "n_i",
+            F.round("theta_i", 6).alias("theta_loo"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_full"),
+            F.round(
+                F.sqrt(
+                    (F.col("g") - 1.0) / F.col("g")
+                    * (
+                        F.col("theta_sq")
+                        - F.col("g") * F.col("theta_bar") * F.col("theta_bar")
+                    )
+                ),
+                6,
+            ).alias("jk_se"),
+        )
+        .orderBy("day")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds: P(X<=j) for j=0..5; draws above
+# the last threshold clamp to 6 (P ≈ 8.3e-5 — identical both engines)
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+)
+_B_REPS = 200
+
+
+def _pois_case(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {j}" for j, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+# value-identical twin of md5_uniform/md5_uniform_sql that parses a
+# PRECOMPUTED 8-hex-char column — at rows×B fan-out the stock helpers
+# re-evaluate md5() once per digit (8×/draw, measured 28→9 s here)
+def _u_from_h8_sql(h8: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h8}, {i}, 1)) - 1)"
+        f" * {float(16 ** (8 - i))}"
+        for i in range(1, 9)
+    )
+    return f"(({terms} + 0.5) / 4294967296.0)"
+
+
+def _u_from_h8(h8: str) -> F.Column:
+    u = F.lit(0.0)
+    for i in range(1, 9):
+        u = u + F.expr(
+            f"locate(substr({h8}, {i}, 1), '0123456789abcdef') - 1"
+        ) * float(16 ** (8 - i))
+    return (u + 0.5) / float(16**8)
+
+
+@query(
+    "poisson_bootstrap_ci",
+    category="ST8-resample",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, {_CENTS} AS cents
+            FROM events WHERE value IS NOT NULL
+        ), reps AS (
+            SELECT b FROM (SELECT unnest(range({_B_REPS})) AS b)
+        ), hashed AS (
+            SELECT r.b, base.cents,
+                   substr(md5('boot:' || CAST(r.b AS VARCHAR) || ':'
+                              || CAST(base.event_id AS VARCHAR)), 1, 8) AS h8
+            FROM base CROSS JOIN reps r
+        ), drawn AS (
+            SELECT b, cents, {_pois_case(_u_from_h8_sql("h8"))} AS w
+            FROM hashed
+        ), weighted AS (
+            SELECT b,
+                   CAST(sum(w * cents) AS BIGINT) AS ws,
+                   CAST(sum(w) AS BIGINT) AS wn
+            FROM drawn GROUP BY b
+        ), means AS (
+            SELECT b, CAST(ws AS DOUBLE) / wn AS m FROM weighted
+        ), summ AS (
+            SELECT CAST(count(*) AS BIGINT) AS b_reps,
+                   quantile_cont(m, 0.025) AS lo,
+                   quantile_cont(m, 0.975) AS hi,
+                   avg(m) AS mb,
+                   sum(m * m) AS msq
+            FROM means
+        ), full_mean AS (
+            SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS mf FROM base
+        )
+        SELECT b_reps,
+               CAST(round(full_mean.mf, 6) AS DOUBLE) AS mean_full,
+               CAST(round(summ.lo, 6) AS DOUBLE) AS ci_lo,
+               CAST(round(summ.hi, 6) AS DOUBLE) AS ci_hi,
+               CAST(round(sqrt((summ.msq - b_reps * summ.mb * summ.mb)
+                               / (b_reps - 1)), 6) AS DOUBLE) AS boot_se
+        FROM summ CROSS JOIN full_mean
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the metric mean — THE distributed
+    bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): instead of multinomial resampling
+    (which needs N known and a global draw), each row enters replicate
+    b with an independent Poisson(1) weight, so a replicate is just a
+    weighted mean and the whole B-replicate ensemble is ONE
+    map-side-combinable aggregate. Weights are minted deterministically
+    from md5(b, event_id) through the Poisson(1) inverse CDF.
+
+    Determinism: every replicate mean is an exact integer quotient
+    (Σw·cents / Σw, both integer sums), so the 200-point replicate
+    distribution is bit-identical across engines; the 2.5%/97.5%
+    interpolated percentiles and the replicate SE then round to 6.
+
+    Scale: the fan-out is rows×B but collapses map-side — each
+    partition emits B partial (Σw·x, Σw) pairs, so the shuffle is
+    O(B × partitions) regardless of data size; no replicate ever
+    materializes. This is the bootstrap that survives 100 TB.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    hashed = base.select(
+        "event_id", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
+    ).select(
+        "b", "cents",
+        F.expr(
+            "substr(md5(concat('boot:', CAST(b AS STRING), ':', "
+            "CAST(event_id AS STRING))), 1, 8)"
+        ).alias("h8"),
+    )
+    u = _u_from_h8("h8")
+    w = F.lit(6)
+    for j in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS_CDF[j]), F.lit(j)).otherwise(w)
+    weighted = hashed.select("b", "cents", w.alias("w")).groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("ws"),
+        F.sum("w").cast("long").alias("wn"),
+    )
+    means = weighted.select("b", (F.col("ws").cast("double") / F.col("wn")).alias("m"))
+    summ = means.agg(
+        F.count(F.lit(1)).cast("long").alias("b_reps"),
+        F.expr("percentile(m, 0.025)").alias("lo"),
+        F.expr("percentile(m, 0.975)").alias("hi"),
+        F.avg("m").alias("mb"),
+        F.sum(F.col("m") * F.col("m")).alias("msq"),
+    )
+    full_mean = base.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mf")
+    )
+    return summ.crossJoin(F.broadcast(full_mean)).select(
+        "b_reps",
+        F.round("mf", 6).alias("mean_full"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (F.col("msq") - F.col("b_reps") * F.col("mb") * F.col("mb"))
+                / (F.col("b_reps") - 1)
+            ),
+            6,
+        ).alias("boot_se"),
+    )
