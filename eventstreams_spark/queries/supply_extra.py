@@ -1,0 +1,352 @@
+"""Supply-chain / inventory analytics: Croston's method with the
+Syntetos-Boylan approximation (THE intermittent-demand forecaster —
+spare parts, slow movers), the newsvendor critical-fractile stock
+level, and the safety-stock / reorder-point / EOQ scorecard — the
+planning trio every inventory system computes over order history.
+
+Demand frames: Croston runs on per-part daily order units (top parts
+still see demand on only ~2% of calendar days — genuinely
+intermittent); the newsvendor and safety-stock queries run on
+per-priority daily revenue quantized to exact integer DOLLARS (cents
+squared would exceed both 2^63 in the integer sum and 2^53 in a
+double at sf≥0.1 — dollars keep ΣD² exact through sf1).
+
+Float discipline: units/dollars are exact integers; the Croston fold
+applies literal-constant arithmetic in identical order on both
+engines (recursive CTE ≡ JVM aggregate fold, the Kalman/adstock
+pattern); newsvendor thresholds are interpolated percentiles of
+integer dollars (identical interpolation arithmetic); all closed-form
+outputs are single-expression functions of exact integer moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_ALPHA = "0.2"  # croston smoothing (both engines parse in DOUBLE context)
+_N_PARTS = 5
+
+# daily revenue dollars per order priority, shared by the newsvendor
+# and safety-stock oracles
+_DAILY_DOLLARS_CTE = """
+    daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) / 100) AS BIGINT) AS dollars
+        FROM orders
+        GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+    )"""
+
+
+@query(
+    "croston_sba_intermittent",
+    category="SC-croston",
+    oracle=f"""
+        WITH RECURSIVE topp AS (
+            SELECT l_partkey AS pk,
+                   CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS n_arrivals
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_partkey
+            ORDER BY n_arrivals DESC, pk LIMIT {_N_PARTS}
+        ), day0 AS (
+            SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+        ), arrivals AS (
+            SELECT t.pk, t.n_arrivals, CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS units,
+                   row_number() OVER (PARTITION BY t.pk
+                                      ORDER BY CAST(o_orderdate AS DATE))
+                       AS rn
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN topp t ON t.pk = l_partkey
+            GROUP BY t.pk, t.n_arrivals, CAST(o_orderdate AS DATE)
+        ), r AS (
+            SELECT pk, n_arrivals, rn, day,
+                   CAST(units AS DOUBLE) AS z,
+                   CAST(datediff('day', day0.d0, day) + 1 AS DOUBLE) AS p
+            FROM arrivals CROSS JOIN day0 WHERE rn = 1
+            UNION ALL
+            SELECT a.pk, a.n_arrivals, a.rn, a.day,
+                   {_ALPHA} * CAST(a.units AS DOUBLE) + (1.0 - {_ALPHA}) * r.z,
+                   {_ALPHA} * CAST(datediff('day', r.day, a.day) AS DOUBLE)
+                       + (1.0 - {_ALPHA}) * r.p
+            FROM r JOIN arrivals a ON a.pk = r.pk AND a.rn = r.rn + 1
+        ), final AS (
+            SELECT pk, n_arrivals, z, p,
+                   row_number() OVER (PARTITION BY pk ORDER BY rn DESC) AS rev
+            FROM r
+        )
+        SELECT pk AS partkey, n_arrivals,
+               CAST(round(z, 6) AS DOUBLE) AS last_size,
+               CAST(round(p, 6) AS DOUBLE) AS last_interval,
+               CAST(round(z / p, 6) AS DOUBLE) AS croston_rate,
+               CAST(round((1.0 - {_ALPHA} / 2.0) * z / p, 6) AS DOUBLE)
+                   AS sba_rate
+        FROM final WHERE rev = 1
+        ORDER BY partkey
+    """,
+)
+def croston_sba_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method + SBA for intermittent demand: per part, walk
+    the DEMAND ARRIVALS only, smoothing size z ← αd + (1−α)z and
+    inter-arrival interval p ← αq + (1−α)p (α=0.2; init z₁ = first
+    demand, p₁ = days from history start to first arrival, counting
+    inclusively); demand rate = z/p, and the Syntetos-Boylan
+    approximation multiplies by (1−α/2) to kill Croston's inversion
+    bias. This is the forecaster for series where most periods are
+    zero — plain EWMA decays to zero between arrivals.
+
+    Determinism: units and day gaps are exact integers; the fold
+    applies identical literal-constant expressions in identical order
+    on both engines (recursive CTE ≡ JVM ``aggregate()`` fold).
+
+    Scale: arrivals collapse to |part|×|arrival-days| rows; each
+    part's fold packs ≤|arrivals| structs (calendar-bounded) and runs
+    in whole-stage codegen — per-million-part forecasting is one
+    groupBy + fold, no Python worker, no driver loop.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("units"),
+    )
+    joined = li.join(orders, "o_orderkey")
+    topp = (
+        joined.groupBy("pk")
+        .agg(F.countDistinct("day").cast("long").alias("n_arrivals"))
+        .orderBy(F.col("n_arrivals").desc(), "pk")
+        .limit(_N_PARTS)
+    )
+    d0 = orders.agg(F.min("day").alias("d0"))
+    arrivals = (
+        joined.join(F.broadcast(topp), "pk")
+        .groupBy("pk", "n_arrivals", "day")
+        .agg(F.sum("units").cast("long").alias("units"))
+    )
+    packed = (
+        arrivals.crossJoin(F.broadcast(d0))
+        .groupBy("pk", "n_arrivals", "d0")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "units"))).alias("series"))
+    )
+    folded = packed.select(
+        "pk", "n_arrivals",
+        F.expr(
+            f"""
+            aggregate(
+                series,
+                CAST(NULL AS STRUCT<z DOUBLE, p DOUBLE, prev DATE>),
+                (acc, a) -> CASE WHEN acc IS NULL THEN
+                    struct(CAST(a.units AS DOUBLE) AS z,
+                           CAST(datediff(a.day, d0) + 1 AS DOUBLE) AS p,
+                           a.day AS prev)
+                ELSE
+                    struct({_ALPHA}D * CAST(a.units AS DOUBLE)
+                               + (1.0D - {_ALPHA}D) * acc.z AS z,
+                           {_ALPHA}D * CAST(datediff(a.day, acc.prev) AS DOUBLE)
+                               + (1.0D - {_ALPHA}D) * acc.p AS p,
+                           a.day AS prev)
+                END
+            )
+            """
+        ).alias("st"),
+    )
+    return (
+        folded.select(
+            F.col("pk").alias("partkey"), "n_arrivals",
+            F.round(F.col("st.z"), 6).alias("last_size"),
+            F.round(F.col("st.p"), 6).alias("last_interval"),
+            F.round(F.col("st.z") / F.col("st.p"), 6).alias("croston_rate"),
+            F.round(
+                (1.0 - float(_ALPHA) / 2.0) * F.col("st.z") / F.col("st.p"), 6
+            ).alias("sba_rate"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# newsvendor costs: underage 3, overage 1 -> critical ratio 0.75
+_CR = "0.75"
+
+
+@query(
+    "newsvendor_critical_fractile",
+    category="SC-newsvendor",
+    oracle=f"""
+        WITH {_DAILY_DOLLARS_CTE}, stocked AS (
+            SELECT prio,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dollars) AS BIGINT) AS s,
+                   quantile_cont(dollars, {_CR}) AS q_star
+            FROM daily GROUP BY prio
+        )
+        SELECT st.prio, st.n_days,
+               CAST(round(CAST(st.s AS DOUBLE) / st.n_days, 6) AS DOUBLE)
+                   AS mean_demand,
+               CAST(round(st.q_star, 6) AS DOUBLE) AS q_star,
+               CAST(sum(CASE WHEN d.dollars > st.q_star THEN 1 ELSE 0 END)
+                    AS BIGINT) AS short_days,
+               CAST(round(sum(CASE WHEN d.dollars > st.q_star
+                                   THEN d.dollars - st.q_star
+                                   ELSE 0.0 END) / st.n_days, 4) AS DOUBLE)
+                   AS exp_short_per_day
+        FROM daily d JOIN stocked st ON d.prio = st.prio
+        GROUP BY st.prio, st.n_days, st.s, st.q_star
+        ORDER BY st.prio
+    """,
+)
+def newsvendor_critical_fractile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level at the critical fractile: with
+    underage cost 3 and overage cost 1, the optimal stock is the
+    0.75-quantile of daily demand (CR = cu/(cu+co)); the scorecard
+    reports the fractile stock Q*, the share of days demand would
+    overshoot it, and the expected daily shortfall E[(D−Q*)⁺] — the
+    service-level numbers a replenishment planner reads.
+
+    Determinism: daily demand is exact integer dollars; Q* is the
+    interpolated percentile (identical arithmetic both engines);
+    shortfall terms are (int − identical-double) differences summed
+    over a calendar-bounded frame, rounded at 4.
+
+    Scale: one day-grain rollup, one percentile per group (Spark
+    computes it in a single pass), one re-join of the bounded daily
+    frame against the 5-row stock table.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                / 100
+            ).cast("long").alias("dollars")
+        )
+    )
+    stocked = daily.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dollars").cast("long").alias("s"),
+        F.expr(f"percentile(dollars, {_CR})").alias("q_star"),
+    )
+    return (
+        daily.join(F.broadcast(stocked), "prio")
+        .groupBy("prio", "n_days", "s", "q_star")
+        .agg(
+            F.sum(F.when(F.col("dollars") > F.col("q_star"), 1).otherwise(0))
+            .cast("long").alias("short_days"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("dollars") > F.col("q_star"),
+                        F.col("dollars") - F.col("q_star"),
+                    ).otherwise(0.0)
+                )
+                / F.col("n_days"),
+                4,
+            ).alias("exp_short_per_day"),
+        )
+        .select(
+            "prio", "n_days",
+            F.round(F.col("s").cast("double") / F.col("n_days"), 6)
+            .alias("mean_demand"),
+            F.round("q_star", 6).alias("q_star"),
+            "short_days", "exp_short_per_day",
+        )
+        .orderBy("prio")
+    )
+
+
+# planning constants: z for 95% cycle service, lead time 7 days,
+# fixed order cost 5000, holding cost 25/unit-year
+_Z95 = "1.6448536269514722"
+_LEAD = "7.0"
+_K_ORDER = "5000.0"
+_H_HOLD = "25.0"
+
+
+@query(
+    "safety_stock_reorder_eoq",
+    category="SC-safety",
+    oracle=f"""
+        WITH {_DAILY_DOLLARS_CTE}, mom AS (
+            SELECT prio,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dollars) AS BIGINT) AS s,
+                   CAST(sum(dollars * dollars) AS BIGINT) AS q
+            FROM daily GROUP BY prio
+        )
+        SELECT prio, n_days,
+               CAST(round(CAST(s AS DOUBLE) / n_days, 4) AS DOUBLE) AS mu_d,
+               CAST(round(sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n_days) * s)
+                               / (n_days - 1)), 4) AS DOUBLE) AS sigma_d,
+               CAST(round({_Z95} * sqrt((CAST(q AS DOUBLE)
+                               - (CAST(s AS DOUBLE) / n_days) * s)
+                               / (n_days - 1)) * sqrt({_LEAD}), 4) AS DOUBLE)
+                   AS safety_stock,
+               CAST(round({_LEAD} * (CAST(s AS DOUBLE) / n_days)
+                          + {_Z95} * sqrt((CAST(q AS DOUBLE)
+                               - (CAST(s AS DOUBLE) / n_days) * s)
+                               / (n_days - 1)) * sqrt({_LEAD}), 4) AS DOUBLE)
+                   AS reorder_point,
+               CAST(round(sqrt(2.0 * {_K_ORDER} * 365.0
+                               * (CAST(s AS DOUBLE) / n_days) / {_H_HOLD}), 4)
+                    AS DOUBLE) AS eoq
+        FROM mom ORDER BY prio
+    """,
+)
+def safety_stock_reorder_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-stock / reorder-point / EOQ scorecard per priority
+    class: SS = z·σ_d·√L (95% cycle service, 7-day lead), ROP =
+    L·μ_d + SS, EOQ = √(2·K·D_annual/h) with literal cost constants —
+    the three formulas at the heart of every min/max replenishment
+    policy.
+
+    Determinism: (n, Σd, Σd²) are exact integer moments (dollars
+    squared stay under 2^63 through sf1); every output is ONE
+    closed-form double expression over them, identical both engines.
+
+    Scale: one map-side-combinable rollup to day grain, one 5-row
+    aggregate — nothing else.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                / 100
+            ).cast("long").alias("dollars")
+        )
+    )
+    mom = daily.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dollars").cast("long").alias("s"),
+        F.sum(F.col("dollars") * F.col("dollars")).cast("long").alias("q"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_days")
+    sigma = F.sqrt(
+        (F.col("q").cast("double") - mu * F.col("s")) / (F.col("n_days") - 1)
+    )
+    z, lead, k, h = float(_Z95), float(_LEAD), float(_K_ORDER), float(_H_HOLD)
+    ss = F.lit(z) * sigma * F.sqrt(F.lit(lead))
+    return mom.select(
+        "prio", "n_days",
+        F.round(mu, 4).alias("mu_d"),
+        F.round(sigma, 4).alias("sigma_d"),
+        F.round(ss, 4).alias("safety_stock"),
+        F.round(F.lit(lead) * mu + ss, 4).alias("reorder_point"),
+        F.round(F.sqrt(F.lit(2.0 * k * 365.0) * mu / F.lit(h)), 4).alias("eoq"),
+    ).orderBy("prio")
