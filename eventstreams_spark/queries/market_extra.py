@@ -441,3 +441,271 @@ def rsi_wilder_reference_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return bars.groupBy("event_type").applyInPandas(fold, schema=out_schema)
+
+
+# shared daily-return CTE on the bar frame (exact integer-cent
+# quotients — bit-identical across engines)
+_RETS_SQL = f"""
+    bars AS ({_BARS_SQL}),
+    rets AS (
+        SELECT event_type, day,
+               CAST(close_cents - lag(close_cents) OVER (
+                    PARTITION BY event_type ORDER BY day) AS DOUBLE)
+               / lag(close_cents) OVER (
+                    PARTITION BY event_type ORDER BY day) AS r
+        FROM bars
+    )"""
+
+
+@query(
+    "capm_beta_alpha",
+    category="MK-capm",
+    oracle=f"""
+        WITH {_RETS_SQL},
+        mkt AS (
+            SELECT day, avg(r) AS rm
+            FROM rets WHERE r IS NOT NULL GROUP BY day
+        ), joined AS (
+            SELECT rets.event_type, rets.r, mkt.rm
+            FROM rets JOIN mkt ON rets.day = mkt.day
+            WHERE rets.r IS NOT NULL
+        ), mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(r) AS sx, sum(rm) AS sm,
+                   sum(r * rm) AS sxm, sum(rm * rm) AS smm
+            FROM joined GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               CAST(round((n * sxm - sx * sm) / (n * smm - sm * sm), 6)
+                    AS DOUBLE) AS beta,
+               CAST(round(sx / n - (n * sxm - sx * sm) / (n * smm - sm * sm)
+                          * sm / n, 6) AS DOUBLE) AS alpha_daily,
+               CAST(round((n * sxm - sx * sm)
+                          / sqrt((n * smm - sm * sm)
+                                 * (n * (SELECT sum(r * r) FROM joined j2
+                                         WHERE j2.event_type = mom.event_type)
+                                    - sx * sx)), 6) AS DOUBLE) AS corr_mkt
+        FROM mom ORDER BY event_type
+    """,
+)
+def capm_beta_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM regression per instrument against the equal-weight
+    "market" of all event_type streams: β = cov(r_i, r_m)/var(r_m)
+    in the n·Σxy−ΣxΣy integer-style form, α = mean(r_i) − β·mean(r_m),
+    plus the correlation with the market — the systematic-vs-
+    idiosyncratic decomposition behind every factor dashboard.
+
+    Determinism: every return is an exact integer-cent quotient
+    (bit-identical both engines); the market return is an avg of ≤5
+    such doubles per day (identical operands, engine-independent sum
+    order within a 5-element day group — DuckDB and Spark both
+    reduce left-to-right over the same single-group values; the ≤30-
+    term moment sums then drift only at ~1e-17, far under round 6).
+
+    Scale: everything after the tick rollup runs on the |types|×|days|
+    bar frame: a lag window, a day-grain aggregate, a broadcast-size
+    join, a |types|-row moment aggregate.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    rets = bars.select(
+        "event_type", "day",
+        (
+            (F.col("close_cents") - F.lag("close_cents").over(wo)).cast("double")
+            / F.lag("close_cents").over(wo)
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = rets.groupBy("day").agg(F.avg("r").alias("rm"))
+    joined = rets.join(F.broadcast(mkt), "day").select("event_type", "r", "rm")
+    mom = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("sx"),
+        F.sum("rm").alias("sm"),
+        F.sum(F.col("r") * F.col("rm")).alias("sxm"),
+        F.sum(F.col("rm") * F.col("rm")).alias("smm"),
+        F.sum(F.col("r") * F.col("r")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")) / (
+        F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.col("sx") / F.col("n") - beta * F.col("sm") / F.col("n"), 6)
+        .alias("alpha_daily"),
+        F.round(
+            (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm"))
+            / F.sqrt(
+                (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm"))
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ),
+            6,
+        ).alias("corr_mkt"),
+    ).orderBy("event_type")
+
+
+@query(
+    "sortino_calmar_ratios",
+    category="MK-sortino",
+    oracle=f"""
+        WITH {_RETS_SQL},
+        path AS (
+            SELECT event_type, day, close_cents,
+                   max(close_cents) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS peak_cents
+            FROM bars
+        ), mdd AS (
+            SELECT event_type,
+                   max(CAST(peak_cents - close_cents AS DOUBLE) / peak_cents)
+                       AS max_dd
+            FROM path GROUP BY event_type
+        ), down AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   avg(r) AS mr,
+                   sum(CASE WHEN r < 0 THEN r * r ELSE 0.0 END) AS dsq
+            FROM rets WHERE r IS NOT NULL GROUP BY event_type
+        )
+        SELECT down.event_type, n_days,
+               CAST(round(mr, 6) AS DOUBLE) AS mean_return,
+               CAST(round(sqrt(dsq / n_days), 6) AS DOUBLE)
+                   AS downside_dev,
+               CAST(round(mr / sqrt(dsq / n_days), 6) AS DOUBLE) AS sortino,
+               CAST(round(mdd.max_dd, 6) AS DOUBLE) AS max_drawdown,
+               CAST(round(mr / nullif(mdd.max_dd, 0.0), 6) AS DOUBLE)
+                   AS calmar_daily
+        FROM down JOIN mdd ON down.event_type = mdd.event_type
+        ORDER BY down.event_type
+    """,
+)
+def sortino_calmar_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino and Calmar ratios per instrument — the two downside-
+    aware cousins of sharpe_daily_returns: Sortino divides the mean
+    return by the DOWNSIDE deviation sqrt(Σ(r⁻)²/n) (target 0), and
+    Calmar divides it by the maximum drawdown of the close path
+    (running-peak relative loss), the number a fund's risk page leads
+    with.
+
+    Determinism: drawdowns are exact quotients of integer cents
+    (running max is exact), so max_dd is a max over bit-identical
+    doubles; Sortino's ≤30-term squared-loss sum rounds at 6.
+
+    Scale: both path statistics run as windows/aggregates on the
+    bounded bar frame — the tick scan ended at the rollup.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    path = bars.select(
+        "event_type", "close_cents",
+        F.max("close_cents").over(wo).alias("peak_cents"),
+    )
+    mdd = path.groupBy("event_type").agg(
+        F.max(
+            (F.col("peak_cents") - F.col("close_cents")).cast("double")
+            / F.col("peak_cents")
+        ).alias("max_dd")
+    )
+    rets = bars.select(
+        "event_type",
+        (
+            (F.col("close_cents") - F.lag("close_cents").over(wo)).cast("double")
+            / F.lag("close_cents").over(wo)
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    down = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("r").alias("mr"),
+        F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0))
+        .alias("dsq"),
+    )
+    dd = F.sqrt(F.col("dsq") / F.col("n_days"))
+    return (
+        down.join(F.broadcast(mdd), "event_type")
+        .select(
+            "event_type", "n_days",
+            F.round("mr", 6).alias("mean_return"),
+            F.round(dd, 6).alias("downside_dev"),
+            F.round(F.col("mr") / dd, 6).alias("sortino"),
+            F.round("max_dd", 6).alias("max_drawdown"),
+            F.round(
+                F.col("mr") / F.nullif(F.col("max_dd"), F.lit(0.0)), 6
+            ).alias("calmar_daily"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "var_cvar_historical",
+    category="MK-var",
+    oracle=f"""
+        WITH {_RETS_SQL},
+        lvl AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   quantile_cont(r, 0.05) AS var95
+            FROM rets WHERE r IS NOT NULL GROUP BY event_type
+        )
+        SELECT lvl.event_type, lvl.n_days,
+               CAST(round(lvl.var95, 6) AS DOUBLE) AS var_95,
+               CAST(sum(CASE WHEN rets.r <= lvl.var95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tail,
+               CAST(round(sum(CASE WHEN rets.r <= lvl.var95 THEN rets.r
+                                   ELSE 0.0 END)
+                          / sum(CASE WHEN rets.r <= lvl.var95 THEN 1
+                                     ELSE 0 END), 6) AS DOUBLE) AS cvar_95
+        FROM rets JOIN lvl ON rets.event_type = lvl.event_type
+        WHERE rets.r IS NOT NULL
+        GROUP BY lvl.event_type, lvl.n_days, lvl.var95
+        ORDER BY lvl.event_type
+    """,
+)
+def var_cvar_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR(95) and CVaR/expected shortfall per instrument:
+    VaR is the 5th percentile of the daily-return distribution and
+    CVaR the mean of the returns at or below it — the pair every
+    risk engine publishes side by side (CVaR is the coherent one).
+
+    Determinism: returns are exact integer-cent quotients; the
+    interpolated percentile runs identical arithmetic on identical
+    doubles on both engines, and the tail membership test compares
+    against that identical threshold — so even boundary returns
+    classify identically; the ≤n-term tail mean rounds at 6.
+
+    Scale: a percentile per group over the bounded bar frame, then
+    one re-join of that 5-row level table — no second tick scan.
+    """
+    bars = _daily_bars(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    rets = bars.select(
+        "event_type",
+        (
+            (F.col("close_cents") - F.lag("close_cents").over(wo)).cast("double")
+            / F.lag("close_cents").over(wo)
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    lvl = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("percentile(r, 0.05)").alias("var95"),
+    )
+    return (
+        rets.join(F.broadcast(lvl), "event_type")
+        .groupBy("event_type", "n_days", "var95")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("var95"), 1).otherwise(0))
+            .cast("long").alias("n_tail"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("var95"), F.col("r")).otherwise(0.0))
+                / F.sum(F.when(F.col("r") <= F.col("var95"), 1).otherwise(0)),
+                6,
+            ).alias("cvar_95"),
+        )
+        .select(
+            "event_type", "n_days",
+            F.round("var95", 6).alias("var_95"),
+            "n_tail", "cvar_95",
+        )
+        .orderBy("event_type")
+    )
