@@ -161,3 +161,62 @@ def holt_winters_batch(
         return pdf[out_cols]
 
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+def kalman_level_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    q_var: float = 100000.0,
+    r_var: float = 1000000.0,
+) -> DataFrame:
+    """1-D Kalman filter (random-walk level + observation noise) per
+    key — the data-adaptive cousin of holt_linear_batch: predict
+    P' = P + Q, gain K = P'/(P'+R), update x += K(z−x), P = (1−K)P'.
+    Initialized x₁ = z₁ with diffuse P₁ = R (gain null on row 1).
+    Output = input + (rn, level, variance, gain). Same sequential-fold
+    contract as Holt: the recurrence is coupled and data-dependent, so
+    applyInPandas over each key's (ts, event_id)-sorted rows; the
+    registered batch query kalman_level_filter_check certifies the
+    identical recurrence as a JVM ``aggregate()`` fold against a
+    recursive-CTE oracle."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("level", DoubleType()),
+            StructField("variance", DoubleType()),
+            StructField("gain", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [ts_col] + [
+            c for c in ("event_id",) if c in pdf.columns and c != ts_col
+        ]
+        pdf = pdf.sort_values(cols, kind="mergesort").copy()
+        x = p = 0.0
+        rns, xs, ps, ks = [], [], [], []
+        for i, z in enumerate(pdf[value_col]):
+            if i == 0:
+                x, p, k = z, r_var, None
+            else:
+                pp = p + q_var
+                k = pp / (pp + r_var)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            rns.append(i + 1)
+            xs.append(x)
+            ps.append(p)
+            ks.append(k)
+        pdf["rn"] = rns
+        pdf["level"] = xs
+        pdf["variance"] = ps
+        pdf["gain"] = pd.array(ks, dtype="float64")
+        return pdf[out_cols]
+
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

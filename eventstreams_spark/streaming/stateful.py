@@ -1195,3 +1195,69 @@ def alert_fsm_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kalman_level_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    q_var: float = 100000.0,
+    r_var: float = 1000000.0,
+) -> DataFrame:
+    """Streaming 1-D Kalman level filter — the GroupState twin of
+    operators/smoothing.py::kalman_level_batch: per key the carried
+    state is three numbers (n, level x, variance P); each event runs
+    predict P'=P+Q, gain K=P'/(P'+R), update x+=K(z−x), P=(1−K)P' and
+    emits (rn, level, variance, gain), identical to the batch fold
+    however the stream is micro-batched (pinned by
+    test_kalman_batch_equals_stream). The data-adaptive gain is the
+    point: after a restart the state picks up mid-Riccati instead of
+    re-warming like a fixed-α EWMA would."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("level", DoubleType()),
+            StructField("variance", DoubleType()),
+            StructField("gain", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, x, p = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col).copy()
+            rns, xs, ps, ks = [], [], [], []
+            for z in pdf[value_col]:
+                if n == 0:
+                    x, p, k = z, r_var, None
+                else:
+                    pp = p + q_var
+                    k = pp / (pp + r_var)
+                    x = x + k * (z - x)
+                    p = (1.0 - k) * pp
+                n += 1
+                rns.append(n)
+                xs.append(x)
+                ps.append(p)
+                ks.append(k)
+            pdf["rn"] = rns
+            pdf["level"] = xs
+            pdf["variance"] = ps
+            pdf["gain"] = pd.array(ks, dtype="float64")
+            yield pdf[out_cols]
+        state.update((n, x, p))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, x double, p double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

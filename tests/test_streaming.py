@@ -1730,3 +1730,39 @@ def test_ohlc_bars_batch_equals_stream(spark, events_slice, tmp_path):
     )
     assert got == want
     assert _daily_bars is not None  # helper stays importable for twins
+
+
+def test_kalman_batch_equals_stream(spark, tmp_path):
+    """T15 twin equality: streaming Kalman level filter (GroupState)
+    must reproduce the batch applyInPandas fold per event — level,
+    variance, and the data-adaptive gain — across micro-batch
+    boundaries (the state resumes mid-Riccati, not re-warmed)."""
+    from eventstreams_spark.operators.smoothing import kalman_level_batch
+    from eventstreams_spark.streaming.stateful import kalman_level_stream
+
+    vals = [1000.0, 1200.0, 900.0, 1500.0, 1400.0, 1800.0, 1700.0, 2100.0]
+    rows = [
+        (k, f"2024-01-01 10:{i:02d}:00", v)
+        for k in ("a", "b")
+        for i, v in enumerate(vals)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    kw = dict(q_var=100000.0, r_var=1000000.0)
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="ts")
+    run_to_memory(
+        kalman_level_stream(stream, "k", "ts", "v", **kw),
+        "t_kalman_s",
+        output_mode="append",
+    )
+    got = _rows(spark.sql(
+        "SELECT k, rn, level, variance, gain FROM t_kalman_s"
+    ))
+    want = _rows(
+        kalman_level_batch(df, "k", "ts", "v", **kw).select(
+            "k", "rn", "level", "variance", "gain"
+        )
+    )
+    assert got == want
