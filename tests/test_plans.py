@@ -1813,3 +1813,96 @@ def test_negative_sampling_vocab_broadcasts(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") >= 1, counts
     assert count_prefix(counts, "CartesianProduct") == 0, counts
+
+
+def test_poisson_bootstrap_stays_jvm_and_collapses_mapside(spark, sf_dir):
+    """Poisson bootstrap: the rows×B fan-out must collapse map-side —
+    two-phase HashAggregate over the replicate keys, zero Python
+    evals (weights are pure codegen md5/CASE), and no shuffle joins
+    (the full-mean side is a 1-row broadcast)."""
+    df = q("poisson_bootstrap_ci", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_kalman_fold_no_python_no_join(spark, sf_dir):
+    """Kalman JVM fold: the whole walk is one rollup + collect_list +
+    aggregate() lambda — no join anywhere, no Python worker."""
+    df = q("kalman_level_filter_check", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Join") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+
+
+def test_target_encode_all_joins_broadcast(spark, sf_dir):
+    """OOF target encoding: the per-category totals are a
+    broadcast-size dim — the join must broadcast, with two-phase
+    aggregation below it."""
+    df = q("target_encode_oof_kfold", spark, sf_dir)
+    assert_all_joins_broadcast(df)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
+
+
+def test_periodogram_broadcasts_top_users(spark, sf_dir):
+    """Periodogram: the top-5 user set broadcasts into the event scan
+    (a shuffle join here would shuffle every event) and the period
+    fan-out is an explode, not a join."""
+    df = q("periodogram_beacon_peak", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+
+
+def test_croston_topp_broadcasts(spark, sf_dir):
+    """Croston: the top-part filter broadcasts into the
+    lineitem⋈orders stream; the fold itself is a JVM aggregate()
+    (no Python worker)."""
+    df = q("croston_sba_intermittent", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_capm_market_join_broadcasts(spark, sf_dir):
+    """CAPM: the day-grain market-return frame is bounded — it must
+    broadcast back onto the per-type return frame, and the tick scan
+    feeds ONE bar rollup (windows run on the bar frame)."""
+    df = q("capm_beta_alpha", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+
+
+def test_seasonal_decompose_dow_means_broadcast(spark, sf_dir):
+    """Seasonal decomposition: the dow-seasonal table (≤7 rows/type)
+    broadcasts back onto the detrended frame; trend/seasonal windows
+    run post-rollup only."""
+    df = q("seasonal_decompose_classic", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "Window") >= 2, counts
+
+
+def test_vif_pca_single_moment_pass(spark, sf_dir):
+    """VIF + PCA: ONE moment aggregate over the facts, then 1-row
+    algebra — no join against the fact table, no Python eval, no
+    second scan."""
+    for name in ("vif_collinearity_triple", "pca_leading_component_power"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+        assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
+        scans = count_prefix(counts, "Scan parquet")
+        assert scans <= 3, (name, counts)
