@@ -177,6 +177,28 @@ HEADLINE = [
     "decision_stump_train",
     "sprt_sequential_ab",
     "bh_fdr_cell_screen",
+    # round-4 stint 3: feature-engineering / inference / density
+    "kalman_level_filter_check",
+    "target_encode_oof_kfold",
+    "theil_index_inequality",
+    "periodogram_beacon_peak",
+    "compaction_binpack_plan",
+    "leiden_refine_connectivity",
+    "kruskal_wallis_h",
+    "anova_oneway_f",
+    "jackknife_loo_day_means",
+    "poisson_bootstrap_ci",
+    "croston_sba_intermittent",
+    "newsvendor_critical_fractile",
+    "safety_stock_reorder_eoq",
+    "capm_beta_alpha",
+    "sortino_calmar_ratios",
+    "var_cvar_historical",
+    "woe_iv_decile_binning",
+    "vif_collinearity_triple",
+    "pca_leading_component_power",
+    "seasonal_decompose_classic",
+    "dbscan_grid_clusters",
 ]
 
 INTERESTING = (
