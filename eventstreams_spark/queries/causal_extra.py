@@ -730,3 +730,145 @@ def huber_irls_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_downweighted_r1", "n_downweighted_r2",
         )
     )
+
+
+@query(
+    "granger_lag1_causality",
+    category="CA-granger",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), lagged AS (
+            SELECT day, x, y,
+                   lag(x) OVER (ORDER BY day) AS xl,
+                   lag(y) OVER (ORDER BY day) AS yl
+            FROM daily
+        ), pairs AS (
+            SELECT 'click->purchase' AS direction, y AS t, yl AS own, xl AS other
+            FROM lagged WHERE xl IS NOT NULL
+            UNION ALL
+            SELECT 'purchase->click', x, xl, yl
+            FROM lagged WHERE xl IS NOT NULL
+        ), mom AS (
+            SELECT direction,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS st, CAST(sum(own) AS BIGINT) AS s1,
+                   CAST(sum(other) AS BIGINT) AS s2,
+                   CAST(sum(t * t) AS BIGINT) AS qtt,
+                   CAST(sum(own * own) AS BIGINT) AS q11,
+                   CAST(sum(other * other) AS BIGINT) AS q22,
+                   CAST(sum(t * own) AS BIGINT) AS pt1,
+                   CAST(sum(t * other) AS BIGINT) AS pt2,
+                   CAST(sum(own * other) AS BIGINT) AS p12
+            FROM pairs GROUP BY direction
+        ), cent AS (
+            SELECT direction, n,
+                   CAST(qtt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS syy,
+                   CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS s11,
+                   CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS s22,
+                   CAST(pt1 AS DOUBLE) - CAST(st AS DOUBLE) * s1 / n AS sy1,
+                   CAST(pt2 AS DOUBLE) - CAST(st AS DOUBLE) * s2 / n AS sy2,
+                   CAST(p12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS s12
+            FROM mom
+        ), fit AS (
+            SELECT direction, n,
+                   syy - sy1 * sy1 / s11 AS sse_r,
+                   syy - ((sy1 * s22 - sy2 * s12) * sy1
+                          + (sy2 * s11 - sy1 * s12) * sy2)
+                         / (s11 * s22 - s12 * s12) AS sse_u
+            FROM cent
+        )
+        SELECT direction, n,
+               CAST(round(sse_r, 4) AS DOUBLE) AS sse_restricted,
+               CAST(round(sse_u, 4) AS DOUBLE) AS sse_unrestricted,
+               CAST(round((sse_r - sse_u) / (sse_u / (n - 3)), 6) AS DOUBLE)
+                   AS f_stat
+        FROM fit ORDER BY direction
+    """,
+)
+def granger_lag1_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality between the click and purchase daily
+    count series, BOTH directions: does adding yesterday's OTHER
+    series to an AR(1) of the own series reduce SSE? F = (SSE_r −
+    SSE_u)/(SSE_u/(n−3)) — the bivariate-VAR screening test behind
+    "does marketing lead sales" dashboards, as two closed-form OLS
+    fits (1- and 2-regressor normal equations) over centered moment
+    sums.
+
+    Determinism: all raw moments are exact integer sums; every
+    centered sum, coefficient, and SSE is a fixed expression of
+    those integers (no cross-engine accumulation of doubles), so the
+    statistics are bit-identical before rounding.
+
+    Scale: one day-grain conditional rollup, one lag window on the
+    calendar-bounded frame, one moment aggregate — the fact scan
+    happens once.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "day", "x", "y",
+        F.lag("x").over(wo).alias("xl"),
+        F.lag("y").over(wo).alias("yl"),
+    ).filter(F.col("xl").isNotNull())
+    pairs = lagged.select(
+        F.lit("click->purchase").alias("direction"),
+        F.col("y").alias("t"), F.col("yl").alias("own"),
+        F.col("xl").alias("other"),
+    ).unionAll(
+        lagged.select(
+            F.lit("purchase->click"),
+            F.col("x"), F.col("xl"), F.col("yl"),
+        )
+    )
+    mom = pairs.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("own").cast("long").alias("s1"),
+        F.sum("other").cast("long").alias("s2"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("qtt"),
+        F.sum(F.col("own") * F.col("own")).cast("long").alias("q11"),
+        F.sum(F.col("other") * F.col("other")).cast("long").alias("q22"),
+        F.sum(F.col("t") * F.col("own")).cast("long").alias("pt1"),
+        F.sum(F.col("t") * F.col("other")).cast("long").alias("pt2"),
+        F.sum(F.col("own") * F.col("other")).cast("long").alias("p12"),
+    )
+    n = F.col("n")
+    syy = F.col("qtt").cast("double") - F.col("st").cast("double") * F.col("st") / n
+    s11 = F.col("q11").cast("double") - F.col("s1").cast("double") * F.col("s1") / n
+    s22 = F.col("q22").cast("double") - F.col("s2").cast("double") * F.col("s2") / n
+    sy1 = F.col("pt1").cast("double") - F.col("st").cast("double") * F.col("s1") / n
+    sy2 = F.col("pt2").cast("double") - F.col("st").cast("double") * F.col("s2") / n
+    s12 = F.col("p12").cast("double") - F.col("s1").cast("double") * F.col("s2") / n
+    cent = mom.select("direction", "n",
+                      syy.alias("syy"), s11.alias("s11"), s22.alias("s22"),
+                      sy1.alias("sy1"), sy2.alias("sy2"), s12.alias("s12"))
+    sse_r = F.col("syy") - F.col("sy1") * F.col("sy1") / F.col("s11")
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    sse_u = F.col("syy") - (
+        (F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) * F.col("sy1")
+        + (F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")) * F.col("sy2")
+    ) / det
+    fit = cent.select("direction", "n", sse_r.alias("sse_r"), sse_u.alias("sse_u"))
+    return fit.select(
+        "direction", "n",
+        F.round("sse_r", 4).alias("sse_restricted"),
+        F.round("sse_u", 4).alias("sse_unrestricted"),
+        F.round(
+            (F.col("sse_r") - F.col("sse_u")) / (F.col("sse_u") / (F.col("n") - 3)),
+            6,
+        ).alias("f_stat"),
+    ).orderBy("direction")

@@ -514,3 +514,116 @@ def seasonal_decompose_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_BC_LAMBDAS = ("-1.0", "-0.5", "0.0", "0.5", "1.0")
+
+
+def _bc_y(lmb: str) -> str:
+    """Box-Cox transform y(λ) of the positive integer `cents` column —
+    identical expression text on both engines (λ=0 → ln x)."""
+    return (
+        f"CASE WHEN {lmb} = 0.0 THEN ln(CAST(cents AS DOUBLE)) "
+        f"ELSE (exp({lmb} * ln(CAST(cents AS DOUBLE))) - 1.0) / {lmb} END"
+    )
+
+
+@query(
+    "boxcox_lambda_scan",
+    category="FE-boxcox",
+    oracle=f"""
+        WITH base AS (
+            SELECT {_CENTS} AS cents FROM events
+            WHERE value IS NOT NULL AND value > 0
+        ), lam AS (
+            SELECT CAST(l AS DOUBLE) AS lmb
+            FROM (SELECT unnest([{", ".join(_BC_LAMBDAS)}]) AS l)
+        ), mom AS (
+            SELECT lmb,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum({_bc_y("lmb")}) AS sy,
+                   sum({_bc_y("lmb")} * {_bc_y("lmb")}) AS qy,
+                   sum(ln(CAST(cents AS DOUBLE))) AS slx
+            FROM base CROSS JOIN lam
+            GROUP BY lmb
+        ), ll AS (
+            SELECT lmb, n,
+                   -(CAST(n AS DOUBLE) / 2.0)
+                     * ln(qy / n - (sy / n) * (sy / n))
+                   + (lmb - 1.0) * slx AS loglik
+            FROM mom
+        ), best AS (
+            SELECT max(CAST(round(loglik * 1000000.0) AS BIGINT)) AS bm
+            FROM ll
+        )
+        SELECT ll.lmb AS lambda,
+               ll.n AS n_rows,
+               CAST(round(ll.loglik, 4) AS DOUBLE) AS loglik,
+               CAST(CAST(round(ll.loglik * 1000000.0) AS BIGINT) = best.bm
+                    AS BOOLEAN) AS is_best
+        FROM ll CROSS JOIN best
+        ORDER BY ll.lmb
+    """,
+)
+def boxcox_lambda_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox λ profile-likelihood scan over the grid
+    {{−1, −0.5, 0, 0.5, 1}}: for each λ the transform y = (x^λ−1)/λ
+    (ln x at λ=0) is scored by the profile log-likelihood
+    −n/2·ln σ̂²_y + (λ−1)Σln x, and the argmax row is flagged — the
+    variance-stabilizing transform selection step ahead of any
+    Gaussian-assuming model.
+
+    Determinism: each y term is the identical double expression of
+    exact integer cents; the Σy/Σy² accumulation orders differ
+    across engines (~1e-12 absolute on the log-likelihood) — far
+    under both the round-4 display and the micro-unit (1e-6)
+    argmax quantization, which runs on integers.
+
+    Scale: ONE scan with a ×5 literal fan-out collapsing into a
+    5-group map-side-combinable aggregate; the argmax runs on 5 rows.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+        )
+    )
+    fan = base.select(
+        "cents",
+        F.explode(
+            F.array(*[F.lit(float(x)) for x in _BC_LAMBDAS])
+        ).alias("lmb"),
+    )
+    y = F.expr(_bc_y("lmb"))
+    mom = fan.groupBy("lmb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("qy"),
+        F.sum(F.log(F.col("cents").cast("double"))).alias("slx"),
+    )
+    loglik = (
+        -(F.col("n").cast("double") / 2.0)
+        * F.log(
+            F.col("qy") / F.col("n")
+            - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+        )
+        + (F.col("lmb") - 1.0) * F.col("slx")
+    )
+    ll = mom.select("lmb", "n", loglik.alias("loglik"))
+    best = ll.agg(
+        F.max(F.round(F.col("loglik") * 1000000.0).cast("long")).alias("bm")
+    )
+    return (
+        ll.crossJoin(F.broadcast(best))
+        .select(
+            F.col("lmb").alias("lambda"),
+            F.col("n").alias("n_rows"),
+            F.round("loglik", 4).alias("loglik"),
+            (
+                F.round(F.col("loglik") * 1000000.0).cast("long")
+                == F.col("bm")
+            ).alias("is_best"),
+        )
+        .orderBy("lambda")
+    )

@@ -430,3 +430,86 @@ def phrase_bigram_positional_match(
         .orderBy(F.desc("n_occurrences"), "doc_id")
         .limit(10)
     )
+
+
+# DuckDB replica of American Soundex (Spark's F.soundex):
+# translate letters to codes (vowels->0, H/W->9), drop the
+# transparent 9s BEFORE collapsing runs (so same-code letters
+# separated by H/W merge — the Ashcraft->A261 rule), collapse,
+# then first letter + next 3 non-zero codes right-padded with 0.
+# Runs collapse one digit class at a time — DuckDB's RE2 regex has
+# no backreferences, so '(\\d)\\1+' silently never matches.
+def _soundex_sql(col: str) -> str:
+    up = f"upper({col})"
+    t = (f"translate({up}, 'AEIOUYHWBFPVCGJKQSXZDTLMNR',"
+         f" '00000099111122222222334556')")
+    collapsed = f"regexp_replace({t}, '9', '', 'g')"
+    for d in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}{{2,}}', '{d}', 'g')"
+    digits = f"replace(substr({collapsed}, 2), '0', '')"
+    return f"substr(substr({up}, 1, 1) || {digits} || '000', 1, 4)"
+
+
+@query(
+    "soundex_phonetic_blocking",
+    category="RL-phonetic",
+    oracle=f"""
+        WITH words AS (
+            SELECT DISTINCT tok AS w FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            UNION
+            SELECT DISTINCT tok FROM (
+                SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+            ) WHERE tok <> ''
+        ), coded AS (
+            SELECT w, {_soundex_sql("w")} AS code FROM words
+        )
+        SELECT code,
+               CAST(count(*) AS BIGINT) AS n_words,
+               min(w) AS first_word,
+               max(w) AS last_word,
+               CAST(count(*) > 1 AS BOOLEAN) AS is_block
+        FROM coded
+        GROUP BY code
+        ORDER BY n_words DESC, code
+    """,
+)
+def soundex_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic blocking census over the corpus+catalog
+    vocabulary: every distinct word from documents and part names is
+    coded with American Soundex (Spark's builtin ``F.soundex``; the
+    oracle replicates the algorithm in SQL — translate to digit
+    codes, drop the transparent H/W, collapse runs, first letter +
+    three codes zero-padded), and codes with >1 word are the
+    phonetic BLOCKS a record-linkage pass would compare within —
+    the classic cheap blocking key before Jaro-Winkler scoring
+    (jaro_winkler_blocked_pairs uses token blocks; this is the
+    phonetic alternative).
+
+    Determinism: pure string algebra — no floats anywhere.
+
+    Scale: the census runs on the DISTINCT-word frame (vocabulary-
+    sized, not corpus-sized); at 100 TB the same plan holds because
+    soundex is a scan-side projection and the groupBy key space is
+    |codes| ≤ 26·7³.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        F.explode(F.split("p_name", " ")).alias("w")
+    )
+    words = docs.unionAll(parts).filter(F.col("w") != "").distinct()
+    coded = words.select("w", F.soundex(F.upper("w")).alias("code"))
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.min("w").alias("first_word"),
+            F.max("w").alias("last_word"),
+            (F.count(F.lit(1)) > 1).alias("is_block"),
+        )
+        .orderBy(F.col("n_words").desc(), "code")
+    )

@@ -492,7 +492,8 @@ def isotonic_calibration_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).alias("r"),
         F.sum("num").over(wo).cast("long").alias("cnum"),
         F.sum("den").over(wo).cast("long").alias("cden"),
-    )
+    ).localCheckpoint()  # 4 consumers (pre/kside/iside/final) — cut the
+    # lineage so the B-row binned frame scans+aggregates the facts ONCE
     pre = ranked.select("r", "cnum", "cden").unionAll(
         ranked.sparkSession.range(1).select(
             F.lit(0).cast("int").alias("r"),
@@ -535,3 +536,170 @@ def isotonic_calibration_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_RIDGE_ALPHA = "0.1"
+
+# correlation helper: rho(u,v) in the n·Σuv − ΣuΣv closed form, all
+# operands exact integers cast to DOUBLE (identical on both engines)
+def _rho(pu_v: str, su: str, sv: str, qu: str, qv: str) -> str:
+    return (
+        f"(CAST(n AS DOUBLE) * {pu_v} - CAST({su} AS DOUBLE) * {sv})"
+        f" / sqrt((CAST(n AS DOUBLE) * {qu} - CAST({su} AS DOUBLE) * {su})"
+        f" * (CAST(n AS DOUBLE) * {qv} - CAST({sv} AS DOUBLE) * {sv}))"
+    )
+
+
+@query(
+    "ridge_regression_closed_form",
+    category="ML8-ridge",
+    oracle=f"""
+        WITH feat AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS x1,
+                   CAST(dayofweek(ts) AS BIGINT) AS x2,
+                   CAST(day(ts) AS BIGINT) AS x3,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+        ), mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+                   CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x1*x1) AS BIGINT) AS q1,
+                   CAST(sum(x2*x2) AS BIGINT) AS q2,
+                   CAST(sum(x3*x3) AS BIGINT) AS q3,
+                   CAST(sum(y*y) AS BIGINT) AS qy,
+                   CAST(sum(x1*x2) AS BIGINT) AS p12,
+                   CAST(sum(x1*x3) AS BIGINT) AS p13,
+                   CAST(sum(x2*x3) AS BIGINT) AS p23,
+                   CAST(sum(x1*y) AS BIGINT) AS p1y,
+                   CAST(sum(x2*y) AS BIGINT) AS p2y,
+                   CAST(sum(x3*y) AS BIGINT) AS p3y
+            FROM feat
+        ), corr AS (
+            SELECT {_rho("p12", "s1", "s2", "q1", "q2")} AS d,
+                   {_rho("p13", "s1", "s3", "q1", "q3")} AS e,
+                   {_rho("p23", "s2", "s3", "q2", "q3")} AS f,
+                   {_rho("p1y", "s1", "sy", "q1", "qy")} AS r1,
+                   {_rho("p2y", "s2", "sy", "q2", "qy")} AS r2y,
+                   {_rho("p3y", "s3", "sy", "q3", "qy")} AS r3,
+                   1.0 + {_RIDGE_ALPHA} AS a
+            FROM mom
+        ), solved AS (
+            SELECT
+                a * (a * a - f * f) - d * (d * a - f * e)
+                    + e * (d * f - a * e) AS det,
+                (a * a - f * f) * r1 + (e * f - d * a) * r2y
+                    + (d * f - a * e) * r3 AS n1,
+                (e * f - d * a) * r1 + (a * a - e * e) * r2y
+                    + (d * e - a * f) * r3 AS n2,
+                (d * f - a * e) * r1 + (d * e - a * f) * r2y
+                    + (a * a - d * d) * r3 AS n3,
+                r1, r2y, r3
+            FROM corr
+        ), betas AS (
+            SELECT 'hour' AS feature, n1 / det AS beta,
+                   (n1 * r1 + n2 * r2y + n3 * r3) / det AS rr
+            FROM solved
+            UNION ALL SELECT 'dow', n2 / det,
+                   (n1 * r1 + n2 * r2y + n3 * r3) / det FROM solved
+            UNION ALL SELECT 'dom', n3 / det,
+                   (n1 * r1 + n2 * r2y + n3 * r3) / det FROM solved
+        )
+        SELECT feature,
+               CAST(round(beta, 6) AS DOUBLE) AS beta_std,
+               CAST(round(rr, 6) AS DOUBLE) AS r2_ridge
+        FROM betas ORDER BY feature
+    """,
+)
+def ridge_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (α=0.1) of the metric on the (hour, dow,
+    day-of-month) calendar features, solved in CLOSED FORM on the
+    standardized scale: (R + αI)·β = r with R the 3×3 feature
+    correlation matrix and r the feature-target correlations, β via
+    the symmetric-3×3 adjugate; r²_ridge = βᵀr. The shrinkage-fit
+    exemplar: training a regularized linear model is two aggregates
+    and a 1-row matrix solve — no gradient loop, no Python.
+
+    Determinism: all 15 moments are exact integer sums; every
+    correlation, cofactor, determinant, and β is a fixed double
+    expression over them — bit-identical across engines.
+
+    Scale: one map-side-combinable moment aggregate over the facts,
+    then 1-row algebra — identical cost at any data size; for p
+    features the same plan carries p(p+3)/2 moments.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    feat = ev.select(
+        F.hour("ts").cast("long").alias("x1"),
+        F.dayofweek("ts").cast("long").alias("x2"),
+        F.dayofmonth("ts").cast("long").alias("x3"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    mom = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(c).cast("long").alias(f"s{c[1:]}" if c != "y" else "sy")
+          for c in ("x1", "x2", "x3", "y")],
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q2"),
+        F.sum(F.col("x3") * F.col("x3")).cast("long").alias("q3"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("qy"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("p12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("long").alias("p13"),
+        F.sum(F.col("x2") * F.col("x3")).cast("long").alias("p23"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("p1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("p2y"),
+        F.sum(F.col("x3") * F.col("y")).cast("long").alias("p3y"),
+    )
+    corr = mom.selectExpr(
+        _rho("p12", "s1", "s2", "q1", "q2") + " AS d",
+        _rho("p13", "s1", "s3", "q1", "q3") + " AS e",
+        _rho("p23", "s2", "s3", "q2", "q3") + " AS f",
+        _rho("p1y", "s1", "sy", "q1", "qy") + " AS r1",
+        _rho("p2y", "s2", "sy", "q2", "qy") + " AS r2y",
+        _rho("p3y", "s3", "sy", "q3", "qy") + " AS r3",
+        f"1.0 + {_RIDGE_ALPHA} AS a",
+    )
+    a, d, e, f_, r1, r2y, r3 = (
+        F.col("a"), F.col("d"), F.col("e"), F.col("f"),
+        F.col("r1"), F.col("r2y"), F.col("r3"),
+    )
+    det = a * (a * a - f_ * f_) - d * (d * a - f_ * e) + e * (d * f_ - a * e)
+    n1 = (a * a - f_ * f_) * r1 + (e * f_ - d * a) * r2y + (d * f_ - a * e) * r3
+    n2 = (e * f_ - d * a) * r1 + (a * a - e * e) * r2y + (d * e - a * f_) * r3
+    n3 = (d * f_ - a * e) * r1 + (d * e - a * f_) * r2y + (a * a - d * d) * r3
+    solved = corr.select(
+        det.alias("det"), n1.alias("n1"), n2.alias("n2"), n3.alias("n3"),
+        "r1", "r2y", "r3",
+    )
+    rr = (
+        F.col("n1") * F.col("r1")
+        + F.col("n2") * F.col("r2y")
+        + F.col("n3") * F.col("r3")
+    ) / F.col("det")
+    # explode a literal struct array instead of unionAll(solved × 3):
+    # a union re-plans (and re-scans) the moment aggregate per branch,
+    # while explode keeps the whole fit at ONE fact scan
+    betas = solved.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour").alias("feature"),
+                    (F.col("n1") / F.col("det")).alias("beta"),
+                ),
+                F.struct(
+                    F.lit("dow").alias("feature"),
+                    (F.col("n2") / F.col("det")).alias("beta"),
+                ),
+                F.struct(
+                    F.lit("dom").alias("feature"),
+                    (F.col("n3") / F.col("det")).alias("beta"),
+                ),
+            )
+        ).alias("fb"),
+        rr.alias("rr"),
+    ).select("fb.feature", "fb.beta", "rr")
+    return betas.select(
+        "feature",
+        F.round("beta", 6).alias("beta_std"),
+        F.round("rr", 6).alias("r2_ridge"),
+    ).orderBy("feature")

@@ -1,0 +1,783 @@
+"""Operational statistics: Little's-law consistency (L = λ·W — the
+queueing identity every capacity dashboard should but rarely does
+cross-check) and a 2-state HMM burst filter (the forward-algorithm /
+Kleinberg-burst-detection shape: a sequential log-odds fold whose
+per-day output is P(bursting | data so far)).
+
+Float discipline: arrivals, durations (treated as whole seconds of
+service time via the cent trick /100), and tick crossings are exact
+integers; the HMM fold applies identical literal-constant log-space
+expressions in identical order on both engines (recursive CTE ≡ JVM
+fold), with the log-odds clamped at ±30 before exponentiation so
+saturation is bit-identical rather than Inf/Inf-NaN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "little_law_consistency",
+    category="OPS-littles",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t0_s,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS dur_cs
+            FROM events WHERE value IS NOT NULL
+        ), span AS (
+            SELECT CAST(floor(min(t0_s) / 3600) AS BIGINT) AS h0,
+                   CAST(floor(max(t0_s) / 3600) AS BIGINT) AS h1
+            FROM ev
+        ), per AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dur_cs) AS BIGINT) AS sum_cs,
+                   CAST(sum(CASE WHEN t0_s * 100 + dur_cs
+                                   > (floor(t0_s / 3600) + 1) * 360000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tick_crossings
+            FROM ev GROUP BY event_type
+        )
+        SELECT per.event_type, per.n,
+               span.h1 - span.h0 AS n_ticks,
+               CAST(round(CAST(per.n AS DOUBLE) / (span.h1 - span.h0), 6)
+                    AS DOUBLE) AS lambda_per_h,
+               CAST(round(CAST(per.sum_cs AS DOUBLE) / per.n / 100.0, 6)
+                    AS DOUBLE) AS w_mean_s,
+               CAST(round(CAST(per.sum_cs AS DOUBLE) / 100.0
+                          / ((span.h1 - span.h0) * 3600.0), 6) AS DOUBLE)
+                   AS l_littles,
+               CAST(round(CAST(per.tick_crossings AS DOUBLE)
+                          / (span.h1 - span.h0), 6) AS DOUBLE) AS l_sampled
+        FROM per CROSS JOIN span
+        ORDER BY per.event_type
+    """,
+)
+def little_law_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law cross-check per channel: treating each event's
+    value as its service duration in seconds, L = λ·W predicts the
+    average number in flight (Σdur / T); the independent measurement
+    samples concurrency at every hour boundary — an event is "in
+    flight at a tick" iff its interval crosses the next hour boundary
+    (durations ≤ 330 s < 1 h, so each event can cross at most one
+    tick and the overlap count is a plain conditional sum, no
+    interval join needed). l_littles ≈ l_sampled is the identity; a
+    systematic gap flags clock skew or truncated durations — the
+    production use of the check.
+
+    Determinism: timestamps floor to whole epoch seconds (DuckDB's
+    epoch() is fractional — house lesson) and durations to
+    centiseconds, so the crossing test t0·100 + dur > tick·100 is
+    pure integer comparison; every output is one division of exact
+    integers.
+
+    Scale: ONE map-side-combinable aggregate per channel plus a
+    1-row span broadcast — the concurrency sample that naively needs
+    a tick×event range join collapses into the scan because the
+    duration bound caps candidates at one tick.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("t0_s"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("dur_cs"),
+        )
+    )
+    span = ev.agg(
+        F.floor(F.min("t0_s") / 3600).cast("long").alias("h0"),
+        F.floor(F.max("t0_s") / 3600).cast("long").alias("h1"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dur_cs").cast("long").alias("sum_cs"),
+        F.sum(
+            F.when(
+                F.col("t0_s") * 100 + F.col("dur_cs")
+                > (F.floor(F.col("t0_s") / 3600) + 1) * 360000,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("tick_crossings"),
+    )
+    ticks = F.col("h1") - F.col("h0")
+    return (
+        per.crossJoin(F.broadcast(span))
+        .select(
+            "event_type", "n",
+            ticks.cast("long").alias("n_ticks"),
+            F.round(F.col("n").cast("double") / ticks, 6).alias("lambda_per_h"),
+            F.round(F.col("sum_cs").cast("double") / F.col("n") / 100.0, 6)
+            .alias("w_mean_s"),
+            F.round(
+                F.col("sum_cs").cast("double") / 100.0 / (ticks * 3600.0), 6
+            ).alias("l_littles"),
+            F.round(F.col("tick_crossings").cast("double") / ticks, 6)
+            .alias("l_sampled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# HMM burst filter constants: burst rate = 3x base, sticky states
+_P01 = "0.1"   # base -> burst
+_P11 = "0.8"   # burst -> burst  (stay)
+_P00 = "0.9"
+_P10 = "0.2"
+_RATE_MULT = "3.0"
+_CLAMP = "30.0"
+
+
+def _hmm_step(L: str, k: str, lam0: str) -> str:
+    """One forward step in log-odds space — IDENTICAL text on both
+    engines. L' = ln((p01 + p11·e^L)/(p00 + p10·e^L))
+                + k·ln(mult) − (mult−1)·λ0, with e^L clamp at ±30.
+
+    The state is RE-QUANTIZED to 6 decimals every step: ln/exp are
+    not correctly-rounded and differ by ulps between the JVM and
+    libm, and over a 150-step sequential fold those ulps accumulate
+    past the output's 1e-6 rounding boundary (observed at sf0.001).
+    Rounding the carried state each step makes both engines consume
+    bit-identical inputs, so per-step drift (~1e-15) can never
+    compound — the standard cross-engine fold-synchronization trick.
+    """
+    eL = f"exp(greatest(least({L}, {_CLAMP}), -{_CLAMP}))"
+    return (
+        f"round(ln(({_P01} + {_P11} * {eL}) / ({_P00} + {_P10} * {eL}))"
+        f" + CAST({k} AS DOUBLE) * ln({_RATE_MULT})"
+        f" - ({_RATE_MULT} - 1.0) * {lam0}, 6)"
+    )
+
+
+@query(
+    "hmm_burst_forward_filter",
+    category="T14-burst",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), lam AS (
+            SELECT event_type,
+                   CAST(sum(k) AS DOUBLE) / count(*) AS lam0
+            FROM daily GROUP BY event_type
+        ), seq AS (
+            SELECT d.event_type, d.day, d.k, lam.lam0,
+                   row_number() OVER (PARTITION BY d.event_type
+                                      ORDER BY d.day) AS rn
+            FROM daily d JOIN lam ON lam.event_type = d.event_type
+        ), r AS (
+            SELECT event_type, rn, day, k, lam0,
+                   {_hmm_step(f"ln(CAST({_P01} AS DOUBLE) / CAST({_P00} AS DOUBLE))", "k", "lam0")} AS lodds
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.rn, s.day, s.k, s.lam0,
+                   {_hmm_step("r.lodds", "s.k", "s.lam0")}
+            FROM r JOIN seq s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, day, k,
+               CAST(round(greatest(least(lodds, {_CLAMP}), -{_CLAMP}), 6)
+                    AS DOUBLE) AS log_odds,
+               CAST(round(1.0 / (1.0
+                    + exp(-greatest(least(lodds, {_CLAMP}), -{_CLAMP}))), 6)
+                    AS DOUBLE) AS p_burst
+        FROM r ORDER BY event_type, day
+    """,
+)
+def hmm_burst_forward_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-state HMM burst filter (the Kleinberg burst-detection /
+    forward-algorithm shape) over each channel's daily counts: state
+    0 emits Poisson(λ₀), state 1 Poisson(3λ₀), sticky transitions
+    (p01=0.1, p11=0.8); the fold carries the forward LOG-ODDS
+    L_t = ln(α₁/α₀) — the normalization-free form of the forward
+    recursion (the Poisson k! and λ₀-only factors cancel in the
+    ratio, so no lgamma and no underflow) — and each day emits the
+    filtering posterior P(burst | counts so far) = σ(L_t).
+
+    Determinism: λ₀ is an exact-integer ratio; every step is
+    identical literal-constant log-space arithmetic on both engines
+    (recursive CTE ≡ JVM fold), with e^L clamped at ±30 so
+    saturation is bit-identical instead of Inf/Inf.
+
+    Scale: one rollup to |channels|×|days|, one fold per channel in
+    whole-stage codegen — per-key burst filtering at millions of
+    keys is the same groupBy+fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    lam = daily.groupBy("event_type").agg(
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("lam0")
+    )
+    packed = (
+        daily.join(F.broadcast(lam), "event_type")
+        .groupBy("event_type", "lam0")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "k"))).alias("series"))
+    )
+    init = _hmm_step(f"ln(CAST({_P01} AS DOUBLE) / CAST({_P00} AS DOUBLE))", "z.k", "lam0")
+    step = _hmm_step("element_at(acc, -1).lodds", "z.k", "lam0")
+    folded = packed.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+                series,
+                CAST(array() AS ARRAY<STRUCT<day DATE, k BIGINT,
+                                             lodds DOUBLE>>),
+                (acc, z) -> CASE WHEN size(acc) = 0 THEN
+                    array(struct(z.day AS day, z.k AS k, {init} AS lodds))
+                ELSE array_append(acc,
+                    struct(z.day AS day, z.k AS k, {step} AS lodds))
+                END
+            )
+            """
+        ).alias("walked"),
+    )
+    lo = F.greatest(F.least(F.col("w.lodds"), F.lit(30.0)), F.lit(-30.0))
+    return (
+        folded.select("event_type", F.explode("walked").alias("w"))
+        .select(
+            "event_type",
+            F.col("w.day").alias("day"),
+            F.col("w.k").alias("k"),
+            F.round(lo, 6).alias("log_odds"),
+            F.round(1.0 / (1.0 + F.exp(-lo)), 6).alias("p_burst"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_HURST_NS = (8, 16, 32, 64)
+
+
+@query(
+    "hurst_rescaled_range",
+    category="T22-hurst",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS x,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                   ) AS rn
+            FROM events
+            GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        ), sized AS (
+            SELECT h.event_type, h.rn, h.x, s.n,
+                   CAST((h.rn - 1) // s.n AS BIGINT) AS b
+            FROM hourly h
+            CROSS JOIN (SELECT unnest(ARRAY{list(_HURST_NS)}) AS n) s
+        ), framed AS (
+            SELECT event_type, n, b, rn, x,
+                   CAST(rn - b * n AS BIGINT) AS k,
+                   CAST(sum(x) OVER (PARTITION BY event_type, n, b
+                                     ORDER BY rn) AS BIGINT) AS p,
+                   CAST(sum(x) OVER (PARTITION BY event_type, n, b)
+                        AS BIGINT) AS sb,
+                   CAST(sum(x * x) OVER (PARTITION BY event_type, n, b)
+                        AS BIGINT) AS qb,
+                   count(*) OVER (PARTITION BY event_type, n, b) AS cnt
+            FROM sized
+        ), dev AS (
+            SELECT event_type, n, b, sb, qb,
+                   p - k * (CAST(sb AS DOUBLE) / n) AS cum
+            FROM framed WHERE cnt = n
+        ), blocks AS (
+            SELECT event_type, n, b,
+                   max(cum) - min(cum) AS r,
+                   sqrt(CAST(qb AS DOUBLE) / n
+                        - (CAST(sb AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n))
+                       AS s
+            FROM dev GROUP BY event_type, n, b, sb, qb
+        ), rs AS (
+            SELECT event_type, n,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   avg(r / s) AS avg_rs
+            FROM blocks WHERE s > 0 GROUP BY event_type, n
+        ), slope AS (
+            SELECT event_type,
+                   (count(*) * sum(ln(CAST(n AS DOUBLE)) * ln(avg_rs))
+                    - sum(ln(CAST(n AS DOUBLE))) * sum(ln(avg_rs)))
+                   / (count(*) * sum(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)))
+                      - sum(ln(CAST(n AS DOUBLE))) * sum(ln(CAST(n AS DOUBLE))))
+                       AS h
+            FROM rs GROUP BY event_type
+        )
+        SELECT rs.event_type, rs.n, rs.n_blocks,
+               CAST(round(rs.avg_rs, 6) AS DOUBLE) AS avg_rs,
+               CAST(round(slope.h, 6) AS DOUBLE) AS hurst
+        FROM rs JOIN slope ON slope.event_type = rs.event_type
+        ORDER BY rs.event_type, rs.n
+    """,
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical R/S (rescaled-range) analysis over
+    each channel's hourly count sequence: for block sizes n ∈
+    {{8,16,32,64}}, each full block contributes R/S (range of the
+    cumulative deviations over the population std), and H is the
+    log-log OLS slope of the averaged R/S against n — the
+    long-memory probe (H≈0.5 ⇒ no memory, H>0.5 ⇒ persistent load,
+    the number capacity planners fit before choosing a smoothing
+    horizon).
+
+    Determinism: counts and their block prefix sums are exact
+    integers; each cumulative deviation is the fixed expression
+    P_k − k·(S_b/n); R, S are identical-double per block; the only
+    cross-engine float accumulations are the ≤90-term block averages
+    and the 4-point slope sums, both far under round 6.
+
+    Scale: one rollup to |types|×|hours|, a ×4 literal fan-out, and
+    windows partitioned by (type, n, block) — block frames are ≤64
+    rows each; nothing touches raw events twice.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts")) / 3600).cast("long").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .select(
+            "event_type", "x",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("hr"))
+            .alias("rn"),
+        )
+    )
+    sized = hourly.select(
+        "event_type", "rn", "x",
+        F.explode(F.array(*[F.lit(n) for n in _HURST_NS])).alias("n"),
+    ).select(
+        "event_type", "rn", "x", "n",
+        F.floor((F.col("rn") - 1) / F.col("n")).cast("long").alias("b"),
+    )
+    wb = Window.partitionBy("event_type", "n", "b")
+    wo = wb.orderBy("rn")
+    framed = sized.select(
+        "event_type", "n", "b", "rn", "x",
+        (F.col("rn") - F.col("b") * F.col("n")).cast("long").alias("k"),
+        F.sum("x").over(wo).cast("long").alias("p"),
+        F.sum("x").over(wb).cast("long").alias("sb"),
+        F.sum(F.col("x") * F.col("x")).over(wb).cast("long").alias("qb"),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    )
+    dev = framed.filter(F.col("cnt") == F.col("n")).select(
+        "event_type", "n", "b", "sb", "qb",
+        (F.col("p") - F.col("k") * (F.col("sb").cast("double") / F.col("n")))
+        .alias("cum"),
+    )
+    mean = F.col("sb").cast("double") / F.col("n")
+    blocks = dev.groupBy("event_type", "n", "b", "sb", "qb").agg(
+        (F.max("cum") - F.min("cum")).alias("r")
+    ).select(
+        "event_type", "n", "b", "r",
+        F.sqrt(F.col("qb").cast("double") / F.col("n") - mean * mean).alias("s"),
+    )
+    rs = (
+        blocks.filter(F.col("s") > 0)
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.avg(F.col("r") / F.col("s")).alias("avg_rs"),
+        )
+    )
+    lx = F.log(F.col("n").cast("double"))
+    ly = F.log("avg_rs")
+    slope = rs.groupBy("event_type").agg(
+        (
+            (F.count(F.lit(1)) * F.sum(lx * ly) - F.sum(lx) * F.sum(ly))
+            / (F.count(F.lit(1)) * F.sum(lx * lx) - F.sum(lx) * F.sum(lx))
+        ).alias("h")
+    )
+    return (
+        rs.join(F.broadcast(slope), "event_type")
+        .select(
+            "event_type", "n", "n_blocks",
+            F.round("avg_rs", 6).alias("avg_rs"),
+            F.round("h", 6).alias("hurst"),
+        )
+        .orderBy("event_type", "n")
+    )
+
+
+@query(
+    "binary_segmentation_changepoint",
+    category="T14-changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, day, cents,
+                   row_number() OVER w AS rn,
+                   CAST(sum(cents) OVER w AS BIGINT) AS p,
+                   CAST(sum(cents * cents) OVER w AS BIGINT) AS q,
+                   CAST(sum(cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS pt,
+                   CAST(sum(cents * cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS qt,
+                   count(*) OVER (PARTITION BY event_type) AS nt
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ), splits AS (
+            SELECT event_type, day, rn, nt, pt, qt,
+                   (CAST(q AS DOUBLE) - CAST(p AS DOUBLE) * p / rn)
+                   + (CAST(qt - q AS DOUBLE)
+                      - CAST(pt - p AS DOUBLE) * (pt - p) / (nt - rn))
+                       AS sse_split
+            FROM seq WHERE rn < nt
+        ), keyed AS (
+            SELECT event_type, nt, pt, qt,
+                   min(lpad(CAST(CAST(round(sse_split * 100) AS BIGINT)
+                                 AS VARCHAR), 20, '0')
+                       || lpad(CAST(rn AS VARCHAR), 8, '0')) AS k
+            FROM splits GROUP BY event_type, nt, pt, qt
+        )
+        SELECT k2.event_type,
+               s.day AS split_day,
+               s.rn AS split_at,
+               k2.nt AS n_days,
+               CAST(round(CAST(k2.qt AS DOUBLE)
+                          - CAST(k2.pt AS DOUBLE) * k2.pt / k2.nt, 2)
+                    AS DOUBLE) AS sse_full,
+               CAST(round(s.sse_split, 2) AS DOUBLE) AS sse_split,
+               CAST(round(k2.nt * ln((CAST(k2.qt AS DOUBLE)
+                          - CAST(k2.pt AS DOUBLE) * k2.pt / k2.nt)
+                          / s.sse_split), 6) AS DOUBLE) AS llr_gain
+        FROM keyed k2
+        JOIN splits s
+          ON s.event_type = k2.event_type
+         AND s.rn = CAST(substr(k2.k, 21, 8) AS BIGINT)
+        ORDER BY k2.event_type
+    """,
+)
+def binary_segmentation_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary segmentation per channel — the first
+    recursion level of the classic changepoint search (the offline
+    complement to cusum_reference_check): every split point s is
+    scored by SSE(1..s) + SSE(s+1..N) from prefix sums, the argmin
+    is taken on an integer centi-SSE key (ties → earliest day), and
+    the log-likelihood-ratio gain N·ln(SSE_full/SSE_split) is the
+    evidence a segmenter would threshold before recursing.
+
+    Determinism: prefix sums are exact integers, each SSE(s) is a
+    fixed double expression of them (no cross-engine accumulation),
+    and the argmin runs on a zero-padded integer key.
+
+    Scale: one rollup to the calendar-bounded daily frame, two
+    windows, and a per-channel argmin — the O(N) split scan that
+    makes binary segmentation the scalable changepoint family.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long").alias("cents")
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    seq = daily.select(
+        "event_type", "day", "cents",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("cents").over(wo).cast("long").alias("p"),
+        F.sum(F.col("cents") * F.col("cents")).over(wo).cast("long").alias("q"),
+        F.sum("cents").over(wp).cast("long").alias("pt"),
+        F.sum(F.col("cents") * F.col("cents")).over(wp).cast("long").alias("qt"),
+        F.count(F.lit(1)).over(wp).alias("nt"),
+    )
+    sse_split = (
+        F.col("q").cast("double") - F.col("p").cast("double") * F.col("p") / F.col("rn")
+    ) + (
+        (F.col("qt") - F.col("q")).cast("double")
+        - (F.col("pt") - F.col("p")).cast("double")
+        * (F.col("pt") - F.col("p"))
+        / (F.col("nt") - F.col("rn"))
+    )
+    splits = seq.filter(F.col("rn") < F.col("nt")).select(
+        "event_type", "day", "rn", "nt", "pt", "qt",
+        sse_split.alias("sse_split"),
+    )
+    keyed = splits.groupBy("event_type", "nt", "pt", "qt").agg(
+        F.min(
+            F.concat(
+                F.lpad(
+                    F.round(F.col("sse_split") * 100).cast("long").cast("string"),
+                    20, "0",
+                ),
+                F.lpad(F.col("rn").cast("string"), 8, "0"),
+            )
+        ).alias("k")
+    )
+    sse_full = (
+        F.col("qt").cast("double")
+        - F.col("pt").cast("double") * F.col("pt") / F.col("nt")
+    )
+    return (
+        keyed.select(
+            "event_type", "nt", "pt", "qt",
+            F.substring("k", 21, 8).cast("long").alias("split_rn"),
+        )
+        .join(
+            splits.select(
+                "event_type", "day",
+                F.col("rn").alias("split_rn"), "sse_split",
+            ),
+            ["event_type", "split_rn"],
+        )
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("split_rn").alias("split_at"),
+            F.col("nt").alias("n_days"),
+            F.round(sse_full, 2).alias("sse_full"),
+            F.round("sse_split", 2).alias("sse_split"),
+            F.round(F.col("nt") * F.log(sse_full / F.col("sse_split")), 6)
+            .alias("llr_gain"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ljung_box_whiteness",
+    category="T14-diag",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ), tot AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS q
+            FROM seq GROUP BY event_type
+        ), lagged AS (
+            SELECT a.event_type, b.rn - a.rn AS k,
+                   CAST(count(*) AS BIGINT) AS nk,
+                   CAST(sum(a.x * b.x) AS BIGINT) AS sk,
+                   CAST(sum(a.x) AS BIGINT) AS t1,
+                   CAST(sum(b.x) AS BIGINT) AS t2
+            FROM seq a JOIN seq b
+              ON a.event_type = b.event_type
+             AND b.rn - a.rn BETWEEN 1 AND 5
+            GROUP BY a.event_type, b.rn - a.rn
+        ), rho AS (
+            SELECT l.event_type, l.k, t.n,
+                   (CAST(l.sk AS DOUBLE)
+                    - (CAST(t.s AS DOUBLE) / t.n) * (l.t1 + l.t2)
+                    + l.nk * (CAST(t.s AS DOUBLE) / t.n)
+                         * (CAST(t.s AS DOUBLE) / t.n))
+                   / (CAST(t.q AS DOUBLE)
+                      - CAST(t.s AS DOUBLE) * t.s / t.n) AS r
+            FROM lagged l JOIN tot t ON t.event_type = l.event_type
+        ), qlb AS (
+            SELECT event_type, n,
+                   n * (n + 2.0) * sum(r * r / (n - k)) AS q_lb
+            FROM rho GROUP BY event_type, n
+        )
+        SELECT rho.event_type, rho.k AS lag,
+               CAST(round(rho.r, 6) AS DOUBLE) AS rho,
+               CAST(round(qlb.q_lb, 6) AS DOUBLE) AS q_ljung_box,
+               qlb.n AS n_days
+        FROM rho JOIN qlb ON qlb.event_type = rho.event_type
+        ORDER BY rho.event_type, rho.k
+    """,
+)
+def ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test per channel: autocorrelations ρ_k for
+    lags 1..5 of the daily count series (mean-corrected, closed form
+    from the lag-k cross sums), pooled into Q = n(n+2)·Σρ²_k/(n−k) —
+    the residual-diagnostic every forecasting pipeline runs to ask
+    "is anything left to model?".
+
+    Determinism: the lag-k sums (Σx_t·x_{t+k}, marginal sums, counts)
+    are exact integers; each ρ_k is a fixed double expression of
+    them; the 5-term Q sum rounds at 6.
+
+    Scale: the lag join is a band self-join (offset ≤ 5) on the
+    calendar-bounded daily frame — O(5N) pairs; the fact scan
+    happens once in the rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    seq = daily.select(
+        "event_type", "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    tot = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    a = seq.select("event_type", F.col("rn").alias("ra"), F.col("x").alias("xa"))
+    b = seq.select("event_type", F.col("rn").alias("rb"), F.col("x").alias("xb"))
+    lagged = (
+        a.join(b, "event_type")
+        .filter((F.col("rb") - F.col("ra")).between(1, 5))
+        .groupBy("event_type", (F.col("rb") - F.col("ra")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nk"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sk"),
+            F.sum("xa").cast("long").alias("t1"),
+            F.sum("xb").cast("long").alias("t2"),
+        )
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    rho = lagged.join(F.broadcast(tot), "event_type").select(
+        "event_type", "k", "n",
+        (
+            (
+                F.col("sk").cast("double")
+                - m * (F.col("t1") + F.col("t2"))
+                + F.col("nk") * m * m
+            )
+            / (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+        ).alias("r"),
+    )
+    qlb = rho.groupBy("event_type", "n").agg(
+        (
+            F.col("n") * (F.col("n") + 2.0)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("k")))
+        ).alias("q_lb")
+    )
+    return (
+        rho.join(F.broadcast(qlb.select("event_type", "q_lb")), "event_type")
+        .select(
+            "event_type",
+            F.col("k").alias("lag"),
+            F.round("r", 6).alias("rho"),
+            F.round("q_lb", 6).alias("q_ljung_box"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@query(
+    "runs_test_randomness",
+    category="ST9-runs",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), med AS (
+            SELECT event_type, quantile_cont(x, 0.5) AS m
+            FROM daily GROUP BY event_type
+        ), signed AS (
+            SELECT d.event_type, d.day,
+                   CASE WHEN d.x > med.m THEN 1 ELSE 0 END AS s
+            FROM daily d JOIN med ON med.event_type = d.event_type
+            WHERE d.x <> med.m
+        ), runs AS (
+            SELECT event_type, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                          ORDER BY day) IS NULL
+                             OR lag(s) OVER (PARTITION BY event_type
+                                             ORDER BY day) <> s
+                        THEN 1 ELSE 0 END AS new_run
+            FROM signed
+        ), agg AS (
+            SELECT event_type,
+                   CAST(sum(new_run) AS BIGINT) AS r,
+                   CAST(sum(s) AS BIGINT) AS n1,
+                   CAST(sum(1 - s) AS BIGINT) AS n2
+            FROM runs GROUP BY event_type
+        )
+        SELECT event_type, r AS n_runs, n1 AS n_above, n2 AS n_below,
+               CAST(round(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS DOUBLE)
+                   AS mu_runs,
+               CAST(round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                           / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+                    AS DOUBLE) AS z_stat
+        FROM agg ORDER BY event_type
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per channel: daily counts are signed
+    against their median (exact-median days dropped, the standard
+    convention), runs of consecutive same-sign days are counted with
+    a lag window, and z = (R − μ_R)/σ_R under the randomness null —
+    the order-sensitive complement to the distributional tests (a
+    trending or oscillating series fails it while passing KS).
+
+    Determinism: the median is an interpolated percentile of exact
+    integers (identical both engines), sign and run counts are
+    integer; μ_R and σ_R are closed-form expressions of (n1, n2).
+
+    Scale: everything after the day-grain rollup runs on the bounded
+    daily frame — one percentile, one lag window, one aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("m")
+    )
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("x") != F.col("m"))
+        .select(
+            "event_type", "day",
+            F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    runs = signed.select(
+        "event_type", "s",
+        F.when(
+            F.lag("s").over(wo).isNull() | (F.lag("s").over(wo) != F.col("s")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sig = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        r.alias("n_runs"), n1.alias("n_above"), n2.alias("n_below"),
+        F.round(mu, 6).alias("mu_runs"),
+        F.round((r - mu) / sig, 6).alias("z_stat"),
+    ).orderBy("event_type")

@@ -474,3 +474,197 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boot_se"),
     )
+
+
+@query(
+    "tukey_hsd_pairwise",
+    category="ST7-anova",
+    oracle=f"""
+        WITH per_grp AS (
+            SELECT event_type AS grp,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum({_CENTS}) AS BIGINT) AS s_g,
+                   CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS q_g
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(CAST(q_g AS DOUBLE)
+                       - CAST(s_g AS DOUBLE) * s_g / n_g) AS ssw
+            FROM per_grp
+        )
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               a.n_g AS n_a, b.n_g AS n_b,
+               CAST(round(CAST(a.s_g AS DOUBLE) / a.n_g
+                          - CAST(b.s_g AS DOUBLE) / b.n_g, 6) AS DOUBLE)
+                   AS mean_diff,
+               CAST(round(sqrt((tot.ssw / (tot.n - tot.k)) * 0.5
+                               * (1.0 / a.n_g + 1.0 / b.n_g)), 6) AS DOUBLE)
+                   AS se_tukey,
+               CAST(round((CAST(a.s_g AS DOUBLE) / a.n_g
+                           - CAST(b.s_g AS DOUBLE) / b.n_g)
+                          / sqrt((tot.ssw / (tot.n - tot.k)) * 0.5
+                                 * (1.0 / a.n_g + 1.0 / b.n_g)), 6)
+                    AS DOUBLE) AS q_stat
+        FROM per_grp a JOIN per_grp b ON a.grp < b.grp
+        CROSS JOIN tot
+        ORDER BY grp_a, grp_b
+    """,
+)
+def tukey_hsd_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons — the follow-up to
+    anova_oneway_f that says WHICH arms differ: for every (a,b) pair
+    of event types, the studentized statistic q = (x̄_a − x̄_b) /
+    sqrt(MSW/2 · (1/n_a + 1/n_b)) with MSW = SSW/(N−k) pooled from
+    all groups (the Tukey-Kramer unequal-n form).
+
+    Determinism: group means are exact-integer quotients; SSW sums k
+    per-group double terms (each a fixed expression of exact ints) —
+    k=5 additions whose drift is ~1e-16 relative, vanishing in the
+    round-6 ratio.
+
+    Scale: one moment rollup, then a k×k/2 self-join on the 5-row
+    group frame — the pairwise explosion happens at GROUP grain,
+    never row grain.
+    """
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_grp = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(cents).cast("long").alias("s_g"),
+            F.sum(cents * cents).cast("long").alias("q_g"),
+        )
+    )
+    tot = per_grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("q_g").cast("double")
+            - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).alias("ssw"),
+    )
+    a = per_grp.select(
+        F.col("grp").alias("grp_a"), F.col("n_g").alias("n_a"),
+        F.col("s_g").alias("s_a"),
+    )
+    b = per_grp.select(
+        F.col("grp").alias("grp_b"), F.col("n_g").alias("n_b"),
+        F.col("s_g").alias("s_b"),
+    )
+    diff = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    )
+    se = F.sqrt(
+        (F.col("ssw") / (F.col("n") - F.col("k")))
+        * 0.5
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp_a", "grp_b", "n_a", "n_b",
+            F.round(diff, 6).alias("mean_diff"),
+            F.round(se, 6).alias("se_tukey"),
+            F.round(diff / se, 6).alias("q_stat"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+@query(
+    "kendall_tau_daily",
+    category="ST6-rankcorr",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ), pairs AS (
+            SELECT CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                   CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                   CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS txy,
+                   CAST(count(*) AS BIGINT) AS n0
+            FROM daily a JOIN daily b ON a.day < b.day
+        )
+        SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+               tx AS ties_x_only, ty AS ties_y_only, txy AS ties_both,
+               CAST(round(CAST(c - d AS DOUBLE)
+                          / sqrt(CAST(n0 - tx - txy AS DOUBLE)
+                                 * (n0 - ty - txy)), 6) AS DOUBLE)
+                   AS tau_b
+        FROM pairs
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between the daily click and purchase count series —
+    the rank-correlation companion to spearman_rank_correlation that
+    handles ties exactly: τ_b = (C−D)/√((n₀−T_x)(n₀−T_y)) over all
+    day pairs, with concordant/discordant/tie counts as plain
+    conditional sums on the pair frame.
+
+    Determinism: every count is an exact integer from integer
+    comparisons; τ_b is one closed-form double expression.
+
+    Scale: the O(days²) pair join runs on the CALENDAR-bounded daily
+    frame (435 pairs for a month, ~66k for a year) — never on raw
+    events; for multi-year series the O(n log n) merge-sort
+    inversion count is the upgrade path, same output contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+        .cast("long").alias("tx"),
+        F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0))
+        .cast("long").alias("ty"),
+        F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+        .cast("long").alias("txy"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    return pairs.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.col("txy").alias("ties_both"),
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx") - F.col("txy")).cast("double")
+                * (F.col("n0") - F.col("ty") - F.col("txy"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

@@ -1906,3 +1906,79 @@ def test_vif_pca_single_moment_pass(spark, sf_dir):
         assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
         scans = count_prefix(counts, "Scan parquet")
         assert scans <= 3, (name, counts)
+
+
+def test_naive_bayes_model_joins_broadcast(spark, sf_dir):
+    """Naive Bayes: the likelihood/prior tables are model-sized —
+    scoring must broadcast them against test tokens (model-as-a-
+    table deployment), with zero Python evals."""
+    df = q("naive_bayes_train_eval", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+
+
+def test_ucb1_fold_single_rollup_no_python(spark, sf_dir):
+    """UCB1 replay: one rollup to the daily reward matrix, the
+    decision fold in a JVM aggregate() — no Python worker, no
+    shuffle join."""
+    df = q("ucb1_policy_replay", spark, sf_dir)
+    counts = operator_counts(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+
+
+def test_granger_single_scan_closed_form(spark, sf_dir):
+    """Granger: ONE fact scan feeds the daily frame; both directions
+    reuse it via union; the fit is closed-form (no joins against
+    facts, no Python)."""
+    df = q("granger_lag1_causality", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "Scan parquet") <= 2, counts
+
+
+def test_ridge_boxcox_single_moment_pass(spark, sf_dir):
+    """Ridge + Box-Cox: one moment aggregate over the facts, 1-row /
+    5-row algebra after — no joins against the fact table."""
+    for name in ("ridge_regression_closed_form", "boxcox_lambda_scan"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+        assert count_prefix(counts, "Scan parquet") <= 2, (name, counts)
+
+
+def test_kendall_pairs_at_calendar_grain(spark, sf_dir):
+    """Kendall τ-b: the O(n²) pair join runs on the daily frame and
+    broadcasts one side — never a shuffle join over raw events."""
+    df = q("kendall_tau_daily", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") >= 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+
+
+def test_hmm_hurst_post_rollup_only(spark, sf_dir):
+    """HMM burst filter + Hurst R/S: the fact scan ends at the
+    rollup; folds/windows run on bounded frames, JVM-side."""
+    for name in ("hmm_burst_forward_filter", "hurst_rescaled_range"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+        assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
+
+
+def test_isotonic_interval_joins_broadcast(spark, sf_dir):
+    """Isotonic minimax: the interval table is B²-sized (bin grain) —
+    all joins must broadcast; nothing rescans facts."""
+    df = q("isotonic_calibration_maxmin", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "Scan parquet") <= 2, counts

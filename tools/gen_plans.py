@@ -199,6 +199,22 @@ HEADLINE = [
     "pca_leading_component_power",
     "seasonal_decompose_classic",
     "dbscan_grid_clusters",
+    # round-4 stint 4: in-engine training / diagnostics / ops
+    "naive_bayes_train_eval",
+    "ucb1_policy_replay",
+    "isotonic_calibration_maxmin",
+    "little_law_consistency",
+    "hmm_burst_forward_filter",
+    "hurst_rescaled_range",
+    "granger_lag1_causality",
+    "tukey_hsd_pairwise",
+    "kendall_tau_daily",
+    "boxcox_lambda_scan",
+    "ridge_regression_closed_form",
+    "binary_segmentation_changepoint",
+    "ljung_box_whiteness",
+    "runs_test_randomness",
+    "soundex_phonetic_blocking",
 ]
 
 INTERESTING = (
