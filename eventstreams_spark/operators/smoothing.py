@@ -220,3 +220,98 @@ def kalman_level_batch(
         return pdf[out_cols]
 
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+# --- 2-state HMM burst filter (forward log-odds) ---------------------------
+
+# Constants mirror queries/opsstat_extra.py (the JVM aggregate() fold
+# certified against the recursive-CTE oracle); keep in sync.
+_HMM_P01, _HMM_P11, _HMM_P00, _HMM_P10 = 0.1, 0.8, 0.9, 0.2
+_HMM_MULT = 3.0
+_HMM_CLAMP = 30.0
+
+
+def _round_half_away(x: float, nd: int = 6) -> float:
+    """round() half-away-from-zero — SQL round semantics, not Python's
+    banker's rounding. Inputs here are transcendental-function outputs,
+    never exactly at a half boundary, so the float-scaling error of the
+    floor trick cannot flip a decision in practice."""
+    import math
+
+    s = 10.0 ** nd
+    if x >= 0:
+        return math.floor(x * s + 0.5) / s
+    return -math.floor(-x * s + 0.5) / s
+
+
+def hmm_step_py(L: float, k: int, lam0: float) -> float:
+    """One HMM forward step in log-odds space, Python twin of the
+    engine-shared SQL text in queries/opsstat_extra.py::_hmm_step:
+    L' = round6( ln((p01 + p11·e^L)/(p00 + p10·e^L))
+                 + k·ln(mult) − (mult−1)·λ0 ), e^L clamped at ±30.
+    The per-step 6-decimal requantization is what keeps the Python,
+    JVM, and DuckDB folds bit-identical — ln/exp ulp drift cannot
+    compound across steps."""
+    import math
+
+    eL = math.exp(max(min(L, _HMM_CLAMP), -_HMM_CLAMP))
+    x = (
+        math.log((_HMM_P01 + _HMM_P11 * eL) / (_HMM_P00 + _HMM_P10 * eL))
+        + float(k) * math.log(_HMM_MULT)
+        - (_HMM_MULT - 1.0) * lam0
+    )
+    return _round_half_away(x, 6)
+
+
+def _hmm_init() -> float:
+    """Prior log-odds entering the first transition: ln(p01/p00) in
+    double — matches the CAST-to-DOUBLE division the SQL init uses."""
+    import math
+
+    return math.log(_HMM_P01 / _HMM_P00)
+
+
+def hmm_forward_batch(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    k_col: str,
+    lam0_col: str,
+) -> DataFrame:
+    """Batch 2-state HMM burst filter over a pre-aggregated count
+    frame (key, order, k, lam0): per key, fold the forward log-odds
+    recursion in order and emit (rn, log_odds, p_burst) per row —
+    log_odds clamped at ±30, p_burst = sigmoid. Python twin of the
+    registered JVM-fold query hmm_burst_forward_filter; the streaming
+    GroupState twin is streaming/stateful.py::hmm_burst_stream, and
+    test_hmm_batch_equals_stream pins all three equal."""
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("log_odds", DoubleType()),
+            StructField("p_burst", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col], kind="mergesort").copy()
+        L = _hmm_init()
+        rns, lods, pbs = [], [], []
+        for k, lam0 in zip(pdf[k_col], pdf[lam0_col]):
+            L = hmm_step_py(L, int(k), float(lam0))
+            lo = max(min(L, _HMM_CLAMP), -_HMM_CLAMP)
+            rns.append(len(rns) + 1)
+            lods.append(_round_half_away(lo, 6))
+            pbs.append(_round_half_away(1.0 / (1.0 + math.exp(-lo)), 6))
+        pdf["rn"] = rns
+        pdf["log_odds"] = lods
+        pdf["p_burst"] = pbs
+        return pdf[out_cols]
+
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

@@ -1261,3 +1261,69 @@ def kalman_level_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hmm_burst_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    k_col: str,
+    lam0_col: str,
+) -> DataFrame:
+    """Streaming 2-state HMM burst filter — the GroupState twin of
+    operators/smoothing.py::hmm_forward_batch (and of the registered
+    JVM-fold query hmm_burst_forward_filter): per key the carried
+    state is (n, log-odds L); each arriving count runs one forward
+    step L' = round6(ln((p01+p11·e^L)/(p00+p10·e^L)) + k·ln(mult)
+    − (mult−1)·λ0) and emits (rn, log_odds, p_burst = σ(L)). λ0 is a
+    column (the offline-trained base rate joined onto the stream —
+    model-as-a-dimension deployment). The per-step 6-decimal state
+    requantization makes the stream bit-equal to the batch fold
+    across any micro-batch boundary (test_hmm_batch_equals_stream);
+    state is O(1) per key and restart-safe like every fold here."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..operators.smoothing import (
+        _HMM_CLAMP,
+        _hmm_init,
+        _round_half_away,
+        hmm_step_py,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("log_odds", DoubleType()),
+            StructField("p_burst", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, L = state.get if state.exists else (0, _hmm_init())
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col).copy()
+            rns, lods, pbs = [], [], []
+            for k, lam0 in zip(pdf[k_col], pdf[lam0_col]):
+                L = hmm_step_py(L, int(k), float(lam0))
+                lo = max(min(L, _HMM_CLAMP), -_HMM_CLAMP)
+                n += 1
+                rns.append(n)
+                lods.append(_round_half_away(lo, 6))
+                pbs.append(_round_half_away(1.0 / (1.0 + math.exp(-lo)), 6))
+            pdf["rn"] = rns
+            pdf["log_odds"] = lods
+            pdf["p_burst"] = pbs
+            yield pdf[out_cols]
+        state.update((n, L))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, l double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1766,3 +1766,83 @@ def test_kalman_batch_equals_stream(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_hmm_batch_equals_stream(spark, tmp_path):
+    """T14 twin equality: the streaming HMM burst filter (GroupState)
+    must reproduce BOTH the batch applyInPandas fold and the JVM
+    aggregate() fold (the engine-shared SQL text the registered query
+    certifies against DuckDB) per row, across micro-batch boundaries
+    — the per-step 6-decimal state requantization is what licenses
+    three-way bit-equality."""
+    from eventstreams_spark.operators.smoothing import hmm_forward_batch
+    from eventstreams_spark.queries.opsstat_extra import _hmm_step
+    from eventstreams_spark.streaming.stateful import hmm_burst_stream
+
+    counts = [5, 7, 30, 42, 6, 4, 38, 5]
+    rows = [
+        (k, f"2024-01-{i + 1:02d} 00:00:00", c + (0 if k == "a" else 2), 8.0)
+        for k in ("a", "b")
+        for i, c in enumerate(counts)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, k_cnt long, lam0 double")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "k_cnt", "lam0")
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=3, order_col="ts")
+    run_to_memory(
+        hmm_burst_stream(stream, "k", "ts", "k_cnt", "lam0"),
+        "t_hmm_s",
+        output_mode="append",
+    )
+    got = _rows(spark.sql("SELECT k, rn, log_odds, p_burst FROM t_hmm_s"))
+    want = _rows(
+        hmm_forward_batch(df, "k", "ts", "k_cnt", "lam0").select(
+            "k", "rn", "log_odds", "p_burst"
+        )
+    )
+    assert got == want
+    # third leg: the JVM aggregate() fold over the same series must
+    # agree bit-for-bit with the Python folds (same engine-shared text
+    # the DuckDB oracle replays)
+    init = _hmm_step(
+        "ln(CAST(0.1 AS DOUBLE) / CAST(0.9 AS DOUBLE))", "z.k_cnt", "z.lam0"
+    )
+    step = _hmm_step("element_at(acc, -1).lodds", "z.k_cnt", "z.lam0")
+    packed = df.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "k_cnt", "lam0"))).alias(
+            "series"
+        )
+    )
+    folded = packed.select(
+        "k",
+        F.explode(
+            F.expr(
+                f"""
+                aggregate(
+                    series,
+                    CAST(array() AS ARRAY<STRUCT<lodds DOUBLE>>),
+                    (acc, z) -> CASE WHEN size(acc) = 0 THEN
+                        array(struct({init} AS lodds))
+                    ELSE array_append(acc, struct({step} AS lodds))
+                    END
+                )
+                """
+            )
+        ).alias("w"),
+    )
+    wnd = Window.partitionBy("k").orderBy(F.monotonically_increasing_id())
+    jvm = folded.select(
+        "k",
+        F.row_number().over(wnd).alias("rn"),
+        F.round(
+            F.greatest(F.least(F.col("w.lodds"), F.lit(30.0)), F.lit(-30.0)), 6
+        ).alias("log_odds"),
+    )
+    got_jvm = _rows(jvm)
+    want_jvm = _rows(
+        hmm_forward_batch(df, "k", "ts", "k_cnt", "lam0").select(
+            "k", "rn", "log_odds"
+        )
+    )
+    assert got_jvm == want_jvm
