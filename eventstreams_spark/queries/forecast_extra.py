@@ -1,0 +1,382 @@
+"""Classical forecasting: Yule-Walker AR(2) identification and a
+held-out backtest scorecard (MAE / sMAPE / MASE against the three
+baselines every forecast must beat — naive, seasonal-naive, drift).
+The Hyndman-style evaluation loop: identify on autocovariances,
+benchmark on scaled errors, and only ship a model that beats MASE=1.
+
+Float discipline: daily counts are exact integers, so every moment
+(Σx, Σx², Σx·x_k) and every naive/seasonal-naive forecast error is an
+exact integer; autocovariances, AR coefficients, and drift forecasts
+are assembled from those integers in IDENTICAL double expressions on
+both engines (the formula text is generated once and shared); float
+SUMS over double-valued per-row errors use the pinned-order prefix
+trick — a running window sum ordered by rn is a sequential
+left-to-right fold on both engines, so the final cumulative value is
+bit-identical where a hash-aggregated sum would be order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+# Engine-shared autocovariance formulas (identical text in the oracle
+# and F.expr): m = mean, c0 = Var, ck = lag-k autocovariance from the
+# integer moment sums. Divisors are N (the biased/MLE convention the
+# Yule-Walker equations assume).
+_M = "(CAST(sx AS DOUBLE) / n)"
+_C0 = f"((CAST(sxx AS DOUBLE) - sx * {_M}) / n)"
+
+
+def _ck(k: int) -> str:
+    return (
+        f"((CAST(sxy{k} AS DOUBLE) - {_M} * sa{k} - {_M} * sb{k}"
+        f" + CAST(n - {k} AS DOUBLE) * {_M} * {_M}) / n)"
+    )
+
+
+_YW_BODY = f"""
+    SELECT event_type, n,
+           {_C0} AS c0, {_ck(1)} AS c1, {_ck(2)} AS c2
+    FROM mom
+"""
+
+# r1/r2 are autocorrelations; the 2x2 Yule-Walker solve in closed form
+_PHI = """
+    SELECT event_type, n,
+           c1 / c0 AS r1, c2 / c0 AS r2,
+           (c1 / c0) * (1.0 - c2 / c0)
+               / (1.0 - (c1 / c0) * (c1 / c0)) AS phi1,
+           (c2 / c0 - (c1 / c0) * (c1 / c0))
+               / (1.0 - (c1 / c0) * (c1 / c0)) AS phi2,
+           c0
+    FROM yw
+"""
+
+
+@query(
+    "yule_walker_ar2",
+    category="FC-ar2",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), led AS (
+            SELECT event_type, x,
+                   lead(x, 1) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS x1,
+                   lead(x, 2) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS x2
+            FROM daily
+        ), mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(CASE WHEN x1 IS NOT NULL THEN x * x1 END)
+                        AS BIGINT) AS sxy1,
+                   CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END)
+                        AS BIGINT) AS sa1,
+                   CAST(sum(x1) AS BIGINT) AS sb1,
+                   CAST(sum(CASE WHEN x2 IS NOT NULL THEN x * x2 END)
+                        AS BIGINT) AS sxy2,
+                   CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END)
+                        AS BIGINT) AS sa2,
+                   CAST(sum(x2) AS BIGINT) AS sb2
+            FROM led GROUP BY event_type
+        ), yw AS ({_YW_BODY}), phi AS ({_PHI})
+        SELECT event_type, n AS n_days,
+               CAST(round(r1, 6) AS DOUBLE) AS r1,
+               CAST(round(r2, 6) AS DOUBLE) AS r2,
+               CAST(round(phi1, 6) AS DOUBLE) AS phi1,
+               CAST(round(phi2, 6) AS DOUBLE) AS phi2,
+               CAST(round(c0 * (1.0 - phi1 * r1 - phi2 * r2), 6)
+                    AS DOUBLE) AS noise_var,
+               (phi2 > -1.0 AND phi2 < 1.0 - abs(phi1)) AS stationary
+        FROM phi ORDER BY event_type
+    """,
+)
+def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) identification by Yule-Walker on each channel's daily
+    count series: biased autocovariances c0..c2 from integer moment
+    sums, autocorrelations r1/r2, the closed-form 2×2 solve
+    φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²), innovation variance
+    σ² = c0(1−φ1r1−φ2r2), and the stationarity-triangle check
+    (|φ2| < 1 and φ2 < 1 − |φ1|) — the identification step before any
+    autoregressive forecast or anomaly model.
+
+    Determinism: x is an exact integer count; the lag moments are
+    integer sums over lead() pairs; every autocovariance/coefficient
+    is one shared-text double expression over those integers.
+
+    Scale: rollup to |channels|×|days|, ONE window pass for both
+    leads, one hash aggregate — the fact table is touched once; the
+    algebra runs on k rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = daily.select(
+        "event_type", "x",
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+    )
+    mom = led.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x") * F.col("x1")))
+        .cast("long").alias("sxy1"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x")))
+        .cast("long").alias("sa1"),
+        F.sum("x1").cast("long").alias("sb1"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x") * F.col("x2")))
+        .cast("long").alias("sxy2"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x")))
+        .cast("long").alias("sa2"),
+        F.sum("x2").cast("long").alias("sb2"),
+    )
+    yw = mom.select(
+        "event_type", "n",
+        F.expr(_C0).alias("c0"),
+        F.expr(_ck(1)).alias("c1"),
+        F.expr(_ck(2)).alias("c2"),
+    )
+    phi = yw.select(
+        "event_type", "n", "c0",
+        F.expr("c1 / c0").alias("r1"),
+        F.expr("c2 / c0").alias("r2"),
+        F.expr(
+            "(c1 / c0) * (1.0 - c2 / c0)"
+            " / (1.0 - (c1 / c0) * (c1 / c0))"
+        ).alias("phi1"),
+        F.expr(
+            "(c2 / c0 - (c1 / c0) * (c1 / c0))"
+            " / (1.0 - (c1 / c0) * (c1 / c0))"
+        ).alias("phi2"),
+    )
+    return phi.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round("r1", 6).alias("r1"),
+        F.round("r2", 6).alias("r2"),
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+        F.round(
+            F.col("c0")
+            * (1.0 - F.col("phi1") * F.col("r1") - F.col("phi2") * F.col("r2")),
+            6,
+        ).alias("noise_var"),
+        (
+            (F.col("phi2") > -1.0)
+            & (F.col("phi2") < 1.0 - F.abs(F.col("phi1")))
+        ).alias("stationary"),
+    ).orderBy("event_type")
+
+
+# Drift forecast: shared text (h, last/first train values, n_train)
+_DRIFT_F = (
+    "(CAST(x_last AS DOUBLE) + CAST(h AS DOUBLE)"
+    " * (CAST(x_last AS DOUBLE) - x_first) / (n_train - 1.0))"
+)
+# symmetric-APE term: 200·|x−f|/(x+f); counts are non-negative so
+# |x|+|f| = x+f; both zero -> term 0 (the sMAPE edge convention)
+def _smape(f: str) -> str:
+    return (
+        f"(CASE WHEN CAST(x AS DOUBLE) + {f} = 0.0 THEN 0.0"
+        f" ELSE 200.0 * abs(CAST(x AS DOUBLE) - {f})"
+        f" / (CAST(x AS DOUBLE) + {f}) END)"
+    )
+
+
+_SM_NAIVE = _smape("CAST(x_last AS DOUBLE)")
+_SM_SNAIVE = _smape("CAST(x_lag7 AS DOUBLE)")
+_SM_DRIFT = _smape(_DRIFT_F)
+_AE_DRIFT = f"abs(CAST(x AS DOUBLE) - {_DRIFT_F})"
+
+
+@query(
+    "forecast_backtest_scorecard",
+    category="FC-backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, day, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   lag(x, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS x_lag7,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_days
+            FROM daily
+        ), marked AS (
+            SELECT *, n_days - 7 AS n_train FROM seq
+        ), train_stats AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN rn > 7 AND rn <= n_train
+                                 THEN abs(x - x_lag7) END) AS BIGINT)
+                       AS scale_sum,
+                   CAST(max(CASE WHEN rn = n_train THEN x END)
+                        AS BIGINT) AS x_last,
+                   CAST(max(CASE WHEN rn = 1 THEN x END) AS BIGINT)
+                       AS x_first
+            FROM marked GROUP BY event_type
+        ), test AS (
+            SELECT m.event_type, m.rn, m.x, m.x_lag7, m.n_train,
+                   m.n_days, m.rn - m.n_train AS h,
+                   t.x_last, t.x_first, t.scale_sum
+            FROM marked m JOIN train_stats t
+              ON m.event_type = t.event_type
+            WHERE m.rn > m.n_train
+        ), cum AS (
+            SELECT event_type, rn, n_train, n_days, scale_sum,
+                   sum(abs(x - x_last)) OVER w AS cae_naive,
+                   sum(abs(x - x_lag7)) OVER w AS cae_snaive,
+                   sum({_AE_DRIFT}) OVER w AS cae_drift,
+                   sum({_SM_NAIVE}) OVER w AS csm_naive,
+                   sum({_SM_SNAIVE}) OVER w AS csm_snaive,
+                   sum({_SM_DRIFT}) OVER w AS csm_drift
+            FROM test
+            WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+        ), final AS (
+            SELECT event_type,
+                   CAST(scale_sum AS DOUBLE) / (n_train - 7) AS scale,
+                   CAST(cae_naive AS DOUBLE) / 7.0 AS mae_naive,
+                   CAST(cae_snaive AS DOUBLE) / 7.0 AS mae_snaive,
+                   cae_drift / 7.0 AS mae_drift,
+                   csm_naive / 7.0 AS sm_naive,
+                   csm_snaive / 7.0 AS sm_snaive,
+                   csm_drift / 7.0 AS sm_drift
+            FROM cum WHERE rn = n_days
+        )
+        SELECT event_type, method,
+               CAST(round(mae, 6) AS DOUBLE) AS mae,
+               CAST(round(smape, 6) AS DOUBLE) AS smape,
+               CAST(round(mae / scale, 6) AS DOUBLE) AS mase
+        FROM (
+            SELECT event_type, 'naive' AS method,
+                   mae_naive AS mae, sm_naive AS smape, scale FROM final
+            UNION ALL
+            SELECT event_type, 'snaive', mae_snaive, sm_snaive, scale
+            FROM final
+            UNION ALL
+            SELECT event_type, 'drift', mae_drift, sm_drift, scale
+            FROM final
+        )
+        ORDER BY event_type, method
+    """,
+)
+def forecast_backtest_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out forecast backtest per channel: the last 7 days are
+    the test window; three baseline forecasters — naive (last train
+    value), seasonal-naive (same weekday last week), drift (linear
+    through first/last train points) — are scored by MAE, sMAPE, and
+    MASE (MAE scaled by the in-sample seasonal-naive MAE, Hyndman's
+    scale-free standard: MASE < 1 beats the seasonal baseline). This
+    is the evaluation harness any real model must enter.
+
+    Determinism: counts and the naive/seasonal-naive errors are exact
+    integers; drift forecasts and sMAPE terms are shared-text double
+    expressions; their 7-term sums use running window sums ordered by
+    rn (sequential fold — order-pinned on both engines) read at the
+    last row, never a hash-aggregated float sum.
+
+    Scale: one rollup, two window passes over the |channels|×|days|
+    frame, a k-row broadcast join of train stats onto 7k test rows.
+    The 100 TB fact scan feeds exactly one aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "day", "x",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("x", 7).over(w).alias("x_lag7"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_days"),
+    ).withColumn("n_train", F.col("n_days") - 7)
+    train_stats = seq.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                (F.col("rn") > 7) & (F.col("rn") <= F.col("n_train")),
+                F.abs(F.col("x") - F.col("x_lag7")),
+            )
+        ).cast("long").alias("scale_sum"),
+        F.max(F.when(F.col("rn") == F.col("n_train"), F.col("x")))
+        .cast("long").alias("x_last"),
+        F.max(F.when(F.col("rn") == 1, F.col("x")))
+        .cast("long").alias("x_first"),
+    )
+    test = (
+        seq.filter(F.col("rn") > F.col("n_train"))
+        .join(F.broadcast(train_stats), "event_type")
+        .withColumn("h", F.col("rn") - F.col("n_train"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("rn")
+    cum = test.select(
+        "event_type", "rn", "n_train", "n_days", "scale_sum",
+        F.sum(F.abs(F.col("x") - F.col("x_last"))).over(wc).alias("cae_naive"),
+        F.sum(F.abs(F.col("x") - F.col("x_lag7"))).over(wc).alias("cae_snaive"),
+        F.sum(F.expr(_AE_DRIFT)).over(wc).alias("cae_drift"),
+        F.sum(F.expr(_SM_NAIVE)).over(wc).alias("csm_naive"),
+        F.sum(F.expr(_SM_SNAIVE)).over(wc).alias("csm_snaive"),
+        F.sum(F.expr(_SM_DRIFT)).over(wc).alias("csm_drift"),
+    )
+    final = cum.filter(F.col("rn") == F.col("n_days")).select(
+        "event_type",
+        (F.col("scale_sum").cast("double") / (F.col("n_train") - 7)).alias(
+            "scale"
+        ),
+        (F.col("cae_naive").cast("double") / 7.0).alias("mae_naive"),
+        (F.col("cae_snaive").cast("double") / 7.0).alias("mae_snaive"),
+        (F.col("cae_drift") / 7.0).alias("mae_drift"),
+        (F.col("csm_naive") / 7.0).alias("sm_naive"),
+        (F.col("csm_snaive") / 7.0).alias("sm_snaive"),
+        (F.col("csm_drift") / 7.0).alias("sm_drift"),
+    )
+    # explode an inline struct array, NOT a 3-way union: each union
+    # branch would recompute the full lineage (6 fact scans observed —
+    # the plan tripwire caught it); the explode keeps ONE lineage.
+    rows = final.select(
+        "event_type", "scale",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("method"),
+                    F.col("mae_naive").alias("mae"),
+                    F.col("sm_naive").alias("smape"),
+                ),
+                F.struct(
+                    F.lit("snaive").alias("method"),
+                    F.col("mae_snaive").alias("mae"),
+                    F.col("sm_snaive").alias("smape"),
+                ),
+                F.struct(
+                    F.lit("drift").alias("method"),
+                    F.col("mae_drift").alias("mae"),
+                    F.col("sm_drift").alias("smape"),
+                ),
+            )
+        ).alias("mrow"),
+    )
+    return rows.select(
+        "event_type",
+        F.col("mrow.method").alias("method"),
+        F.round(F.col("mrow.mae"), 6).alias("mae"),
+        F.round(F.col("mrow.smape"), 6).alias("smape"),
+        F.round(F.col("mrow.mae") / F.col("scale"), 6).alias("mase"),
+    ).orderBy("event_type", "method")

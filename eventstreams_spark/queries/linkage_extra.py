@@ -513,3 +513,153 @@ def soundex_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_words").desc(), "code")
     )
+
+
+# --- Fellegi-Sunter match-weight estimation --------------------------------
+
+# md5-minted corruption flags per field (deterministic "dirty copy"
+# of every order record): nibble i of md5(o_orderkey), folded.
+def _nib(i: int) -> str:
+    return (
+        f"(instr('0123456789abcdef',"
+        f" substr(md5(cast(o_orderkey AS STRING)), {i}, 1)) - 1)"
+    )
+
+
+_C_CUST = f"(CASE WHEN {_nib(1)} % 10 = 0 THEN 1 ELSE 0 END)"   # ~10%
+_C_DATE = f"(CASE WHEN {_nib(2)} % 5 = 0 THEN 1 ELSE 0 END)"    # ~20%
+_C_PRIO = f"(CASE WHEN {_nib(3)} % 4 = 0 THEN 1 ELSE 0 END)"    # ~25%
+
+# log2 weights from (m, u) — identical text both engines
+_W2 = "((ln({a}) - ln({b})) / ln(2.0))"
+
+
+@query(
+    "fellegi_sunter_match_weights",
+    category="RL-fsweights",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+                   {_C_CUST} AS c_cust, {_C_DATE} AS c_date,
+                   {_C_PRIO} AS c_prio
+            FROM orders
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS r,
+                   CAST(sum(c_cust) AS BIGINT) AS k_cust,
+                   CAST(sum(c_date) AS BIGINT) AS k_date,
+                   CAST(sum(c_prio) AS BIGINT) AS k_prio
+            FROM base
+        ), u_cust AS (
+            SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree2 FROM
+            (SELECT count(*) AS c FROM base GROUP BY o_custkey)
+        ), u_date AS (
+            SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree2 FROM
+            (SELECT count(*) AS c FROM base GROUP BY odate)
+        ), u_prio AS (
+            SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree2 FROM
+            (SELECT count(*) AS c FROM base GROUP BY o_orderpriority)
+        ), fields AS (
+            SELECT 'custkey' AS field, t.r, t.k_cust AS k, u.agree2
+            FROM tot t CROSS JOIN u_cust u
+            UNION ALL
+            SELECT 'orderdate', t.r, t.k_date, u.agree2
+            FROM tot t CROSS JOIN u_date u
+            UNION ALL
+            SELECT 'priority', t.r, t.k_prio, u.agree2
+            FROM tot t CROSS JOIN u_prio u
+        ), mu AS (
+            SELECT field, r, k, agree2,
+                   CAST(r - k AS DOUBLE) / r AS m,
+                   CAST(agree2 AS DOUBLE)
+                       / (CAST(r AS DOUBLE) * (r - 1)) AS u
+            FROM fields
+        )
+        SELECT field, r AS n_records, k AS n_corrupted,
+               CAST(round(m, 6) AS DOUBLE) AS m_prob,
+               CAST(round(u, 6) AS DOUBLE) AS u_prob,
+               CAST(round({_W2.format(a="m", b="u")}, 6) AS DOUBLE)
+                   AS w_agree,
+               CAST(round({_W2.format(a="(1.0 - m)", b="(1.0 - u)")}, 6)
+                    AS DOUBLE) AS w_disagree
+        FROM mu ORDER BY field
+    """,
+)
+def fellegi_sunter_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match/unmatch weight estimation — the parameter
+    step of probabilistic record linkage: every order record gets a
+    deterministic dirty copy (md5-minted per-field corruption at
+    10/20/25%), so m (P[field agrees | same entity]) is measured
+    EXACTLY as the uncorrupted fraction, and u (P[agrees | random
+    pair]) comes from the value-frequency identity Σc(c−1)/R(R−1) —
+    no pair enumeration at all. Agreement weight log₂(m/u) and
+    disagreement weight log₂((1−m)/(1−u)) per field are what a linker
+    sums over fields to score candidate pairs (the blocked JW and
+    Soundex queries provide the candidates).
+
+    Determinism: m and u are exact integer ratios; the log₂ weights
+    are shared-text double expressions over them.
+
+    Scale: u needs only per-field value censuses (groupBy on each
+    field's key space — the Σc² census every skew profiler already
+    runs); nothing ever touches record pairs, so 100 TB linkage
+    parameter estimation is three hash aggregates.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.to_date("o_orderdate").alias("odate"),
+        "o_orderpriority",
+        F.expr(_C_CUST).alias("c_cust"),
+        F.expr(_C_DATE).alias("c_date"),
+        F.expr(_C_PRIO).alias("c_prio"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("r"),
+        F.sum("c_cust").cast("long").alias("k_cust"),
+        F.sum("c_date").cast("long").alias("k_date"),
+        F.sum("c_prio").cast("long").alias("k_prio"),
+    )
+    parts = None
+    for field, key, kcol in (
+        ("custkey", "o_custkey", "k_cust"),
+        ("orderdate", "odate", "k_date"),
+        ("priority", "o_orderpriority", "k_prio"),
+    ):
+        agree2 = (
+            base.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                .cast("long")
+                .alias("agree2")
+            )
+        )
+        row = (
+            tot.crossJoin(F.broadcast(agree2))
+            .select(
+                F.lit(field).alias("field"),
+                "r",
+                F.col(kcol).alias("k"),
+                "agree2",
+            )
+        )
+        parts = row if parts is None else parts.unionAll(row)
+    mu = parts.select(
+        "field", "r", "k", "agree2",
+        ((F.col("r") - F.col("k")).cast("double") / F.col("r")).alias("m"),
+        (
+            F.col("agree2").cast("double")
+            / (F.col("r").cast("double") * (F.col("r") - 1))
+        ).alias("u"),
+    )
+    return mu.select(
+        "field",
+        F.col("r").alias("n_records"),
+        F.col("k").alias("n_corrupted"),
+        F.round("m", 6).alias("m_prob"),
+        F.round("u", 6).alias("u_prob"),
+        F.round(F.expr(_W2.format(a="m", b="u")), 6).alias("w_agree"),
+        F.round(
+            F.expr(_W2.format(a="(1.0 - m)", b="(1.0 - u)")), 6
+        ).alias("w_disagree"),
+    ).orderBy("field")

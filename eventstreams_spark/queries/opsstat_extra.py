@@ -14,7 +14,7 @@ saturation is bit-identical rather than Inf/Inf-NaN.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -781,3 +781,93 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("mu_runs"),
         F.round((r - mu) / sig, 6).alias("z_stat"),
     ).orderBy("event_type")
+
+
+@query(
+    "slo_multiwindow_burn_timeline",
+    category="OPS-slo",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS e
+            FROM events GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        ), windowed AS (
+            SELECT hr, n, e,
+                   CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+                   CAST(sum(e) OVER w6 AS BIGINT) AS e6,
+                   CAST(sum(n) OVER w24 AS BIGINT) AS n24,
+                   CAST(sum(e) OVER w24 AS BIGINT) AS e24
+            FROM hourly
+            WINDOW w6 AS (ORDER BY hr
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+                   w24 AS (ORDER BY hr
+                           RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT hr, n, e,
+               CAST(round(4.0 * e / n, 6) AS DOUBLE) AS burn_1h,
+               CAST(round(4.0 * e6 / n6, 6) AS DOUBLE) AS burn_6h,
+               CAST(round(4.0 * e24 / n24, 6) AS DOUBLE) AS burn_24h,
+               (4 * e >= n AND 4 * e6 >= n6) AS fast_alert,
+               (40 * e6 >= 9 * n6 AND 40 * e24 >= 9 * n24) AS slow_alert
+        FROM windowed ORDER BY hr
+    """,
+)
+def slo_multiwindow_burn_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alerting (the Google SRE
+    workbook policy) against a 75%-success SLO: burn rate = observed
+    error rate / error budget (0.25), evaluated at 1 h / 6 h / 24 h
+    granularities; the FAST page fires when both the short (1 h) and
+    long (6 h) windows burn ≥ 1 (the two-window AND is what kills
+    one-spike false pages), the SLOW ticket when 6 h and 24 h both
+    burn ≥ 0.9 (sustained slow leak).
+
+    Determinism: alert DECISIONS are pure integer inequalities
+    (burn ≥ 1 ⇔ 4e ≥ n; burn ≥ 0.9 ⇔ 40e ≥ 9n) — no float ever
+    decides a boolean; displayed burn rates are single divisions of
+    exact window-integer sums. Missing hours are handled by RANGE
+    frames over the integer hour index, so a traffic gap widens the
+    lookback correctly rather than silently shrinking it.
+
+    Scale: ONE map-side-combinable hourly rollup off the fact scan;
+    the sliding windows run on the hours frame (10⁴ rows per year) —
+    at 100 TB nothing changes but the rollup's shuffle width. The
+    unpartitioned ORDER BY hr window is on that bounded frame only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            (F.floor(F.unix_timestamp("ts")) / F.lit(3600))
+            .cast("long")
+            .alias("hr"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_e"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_e").cast("long").alias("e"),
+        )
+    )
+    w6 = Window.orderBy("hr").rangeBetween(-5, 0)
+    w24 = Window.orderBy("hr").rangeBetween(-23, 0)
+    windowed = hourly.select(
+        "hr", "n", "e",
+        F.sum("n").over(w6).cast("long").alias("n6"),
+        F.sum("e").over(w6).cast("long").alias("e6"),
+        F.sum("n").over(w24).cast("long").alias("n24"),
+        F.sum("e").over(w24).cast("long").alias("e24"),
+    )
+    return windowed.select(
+        "hr", "n", "e",
+        F.round(4.0 * F.col("e") / F.col("n"), 6).alias("burn_1h"),
+        F.round(4.0 * F.col("e6") / F.col("n6"), 6).alias("burn_6h"),
+        F.round(4.0 * F.col("e24") / F.col("n24"), 6).alias("burn_24h"),
+        (
+            (4 * F.col("e") >= F.col("n")) & (4 * F.col("e6") >= F.col("n6"))
+        ).alias("fast_alert"),
+        (
+            (40 * F.col("e6") >= 9 * F.col("n6"))
+            & (40 * F.col("e24") >= 9 * F.col("n24"))
+        ).alias("slow_alert"),
+    ).orderBy("hr")

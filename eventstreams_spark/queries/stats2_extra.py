@@ -668,3 +668,198 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+@query(
+    "mcnemar_paired_test",
+    category="ST2-mcnemar",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS d0,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS d1
+            FROM events
+        ), per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                             AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 <= (b.d0 + b.d1) // 2
+                            THEN 1 ELSE 0 END) AS y1,
+                   max(CASE WHEN event_type = 'purchase'
+                             AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 > (b.d0 + b.d1) // 2
+                            THEN 1 ELSE 0 END) AS y2
+            FROM events CROSS JOIN bounds b
+            GROUP BY user_id
+        ), cells AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(y1 * y2) AS BIGINT) AS n11,
+                   CAST(sum(y1 * (1 - y2)) AS BIGINT) AS n10,
+                   CAST(sum((1 - y1) * y2) AS BIGINT) AS n01,
+                   CAST(sum((1 - y1) * (1 - y2)) AS BIGINT) AS n00
+            FROM per_user
+        )
+        SELECT n_users, n11, n10, n01, n00,
+               CAST(round(CAST((abs(n10 - n01) - 1)
+                               * (abs(n10 - n01) - 1) AS DOUBLE)
+                          / nullif(n10 + n01, 0), 6) AS DOUBLE)
+                   AS chi2_cc,
+               (1000000 * (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                > 3841459 * (n10 + n01)) AS reject_5pct
+        FROM cells
+    """,
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did each user
+    purchase in the FIRST half of the observation span vs the SECOND
+    half (the same subject measured twice — the pairing that makes an
+    ordinary two-proportion z-test wrong)? Only the discordant cells
+    matter: χ²_cc = (|b−c|−1)²/(b+c) with continuity correction,
+    where b = converted-then-stopped, c = started-converting.
+
+    Determinism: the split day is integer epoch-day midpoint; cells
+    are exact integer counts; the 5% decision is the pure-integer
+    cross-multiplication 10⁶(|b−c|−1)² > 3841459(b+c) — χ²₁ critical
+    value 3.841459 at micro precision, no float ever decides.
+
+    Scale: one aggregate per user (map-side combinable) off the fact
+    scan with a 1-row bounds broadcast, then a 1-row census.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts")) / 86400).cast("long")
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    mid = (F.floor((F.col("d0") + F.col("d1")) / 2)).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (day <= mid), 1
+                ).otherwise(0)
+            ).alias("y1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (day > mid), 1
+                ).otherwise(0)
+            ).alias("y2"),
+        )
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("y1") * F.col("y2")).cast("long").alias("n11"),
+        F.sum(F.col("y1") * (1 - F.col("y2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("y1")) * F.col("y2")).cast("long").alias("n01"),
+        F.sum((1 - F.col("y1")) * (1 - F.col("y2"))).cast("long").alias("n00"),
+    )
+    d = F.abs(F.col("n10") - F.col("n01")) - 1
+    return cells.select(
+        "n_users", "n11", "n10", "n01", "n00",
+        F.round(
+            (d * d).cast("double")
+            / F.nullif(F.col("n10") + F.col("n01"), F.lit(0)),
+            6,
+        ).alias("chi2_cc"),
+        (
+            F.lit(1000000) * d * d
+            > F.lit(3841459) * (F.col("n10") + F.col("n01"))
+        ).alias("reject_5pct"),
+    )
+
+
+@query(
+    "cochran_armitage_trend",
+    category="ST2-catrend",
+    oracle="""
+        WITH doses AS (
+            SELECT CAST(hour(ts) AS BIGINT) // 6 AS g,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ), per_g AS (
+            SELECT g,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(y) AS BIGINT) AS r_g
+            FROM doses GROUP BY g
+        ), tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(r_g) AS BIGINT) AS r,
+                   CAST(sum(g * r_g) AS BIGINT) AS sr,
+                   CAST(sum(g * n_g) AS BIGINT) AS sn,
+                   CAST(sum(g * g * n_g) AS BIGINT) AS sn2
+            FROM per_g
+        ), stat AS (
+            SELECT n, r, sr, sn, sn2,
+                   CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n AS t_num,
+                   (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                       * (CAST(sn2 AS DOUBLE)
+                          - CAST(sn AS DOUBLE) * sn / n) AS t_var
+            FROM tot
+        )
+        SELECT p.g AS dose_group, p.n_g, p.r_g,
+               CAST(round(CAST(p.r_g AS DOUBLE) / p.n_g, 6) AS DOUBLE)
+                   AS prop,
+               CAST(round(s.t_num * s.t_num / s.t_var, 6) AS DOUBLE)
+                   AS z_squared,
+               (s.t_num * s.t_num > 3.841459 * s.t_var) AS reject_5pct
+        FROM per_g p CROSS JOIN stat s
+        ORDER BY p.g
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is purchase propensity MONOTONE
+    in time-of-day? Ordered dose groups are the four 6-hour dayparts
+    (scores 0..3); the statistic T = Σs·r − p̄·Σs·n against its null
+    variance p̄(1−p̄)(Σs²n − (Σsn)²/N) — the dose-response test a
+    plain k-group χ² cannot express because it ignores group order.
+
+    Determinism: every margin (N, R, Σs·r, Σs·n, Σs²·n) is an exact
+    integer from one census; T and Var are shared-text double
+    expressions over them; the 5% decision compares T² > 3.841459·Var
+    — both sides identical doubles on both engines.
+
+    Scale: one map-side-combinable census to 4 rows; everything after
+    is 1-row algebra cross-joined back for display.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doses = ev.select(
+        (F.hour("ts") / 6).cast("long").alias("g"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_g = doses.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("r_g"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("r_g").cast("long").alias("r"),
+        F.sum(F.col("g") * F.col("r_g")).cast("long").alias("sr"),
+        F.sum(F.col("g") * F.col("n_g")).cast("long").alias("sn"),
+        F.sum(F.col("g") * F.col("g") * F.col("n_g")).cast("long").alias("sn2"),
+    )
+    stat = tot.select(
+        F.expr(
+            "CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * sn / n"
+        ).alias("t_num"),
+        F.expr(
+            "(CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)"
+            " * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n)"
+        ).alias("t_var"),
+    )
+    return (
+        per_g.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("g").alias("dose_group"),
+            "n_g", "r_g",
+            F.round(F.col("r_g").cast("double") / F.col("n_g"), 6).alias(
+                "prop"
+            ),
+            F.round(
+                F.col("t_num") * F.col("t_num") / F.col("t_var"), 6
+            ).alias("z_squared"),
+            (
+                F.col("t_num") * F.col("t_num") > 3.841459 * F.col("t_var")
+            ).alias("reject_5pct"),
+        )
+        .orderBy("dose_group")
+    )

@@ -1982,3 +1982,49 @@ def test_isotonic_interval_joins_broadcast(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "Scan parquet") <= 2, counts
+
+
+def test_forecast_family_broadcast_only(spark, sf_dir):
+    """Yule-Walker + backtest: the fact scan ends at the daily
+    rollup; train-stats join back is broadcast; no Python evals."""
+    for name in ("yule_walker_ar2", "forecast_backtest_scorecard"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+        assert count_prefix(counts, "Scan parquet") <= 2, (name, counts)
+
+
+def test_slo_timeline_single_scan(spark, sf_dir):
+    """SLO burn timeline: ONE fact scan feeds the hourly rollup; the
+    multiwindow pass runs on the bounded hours frame."""
+    df = q("slo_multiwindow_burn_timeline", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+
+
+def test_paired_trend_tests_integer_censuses(spark, sf_dir):
+    """McNemar + Cochran-Armitage: 1-row stat frames broadcast back;
+    never a shuffle join; no Python."""
+    for name in ("mcnemar_paired_test", "cochran_armitage_trend"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+
+
+def test_fellegi_sunter_no_pair_join(spark, sf_dir):
+    """F-S weights: parameter estimation must never enumerate record
+    pairs — only hash aggregates (the u identity Σc(c−1)/R(R−1));
+    every join is a 1-row broadcast."""
+    df = q("fellegi_sunter_match_weights", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts

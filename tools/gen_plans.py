@@ -215,6 +215,13 @@ HEADLINE = [
     "ljung_box_whiteness",
     "runs_test_randomness",
     "soundex_phonetic_blocking",
+    # round-4 stint 5: forecasting / paired tests / linkage / SLO
+    "yule_walker_ar2",
+    "forecast_backtest_scorecard",
+    "slo_multiwindow_burn_timeline",
+    "mcnemar_paired_test",
+    "cochran_armitage_trend",
+    "fellegi_sunter_match_weights",
 ]
 
 INTERESTING = (
