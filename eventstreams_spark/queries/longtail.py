@@ -1989,3 +1989,112 @@ def multimodal_gif_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("length").alias("sum_bytes"),
     )
+
+
+_DECAY_W = (
+    "CAST(floor(power(2.0, -(CAST(ds AS DOUBLE) / 21600.0))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "attribution_time_decay",
+    category="B-attribution",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, ts AS c_ts,
+                   CAST(json_extract(props, '$.k') AS INT) % 5 AS channel
+            FROM events WHERE event_type = 'click'
+        ), touches AS (
+            SELECT p.p_id, c.channel,
+                   CAST(floor(epoch(p.p_ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.c_ts)) AS BIGINT) AS ds
+            FROM purchases p
+            JOIN clicks c ON c.user_id = p.user_id
+                         AND c.c_ts >= p.p_ts - INTERVAL '24 hours'
+                         AND c.c_ts < p.p_ts
+        ), weighted AS (
+            SELECT p_id, channel, {_DECAY_W} AS w
+            FROM touches
+        ), credited AS (
+            SELECT p_id, channel,
+                   (w * 1000000) // sum(w) OVER (PARTITION BY p_id)
+                       AS credit_ppm
+            FROM weighted
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+               CAST(round(CAST(sum(credit_ppm) AS BIGINT) / 1000000.0, 6)
+                    AS DOUBLE) AS total_credit
+        FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (6-hour half-life): every
+    purchase splits one unit of credit across the user's clicks in
+    the preceding 24 h, weighted 2^(−Δt/6h) so the touch nearest the
+    conversion earns the most — the standard middle ground between
+    last-touch (all recency) and linear (no recency).
+
+    Exactness: Δt is integer seconds; each weight is FLOORED to an
+    integer at ppm scale (power() differs by ≤1 ulp across engines —
+    at 10⁶ scale a floor flip needs the value within ~2e-10 of a
+    boundary), per-touch credit is the integer division
+    w·10⁶ // Σw per purchase, and channel totals sum exact integers
+    — no float accumulates anywhere (same discipline as
+    attribution_linear_multitouch, which this query extends).
+
+    Plan: user-keyed range join (equi + time band), one per-purchase
+    window for the weight normalizer, one channel aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select(
+        "p_id", "channel",
+        (
+            F.floor(F.unix_timestamp("p_ts")).cast("long")
+            - F.floor(F.unix_timestamp("c_ts")).cast("long")
+        ).alias("ds"),
+    )
+    weighted = touches.select(
+        "p_id", "channel", F.expr(_DECAY_W).alias("w")
+    )
+    # exact BIGINT division (DIV), not floor(double /): at 1e12-scale
+    # numerators a correctly-rounded double quotient can land on the
+    # wrong side of an integer and floor() then disagrees with //
+    credited = weighted.select(
+        "p_id", "channel", "w",
+        F.sum("w").over(Window.partitionBy("p_id")).alias("tot_w"),
+    ).select(
+        "p_id", "channel",
+        F.expr("(w * 1000000) DIV tot_w").cast("long").alias("credit_ppm"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("p_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("credit_ppm").cast("long") / 1000000.0, 6).alias(
+                "total_credit"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -871,3 +871,113 @@ def slo_multiwindow_burn_timeline(spark: SparkSession, sf_dir: str) -> DataFrame
             & (40 * F.col("e24") >= 9 * F.col("n24"))
         ).alias("slow_alert"),
     ).orderBy("hr")
+
+
+# Erlang-C: shared formula text (a = offered erlangs, b = Erlang-B
+# blocking after the c-step recursion)
+_ERLANG_C = (
+    "(CAST(c AS DOUBLE) * b / (CAST(c AS DOUBLE) - a * (1.0 - b)))"
+)
+
+
+@query(
+    "erlang_c_staffing",
+    category="OPS-erlang",
+    oracle=f"""
+        WITH RECURSIVE per AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(floor(epoch(ts))) AS BIGINT) AS t0,
+                   CAST(max(floor(epoch(ts))) AS BIGINT) AS t1,
+                   CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS sum_cs
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ), loads AS (
+            SELECT event_type,
+                   (CAST(n AS DOUBLE) / (t1 - t0))
+                   * (CAST(sum_cs AS DOUBLE) / n / 100.0) AS a
+            FROM per
+        ), cand AS (
+            SELECT event_type, a,
+                   unnest(generate_series(CAST(floor(a) + 1 AS BIGINT),
+                                          CAST(floor(a) + 8 AS BIGINT)))
+                       AS c
+            FROM loads
+        ), eb AS (
+            SELECT event_type, a, c, CAST(1 AS BIGINT) AS k,
+                   a * 1.0 / (CAST(1 AS DOUBLE) + a * 1.0) AS b
+            FROM cand
+            UNION ALL
+            SELECT event_type, a, c, k + 1,
+                   a * b / (CAST(k + 1 AS DOUBLE) + a * b)
+            FROM eb WHERE k < c
+        )
+        SELECT event_type, c AS n_servers,
+               CAST(round(a, 6) AS DOUBLE) AS offered_erlangs,
+               CAST(round(b, 6) AS DOUBLE) AS p_block_erlang_b,
+               CAST(round({_ERLANG_C}, 6) AS DOUBLE) AS p_wait_erlang_c,
+               ({_ERLANG_C} <= 0.2) AS meets_target
+        FROM eb WHERE k = c
+        ORDER BY event_type, n_servers
+    """,
+)
+def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table per channel: offered load a = λ·s̄
+    (arrival rate over the channel's observed span × mean service
+    time, treating value as service seconds), then for each candidate
+    server count c = ⌊a⌋+1 … ⌊a⌋+8 the probability an arrival must
+    WAIT, via the numerically-stable Erlang-B recursion
+    B_k = a·B_{k−1}/(k + a·B_{k−1}) followed by
+    C = c·B_c/(c − a(1−B_c)) — the capacity-planning table behind
+    every "how many workers/agents/replicas do we need for a 20%
+    wait target" decision.
+
+    Determinism: λ and s̄ are ratios of exact integers; the recursion
+    is PURE rational arithmetic (+,·,/) on identical doubles — every
+    step is correctly rounded on both engines, so unlike ln/exp folds
+    it is bit-exact with NO per-step requantization (Spark: JVM
+    ``aggregate()`` over sequence(1,c), whole-stage codegen; DuckDB:
+    recursive CTE carrying (k, B)).
+
+    Scale: one aggregate per channel; the fold runs over ≤⌊a⌋+8
+    elements per candidate row — at a million queues it's still one
+    groupBy plus per-row codegen arithmetic, no joins, no Python.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.floor(F.unix_timestamp("ts"))).cast("long").alias("t0"),
+        F.max(F.floor(F.unix_timestamp("ts"))).cast("long").alias("t1"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("sum_cs"),
+    )
+    loads = per.select(
+        "event_type",
+        (
+            (F.col("n").cast("double") / (F.col("t1") - F.col("t0")))
+            * (F.col("sum_cs").cast("double") / F.col("n") / 100.0)
+        ).alias("a"),
+    )
+    cand = loads.select(
+        "event_type", "a",
+        F.explode(
+            F.sequence(
+                (F.floor("a") + 1).cast("long"),
+                (F.floor("a") + 8).cast("long"),
+            )
+        ).alias("c"),
+    )
+    folded = cand.withColumn(
+        "b",
+        F.expr(
+            "aggregate(sequence(CAST(1 AS BIGINT), c), CAST(1.0 AS DOUBLE),"
+            " (acc, k) -> a * acc / (CAST(k AS DOUBLE) + a * acc))"
+        ),
+    )
+    return folded.select(
+        "event_type",
+        F.col("c").alias("n_servers"),
+        F.round("a", 6).alias("offered_erlangs"),
+        F.round("b", 6).alias("p_block_erlang_b"),
+        F.round(F.expr(_ERLANG_C), 6).alias("p_wait_erlang_c"),
+        (F.expr(_ERLANG_C) <= 0.2).alias("meets_target"),
+    ).orderBy("event_type", "n_servers")

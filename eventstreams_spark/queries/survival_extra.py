@@ -1,0 +1,321 @@
+"""Survival analysis: the Kaplan-Meier estimator and the two-group
+log-rank test — churn/retention's rigorous form (retention curves
+with CENSORING handled correctly: a user still active at the end of
+the observation window is not a churn, and dropping or
+death-counting them both bias the curve).
+
+Float discipline: durations are integer minutes; risk sets and death
+counts are exact integers per distinct death time; the survival
+product Π(1 − d/n) is folded as a PINNED-ORDER running sum of
+ln-terms (a window cumulative sum ordered by time is a sequential
+left-to-right fold on both engines) and exponentiated once at read;
+log-rank expectation/variance terms are shared-text doubles summed
+the same pinned way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# subjects = user SESSIONS (30-minute inactivity gap): duration in
+# whole minutes; a session still within 30 min of the corpus end is
+# CENSORED (might still be open), every other session is a death at
+# its duration. Engine-shared construction — the sessionize shape
+# (one user shuffle, lag + running sum of gap starts).
+_LIFE_CTE = """
+    stamped AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+        FROM events
+    ), gapped AS (
+        SELECT user_id, t_s,
+               CASE WHEN t_s - lag(t_s) OVER (PARTITION BY user_id
+                                              ORDER BY t_s) > 1800
+                     OR lag(t_s) OVER (PARTITION BY user_id
+                                       ORDER BY t_s) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM stamped
+    ), sess AS (
+        SELECT user_id, t_s,
+               CAST(sum(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY t_s) AS BIGINT) AS sid
+        FROM gapped
+    ), life AS (
+        SELECT user_id, sid,
+               CAST(min(t_s) AS BIGINT) AS t_first,
+               CAST(max(t_s) AS BIGINT) AS t_last
+        FROM sess GROUP BY user_id, sid
+    ), spanmax AS (
+        SELECT max(t_last) AS tmax FROM life
+    ), subj AS (
+        SELECT user_id, (t_last - t_first) // 60 AS dur,
+               CASE WHEN t_last >= s.tmax - 1800 THEN 0 ELSE 1 END AS died
+        FROM life CROSS JOIN spanmax s
+    )"""
+
+
+def _subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _LIFE_CTE: session subjects with integer-minute
+    durations and the 30-min end-of-corpus censoring rule."""
+    ev = load_table(spark, sf_dir, "events")
+    stamped = ev.select(
+        "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("t_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_s")
+    gapped = stamped.select(
+        "user_id", "t_s",
+        F.when(
+            (F.col("t_s") - F.lag("t_s").over(w) > 1800)
+            | F.lag("t_s").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    sess = gapped.select(
+        "user_id", "t_s",
+        F.sum("is_start").over(w).cast("long").alias("sid"),
+    )
+    life = sess.groupBy("user_id", "sid").agg(
+        F.min("t_s").cast("long").alias("t_first"),
+        F.max("t_s").cast("long").alias("t_last"),
+    )
+    spanmax = life.agg(F.max("t_last").alias("tmax"))
+    return life.crossJoin(F.broadcast(spanmax)).select(
+        "user_id",
+        F.floor((F.col("t_last") - F.col("t_first")) / 60)
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("t_last") >= F.col("tmax") - 1800, 0)
+        .otherwise(1)
+        .alias("died"),
+    )
+
+
+@query(
+    "kaplan_meier_survival",
+    category="SV-km",
+    oracle=f"""
+        WITH {_LIFE_CTE}, at_t AS (
+            SELECT dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(sum(1 - died) AS BIGINT) AS c_t,
+                   CAST(count(*) AS BIGINT) AS leave_t
+            FROM subj GROUP BY dur
+        ), risk AS (
+            SELECT t, d_t, c_t,
+                   CAST(sum(leave_t) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS BIGINT) AS n_t
+            FROM at_t
+        ), folded AS (
+            SELECT t, n_t, d_t, c_t,
+                   sum(CASE WHEN d_t > 0 AND d_t < n_t
+                            THEN ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                            ELSE 0.0 END)
+                       OVER (ORDER BY t) AS lnsurv,
+                   max(CASE WHEN d_t >= n_t THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t) AS hit_zero
+            FROM risk
+        )
+        SELECT t AS day, n_t AS n_risk, d_t AS n_deaths,
+               c_t AS n_censored,
+               CAST(CASE WHEN hit_zero = 1 THEN 0.0
+                         ELSE round(exp(lnsurv), 6) END AS DOUBLE)
+                   AS survival
+        FROM folded ORDER BY t
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over SESSION durations (30-minute
+    gap sessionization, duration in whole minutes), with sessions
+    still within 30 min of the corpus end treated as CENSORED (they
+    might still be open): at each distinct duration t the risk set
+    n_t counts sessions lasting ≥ t, and
+    S(t) = Π_{s≤t}(1 − d_s/n_s) steps down only at deaths — the
+    product-limit estimator that makes duration/retention curves
+    correct in the presence of still-open subjects.
+
+    Determinism: risk sets are exact integers via a suffix sum
+    (n_t = Σ leavers at durations ≥ t — no total pass, no per-t
+    rescan); the
+    product is a pinned-order running sum of ln(1 − d/n) terms
+    (sequential fold on both engines) exponentiated once at read; the
+    final death time where d_t = n_t (S hits exactly 0) is handled by
+    a running hit-zero flag, never ln(0).
+
+    Scale: one user-partitioned sessionize pass (the W8 shape) and
+    a per-session aggregate off the fact scan, then everything runs
+    on the |distinct durations| frame (bounded by minutes). The
+    unpartitioned windows are on that bounded frame. A cohort- or
+    segment-level KM adds the segment to every key and the windows
+    re-partition by it — same plan, fully parallel.
+    """
+    subj = _subjects(spark, sf_dir)
+    at_t = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.sum(1 - F.col("died")).cast("long").alias("c_t"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    # risk set as a SUFFIX sum of leavers: n_t = sum of leave_t at
+    # durations >= t — one window on the bounded at_t frame, so subj
+    # has exactly ONE consumer (a second would re-derive the whole
+    # sessionize lineage: 4 fact scans observed before this form)
+    w_suf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = at_t.select(
+        "t", "d_t", "c_t",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+    )
+    w_cum = Window.orderBy("t")
+    folded = risk.select(
+        "t", "n_t", "d_t", "c_t",
+        F.sum(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")),
+                F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")),
+            ).otherwise(0.0)
+        ).over(w_cum).alias("lnsurv"),
+        F.max(
+            F.when(F.col("d_t") >= F.col("n_t"), 1).otherwise(0)
+        ).over(w_cum).alias("hit_zero"),
+    )
+    return folded.select(
+        F.col("t").alias("day"),
+        F.col("n_t").alias("n_risk"),
+        F.col("d_t").alias("n_deaths"),
+        F.col("c_t").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, 0.0)
+        .otherwise(F.round(F.exp("lnsurv"), 6))
+        .alias("survival"),
+    ).orderBy("day")
+
+
+@query(
+    "logrank_two_group_test",
+    category="SV-logrank",
+    oracle=f"""
+        WITH {_LIFE_CTE}, grouped AS (
+            SELECT user_id, dur, died,
+                   CASE WHEN (instr('0123456789abcdef',
+                                    substr(md5(cast(user_id AS VARCHAR)),
+                                           1, 1)) - 1) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS grp
+            FROM subj
+        ), at_t AS (
+            SELECT dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(sum(CASE WHEN grp = 'A' THEN died ELSE 0 END)
+                        AS BIGINT) AS d_at,
+                   CAST(count(*) AS BIGINT) AS leave_t,
+                   CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS leave_at
+            FROM grouped GROUP BY dur
+        ), risk AS (
+            SELECT t, d_t, d_at,
+                   CAST(sum(leave_t) OVER w AS BIGINT) AS n_t,
+                   CAST(sum(leave_at) OVER w AS BIGINT) AS n_at
+            FROM at_t
+            WINDOW w AS (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), terms AS (
+            SELECT t, d_t, d_at, n_t, n_at,
+                   CAST(d_t AS DOUBLE) * n_at / n_t AS e_at,
+                   CASE WHEN n_t > 1 THEN
+                       CAST(d_t AS DOUBLE) * (CAST(n_at AS DOUBLE) / n_t)
+                       * (1.0 - CAST(n_at AS DOUBLE) / n_t)
+                       * (n_t - d_t) / (n_t - 1)
+                   ELSE 0.0 END AS v_t
+            FROM risk WHERE d_t > 0
+        ), folded AS (
+            SELECT t,
+                   sum(CAST(d_at AS DOUBLE)) OVER w2 AS o_a,
+                   sum(e_at) OVER w2 AS e_a,
+                   sum(v_t) OVER w2 AS v,
+                   row_number() OVER (ORDER BY t DESC) AS rdesc
+            FROM terms
+            WINDOW w2 AS (ORDER BY t)
+        )
+        SELECT CAST(o_a AS DOUBLE) AS observed_a,
+               CAST(round(e_a, 6) AS DOUBLE) AS expected_a,
+               CAST(round((o_a - e_a) * (o_a - e_a) / v, 6) AS DOUBLE)
+                   AS chi2,
+               ((o_a - e_a) * (o_a - e_a) > 3.841459 * v) AS reject_5pct
+        FROM folded WHERE rdesc = 1
+    """,
+)
+def logrank_two_group_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two md5-assigned user groups (the A/B
+    split of an experiment readout on time-to-session-end): at every
+    death
+    time, group A's observed deaths are compared to the
+    hypergeometric expectation d·n_A/n with variance
+    d(n_A/n)(1−n_A/n)(n−d)/(n−1); χ² = (O−E)²/V (risk sets by the
+    same suffix-sum construction as the KM query) — the correct test
+    for "did the treatment change the duration CURVE", where a
+    t-test on mean duration is censoring-biased.
+
+    Determinism: all risk-set quantities are exact integers (same
+    prefix-complement construction as the KM query); E and V terms
+    are shared-text doubles accumulated by pinned-order running sums
+    and read once at the last death time.
+
+    Scale: identical to kaplan_meier_survival — one sessionize
+    pass, then bounded-frame algebra; output is one row.
+    """
+    grouped = _subjects(spark, sf_dir).select(
+        "user_id", "dur", "died",
+        F.when(
+            F.expr(
+                "(instr('0123456789abcdef',"
+                " substr(md5(cast(user_id AS STRING)), 1, 1)) - 1) % 2"
+            )
+            == 0,
+            "A",
+        ).otherwise("B").alias("grp"),
+    )
+    at_t = grouped.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.sum(F.when(F.col("grp") == "A", F.col("died")).otherwise(0))
+        .cast("long").alias("d_at"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0))
+        .cast("long").alias("leave_at"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = at_t.select(
+        "t", "d_t", "d_at",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+        F.sum("leave_at").over(w_suf).cast("long").alias("n_at"),
+    )
+    terms = risk.filter(F.col("d_t") > 0).select(
+        "t", "d_t", "d_at", "n_t", "n_at",
+        (F.col("d_t").cast("double") * F.col("n_at") / F.col("n_t")).alias(
+            "e_at"
+        ),
+        F.when(
+            F.col("n_t") > 1,
+            F.col("d_t").cast("double")
+            * (F.col("n_at").cast("double") / F.col("n_t"))
+            * (1.0 - F.col("n_at").cast("double") / F.col("n_t"))
+            * (F.col("n_t") - F.col("d_t"))
+            / (F.col("n_t") - 1),
+        ).otherwise(0.0).alias("v_t"),
+    )
+    w_cum = Window.orderBy("t")
+    w_desc = Window.orderBy(F.desc("t"))
+    folded = terms.select(
+        "t",
+        F.sum(F.col("d_at").cast("double")).over(w_cum).alias("o_a"),
+        F.sum("e_at").over(w_cum).alias("e_a"),
+        F.sum("v_t").over(w_cum).alias("v"),
+        F.row_number().over(w_desc).alias("rdesc"),
+    )
+    diff = F.col("o_a") - F.col("e_a")
+    return folded.filter(F.col("rdesc") == 1).select(
+        F.col("o_a").cast("double").alias("observed_a"),
+        F.round("e_a", 6).alias("expected_a"),
+        F.round(diff * diff / F.col("v"), 6).alias("chi2"),
+        (diff * diff > 3.841459 * F.col("v")).alias("reject_5pct"),
+    )

@@ -2028,3 +2028,44 @@ def test_fellegi_sunter_no_pair_join(spark, sf_dir):
     assert count_prefix(counts, "CartesianProduct") == 0, counts
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert count_prefix(counts, bad) == 0, counts
+
+
+def test_survival_family_single_sessionize(spark, sf_dir):
+    """KM + log-rank: ONE user-partitioned sessionize pass off the
+    fact scan; the curve algebra runs on the bounded durations frame;
+    no Python, no shuffle join."""
+    for name in ("kaplan_meier_survival", "logrank_two_group_test"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        # 2 scans: the sessionize lineage + the end-of-corpus max
+        # (ts-column-only, rowgroup-stat prunable)
+        assert count_prefix(counts, "Scan parquet") <= 2, (name, counts)
+        assert count_prefix(counts, "SortMergeJoin") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+
+
+def test_time_decay_attribution_range_join(spark, sf_dir):
+    """Time-decay attribution: the touch join is user-keyed (never a
+    cross product); credits are integer DIV — no Python evals."""
+    df = q("attribution_time_decay", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+    assert (
+        count_prefix(counts, "BroadcastHashJoin")
+        + count_prefix(counts, "SortMergeJoin")
+        + count_prefix(counts, "ShuffledHashJoin")
+    ) >= 1, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+
+
+def test_erlang_c_jvm_fold_no_python(spark, sf_dir):
+    """Erlang-C: the B-recursion is a JVM aggregate() fold — no
+    Python worker, no joins against facts, one scan."""
+    df = q("erlang_c_staffing", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts

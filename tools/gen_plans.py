@@ -222,6 +222,10 @@ HEADLINE = [
     "mcnemar_paired_test",
     "cochran_armitage_trend",
     "fellegi_sunter_match_weights",
+    "kaplan_meier_survival",
+    "logrank_two_group_test",
+    "attribution_time_decay",
+    "erlang_c_staffing",
 ]
 
 INTERESTING = (
