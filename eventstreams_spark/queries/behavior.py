@@ -2837,3 +2837,98 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def _TRAJECTORY_ORACLE() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat = f"({md5_uniform_sql(chr(39) + 'lat|' + chr(39) + ' || CAST(event_id AS VARCHAR)')} - 0.5) * 180.0"
+    lon = f"({md5_uniform_sql(chr(39) + 'lon|' + chr(39) + ' || CAST(event_id AS VARCHAR)')} - 0.5) * 360.0"
+    return f"""
+        WITH pos AS (
+            SELECT user_id, event_id, ts,
+                   {lat} AS lat, {lon} AS lon
+            FROM events
+        ), seq AS (
+            SELECT user_id, lat, lon,
+                   lag(lat) OVER w AS plat,
+                   lag(lon) OVER w AS plon
+            FROM pos
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), legs AS (
+            SELECT user_id,
+                   CAST(floor(12742.0 * asin(least(1.0, sqrt(
+                       sin(radians(lat - plat) / 2)
+                       * sin(radians(lat - plat) / 2)
+                       + cos(radians(plat)) * cos(radians(lat))
+                       * sin(radians(lon - plon) / 2)
+                       * sin(radians(lon - plon) / 2)
+                   ))) * 1000.0 + 0.5) AS BIGINT) AS leg_m
+            FROM seq WHERE plat IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_legs,
+               CAST(sum(leg_m) AS BIGINT) AS total_m,
+               CAST(round(CAST(sum(leg_m) AS DOUBLE) / count(*) / 1000.0, 6)
+                    AS DOUBLE) AS mean_leg_km,
+               CAST(max(leg_m) AS BIGINT) AS max_leg_m
+        FROM legs GROUP BY user_id
+        ORDER BY total_m DESC, user_id
+    """
+
+
+@query(
+    "trajectory_distance_census",
+    category="B9-geo",
+    oracle=_TRAJECTORY_ORACLE(),
+)
+def trajectory_distance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory length census: total great-circle distance
+    over consecutive event locations (the md5-minted coordinate cloud
+    shared with impossible_travel_speed), plus mean and max leg — the
+    mobility/telemetry rollup behind fleet dashboards and GPS-jitter
+    audits.
+
+    Determinism: each leg is FLOORED to integer METERS before
+    summing, so per-user totals are exact integer sums in any
+    aggregation order (a raw double Σkm over hundreds of legs would
+    be order-dependent across engines); trig ulp drift vs the floor
+    boundary is ~1e-9 of a meter.
+
+    Scale: one user_id shuffle feeds both the lag window and the
+    aggregate; pure codegen trig, no joins, no Python.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = (md5_uniform("concat('lat|', cast(event_id as string))") - 0.5) * 180.0
+    lon = (md5_uniform("concat('lon|', cast(event_id as string))") - 0.5) * 360.0
+    pos = ev.select("user_id", "event_id", "ts", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pos.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
+    h = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians("plat")) * F.cos(
+        F.radians("lat")
+    ) * F.sin(dlmb) * F.sin(dlmb)
+    km = 12742.0 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    legs = seq.select(
+        "user_id",
+        F.floor(km * 1000.0 + 0.5).cast("long").alias("leg_m"),
+    )
+    return (
+        legs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+            F.sum("leg_m").cast("long").alias("total_m"),
+            F.round(
+                F.sum("leg_m").cast("double") / F.count(F.lit(1)) / 1000.0, 6
+            ).alias("mean_leg_km"),
+            F.max("leg_m").cast("long").alias("max_leg_m"),
+        )
+        .orderBy(F.desc("total_m"), "user_id")
+    )

@@ -709,3 +709,59 @@ def var_cvar_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "hhi_concentration_daily",
+    category="MK-hhi",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n_t
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        ), per_day AS (
+            SELECT day,
+                   CAST(sum(n_t) AS BIGINT) AS n,
+                   CAST(sum(n_t * n_t) AS BIGINT) AS sum_sq,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM daily GROUP BY day
+        )
+        SELECT day, n, k,
+               CAST(round(CAST(sum_sq AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n), 6) AS DOUBLE) AS hhi,
+               CAST(round((CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                           - 1.0 / k) / (1.0 - 1.0 / k), 6) AS DOUBLE)
+                   AS hhi_normalized
+        FROM per_day ORDER BY day
+    """,
+)
+def hhi_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Herfindahl-Hirschman concentration of traffic across
+    event types: HHI = Σ share² = Σn_t²/N² (1/k = perfectly even,
+    1 = single type takes all), plus the k-normalized form — the
+    concentration trend that flags a channel collapsing into one
+    event type (instrumentation bugs read as rising HHI).
+
+    Determinism: Σn_t² and N are exact integers; HHI is a single
+    division — never a float sum of per-type share squares.
+
+    Scale: two map-side-combinable aggregates (day×type, then day);
+    no joins, no windows over the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    per_day = daily.groupBy("day").agg(
+        F.sum("n_t").cast("long").alias("n"),
+        F.sum(F.col("n_t") * F.col("n_t")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    hhi = F.col("sum_sq").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return per_day.select(
+        "day", "n", "k",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(
+            (hhi - 1.0 / F.col("k")) / (1.0 - 1.0 / F.col("k")), 6
+        ).alias("hhi_normalized"),
+    ).orderBy("day")

@@ -1327,3 +1327,73 @@ def hmm_burst_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def forecast_error_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Streaming forecast-error monitor — the in-stream twin of the
+    batch backtest (queries/forecast_extra.py): per key the state is
+    the last value plus a ``season``-slot ring of trailing values;
+    each arriving observation is scored against the NAIVE forecast
+    (previous value) and the SEASONAL-NAIVE forecast (value one full
+    season back) BEFORE being folded into state — the
+    prior-events-only invariant every online monitor here follows.
+    Emits (rn, ae_naive, ae_snaive) with NULLs until each baseline
+    has enough history; integer errors, so batch≡stream equality is
+    exact (test_forecast_error_batch_equals_stream). State is O(season)
+    per key; a model's own predictions would join in as a dimension
+    and score identically."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("rn", LongType()),
+            StructField("ae_naive", LongType()),
+            StructField("ae_snaive", LongType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    import json
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, ring_json = state.get
+            ring = json.loads(ring_json)
+        else:
+            n, ring = 0, []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col).copy()
+            rns, naives, snaives = [], [], []
+            for v in pdf[value_col]:
+                v = int(v)
+                naives.append(abs(v - ring[-1]) if ring else None)
+                snaives.append(
+                    abs(v - ring[-season]) if len(ring) >= season else None
+                )
+                ring.append(v)
+                if len(ring) > season:
+                    ring = ring[-season:]
+                n += 1
+                rns.append(n)
+            pdf["rn"] = rns
+            pdf["ae_naive"] = pd.array(naives, dtype="Int64")
+            pdf["ae_snaive"] = pd.array(snaives, dtype="Int64")
+            yield pdf[out_cols]
+        state.update((n, json.dumps(ring)))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, ring string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

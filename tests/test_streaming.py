@@ -1846,3 +1846,39 @@ def test_hmm_batch_equals_stream(spark, tmp_path):
         )
     )
     assert got_jvm == want_jvm
+
+
+def test_forecast_error_batch_equals_stream(spark, tmp_path):
+    """T15/T14 twin equality: the streaming forecast-error monitor
+    (naive + seasonal-naive absolute errors from a GroupState ring)
+    must reproduce the batch lag-window computation per row across
+    micro-batch boundaries, including the NULL warmup rows."""
+    from eventstreams_spark.streaming.stateful import forecast_error_stream
+
+    vals = [10, 12, 9, 15, 14, 18, 17, 21, 11, 13, 8, 16, 15, 19, 18, 22]
+    rows = [
+        (k, f"2024-01-{i + 1:02d} 00:00:00", v + (1 if k == "b" else 0))
+        for k in ("a", "b")
+        for i, v in enumerate(vals)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, ts_s string, v long")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    )
+    stream = replay_table(spark, df, str(tmp_path), chunks=4, order_col="ts")
+    run_to_memory(
+        forecast_error_stream(stream, "k", "ts", "v", season=7),
+        "t_fcerr_s",
+        output_mode="append",
+    )
+    got = _rows(spark.sql("SELECT k, rn, ae_naive, ae_snaive FROM t_fcerr_s"))
+    w = Window.partitionBy("k").orderBy("ts")
+    want = _rows(
+        df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.abs(F.col("v") - F.lag("v", 1).over(w)).cast("long").alias("ae_naive"),
+            F.abs(F.col("v") - F.lag("v", 7).over(w)).cast("long").alias("ae_snaive"),
+        )
+    )
+    assert got == want

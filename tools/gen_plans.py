@@ -226,6 +226,8 @@ HEADLINE = [
     "logrank_two_group_test",
     "attribution_time_decay",
     "erlang_c_staffing",
+    "trajectory_distance_census",
+    "hhi_concentration_daily",
 ]
 
 INTERESTING = (
