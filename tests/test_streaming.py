@@ -1882,3 +1882,65 @@ def test_forecast_error_batch_equals_stream(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_hmm_stream_state_recovers_across_restarts(spark, tmp_path):
+    """T6 checkpoint recovery for the HMM burst filter: the carried
+    (n, log-odds) state must SURVIVE a full query restart (new query
+    object, same checkpoint) — the posterior after recovery must
+    bit-match an uninterrupted batch fold over the whole series, not
+    re-warm from the prior."""
+    from eventstreams_spark.operators.smoothing import hmm_forward_batch
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import hmm_burst_stream
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "k string, ts timestamp, k_cnt long, lam0 double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            hmm_burst_stream(stream, "k", "ts", "k_cnt", "lam0")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    counts = [5, 7, 30, 42, 6, 4]
+
+    def rows(idx):
+        return spark.createDataFrame(
+            [
+                ("a", f"2024-01-{i + 1:02d} 00:00:00", counts[i], 8.0)
+                for i in idx
+            ],
+            "k string, ts_s string, k_cnt long, lam0 double",
+        ).select(
+            "k", F.to_timestamp("ts_s").alias("ts"), "k_cnt", "lam0"
+        )
+
+    stage_files(rows(range(3)), src, 1)
+    drain()
+    # restart with the remaining days — state must resume, not reset
+    stage_files(rows(range(3, 6)), src, 2)
+    drain()
+    got = sorted(
+        (r.rn, r.log_odds, r.p_burst)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.rn, r.log_odds, r.p_burst)
+        for r in hmm_forward_batch(
+            rows(range(6)), "k", "ts", "k_cnt", "lam0"
+        ).collect()
+    )
+    assert got == want
