@@ -2932,3 +2932,83 @@ def trajectory_distance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_m"), "user_id")
     )
+
+
+def _GEOFENCE_ORACLE() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat = f"({md5_uniform_sql(chr(39) + 'lat|' + chr(39) + ' || CAST(event_id AS VARCHAR)')} - 0.5) * 180.0"
+    lon = f"({md5_uniform_sql(chr(39) + 'lon|' + chr(39) + ' || CAST(event_id AS VARCHAR)')} - 0.5) * 360.0"
+    clat = f"({md5_uniform_sql(chr(39) + 'flat|' + chr(39) + ' || CAST(f AS VARCHAR)')} - 0.5) * 140.0"
+    clon = f"({md5_uniform_sql(chr(39) + 'flon|' + chr(39) + ' || CAST(f AS VARCHAR)')} - 0.5) * 340.0"
+    return f"""
+        WITH fences AS (
+            SELECT f, {clat} AS clat, {clon} AS clon
+            FROM (SELECT unnest(generate_series(1, 10)) AS f)
+        ), pos AS (
+            SELECT user_id, {lat} AS lat, {lon} AS lon
+            FROM events
+        ), hits AS (
+            SELECT fn.f, p.user_id
+            FROM pos p JOIN fences fn
+              ON p.lat >= fn.clat - 10.0 AND p.lat <= fn.clat + 10.0
+             AND p.lon >= fn.clon - 20.0 AND p.lon <= fn.clon + 20.0
+        )
+        SELECT f AS fence_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM hits GROUP BY f ORDER BY f
+    """
+
+
+@query(
+    "geofence_containment_census",
+    category="B9-geo",
+    oracle=_GEOFENCE_ORACLE(),
+)
+def geofence_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence containment census: 10 md5-minted rectangular fences
+    (20°×40° boxes) against the shared per-event coordinate cloud —
+    events and distinct users inside each fence, the
+    logistics/SIEM primitive behind "alert when a device enters the
+    depot" and location-audience sizing.
+
+    Determinism: both the fence corners and the event positions come
+    from the shared md5_uniform mint, so every containment compare
+    sees bit-identical doubles on both engines — no boundary
+    ambiguity.
+
+    Scale: the fence table BROADCASTS (it is dimension-sized by
+    nature); containment is a broadcast nested-loop with a pure
+    range predicate — at 100 TB add a coarse geohash-cell equi key
+    on both sides (the spatial_grid_join pattern) to turn it into a
+    bucketed equi join; 10 fences do not need it.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = (md5_uniform("concat('lat|', cast(event_id as string))") - 0.5) * 180.0
+    lon = (md5_uniform("concat('lon|', cast(event_id as string))") - 0.5) * 360.0
+    pos = ev.select("user_id", lat.alias("lat"), lon.alias("lon"))
+    fences = spark.range(1, 11).select(
+        F.col("id").alias("f"),
+        ((md5_uniform("concat('flat|', cast(id as string))") - 0.5) * 140.0)
+        .alias("clat"),
+        ((md5_uniform("concat('flon|', cast(id as string))") - 0.5) * 340.0)
+        .alias("clon"),
+    )
+    hits = pos.join(
+        F.broadcast(fences),
+        (F.col("lat") >= F.col("clat") - 10.0)
+        & (F.col("lat") <= F.col("clat") + 10.0)
+        & (F.col("lon") >= F.col("clon") - 20.0)
+        & (F.col("lon") <= F.col("clon") + 20.0),
+    )
+    return (
+        hits.groupBy(F.col("f").alias("fence_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("fence_id")
+    )

@@ -380,3 +380,158 @@ def forecast_backtest_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mrow.smape"), 6).alias("smape"),
         F.round(F.col("mrow.mae") / F.col("scale"), 6).alias("mase"),
     ).orderBy("event_type", "method")
+
+
+# z-normalized squared distance between two length-7 windows, from
+# INTEGER moments: dp = dot product, sw/sww = window sum / sum-sq.
+# d² = 2m(1 − (m·dp − swi·swj) / sqrt((m·swwi − swi²)(m·swwj − swj²)))
+_MP_D2 = (
+    "(14.0 * (1.0 - (CAST(7 * dp - swi * swj AS DOUBLE))"
+    " / sqrt(CAST((7 * swwi - swi * swi) AS DOUBLE)"
+    "        * CAST((7 * swwj - swj * swj) AS DOUBLE))))"
+)
+
+
+@query(
+    "matrix_profile_daily",
+    category="FC-matrixprofile",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM daily
+        ), wins AS (
+            SELECT event_type, rn AS i,
+                   CAST(sum(x) OVER w7 AS BIGINT) AS sw,
+                   CAST(sum(x * x) OVER w7 AS BIGINT) AS sww
+            FROM seq
+            WINDOW w7 AS (PARTITION BY event_type ORDER BY rn
+                          ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+            QUALIFY rn <= n - 6
+        ), cand AS (
+            SELECT a.event_type, a.i, b.i AS j,
+                   a.sw AS swi, a.sww AS swwi,
+                   b.sw AS swj, b.sww AS swwj
+            FROM wins a JOIN wins b
+              ON a.event_type = b.event_type AND abs(a.i - b.i) >= 4
+        ), dots AS (
+            SELECT c.event_type, c.i, c.j, c.swi, c.swwi, c.swj, c.swwj,
+                   CAST(sum(sa.x * sb.x) AS BIGINT) AS dp
+            FROM cand c
+            CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) ks
+            JOIN seq sa ON sa.event_type = c.event_type
+                       AND sa.rn = c.i + ks.k
+            JOIN seq sb ON sb.event_type = c.event_type
+                       AND sb.rn = c.j + ks.k
+            GROUP BY c.event_type, c.i, c.j, c.swi, c.swwi, c.swj, c.swwj
+        ), scored AS (
+            SELECT event_type, i, j,
+                   CAST(round({_MP_D2}, 6) AS DOUBLE) AS d2,
+                   row_number() OVER (
+                       PARTITION BY event_type, i
+                       ORDER BY CAST(round({_MP_D2}, 6) AS DOUBLE), j
+                   ) AS rk
+            FROM dots
+        )
+        SELECT event_type, i AS window_start, j AS motif_match,
+               d2 AS znorm_dist_sq
+        FROM scored WHERE rk = 1
+        ORDER BY event_type, window_start
+    """,
+)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile over each channel's daily-count series (window
+    m = 7, trivial-match exclusion |i−j| ≥ 4): for every 7-day
+    subsequence, the z-normalized squared distance to its nearest
+    non-overlapping neighbor — low values are MOTIFS (repeated weekly
+    shapes), high values are DISCORDS (the strongest anomaly
+    primitive in the modern time-series toolkit, Keogh's matrix
+    profile reduced to its exact O(n²·m) definition).
+
+    Determinism: window moments and dot products are exact integer
+    sums; d² is one shared-text double expression over them; the
+    per-window argmin orders by (rounded d², j) so ties are pinned.
+
+    Scale: pairs live at CALENDAR grain — (days−6)² per channel, a
+    bounded frame after one rollup; each window carries its 7 values
+    as an array so the dot product is JVM zip_with/aggregate inside
+    the pair join — no join back to the daily frame. For year-long
+    hourly series swap the pair join for the MASS/FFT recurrence —
+    the contract (exact z-norm distance) stays the same.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    # each window carries its 7 values as an ARRAY (collect_list over
+    # the rows frame is frame-ordered), so the pair join computes the
+    # dot product JVM-side via zip_with/aggregate — joining back to
+    # the daily frame per (pair, k) would re-derive the rollup
+    # lineage twice more (4 fact scans observed before this form)
+    w7 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, 6)
+    wins = (
+        seq.select(
+            "event_type",
+            F.col("rn").alias("i"),
+            F.col("n"),
+            F.sum("x").over(w7).cast("long").alias("sw"),
+            F.sum(F.col("x") * F.col("x")).over(w7).cast("long").alias("sww"),
+            F.collect_list("x").over(w7).alias("vec"),
+        )
+        .filter(F.col("i") <= F.col("n") - 6)
+        .drop("n")
+    )
+    a = wins.alias("a")
+    b = wins.alias("b")
+    dots = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= 4),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        F.col("a.sw").alias("swi"),
+        F.col("a.sww").alias("swwi"),
+        F.col("b.sw").alias("swj"),
+        F.col("b.sww").alias("swwj"),
+        F.expr(
+            "aggregate(zip_with(a.vec, b.vec, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dp"),
+    )
+    d2 = F.round(F.expr(_MP_D2), 6)
+    w_rank = Window.partitionBy("event_type", "i").orderBy(
+        d2.asc(), F.col("j").asc()
+    )
+    scored = dots.select(
+        "event_type", "i", "j",
+        d2.alias("d2"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("i").alias("window_start"),
+            F.col("j").alias("motif_match"),
+            F.col("d2").alias("znorm_dist_sq"),
+        )
+        .orderBy("event_type", "window_start")
+    )

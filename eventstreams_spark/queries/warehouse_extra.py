@@ -1300,3 +1300,96 @@ def quantile_normalize_daily_sources(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_chars").alias("raw_chars"),
         F.coalesce("normalized", "gmin").cast("long").alias("normalized_chars"),
     ).orderBy("lang", "raw_chars")
+
+
+@query(
+    "partition_layout_advisor",
+    category="WH-partition",
+    oracle="""
+        WITH keyed AS (
+            SELECT 'month' AS candidate,
+                   CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS kv
+            FROM orders
+            UNION ALL
+            SELECT 'cust_bucket64', CAST(o_custkey % 64 AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'priority', o_orderpriority FROM orders
+        ), parts AS (
+            SELECT candidate, kv, CAST(count(*) AS BIGINT) AS n_rows
+            FROM keyed GROUP BY candidate, kv
+        )
+        SELECT candidate,
+               CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               CAST(max(n_rows) AS BIGINT) AS max_partition_rows,
+               CAST(round(CAST(sum(n_rows) AS DOUBLE) / count(*), 6)
+                    AS DOUBLE) AS avg_partition_rows,
+               CAST(round(CAST(max(n_rows) AS DOUBLE) * count(*)
+                          / sum(n_rows), 6) AS DOUBLE) AS skew_ratio,
+               (max(n_rows) * count(*) * 10 <= sum(n_rows) * 25)
+                   AS balanced
+        FROM parts GROUP BY candidate ORDER BY candidate
+    """,
+)
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor over the orders table: for each
+    candidate partition key (order month, 64-way customer bucket,
+    priority) the partition count, max/avg partition size, and skew
+    ratio — the measurement behind choosing a table's physical layout
+    (too few partitions → no pruning; too many → small files; skewed
+    → straggler tasks). ``balanced`` pins skew ≤ 2.5 by the integer
+    cross-multiplication max·parts·10 ≤ total·25, so no float decides.
+
+    Determinism: every statistic is an exact integer or one division
+    of integers.
+
+    Scale: ONE scan — each row explodes into its 3 candidate keys
+    map-side (3× amplification bounded by the candidate count), one
+    (candidate, value) aggregate, one candidate rollup. This is the
+    key_skew_profile shape applied to layout planning.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("month").alias("candidate"),
+                    F.date_format("o_orderdate", "yyyy-MM").alias("kv"),
+                ),
+                F.struct(
+                    F.lit("cust_bucket64").alias("candidate"),
+                    (F.col("o_custkey") % 64).cast("string").alias("kv"),
+                ),
+                F.struct(
+                    F.lit("priority").alias("candidate"),
+                    F.col("o_orderpriority").alias("kv"),
+                ),
+            )
+        ).alias("c")
+    ).select(F.col("c.candidate").alias("candidate"), F.col("c.kv").alias("kv"))
+    parts = keyed.groupBy("candidate", "kv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return (
+        parts.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.max("n_rows").cast("long").alias("max_partition_rows"),
+            F.round(
+                F.sum("n_rows").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_partition_rows"),
+            F.round(
+                F.max("n_rows").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("n_rows"),
+                6,
+            ).alias("skew_ratio"),
+            (
+                F.max("n_rows") * F.count(F.lit(1)) * 10
+                <= F.sum("n_rows") * 25
+            ).alias("balanced"),
+        )
+        .orderBy("candidate")
+    )

@@ -2069,3 +2069,37 @@ def test_erlang_c_jvm_fold_no_python(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert count_prefix(counts, bad) == 0, counts
+
+
+def test_geofence_broadcast_fences(spark, sf_dir):
+    """Geofence containment: the fence dimension broadcasts; the fact
+    side never shuffles for the join."""
+    df = q("geofence_containment_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") >= 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+
+
+def test_matrix_profile_calendar_grain(spark, sf_dir):
+    """Matrix profile: the O(n²) pair join and the 7-way dot-product
+    fan-out run at calendar grain (post-rollup) — the fact table is
+    scanned once per distinct lineage, never pair-joined."""
+    df = q("matrix_profile_daily", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts
+    assert count_prefix(counts, "Scan parquet") <= 3, counts
+
+
+def test_partition_advisor_single_scan(spark, sf_dir):
+    """Layout advisor: ONE scan with map-side candidate explode —
+    a per-candidate union would rescan orders 3x."""
+    df = q("partition_layout_advisor", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "Generate") >= 1, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts

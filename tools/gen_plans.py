@@ -228,6 +228,9 @@ HEADLINE = [
     "erlang_c_staffing",
     "trajectory_distance_census",
     "hhi_concentration_daily",
+    "geofence_containment_census",
+    "matrix_profile_daily",
+    "partition_layout_advisor",
 ]
 
 INTERESTING = (
