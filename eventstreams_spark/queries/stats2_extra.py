@@ -863,3 +863,365 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dose_group")
     )
+
+
+@query(
+    "trimmed_mean_by_type",
+    category="ST2-trimmed",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type, event_id, {_CENTS} AS cents
+            FROM events WHERE value IS NOT NULL
+        ), ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ), bounds AS (
+            SELECT event_type, cents, rn, n,
+                   CAST(n // 10 AS BIGINT) AS k
+            FROM ranked
+        ), lohi AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = k + 1 THEN cents END) AS lo_c,
+                   max(CASE WHEN rn = n - k THEN cents END) AS hi_c
+            FROM bounds GROUP BY event_type
+        )
+        SELECT b.event_type,
+               CAST(max(b.n) AS BIGINT) AS n,
+               CAST(max(b.k) AS BIGINT) AS k_trim,
+               CAST(round(CAST(sum(CASE WHEN b.rn > b.k AND b.rn <= b.n - b.k
+                                        THEN b.cents END) AS DOUBLE)
+                          / (max(b.n) - 2 * max(b.k)) / 100.0, 6)
+                    AS DOUBLE) AS trimmed_mean,
+               CAST(round(CAST(sum(CASE
+                        WHEN b.rn <= b.k THEN l.lo_c
+                        WHEN b.rn > b.n - b.k THEN l.hi_c
+                        ELSE b.cents END) AS DOUBLE)
+                          / max(b.n) / 100.0, 6) AS DOUBLE)
+                   AS winsorized_mean
+        FROM bounds b JOIN lohi l ON l.event_type = b.event_type
+        GROUP BY b.event_type ORDER BY b.event_type
+    """,
+)
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed and winsorized means per channel by
+    EXACT order statistics: rank the cents under a (cents, event_id)
+    total order, drop (trim) or clamp (winsorize) the bottom/top
+    k = ⌊n/10⌋ rows — the robust location estimates that survive the
+    heavy-tailed junk a plain mean drowns in, with the trim boundary
+    pinned by rank, not by an interpolated percentile.
+
+    Determinism: ranks are exact under the total order; both means
+    are single divisions of integer cent sums.
+
+    Scale: one rank window per channel (range-partitioned sort), the
+    clamp values join back as a k-row broadcast, one aggregate.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.select(
+        "event_type", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.withColumn("k", F.floor(F.col("n") / 10).cast("long"))
+    lohi = bounds.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias(
+            "lo_c"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents")))
+        .alias("hi_c"),
+    )
+    joined = bounds.join(F.broadcast(lohi), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k").cast("long").alias("k_trim"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("rn") > F.col("k"))
+                        & (F.col("rn") <= F.col("n") - F.col("k")),
+                        F.col("cents"),
+                    )
+                ).cast("double")
+                / (F.max("n") - 2 * F.max("k"))
+                / 100.0,
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") <= F.col("k"), F.col("lo_c"))
+                    .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi_c"))
+                    .otherwise(F.col("cents"))
+                ).cast("double")
+                / F.max("n")
+                / 100.0,
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hodges_lehmann_location",
+    category="ST2-hodges",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), pairs AS (
+            SELECT a.event_type, a.x + b.x AS s2
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day <= b.day
+        ), ranked AS (
+            SELECT event_type, s2,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY s2) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM pairs
+        )
+        SELECT event_type,
+               CAST(max(m) AS BIGINT) AS n_pairs,
+               CAST(round(CAST(sum(CASE WHEN rn = (m + 1) // 2
+                                          OR rn = m // 2 + 1
+                                        THEN s2 END) AS DOUBLE)
+                          / (CASE WHEN max(m) % 2 = 0 THEN 4.0
+                                  ELSE 2.0 END), 6) AS DOUBLE)
+                   AS hl_estimate
+        FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimate of daily volume per channel:
+    the median of all pairwise (Walsh) averages (x_i+x_j)/2, i ≤ j —
+    the rank-based robust location with ~95% Gaussian efficiency
+    (vs the median's 64%), the estimator behind the Wilcoxon
+    signed-rank interval.
+
+    Determinism: Walsh averages are carried DOUBLED (integer pair
+    sums); the midrank pick sums the one or two middle order
+    statistics by exact rank and divides once — no interpolation.
+
+    Scale: pairs at CALENDAR grain — (days²)/2 per channel after one
+    rollup; never a pair join over raw events (the theil_sen
+    contract applied to location).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") <= F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.x") + F.col("b.x")).alias("s2"),
+    )
+    ranked = pairs.select(
+        "event_type", "s2",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("s2"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+                        | (F.col("rn") == F.floor(F.col("m") / 2) + 1),
+                        F.col("s2"),
+                    )
+                ).cast("double")
+                / F.when(F.max("m") % 2 == 0, 4.0).otherwise(2.0),
+                6,
+            ).alias("hl_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "poisson_dispersion_test",
+    category="ST2-dispersion",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(round(CAST(sx AS DOUBLE) / n, 6) AS DOUBLE) AS mean_daily,
+               CAST(round(CAST(n * sxx - sx * sx AS DOUBLE) / sx / (n - 1),
+                          6) AS DOUBLE) AS dispersion_index,
+               CAST(round(CAST(n * sxx - sx * sx AS DOUBLE) / sx, 6)
+                    AS DOUBLE) AS chi2_stat,
+               (CAST(n * sxx - sx * sx AS DOUBLE) / sx
+                > (n - 1) + 2.0 * sqrt(2.0 * (n - 1))) AS overdispersed
+        FROM mom ORDER BY event_type
+    """,
+)
+def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (index-of-dispersion) test on daily counts:
+    D = (n−1)s²/x̄ = (nΣx² − (Σx)²)/Σx is χ²_{n−1} under a Poisson
+    process; D/(n−1) ≫ 1 means the channel is OVERDISPERSED (bursty,
+    negative-binomial-like) and every Poisson-assuming alert
+    threshold on it is mis-calibrated — the sanity check that should
+    precede the HMM burst filter's λ-based model.
+
+    Determinism: the statistic is exactly (n·Σx² − Σx²)/Σx — one
+    division of integers; the verdict compares against the normal
+    approximation cut n−1 + 2√(2(n−1)) in shared-text doubles.
+
+    Scale: one rollup + one moment aggregate per channel; 5 rows out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    chi2 = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / F.col("sx")
+    )
+    return mom.select(
+        "event_type", "n",
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(chi2 / (F.col("n") - 1), 6).alias("dispersion_index"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        (
+            chi2 > (F.col("n") - 1) + 2.0 * F.sqrt(2.0 * (F.col("n") - 1))
+        ).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+# Beta method-of-moments from ppm-quantized per-user rates:
+# m, v in rate units; common = m(1-m)/v - 1; alpha/beta = m,1-m x common
+_EB_M = "(CAST(s1 AS DOUBLE) / u / 1000000.0)"
+_EB_V = (
+    "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / u)"
+    " / (u - 1) / 1000000.0 / 1000000.0)"
+)
+_EB_COMMON = f"({_EB_M} * (1.0 - {_EB_M}) / {_EB_V} - 1.0)"
+
+
+@query(
+    "empirical_bayes_shrinkage",
+    category="ST2-ebayes",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ), quant AS (
+            SELECT user_id, n, x,
+                   (x * 1000000) // n AS r_ppm
+            FROM per_user
+        ), mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS u,
+                   CAST(sum(r_ppm) AS BIGINT) AS s1,
+                   CAST(sum(r_ppm * r_ppm) AS BIGINT) AS s2
+            FROM quant
+        ), prior AS (
+            SELECT u,
+                   {_EB_M} * {_EB_COMMON} AS alpha,
+                   (1.0 - {_EB_M}) * {_EB_COMMON} AS beta
+            FROM mom
+        )
+        SELECT q.user_id, q.n, q.x,
+               CAST(round(CAST(q.r_ppm AS DOUBLE) / 1000000.0, 6)
+                    AS DOUBLE) AS raw_rate,
+               CAST(round((q.x + p.alpha) / (q.n + p.alpha + p.beta), 6)
+                    AS DOUBLE) AS shrunk_rate,
+               CAST(round(p.alpha, 6) AS DOUBLE) AS prior_alpha,
+               CAST(round(p.beta, 6) AS DOUBLE) AS prior_beta
+        FROM quant q CROSS JOIN prior p
+        ORDER BY q.user_id
+    """,
+)
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates (the
+    James-Stein / batting-average construction): fit a Beta prior to
+    the population by method of moments, then shrink every user's
+    raw rate toward it as (x+α)/(n+α+β) — low-volume users pull hard
+    to the prior, high-volume users keep their own rate. The
+    estimator behind every "new seller rating" and sparse-segment
+    CTR problem.
+
+    Determinism: per-user rates are quantized to exact integer ppm
+    (x·10⁶ DIV n) so the population moments are INTEGER sums — no
+    float accumulation order anywhere; α/β and the shrunk rates are
+    shared-text double expressions over those integers.
+
+    Scale: one per-user aggregate off the scan; the prior is a 1-row
+    broadcast back onto the user frame. (The user frame is derived
+    twice — prior + display — each collapsing at the groupBy; at
+    100 TB persist the per-user frame or derive the prior from a
+    sample.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    quant = per_user.withColumn("r_ppm", F.expr("(x * 1000000) DIV n"))
+    mom = quant.agg(
+        F.count(F.lit(1)).cast("long").alias("u"),
+        F.sum("r_ppm").cast("long").alias("s1"),
+        F.sum(F.col("r_ppm") * F.col("r_ppm")).cast("long").alias("s2"),
+    )
+    prior = mom.select(
+        F.expr(f"{_EB_M} * {_EB_COMMON}").alias("alpha"),
+        F.expr(f"(1.0 - {_EB_M}) * {_EB_COMMON}").alias("beta"),
+    )
+    return (
+        quant.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id", "n", "x",
+            F.round(F.col("r_ppm").cast("double") / 1000000.0, 6).alias(
+                "raw_rate"
+            ),
+            F.round(
+                (F.col("x") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round("alpha", 6).alias("prior_alpha"),
+            F.round("beta", 6).alias("prior_beta"),
+        )
+        .orderBy("user_id")
+    )

@@ -2103,3 +2103,22 @@ def test_partition_advisor_single_scan(spark, sf_dir):
     assert count_prefix(counts, "Generate") >= 1, counts
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert count_prefix(counts, bad) == 0, counts
+
+
+def test_robust_stats_family_shapes(spark, sf_dir):
+    """Trimmed/HL/dispersion/EB: pair joins only at calendar grain,
+    broadcast stat frames, no Python; the EB user frame derives at
+    most twice (prior + display)."""
+    limits = {
+        "trimmed_mean_by_type": 2,
+        "hodges_lehmann_location": 2,
+        "poisson_dispersion_test": 1,
+        "empirical_bayes_shrinkage": 2,
+    }
+    for name, max_scans in limits.items():
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "Scan parquet") <= max_scans, (name, counts)
+        assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)

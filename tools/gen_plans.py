@@ -231,6 +231,10 @@ HEADLINE = [
     "geofence_containment_census",
     "matrix_profile_daily",
     "partition_layout_advisor",
+    "trimmed_mean_by_type",
+    "hodges_lehmann_location",
+    "poisson_dispersion_test",
+    "empirical_bayes_shrinkage",
 ]
 
 INTERESTING = (
