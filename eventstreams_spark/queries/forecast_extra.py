@@ -535,3 +535,123 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+@query(
+    "conformal_interval_coverage",
+    category="FC-conformal",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   lag(x, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS x_lag7,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_days
+            FROM daily
+        ), resid AS (
+            SELECT event_type, rn, n_days, n_days - 7 AS n_train,
+                   abs(x - x_lag7) AS r
+            FROM seq WHERE x_lag7 IS NOT NULL
+        ), cal AS (
+            SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY r, rn) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n_cal
+            FROM resid WHERE rn <= n_train
+        ), qhat AS (
+            SELECT event_type, n_cal,
+                   CAST(max(CASE WHEN rk = CAST(ceil(0.9 * (n_cal + 1))
+                                               AS BIGINT)
+                                 THEN r END) AS BIGINT) AS q90
+            FROM cal GROUP BY event_type, n_cal
+        )
+        SELECT t.event_type, q.n_cal, q.q90,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN t.r <= q.q90 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered,
+               CAST(round(CAST(sum(CASE WHEN t.r <= q.q90 THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*), 6) AS DOUBLE)
+                   AS coverage
+        FROM resid t JOIN qhat q ON q.event_type = t.event_type
+        WHERE t.rn > t.n_train
+        GROUP BY t.event_type, q.n_cal, q.q90
+        ORDER BY t.event_type
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecast: calibration residuals |x_t − x_{t−7}| on the training
+    days give q̂ = the ⌈0.9(n+1)⌉-th order statistic, and the final
+    7 days check EMPIRICAL COVERAGE of the distribution-free 90%
+    interval — the finite-sample-valid uncertainty wrapper (Vovk;
+    the method behind every modern "prediction interval without
+    distributional assumptions").
+
+    Determinism: residuals are exact integers; q̂ is picked by exact
+    rank under an (r, rn) total order (no interpolation); coverage
+    is one integer ratio.
+
+    Scale: the same one-rollup + window shape as the backtest
+    scorecard; the q̂ frame is k rows broadcast onto 7k test rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("x", 7).over(w).alias("x_lag7"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_days"),
+    )
+    resid = (
+        seq.filter(F.col("x_lag7").isNotNull())
+        .withColumn("n_train", F.col("n_days") - 7)
+        .withColumn("r", F.abs(F.col("x") - F.col("x_lag7")))
+    )
+    cal = resid.filter(F.col("rn") <= F.col("n_train")).select(
+        "event_type", "r",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("r", "rn"))
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_cal"),
+    )
+    qhat = cal.groupBy("event_type", "n_cal").agg(
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"),
+                F.col("r"),
+            )
+        ).cast("long").alias("q90")
+    )
+    test = resid.filter(F.col("rn") > F.col("n_train"))
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "q90")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q90"), 1).otherwise(0))
+            .cast("long").alias("n_covered"),
+            F.round(
+                F.sum(
+                    F.when(F.col("r") <= F.col("q90"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )

@@ -21,7 +21,7 @@ outputs are single-expression functions of exact integer moments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -350,3 +350,275 @@ def safety_stock_reorder_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(lead) * mu + ss, 4).alias("reorder_point"),
         F.round(F.sqrt(F.lit(2.0 * k * 365.0) * mu / F.lit(h)), 4).alias("eoq"),
     ).orderBy("prio")
+
+
+@query(
+    "abc_xyz_classification",
+    category="SC-abcxyz",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+                       AS rev_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_partkey
+        ), weekly AS (
+            SELECT l_partkey,
+                   CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                       // 604800 AS wk,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem
+            GROUP BY l_partkey,
+                     CAST(floor(epoch(l_shipdate)) AS BIGINT) // 604800
+        ), cv AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_wk,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sqq
+            FROM weekly GROUP BY l_partkey
+        ), ranked AS (
+            SELECT p.l_partkey, p.rev_c,
+                   sum(p.rev_c) OVER (ORDER BY p.rev_c DESC, p.l_partkey)
+                       AS cum_rev,
+                   sum(p.rev_c) OVER () AS tot_rev,
+                   c.n_wk, c.sq, c.sqq
+            FROM per_part p JOIN cv c ON c.l_partkey = p.l_partkey
+        ), classed AS (
+            SELECT l_partkey,
+                   CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+                        WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CASE
+                     WHEN n_wk <= 1 OR sq = 0 THEN 'Z'
+                     WHEN 4 * n_wk * (n_wk * sqq - sq * sq)
+                          <= (n_wk - 1) * sq * sq THEN 'X'
+                     WHEN n_wk * (n_wk * sqq - sq * sq)
+                          <= (n_wk - 1) * sq * sq THEN 'Y'
+                     ELSE 'Z' END AS xyz
+            FROM ranked
+        )
+        SELECT abc, xyz,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM classed GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification census: parts classed A/B/C
+    by cumulative revenue share (80/95% Pareto cuts) and X/Y/Z by
+    weekly-demand variability (CV < 0.5 / < 1.0 / else) — the 9-cell
+    matrix that decides stocking policy (AX = automate, CZ = make to
+    order). Pairs with croston/newsvendor: XYZ picks WHICH forecast
+    model each part deserves.
+
+    Determinism: revenue is exact cents and the ABC cut is the
+    integer cross-multiplication cum·100 ≤ tot·80; the CV cuts avoid
+    sqrt entirely — CV ≤ c ⇔ c²·n·(nΣq²−(Σq)²) ≤ (n−1)(Σq)² stays
+    ALL-INTEGER (c = 1/2 multiplies through as 4).
+
+    Scale: two rollups (part, part×week) and one part-grain join;
+    the cumulative-share window is a global ordered prefix over the
+    PART dimension — at catalog scale swap it for
+    operators/ranking.py::exact_global_rank (range buckets + prefix
+    offsets), same contract.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+        .cast("long").alias("rev_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        (F.floor(F.unix_timestamp("l_shipdate")) / 604800)
+        .cast("long")
+        .alias("wk"),
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("q"))
+    cv = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_wk"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    w_cum = Window.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.join(cv, "l_partkey").select(
+        "l_partkey", "n_wk", "sq", "sqq",
+        F.sum("rev_c").over(w_cum).alias("cum_rev"),
+        F.sum("rev_c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot_rev"),
+    )
+    var_num = F.col("n_wk") * (
+        F.col("n_wk") * F.col("sqq") - F.col("sq") * F.col("sq")
+    )
+    var_den = (F.col("n_wk") - 1) * F.col("sq") * F.col("sq")
+    classed = ranked.select(
+        F.when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when((F.col("n_wk") <= 1) | (F.col("sq") == 0), "Z")
+        .when(4 * var_num <= var_den, "X")
+        .when(var_num <= var_den, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )
+
+
+@query(
+    "revenue_bridge_price_volume",
+    category="SC-bridge",
+    oracle="""
+        WITH months AS (
+            SELECT CAST(strftime(min(l_shipdate), '%Y-%m') AS VARCHAR) AS m0,
+                   CAST(strftime(max(l_shipdate), '%Y-%m') AS VARCHAR) AS m1
+            FROM lineitem
+        ), per AS (
+            SELECT l_partkey,
+                   CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS m,
+                   CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+                       AS rev_c,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem
+            GROUP BY l_partkey, CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR)
+        ), sides AS (
+            SELECT p.l_partkey,
+                   max(CASE WHEN p.m = mo.m0 THEN p.rev_c END) AS r0,
+                   max(CASE WHEN p.m = mo.m0 THEN p.qty END) AS q0,
+                   max(CASE WHEN p.m = mo.m1 THEN p.rev_c END) AS r1,
+                   max(CASE WHEN p.m = mo.m1 THEN p.qty END) AS q1
+            FROM per p CROSS JOIN months mo
+            WHERE p.m = mo.m0 OR p.m = mo.m1
+            GROUP BY p.l_partkey
+        ), effects AS (
+            SELECT
+                CAST(sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+                    THEN ((r1 * 1000) // q1 - (r0 * 1000) // q0) * q1
+                    ELSE 0 END) AS BIGINT) AS price_eff_mc,
+                CAST(sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+                    THEN ((r0 * 1000) // q0) * (q1 - q0)
+                    ELSE 0 END) AS BIGINT) AS volume_eff_mc,
+                CAST(sum(CASE WHEN r0 IS NULL THEN r1 * 1000
+                    ELSE 0 END) AS BIGINT) AS new_parts_mc,
+                CAST(sum(CASE WHEN r1 IS NULL THEN -r0 * 1000
+                    ELSE 0 END) AS BIGINT) AS lost_parts_mc,
+                CAST(sum(coalesce(r1, 0) - coalesce(r0, 0)) AS BIGINT)
+                    AS total_delta_c,
+                CAST(sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+                    THEN (r1 * 1000 - ((r1 * 1000) // q1) * q1)
+                       - (r0 * 1000 - ((r0 * 1000) // q0) * q0)
+                    ELSE 0 END) AS BIGINT) AS residual_mc
+            FROM sides
+        )
+        SELECT CAST(round(price_eff_mc / 100000.0, 6) AS DOUBLE)
+                   AS price_effect,
+               CAST(round(volume_eff_mc / 100000.0, 6) AS DOUBLE)
+                   AS volume_effect,
+               CAST(round(new_parts_mc / 100000.0, 6) AS DOUBLE)
+                   AS new_parts_effect,
+               CAST(round(lost_parts_mc / 100000.0, 6) AS DOUBLE)
+                   AS lost_parts_effect,
+               CAST(round(residual_mc / 100000.0, 6) AS DOUBLE)
+                   AS rounding_residual,
+               CAST(round(total_delta_c / 100.0, 6) AS DOUBLE)
+                   AS total_revenue_delta,
+               (price_eff_mc + volume_eff_mc + new_parts_mc + lost_parts_mc
+                + residual_mc = total_delta_c * 1000) AS bridge_closes
+        FROM effects
+    """,
+)
+def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge between the first and last
+    shipping month: Δrevenue decomposed into price effect
+    Σ(p₁−p₀)q₁, volume effect Σp₀(q₁−q₀), new-part and lost-part
+    contributions — the FP&A waterfall behind every "why did revenue
+    move" review, with ``bridge_closes`` pinning that the effects sum
+    EXACTLY to the total (the property hand-built bridges silently
+    lose).
+
+    Determinism: unit prices are integer MILLI-CENTS via BIGINT DIV
+    (r·1000 // q); every effect is a sum of integer products; the DIV
+    remainders are carried as an explicit rounding_residual term so
+    the bridge identity is exact by construction, not approximately.
+
+    Scale: one part×month rollup, a conditional pivot to part grain,
+    one aggregate — the fact table never joins anything.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    months = li.agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM").alias("m0"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM").alias("m1"),
+    )
+    per = li.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+        .cast("long").alias("rev_c"),
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    sides = (
+        per.crossJoin(F.broadcast(months))
+        .filter((F.col("m") == F.col("m0")) | (F.col("m") == F.col("m1")))
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("m") == F.col("m0"), F.col("rev_c"))).alias("r0"),
+            F.max(F.when(F.col("m") == F.col("m0"), F.col("qty"))).alias("q0"),
+            F.max(F.when(F.col("m") == F.col("m1"), F.col("rev_c"))).alias("r1"),
+            F.max(F.when(F.col("m") == F.col("m1"), F.col("qty"))).alias("q1"),
+        )
+    )
+    both = F.col("r0").isNotNull() & F.col("r1").isNotNull()
+    p0 = F.expr("(r0 * 1000) DIV q0")
+    p1 = F.expr("(r1 * 1000) DIV q1")
+    effects = sides.agg(
+        F.sum(F.when(both, (p1 - p0) * F.col("q1")).otherwise(0))
+        .cast("long").alias("price_eff_mc"),
+        F.sum(F.when(both, p0 * (F.col("q1") - F.col("q0"))).otherwise(0))
+        .cast("long").alias("volume_eff_mc"),
+        F.sum(F.when(F.col("r0").isNull(), F.col("r1") * 1000).otherwise(0))
+        .cast("long").alias("new_parts_mc"),
+        F.sum(F.when(F.col("r1").isNull(), -F.col("r0") * 1000).otherwise(0))
+        .cast("long").alias("lost_parts_mc"),
+        F.sum(
+            F.coalesce(F.col("r1"), F.lit(0))
+            - F.coalesce(F.col("r0"), F.lit(0))
+        ).cast("long").alias("total_delta_c"),
+        F.sum(
+            F.when(
+                both,
+                (F.col("r1") * 1000 - p1 * F.col("q1"))
+                - (F.col("r0") * 1000 - p0 * F.col("q0")),
+            ).otherwise(0)
+        ).cast("long").alias("residual_mc"),
+    )
+    return effects.select(
+        F.round(F.col("price_eff_mc") / 100000.0, 6).alias("price_effect"),
+        F.round(F.col("volume_eff_mc") / 100000.0, 6).alias("volume_effect"),
+        F.round(F.col("new_parts_mc") / 100000.0, 6).alias("new_parts_effect"),
+        F.round(F.col("lost_parts_mc") / 100000.0, 6).alias(
+            "lost_parts_effect"
+        ),
+        F.round(F.col("residual_mc") / 100000.0, 6).alias(
+            "rounding_residual"
+        ),
+        F.round(F.col("total_delta_c") / 100.0, 6).alias(
+            "total_revenue_delta"
+        ),
+        (
+            F.col("price_eff_mc")
+            + F.col("volume_eff_mc")
+            + F.col("new_parts_mc")
+            + F.col("lost_parts_mc")
+            + F.col("residual_mc")
+            == F.col("total_delta_c") * 1000
+        ).alias("bridge_closes"),
+    )

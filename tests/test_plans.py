@@ -2122,3 +2122,20 @@ def test_robust_stats_family_shapes(spark, sf_dir):
         assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert count_prefix(counts, bad) == 0, (name, counts)
+
+
+def test_conformal_supply_family_shapes(spark, sf_dir):
+    """Conformal + ABC-XYZ + revenue bridge: fact scans bounded,
+    q-hat/months frames broadcast, no Python evals anywhere."""
+    limits = {
+        "conformal_interval_coverage": 2,
+        "abc_xyz_classification": 2,
+        "revenue_bridge_price_volume": 2,
+    }
+    for name, max_scans in limits.items():
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "Scan parquet") <= max_scans, (name, counts)
+        assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)

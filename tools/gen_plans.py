@@ -235,6 +235,9 @@ HEADLINE = [
     "hodges_lehmann_location",
     "poisson_dispersion_test",
     "empirical_bayes_shrinkage",
+    "conformal_interval_coverage",
+    "abc_xyz_classification",
+    "revenue_bridge_price_volume",
 ]
 
 INTERESTING = (
