@@ -207,3 +207,80 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "price_cents", "qty")
         .orderBy("price_cents", F.col("qty").desc(), "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "randomized_response_debias",
+    category="PV-randresp",
+    oracle="""
+        WITH truth AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS y
+            FROM events GROUP BY user_id
+        ), reported AS (
+            SELECT user_id, y,
+                   CASE WHEN (instr('0123456789abcdef',
+                                    substr(md5('rr|' ||
+                                               CAST(user_id AS VARCHAR)),
+                                           1, 1)) - 1) % 4 = 0
+                        THEN 1 - y ELSE y END AS y_rr
+            FROM truth
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(y) AS BIGINT) AS true_count,
+               CAST(sum(y_rr) AS BIGINT) AS observed_count,
+               CAST(round((CAST(sum(y_rr) AS DOUBLE)
+                           - 0.25 * count(*)) / 0.5, 6) AS DOUBLE)
+                   AS debiased_estimate,
+               CAST(round(abs((CAST(sum(y_rr) AS DOUBLE)
+                               - 0.25 * count(*)) / 0.5
+                              - sum(y)), 6) AS DOUBLE) AS abs_error,
+               CAST(round(ln(3.0), 6) AS DOUBLE) AS epsilon_ldp
+        FROM reported
+    """,
+)
+def randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965 — the original local-DP
+    mechanism): each user's true "did purchase" bit is flipped with
+    probability p = 1/4 (md5-minted deterministic coin), giving
+    ε = ln((1−p)/p) = ln 3 local differential privacy; the collector
+    never sees truth, yet the population count debiases exactly as
+    (O − pN)/(1−2p). The emitted abs_error against the true count is
+    the utility price of the privacy — the whole LDP trade in one
+    row.
+
+    Determinism: flips are md5-minted; counts are integers; the
+    debias is one shared-text double expression.
+
+    Scale: one per-user aggregate plus a 1-row census — the
+    mechanism is embarrassingly map-side, which is exactly why
+    randomized response scales to telemetry collection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    truth = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    )
+    flip = (
+        F.expr(
+            "(instr('0123456789abcdef',"
+            " substr(md5(concat('rr|', cast(user_id AS STRING))), 1, 1))"
+            " - 1) % 4"
+        )
+        == 0
+    )
+    reported = truth.select(
+        "user_id", "y",
+        F.when(flip, 1 - F.col("y")).otherwise(F.col("y")).alias("y_rr"),
+    )
+    est = (F.sum("y_rr").cast("double") - 0.25 * F.count(F.lit(1))) / 0.5
+    return reported.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("true_count"),
+        F.sum("y_rr").cast("long").alias("observed_count"),
+        F.round(est, 6).alias("debiased_estimate"),
+        F.round(F.abs(est - F.sum("y")), 6).alias("abs_error"),
+        F.round(F.log(F.lit(3.0)), 6).alias("epsilon_ldp"),
+    )

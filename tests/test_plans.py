@@ -2139,3 +2139,18 @@ def test_conformal_supply_family_shapes(spark, sf_dir):
         assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert count_prefix(counts, bad) == 0, (name, counts)
+
+
+def test_recsys_cached_interactions(spark, sf_dir):
+    """Recsys MRR: the interactions/train frames are persisted (one
+    derivation of orders x lineitem), pair work is item-item, no
+    Python evals."""
+    df = q("recsys_mrr_at_10", spark, sf_dir)
+    counts = operator_counts(df)
+    assert (
+        count_prefix(counts, "InMemoryTableScan")
+        + count_prefix(counts, "TableCacheQueryStage")
+    ) >= 2, counts
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts

@@ -238,6 +238,8 @@ HEADLINE = [
     "conformal_interval_coverage",
     "abc_xyz_classification",
     "revenue_bridge_price_volume",
+    "recsys_mrr_at_10",
+    "randomized_response_debias",
 ]
 
 INTERESTING = (
