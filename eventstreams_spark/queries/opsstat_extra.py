@@ -981,3 +981,197 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_ERLANG_C), 6).alias("p_wait_erlang_c"),
         (F.expr(_ERLANG_C) <= 0.2).alias("meets_target"),
     ).orderBy("event_type", "n_servers")
+
+
+@query(
+    "max_concurrency_sweep",
+    category="OPS-concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 100 AS t0_cs,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 100
+                   + CAST(floor(value * 100 + 0.5) AS BIGINT) AS t1_cs
+            FROM events WHERE value IS NOT NULL
+        ), pts AS (
+            SELECT event_type, t0_cs AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, t1_cs, -1 FROM iv
+        ), net AS (
+            SELECT event_type, t, CAST(sum(delta) AS BIGINT) AS net
+            FROM pts GROUP BY event_type, t
+        ), running AS (
+            SELECT event_type, t,
+                   CAST(sum(net) OVER (PARTITION BY event_type
+                                       ORDER BY t) AS BIGINT) AS conc
+            FROM net
+        ), peak AS (
+            SELECT event_type, t, conc,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY conc DESC, t) AS rk
+            FROM running
+        )
+        SELECT event_type,
+               conc AS peak_concurrency,
+               t AS peak_at_cs
+        FROM peak WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact peak concurrency per channel by the classic +1/−1 sweep:
+    each event is an interval [t₀, t₀+duration) in centiseconds (value
+    as service seconds); starts and ends become signed points, a net
+    per instant, and a running sum whose maximum is the TRUE peak
+    in-flight count — the exact answer Little's-law sampling
+    (little_law_consistency) only approximates, and the number
+    capacity planning actually needs (erlang_c_staffing's demand-side
+    input).
+
+    Determinism: instants are exact integer centiseconds; grouping to
+    per-instant nets BEFORE the running sum removes any tie-order
+    ambiguity (ends and starts at the same instant collapse into one
+    integer); the peak picks the EARLIEST instant on ties by rank.
+
+    Scale: 2 points per event, one (type, t) aggregate, then the
+    running sum partitioned BY CHANNEL — parallel across channels;
+    for a single global timeline at 100 TB, sweep per day-bucket and
+    stitch prefix offsets (the exact_global_rank construction).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts")).cast("long") * 100).alias("t0_cs"),
+            (
+                F.floor(F.unix_timestamp("ts")).cast("long") * 100
+                + F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("t1_cs"),
+        )
+    )
+    pts = ev.select(
+        "event_type", F.col("t0_cs").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type", F.col("t1_cs").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    net = pts.groupBy("event_type", "t").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    running = net.select(
+        "event_type", "t",
+        F.sum("net")
+        .over(Window.partitionBy("event_type").orderBy("t"))
+        .cast("long")
+        .alias("conc"),
+    )
+    peak = running.select(
+        "event_type", "t", "conc",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(F.desc("conc"), "t")
+        )
+        .alias("rk"),
+    )
+    return (
+        peak.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("conc").alias("peak_concurrency"),
+            F.col("t").alias("peak_at_cs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "watermark_delay_tradeoff",
+    category="OPS-watermark",
+    oracle="""
+        WITH delayed AS (
+            SELECT CAST(floor(-ln(
+                       ((strpos('0123456789abcdef',
+                                substr(md5('arr|' ||
+                                           CAST(event_id AS VARCHAR)), 1, 1))
+                         - 1) * 268435456.0
+                        + (strpos('0123456789abcdef',
+                                  substr(md5('arr|' ||
+                                             CAST(event_id AS VARCHAR)), 2, 1))
+                           - 1) * 16777216.0
+                        + 0.5) / 4294967296.0
+                   ) * 600.0) AS BIGINT) AS delay_s
+            FROM events
+        ), cand AS (
+            SELECT unnest(ARRAY[60, 300, 3600, 21600]) AS w_s
+        )
+        SELECT c.w_s AS watermark_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN d.delay_s > c.w_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_late,
+               CAST(round(1.0 - CAST(sum(CASE WHEN d.delay_s > c.w_s
+                                              THEN 1 ELSE 0 END) AS DOUBLE)
+                                / count(*), 6) AS DOUBLE) AS completeness
+        FROM delayed d CROSS JOIN cand c
+        GROUP BY c.w_s ORDER BY c.w_s
+    """,
+)
+def watermark_delay_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from the arrival-delay distribution: each
+    event gets a deterministic exponential-ish delay (−ln(u)·600 s
+    from two md5 nibbles, mean ≈ 10 min), and candidate watermarks
+    {1 m, 5 m, 1 h, 6 h} are scored by how many events they would
+    drop as late vs how long results must wait — the measurement that
+    should decide every withWatermark() argument instead of folklore.
+
+    Determinism: u is a 2-nibble md5 fraction identical in both
+    engines; the floor of −ln(u)·600 differs only if libm/JVM ln
+    ulps straddle an integer boundary (~1e-13 relative — negligible);
+    the census is integer compares.
+
+    Scale: the delay mint is map-side; the 4-candidate fan-out is a
+    broadcast cross of a literal array — one aggregate total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        (
+            F.expr(
+                "(locate(substr(md5(concat('arr|', cast(event_id AS STRING))), 1, 1),"
+                " '0123456789abcdef') - 1)"
+            )
+            * 268435456.0
+            + F.expr(
+                "(locate(substr(md5(concat('arr|', cast(event_id AS STRING))), 2, 1),"
+                " '0123456789abcdef') - 1)"
+            )
+            * 16777216.0
+            + 0.5
+        )
+        / 4294967296.0
+    )
+    delayed = ev.select(
+        F.floor(-F.log(u) * 600.0).cast("long").alias("delay_s")
+    )
+    cand = spark.createDataFrame(
+        [(60,), (300,), (3600,), (21600,)], "w_s long"
+    )
+    return (
+        delayed.crossJoin(F.broadcast(cand))
+        .groupBy("w_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("delay_s") > F.col("w_s"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped_late"),
+            F.round(
+                1.0
+                - F.sum(
+                    F.when(F.col("delay_s") > F.col("w_s"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("completeness"),
+        )
+        .withColumnRenamed("w_s", "watermark_s")
+        .orderBy("watermark_s")
+    )

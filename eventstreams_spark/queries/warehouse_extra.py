@@ -1393,3 +1393,86 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    category="WH-pitjoin",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, event_id AS version_id, event_type AS status,
+                   ts AS eff_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS eff_to
+            FROM events WHERE event_type IN ('signup', 'purchase')
+        ), facts AS (
+            SELECT user_id, event_id AS click_id, ts
+            FROM events WHERE event_type = 'click'
+        ), joined AS (
+            SELECT f.user_id, f.click_id, d.status
+            FROM facts f LEFT JOIN dim d
+              ON d.user_id = f.user_id
+             AND f.ts >= d.eff_from
+             AND (d.eff_to IS NULL OR f.ts < d.eff_to)
+        )
+        SELECT coalesce(status, 'NO_VERSION') AS status_at_click,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM joined GROUP BY coalesce(status, 'NO_VERSION')
+        ORDER BY status_at_click
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against an SCD Type-2 dimension:
+    clicks join the user's status version (built from the
+    signup/purchase changelog with [from, to) validity) that was in
+    force AT CLICK TIME — the read-side complement of
+    scd2_intervals_from_changelog, and the query every "state of the
+    customer when the event happened" report reduces to. Clicks
+    before any version land in NO_VERSION (the left-join honesty the
+    naive keep-latest join silently gets wrong).
+
+    Determinism: interval bounds are exact timestamps under a
+    (ts, event_id) total order; output is an integer census.
+
+    Scale: the validity join is user-keyed (equi key + time band —
+    the J8 range-join family, never a cross product); both sides
+    shuffle once on user_id. At billions of versions add month
+    bucketing to the key (the as-of join pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("eff_from"),
+            F.lead("ts").over(w).alias("eff_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("f_ts"),
+    )
+    joined = facts.join(
+        dim,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_ts") >= F.col("eff_from"))
+        & (F.col("eff_to").isNull() | (F.col("f_ts") < F.col("eff_to"))),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("status"), F.lit("NO_VERSION")).alias(
+                "status_at_click"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.countDistinct("f_user").cast("long").alias("n_users"),
+        )
+        .orderBy("status_at_click")
+    )

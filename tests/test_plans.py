@@ -2154,3 +2154,20 @@ def test_recsys_cached_interactions(spark, sf_dir):
     assert count_prefix(counts, "CartesianProduct") == 0, counts
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert count_prefix(counts, bad) == 0, counts
+
+
+def test_warehouse_ops_family_shapes(spark, sf_dir):
+    """PIT join is user-keyed (no cross product); the concurrency
+    sweep and watermark census are single-scan; no Python evals."""
+    limits = {
+        "scd2_point_in_time_join": 2,
+        "max_concurrency_sweep": 2,
+        "watermark_delay_tradeoff": 1,
+    }
+    for name, max_scans in limits.items():
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "Scan parquet") <= max_scans, (name, counts)
+        assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)

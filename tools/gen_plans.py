@@ -240,6 +240,9 @@ HEADLINE = [
     "revenue_bridge_price_volume",
     "recsys_mrr_at_10",
     "randomized_response_debias",
+    "scd2_point_in_time_join",
+    "max_concurrency_sweep",
+    "watermark_delay_tradeoff",
 ]
 
 INTERESTING = (
