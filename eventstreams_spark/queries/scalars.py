@@ -561,3 +561,159 @@ def aes_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "parquet_merge_schema_roundtrip",
+    category="S2-mergeschema",
+    oracle="""
+        WITH old_half AS (
+            SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS acct_rounded
+            FROM supplier WHERE s_suppkey % 2 = 0
+        ), new_half AS (
+            SELECT s_suppkey, s_name,
+                   CAST(round(s_acctbal, 2) AS DOUBLE) AS acct_rounded
+            FROM supplier WHERE s_suppkey % 2 = 1
+        ), merged AS (
+            SELECT * FROM old_half UNION ALL SELECT * FROM new_half
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN acct_rounded IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old_schema_rows,
+               CAST(sum(CASE WHEN acct_rounded IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_schema_rows,
+               CAST(round(sum(coalesce(acct_rounded, 0.0)), 2) AS DOUBLE)
+                   AS sum_new_acct
+        FROM merged
+    """,
+)
+def parquet_merge_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip (S2 depth): the supplier table is
+    written as TWO parquet batches with different schemas — the "old
+    ingest" half lacks the acct_rounded column, the "new ingest" half
+    carries it — then read back in one scan with mergeSchema=true.
+    Rows from old files surface the missing column as NULL, which is
+    exactly how a production lake absorbs an added column without
+    rewriting history; the census pins the null split and the summed
+    new-column content.
+
+    Determinism: integer counts and one cent-rounded sum over half
+    the dimension table.
+
+    Scale: mergeSchema reconciles FOOTERS (per-file metadata), not
+    data — the read stays one pruned columnar scan; the write halves
+    are partitioned-once dimension writes.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(
+        SCRATCH, "merge_schema", os.path.basename(sf_dir.rstrip("/"))
+    )
+    old_half = s.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name"
+    )
+    new_half = s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name",
+        F.round("s_acctbal", 2).cast("double").alias("acct_rounded"),
+    )
+    old_half.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    new_half.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("acct_rounded").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_old_schema_rows"),
+        F.sum(F.when(F.col("acct_rounded").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_new_schema_rows"),
+        F.round(F.sum(F.coalesce(F.col("acct_rounded"), F.lit(0.0))), 2)
+        .alias("sum_new_acct"),
+    )
+
+
+@query(
+    "csv_corrupt_record_census",
+    category="S2-corruptcsv",
+    oracle="""
+        WITH lines AS (
+            SELECT s_suppkey,
+                   (instr('0123456789abcdef',
+                          substr(md5('bad|' || CAST(s_suppkey AS VARCHAR)),
+                                 1, 1)) - 1) % 5 = 0 AS is_bad
+            FROM supplier
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(sum(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_parsed,
+               CAST(sum(CASE WHEN is_bad THEN 0 ELSE s_suppkey END)
+                    AS BIGINT) AS parsed_key_sum
+        FROM lines
+    """,
+)
+def csv_corrupt_record_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV handling census (S2 ingest depth): supplier rows
+    are serialized to CSV with ~20% of lines deliberately corrupted
+    (md5-minted: the numeric key written as a non-numeric token), then
+    read back under PERMISSIVE mode with a _corrupt_record column —
+    the Logstash-DLQ-equivalent contract: bad lines are CAPTURED, not
+    dropped, and good lines parse untouched. The census pins both
+    populations and the parsed-key checksum.
+
+    Determinism: corruption is md5-minted per key; all outputs are
+    integer counts/sums.
+
+    Scale: the corrupt-record path is row-local parse logic inside
+    the scan — no extra pass; the DLQ split downstream is one filter
+    (split_dead_letters), identical at any size.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(
+        SCRATCH, "corrupt_csv", os.path.basename(sf_dir.rstrip("/"))
+    )
+    bad = (
+        F.expr(
+            "(instr('0123456789abcdef',"
+            " substr(md5(concat('bad|', cast(s_suppkey AS STRING))), 1, 1))"
+            " - 1) % 5"
+        )
+        == 0
+    )
+    lines = s.select(
+        F.when(
+            bad,
+            F.concat(F.lit("X"), F.col("s_suppkey").cast("string"), F.lit("X,oops")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("s_suppkey").cast("string"),
+                F.lit(","),
+                F.col("s_nationkey").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = "s_suppkey LONG, s_nationkey LONG, _corrupt_record STRING"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # cache before touching _corrupt_record: Spark requires it (the
+    # corrupt column is only populated when other columns are also
+    # referenced from the same scan)
+    back = back.cache()
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_parsed"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("s_suppkey"))
+            .otherwise(0)
+        ).cast("long").alias("parsed_key_sum"),
+    )
