@@ -3012,3 +3012,106 @@ def geofence_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fence_id")
     )
+
+
+@query(
+    "session_gap_sensitivity",
+    category="W8-gapsweep",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_s
+            FROM events
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN gap_s > 300 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS br_5m,
+                   CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS br_30m,
+                   CAST(sum(CASE WHEN gap_s > 7200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS br_2h
+            FROM gaps
+        )
+        SELECT g.gap_name, g.gap_s AS gap_seconds,
+               a.n_users + g.breaks AS n_sessions,
+               CAST(round(CAST(a.n_events AS DOUBLE)
+                          / (a.n_users + g.breaks), 6) AS DOUBLE)
+                   AS avg_events_per_session
+        FROM agg a CROSS JOIN (
+            SELECT '5m' AS gap_name, 300 AS gap_s, a2.br_5m AS breaks
+            FROM agg a2
+            UNION ALL
+            SELECT '30m', 1800, a2.br_30m FROM agg a2
+            UNION ALL
+            SELECT '2h', 7200, a2.br_2h FROM agg a2
+        ) g
+        ORDER BY g.gap_s
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap sensitivity sweep: how many sessions (and how many
+    events per session) each candidate inactivity threshold
+    {5 m, 30 m, 2 h} produces — sessions = users + gap-breaks, all
+    from ONE lag pass, so choosing the sessionize parameter becomes a
+    measured decision instead of a default. The W8 companion to
+    watermark_delay_tradeoff.
+
+    Determinism: gaps are integer seconds under the (ts, event_id)
+    order; every output is integer or one division.
+
+    Scale: one user-keyed window pass + one census; the 3-threshold
+    fan-out happens on the 1-row aggregate, not the facts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.floor(F.unix_timestamp("ts")).cast("long")
+    gaps = ev.select(
+        "user_id", (t - F.lag(t).over(w)).alias("gap_s")
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("gap_s") > 300, 1).otherwise(0))
+        .cast("long").alias("br_5m"),
+        F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))
+        .cast("long").alias("br_30m"),
+        F.sum(F.when(F.col("gap_s") > 7200, 1).otherwise(0))
+        .cast("long").alias("br_2h"),
+    )
+    kv = F.explode(
+        F.array(
+            F.struct(
+                F.lit("5m").alias("gap_name"),
+                F.lit(300).alias("gap_seconds"),
+                F.col("br_5m").alias("breaks"),
+            ),
+            F.struct(
+                F.lit("30m").alias("gap_name"),
+                F.lit(1800).alias("gap_seconds"),
+                F.col("br_30m").alias("breaks"),
+            ),
+            F.struct(
+                F.lit("2h").alias("gap_name"),
+                F.lit(7200).alias("gap_seconds"),
+                F.col("br_2h").alias("breaks"),
+            ),
+        )
+    )
+    return (
+        agg.select("n_events", "n_users", kv.alias("g"))
+        .select(
+            F.col("g.gap_name").alias("gap_name"),
+            F.col("g.gap_seconds").cast("int").alias("gap_seconds"),
+            (F.col("n_users") + F.col("g.breaks")).alias("n_sessions"),
+            F.round(
+                F.col("n_events").cast("double")
+                / (F.col("n_users") + F.col("g.breaks")),
+                6,
+            ).alias("avg_events_per_session"),
+        )
+        .orderBy("gap_seconds")
+    )

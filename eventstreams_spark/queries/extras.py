@@ -1654,3 +1654,208 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_page_alerts"),
         F.round(F.max("rate6"), 6).alias("worst_rate_6h"),
     )
+
+
+@query(
+    "functional_dependency_census",
+    category="Q1-fdcensus",
+    oracle="""
+        WITH cand AS (
+            SELECT 'o_orderkey->o_custkey' AS fd,
+                   CAST(count(*) AS BIGINT) AS n_lhs,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_lhs,
+                   CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs
+            FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+                  FROM orders GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'o_custkey->o_orderpriority',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(nd) AS BIGINT)
+            FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+                  FROM orders GROUP BY o_custkey)
+            UNION ALL
+            SELECT 'orderdate->orderstatus',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(nd) AS BIGINT)
+            FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                         count(DISTINCT o_orderstatus) AS nd
+                  FROM orders GROUP BY CAST(o_orderdate AS DATE))
+        )
+        SELECT fd, n_lhs, n_violating_lhs, max_rhs_per_lhs,
+               (n_violating_lhs = 0) AS holds
+        FROM cand ORDER BY fd
+    """,
+)
+def functional_dependency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery census (Q1 profiling depth):
+    for candidate A→B dependencies, count left-hand values with more
+    than one distinct right-hand value — zero violations means the FD
+    holds and B can be normalized out / trusted as an attribute of A;
+    the profiling question behind dedup-key and dimension-model
+    choices (pk_candidate_census asks "is A unique", this asks "does
+    A determine B").
+
+    Determinism: distinct counts and violation flags are exact
+    integers.
+
+    Scale: one groupBy+distinct per candidate — each a two-phase
+    aggregate on A; the three candidates here are a UNION of
+    dimension-sized results (each branch scans only its two columns).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fd(name, lhs, rhs):
+        per = orders.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("nd")
+        )
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long").alias("n_violating_lhs"),
+            F.max("nd").cast("long").alias("max_rhs_per_lhs"),
+        )
+
+    rows = (
+        fd("o_orderkey->o_custkey", F.col("o_orderkey"), "o_custkey")
+        .unionAll(
+            fd(
+                "o_custkey->o_orderpriority",
+                F.col("o_custkey"),
+                "o_orderpriority",
+            )
+        )
+        .unionAll(
+            fd(
+                "orderdate->orderstatus",
+                F.to_date("o_orderdate"),
+                "o_orderstatus",
+            )
+        )
+    )
+    return rows.select(
+        "fd", "n_lhs", "n_violating_lhs", "max_rhs_per_lhs",
+        (F.col("n_violating_lhs") == 0).alias("holds"),
+    ).orderBy("fd")
+
+
+@query(
+    "last_digit_uniformity",
+    category="Q1-lastdigit",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 10 AS d
+            FROM events WHERE value IS NOT NULL
+        ), census AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(n * n) AS BIGINT) AS sum_sq
+            FROM census
+        )
+        SELECT c.d AS last_digit, c.n,
+               CAST(round(CAST(c.n AS DOUBLE) / t.total, 6) AS DOUBLE)
+                   AS share,
+               CAST(round(CAST(100 * t.sum_sq - 10 * t.total * t.total
+                               AS DOUBLE) / (10 * t.total), 6) AS DOUBLE)
+                   AS chi2_uniform,
+               (CAST(100 * t.sum_sq - 10 * t.total * t.total AS DOUBLE)
+                / (10 * t.total) > 16.918978) AS reject_uniform_5pct
+        FROM census c CROSS JOIN tot t
+        ORDER BY c.d
+    """,
+)
+def last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity test on the cent column — the forensic
+    complement of benford_digit_profile: genuine measured amounts
+    have UNIFORM last digits, while invented ones cluster on 0/5, so
+    χ² against uniform(10) flags fabrication. The identity
+    χ² = (100Σn² − 10N²)/(10N) keeps the statistic one division of
+    exact integers; the 5% decision compares to χ²₉ = 16.918978.
+
+    Scale: one map-side digit census to 10 rows plus a 1-row total.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    census = ev.select(
+        (F.floor(F.col("value") * 100 + 0.5).cast("long") % 10).alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = census.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    chi2 = (
+        (100 * F.col("sum_sq") - 10 * F.col("total") * F.col("total"))
+        .cast("double")
+        / (10 * F.col("total"))
+    )
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("last_digit"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(chi2, 6).alias("chi2_uniform"),
+            (chi2 > 16.918978).alias("reject_uniform_5pct"),
+        )
+        .orderBy("last_digit")
+    )
+
+
+@query(
+    "apdex_score_daily",
+    category="OPS-apdex",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cs
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cs <= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_satisfied,
+               CAST(sum(CASE WHEN cs > 10000 AND cs <= 40000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+               CAST(round((CAST(sum(CASE WHEN cs <= 10000 THEN 1 ELSE 0 END)
+                                AS DOUBLE)
+                           + 0.5 * sum(CASE WHEN cs > 10000 AND cs <= 40000
+                                            THEN 1 ELSE 0 END))
+                          / count(*), 6) AS DOUBLE) AS apdex
+        FROM scored GROUP BY day ORDER BY day
+    """,
+)
+def apdex_score_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Apdex score (the industry UX index): with target
+    T = 100 s on the value-as-duration column, satisfied = ≤ T,
+    tolerating = ≤ 4T, Apdex = (satisfied + tolerating/2)/total —
+    the one-number latency summary every APM product reports, exact
+    from integer centisecond buckets.
+
+    Scale: one map-side conditional census per day; no joins.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cs"),
+    )
+    sat = F.sum(F.when(F.col("cs") <= 10000, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("cs") > 10000) & (F.col("cs") <= 40000), 1).otherwise(0)
+    )
+    return (
+        scored.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            sat.cast("long").alias("n_satisfied"),
+            tol.cast("long").alias("n_tolerating"),
+            F.round(
+                (sat.cast("double") + 0.5 * tol) / F.count(F.lit(1)), 6
+            ).alias("apdex"),
+        )
+        .orderBy("day")
+    )

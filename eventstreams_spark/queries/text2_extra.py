@@ -386,3 +386,100 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_drawn") >= 20)
         .orderBy(F.col("n_drawn").desc(), "negative")
     )
+
+
+@query(
+    "vocabulary_overlap_matrix",
+    category="TX2-vocaboverlap",
+    oracle="""
+        WITH vocab AS (
+            SELECT DISTINCT source, tok
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS v
+            FROM vocab GROUP BY source
+        ), inter AS (
+            SELECT a.source AS sa, b.source AS sb,
+                   CAST(count(*) AS BIGINT) AS both_n
+            FROM vocab a JOIN vocab b
+              ON a.tok = b.tok AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.sa, i.sb, za.v AS v_a, zb.v AS v_b, i.both_n,
+               CAST(round(CAST(i.both_n AS DOUBLE)
+                          / (za.v + zb.v - i.both_n), 6) AS DOUBLE)
+                   AS jaccard,
+               CAST(round(CAST(i.both_n AS DOUBLE)
+                          / least(za.v, zb.v), 6) AS DOUBLE)
+                   AS overlap_coef
+        FROM inter i
+        JOIN sizes za ON za.source = i.sa
+        JOIN sizes zb ON zb.source = i.sb
+        ORDER BY jaccard DESC, i.sa, i.sb LIMIT 25
+    """,
+)
+def vocabulary_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: Jaccard
+    and Szymkiewicz-Simpson overlap coefficients over distinct token
+    sets — the corpus-composition diagnostic that flags near-clone
+    sources before dedup (two crawls of the same site show
+    overlap_coef → 1 even when size differences hide it from
+    Jaccard).
+
+    Determinism: set sizes and intersections are exact integers from
+    the distinct (source, token) frame; ratios divide once.
+
+    Scale: the pair work is a TOKEN-keyed equi self-join of the
+    vocabulary frame (Σ df² per token, the collocation bound), never
+    source×source over raw text; sizes broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # 4 consumers (pair sides + 2 size lookups) — persist so the
+    # tokenize+distinct pass over documents runs once
+    vocab = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("both_n"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("v").alias("v_a"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .select(
+            "sa", "sb", "v_a", "v_b", "both_n",
+            F.round(
+                F.col("both_n").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("both_n")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("both_n").cast("double")
+                / F.least(F.col("v_a"), F.col("v_b")),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy(F.desc("jaccard"), "sa", "sb")
+        .limit(25)
+    )

@@ -2171,3 +2171,32 @@ def test_warehouse_ops_family_shapes(spark, sf_dir):
         assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert count_prefix(counts, bad) == 0, (name, counts)
+
+
+def test_profiling_ops_family_shapes(spark, sf_dir):
+    """FD census / last-digit / Apdex / vocab overlap / gap sweep:
+    censuses stay map-side-combinable aggregates; pair work only on
+    the token-keyed vocabulary frame; no Python."""
+    limits = {
+        "functional_dependency_census": 3,
+        "last_digit_uniformity": 2,
+        "apdex_score_daily": 1,
+        "session_gap_sensitivity": 1,
+    }
+    for name, max_scans in limits.items():
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "Scan parquet") <= max_scans, (name, counts)
+        assert count_prefix(counts, "CartesianProduct") == 0, (name, counts)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert count_prefix(counts, bad) == 0, (name, counts)
+    # vocab overlap persists the tokenize+distinct pass: execution
+    # must read the CACHE for its 4 consumers (the raw "Scan parquet"
+    # occurrences in the plan text live inside InMemoryRelation's
+    # stored plan and materialize once)
+    df = q("vocabulary_overlap_matrix", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "InMemoryTableScan") >= 3, counts
+    assert count_prefix(counts, "CartesianProduct") == 0, counts
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert count_prefix(counts, bad) == 0, counts

@@ -243,6 +243,13 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "max_concurrency_sweep",
     "watermark_delay_tradeoff",
+    "functional_dependency_census",
+    "last_digit_uniformity",
+    "apdex_score_daily",
+    "vocabulary_overlap_matrix",
+    "session_gap_sensitivity",
+    "parquet_merge_schema_roundtrip",
+    "csv_corrupt_record_census",
 ]
 
 INTERESTING = (
