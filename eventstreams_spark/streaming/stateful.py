@@ -1397,3 +1397,73 @@ def forecast_error_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def token_bucket_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    capacity: int = 5,
+    refill_per_sec_milli: int = 100,
+) -> DataFrame:
+    """Streaming token-bucket rate limiter — the REFILL-based
+    admission policy (throttle_stream_periodic is the fixed-window
+    counter; a token bucket smooths bursts instead of resetting at
+    bucket edges, the semantics of every API gateway / Guava
+    RateLimiter): per key the state is (milli-tokens, last event-time
+    second); each event first refills min(capacity,
+    tokens + Δt·rate), then is ADMITTED iff a full token (1000 milli)
+    is available, paying one token. All arithmetic is INTEGER
+    (milli-tokens × whole seconds), so the fold is bit-exact across
+    any micro-batch split (batching-invariance golden) and restart.
+    Emits admitted rows with tokens_after_milli; rejected rows are
+    dropped (route them to a DLQ by diffing against the input).
+    State is O(1) per key."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("tokens_after_milli", LongType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    cap_milli = capacity * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, last = state.get
+            last = None if last < 0 else last  # -1 encodes "no event yet"
+        else:
+            tokens, last = cap_milli, None
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col).copy()
+            secs = (pdf[ts_col].astype("int64") // 1_000_000_000).astype(
+                "int64"
+            )
+            keep, toks = [], []
+            for t in secs:
+                t = int(t)
+                if last is not None and t > last:
+                    tokens = min(cap_milli, tokens + (t - last) * refill_per_sec_milli)
+                last = t
+                if tokens >= 1000:
+                    tokens -= 1000
+                    keep.append(True)
+                    toks.append(tokens)
+                else:
+                    keep.append(False)
+                    toks.append(None)
+            pdf["tokens_after_milli"] = pd.array(toks, dtype="Int64")
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out[out_cols]
+        state.update((tokens, -1 if last is None else last))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="tokens long, last long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

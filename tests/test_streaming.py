@@ -1944,3 +1944,63 @@ def test_hmm_stream_state_recovers_across_restarts(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def _token_bucket_reference(rows, capacity=5, rate_milli=100):
+    """Offline reference fold: (ts_sec, ...) rows in order ->
+    [(row, tokens_after)] for admitted rows only."""
+    cap = capacity * 1000
+    tokens, last = cap, None
+    out = []
+    for r in rows:
+        t = r[0]
+        if last is not None and t > last:
+            tokens = min(cap, tokens + (t - last) * rate_milli)
+        last = t
+        if tokens >= 1000:
+            tokens -= 1000
+            out.append((r, tokens))
+    return out
+
+
+def test_token_bucket_stream_matches_reference_and_batching(spark, tmp_path):
+    """T7 refill semantics: the token bucket admits bursts up to
+    capacity, refills at the configured rate, and the admitted set +
+    remaining milli-tokens must match the offline fold EXACTLY and be
+    INVARIANT to how the stream is micro-batched (integer
+    milli-token arithmetic — no float drift)."""
+    from eventstreams_spark.streaming.stateful import token_bucket_stream
+
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    # burst of 7 at t=0 (5 admitted), then sparse arrivals that refill
+    offsets = [0, 0, 1, 1, 2, 2, 3, 15, 16, 40, 41, 42, 43, 44, 100]
+    rows = [
+        ("a", i, base + off) for i, off in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, t_s long"
+    ).select("k", "event_id", F.timestamp_seconds("t_s").alias("ts"))
+
+    want_ref = _token_bucket_reference(
+        [(base + off, i) for i, off in enumerate(offsets)]
+    )
+    want = sorted((r[1], tok) for r, tok in want_ref)
+
+    got_by_chunks = []
+    for chunks in (2, 5):
+        d = str(tmp_path / f"c{chunks}")
+        stream = replay_table(spark, df, d, chunks=chunks, order_col="ts")
+        run_to_memory(
+            token_bucket_stream(stream, "k", "ts"),
+            f"t_bucket_{chunks}",
+            output_mode="append",
+        )
+        got = sorted(
+            (r.event_id, r.tokens_after_milli)
+            for r in spark.sql(
+                f"SELECT event_id, tokens_after_milli FROM t_bucket_{chunks}"
+            ).collect()
+        )
+        got_by_chunks.append(got)
+    assert got_by_chunks[0] == want, (got_by_chunks[0], want)
+    assert got_by_chunks[0] == got_by_chunks[1]
