@@ -1467,3 +1467,121 @@ def token_bucket_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def slo_burn_stream(
+    df: DataFrame,
+    ts_col: str,
+    error_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Streaming multiwindow SLO burn-rate monitor — the GroupState
+    twin of queries/opsstat_extra.py::slo_multiwindow_burn_timeline:
+    per key the state is the OPEN hour's (n, e) counters plus a ring
+    of the last 23 closed hours; when an event arrives in a LATER
+    hour the open hour closes and emits its burn row — 1 h / 6 h /
+    24 h rates over the ring with the same RANGE semantics as the
+    batch window (missing hours widen the lookback because the ring
+    keys are hour INDEXES, not positions). Alert decisions are the
+    identical integer inequalities (4e ≥ n, 40e ≥ 9n), so emitted
+    rows bit-match the batch timeline
+    (test_slo_burn_stream_matches_batch). State is O(24) per key;
+    the still-open hour emits on the next hour's first arrival."""
+    import json
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("hr", LongType()),
+            StructField("n", LongType()),
+            StructField("e", LongType()),
+            StructField("burn_1h", DoubleType()),
+            StructField("burn_6h", DoubleType()),
+            StructField("burn_24h", DoubleType()),
+            StructField("fast_alert", BooleanType()),
+            StructField("slow_alert", BooleanType()),
+        ]
+    )
+
+    def _round6(x):
+        import math
+
+        s = 1000000.0
+        return (
+            math.floor(x * s + 0.5) / s
+            if x >= 0
+            else -math.floor(-x * s + 0.5) / s
+        )
+
+    def _emit_row(key, ring, hr, n, e):
+        window = ring + [(hr, n, e)]
+        n6 = sum(nn for (h, nn, _) in window if h > hr - 6)
+        e6 = sum(ee for (h, _, ee) in window if h > hr - 6)
+        n24 = sum(nn for (h, nn, _) in window if h > hr - 24)
+        e24 = sum(ee for (h, _, ee) in window if h > hr - 24)
+        return {
+            key_col: key,
+            "hr": hr,
+            "n": n,
+            "e": e,
+            "burn_1h": _round6(4.0 * e / n),
+            "burn_6h": _round6(4.0 * e6 / n6),
+            "burn_24h": _round6(4.0 * e24 / n24),
+            "fast_alert": bool(4 * e >= n and 4 * e6 >= n6),
+            "slow_alert": bool(40 * e6 >= 9 * n6 and 40 * e24 >= 9 * n24),
+        }
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_hr, n, e, ring_json = state.get
+            ring = [tuple(x) for x in json.loads(ring_json)]
+            cur = None if cur_hr < 0 else cur_hr
+        else:
+            cur, n, e, ring = None, 0, 0, []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            hrs = (pdf[ts_col].astype("int64") // 1_000_000_000 // 3600).astype(
+                "int64"
+            )
+            errs = pdf[error_col].astype("int64")
+            rows = []
+            for h, is_e in zip(hrs, errs):
+                h = int(h)
+                if cur is not None and h > cur:
+                    rows.append(_emit_row(key[0], ring, cur, n, e))
+                    ring = [r for r in ring + [(cur, n, e)] if r[0] > cur - 24]
+                    n, e = 0, 0
+                    cur = h
+                elif cur is None:
+                    cur = h
+                n += 1
+                e += int(is_e)
+            if rows:
+                yield pd.DataFrame(rows)
+        state.update(
+            (
+                -1 if cur is None else cur,
+                n,
+                e,
+                json.dumps([list(r) for r in ring]),
+            )
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="cur long, n long, e long, ring string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2004,3 +2004,51 @@ def test_token_bucket_stream_matches_reference_and_batching(spark, tmp_path):
         got_by_chunks.append(got)
     assert got_by_chunks[0] == want, (got_by_chunks[0], want)
     assert got_by_chunks[0] == got_by_chunks[1]
+
+
+def test_slo_burn_stream_matches_batch(spark, sf_dir, tmp_path):
+    """T14/OPS twin equality: the streaming multiwindow burn monitor
+    must emit, for every CLOSED hour, exactly the batch timeline's
+    row — burn rates (RANGE semantics over hour indexes, so gaps
+    widen the lookback identically) and the integer-decided alert
+    booleans. Only the final still-open hour is withheld."""
+    from eventstreams_spark.queries.opsstat_extra import (
+        slo_multiwindow_burn_timeline,
+    )
+    from eventstreams_spark.streaming.stateful import slo_burn_stream
+
+    sliced = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(
+            F.lit("all").alias("k"),
+            "ts",
+            "event_id",
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+    )
+    stream = replay_table(spark, sliced, str(tmp_path), chunks=3, order_col="ts")
+    run_to_memory(
+        slo_burn_stream(stream, "ts", "is_err", "k"),
+        "t_slo_s",
+        output_mode="append",
+    )
+    got = _rows(
+        spark.sql(
+            "SELECT hr, n, e, burn_1h, burn_6h, burn_24h,"
+            " fast_alert, slow_alert FROM t_slo_s"
+        )
+    )
+    assert got, "stream emitted no closed hours"
+    last_emitted = max(r[0] for r in got)
+    # the batch timeline over the FULL table agrees on these hours:
+    # its RANGE windows look only backward, and the slice is a prefix
+    want = _rows(
+        slo_multiwindow_burn_timeline(spark, sf_dir)
+        .filter(F.col("hr") <= last_emitted)
+        .select(
+            "hr", "n", "e", "burn_1h", "burn_6h", "burn_24h",
+            "fast_alert", "slow_alert",
+        )
+    )
+    assert got == want
