@@ -319,3 +319,109 @@ def logrank_two_group_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff * diff / F.col("v"), 6).alias("chi2"),
         (diff * diff > 3.841459 * F.col("v")).alias("reject_5pct"),
     )
+
+
+@query(
+    "kaplan_meier_by_group",
+    category="SV-kmgroup",
+    oracle=f"""
+        WITH {_LIFE_CTE}, grouped AS (
+            SELECT user_id, dur, died,
+                   CASE WHEN (instr('0123456789abcdef',
+                                    substr(md5(cast(user_id AS VARCHAR)),
+                                           1, 1)) - 1) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS grp
+            FROM subj
+        ), at_t AS (
+            SELECT grp, dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(count(*) AS BIGINT) AS leave_t
+            FROM grouped GROUP BY grp, dur
+        ), risk AS (
+            SELECT grp, t, d_t,
+                   CAST(sum(leave_t) OVER (
+                       PARTITION BY grp ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS BIGINT) AS n_t
+            FROM at_t
+        ), folded AS (
+            SELECT grp, t, n_t, d_t,
+                   sum(CASE WHEN d_t > 0 AND d_t < n_t
+                            THEN ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                            ELSE 0.0 END)
+                       OVER (PARTITION BY grp ORDER BY t) AS lnsurv,
+                   max(CASE WHEN d_t >= n_t THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY grp ORDER BY t) AS hit_zero
+            FROM risk
+        )
+        SELECT grp, t AS minute, n_t AS n_risk, d_t AS n_deaths,
+               CAST(CASE WHEN hit_zero = 1 THEN 0.0
+                         ELSE round(exp(lnsurv), 6) END AS DOUBLE)
+                   AS survival
+        FROM folded WHERE d_t > 0
+        ORDER BY grp, minute
+    """,
+)
+def kaplan_meier_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curves PER GROUP (the md5 A/B split the log-rank
+    test scores): the same suffix-sum risk sets and pinned-order
+    ln-product as kaplan_meier_survival, partitioned by group — this
+    is the CURVE the experiment readout plots next to
+    logrank_two_group_test's verdict (emitting only death times keeps
+    it a step function).
+
+    Determinism/scale: identical contracts to the ungrouped query;
+    the group key simply joins every window's PARTITION BY, so the
+    bounded-frame algebra parallelizes across groups — the same move
+    that segment- or cohort-scopes any survival analysis.
+    """
+    grouped = _subjects(spark, sf_dir).select(
+        "user_id", "dur", "died",
+        F.when(
+            F.expr(
+                "(instr('0123456789abcdef',"
+                " substr(md5(cast(user_id AS STRING)), 1, 1)) - 1) % 2"
+            )
+            == 0,
+            "A",
+        ).otherwise("B").alias("grp"),
+    )
+    at_t = grouped.groupBy("grp", F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    w_suf = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    risk = at_t.select(
+        "grp", "t", "d_t",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+    )
+    w_cum = Window.partitionBy("grp").orderBy("t")
+    folded = risk.select(
+        "grp", "t", "n_t", "d_t",
+        F.sum(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")),
+                F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")),
+            ).otherwise(0.0)
+        ).over(w_cum).alias("lnsurv"),
+        F.max(
+            F.when(F.col("d_t") >= F.col("n_t"), 1).otherwise(0)
+        ).over(w_cum).alias("hit_zero"),
+    )
+    return (
+        folded.filter(F.col("d_t") > 0)
+        .select(
+            "grp",
+            F.col("t").alias("minute"),
+            F.col("n_t").alias("n_risk"),
+            F.col("d_t").alias("n_deaths"),
+            F.when(F.col("hit_zero") == 1, 0.0)
+            .otherwise(F.round(F.exp("lnsurv"), 6))
+            .alias("survival"),
+        )
+        .orderBy("grp", "minute")
+    )

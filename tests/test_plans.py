@@ -2034,7 +2034,8 @@ def test_survival_family_single_sessionize(spark, sf_dir):
     """KM + log-rank: ONE user-partitioned sessionize pass off the
     fact scan; the curve algebra runs on the bounded durations frame;
     no Python, no shuffle join."""
-    for name in ("kaplan_meier_survival", "logrank_two_group_test"):
+    for name in ("kaplan_meier_survival", "logrank_two_group_test",
+                 "kaplan_meier_by_group"):
         df = q(name, spark, sf_dir)
         counts = operator_counts(df)
         # 2 scans: the sessionize lineage + the end-of-corpus max

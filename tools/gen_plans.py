@@ -250,6 +250,7 @@ HEADLINE = [
     "session_gap_sensitivity",
     "parquet_merge_schema_roundtrip",
     "csv_corrupt_record_census",
+    "kaplan_meier_by_group",
 ]
 
 INTERESTING = (
