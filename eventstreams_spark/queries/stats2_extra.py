@@ -1225,3 +1225,145 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    category="ST2-mannkendall",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), s AS (
+            SELECT a.event_type,
+                   CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ), nn AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type
+        ), ties AS (
+            SELECT event_type,
+                   CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie_term
+            FROM (SELECT event_type, count(*) AS t
+                  FROM daily GROUP BY event_type, x)
+            GROUP BY event_type
+        ), stat AS (
+            SELECT s.event_type, s.s_stat, nn.n,
+                   nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                       AS var18
+            FROM s JOIN nn ON nn.event_type = s.event_type
+            JOIN ties ON ties.event_type = s.event_type
+        )
+        SELECT event_type, n, s_stat,
+               CAST(round(CASE WHEN s_stat > 0 THEN
+                       (CAST(s_stat AS DOUBLE) - 1)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0 THEN
+                       (CAST(s_stat AS DOUBLE) + 1)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE 0.0 END, 6) AS DOUBLE) AS z,
+               CASE WHEN 18000000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                         > 3841459 * var18 AND s_stat > 0
+                    THEN 'increasing'
+                    WHEN 18000000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                         > 3841459 * var18 AND s_stat < 0
+                    THEN 'decreasing'
+                    ELSE 'no_trend' END AS verdict
+        FROM stat ORDER BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on each channel's daily
+    counts: S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance
+    (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, continuity-corrected Z — the
+    distribution-free trend detector (no linearity or normality
+    assumed) that pairs with theil_sen_daily_slope exactly as in the
+    hydrology literature: MK answers IS there a trend, Sen's slope
+    answers how steep.
+
+    Determinism: S, the tie term, and the ×18 variance numerator are
+    exact integers (pairs at CALENDAR grain — days², never raw
+    rows); the 5% verdict is the pure-integer cross-multiplication
+    18·10⁶(|S|−1)² > 3841459·var18, so no float decides the label.
+
+    Scale: one rollup, one bounded day-pair join per channel, three
+    k-row aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    stat = (
+        s.join(F.broadcast(nn), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .withColumn(
+            "var18",
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / 18.0)
+    reject = (
+        18000000
+        * (F.abs(F.col("s_stat")) - 1)
+        * (F.abs(F.col("s_stat")) - 1)
+        > 3841459 * F.col("var18")
+    )
+    return stat.select(
+        "event_type", "n", "s_stat",
+        F.round(
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat").cast("double") - 1) / sd,
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat").cast("double") + 1) / sd,
+            )
+            .otherwise(0.0),
+            6,
+        ).alias("z"),
+        F.when(reject & (F.col("s_stat") > 0), "increasing")
+        .when(reject & (F.col("s_stat") < 0), "decreasing")
+        .otherwise("no_trend")
+        .alias("verdict"),
+    ).orderBy("event_type")

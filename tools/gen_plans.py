@@ -251,6 +251,7 @@ HEADLINE = [
     "parquet_merge_schema_roundtrip",
     "csv_corrupt_record_census",
     "kaplan_meier_by_group",
+    "mann_kendall_trend",
 ]
 
 INTERESTING = (
