@@ -1476,3 +1476,81 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_at_click")
     )
+
+
+# Benford SECOND-digit expectation: p(d) = sum over first digits k of
+# log10(1 + 1/(10k+d)) — generated once, shared verbatim by both
+# engines so the transcendental constants are computed identically
+_BENFORD2_P = "(log10(1.0 + 1.0 / (10 + d)) + log10(1.0 + 1.0 / (20 + d)) + log10(1.0 + 1.0 / (30 + d)) + log10(1.0 + 1.0 / (40 + d)) + log10(1.0 + 1.0 / (50 + d)) + log10(1.0 + 1.0 / (60 + d)) + log10(1.0 + 1.0 / (70 + d)) + log10(1.0 + 1.0 / (80 + d)) + log10(1.0 + 1.0 / (90 + d)))"
+
+
+@query(
+    "benford_second_digit",
+    category="Q1-benford2",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(floor(abs(value)
+                       / power(10, floor(log10(abs(value))) - 1))
+                       AS BIGINT) % 10 AS d
+            FROM events WHERE abs(value) > 1e-12
+        ), hist AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist)
+        SELECT d AS digit, n,
+               CAST(round(CAST(n AS DOUBLE) / total, 6) AS DOUBLE)
+                   AS observed_freq,
+               CAST(round({_BENFORD2_P}, 6) AS DOUBLE) AS benford_freq,
+               (abs(CAST(n AS DOUBLE) - total * {_BENFORD2_P})
+                > 3.0 * sqrt(total * {_BENFORD2_P}
+                             * (1.0 - {_BENFORD2_P}))) AS outlier_3sigma
+        FROM hist, tot
+        ORDER BY digit
+    """,
+)
+def benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-significant-digit profile — the harder fraud
+    screen (first digits survive naive fabrication more often than
+    second digits, which should follow the flatter
+    p(d) = Σ_k log10(1+1/(10k+d)) law): per digit the observed share,
+    the Benford expectation, and a 3σ binomial outlier flag — no
+    cross-digit float sum, so every column is a per-row expression
+    over the integer histogram.
+
+    Determinism: the expectation is ONE generated expression shared
+    verbatim by both engines; the flag compares shared-text doubles.
+
+    Scale: projection + 10-row histogram + broadcast total, same as
+    the first-digit profile.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    absv = F.abs(F.col("value"))
+    d2 = (
+        F.floor(
+            absv / F.pow(F.lit(10.0), F.floor(F.log10(absv)) - 1)
+        ).cast("long")
+        % 10
+    )
+    hist = (
+        ev.filter(absv > 1e-12)
+        .select(d2.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = hist.agg(F.sum("n").cast("long").alias("total"))
+    p = F.expr(_BENFORD2_P)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "observed_freq"
+            ),
+            F.round(p, 6).alias("benford_freq"),
+            (
+                F.abs(F.col("n").cast("double") - F.col("total") * p)
+                > 3.0 * F.sqrt(F.col("total") * p * (1.0 - p))
+            ).alias("outlier_3sigma"),
+        )
+        .orderBy("digit")
+    )

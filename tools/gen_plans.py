@@ -252,6 +252,7 @@ HEADLINE = [
     "csv_corrupt_record_census",
     "kaplan_meier_by_group",
     "mann_kendall_trend",
+    "benford_second_digit",
 ]
 
 INTERESTING = (
