@@ -1367,3 +1367,114 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("verdict"),
     ).orderBy("event_type")
+
+
+@query(
+    "energy_distance_pairs",
+    category="ST2-energy",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), cross_ab AS (
+            SELECT a.event_type AS ta, b.event_type AS tb,
+                   CAST(count(*) AS BIGINT) AS nm,
+                   CAST(sum(abs(a.x - b.x)) AS BIGINT) AS s_ab
+            FROM daily a JOIN daily b ON a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        ), within AS (
+            SELECT a.event_type AS t,
+                   CAST(count(*) AS BIGINT) AS nn,
+                   CAST(sum(abs(a.x - b.x)) AS BIGINT) AS s_xx
+            FROM daily a JOIN daily b ON a.event_type = b.event_type
+            GROUP BY a.event_type
+        ), sizes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type
+        )
+        SELECT c.ta, c.tb,
+               CAST(round(2.0 * c.s_ab / c.nm
+                          - CAST(wa.s_xx AS DOUBLE) / (za.n * za.n)
+                          - CAST(wb.s_xx AS DOUBLE) / (zb.n * zb.n), 6)
+                    AS DOUBLE) AS energy_distance,
+               CAST(round(2.0 * c.s_ab / c.nm, 6) AS DOUBLE) AS cross_mean,
+               CAST(round(CAST(wa.s_xx AS DOUBLE) / (za.n * za.n), 6)
+                    AS DOUBLE) AS within_a,
+               CAST(round(CAST(wb.s_xx AS DOUBLE) / (zb.n * zb.n), 6)
+                    AS DOUBLE) AS within_b
+        FROM cross_ab c
+        JOIN within wa ON wa.t = c.ta
+        JOIN within wb ON wb.t = c.tb
+        JOIN sizes za ON za.event_type = c.ta
+        JOIN sizes zb ON zb.event_type = c.tb
+        ORDER BY c.ta, c.tb
+    """,
+)
+def energy_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between every pair of channels' daily-count
+    distributions: E(A,B) = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (Székely's
+    statistical energy — zero iff the distributions are equal,
+    sensitive to ANY difference, not just location like a t-test or
+    crossings like KS) — the modern two-sample workhorse behind
+    energy tests and distance correlation.
+
+    Determinism: every Σ|x−y| is an exact integer over calendar-grain
+    pairs (days², bounded); the three expectation terms divide once
+    each and are emitted separately so the decomposition is
+    inspectable.
+
+    Scale: one rollup, then within- and cross-channel day-pair joins
+    at calendar grain — never raw-row pairs; sizes broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    cross_ab = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nm"),
+            F.sum(F.abs(F.col("a.x") - F.col("b.x")))
+            .cast("long").alias("s_ab"),
+        )
+    )
+    within = (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .groupBy(F.col("a.event_type").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nn"),
+            F.sum(F.abs(F.col("a.x") - F.col("b.x")))
+            .cast("long").alias("s_xx"),
+        )
+    )
+    sizes = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wa = within.select(F.col("t").alias("ta"), F.col("s_xx").alias("s_a"))
+    wb = within.select(F.col("t").alias("tb"), F.col("s_xx").alias("s_b"))
+    za = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    cross_mean = 2.0 * F.col("s_ab") / F.col("nm")
+    win_a = F.col("s_a").cast("double") / (F.col("n_a") * F.col("n_a"))
+    win_b = F.col("s_b").cast("double") / (F.col("n_b") * F.col("n_b"))
+    return (
+        cross_ab.join(F.broadcast(wa), "ta")
+        .join(F.broadcast(wb), "tb")
+        .join(F.broadcast(za), "ta")
+        .join(F.broadcast(zb), "tb")
+        .select(
+            "ta", "tb",
+            F.round(cross_mean - win_a - win_b, 6).alias("energy_distance"),
+            F.round(cross_mean, 6).alias("cross_mean"),
+            F.round(win_a, 6).alias("within_a"),
+            F.round(win_b, 6).alias("within_b"),
+        )
+        .orderBy("ta", "tb")
+    )

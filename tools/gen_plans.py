@@ -253,6 +253,7 @@ HEADLINE = [
     "kaplan_meier_by_group",
     "mann_kendall_trend",
     "benford_second_digit",
+    "energy_distance_pairs",
 ]
 
 INTERESTING = (
