@@ -1478,3 +1478,92 @@ def energy_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+@query(
+    "gini_mean_difference_daily",
+    category="ST2-gmd",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), within AS (
+            SELECT a.event_type,
+                   CAST(sum(abs(a.x - b.x)) AS BIGINT) AS s_xx
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day <> b.day
+            GROUP BY a.event_type
+        ), mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx
+            FROM daily GROUP BY event_type
+        )
+        SELECT m.event_type, m.n,
+               CAST(round(CAST(m.sx AS DOUBLE) / m.n, 6) AS DOUBLE)
+                   AS mean_daily,
+               CAST(round(CAST(w.s_xx AS DOUBLE) / (m.n * (m.n - 1)), 6)
+                    AS DOUBLE) AS gini_mean_diff,
+               CAST(round(CAST(w.s_xx AS DOUBLE) * m.n
+                          / (m.n * (m.n - 1)) / (2.0 * m.sx), 6)
+                    AS DOUBLE) AS gini_coefficient
+        FROM mom m JOIN within w ON w.event_type = m.event_type
+        ORDER BY m.event_type
+    """,
+)
+def gini_mean_difference_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference and Gini coefficient of each channel's
+    daily volume: GMD = E|X−X′| (the dispersion measure that, unlike
+    σ, is finite-sample robust and the building block of
+    energy_distance_pairs' within terms) and G = GMD/(2μ) — volume
+    inequality across days, the day-to-day burstiness one-number
+    summary.
+
+    Determinism: Σ|x−x′| is an exact integer over calendar-grain
+    pairs; GMD and G divide once each, shared text.
+
+    Scale: one rollup + one within-channel day-pair join (days² per
+    channel, bounded) + a per-channel moment aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") != F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.abs(F.col("a.x") - F.col("b.x")))
+            .cast("long").alias("s_xx")
+        )
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    gmd = F.col("s_xx").cast("double") / (F.col("n") * (F.col("n") - 1))
+    return (
+        mom.join(F.broadcast(within), "event_type")
+        .select(
+            "event_type", "n",
+            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias(
+                "mean_daily"
+            ),
+            F.round(gmd, 6).alias("gini_mean_diff"),
+            F.round(
+                F.col("s_xx").cast("double")
+                * F.col("n")
+                / (F.col("n") * (F.col("n") - 1))
+                / (2.0 * F.col("sx")),
+                6,
+            ).alias("gini_coefficient"),
+        )
+        .orderBy("event_type")
+    )

@@ -254,6 +254,7 @@ HEADLINE = [
     "mann_kendall_trend",
     "benford_second_digit",
     "energy_distance_pairs",
+    "gini_mean_difference_daily",
 ]
 
 INTERESTING = (
