@@ -655,3 +655,353 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "conformal_monitor_timeline",
+    category="FC-conformal",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   lag(x, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS x_lag7
+            FROM daily
+        ), resid AS (
+            SELECT event_type, rn, x, x_lag7 AS pred,
+                   abs(x - x_lag7) AS r
+            FROM seq WHERE x_lag7 IS NOT NULL
+        ), pfx AS (
+            SELECT t.event_type, t.rn, t.x, t.pred, t.r,
+                   c.r AS cr, c.rn AS crn,
+                   CAST(count(*) OVER (PARTITION BY t.event_type, t.rn)
+                        AS BIGINT) AS n_cal,
+                   row_number() OVER (PARTITION BY t.event_type, t.rn
+                                      ORDER BY c.r, c.rn) AS rk
+            FROM resid t JOIN resid c
+              ON c.event_type = t.event_type AND c.rn < t.rn
+        )
+        SELECT event_type, rn, x, pred, r, n_cal,
+               CAST(max(CASE WHEN rk = CAST(ceil(0.9 * (n_cal + 1))
+                                            AS BIGINT)
+                             THEN cr END) AS BIGINT) AS q90,
+               r <= max(CASE WHEN rk = CAST(ceil(0.9 * (n_cal + 1))
+                                            AS BIGINT)
+                             THEN cr END) AS covered
+        FROM pfx
+        WHERE n_cal >= 9
+        GROUP BY event_type, rn, x, pred, r, n_cal
+        ORDER BY event_type, rn
+    """,
+)
+def conformal_monitor_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE split-conformal monitor timeline — the batch twin of
+    streaming/stateful.py::conformal_monitor_stream: for every day t
+    the calibration set is ALL residuals |x − x_lag7| observed before
+    t (expanding window, the adaptive-conformal deployment mode), and
+    q̂_t is the ⌈0.9(n_cal+1)⌉-th order statistic of that prefix.
+    Emits the per-day interval width and whether the day's own
+    residual was covered — the timeline a drift monitor alerts on.
+    Warmup rows with n_cal < 9 are withheld (the finite-sample rank
+    ⌈0.9(n+1)⌉ only lands inside the sample from n = 9).
+
+    Determinism: residuals are exact integers; each q̂ is picked by
+    exact rank under the (r, rn) total order — the selected VALUE is
+    tie-order invariant, which is what lets the streaming twin keep a
+    plain sorted multiset. covered is an integer comparison.
+
+    Scale: the prefix self-join is at CALENDAR GRAIN — the facts are
+    rolled up to k·days rows first, so pair volume is Σ days²/2 per
+    key (~2k rows per key-year), not events². The rollup itself is
+    the only full-data shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("x", 7).over(w).alias("x_lag7"),
+    )
+    # resid feeds BOTH sides of the prefix self-join — persist the
+    # tiny calendar-grain frame so the daily rollup (the only
+    # full-data pass) is derived once, not once per join side
+    resid = (
+        seq.filter(F.col("x_lag7").isNotNull())
+        .select(
+            "event_type", "rn", "x",
+            F.col("x_lag7").alias("pred"),
+            F.abs(F.col("x") - F.col("x_lag7")).alias("r"),
+        )
+        .persist()
+    )
+    t = resid.alias("t")
+    c = resid.select(
+        "event_type",
+        F.col("rn").alias("crn"),
+        F.col("r").alias("cr"),
+    ).alias("c")
+    pfx = (
+        t.join(c, "event_type")
+        .filter(F.col("crn") < F.col("rn"))
+        .select(
+            "event_type", "rn", "x", "pred", "r", "cr", "crn",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type", "rn"))
+            .cast("long")
+            .alias("n_cal"),
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type", "rn").orderBy("cr", "crn")
+            )
+            .alias("rk"),
+        )
+    )
+    qsel = F.max(
+        F.when(
+            F.col("rk") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"),
+            F.col("cr"),
+        )
+    )
+    return (
+        pfx.filter(F.col("n_cal") >= 9)
+        .groupBy("event_type", "rn", "x", "pred", "r", "n_cal")
+        .agg(
+            qsel.cast("long").alias("q90"),
+            (F.col("r") <= qsel).alias("covered"),
+        )
+        .orderBy("event_type", "rn")
+    )
+
+
+# m=24 twin of _MP_D2 for the hourly-grain profile (shared text: the
+# Spark builder F.expr's this exact string; the oracle embeds it)
+_MP24_D2 = (
+    "(48.0 * (1.0 - (CAST(24 * dp - swi * swj AS DOUBLE))"
+    " / sqrt(CAST((24 * swwi - swi * swi) AS DOUBLE)"
+    "        * CAST((24 * swwj - swj * swj) AS DOUBLE))))"
+)
+
+
+@query(
+    "matrix_profile_mass_gate",
+    category="FC-matrixprofile",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events
+            GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        ), bounds AS (
+            SELECT event_type, min(hr) AS h0 FROM hourly GROUP BY event_type
+        ), grid AS (
+            SELECT b.event_type, CAST(ks.k + 1 AS BIGINT) AS rn,
+                   b.h0 + ks.k AS hr
+            FROM bounds b CROSS JOIN
+                 (SELECT unnest(generate_series(0, 239)) AS k) ks
+        ), series AS (
+            SELECT g.event_type, g.rn, COALESCE(h.x, 0) AS x
+            FROM grid g LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.hr = h.hr
+        ), wins AS (
+            SELECT event_type, rn AS i,
+                   CAST(sum(x) OVER w24 AS BIGINT) AS sw,
+                   CAST(sum(x * x) OVER w24 AS BIGINT) AS sww,
+                   list(x) OVER w24 AS vec
+            FROM series
+            WINDOW w24 AS (PARTITION BY event_type ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+            QUALIFY rn <= 217 AND (24 * sww - sw * sw) > 0
+        ), dots AS (
+            -- windows carry their 24 values as a LIST (frame-ordered,
+            -- the twin of the Spark side's collect_list over w24): the
+            -- dot product is one list_zip/list_aggregate per pair; the
+            -- first-draft per-k join back to series was ~400x slower
+            -- (nested-loop-prone 5M-row join vs 210k in-row folds)
+            SELECT a.event_type, a.i, b.i AS j,
+                   a.sw AS swi, a.sww AS swwi,
+                   b.sw AS swj, b.sww AS swwj,
+                   CAST(list_aggregate(list_transform(
+                            list_zip(a.vec, b.vec), p -> p[1] * p[2]),
+                        'sum') AS BIGINT) AS dp
+            FROM wins a JOIN wins b
+              ON a.event_type = b.event_type AND abs(a.i - b.i) >= 12
+        ), scored AS (
+            SELECT event_type, i, j,
+                   CAST(round({_MP24_D2}, 6) AS DOUBLE) AS d2,
+                   row_number() OVER (
+                       PARTITION BY event_type, i
+                       ORDER BY CAST(round({_MP24_D2}, 6) AS DOUBLE), j
+                   ) AS rk
+            FROM dots
+        )
+        SELECT event_type, i AS window_start, j AS motif_match,
+               d2 AS znorm_dist_sq, TRUE AS mass_agrees
+        FROM scored WHERE rk = 1
+        ORDER BY event_type, window_start
+    """,
+)
+def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile on a LONG series via MASS (Mueen's FFT-based
+    similarity search), certified in-query against the exact
+    quadratic form — the O(n log n)-per-window path the daily-grain
+    profile's docstring promises for year-long hourly series. The
+    series is each channel's hourly count on a DENSE 240-hour grid
+    anchored at the channel's first hour (gap hours are true zeros),
+    window m = 24 (daily shape), exclusion |i−j| ≥ 12, zero-variance
+    windows dropped.
+
+    Gate construction (the house self-certifying pattern, like
+    ann_recall_gates): the EMITTED profile — nearest neighbor and
+    rounded z-norm d² per window — comes from the exact-integer
+    quadratic form (JVM zip_with dot products over array-carried
+    windows, shared-text double formula), which the oracle replicates
+    verbatim; the MASS path (one rfft of the padded series per
+    channel, one rfft·multiply·irfft per query window, float
+    mean/σ normalization) runs beside it in an Arrow-batched
+    applyInPandas and must agree with the exact minimum to 1e-4 —
+    ``mass_agrees`` hash-checks as constant TRUE. FFT error here is
+    ~1e-9 absolute; 1e-4 leaves margin while failing loudly on any
+    indexing/normalization bug.
+
+    Scale: the quadratic certifier is the bounded part (217² pairs
+    per channel on the pinned slice); at production length only MASS
+    runs — per key it is embarrassingly parallel over channels
+    (applyInPandas one shuffle), O(n log n) per window, and the dense
+    grid + prefix-moment construction is a rollup + window, not a
+    self-join. State carries nothing across channels.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = hourly.groupBy("event_type").agg(F.min("hr").alias("h0"))
+    grid = bounds.select(
+        "event_type",
+        "h0",
+        F.explode(F.sequence(F.lit(0), F.lit(239))).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("k") + 1).cast("long").alias("rn"),
+        (F.col("h0") + F.col("k")).alias("hr"),
+    )
+    # series feeds the JVM window pass AND the MASS UDF — persist so
+    # both consumers read the cached 240×channels frame, not the scan
+    series = (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "rn", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        )
+        .persist()
+    )
+    w24 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, 23)
+    wins = (
+        series.select(
+            "event_type",
+            F.col("rn").alias("i"),
+            F.sum("x").over(w24).cast("long").alias("sw"),
+            F.sum(F.col("x") * F.col("x")).over(w24).cast("long").alias("sww"),
+            F.collect_list("x").over(w24).alias("vec"),
+        )
+        .filter(
+            (F.col("i") <= 217)
+            & (24 * F.col("sww") - F.col("sw") * F.col("sw") > 0)
+        )
+    )
+    a = wins.alias("a")
+    b = wins.alias("b")
+    dots = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= 12),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        F.col("a.sw").alias("swi"),
+        F.col("a.sww").alias("swwi"),
+        F.col("b.sw").alias("swj"),
+        F.col("b.sww").alias("swwj"),
+        F.expr(
+            "aggregate(zip_with(a.vec, b.vec, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dp"),
+    )
+    d2_raw = F.expr(_MP24_D2)
+    w_rank = Window.partitionBy("event_type", "i").orderBy(
+        F.round(d2_raw, 6).asc(), F.col("j").asc()
+    )
+    quad = (
+        dots.select(
+            "event_type", "i", "j",
+            d2_raw.alias("d2_raw"),
+            F.round(d2_raw, 6).alias("d2"),
+            F.row_number().over(w_rank).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+    def mass(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, excl, n = 24, 12, 240
+        pdf = pdf.sort_values("rn")
+        x = pdf["x"].to_numpy(dtype="float64")
+        et = pdf["event_type"].iloc[0]
+        nw = 217
+        L = 2 * n  # >= n + m - 1: linear convolution, no wraparound
+        xf = np.fft.rfft(x, L)
+        c1 = np.concatenate([[0.0], np.cumsum(x)])
+        c2 = np.concatenate([[0.0], np.cumsum(x * x)])
+        sw = c1[m : nw + m] - c1[:nw]
+        sww = c2[m : nw + m] - c2[:nw]
+        var24 = m * sww - sw * sw  # exact integers in float64
+        valid = var24 > 0.5
+        js = np.arange(nw)
+        rows = []
+        for i in range(nw):
+            if not valid[i]:
+                continue
+            qf = np.fft.rfft(x[i : i + m][::-1], L)
+            dp = np.fft.irfft(xf * qf, L)[m - 1 : m - 1 + nw]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d2 = 2.0 * m * (
+                    1.0 - (m * dp - sw[i] * sw) / np.sqrt(var24[i] * var24)
+                )
+            mask = valid & (np.abs(js - i) >= excl)
+            if not mask.any():
+                continue
+            rows.append(
+                (et, i + 1, float(np.where(mask, d2, np.inf).min()))
+            )
+        return pd.DataFrame(rows, columns=["event_type", "i", "mass_d2"])
+
+    mass_profile = series.groupBy("event_type").applyInPandas(
+        mass, "event_type string, i long, mass_d2 double"
+    )
+    return (
+        quad.join(mass_profile, ["event_type", "i"])
+        .select(
+            "event_type",
+            F.col("i").alias("window_start"),
+            F.col("j").alias("motif_match"),
+            F.col("d2").alias("znorm_dist_sq"),
+            (F.abs(F.col("d2_raw") - F.col("mass_d2")) <= 1e-4).alias(
+                "mass_agrees"
+            ),
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -2098,3 +2098,100 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "source_mixing_largest_remainder",
+    category="L-mixing",
+    oracle="""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                   CAST(floor(sqrt(CAST(sum(n_chars) AS BIGINT)))
+                        AS BIGINT) AS w
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(w) AS BIGINT) AS big_w FROM per_src
+        ), staged AS (
+            SELECT p.source, p.n_docs, p.chars_total, p.w,
+                   (100000 * p.w) // t.big_w AS base,
+                   (100000 * p.w) % t.big_w AS rem
+            FROM per_src p CROSS JOIN tot t
+        ), lsum AS (
+            SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM staged
+        ), quotas AS (
+            SELECT s.source, s.n_docs, s.chars_total, s.w, s.base,
+                   100000 - l.base_sum AS leftover,
+                   row_number() OVER (ORDER BY s.rem DESC, s.source) AS rk
+            FROM staged s CROSS JOIN lsum l
+        )
+        SELECT source, n_docs, chars_total, w AS weight,
+               base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota,
+               CAST(round(
+                   (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                   * 1.0 / n_docs, 6) AS DOUBLE) AS sample_rate,
+               (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                   > n_docs AS upsampled
+        FROM quotas
+        ORDER BY source
+    """,
+)
+def source_mixing_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix apportionment: allocate a fixed sample budget
+    (100k docs) across corpus sources by TEMPERATURE-scaled size
+    (τ = 0.5 — weight ∝ √chars, the standard upsample-the-tail mixing
+    rule) using Hamilton largest-remainder apportionment, the exact
+    integer method that both sums to the budget and never strands a
+    fractional quota. Emits per-source quota, effective sampling
+    rate, and whether the source is upsampled (quota > docs) — the
+    spec sheet a mixing sampler executes.
+
+    Determinism is ALL-INTEGER: the weight is ⌊√chars⌋ (IEEE sqrt of
+    an exactly-representable integer is correctly rounded, and
+    ⌊√t⌋ can only be wrong if t is within an ulp of a perfect square
+    — impossible for t < 2^52); base quotas are (B·w) DIV ΣW with
+    integer DIV (never floor(double/) — NEXT.md house rule); the
+    leftover goes to the largest integer remainders under a
+    (rem, source) total order. No float ever decides anything.
+
+    Scale: one rollup of the corpus to |sources| rows; the
+    apportionment runs on that census with a 1-row broadcast total
+    and a bounded |sources| window. The expensive part at 100 TB is
+    the rollup — a single map-side-combinable hash aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.floor(F.sqrt(F.sum("n_chars").cast("long").cast("double")))
+        .cast("long")
+        .alias("w"),
+    ).persist()  # |sources| rows; feeds tot AND both staged consumers
+    tot = per_src.agg(
+        F.sum("w").cast("long").alias("big_w"),
+    )
+    with_tot = per_src.join(F.broadcast(tot))
+    staged = with_tot.select(
+        "source", "n_docs", "chars_total", "w",
+        F.expr("(100000 * w) div big_w").alias("base"),
+        F.expr("(100000 * w) % big_w").alias("rem"),
+    )
+    base_sum = staged.agg(F.sum("base").cast("long").alias("base_sum"))
+    quotas = staged.join(F.broadcast(base_sum)).select(
+        "source", "n_docs", "chars_total", "w", "base",
+        (F.lit(100000) - F.col("base_sum")).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source").asc()))
+        .alias("rk"),
+    )
+    quota = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return quotas.select(
+        "source", "n_docs", "chars_total",
+        F.col("w").alias("weight"),
+        quota.alias("quota"),
+        F.round(quota / F.col("n_docs"), 6).alias("sample_rate"),
+        (quota > F.col("n_docs")).alias("upsampled"),
+    ).orderBy("source")

@@ -1567,3 +1567,212 @@ def gini_mean_difference_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Engine-shared Fisher log-pmf text: hypergeometric ln pmf(k) from
+# nine log-factorial lookups (group-constant lf_* joined once, the
+# four k-dependent ones joined per term). Identical doubles on both
+# engines because every lf input is the same requantized-ln prefix
+# sum and the +/- order is this exact text.
+_FISHER_LP = (
+    "((lf_r1 - lf_k - lf_r1k) + (lf_r2 - lf_c1k - lf_r2c1k)"
+    " - (lf_n - lf_c1 - lf_nc1))"
+)
+
+
+@query(
+    "fisher_exact_weekend_value",
+    category="ST2-fisher",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT event_type,
+                   CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS hi
+            FROM events
+        ), tab AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(wk) AS BIGINT) AS r1,
+                   CAST(sum(hi) AS BIGINT) AS c1,
+                   CAST(sum(wk * hi) AS BIGINT) AS a
+            FROM tagged GROUP BY event_type
+        ), lnv AS (
+            SELECT i, CASE WHEN i <= 1 THEN 0.0
+                           ELSE round(ln(CAST(i AS DOUBLE)), 6) END AS lv
+            FROM (SELECT unnest(generate_series(0,
+                       (SELECT max(n) FROM tab))) AS i)
+        ), lf AS (
+            SELECT i, sum(lv) OVER (ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lf
+            FROM lnv
+        ), terms AS (
+            SELECT t.event_type, t.n, t.r1, t.c1, t.a,
+                   t.a + ks.k AS k,
+                   least(t.r1, t.c1) AS kmax
+            FROM tab t CROSS JOIN
+                 (SELECT unnest(generate_series(0,
+                      (SELECT CAST(max(least(r1, c1)) AS BIGINT) FROM tab)))
+                  AS k) ks
+            WHERE t.a + ks.k <= least(t.r1, t.c1)
+        ), lp AS (
+            SELECT m.event_type, m.n, m.r1, m.c1, m.a, m.k, m.kmax,
+                   {_FISHER_LP} AS lp
+            FROM (
+                SELECT tm.*,
+                       fr1.lf AS lf_r1, fk.lf AS lf_k, fr1k.lf AS lf_r1k,
+                       fr2.lf AS lf_r2, fc1k.lf AS lf_c1k,
+                       fr2c.lf AS lf_r2c1k,
+                       fn.lf AS lf_n, fc1.lf AS lf_c1, fnc.lf AS lf_nc1
+                FROM terms tm
+                JOIN lf fr1 ON fr1.i = tm.r1
+                JOIN lf fk ON fk.i = tm.k
+                JOIN lf fr1k ON fr1k.i = tm.r1 - tm.k
+                JOIN lf fr2 ON fr2.i = tm.n - tm.r1
+                JOIN lf fc1k ON fc1k.i = tm.c1 - tm.k
+                JOIN lf fr2c ON fr2c.i = tm.n - tm.r1 - tm.c1 + tm.k
+                JOIN lf fn ON fn.i = tm.n
+                JOIN lf fc1 ON fc1.i = tm.c1
+                JOIN lf fnc ON fnc.i = tm.n - tm.c1
+            ) m
+        ), shifted AS (
+            SELECT event_type, n, r1, c1, a, k, kmax, lp,
+                   max(lp) OVER (PARTITION BY event_type) AS lpmax
+            FROM lp
+        ), summed AS (
+            SELECT event_type, n, r1, c1, a, k, kmax, lp, lpmax,
+                   sum(round(exp(lp - lpmax), 6)) OVER (
+                       PARTITION BY event_type ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s,
+                   max(CASE WHEN k = a THEN lp END) OVER (
+                       PARTITION BY event_type) AS lp_obs
+            FROM shifted
+        )
+        SELECT event_type, n, r1 AS n_weekend, c1 AS n_high, a AS n_both,
+               kmax, CAST(kmax - a + 1 AS BIGINT) AS n_terms,
+               CAST(round(lp_obs, 6) AS DOUBLE) AS log_pmf_observed,
+               CAST(round(exp(lpmax) * s, 6) AS DOUBLE) AS p_upper
+        FROM summed
+        WHERE k = kmax
+        ORDER BY event_type
+    """,
+)
+def fisher_exact_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher EXACT one-sided test per channel: is a high-value event
+    (value > 50) MORE likely on weekends? p = P(X ≥ a) under the
+    hypergeometric null with the observed margins — the exact
+    inference every 2×2 chi-square approximates, computed entirely
+    in-engine in log space (the NEXT.md 'Fisher exact via log-space
+    requantized terms' plan).
+
+    Float discipline: ln k! is a PREFIX SUM of per-integer
+    round6(ln i) — a sequential left-to-right fold, bit-identical
+    across engines per the pinned-order house trick; each tail term
+    exp(lp − lpmax) is requantized to 6 dp before the prefix-ordered
+    tail sum; the only unrounded libm calls (exp) feed immediately
+    into round6 outputs, the accepted convention for log/exp columns.
+    Every decision (margins, k-range) is integer.
+
+    Scale: the facts collapse to a |channels| contingency census in
+    one hash aggregate; the log-factorial table is max(n) rows built
+    from a sequence (no data shuffle) and joined to ~Σ(kmax−a) tail
+    terms — thousands of rows per channel at sf0.1, bounded by the
+    smaller margin, never by the fact count. At 100 TB only the
+    census pass touches the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("wk"),
+        (F.col("value") > 50).cast("long").alias("hi"),
+    )
+    tab = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wk").cast("long").alias("r1"),
+        F.sum("hi").cast("long").alias("c1"),
+        F.sum(F.col("wk") * F.col("hi")).cast("long").alias("a"),
+    ).persist()  # census feeds the lf-range agg AND the terms frame
+    nmax = tab.agg(F.max("n").alias("nmax"))
+    lnv = nmax.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("nmax"))).alias("i")
+    ).select(
+        "i",
+        F.when(F.col("i") <= 1, 0.0)
+        .otherwise(F.round(F.log(F.col("i").cast("double")), 6))
+        .alias("lv"),
+    )
+    # bounded unpartitioned prefix window: max(n)+1 rows of the ln
+    # table, sequential by construction (the cross-engine contract)
+    lf = lnv.select(
+        "i",
+        F.sum("lv")
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("lf"),
+    ).persist()  # 9 lookup joins read this tiny frame
+    kspan = tab.agg(
+        F.max(F.least("r1", "c1")).cast("long").alias("kspan")
+    )
+    terms = (
+        tab.join(F.broadcast(kspan))
+        .select(
+            "event_type", "n", "r1", "c1", "a",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("kspan"))
+            ).alias("dk"),
+            F.least("r1", "c1").alias("kmax"),
+        )
+        .withColumn("k", F.col("a") + F.col("dk"))
+        .filter(F.col("k") <= F.col("kmax"))
+        .drop("dk")
+    )
+
+    def look(alias_, key_expr):
+        return (
+            F.broadcast(lf.select(F.col("i").alias(f"_i_{alias_}"),
+                                  F.col("lf").alias(alias_))),
+            F.expr(key_expr) == F.col(f"_i_{alias_}"),
+        )
+
+    m = terms
+    for alias_, key in [
+        ("lf_r1", "r1"), ("lf_k", "k"), ("lf_r1k", "r1 - k"),
+        ("lf_r2", "n - r1"), ("lf_c1k", "c1 - k"),
+        ("lf_r2c1k", "n - r1 - c1 + k"), ("lf_n", "n"),
+        ("lf_c1", "c1"), ("lf_nc1", "n - c1"),
+    ]:
+        frame, cond = look(alias_, key)
+        m = m.join(frame, cond).drop(f"_i_{alias_}")
+    lp = m.select(
+        "event_type", "n", "r1", "c1", "a", "k", "kmax",
+        F.expr(_FISHER_LP).alias("lp"),
+    )
+    wmax = Window.partitionBy("event_type")
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = lp.select(
+        "event_type", "n", "r1", "c1", "a", "k", "kmax", "lp",
+        F.max("lp").over(wmax).alias("lpmax"),
+        F.sum(
+            F.round(F.exp(F.col("lp") - F.max("lp").over(wmax)), 6)
+        ).over(wsum).alias("s"),
+        F.max(F.when(F.col("k") == F.col("a"), F.col("lp"))).over(wmax)
+        .alias("lp_obs"),
+    )
+    return (
+        summed.filter(F.col("k") == F.col("kmax"))
+        .select(
+            "event_type", "n",
+            F.col("r1").alias("n_weekend"),
+            F.col("c1").alias("n_high"),
+            F.col("a").alias("n_both"),
+            "kmax",
+            (F.col("kmax") - F.col("a") + 1).cast("long").alias("n_terms"),
+            F.round(F.col("lp_obs"), 6).alias("log_pmf_observed"),
+            F.round(F.exp(F.col("lpmax")) * F.col("s"), 6).alias("p_upper"),
+        )
+        .orderBy("event_type")
+    )

@@ -1554,3 +1554,148 @@ def benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "frequent_triples_apriori",
+    category="B16-basket",
+    oracle="""
+        WITH lines AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), n_orders AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n,
+                   greatest(2, CAST(floor(count(DISTINCT l_orderkey) * 0.001)
+                                    AS BIGINT)) AS minsup
+            FROM lines
+        ), f1 AS (
+            SELECT p_brand FROM lines CROSS JOIN n_orders
+            GROUP BY p_brand, minsup
+            HAVING count(*) >= minsup
+        ), lf AS (
+            SELECT l.l_orderkey, l.p_brand
+            FROM lines l SEMI JOIN f1 ON l.p_brand = f1.p_brand
+        ), p2 AS (
+            SELECT a.p_brand AS ba, b.p_brand AS bb, count(*) AS c2
+            FROM lf a JOIN lf b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY ba, bb
+        ), f2 AS (
+            SELECT ba, bb, c2 FROM p2 CROSS JOIN n_orders
+            WHERE c2 >= minsup
+        ), pair_occ AS (
+            SELECT a.l_orderkey, a.p_brand AS ba, b.p_brand AS bb
+            FROM lf a JOIN lf b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            SEMI JOIN f2 ON a.p_brand = f2.ba AND b.p_brand = f2.bb
+        ), cand3 AS (
+            SELECT po.l_orderkey, po.ba, po.bb, c.p_brand AS bc
+            FROM pair_occ po JOIN lf c
+              ON po.l_orderkey = c.l_orderkey AND c.p_brand > po.bb
+            SEMI JOIN f2 fac ON po.ba = fac.ba AND c.p_brand = fac.bb
+            SEMI JOIN f2 fbc ON po.bb = fbc.ba AND c.p_brand = fbc.bb
+        ), t3 AS (
+            SELECT ba, bb, bc, CAST(count(*) AS BIGINT) AS n_co
+            FROM cand3 GROUP BY ba, bb, bc
+        )
+        SELECT ba AS brand_a, bb AS brand_b, bc AS brand_c, n_co,
+               CAST(round(n_co * 1.0 / n, 6) AS DOUBLE) AS support
+        FROM t3 CROSS JOIN n_orders
+        WHERE n_co >= minsup
+        ORDER BY n_co DESC, brand_a, brand_b, brand_c
+        LIMIT 30
+    """,
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets of part brands within orders, mined
+    LEVEL-WISE with the Apriori downward-closure property (the core
+    of FP-growth-class miners): frequent items → frequent pairs →
+    triples generated ONLY from orders already containing a frequent
+    pair, with BOTH remaining sub-pairs also required frequent before
+    counting. minsup = max(2, ⌊0.1% of orders⌋) scales with SF.
+
+    Scale: this is the classic large-scale mining shape — every level
+    prunes the next level's candidate space BEFORE the join that
+    generates it, so triple volume is Σ (frequent-pair occurrences ×
+    basket width), never brand³ over the corpus. The frequent-pair
+    set f2 is a tiny broadcast dim (≤ brands², and only the frequent
+    survivors); all candidate generation is equi-joined on
+    l_orderkey, bounded by the order-size cap (≤ 7 lines in TPC-H:
+    Σ C(basket,3) per order ≤ 35). Integer support counts decide
+    frequency exactly; the support fraction is one rounded ratio.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lines = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    # Spark's single-pass twin of the n_orders/minsup CTE: a 1-row dim
+    n_orders = lines.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n"),
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.count_distinct("l_orderkey") * 0.001).cast("long"),
+        ).alias("minsup"),
+    )
+    f1 = (
+        lines.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("c1") >= F.col("minsup"))
+        .select("p_brand")
+    )
+    # lf feeds 3 pair/triple sides (a, b, c) plus the f1 prune —
+    # persist so each consumer reads the cached frame, not the scan
+    lf = lines.join(F.broadcast(f1), "p_brand", "semi").persist()
+    a = lf.select("l_orderkey", F.col("p_brand").alias("ba"))
+    b = lf.select("l_orderkey", F.col("p_brand").alias("bb"))
+    p2_occ = a.join(b, "l_orderkey").filter(F.col("ba") < F.col("bb"))
+    # f2 has 3 broadcast consumers (pair prune + 2 sub-pair prunes);
+    # without persist each one re-derives the WHOLE pair join under
+    # its broadcast — 3 extra shuffles of the most expensive frame
+    f2 = (
+        p2_occ.groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .crossJoin(F.broadcast(n_orders.select("minsup")))
+        .filter(F.col("c2") >= F.col("minsup"))
+        .select("ba", "bb")
+        .persist()
+    )
+    pair_occ = p2_occ.join(F.broadcast(f2), ["ba", "bb"], "semi")
+    c = lf.select("l_orderkey", F.col("p_brand").alias("bc"))
+    cand3 = (
+        pair_occ.join(c, "l_orderkey")
+        .filter(F.col("bc") > F.col("bb"))
+        .join(
+            F.broadcast(f2.select(F.col("ba"), F.col("bb").alias("bc"))),
+            ["ba", "bc"],
+            "semi",
+        )
+        .join(
+            F.broadcast(
+                f2.select(F.col("ba").alias("bb"), F.col("bb").alias("bc"))
+            ),
+            ["bb", "bc"],
+            "semi",
+        )
+    )
+    return (
+        cand3.groupBy("ba", "bb", "bc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_co") >= F.col("minsup"))
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("bc").alias("brand_c"),
+            "n_co",
+            F.round(F.col("n_co") / F.col("n"), 6).alias("support"),
+        )
+        .orderBy(F.col("n_co").desc(), "brand_a", "brand_b", "brand_c")
+        .limit(30)
+    )

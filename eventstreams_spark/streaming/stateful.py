@@ -425,16 +425,25 @@ def _parse_mg_state(summary_s: str) -> dict[str, int]:
     the format change keep their counters (ADVICE r3)."""
     import json
 
-    if not summary_s:
-        return {}
-    if not summary_s.startswith("{"):
+    def _legacy(blob: str) -> dict[str, int]:
         counters: dict[str, int] = {}
-        for entry in summary_s.split("\x1e"):
+        for entry in blob.split("\x1e"):
             if "\x1f" in entry:
                 tok_, cnt_ = entry.rsplit("\x1f", 1)
                 counters[tok_] = int(cnt_)
         return counters
-    return json.loads(summary_s)
+
+    if not summary_s:
+        return {}
+    if not summary_s.startswith("{"):
+        return _legacy(summary_s)
+    try:
+        return json.loads(summary_s)
+    except json.JSONDecodeError:
+        # A pre-JSON blob whose first stored token happens to start
+        # with '{' is not valid JSON — fall back to the legacy
+        # separator parse instead of crashing on restart (ADVICE r4).
+        return _legacy(summary_s)
 
 
 def heavy_hitters_stream(
@@ -1446,7 +1455,12 @@ def token_bucket_stream(
                 t = int(t)
                 if last is not None and t > last:
                     tokens = min(cap_milli, tokens + (t - last) * refill_per_sec_milli)
-                last = t
+                # Refill clock only moves FORWARD: an out-of-order event
+                # arriving in a later micro-batch with t < last must not
+                # rewind it, else the next in-order event re-credits refill
+                # time already granted and over-admits past the bucket rate
+                # (ADVICE r4). Late events still spend a token if available.
+                last = t if last is None else max(last, t)
                 if tokens >= 1000:
                     tokens -= 1000
                     keep.append(True)
@@ -1565,6 +1579,24 @@ def slo_burn_stream(
                     cur = h
                 elif cur is None:
                     cur = h
+                elif h < cur:
+                    # Late event for an already-closed hour (crossed a
+                    # micro-batch boundary): folding it into the OPEN
+                    # hour would misattribute the error and skew the 1h
+                    # burn rate (ADVICE r4). Merge into the matching
+                    # ring entry so FUTURE 6h/24h sums use corrected
+                    # counts (the closed hour's own row was already
+                    # emitted and is not retracted); drop if the hour
+                    # has aged out of the 24h ring.
+                    ring = [
+                        (
+                            (rh, rn + 1, re_ + int(is_e))
+                            if rh == h
+                            else (rh, rn, re_)
+                        )
+                        for (rh, rn, re_) in ring
+                    ]
+                    continue
                 n += 1
                 e += int(is_e)
             if rows:
@@ -1582,6 +1614,111 @@ def slo_burn_stream(
         fn,
         outputStructType=out_schema,
         stateStructType="cur long, n long, e long, ring string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def conformal_monitor_stream(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    x_col: str,
+    season: int = 7,
+    min_cal: int = 9,
+) -> DataFrame:
+    """Streaming ONLINE split-conformal monitor — the GroupState twin
+    of queries/forecast_extra.py::conformal_monitor_timeline: per key
+    the state is a ring of the last ``season`` values (the
+    seasonal-naive predictor) plus the SORTED multiset of all
+    residuals seen so far (the expanding calibration set). Each
+    incoming (key, day, x) point is first SCORED against the current
+    q̂ = the ⌈0.9(n_cal+1)⌉-th smallest calibration residual — the
+    k-th order-statistic VALUE is tie-order invariant, so a plain
+    sorted list agrees exactly with the batch twin's (r, rn) ranked
+    selection — and only then has its own residual admitted to the
+    calibration set (test-then-update, the adaptive-conformal
+    deployment order). Warmup points with n_cal < ``min_cal`` are
+    consumed into state but not emitted, matching the batch twin's
+    n_cal >= 9 filter.
+
+    All state is integer (values and residuals), so the fold is
+    bit-exact across any micro-batch split and restart. State grows
+    O(days) per key — bounded by the calendar at daily grain
+    (~365/key/year); cap with a sliding calibration window if keys
+    outlive years. Input must be replayed in day order per key, like
+    the other sequential folds.
+    """
+    import bisect
+    import json
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("rn", LongType()),
+            StructField("x", LongType()),
+            StructField("pred", LongType()),
+            StructField("r", LongType()),
+            StructField("n_cal", LongType()),
+            StructField("q90", LongType()),
+            StructField("covered", BooleanType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            rn, ring_json, cal_json = state.get
+            ring = json.loads(ring_json)
+            cal = json.loads(cal_json)
+        else:
+            rn, ring, cal = 0, [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(day_col, kind="mergesort")
+            rows = []
+            for x in pdf[x_col].astype("int64"):
+                x = int(x)
+                rn += 1
+                if len(ring) == season:
+                    pred = ring[0]
+                    r = abs(x - pred)
+                    n_cal = len(cal)
+                    if n_cal >= min_cal:
+                        k = math.ceil(0.9 * (n_cal + 1))
+                        q90 = cal[k - 1]
+                        rows.append(
+                            {
+                                "k": key[0],
+                                "rn": rn,
+                                "x": x,
+                                "pred": pred,
+                                "r": r,
+                                "n_cal": n_cal,
+                                "q90": q90,
+                                "covered": r <= q90,
+                            }
+                        )
+                    bisect.insort(cal, r)
+                    ring = ring[1:] + [x]
+                else:
+                    ring = ring + [x]
+            if rows:
+                yield pd.DataFrame(rows)
+        state.update((rn, json.dumps(ring), json.dumps(cal)))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="rn long, ring string, cal string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

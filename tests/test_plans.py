@@ -2201,3 +2201,75 @@ def test_profiling_ops_family_shapes(spark, sf_dir):
     assert count_prefix(counts, "CartesianProduct") == 0, counts
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert count_prefix(counts, bad) == 0, counts
+
+
+def test_frequent_triples_level_wise_bounded_joins(spark, sf_dir):
+    """Apriori 3-itemsets: every candidate-generation join is an
+    equi-join on l_orderkey; the level dims (f1 brands, f2 pairs,
+    n_orders) attach broadcast; no cartesian anywhere. The persisted
+    pruned-lines frame keeps the plan at its two base scans
+    (lineitem + part) instead of re-deriving per level."""
+    df = q("frequent_triples_apriori", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 3, counts
+    assert_no_operator(df, "CartesianProduct")
+    # 3 EXECUTED orderkey joins (pair gen, f2 materialization, triple
+    # gen) + 2 display-only repeats: the persisted f2's child plan is
+    # printed under each of its 3 InMemoryTableScan consumers but
+    # materializes once. Without the f2 persist this is 7+.
+    assert count_prefix(counts, "SortMergeJoin") <= 5, counts
+    assert count_prefix(counts, "InMemoryTableScan") >= 3, counts
+
+
+def test_conformal_monitor_prefix_join_at_calendar_grain(spark, sf_dir):
+    """Online conformal timeline: ONE fact scan feeds the daily
+    rollup; the prefix self-join runs on the rolled-up frame (days²
+    per key), with rank/count windows on the pair frame."""
+    df = q("conformal_monitor_timeline", spark, sf_dir)
+    counts = operator_counts(df)
+    # 1 executed scan; the persisted resid's child plan is printed
+    # under both prefix-join consumers (display-only repeat)
+    assert count_prefix(counts, "Scan parquet") <= 2, counts
+    assert count_prefix(counts, "InMemoryTableScan") >= 2, counts
+    assert count_prefix(counts, "Window") >= 2, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_matrix_profile_mass_single_materialized_series(spark, sf_dir):
+    """MASS gate: the dense hourly series is persisted (one
+    InMemoryRelation feeding both the JVM window pass and the MASS
+    applyInPandas); the certifier pair join is an equi-join on
+    event_type over window arrays; exactly one ArrowEvalPython-free
+    UDF surface (FlatMapGroupsInPandas for MASS)."""
+    df = q("matrix_profile_mass_gate", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
+    assert count_prefix(counts, "InMemoryTableScan") >= 2, counts
+    assert count_prefix(counts, "Scan parquet") <= 1, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_fisher_exact_census_then_bounded_terms(spark, sf_dir):
+    """Fisher exact: ONE fact scan collapses to the contingency
+    census (persisted — it feeds the lf range, the k-span and the
+    terms frame); the log-factorial table and all nine lookup joins
+    are broadcast; tail terms stay bounded by the smaller margin."""
+    df = q("fisher_exact_weekend_value", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 9, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_source_mixing_single_rollup_no_shuffle_joins(spark, sf_dir):
+    """Hamilton apportionment: one rollup to |sources| rows; totals
+    attach as 1-row broadcasts; the remainder ranking is one bounded
+    window. No shuffle join anywhere."""
+    df = q("source_mixing_largest_remainder", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "Window") >= 1, counts
+    # 1 executed scan: per_src is persisted; its child plan prints
+    # under each of its 4 consumers (display-only repeats)
+    assert count_prefix(counts, "Scan parquet") <= 4, counts
+    assert count_prefix(counts, "InMemoryTableScan") >= 3, counts

@@ -2052,3 +2052,137 @@ def test_slo_burn_stream_matches_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_token_bucket_stream_out_of_order_no_rewind(spark, tmp_path):
+    """ADVICE r4: an out-of-order event arriving in a LATER
+    micro-batch with t < last must not rewind the refill clock —
+    otherwise the next in-order event re-credits refill time already
+    granted and over-admits past the bucket rate. Arrival order is
+    controlled by replaying one event per micro-batch ordered by
+    arrival index (each batch is sorted by ts internally, so only
+    cross-batch disorder exercises the guard)."""
+    from eventstreams_spark.streaming.stateful import token_bucket_stream
+
+    base = 1704103200
+    # (arrival_idx, ts_offset): burst of 5 drains the bucket; t=10
+    # refills exactly one token (admitted); t=5 arrives LATE in its
+    # own batch (rejected, clock must stay at 10); t=16 then refills
+    # only (16-10)*100=600 milli < 1000 -> rejected. A rewound clock
+    # would grant (16-5)*100=1100 and wrongly admit it.
+    offsets = [0, 0, 0, 0, 0, 10, 5, 16]
+    df = spark.createDataFrame(
+        [("a", i, base + off) for i, off in enumerate(offsets)],
+        "k string, event_id long, t_s long",
+    ).select("k", "event_id", F.timestamp_seconds("t_s").alias("ts"))
+    stream = replay_table(
+        spark, df, str(tmp_path), chunks=len(offsets), order_col="event_id"
+    )
+    run_to_memory(
+        token_bucket_stream(stream, "k", "ts"),
+        "t_bucket_ooo",
+        output_mode="append",
+    )
+    admitted = sorted(
+        r.event_id
+        for r in spark.sql("SELECT event_id FROM t_bucket_ooo").collect()
+    )
+    assert admitted == [0, 1, 2, 3, 4, 5], admitted
+
+
+def test_slo_burn_stream_late_hour_merges_into_ring(spark, tmp_path):
+    """ADVICE r4: an event whose hour already CLOSED (late across a
+    micro-batch boundary) must not inflate the open hour's counters;
+    it merges into the matching 24h-ring entry so future 6h/24h burn
+    sums use corrected counts. The closed hour's emitted row is not
+    retracted (append mode)."""
+    from eventstreams_spark.streaming.stateful import slo_burn_stream
+
+    H = 1704103200 // 3600  # epoch hour
+    # arrival order: 4 events hr H (1 err) | 2 events hr H+1 (closes
+    # H) | 1 LATE hr-H error | 1 event hr H+2 (closes H+1)
+    rows = [
+        ("k", 0, H * 3600 + 10, 1),
+        ("k", 1, H * 3600 + 20, 0),
+        ("k", 2, H * 3600 + 30, 0),
+        ("k", 3, H * 3600 + 40, 0),
+        ("k", 4, (H + 1) * 3600 + 5, 0),
+        ("k", 5, (H + 1) * 3600 + 6, 0),
+        ("k", 6, H * 3600 + 50, 1),  # late: hour H already closed
+        ("k", 7, (H + 2) * 3600 + 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, t_s long, is_err long"
+    ).select(
+        "k", "event_id", F.timestamp_seconds("t_s").alias("ts"), "is_err"
+    )
+    stream = replay_table(
+        spark, df, str(tmp_path), chunks=len(rows), order_col="event_id"
+    )
+    run_to_memory(
+        slo_burn_stream(stream, "ts", "is_err", "k"),
+        "t_slo_late",
+        output_mode="append",
+    )
+    got = {
+        r.hr: (r.n, r.e, r.burn_1h, r.burn_6h)
+        for r in spark.sql(
+            "SELECT hr, n, e, burn_1h, burn_6h FROM t_slo_late"
+        ).collect()
+    }
+    # hour H emitted before the late event arrived: original counts
+    assert got[H] == (4, 1, 1.0, 1.0)
+    # hour H+1: its OWN counters exclude the late event (n=2, e=0,
+    # burn_1h=0) but the 6h window sees the CORRECTED ring entry
+    # (H: n=5, e=2): 4*(0+2)/(2+5) = 8/7
+    assert got[H + 1] == (2, 0, 0.0, round(8 / 7, 6))
+
+
+def test_mg_state_legacy_blob_starting_with_brace():
+    """ADVICE r4: a pre-JSON blob whose FIRST token happens to start
+    with '{' is routed to json.loads by the first-byte sniff; it must
+    fall back to the legacy separator parse instead of raising."""
+    from eventstreams_spark.streaming.stateful import _parse_mg_state
+
+    blob = "{tok\x1f3\x1ebeta\x1f2"
+    assert _parse_mg_state(blob) == {"{tok": 3, "beta": 2}
+
+
+def test_conformal_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """FC-conformal twin equality: the streaming online-conformal
+    monitor (expanding sorted-multiset calibration in GroupState)
+    must emit EXACTLY the batch timeline's rows — same q̂ order
+    statistic (tie-order invariant value selection), same test-then-
+    update ordering, same n_cal >= 9 warmup gate. All-integer state
+    makes the fold bit-exact across micro-batch splits."""
+    from eventstreams_spark.queries.forecast_extra import (
+        conformal_monitor_timeline,
+    )
+    from eventstreams_spark.streaming.stateful import conformal_monitor_stream
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    stream = replay_table(spark, daily, str(tmp_path), chunks=4, order_col="day")
+    run_to_memory(
+        conformal_monitor_stream(stream, "k", "day", "x"),
+        "t_conformal",
+        output_mode="append",
+    )
+    got = _rows(
+        spark.sql(
+            "SELECT k, rn, x, pred, r, n_cal, q90, covered FROM t_conformal"
+        )
+    )
+    want = _rows(
+        conformal_monitor_timeline(spark, sf_dir).select(
+            F.col("event_type").alias("k"),
+            "rn", "x", "pred", "r", "n_cal", "q90", "covered",
+        )
+    )
+    assert got, "stream emitted nothing"
+    assert got == want

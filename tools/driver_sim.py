@@ -70,12 +70,28 @@ def frame_hash(pdf):
     return h.hexdigest()
 
 
-def main():
-    only = set(sys.argv[1:])
+def _fresh_session():
+    """A vanilla session shaped like the real driver's (no engine
+    confs). The sim recycles it every RESTART_EVERY queries: the real
+    driver samples ~50 queries per session, while one session running
+    all 450 accumulates JVM heap pressure clearCache() cannot release
+    (r5: executor OOM at ~370 queries in, default 1g heap) — periodic
+    restart keeps each session inside the driver's own envelope
+    WITHOUT adding memory confs the driver would not have.
+    """
     spark = (SparkSession.builder.master("local[8]")
              .appName("driver-sim").config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+RESTART_EVERY = 100
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = _fresh_session()
     import __spark_entry__ as e
 
     # t1 smoke
@@ -90,9 +106,16 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
     fails, n_ok, n_rows_only = [], 0, 0
+    n_run = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
+        if n_run and n_run % RESTART_EVERY == 0:
+            print(f"  -- recycling Spark session after {n_run} queries",
+                  flush=True)
+            spark.stop()
+            spark = _fresh_session()
+        n_run += 1
         t0 = time.time()
         try:
             # builders persist intermediates and (house style) never
