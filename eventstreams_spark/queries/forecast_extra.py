@@ -17,6 +17,8 @@ bit-identical where a hash-aggregated sum would be order-dependent.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP-563
+                         # string annotations via module globals
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1004,4 +1006,169 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type", "window_start")
+    )
+
+
+@query(
+    "dtw_banded_channel_pairs",
+    category="FC-dtw",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn
+            FROM daily QUALIFY rn <= 28
+        ), lens AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n
+            FROM seq GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS ca, b.event_type AS cb,
+                   a.n AS na, b.n AS nb
+            FROM lens a JOIN lens b ON a.event_type < b.event_type
+        ), cells AS (
+            -- anti-diagonal DP: the working set carries diagonal d
+            -- (cur=1) plus d-1 (cur=0); a cell on d+1 takes
+            -- cost + min over its in-band predecessors ((1,0)/(0,1)
+            -- from d, (1,1) from d-1); out-of-band/missing
+            -- predecessors are simply absent from the min
+            WITH RECURSIVE dp AS (
+                SELECT p.ca, p.cb, 2 AS d, 1 AS i, 1 AS j,
+                       CAST(abs(sa.x - sb.x) AS BIGINT) AS val,
+                       1 AS cur, p.na, p.nb
+                FROM pairs p
+                JOIN seq sa ON sa.event_type = p.ca AND sa.rn = 1
+                JOIN seq sb ON sb.event_type = p.cb AND sb.rn = 1
+                UNION ALL
+                SELECT * FROM (
+                    WITH w AS (SELECT * FROM dp)
+                    SELECT n.ca, n.cb, n.d, n.i, n.j, n.val,
+                           1 AS cur, n.na, n.nb
+                    FROM (
+                        SELECT g.ca, g.cb, g.d, g.i, g.j,
+                               CAST(abs(sa.x - sb.x) AS BIGINT)
+                                   + min(g.prev) AS val,
+                               g.na, g.nb
+                        FROM (
+                            SELECT w.ca, w.cb, w.d + 1 AS d,
+                                   w.i + c0.di AS i, w.j + c0.dj AS j,
+                                   w.val AS prev, w.na, w.nb
+                            FROM w
+                            CROSS JOIN (VALUES (1, 0), (0, 1), (1, 1))
+                                 AS c0(di, dj)
+                            WHERE ((w.cur = 1 AND c0.di + c0.dj = 1)
+                                OR (w.cur = 0 AND c0.di = 1 AND c0.dj = 1))
+                              AND w.i + c0.di <= w.na
+                              AND w.j + c0.dj <= w.nb
+                              AND abs((w.i + c0.di) - (w.j + c0.dj)) <= 7
+                        ) g
+                        JOIN seq sa ON sa.event_type = g.ca AND sa.rn = g.i
+                        JOIN seq sb ON sb.event_type = g.cb AND sb.rn = g.j
+                        GROUP BY g.ca, g.cb, g.d, g.i, g.j, g.na, g.nb,
+                                 sa.x, sb.x
+                    ) n
+                    UNION ALL
+                    SELECT w.ca, w.cb, w.d + 1 AS d, w.i, w.j, w.val,
+                           0 AS cur, w.na, w.nb
+                    FROM w WHERE w.cur = 1 AND w.d < w.na + w.nb
+                )
+            )
+            SELECT * FROM dp
+        )
+        SELECT ca AS channel_a, cb AS channel_b, na AS len_a, nb AS len_b,
+               val AS dtw_distance
+        FROM cells
+        WHERE cur = 1 AND i = na AND j = nb
+        ORDER BY channel_a, channel_b
+    """,
+)
+def dtw_banded_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Dynamic Time Warping distance between every pair of
+    channels' daily-count series (first 28 days, Sakoe-Chiba band
+    w = 7): the ELASTIC time-series distance — alignment may stretch
+    or compress time within the band — that Euclidean/z-norm
+    distances (the matrix-profile family) cannot express. The
+    classic clustering/similarity primitive for shape-matching
+    series with phase drift.
+
+    Determinism is total: costs are |x_i − y_j| on integer counts
+    and the DP is min/+ over integers — the distance is one exact
+    BIGINT on both engines. The oracle replicates the DP as a
+    recursive CTE marching anti-diagonals (band-pruned, missing
+    predecessors excluded from the min), verified cell-for-cell
+    against an independent quadratic reference.
+
+    Scale: the fact table collapses to |channels|×28 rows in one
+    rollup; each pair carries its two series as ARRAYS into an
+    Arrow-batched pandas UDF computing the O(n·w) banded DP — pairs
+    are embarrassingly parallel, state is one DP frontier per pair,
+    and nothing ever joins back to the facts. For k channels the
+    pair frame is k(k−1)/2 rows; at large k, block with the same
+    LSH/bucketing used by the dedup family before pairing.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 28)
+    arrs = seq.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rn"), F.col("x")))
+            ),
+            lambda s: s["x"],
+        ).alias("vals"),
+        F.max("rn").cast("long").alias("n"),
+    )
+    a = arrs.select(
+        F.col("event_type").alias("channel_a"),
+        F.col("vals").alias("va"),
+        F.col("n").alias("len_a"),
+    )
+    b = arrs.select(
+        F.col("event_type").alias("channel_b"),
+        F.col("vals").alias("vb"),
+        F.col("n").alias("len_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("channel_a") < F.col("channel_b")
+    )
+
+    @F.pandas_udf(LongType())
+    def dtw_band(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = []
+        band = 7
+        for xa, xb in zip(va, vb):
+            xa = np.asarray(xa, dtype="int64")
+            xb = np.asarray(xb, dtype="int64")
+            n, m = len(xa), len(xb)
+            big = np.iinfo("int64").max // 4  # inf that cannot overflow
+            D = np.full((n + 1, m + 1), big, dtype="int64")
+            D[0, 0] = 0
+            for i in range(1, n + 1):
+                lo, hi = max(1, i - band), min(m, i + band)
+                for j in range(lo, hi + 1):
+                    c = abs(int(xa[i - 1]) - int(xb[j - 1]))
+                    D[i, j] = c + min(
+                        D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+                    )
+            out.append(int(D[n, m]))
+        return pd.Series(out, dtype="int64")
+
+    return (
+        pairs.select(
+            "channel_a", "channel_b", "len_a", "len_b",
+            dtw_band(F.col("va"), F.col("vb")).alias("dtw_distance"),
+        )
+        .orderBy("channel_a", "channel_b")
     )

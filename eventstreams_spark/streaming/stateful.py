@@ -1722,3 +1722,97 @@ def conformal_monitor_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def reservoir_es_stream(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Streaming weighted reservoir sampling WITHOUT replacement —
+    the GroupState twin of queries/analysis_extra.py::
+    weighted_sample_es_topk (Efraimidis-Spirakis): every row gets the
+    deterministic key ln(u)/w with u minted from md5(id) (the exact
+    positional-parse construction of functions/sampling.py::
+    md5_uniform, so the stream and the batch query rank by the SAME
+    numbers), and the state is simply the current top-k under the
+    (key DESC, id ASC) total order — O(k) per group, invariant to
+    micro-batching because membership in a top-k is order-free.
+
+    Each micro-batch emits the FULL current reservoir tagged with a
+    state sequence number; the rows with the max seq are the live
+    sample (update-style emission, like accumulate_stream). After
+    replaying a table the final reservoir equals the batch top-k
+    exactly — the equality golden.
+
+    Scale: this fold groups everything under one constant key here
+    (bounded state, but one Python worker); shard real corpora by
+    stratum key and take per-stratum reservoirs, which is what the
+    batch stratified variant does with a partitioned window.
+    """
+    import hashlib
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("id", LongType()),
+            StructField("weight", LongType()),
+            StructField("es_key", DoubleType()),
+        ]
+    )
+
+    def es_key(ident: int, w: int) -> float:
+        h = hashlib.md5(str(ident).encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        return math.log(u) / w
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, blob = state.get
+            res = [tuple(r) for r in json.loads(blob)]
+        else:
+            seq, res = 0, []
+        for pdf in pdfs:
+            for ident, w in zip(
+                pdf[id_col].astype("int64"), pdf[weight_col].astype("int64")
+            ):
+                ident, w = int(ident), int(w)
+                res.append((es_key(ident, w), ident, w))
+            # top-k under (key DESC, id ASC); rebuilt per batch from
+            # <= k + batch rows — membership is order-free
+            res.sort(key=lambda t: (-t[0], t[1]))
+            del res[k:]
+        seq += 1
+        state.update((seq, json.dumps([list(t) for t in res])))
+        yield pd.DataFrame(
+            {
+                "seq": [seq] * len(res),
+                "id": [t[1] for t in res],
+                "weight": [t[2] for t in res],
+                "es_key": [t[0] for t in res],
+            }
+        )
+
+    return (
+        df.withColumn("_g", F.lit("all"))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="seq long, blob string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2273,3 +2273,14 @@ def test_source_mixing_single_rollup_no_shuffle_joins(spark, sf_dir):
     # under each of its 4 consumers (display-only repeats)
     assert count_prefix(counts, "Scan parquet") <= 4, counts
     assert count_prefix(counts, "InMemoryTableScan") >= 3, counts
+
+
+def test_dtw_pairs_arrays_carried_no_fact_rejoin(spark, sf_dir):
+    """Banded DTW: one rollup to |channels|×28, arrays carried into
+    the pair frame (broadcast pair join on the tiny side), the DP in
+    one Arrow-batched pandas UDF — nothing joins back to the facts."""
+    df = q("dtw_banded_channel_pairs", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+    assert_no_operator(df, "CartesianProduct")

@@ -2186,3 +2186,38 @@ def test_conformal_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got, "stream emitted nothing"
     assert got == want
+
+
+def test_reservoir_es_stream_matches_batch_topk(spark, sf_dir, tmp_path):
+    """P7 streaming twin: replaying the documents table through the
+    weighted reservoir must end with EXACTLY the batch
+    Efraimidis-Spirakis top-20 (same md5-minted keys, same
+    (key DESC, id ASC) order), invariant to micro-batch splits."""
+    from eventstreams_spark.queries.analysis_extra import (
+        weighted_sample_es_topk,
+    )
+    from eventstreams_spark.streaming.stateful import reservoir_es_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    finals = []
+    for chunks in (3, 7):
+        d = str(tmp_path / f"c{chunks}")
+        stream = replay_table(spark, docs, d, chunks=chunks, order_col="doc_id")
+        run_to_memory(
+            reservoir_es_stream(stream, "doc_id", "n_chars", k=20),
+            f"t_reservoir_{chunks}",
+            output_mode="update",
+        )
+        finals.append(sorted(
+            (r.id, r.weight)
+            for r in spark.sql(
+                f"SELECT id, weight FROM t_reservoir_{chunks} "
+                f"WHERE seq = (SELECT max(seq) FROM t_reservoir_{chunks})"
+            ).collect()
+        ))
+    want = sorted(
+        (r.doc_id, r.n_chars)
+        for r in weighted_sample_es_topk(spark, sf_dir).collect()
+    )
+    assert finals[0] == want, (finals[0][:5], want[:5])
+    assert finals[0] == finals[1]
