@@ -1172,3 +1172,206 @@ def dtw_banded_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel_a", "channel_b")
     )
+
+
+# ---- Holt-Winters additive (m=7) — engine-shared fold texts.
+# Smoothing constants are DYADIC (0.5, 0.25): every fold operation is
+# +,−,× by exactly-representable doubles, so the carried state is
+# bit-identical across engines with NO per-step requantization (the
+# HMM fold needs round6 because of ln/exp; this one provably doesn't
+# — the NEXT.md 'folds with only +,·,/ are bit-exact' house lesson).
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = "0.5", "0.25", "0.25"
+
+
+def _hw_lnew(x: str, s_old: str, l: str, b: str) -> str:
+    return (
+        f"({_HW_ALPHA} * (CAST({x} AS DOUBLE) - {s_old})"
+        f" + (1.0 - {_HW_ALPHA}) * ({l} + {b}))"
+    )
+
+
+def _hw_bnew(l_new: str, l: str, b: str) -> str:
+    return (
+        f"({_HW_BETA} * ({l_new} - {l}) + (1.0 - {_HW_BETA}) * {b})"
+    )
+
+
+def _hw_snew(x: str, l_new: str, s_old: str) -> str:
+    return (
+        f"({_HW_GAMMA} * (CAST({x} AS DOUBLE) - {l_new})"
+        f" + (1.0 - {_HW_GAMMA}) * {s_old})"
+    )
+
+
+@query(
+    "holt_winters_additive_fit",
+    category="FC-holtwinters",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, day, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM daily
+        ), eligible AS (
+            SELECT * FROM seq WHERE n >= 15
+        ), init AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN rn <= 7 THEN x END) AS BIGINT) AS s1,
+                   CAST(sum(CASE WHEN rn BETWEEN 8 AND 14 THEN x END)
+                        AS BIGINT) AS s2
+            FROM eligible GROUP BY event_type
+        ), seeds AS (
+            SELECT i.event_type,
+                   CAST(s1 AS DOUBLE) / 7.0 AS l0,
+                   (CAST(s2 AS DOUBLE) / 7.0 - CAST(s1 AS DOUBLE) / 7.0)
+                       / 7.0 AS b0,
+                   r.ring0
+            FROM init i JOIN (
+                SELECT e.event_type,
+                       list(CAST(e.x AS DOUBLE)
+                            - CAST(i2.s1 AS DOUBLE) / 7.0
+                            ORDER BY e.rn) AS ring0
+                FROM eligible e JOIN init i2
+                  ON i2.event_type = e.event_type
+                WHERE e.rn <= 7
+                GROUP BY e.event_type
+            ) r ON r.event_type = i.event_type
+        ), fold AS (
+            SELECT event_type, CAST(7 AS BIGINT) AS rn,
+                   CAST(NULL AS DATE) AS day, CAST(NULL AS BIGINT) AS x,
+                   CAST(NULL AS DOUBLE) AS f, CAST(NULL AS DOUBLE) AS s_old,
+                   l0 AS l, b0 AS b, ring0 AS ring
+            FROM seeds
+            UNION ALL
+            SELECT s.event_type, s.rn, s.day, s.x,
+                   (r.l + r.b + r.ring[CAST((s.rn - 1) % 7 + 1 AS INT)]) AS f,
+                   r.ring[CAST((s.rn - 1) % 7 + 1 AS INT)] AS s_old,
+                   {_hw_lnew("s.x", "r.ring[CAST((s.rn - 1) % 7 + 1 AS INT)]", "r.l", "r.b")} AS l,
+                   {_hw_bnew(_hw_lnew("s.x", "r.ring[CAST((s.rn - 1) % 7 + 1 AS INT)]", "r.l", "r.b"), "r.l", "r.b")} AS b,
+                   r.ring[1:CAST((s.rn - 1) % 7 AS INT)]
+                       || [{_hw_snew("s.x", _hw_lnew("s.x", "r.ring[CAST((s.rn - 1) % 7 + 1 AS INT)]", "r.l", "r.b"), "r.ring[CAST((s.rn - 1) % 7 + 1 AS INT)]")}]
+                       || r.ring[CAST((s.rn - 1) % 7 + 2 AS INT):7] AS ring
+            FROM fold r JOIN eligible s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, day, x,
+               CAST(round(f, 6) AS DOUBLE) AS forecast,
+               CAST(round(x - f, 6) AS DOUBLE) AS resid,
+               CAST(round(l, 6) AS DOUBLE) AS level,
+               CAST(round(b, 6) AS DOUBLE) AS trend,
+               CAST(round(s_old, 6) AS DOUBLE) AS seasonal
+        FROM fold WHERE rn >= 8
+        ORDER BY event_type, day
+    """,
+)
+def holt_winters_additive_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (m = 7,
+    α = 0.5, β = γ = 0.25) fitted over each channel's daily counts —
+    level + trend + weekly seasonal ring, the classic seasonal
+    forecaster the backtest scorecard's baselines bracket. Emits the
+    one-step-ahead fitted forecast, residual, and the smoothed
+    state per day from t = m+1 (textbook init: level = week-1 mean,
+    trend = (week-2 mean − week-1 mean)/m, seasonal ring =
+    week-1 deviations).
+
+    Determinism: the smoothing constants are DYADIC, so the fold is
+    exclusively +,−,× on exactly-representable doubles — bit-exact
+    across engines with no per-step requantization (contrast the
+    HMM fold's round6: that one needs it because of ln/exp). The
+    recursive-CTE oracle carries (level, trend, ring) per step and
+    must agree to the last bit before the final round6.
+
+    Scale: one rollup to |channels|×|days|; one JVM fold per channel
+    (aggregate over the array-packed series, whole-stage codegen);
+    seeds are two integer sums per channel. Millions of keys = the
+    same groupBy+fold, state is 9 doubles per key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    packed = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "x"))).alias("series")
+        )
+        .filter(F.size("series") >= 15)
+    )
+    # seeds from the packed array — no second scan of the facts
+    seeded = packed.select(
+        "event_type", "series",
+        F.expr(
+            "aggregate(slice(series, 1, 7), CAST(0 AS BIGINT),"
+            " (a, z) -> a + z.x)"
+        ).alias("s1"),
+        F.expr(
+            "aggregate(slice(series, 8, 7), CAST(0 AS BIGINT),"
+            " (a, z) -> a + z.x)"
+        ).alias("s2"),
+    ).select(
+        "event_type", "series",
+        F.expr("CAST(s1 AS DOUBLE) / 7.0").alias("l0"),
+        F.expr(
+            "(CAST(s2 AS DOUBLE) / 7.0 - CAST(s1 AS DOUBLE) / 7.0) / 7.0"
+        ).alias("b0"),
+        F.expr(
+            "transform(slice(series, 1, 7),"
+            " z -> CAST(z.x AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)"
+        ).alias("ring0"),
+    )
+    # fold state = array of emitted steps, each carrying (l, b, ring);
+    # previous state = last element (or the seeds on the first step)
+    prev_l = "CASE WHEN size(acc) = 0 THEN l0 ELSE element_at(acc, -1).l END"
+    prev_b = "CASE WHEN size(acc) = 0 THEN b0 ELSE element_at(acc, -1).b END"
+    prev_ring = (
+        "CASE WHEN size(acc) = 0 THEN ring0 ELSE element_at(acc, -1).ring END"
+    )
+    p = "(CAST(size(acc) % 7 AS INT) + 1)"  # rn = 8 + size(acc)
+    s_old = f"element_at({prev_ring}, {p})"
+    l_new = _hw_lnew("z.x", s_old, prev_l, prev_b)
+    b_new = _hw_bnew(l_new, prev_l, prev_b)
+    s_new = _hw_snew("z.x", l_new, s_old)
+    ring_new = (
+        f"concat(slice({prev_ring}, 1, {p} - 1), array({s_new}),"
+        f" slice({prev_ring}, {p} + 1, 7 - {p}))"
+    )
+    folded = seeded.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+                slice(series, 8, size(series) - 7),
+                CAST(array() AS ARRAY<STRUCT<day DATE, x BIGINT,
+                     f DOUBLE, s_old DOUBLE, l DOUBLE, b DOUBLE,
+                     ring ARRAY<DOUBLE>>>),
+                (acc, z) -> array_append(acc, struct(
+                    z.day AS day, z.x AS x,
+                    ({prev_l} + {prev_b} + {s_old}) AS f,
+                    {s_old} AS s_old,
+                    {l_new} AS l,
+                    {b_new} AS b,
+                    {ring_new} AS ring))
+            )
+            """
+        ).alias("walked"),
+    )
+    return (
+        folded.select("event_type", F.explode("walked").alias("w"))
+        .select(
+            "event_type",
+            F.col("w.day").alias("day"),
+            F.col("w.x").alias("x"),
+            F.round("w.f", 6).alias("forecast"),
+            F.round(F.col("w.x") - F.col("w.f"), 6).alias("resid"),
+            F.round("w.l", 6).alias("level"),
+            F.round("w.b", 6).alias("trend"),
+            F.round("w.s_old", 6).alias("seasonal"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -2284,3 +2284,15 @@ def test_dtw_pairs_arrays_carried_no_fact_rejoin(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "ArrowEvalPython") == 1, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_holt_winters_single_scan_jvm_fold(spark, sf_dir):
+    """Holt-Winters: one fact scan → rollup → array-packed fold in
+    whole-stage codegen (aggregate over the series; seeds derived
+    from the SAME packed array, no second scan); no joins at all."""
+    df = q("holt_winters_additive_fit", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")

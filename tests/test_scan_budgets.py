@@ -32,7 +32,9 @@ def count_parquet_scans(df) -> int:
     """Parquet file-scan leaves in the physical plan (same counter
     as tools/gen_scan_budgets.py — keep the two in sync)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("FileScan parquet") + plan.count("Scan parquet ")
+    # "Scan parquet " is a substring of "FileScan parquet " — count
+    # the FileScan form only (the one executedPlan().toString() emits)
+    return plan.count("FileScan parquet")
 
 
 BUDGETS_PATH = os.path.join(os.path.dirname(__file__), "scan_budgets.json")

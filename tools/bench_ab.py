@@ -66,6 +66,7 @@ def main() -> None:
     subprocess.run(
         ["git", "worktree", "add", "--force", wt, ref],
         cwd=REPO, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     try:
         a_runs: list[dict] = []  # baseline ref

@@ -37,7 +37,9 @@ OUT = os.path.join(
 def count_parquet_scans(df) -> int:
     """Number of parquet file-scan leaves in the physical plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("FileScan parquet") + plan.count("Scan parquet ")
+    # "Scan parquet " is a substring of "FileScan parquet " — count
+    # the FileScan form only (the one executedPlan().toString() emits)
+    return plan.count("FileScan parquet")
 
 
 def main() -> None:
