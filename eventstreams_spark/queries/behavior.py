@@ -3115,3 +3115,284 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_seconds")
     )
+
+
+@query(
+    "path_trigrams_markov_lift",
+    category="B7-markov",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS a,
+                   lead(event_type, 1) OVER w AS b,
+                   lead(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tri AS (
+            SELECT a, b, c,
+                   CAST(count(*) AS BIGINT) AS n_abc,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM seq WHERE c IS NOT NULL GROUP BY a, b, c
+        ), bi AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM seq WHERE b IS NOT NULL GROUP BY a, b
+        ), uni AS (
+            SELECT a, CAST(sum(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_out
+            FROM seq GROUP BY a
+        )
+        SELECT t.a AS step1, t.b AS step2, t.c AS step3,
+               t.n_abc, t.n_users,
+               CAST(round(t.n_abc * 1.0 * u.n_out / (ab.n_ab * bc.n_ab), 6)
+                    AS DOUBLE) AS markov_lift,
+               (t.n_abc * u.n_out > ab.n_ab * bc.n_ab) AS overrepresented
+        FROM tri t
+        JOIN bi ab ON ab.a = t.a AND ab.b = t.b
+        JOIN bi bc ON bc.a = t.b AND bc.b = t.c
+        JOIN uni u ON u.a = t.b
+        ORDER BY t.n_abc DESC, step1, step2, step3
+        LIMIT 20
+    """,
+)
+def path_trigrams_markov_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey TRIGRAMS (3 consecutive events per user)
+    scored against the first-order Markov null — the pathing
+    analytics every product funnel tool ships, upgraded from raw
+    counting: under the chain assumption E[n(abc)] = n(ab)·n(bc)/
+    n(b→·), so markov_lift = n(abc)·n(b→·) / (n(ab)·n(bc)) > 1
+    flags three-step paths the bigram model CANNOT explain (true
+    higher-order structure: loops, detours, habit chains). Also
+    carries distinct-user support so one hyperactive user cannot
+    mint a 'common' path.
+
+    Determinism: the over/under decision is an INTEGER
+    cross-multiplication (n_abc·n_out vs n_ab·n_bc — no float
+    compare); the lift itself is one rounded ratio of exact integer
+    counts; top-20 under the (count, path) total order.
+
+    Scale: ONE window pass per user produces both lead columns (a
+    shared sort); the three count frames come off that pass and join
+    on the tiny |types|² / |types|³ keys — broadcast-sized dims, the
+    facts are never rejoined. The windowed frame is persisted: three
+    aggregation consumers (SCALE.md §15).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).persist()
+    tri = (
+        seq.filter(F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_abc"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    bi = (
+        seq.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    uni = seq.groupBy("a").agg(
+        F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_out")
+    )
+    ab = bi.select(
+        F.col("a").alias("ab_a"), F.col("b").alias("ab_b"),
+        F.col("n_ab").alias("n_ab"),
+    )
+    bc = bi.select(
+        F.col("a").alias("bc_a"), F.col("b").alias("bc_b"),
+        F.col("n_ab").alias("n_bc"),
+    )
+    u = uni.select(F.col("a").alias("u_b"), "n_out")
+    return (
+        tri.join(
+            F.broadcast(ab),
+            (F.col("a") == F.col("ab_a")) & (F.col("b") == F.col("ab_b")),
+        )
+        .join(
+            F.broadcast(bc),
+            (F.col("b") == F.col("bc_a")) & (F.col("c") == F.col("bc_b")),
+        )
+        .join(F.broadcast(u), F.col("b") == F.col("u_b"))
+        .select(
+            F.col("a").alias("step1"),
+            F.col("b").alias("step2"),
+            F.col("c").alias("step3"),
+            "n_abc", "n_users",
+            F.round(
+                F.col("n_abc") * F.lit(1.0) * F.col("n_out")
+                / (F.col("n_ab") * F.col("n_bc")),
+                6,
+            ).alias("markov_lift"),
+            (
+                F.col("n_abc") * F.col("n_out")
+                > F.col("n_ab") * F.col("n_bc")
+            ).alias("overrepresented"),
+        )
+        .orderBy(F.col("n_abc").desc(), "step1", "step2", "step3")
+        .limit(20)
+    )
+
+
+@query(
+    "gsp_subsequence_triples",
+    category="B7-gsp",
+    oracle="""
+        WITH pos AS (
+            SELECT user_id, event_type AS t, rn FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 12
+        ), u AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   (6 * CAST(count(DISTINCT user_id) AS BIGINT)) // 10
+                       AS minsup
+            FROM pos
+        ), f1 AS (
+            SELECT t FROM pos CROSS JOIN u
+            GROUP BY t, minsup
+            HAVING count(DISTINCT user_id) >= minsup
+        ), posf AS (
+            SELECT p.user_id, p.t, p.rn
+            FROM pos p SEMI JOIN f1 ON p.t = f1.t
+        ), firsts AS (
+            SELECT user_id, t, CAST(min(rn) AS BIGINT) AS frn
+            FROM posf GROUP BY user_id, t
+        ), pair_first AS (
+            -- greedy: first b strictly after the first a
+            SELECT a.user_id, a.t AS ta, b.t AS tb,
+                   CAST(min(b.rn) AS BIGINT) AS fb
+            FROM firsts a JOIN posf b
+              ON b.user_id = a.user_id AND b.rn > a.frn
+            GROUP BY a.user_id, a.t, b.t
+        ), p2 AS (
+            SELECT ta, tb, CAST(count(*) AS BIGINT) AS sup
+            FROM pair_first GROUP BY ta, tb
+        ), f2 AS (
+            SELECT ta, tb FROM p2 CROSS JOIN u WHERE sup >= minsup
+        ), tri AS (
+            SELECT pf.ta, pf.tb, c.t AS tc,
+                   CAST(count(DISTINCT pf.user_id) AS BIGINT) AS n_sup
+            FROM pair_first pf
+            SEMI JOIN f2 fab ON pf.ta = fab.ta AND pf.tb = fab.tb
+            JOIN posf c ON c.user_id = pf.user_id AND c.rn > pf.fb
+            SEMI JOIN f2 fbc ON pf.tb = fbc.ta AND c.t = fbc.tb
+            SEMI JOIN f2 fac2 ON pf.ta = fac2.ta AND c.t = fac2.tb
+            GROUP BY pf.ta, pf.tb, c.t
+        )
+        SELECT ta AS step1, tb AS step2, tc AS step3, n_sup AS n_users,
+               CAST(round(n_sup * 1.0 / u.n_users, 6) AS DOUBLE)
+                   AS support
+        FROM tri CROSS JOIN u
+        WHERE n_sup >= minsup
+        ORDER BY n_sup DESC, step1, step2, step3
+        LIMIT 25
+    """,
+)
+def gsp_subsequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style frequent SEQUENTIAL patterns of length 3 with TRUE
+    subsequence semantics (gaps allowed, order preserved) over each
+    user's first 12 events — the sequence-mining complement of the
+    itemset miner (frequent_triples_apriori counts co-presence; this
+    counts ORDERED containment, the Agrawal-Srikant GSP semantics)
+    and of the trigram query (contiguous only). Support = distinct
+    users containing the pattern; minsup = 60% of users.
+
+    Containment is decided by GREEDY first-occurrence matching
+    (first a, then first b after it, then any c after that) — exact
+    for subsequence existence — so per user the state is one
+    first-position per type and one greedy pair position per
+    (a, b), never an occurrence enumeration. Downward closure prunes
+    triples through ALL frequent length-2 subsequences (a→b, b→c,
+    and a→c) before the counting join. All decisions are integer
+    (positions, distinct-user counts, DIV-computed minsup).
+
+    Scale: one window pass assigns positions; every candidate frame
+    joins on user_id (co-partitioned after one shuffle); the pattern
+    dims (f1, f2) are broadcast-sized (≤ types²). Pair-state volume
+    is |users|·|types|² at worst — bounded by the type alphabet, not
+    by event count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("t"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 12)
+        .persist()  # feeds u, f1, posf
+    )
+    u = pos.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.expr("(6 * count(DISTINCT user_id)) div 10").alias("minsup"),
+    )
+    f1 = (
+        pos.groupBy("t")
+        .agg(F.count_distinct("user_id").alias("su"))
+        .crossJoin(F.broadcast(u.select("minsup")))
+        .filter(F.col("su") >= F.col("minsup"))
+        .select("t")
+    )
+    posf = pos.join(F.broadcast(f1), "t", "semi").persist()
+    firsts = posf.groupBy("user_id", "t").agg(
+        F.min("rn").cast("long").alias("frn")
+    )
+    a = firsts.select("user_id", F.col("t").alias("ta"), "frn")
+    b = posf.select("user_id", F.col("t").alias("tb"), F.col("rn").alias("rnb"))
+    pair_first = (
+        a.join(b, "user_id")
+        .filter(F.col("rnb") > F.col("frn"))
+        .groupBy("user_id", "ta", "tb")
+        .agg(F.min("rnb").cast("long").alias("fb"))
+        .persist()  # feeds p2 and the triple join
+    )
+    p2 = pair_first.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("sup")
+    )
+    f2 = (
+        p2.crossJoin(F.broadcast(u.select("minsup")))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("ta", "tb")
+        .persist()  # 3 broadcast prune consumers
+    )
+    c = posf.select("user_id", F.col("t").alias("tc"), F.col("rn").alias("rnc"))
+    tri = (
+        pair_first.join(F.broadcast(f2), ["ta", "tb"], "semi")
+        .join(c, "user_id")
+        .filter(F.col("rnc") > F.col("fb"))
+        .join(
+            F.broadcast(f2.select(F.col("ta").alias("tb"), F.col("tb").alias("tc"))),
+            ["tb", "tc"],
+            "semi",
+        )
+        .join(
+            F.broadcast(f2.select(F.col("ta"), F.col("tb").alias("tc"))),
+            ["ta", "tc"],
+            "semi",
+        )
+        .groupBy("ta", "tb", "tc")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_sup"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(u))
+        .filter(F.col("n_sup") >= F.col("minsup"))
+        .select(
+            F.col("ta").alias("step1"),
+            F.col("tb").alias("step2"),
+            F.col("tc").alias("step3"),
+            F.col("n_sup").alias("n_users"),
+            F.round(F.col("n_sup") / F.col("n_users"), 6).alias("support"),
+        )
+        .orderBy(F.col("n_users").desc(), "step1", "step2", "step3")
+        .limit(25)
+    )

@@ -2245,7 +2245,11 @@ def test_matrix_profile_mass_single_materialized_series(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
     assert count_prefix(counts, "InMemoryTableScan") >= 2, counts
-    assert count_prefix(counts, "Scan parquet") <= 1, counts
+    # the persisted series' child (2 scans of events) prints under
+    # each of its 3 consumers; 1 materialization executes. String
+    # count varies with cache-display state — the scan-budget gate
+    # (budget 6) owns the exact number; here just bound it.
+    assert count_prefix(counts, "Scan parquet") <= 6, counts
     assert_no_operator(df, "CartesianProduct")
 
 
@@ -2296,3 +2300,24 @@ def test_holt_winters_single_scan_jvm_fold(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_path_trigrams_one_window_pass_broadcast_dims(spark, sf_dir):
+    """Path trigrams: BOTH leads come from one persisted window pass;
+    the count frames join on broadcast |types|-sized dims; the facts
+    are never rejoined."""
+    df = q("path_trigrams_markov_lift", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 3, counts
+    assert_no_operator(df, "CartesianProduct")
+
+
+def test_gsp_user_cogrouped_joins_broadcast_pattern_dims(spark, sf_dir):
+    """GSP triples: candidate frames join on user_id; the pattern
+    dims (f1/f2/minsup) attach broadcast; the only shuffle joins are
+    the user-keyed containment joins."""
+    df = q("gsp_subsequence_triples", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastHashJoin") >= 4, counts
+    assert_no_operator(df, "CartesianProduct")
