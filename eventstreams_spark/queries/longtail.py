@@ -2195,3 +2195,115 @@ def source_mixing_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(quota / F.col("n_docs"), 6).alias("sample_rate"),
         (quota > F.col("n_docs")).alias("upsampled"),
     ).orderBy("source")
+
+
+@query(
+    "packing_efficiency_census",
+    category="L-packing",
+    oracle="""
+        WITH RECURSIVE docs AS (
+            SELECT source, doc_id,
+                   1 + (n_chars // 4) AS toks,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY source)
+                        AS BIGINT) AS n_docs
+            FROM documents
+        ), fold AS (
+            SELECT source, rn, n_docs,
+                   CAST(1 AS BIGINT) AS bins,
+                   toks AS fill
+            FROM docs WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.rn, d.n_docs,
+                   CASE WHEN f.fill + d.toks <= 2048 THEN f.bins
+                        ELSE f.bins + 1 END,
+                   CASE WHEN f.fill + d.toks <= 2048
+                        THEN f.fill + d.toks ELSE d.toks END
+            FROM fold f JOIN docs d
+              ON d.source = f.source AND d.rn = f.rn + 1
+        ), final AS (
+            SELECT source, bins FROM fold WHERE rn = n_docs
+        ), totals AS (
+            SELECT source,
+                   CAST(sum(toks) AS BIGINT) AS total_toks,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM docs GROUP BY source
+        )
+        SELECT t.source, t.n_docs, t.total_toks,
+               f.bins AS greedy_bins,
+               CAST((t.total_toks + 2047) // 2048 AS BIGINT) AS ideal_bins,
+               f.bins - CAST((t.total_toks + 2047) // 2048 AS BIGINT)
+                   AS overhead_bins,
+               CAST(round(t.total_toks * 1.0 / (f.bins * 2048), 6)
+                    AS DOUBLE) AS fill_rate
+        FROM totals t JOIN final f ON f.source = t.source
+        ORDER BY t.source
+    """,
+)
+def packing_efficiency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency census per corpus source: greedy
+    first-fit of whole documents (token proxy = 1 + chars DIV 4, the
+    ~4-chars/token heuristic) into 2048-token context windows in
+    doc_id order, WITHOUT splitting documents — the packing mode for
+    training objectives that forbid cross-document attention. Emits
+    greedy bins vs the ideal ⌈total/L⌉ lower bound (the
+    with-splitting count) and the realized fill rate — the padding
+    waste a pipeline pays for document integrity, per source.
+
+    Determinism: token counts, bin fills, and bin counts are ALL
+    integer (DIV, never float division); the greedy fold is a
+    sequential integer recurrence — the recursive-CTE oracle carries
+    (bins, fill) per step, the Spark side folds the array-packed doc
+    list per source in whole-stage codegen. ⌈a/b⌉ for positive ints
+    is (a + b−1) DIV b — note -((-a) DIV b) is WRONG on both engines
+    (integer division truncates toward zero, not floor), a trap the
+    first draft of this query hit.
+
+    Scale: one rollup packs each source's (doc_id, toks) list; the
+    fold is O(docs) per source with 2 longs of state. Sources are
+    independent — the same groupBy+fold at a million sources. The
+    doc_id ordering is the pinned deterministic shard order; a real
+    pipeline would salt doc order per epoch, which only changes the
+    sort key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("doc_id"),
+                    (1 + F.expr("n_chars div 4")).cast("long").alias("toks"),
+                )
+            )
+        ).alias("ds"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(1 + F.expr("n_chars div 4")).cast("long").alias("total_toks"),
+    )
+    folded = packed.select(
+        "source", "n_docs", "total_toks",
+        F.expr(
+            """
+            aggregate(
+                ds,
+                struct(CAST(0 AS BIGINT) AS bins, CAST(2048 AS BIGINT) AS fill),
+                (acc, z) -> CASE WHEN acc.fill + z.toks <= 2048
+                    THEN struct(acc.bins AS bins,
+                                acc.fill + z.toks AS fill)
+                    ELSE struct(acc.bins + CAST(1 AS BIGINT) AS bins,
+                                z.toks AS fill) END
+            ).bins
+            """
+        ).alias("greedy_bins"),
+    )
+    ideal = F.expr("(total_toks + 2047) div 2048").cast("long")
+    return folded.select(
+        "source", "n_docs", "total_toks", "greedy_bins",
+        ideal.alias("ideal_bins"),
+        (F.col("greedy_bins") - ideal).cast("long").alias("overhead_bins"),
+        F.round(
+            F.col("total_toks")
+            / (F.col("greedy_bins") * F.lit(2048.0)),
+            6,
+        ).alias("fill_rate"),
+    ).orderBy("source")

@@ -1816,3 +1816,84 @@ def reservoir_es_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def kll_quantile_monitor_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Streaming quantile monitor — a KLL sketch (operators/kll.py,
+    deterministic compaction coins) carried in GroupState per key:
+    each micro-batch folds its values into the sketch and emits the
+    current quantile estimates with the running count, giving live
+    p50/p95/p99 telemetry with O(k·log(n/k)) state per key — the
+    streaming twin the batch sketch family (KLL/t-digest/GK gates)
+    was missing.
+
+    Guarantees: the sketch is deterministic given the sequence of
+    micro-batch value-sets (no RNG), but unlike the integer folds it
+    is NOT bit-invariant to how the stream is batched — compaction
+    boundaries shift. What holds — and what the golden asserts — is
+    the KLL rank guarantee: the TRUE rank of every emitted estimate
+    stays within a few percent of the requested quantile, for any
+    batching. State round-trips through the (items, levels, flips)
+    serialization, so checkpoint-restart resumes the exact sketch.
+
+    Scale: one shuffle by key; Python cost is per key-batch
+    (Arrow-batched numpy); a million keys is a million independent
+    O(k log n) sketches in the state store.
+    """
+    import json
+
+    import numpy as np
+
+    from ..operators.kll import KLL
+
+    out_schema = (
+        f"{key_col} string, seq long, q double, estimate double, "
+        "n_seen long"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, n_seen, items_j, levels_j, flips = state.get
+            sk = KLL.deserialize(
+                json.loads(items_j), json.loads(levels_j), flips, k=k
+            )
+        else:
+            seq, n_seen, sk = 0, 0, KLL(k=k)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                sk.update_batch(vals)
+                n_seen += len(vals)
+        seq += 1
+        items, levels, flips = sk.serialize()
+        state.update(
+            (seq, n_seen, json.dumps(items), json.dumps(levels), flips)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(qs),
+                "seq": [seq] * len(qs),
+                "q": list(qs),
+                "estimate": [sk.quantile(q) for q in qs],
+                "n_seen": [n_seen] * len(qs),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "seq long, n_seen long, items string, levels string, flips long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

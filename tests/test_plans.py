@@ -2321,3 +2321,15 @@ def test_gsp_user_cogrouped_joins_broadcast_pattern_dims(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastHashJoin") >= 4, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_packing_census_single_scan_jvm_fold(spark, sf_dir):
+    """Packing census: one documents scan → per-source array pack →
+    integer greedy fold in whole-stage codegen; no joins, no second
+    scan (totals come off the same aggregate)."""
+    df = q("packing_efficiency_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan parquet") == 1, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")

@@ -2221,3 +2221,51 @@ def test_reservoir_es_stream_matches_batch_topk(spark, sf_dir, tmp_path):
     )
     assert finals[0] == want, (finals[0][:5], want[:5])
     assert finals[0] == finals[1]
+
+
+def test_kll_quantile_monitor_stream_rank_guarantee(spark, sf_dir, tmp_path):
+    """Streaming KLL monitor: after replaying each channel's values
+    the final p50/p90/p99 estimates must satisfy the KLL rank
+    guarantee against the EXACT value multiset (true rank within 3%
+    of the target for k=200), every estimate must be a value that
+    actually occurred, and n_seen must equal the replayed row count.
+    The monitor emits one row per (key, q) per micro-batch (update
+    emission with a seq tag); the last seq is the live state."""
+    import bisect
+
+    from eventstreams_spark.streaming.stateful import (
+        kll_quantile_monitor_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    stream = replay_table(spark, ev, str(tmp_path), chunks=4, order_col="ts")
+    run_to_memory(
+        kll_quantile_monitor_stream(stream, "event_type", "value"),
+        "t_kll_mon",
+        output_mode="update",
+    )
+    got = spark.sql(
+        "SELECT event_type, q, estimate, n_seen FROM t_kll_mon m "
+        "WHERE seq = (SELECT max(seq) FROM t_kll_mon WHERE event_type = m.event_type)"
+    ).collect()
+    assert got, "monitor emitted nothing"
+    exact = {
+        et: sorted(
+            r.value for r in ev.filter(F.col("event_type") == et).collect()
+        )
+        for et in ("click", "error")
+    }
+    for r in got:
+        vals = exact[r.event_type]
+        assert r.n_seen == len(vals)
+        assert r.estimate in set(vals), "estimate must be a data value"
+        lo = bisect.bisect_left(vals, r.estimate)
+        hi = bisect.bisect_right(vals, r.estimate)
+        target = r.q * len(vals)
+        # the whole tie-range counts; rank error <= 3% of n for k=200
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= 0.03 * len(vals) + 1, (r.event_type, r.q, err)
