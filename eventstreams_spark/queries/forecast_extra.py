@@ -875,11 +875,15 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexing/normalization bug.
 
     Scale: the quadratic certifier is the bounded part (217² pairs
-    per channel on the pinned slice); at production length only MASS
-    runs — per key it is embarrassingly parallel over channels
-    (applyInPandas one shuffle), O(n log n) per window, and the dense
-    grid + prefix-moment construction is a rollup + window, not a
-    self-join. State carries nothing across channels.
+    per channel on the pinned slice). When to ship which path is
+    MEASURED, not assumed (SCALE.md §16, tools/exp_mass_scaling.py):
+    MASS's O(n log n)-per-window cost is independent of m, so it wins
+    for LONG windows (≥7× faster at m=512) while the BLAS/zip_with
+    quadratic form stays faster for short windows like this m=24 —
+    and STOMP's incremental dot is the right third step for full
+    profiles at massive n. All paths are embarrassingly parallel over
+    channels (applyInPandas one shuffle); the dense grid +
+    prefix-moment construction is a rollup + window, not a self-join.
     """
     import numpy as np
     import pandas as pd

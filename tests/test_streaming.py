@@ -2269,3 +2269,128 @@ def test_kll_quantile_monitor_stream_rank_guarantee(spark, sf_dir, tmp_path):
         # the whole tie-range counts; rank error <= 3% of n for k=200
         err = min(abs(lo - target), abs(hi - target))
         assert err <= 0.03 * len(vals) + 1, (r.event_type, r.q, err)
+
+
+def test_conformal_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the conformal monitor: the
+    (rn, ring, calibration-multiset) state must survive a full query
+    restart — the run split across two availableNow drains (new query
+    object, same checkpoint) must emit exactly the rows of the
+    single-run batch twin, with no rewound rn and no lost calibration
+    residuals."""
+    from eventstreams_spark.queries.forecast_extra import (
+        conformal_monitor_timeline,
+    )
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import conformal_monitor_stream
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("k"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .orderBy("day")
+    )
+    n = daily.count()
+    first = daily.limit(n // 2)
+    rest = daily.subtract(first).orderBy("day")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k string, day date, x long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            conformal_monitor_stream(stream, "k", "day", "x")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    stage_files(first.coalesce(1), src, 1)
+    drain()
+    stage_files(rest.coalesce(1), src, 2)
+    drain()  # restart from checkpoint with the second half
+    got = _rows(
+        spark.read.parquet(out).select(
+            "k", "rn", "x", "pred", "r", "n_cal", "q90", "covered"
+        )
+    )
+    want = _rows(
+        conformal_monitor_timeline(spark, sf_dir).select(
+            F.col("event_type").alias("k"),
+            "rn", "x", "pred", "r", "n_cal", "q90", "covered",
+        )
+    )
+    assert got == want
+
+
+def test_kll_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the KLL monitor: the serialized
+    sketch must resume EXACTLY — a run split across two drains (same
+    checkpoint) must end with the same estimates and n_seen as one
+    uninterrupted run over the same file sequence (the sketch is
+    deterministic given the same micro-batch sequence; maxFilesPer-
+    Trigger=1 pins that sequence)."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import (
+        kll_quantile_monitor_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_type", "ts", "value")
+        .orderBy("ts")
+    )
+    n = ev.count()
+    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+
+    def run(src, out, ck, stages):
+        for i, frame in enumerate(stages, start=1):
+            stage_files(frame.coalesce(1), src, i)
+            stream = (
+                spark.readStream.schema(
+                    "event_type string, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                kll_quantile_monitor_stream(stream, "event_type", "value")
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ck)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        df = spark.read.parquet(out)
+        return sorted(
+            (r.q, r.estimate, r.n_seen)
+            for r in df.filter(
+                df.seq == df.agg(F.max("seq")).collect()[0][0]
+            ).collect()
+        )
+
+    split = run(
+        str(tmp_path / "s1"), str(tmp_path / "o1"), str(tmp_path / "c1"),
+        [first, rest],
+    )
+    whole = run(
+        str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "c2"),
+        [first.union(rest)],
+    )
+    # same file sequence either way (two staged files); the split run
+    # must resume the sketch exactly
+    assert split == whole, (split, whole)
+    assert split[0][2] == n
