@@ -1379,3 +1379,183 @@ def holt_winters_additive_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "nw_alignment_channel_shapes",
+    category="FC-alignment",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn
+            FROM daily QUALIFY rn <= 28
+        ), sym AS (
+            SELECT event_type, rn,
+                   ((CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY x, rn)
+                          AS BIGINT) - 1) * 3) // 28 AS lv
+            FROM seq
+        ), lens AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n
+            FROM sym GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS ca, b.event_type AS cb,
+                   a.n AS na, b.n AS nb
+            FROM lens a JOIN lens b ON a.event_type < b.event_type
+        ), cells AS (
+            -- same anti-diagonal recursive-DP shape as the DTW
+            -- oracle, max-recurrence with edge gaps: cell (0,0)
+            -- seeds; gap moves (+1,0)/(0,+1) cost -2 from diagonal
+            -- d-1, match/mismatch (+1,+1) +2/-1 from d-2; border
+            -- cells (i,0)/(0,j) arise naturally from gap chains
+            WITH RECURSIVE dp AS (
+                SELECT p.ca, p.cb, 0 AS d, 0 AS i, 0 AS j,
+                       CAST(0 AS BIGINT) AS val, 1 AS cur, p.na, p.nb
+                FROM pairs p
+                UNION ALL
+                SELECT * FROM (
+                    WITH w AS (SELECT * FROM dp)
+                    SELECT n.ca, n.cb, n.d, n.i, n.j, n.val,
+                           1 AS cur, n.na, n.nb
+                    FROM (
+                        SELECT g.ca, g.cb, g.d, g.i, g.j,
+                               max(g.prev + CASE
+                                   WHEN g.di + g.dj = 1 THEN -2
+                                   WHEN sa.lv = sb.lv THEN 2
+                                   ELSE -1 END) AS val,
+                               g.na, g.nb
+                        FROM (
+                            SELECT w.ca, w.cb, w.d + 1 AS d,
+                                   w.i + c0.di AS i, w.j + c0.dj AS j,
+                                   w.val AS prev, c0.di, c0.dj,
+                                   w.na, w.nb
+                            FROM w
+                            CROSS JOIN (VALUES (1, 0), (0, 1), (1, 1))
+                                 AS c0(di, dj)
+                            WHERE ((w.cur = 1 AND c0.di + c0.dj = 1)
+                                OR (w.cur = 0 AND c0.di = 1
+                                    AND c0.dj = 1))
+                              AND w.i + c0.di <= w.na
+                              AND w.j + c0.dj <= w.nb
+                        ) g
+                        LEFT JOIN sym sa ON sa.event_type = g.ca
+                                        AND sa.rn = g.i
+                        LEFT JOIN sym sb ON sb.event_type = g.cb
+                                        AND sb.rn = g.j
+                        GROUP BY g.ca, g.cb, g.d, g.i, g.j, g.na, g.nb,
+                                 sa.lv, sb.lv
+                    ) n
+                    UNION ALL
+                    SELECT w.ca, w.cb, w.d + 1, w.i, w.j, w.val,
+                           0, w.na, w.nb
+                    FROM w WHERE w.cur = 1 AND w.d < w.na + w.nb
+                )
+            )
+            SELECT * FROM dp
+        )
+        SELECT ca AS channel_a, cb AS channel_b, val AS nw_score,
+               CAST(round(val * 1.0 / (2 * least(na, nb)), 6) AS DOUBLE)
+                   AS norm_sim
+        FROM cells WHERE cur = 1 AND i = na AND j = nb
+        ORDER BY channel_a, channel_b
+    """,
+)
+def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch GLOBAL alignment between channel activity
+    shapes: each channel's first 28 daily counts are quantized to
+    terciles BY EXACT RANK (level = ((rank−1)·3) DIV 28 — integer
+    thresholds, no float quantiles), and every channel pair is
+    aligned with match +2 / mismatch −1 / gap −2 — the
+    edit-distance-family complement of DTW (DTW stretches time but
+    must consume every point; alignment may DELETE days on either
+    side at a cost, the right model for shapes with missing or
+    inserted regimes). Score and length-normalized similarity per
+    pair.
+
+    Determinism is total: symbols come from integer rank arithmetic,
+    the DP is max/+ over integers. The oracle reuses the DTW
+    recursive-CTE anti-diagonal pattern (max instead of min, edge
+    gap chains instead of a band), verified pair-for-pair against an
+    independent quadratic reference.
+
+    Scale: facts collapse to |channels|×28 symbols in one rollup +
+    two windows; pairs carry symbol ARRAYS into one Arrow-batched
+    pandas UDF running the O(n·m) DP — embarrassingly parallel over
+    pairs, nothing rejoins the facts. At large channel counts, block
+    pairs first (the dedup family's LSH buckets) exactly as for DTW.
+    """
+    from pyspark.sql.types import LongType
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 28)
+    sym = seq.select(
+        "event_type", "rn",
+        F.expr(
+            "((CAST(row_number() OVER (PARTITION BY event_type"
+            " ORDER BY x, rn) AS BIGINT) - 1) * 3) div 28"
+        ).alias("lv"),
+    )
+    arrs = sym.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "lv"))),
+            lambda s: s["lv"],
+        ).alias("syms"),
+        F.max("rn").cast("long").alias("n"),
+    )
+    a = arrs.select(
+        F.col("event_type").alias("channel_a"),
+        F.col("syms").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("event_type").alias("channel_b"),
+        F.col("syms").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("channel_a") < F.col("channel_b"))
+
+    @F.pandas_udf(LongType())
+    def nw_score(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for xa, xb in zip(sa, sb):
+            n, m = len(xa), len(xb)
+            prev = [-2 * j for j in range(m + 1)]
+            for i in range(1, n + 1):
+                cur = [-2 * i] + [0] * m
+                ai = xa[i - 1]
+                for j in range(1, m + 1):
+                    cur[j] = max(
+                        prev[j] - 2,
+                        cur[j - 1] - 2,
+                        prev[j - 1] + (2 if ai == xb[j - 1] else -1),
+                    )
+                prev = cur
+            out.append(prev[m])
+        return pd.Series(out, dtype="int64")
+
+    scored = pairs.select(
+        "channel_a", "channel_b", "na", "nb",
+        nw_score(F.col("sa"), F.col("sb")).alias("nw_score"),
+    )
+    return (
+        scored.select(
+            "channel_a", "channel_b", "nw_score",
+            F.round(
+                F.col("nw_score")
+                / (2.0 * F.least(F.col("na"), F.col("nb"))),
+                6,
+            ).alias("norm_sim"),
+        )
+        .orderBy("channel_a", "channel_b")
+    )

@@ -2333,3 +2333,14 @@ def test_packing_census_single_scan_jvm_fold(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
     assert_no_operator(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_nw_alignment_arrays_carried_no_fact_rejoin(spark, sf_dir):
+    """NW alignment: rollup + rank windows produce per-channel symbol
+    arrays; the pair frame is a broadcast join; one Arrow-batched
+    pandas UDF runs the DP — nothing rejoins the facts."""
+    df = q("nw_alignment_channel_shapes", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+    assert_no_operator(df, "CartesianProduct")
