@@ -1559,3 +1559,218 @@ def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel_a", "channel_b")
     )
+
+
+@query(
+    "matrix_profile_stomp_gate",
+    category="FC-matrixprofile",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events
+            GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        ), bounds AS (
+            SELECT event_type, min(hr) AS h0 FROM hourly GROUP BY event_type
+        ), grid AS (
+            SELECT b.event_type, CAST(ks.k + 1 AS BIGINT) AS rn,
+                   b.h0 + ks.k AS hr
+            FROM bounds b CROSS JOIN
+                 (SELECT unnest(generate_series(0, 239)) AS k) ks
+        ), series AS (
+            SELECT g.event_type, g.rn, COALESCE(h.x, 0) AS x
+            FROM grid g LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.hr = h.hr
+        ), wins AS (
+            SELECT event_type, rn AS i,
+                   CAST(sum(x) OVER w24 AS BIGINT) AS sw,
+                   CAST(sum(x * x) OVER w24 AS BIGINT) AS sww,
+                   list(x) OVER w24 AS vec
+            FROM series
+            WINDOW w24 AS (PARTITION BY event_type ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+            QUALIFY rn <= 217 AND (24 * sww - sw * sw) > 0
+        ), dots AS (
+            SELECT a.event_type, a.i, b.i AS j,
+                   a.sw AS swi, a.sww AS swwi,
+                   b.sw AS swj, b.sww AS swwj,
+                   CAST(list_aggregate(list_transform(
+                            list_zip(a.vec, b.vec), p -> p[1] * p[2]),
+                        'sum') AS BIGINT) AS dp
+            FROM wins a JOIN wins b
+              ON a.event_type = b.event_type AND abs(a.i - b.i) >= 12
+        ), scored AS (
+            SELECT event_type, i, j,
+                   CAST(round({_MP24_D2}, 6) AS DOUBLE) AS d2,
+                   row_number() OVER (
+                       PARTITION BY event_type, i
+                       ORDER BY CAST(round({_MP24_D2}, 6) AS DOUBLE), j
+                   ) AS rk
+            FROM dots
+        )
+        SELECT event_type, i AS window_start, j AS motif_match,
+               d2 AS znorm_dist_sq, TRUE AS stomp_agrees
+        FROM scored WHERE rk = 1
+        ORDER BY event_type, window_start
+    """,
+)
+def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile via STOMP — the O(1)-per-cell incremental-dot
+    recurrence dp(i,j) = dp(i−1,j−1) − x_{i−1}x_{j−1} +
+    x_{i+m−1}x_{j+m−1} — certified in-query against the exact
+    quadratic form, completing the decision rule SCALE.md §16
+    measured: zip_with/BLAS for short windows, MASS for long
+    windows, STOMP for FULL profiles at massive n (its total cost is
+    O(n²) independent of both m and log n).
+
+    Unlike the MASS gate's float-FFT path (1e-4 tolerance), STOMP's
+    dots are INTEGER adds/subtracts of integer products — exact —
+    and the d² formula is evaluated in the same IEEE operation order
+    as the shared _MP24_D2 text, so ``stomp_agrees`` demands
+    round6-level EQUALITY of the per-window minimum, not a
+    tolerance. Same dense 240-hour grid, m = 24, exclusion 12,
+    zero-variance windows dropped; emitted values come from the
+    quadratic certifier the oracle replicates.
+
+    Scale: STOMP is inherently sequential in i per series but O(n)
+    per row with 3 integer arrays of state — per key it is the same
+    embarrassingly-parallel applyInPandas shape as MASS; a
+    million-key corpus runs a million independent recurrences.
+    """
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = hourly.groupBy("event_type").agg(F.min("hr").alias("h0"))
+    grid = bounds.select(
+        "event_type",
+        "h0",
+        F.explode(F.sequence(F.lit(0), F.lit(239))).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("k") + 1).cast("long").alias("rn"),
+        (F.col("h0") + F.col("k")).alias("hr"),
+    )
+    series = (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "rn", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        )
+        .persist()  # feeds the JVM window pass AND the STOMP UDF
+    )
+    w24 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, 23)
+    wins = series.select(
+        "event_type",
+        F.col("rn").alias("i"),
+        F.sum("x").over(w24).cast("long").alias("sw"),
+        F.sum(F.col("x") * F.col("x")).over(w24).cast("long").alias("sww"),
+        F.collect_list("x").over(w24).alias("vec"),
+    ).filter(
+        (F.col("i") <= 217)
+        & (24 * F.col("sww") - F.col("sw") * F.col("sw") > 0)
+    )
+    a = wins.alias("a")
+    b = wins.alias("b")
+    dots = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= 12),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        F.col("a.sw").alias("swi"),
+        F.col("a.sww").alias("swwi"),
+        F.col("b.sw").alias("swj"),
+        F.col("b.sww").alias("swwj"),
+        F.expr(
+            "aggregate(zip_with(a.vec, b.vec, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dp"),
+    )
+    d2_raw = F.expr(_MP24_D2)
+    w_rank = Window.partitionBy("event_type", "i").orderBy(
+        F.round(d2_raw, 6).asc(), F.col("j").asc()
+    )
+    quad = (
+        dots.select(
+            "event_type", "i", "j",
+            F.round(d2_raw, 6).alias("d2"),
+            F.row_number().over(w_rank).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+    def stomp(pdf):
+        import pandas as pd
+
+        m, excl, n = 24, 12, 240
+        pdf = pdf.sort_values("rn")
+        x = pdf["x"].to_numpy(dtype="int64")
+        et = pdf["event_type"].iloc[0]
+        nw = n - m + 1
+        c1 = np.concatenate([[0], np.cumsum(x)])
+        c2 = np.concatenate([[0], np.cumsum(x * x)])
+        sw = c1[m : nw + m] - c1[:nw]
+        sww = c2[m : nw + m] - c2[:nw]
+        var24 = m * sww - sw * sw
+        valid = var24 > 0
+        js = np.arange(nw)
+        win = np.lib.stride_tricks.sliding_window_view(x, m)
+        dp = win @ win[0]  # exact int64 row 0
+        rows = []
+        for i in range(nw):
+            if i > 0:
+                # STOMP recurrence — integer, exact
+                nxt = np.empty(nw, dtype="int64")
+                nxt[1:] = (
+                    dp[:-1]
+                    - x[i - 1] * x[0 : nw - 1]
+                    + x[i + m - 1] * x[m : m + nw - 1]
+                )
+                nxt[0] = int(win[i] @ win[0])
+                dp = nxt
+            if not valid[i]:
+                continue
+            num = (m * dp - sw[i] * sw).astype("float64")
+            den = np.sqrt(
+                var24[i].astype("float64") * var24.astype("float64")
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d2 = 2.0 * m * (1.0 - num / den)
+            mask = valid & (np.abs(js - i) >= excl)
+            if not mask.any():
+                continue
+            mn = float(np.where(mask, d2, np.inf).min())
+            # half-away round6, the engines' round semantics
+            r6 = (
+                np.floor(mn * 1e6 + 0.5) / 1e6
+                if mn >= 0
+                else -np.floor(-mn * 1e6 + 0.5) / 1e6
+            )
+            rows.append((et, i + 1, float(r6)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "i", "stomp_d2"]
+        )
+
+    stomp_profile = series.groupBy("event_type").applyInPandas(
+        stomp, "event_type string, i long, stomp_d2 double"
+    )
+    return (
+        quad.join(stomp_profile, ["event_type", "i"])
+        .select(
+            "event_type",
+            F.col("i").alias("window_start"),
+            F.col("j").alias("motif_match"),
+            F.col("d2").alias("znorm_dist_sq"),
+            (F.col("d2") == F.col("stomp_d2")).alias("stomp_agrees"),
+        )
+        .orderBy("event_type", "window_start")
+    )

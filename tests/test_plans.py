@@ -2344,3 +2344,14 @@ def test_nw_alignment_arrays_carried_no_fact_rejoin(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "ArrowEvalPython") == 1, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_stomp_gate_shares_mass_gate_plan_shape(spark, sf_dir):
+    """STOMP gate: same materialized-series + quadratic-certifier
+    shape as the MASS gate — one FlatMapGroupsInPandas (the STOMP
+    recurrence), persisted series feeding both consumers."""
+    df = q("matrix_profile_stomp_gate", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
+    assert count_prefix(counts, "InMemoryTableScan") >= 2, counts
+    assert_no_operator(df, "CartesianProduct")
