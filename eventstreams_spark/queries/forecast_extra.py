@@ -783,12 +783,23 @@ def conformal_monitor_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared hourly-grid/window constants for the m=24 matrix-profile
+# family. Builder grids, the MASS/STOMP UDFs, and both oracle texts
+# all derive from these four values (ADVICE r5: they used to be
+# duplicated as bare literals in three places that had to stay in
+# sync by hand).
+_MP24_M = 24       # subsequence window length (daily shape)
+_MP24_EXCL = 12    # trivial-match exclusion |i-j| >= excl
+_MP24_N = 240      # dense hourly grid length per channel
+_MP24_NW = _MP24_N - _MP24_M + 1  # 217 windows
+
 # m=24 twin of _MP_D2 for the hourly-grain profile (shared text: the
 # Spark builder F.expr's this exact string; the oracle embeds it)
 _MP24_D2 = (
-    "(48.0 * (1.0 - (CAST(24 * dp - swi * swj AS DOUBLE))"
-    " / sqrt(CAST((24 * swwi - swi * swi) AS DOUBLE)"
-    "        * CAST((24 * swwj - swj * swj) AS DOUBLE))))"
+    f"({2 * _MP24_M}.0 * (1.0 -"
+    f" (CAST({_MP24_M} * dp - swi * swj AS DOUBLE))"
+    f" / sqrt(CAST(({_MP24_M} * swwi - swi * swi) AS DOUBLE)"
+    f"        * CAST(({_MP24_M} * swwj - swj * swj) AS DOUBLE))))"
 )
 
 
@@ -808,7 +819,7 @@ _MP24_D2 = (
             SELECT b.event_type, CAST(ks.k + 1 AS BIGINT) AS rn,
                    b.h0 + ks.k AS hr
             FROM bounds b CROSS JOIN
-                 (SELECT unnest(generate_series(0, 239)) AS k) ks
+                 (SELECT unnest(generate_series(0, {_MP24_N - 1})) AS k) ks
         ), series AS (
             SELECT g.event_type, g.rn, COALESCE(h.x, 0) AS x
             FROM grid g LEFT JOIN hourly h
@@ -820,8 +831,8 @@ _MP24_D2 = (
                    list(x) OVER w24 AS vec
             FROM series
             WINDOW w24 AS (PARTITION BY event_type ORDER BY rn
-                           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
-            QUALIFY rn <= 217 AND (24 * sww - sw * sw) > 0
+                           ROWS BETWEEN CURRENT ROW AND {_MP24_M - 1} FOLLOWING)
+            QUALIFY rn <= {_MP24_NW} AND ({_MP24_M} * sww - sw * sw) > 0
         ), dots AS (
             -- windows carry their 24 values as a LIST (frame-ordered,
             -- the twin of the Spark side's collect_list over w24): the
@@ -835,7 +846,7 @@ _MP24_D2 = (
                             list_zip(a.vec, b.vec), p -> p[1] * p[2]),
                         'sum') AS BIGINT) AS dp
             FROM wins a JOIN wins b
-              ON a.event_type = b.event_type AND abs(a.i - b.i) >= 12
+              ON a.event_type = b.event_type AND abs(a.i - b.i) >= {_MP24_EXCL}
         ), scored AS (
             SELECT event_type, i, j,
                    CAST(round({_MP24_D2}, 6) AS DOUBLE) AS d2,
@@ -899,7 +910,7 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(
         "event_type",
         "h0",
-        F.explode(F.sequence(F.lit(0), F.lit(239))).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(_MP24_N - 1))).alias("k"),
     ).select(
         "event_type",
         (F.col("k") + 1).cast("long").alias("rn"),
@@ -914,7 +925,7 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    w24 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, 23)
+    w24 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, _MP24_M - 1)
     wins = (
         series.select(
             "event_type",
@@ -924,8 +935,8 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("x").over(w24).alias("vec"),
         )
         .filter(
-            (F.col("i") <= 217)
-            & (24 * F.col("sww") - F.col("sw") * F.col("sw") > 0)
+            (F.col("i") <= _MP24_NW)
+            & (_MP24_M * F.col("sww") - F.col("sw") * F.col("sw") > 0)
         )
     )
     a = wins.alias("a")
@@ -933,7 +944,7 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.abs(F.col("a.i") - F.col("b.i")) >= 12),
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= _MP24_EXCL),
     ).select(
         F.col("a.event_type").alias("event_type"),
         F.col("a.i").alias("i"),
@@ -963,11 +974,15 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mass(pdf: pd.DataFrame) -> pd.DataFrame:
-        m, excl, n = 24, 12, 240
+        m, excl = _MP24_M, _MP24_EXCL
         pdf = pdf.sort_values("rn")
+        # the builder's dense grid delivers exactly N rows per group;
+        # fail loudly if that contract ever breaks (ADVICE r5)
+        n = len(pdf)
+        assert n == _MP24_N, f"dense grid gave {n} rows, want {_MP24_N}"
         x = pdf["x"].to_numpy(dtype="float64")
         et = pdf["event_type"].iloc[0]
-        nw = 217
+        nw = n - m + 1
         L = 2 * n  # >= n + m - 1: linear convolution, no wraparound
         xf = np.fft.rfft(x, L)
         c1 = np.concatenate([[0.0], np.cumsum(x)])
@@ -1013,6 +1028,29 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dtw_banded_dp(xa, xb, band: int = 7):
+    """Sakoe-Chiba banded DTW on integer series: exact int64 min/+
+    DP. Returns the DTW distance as int, or None when the end cell
+    is unreachable within the band (|len(xa)-len(xb)| > band) —
+    callers must treat None as 'no distance', never as the 'big'
+    sentinel (ADVICE r5 medium: the sentinel used to leak out as a
+    ~2.3e18 garbage distance)."""
+    import numpy as np
+
+    xa = np.asarray(xa, dtype="int64")
+    xb = np.asarray(xb, dtype="int64")
+    n, m = len(xa), len(xb)
+    big = np.iinfo("int64").max // 4  # inf that cannot overflow
+    D = np.full((n + 1, m + 1), big, dtype="int64")
+    D[0, 0] = 0
+    for i in range(1, n + 1):
+        lo, hi = max(1, i - band), min(m, i + band)
+        for j in range(lo, hi + 1):
+            c = abs(int(xa[i - 1]) - int(xb[j - 1]))
+            D[i, j] = c + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    return None if D[n, m] >= big else int(D[n, m])
+
+
 @query(
     "dtw_banded_channel_pairs",
     category="FC-dtw",
@@ -1033,6 +1071,10 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.event_type AS ca, b.event_type AS cb,
                    a.n AS na, b.n AS nb
             FROM lens a JOIN lens b ON a.event_type < b.event_type
+            -- pairs whose length gap exceeds the band have an
+            -- unreachable end cell (|na-nb| > 7): exclude them so both
+            -- engines agree the pair carries no DTW distance
+            WHERE abs(a.n - b.n) <= 7
         ), cells AS (
             -- anti-diagonal DP: the working set carries diagonal d
             -- (cur=1) plus d-1 (cur=0); a cell on d+1 takes
@@ -1113,7 +1155,6 @@ def dtw_banded_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair frame is k(k−1)/2 rows; at large k, block with the same
     LSH/bucketing used by the dedup family before pairing.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType
 
@@ -1146,34 +1187,32 @@ def dtw_banded_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(
         F.broadcast(b), F.col("channel_a") < F.col("channel_b")
+    ).filter(
+        # |len_a - len_b| > band => D[n,m] is outside the Sakoe-Chiba
+        # band and unreachable: drop the pair (mirrors the oracle's
+        # pairs-CTE WHERE; ADVICE r5 medium fix)
+        F.abs(F.col("len_a") - F.col("len_b")) <= 7
     )
 
     @F.pandas_udf(LongType())
     def dtw_band(va: pd.Series, vb: pd.Series) -> pd.Series:
-        out = []
-        band = 7
-        for xa, xb in zip(va, vb):
-            xa = np.asarray(xa, dtype="int64")
-            xb = np.asarray(xb, dtype="int64")
-            n, m = len(xa), len(xb)
-            big = np.iinfo("int64").max // 4  # inf that cannot overflow
-            D = np.full((n + 1, m + 1), big, dtype="int64")
-            D[0, 0] = 0
-            for i in range(1, n + 1):
-                lo, hi = max(1, i - band), min(m, i + band)
-                for j in range(lo, hi + 1):
-                    c = abs(int(xa[i - 1]) - int(xb[j - 1]))
-                    D[i, j] = c + min(
-                        D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
-                    )
-            out.append(int(D[n, m]))
-        return pd.Series(out, dtype="int64")
+        out = [
+            _dtw_banded_dp(xa, xb, band=7) for xa, xb in zip(va, vb)
+        ]
+        return pd.Series(out, dtype="Int64")
 
     return (
         pairs.select(
             "channel_a", "channel_b", "len_a", "len_b",
             dtw_band(F.col("va"), F.col("vb")).alias("dtw_distance"),
         )
+        # pairs are band-restricted above, so the DP helper's
+        # unreachable-end-cell None can only appear if that contract
+        # breaks — and then it surfaces as a NULL distance (a loud
+        # hash mismatch), never as the old 'big' garbage sentinel.
+        # (No isNotNull filter here: referencing the UDF column in a
+        # Filter makes Catalyst plan a second ArrowEvalPython node,
+        # running the DP twice.)
         .orderBy("channel_a", "channel_b")
     )
 
@@ -1577,7 +1616,7 @@ def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT b.event_type, CAST(ks.k + 1 AS BIGINT) AS rn,
                    b.h0 + ks.k AS hr
             FROM bounds b CROSS JOIN
-                 (SELECT unnest(generate_series(0, 239)) AS k) ks
+                 (SELECT unnest(generate_series(0, {_MP24_N - 1})) AS k) ks
         ), series AS (
             SELECT g.event_type, g.rn, COALESCE(h.x, 0) AS x
             FROM grid g LEFT JOIN hourly h
@@ -1589,8 +1628,8 @@ def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list(x) OVER w24 AS vec
             FROM series
             WINDOW w24 AS (PARTITION BY event_type ORDER BY rn
-                           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
-            QUALIFY rn <= 217 AND (24 * sww - sw * sw) > 0
+                           ROWS BETWEEN CURRENT ROW AND {_MP24_M - 1} FOLLOWING)
+            QUALIFY rn <= {_MP24_NW} AND ({_MP24_M} * sww - sw * sw) > 0
         ), dots AS (
             SELECT a.event_type, a.i, b.i AS j,
                    a.sw AS swi, a.sww AS swwi,
@@ -1599,7 +1638,7 @@ def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
                             list_zip(a.vec, b.vec), p -> p[1] * p[2]),
                         'sum') AS BIGINT) AS dp
             FROM wins a JOIN wins b
-              ON a.event_type = b.event_type AND abs(a.i - b.i) >= 12
+              ON a.event_type = b.event_type AND abs(a.i - b.i) >= {_MP24_EXCL}
         ), scored AS (
             SELECT event_type, i, j,
                    CAST(round({_MP24_D2}, 6) AS DOUBLE) AS d2,
@@ -1628,10 +1667,13 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots are INTEGER adds/subtracts of integer products — exact —
     and the d² formula is evaluated in the same IEEE operation order
     as the shared _MP24_D2 text, so ``stomp_agrees`` demands
-    round6-level EQUALITY of the per-window minimum, not a
-    tolerance. Same dense 240-hour grid, m = 24, exclusion 12,
-    zero-variance windows dropped; emitted values come from the
-    quadratic certifier the oracle replicates.
+    raw-value agreement to 1e-9 (vs MASS's 1e-4): any indexing or
+    recurrence bug trips it by orders of magnitude more, while no
+    rounding-procedure emulation is involved (round-half-up
+    emulations of Spark's BigDecimal HALF_UP can disagree on
+    near-tie values — ADVICE r5). Same dense 240-hour grid, m = 24,
+    exclusion 12, zero-variance windows dropped; emitted values come
+    from the quadratic certifier the oracle replicates.
 
     Scale: STOMP is inherently sequential in i per series but O(n)
     per row with 3 integer arrays of state — per key it is the same
@@ -1651,7 +1693,7 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(
         "event_type",
         "h0",
-        F.explode(F.sequence(F.lit(0), F.lit(239))).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(_MP24_N - 1))).alias("k"),
     ).select(
         "event_type",
         (F.col("k") + 1).cast("long").alias("rn"),
@@ -1664,7 +1706,7 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # feeds the JVM window pass AND the STOMP UDF
     )
-    w24 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, 23)
+    w24 = Window.partitionBy("event_type").orderBy("rn").rowsBetween(0, _MP24_M - 1)
     wins = series.select(
         "event_type",
         F.col("rn").alias("i"),
@@ -1672,15 +1714,15 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).over(w24).cast("long").alias("sww"),
         F.collect_list("x").over(w24).alias("vec"),
     ).filter(
-        (F.col("i") <= 217)
-        & (24 * F.col("sww") - F.col("sw") * F.col("sw") > 0)
+        (F.col("i") <= _MP24_NW)
+        & (_MP24_M * F.col("sww") - F.col("sw") * F.col("sw") > 0)
     )
     a = wins.alias("a")
     b = wins.alias("b")
     dots = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.abs(F.col("a.i") - F.col("b.i")) >= 12),
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= _MP24_EXCL),
     ).select(
         F.col("a.event_type").alias("event_type"),
         F.col("a.i").alias("i"),
@@ -1701,6 +1743,7 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     quad = (
         dots.select(
             "event_type", "i", "j",
+            d2_raw.alias("d2_raw"),
             F.round(d2_raw, 6).alias("d2"),
             F.row_number().over(w_rank).alias("rk"),
         )
@@ -1711,8 +1754,10 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stomp(pdf):
         import pandas as pd
 
-        m, excl, n = 24, 12, 240
+        m, excl = _MP24_M, _MP24_EXCL
         pdf = pdf.sort_values("rn")
+        n = len(pdf)
+        assert n == _MP24_N, f"dense grid gave {n} rows, want {_MP24_N}"
         x = pdf["x"].to_numpy(dtype="int64")
         et = pdf["event_type"].iloc[0]
         nw = n - m + 1
@@ -1748,14 +1793,13 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             mask = valid & (np.abs(js - i) >= excl)
             if not mask.any():
                 continue
+            # raw (unrounded) minimum: the gate compares it to the
+            # quadratic path's raw d2 with a tight tolerance — the
+            # previous floor(x*1e6+0.5) emulation of Spark's
+            # BigDecimal HALF_UP could disagree on near-tie values
+            # and made the equality gate latently flaky (ADVICE r5)
             mn = float(np.where(mask, d2, np.inf).min())
-            # half-away round6, the engines' round semantics
-            r6 = (
-                np.floor(mn * 1e6 + 0.5) / 1e6
-                if mn >= 0
-                else -np.floor(-mn * 1e6 + 0.5) / 1e6
-            )
-            rows.append((et, i + 1, float(r6)))
+            rows.append((et, i + 1, mn))
         return pd.DataFrame(
             rows, columns=["event_type", "i", "stomp_d2"]
         )
@@ -1770,7 +1814,13 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("window_start"),
             F.col("j").alias("motif_match"),
             F.col("d2").alias("znorm_dist_sq"),
-            (F.col("d2") == F.col("stomp_d2")).alias("stomp_agrees"),
+            # raw-vs-raw with 1e-9 tolerance: both paths evaluate the
+            # same IEEE operation order on exact integer moments, so
+            # any real indexing/recurrence bug trips this by >> 1e-9,
+            # while rounding-procedure mismatches can't (ADVICE r5)
+            (F.abs(F.col("d2_raw") - F.col("stomp_d2")) <= 1e-9).alias(
+                "stomp_agrees"
+            ),
         )
         .orderBy("event_type", "window_start")
     )

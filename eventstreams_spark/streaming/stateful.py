@@ -443,7 +443,13 @@ def _parse_mg_state(summary_s: str) -> dict[str, int]:
         # A pre-JSON blob whose first stored token happens to start
         # with '{' is not valid JSON — fall back to the legacy
         # separator parse instead of crashing on restart (ADVICE r4).
-        return _legacy(summary_s)
+        # But ONLY when the blob actually carries the legacy \x1f
+        # separator shape: truncated/corrupt JSON must re-raise so
+        # state corruption surfaces loudly instead of being silently
+        # reinterpreted as empty legacy counters (ADVICE r5).
+        if "\x1f" in summary_s:
+            return _legacy(summary_s)
+        raise
 
 
 def heavy_hitters_stream(
@@ -1586,16 +1592,23 @@ def slo_burn_stream(
                     # burn rate (ADVICE r4). Merge into the matching
                     # ring entry so FUTURE 6h/24h sums use corrected
                     # counts (the closed hour's own row was already
-                    # emitted and is not retracted); drop if the hour
-                    # has aged out of the 24h ring.
-                    ring = [
-                        (
-                            (rh, rn + 1, re_ + int(is_e))
-                            if rh == h
-                            else (rh, rn, re_)
-                        )
-                        for (rh, rn, re_) in ring
-                    ]
+                    # emitted and is not retracted). A late event for
+                    # an hour with NO ring entry — a gap hour that saw
+                    # zero on-time events — appends a fresh sorted
+                    # entry rather than being dropped (ADVICE r5);
+                    # only hours aged past the 24h horizon are dropped.
+                    if h > cur - 24:
+                        if any(rh == h for (rh, _, _) in ring):
+                            ring = [
+                                (
+                                    (rh, rn + 1, re_ + int(is_e))
+                                    if rh == h
+                                    else (rh, rn, re_)
+                                )
+                                for (rh, rn, re_) in ring
+                            ]
+                        else:
+                            ring = sorted(ring + [(h, 1, int(is_e))])
                     continue
                 n += 1
                 e += int(is_e)

@@ -365,3 +365,38 @@ def test_grok_pattern_dictionary_sweep():
                       ("UUID", "123"), ("MAC", "001A2b3C4d5E")]:
         regex, _ = grok_to_regex("%{" + name + ":x}")
         assert re.fullmatch(regex, bad) is None, (name, bad)
+
+
+def test_dtw_banded_dp_unreachable_returns_none():
+    """ADVICE r5 (medium): when |len_a - len_b| > band the end cell
+    lies outside the Sakoe-Chiba band and is unreachable; the DP
+    helper must return None — never the 'big' int64 sentinel that
+    used to leak out as a ~2.3e18 garbage distance."""
+    from eventstreams_spark.queries.forecast_extra import _dtw_banded_dp
+
+    a = list(range(20))
+    # gap of 8 > band 7: unreachable
+    assert _dtw_banded_dp(a, a[:12], band=7) is None
+    # gap of exactly the band: reachable (diagonal-ish path exists)
+    assert _dtw_banded_dp(a, a[:13], band=7) is not None
+    # equal lengths: matches an unbanded quadratic reference when the
+    # optimal path stays inside the band
+    xa = [3, 1, 4, 1, 5, 9, 2, 6]
+    xb = [2, 7, 1, 8, 2, 8, 1, 8]
+
+    def dtw_full(x, y):
+        n, m = len(x), len(y)
+        big = 1 << 60
+        D = [[big] * (m + 1) for _ in range(n + 1)]
+        D[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = abs(x[i - 1] - y[j - 1])
+                D[i][j] = c + min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                )
+        return D[n][m]
+
+    assert _dtw_banded_dp(xa, xb, band=7) == dtw_full(xa, xb)
+    # identical series: zero distance
+    assert _dtw_banded_dp(xa, xa, band=7) == 0

@@ -2138,6 +2138,65 @@ def test_slo_burn_stream_late_hour_merges_into_ring(spark, tmp_path):
     assert got[H + 1] == (2, 0, 0.0, round(8 / 7, 6))
 
 
+def test_slo_burn_stream_late_gap_hour_appends_ring_entry(spark, tmp_path):
+    """ADVICE r5: a late event for an hour that saw ZERO on-time
+    events (a gap hour — it never became `cur`, so it has no ring
+    entry) must append a fresh ring entry rather than being silently
+    discarded, so future 6h/24h burn sums count it."""
+    from eventstreams_spark.streaming.stateful import slo_burn_stream
+
+    H = 1704103200 // 3600  # epoch hour
+    # arrival order: 2 events hr H (1 err) | 1 event hr H+2 (closes
+    # H; hr H+1 is a gap hour) | 1 LATE hr-(H+1) error (no ring
+    # entry exists for H+1) | 1 event hr H+3 (closes H+2)
+    rows = [
+        ("k", 0, H * 3600 + 10, 1),
+        ("k", 1, H * 3600 + 20, 0),
+        ("k", 2, (H + 2) * 3600 + 5, 0),
+        ("k", 3, (H + 1) * 3600 + 30, 1),  # late, gap hour H+1
+        ("k", 4, (H + 3) * 3600 + 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, t_s long, is_err long"
+    ).select(
+        "k", "event_id", F.timestamp_seconds("t_s").alias("ts"), "is_err"
+    )
+    stream = replay_table(
+        spark, df, str(tmp_path), chunks=len(rows), order_col="event_id"
+    )
+    run_to_memory(
+        slo_burn_stream(stream, "ts", "is_err", "k"),
+        "t_slo_gap",
+        output_mode="append",
+    )
+    got = {
+        r.hr: (r.n, r.e, r.burn_1h, r.burn_6h)
+        for r in spark.sql(
+            "SELECT hr, n, e, burn_1h, burn_6h FROM t_slo_gap"
+        ).collect()
+    }
+    # hour H closed before the late event: original counts
+    assert got[H] == (2, 1, 2.0, 2.0)
+    # hour H+2: own counters n=1,e=0; the 6h window must see the
+    # late-appended gap-hour entry (H+1: n=1,e=1) plus (H: 2,1):
+    # 4*(1+1+0)/(2+1+1) = 2.0. A dropped late event gives 4*1/3.
+    assert got[H + 2] == (1, 0, 0.0, 2.0)
+
+
+def test_mg_state_corrupt_json_raises():
+    """ADVICE r5: a truncated/corrupt JSON blob with no legacy \\x1f
+    separator must RE-RAISE (state corruption surfaces loudly), not
+    be reinterpreted as legacy and yield empty counters."""
+    import json
+
+    import pytest
+
+    from eventstreams_spark.streaming.stateful import _parse_mg_state
+
+    with pytest.raises(json.JSONDecodeError):
+        _parse_mg_state('{"a": 3, "b"')
+
+
 def test_mg_state_legacy_blob_starting_with_brace():
     """ADVICE r4: a pre-JSON blob whose FIRST token happens to start
     with '{' is routed to json.loads by the first-byte sniff; it must
