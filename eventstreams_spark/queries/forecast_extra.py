@@ -1600,6 +1600,233 @@ def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gotoh_affine_score(
+    xa,
+    xb,
+    match: int = 2,
+    mismatch: int = -1,
+    gap_open: int = 3,
+    gap_ext: int = 1,
+) -> int:
+    """Gotoh affine-gap global alignment score (canonical 3-matrix
+    formulation: M ends in match/mismatch, Ix in a gap consuming a
+    symbol of `xa`, Iy in a gap consuming a symbol of `xb`; Ix opens
+    only from M, extends only from Ix — and symmetrically for Iy).
+    A gap of length L costs gap_open + (L-1)*gap_ext. All-integer
+    max/+ DP, two rolling rows per matrix: O(n·m) time, O(m) space."""
+    n, m = len(xa), len(xb)
+    NEG = -(10**9)  # -inf that survives repeated -gap_open drift
+    Mp = [0] + [NEG] * m
+    Ixp = [NEG] * (m + 1)
+    Iyp = [NEG] * (m + 1)
+    for j in range(1, m + 1):
+        Iyp[j] = -(gap_open + (j - 1) * gap_ext)
+    for i in range(1, n + 1):
+        Mc = [NEG] * (m + 1)
+        Ixc = [NEG] * (m + 1)
+        Iyc = [NEG] * (m + 1)
+        Ixc[0] = -(gap_open + (i - 1) * gap_ext)
+        ai = xa[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == xb[j - 1] else mismatch
+            Mc[j] = s + max(Mp[j - 1], Ixp[j - 1], Iyp[j - 1])
+            Ixc[j] = max(Mp[j] - gap_open, Ixp[j] - gap_ext)
+            Iyc[j] = max(Mc[j - 1] - gap_open, Iyc[j - 1] - gap_ext)
+        Mp, Ixp, Iyp = Mc, Ixc, Iyc
+    return max(Mp[m], Ixp[m], Iyp[m])
+
+
+@query(
+    "gotoh_affine_alignment_shapes",
+    category="FC-alignment",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn
+            FROM daily QUALIFY rn <= 28
+        ), sym AS (
+            SELECT event_type, rn,
+                   ((CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY x, rn)
+                          AS BIGINT) - 1) * 3) // 28 AS lv
+            FROM seq
+        ), lens AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n
+            FROM sym GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS ca, b.event_type AS cb,
+                   a.n AS na, b.n AS nb
+            FROM lens a JOIN lens b ON a.event_type < b.event_type
+        ), cells AS (
+            -- the NW anti-diagonal recursive-DP shape widened to
+            -- Gotoh's THREE values per cell: mv (ends match/mismatch),
+            -- ixv (gap consuming a row of A), iyv (gap consuming a row
+            -- of B). Moves: (1,1) from diagonal d-1 feeds mv;
+            -- (1,0)/(0,1) from diagonal d feed ixv/iyv with
+            -- open-from-M (-3) vs extend-within (-1). Missing move
+            -- kinds coalesce to the -100000 sentinel; border gap
+            -- chains arise naturally from (0,0).
+            WITH RECURSIVE dp AS (
+                SELECT p.ca, p.cb, 0 AS d, 0 AS i, 0 AS j,
+                       CAST(0 AS BIGINT) AS mv,
+                       CAST(-100000 AS BIGINT) AS ixv,
+                       CAST(-100000 AS BIGINT) AS iyv,
+                       1 AS cur, p.na, p.nb
+                FROM pairs p
+                UNION ALL
+                SELECT * FROM (
+                    WITH w AS (SELECT * FROM dp)
+                    SELECT n.ca, n.cb, n.d, n.i, n.j,
+                           n.mv, n.ixv, n.iyv, 1 AS cur, n.na, n.nb
+                    FROM (
+                        SELECT g.ca, g.cb, g.d, g.i, g.j,
+                               COALESCE(max(CASE
+                                   WHEN g.di = 1 AND g.dj = 1 THEN
+                                       (CASE WHEN sa.lv = sb.lv
+                                             THEN 2 ELSE -1 END)
+                                       + greatest(g.pm, g.pix, g.piy)
+                                   END), -100000) AS mv,
+                               COALESCE(max(CASE
+                                   WHEN g.di = 1 AND g.dj = 0 THEN
+                                       greatest(g.pm - 3, g.pix - 1)
+                                   END), -100000) AS ixv,
+                               COALESCE(max(CASE
+                                   WHEN g.di = 0 AND g.dj = 1 THEN
+                                       greatest(g.pm - 3, g.piy - 1)
+                                   END), -100000) AS iyv,
+                               g.na, g.nb
+                        FROM (
+                            SELECT w.ca, w.cb, w.d + 1 AS d,
+                                   w.i + c0.di AS i, w.j + c0.dj AS j,
+                                   w.mv AS pm, w.ixv AS pix,
+                                   w.iyv AS piy, c0.di, c0.dj,
+                                   w.na, w.nb
+                            FROM w
+                            CROSS JOIN (VALUES (1, 0), (0, 1), (1, 1))
+                                 AS c0(di, dj)
+                            WHERE ((w.cur = 1 AND c0.di + c0.dj = 1)
+                                OR (w.cur = 0 AND c0.di = 1
+                                    AND c0.dj = 1))
+                              AND w.i + c0.di <= w.na
+                              AND w.j + c0.dj <= w.nb
+                        ) g
+                        LEFT JOIN sym sa ON sa.event_type = g.ca
+                                        AND sa.rn = g.i
+                        LEFT JOIN sym sb ON sb.event_type = g.cb
+                                        AND sb.rn = g.j
+                        GROUP BY g.ca, g.cb, g.d, g.i, g.j, g.na, g.nb,
+                                 sa.lv, sb.lv
+                    ) n
+                    UNION ALL
+                    SELECT w.ca, w.cb, w.d + 1, w.i, w.j,
+                           w.mv, w.ixv, w.iyv, 0, w.na, w.nb
+                    FROM w WHERE w.cur = 1 AND w.d < w.na + w.nb
+                )
+            )
+            SELECT * FROM dp
+        )
+        SELECT ca AS channel_a, cb AS channel_b,
+               greatest(mv, ixv, iyv) AS gotoh_score,
+               CAST(round(greatest(mv, ixv, iyv) * 1.0
+                          / (2 * least(na, nb)), 6) AS DOUBLE)
+                   AS norm_sim
+        FROM cells WHERE cur = 1 AND i = na AND j = nb
+        ORDER BY channel_a, channel_b
+    """,
+)
+def gotoh_affine_alignment_shapes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gotoh AFFINE-gap global alignment between channel activity
+    shapes — the 3-matrix (M/Ix/Iy) extension of the linear-gap
+    Needleman-Wunsch query: opening a gap costs −3, each further
+    symbol only −1, so one long deletion (a channel pausing for a
+    stretch of days) is charged once for opening plus cheaply per
+    day, instead of NW's linear −2·L. This is the biologically- and
+    operationally-standard gap model (one outage ≠ L independent
+    outages). Same rank-tercile symbols as the NW query (match +2 /
+    mismatch −1), canonical Gotoh transitions (Ix opens only from M,
+    extends only within Ix; symmetrically Iy).
+
+    Determinism is total: integer rank symbols, all-integer max/+
+    over three matrices. The oracle widens the house anti-diagonal
+    recursive-CTE DP to carry THREE values per cell, with missing
+    move kinds coalesced to a −100000 sentinel; the Python helper is
+    verified against an exhaustive alignment enumeration on tiny
+    sequences (tests/test_operators.py).
+
+    Scale: identical shape to NW/DTW — one rollup to |channels|×28
+    symbols, arrays carried into a broadcast pair frame, one
+    Arrow-batched pandas UDF running the O(n·m) rolling-row DP;
+    embarrassingly parallel over pairs, nothing rejoins the facts;
+    LSH-block pairs first at large channel counts.
+    """
+    from pyspark.sql.types import LongType
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 28)
+    sym = seq.select(
+        "event_type", "rn",
+        F.expr(
+            "((CAST(row_number() OVER (PARTITION BY event_type"
+            " ORDER BY x, rn) AS BIGINT) - 1) * 3) div 28"
+        ).alias("lv"),
+    )
+    arrs = sym.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "lv"))),
+            lambda s: s["lv"],
+        ).alias("syms"),
+        F.max("rn").cast("long").alias("n"),
+    )
+    a = arrs.select(
+        F.col("event_type").alias("channel_a"),
+        F.col("syms").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("event_type").alias("channel_b"),
+        F.col("syms").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("channel_a") < F.col("channel_b"))
+
+    @F.pandas_udf(LongType())
+    def gotoh_score(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = [
+            _gotoh_affine_score(list(xa), list(xb))
+            for xa, xb in zip(sa, sb)
+        ]
+        return pd.Series(out, dtype="int64")
+
+    scored = pairs.select(
+        "channel_a", "channel_b", "na", "nb",
+        gotoh_score(F.col("sa"), F.col("sb")).alias("gotoh_score"),
+    )
+    return (
+        scored.select(
+            "channel_a", "channel_b", "gotoh_score",
+            F.round(
+                F.col("gotoh_score")
+                / (2.0 * F.least(F.col("na"), F.col("nb"))),
+                6,
+            ).alias("norm_sim"),
+        )
+        .orderBy("channel_a", "channel_b")
+    )
+
+
 @query(
     "matrix_profile_stomp_gate",
     category="FC-matrixprofile",

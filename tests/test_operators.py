@@ -400,3 +400,58 @@ def test_dtw_banded_dp_unreachable_returns_none():
     assert _dtw_banded_dp(xa, xb, band=7) == dtw_full(xa, xb)
     # identical series: zero distance
     assert _dtw_banded_dp(xa, xa, band=7) == 0
+
+
+def test_gotoh_affine_score_matches_exhaustive_enumeration():
+    """Gotoh 3-matrix DP vs an INDEPENDENT exhaustive enumeration of
+    all alignments (move sequences scored with affine gaps): equal on
+    random tiny inputs. Also pins the affine-vs-linear contrast: one
+    length-3 gap costs open+2*ext = 5, not NW's 6."""
+    import random
+
+    from eventstreams_spark.queries.forecast_extra import (
+        _gotoh_affine_score,
+    )
+
+    def brute(xa, xb, match=2, mismatch=-1, go=3, ge=1):
+        best = [None]
+
+        def rec(i, j, moves):
+            if i == len(xa) and j == len(xb):
+                sc, prev, ia, ib = 0, None, 0, 0
+                for mv in moves:
+                    if mv == "M":
+                        sc += match if xa[ia] == xb[ib] else mismatch
+                        ia += 1
+                        ib += 1
+                    elif mv == "A":
+                        sc += -(go if prev != "A" else ge)
+                        ia += 1
+                    else:
+                        sc += -(go if prev != "B" else ge)
+                        ib += 1
+                    prev = mv
+                if best[0] is None or sc > best[0]:
+                    best[0] = sc
+                return
+            if i < len(xa) and j < len(xb):
+                rec(i + 1, j + 1, moves + ["M"])
+            if i < len(xa):
+                rec(i + 1, j, moves + ["A"])
+            if j < len(xb):
+                rec(i, j + 1, moves + ["B"])
+
+        rec(0, 0, [])
+        return best[0]
+
+    rng = random.Random(42)
+    for _ in range(60):
+        na, nb = rng.randint(1, 6), rng.randint(1, 6)
+        xa = [rng.randint(0, 2) for _ in range(na)]
+        xb = [rng.randint(0, 2) for _ in range(nb)]
+        assert _gotoh_affine_score(xa, xb) == brute(xa, xb), (xa, xb)
+    # affine beats linear on one long gap: align [0,1,2] vs
+    # [0,1,2,0,0,0] -> 3 matches (+6), one length-3 gap (-5) = 1
+    assert _gotoh_affine_score([0, 1, 2], [0, 1, 2, 0, 0, 0]) == 1
+    # identical sequences: all matches
+    assert _gotoh_affine_score([1, 2, 0, 1], [1, 2, 0, 1]) == 8

@@ -2355,3 +2355,14 @@ def test_stomp_gate_shares_mass_gate_plan_shape(spark, sf_dir):
     assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
     assert count_prefix(counts, "InMemoryTableScan") >= 2, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_gotoh_alignment_arrays_carried_no_fact_rejoin(spark, sf_dir):
+    """Gotoh affine alignment: same scale shape as NW — rollup + rank
+    windows to per-channel symbol arrays, broadcast pair join, ONE
+    Arrow-batched pandas UDF running the 3-matrix DP."""
+    df = q("gotoh_affine_alignment_shapes", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+    assert_no_operator(df, "CartesianProduct")
