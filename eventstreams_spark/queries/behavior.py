@@ -3396,3 +3396,193 @@ def gsp_subsequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "step1", "step2", "step3")
         .limit(25)
     )
+
+
+@query(
+    "prefixspan_projected_census",
+    category="B7-prefixspan",
+    oracle="""
+        WITH pos AS (
+            SELECT user_id, event_type AS t, rn FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 20
+        ), u AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   (7 * CAST(count(DISTINCT user_id) AS BIGINT)) // 10
+                       AS minsup
+            FROM pos
+        ), p1 AS (
+            -- level-1 projection pointer: the greedy first occurrence
+            -- of each item per user (one row per user x item present)
+            SELECT user_id, t AS s1, CAST(min(rn) AS BIGINT) AS ptr
+            FROM pos GROUP BY user_id, t
+        ), f1 AS (
+            SELECT s1, CAST(count(*) AS BIGINT) AS sup FROM p1
+            GROUP BY s1 HAVING count(*) >= (SELECT minsup FROM u)
+        ), p2 AS (
+            -- project only FREQUENT prefixes (PrefixSpan pruning):
+            -- extend <s1> by every item in the projected suffix,
+            -- keeping its greedy first position as the new pointer
+            SELECT p.user_id, p.s1, q.t AS s2,
+                   CAST(min(q.rn) AS BIGINT) AS ptr
+            FROM p1 p
+            SEMI JOIN f1 ON p.s1 = f1.s1
+            JOIN pos q ON q.user_id = p.user_id AND q.rn > p.ptr
+            GROUP BY p.user_id, p.s1, q.t
+        ), f2 AS (
+            SELECT s1, s2, CAST(count(*) AS BIGINT) AS sup FROM p2
+            GROUP BY s1, s2 HAVING count(*) >= (SELECT minsup FROM u)
+        ), p3 AS (
+            SELECT p.user_id, p.s1, p.s2, q.t AS s3,
+                   CAST(min(q.rn) AS BIGINT) AS ptr
+            FROM p2 p
+            SEMI JOIN f2 ON p.s1 = f2.s1 AND p.s2 = f2.s2
+            JOIN pos q ON q.user_id = p.user_id AND q.rn > p.ptr
+            GROUP BY p.user_id, p.s1, p.s2, q.t
+        ), f3 AS (
+            SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS sup FROM p3
+            GROUP BY s1, s2, s3
+            HAVING count(*) >= (SELECT minsup FROM u)
+        ), p4 AS (
+            SELECT p.user_id, p.s1, p.s2, p.s3, q.t AS s4
+            FROM p3 p
+            SEMI JOIN f3 ON p.s1 = f3.s1 AND p.s2 = f3.s2
+                        AND p.s3 = f3.s3
+            JOIN pos q ON q.user_id = p.user_id AND q.rn > p.ptr
+            GROUP BY p.user_id, p.s1, p.s2, p.s3, q.t
+        ), f4 AS (
+            SELECT s1, s2, s3, s4, CAST(count(*) AS BIGINT) AS sup
+            FROM p4 GROUP BY s1, s2, s3, s4
+            HAVING count(*) >= (SELECT minsup FROM u)
+        ), census AS (
+            SELECT 1 AS length, s1, CAST(NULL AS VARCHAR) AS s2,
+                   CAST(NULL AS VARCHAR) AS s3,
+                   CAST(NULL AS VARCHAR) AS s4, sup FROM f1
+            UNION ALL
+            SELECT 2, s1, s2, NULL, NULL, sup FROM f2
+            UNION ALL
+            SELECT 3, s1, s2, s3, NULL, sup FROM f3
+            UNION ALL
+            SELECT 4, s1, s2, s3, s4, sup FROM f4
+        )
+        SELECT CAST(length AS BIGINT) AS length, s1, s2, s3, s4,
+               sup AS n_users,
+               CAST(round(sup * 1.0 / u.n_users, 6) AS DOUBLE)
+                   AS support
+        FROM census CROSS JOIN u
+        ORDER BY length, n_users DESC, s1, s2, s3, s4
+    """,
+)
+def prefixspan_projected_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PrefixSpan frequent-subsequence census to length 4 over each
+    user's first 20 events — the real projected-database algorithm
+    (Pei et al.), not GSP candidate generation: each level projects
+    ONLY the prefixes that survived the support threshold, and the
+    next level's candidates are exactly the items that appear in
+    those projected suffixes. The projection is a single greedy
+    first-occurrence POINTER per (user, prefix) — exact for
+    subsequence existence — so the projected database is one integer
+    column, never a copied suffix. Support = users whose sequence
+    contains the pattern; minsup = 70% of users (at sf0.01: 5 -> 25
+    -> 125 frequent prefixes collapse to 3 frequent 4-patterns — the
+    level-4 pruning is real). Census emits every frequent pattern of
+    length 1-4 with NULL-padded steps.
+
+    The sequence-mining analog of frequent_triples_apriori's
+    level-wise closure, and the depth extension of
+    gsp_subsequence_triples (length <= 3, GSP-style f2xf2
+    candidates). All decisions are integer (positions, user counts,
+    DIV minsup); the oracle unrolls the four projection levels as
+    CTEs sharing the exact pointer semantics.
+
+    Scale: pos shuffles ONCE on user_id; every projection joins
+    pos on user_id (co-partitioned) against a pointer frame whose
+    width is bounded by frequent-prefix count x users, and the
+    frequent dims (f1-f3) are broadcast semi-join prunes. Candidate
+    work is bounded by support pruning, never alphabet^k: a prefix
+    that dies at level k is never projected at level k+1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("t"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .persist()  # feeds u, p1, and the three projection joins
+    )
+    u = pos.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.expr("(7 * count(DISTINCT user_id)) div 10").alias("minsup"),
+    )
+    minsup = F.broadcast(u.select("minsup"))
+
+    def frequent(p, cols):
+        return (
+            p.groupBy(*cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+            .crossJoin(minsup)
+            .filter(F.col("sup") >= F.col("minsup"))
+            .drop("minsup")
+        )
+
+    def project(p, f, prefix_cols, next_col):
+        """One PrefixSpan level: keep only frequent prefixes, extend
+        by every item after the pointer, new pointer = greedy min."""
+        q = pos.select(
+            "user_id", F.col("t").alias(next_col),
+            F.col("rn").alias("qrn"),
+        )
+        return (
+            p.join(F.broadcast(f.select(*prefix_cols)), prefix_cols, "semi")
+            .join(q, "user_id")
+            .filter(F.col("qrn") > F.col("ptr"))
+            .groupBy("user_id", *prefix_cols, next_col)
+            .agg(F.min("qrn").cast("long").alias("ptr"))
+        )
+
+    p1 = pos.groupBy("user_id", F.col("t").alias("s1")).agg(
+        F.min("rn").cast("long").alias("ptr")
+    )
+    f1 = frequent(p1, ["s1"]).persist()
+    p2 = project(p1, f1, ["s1"], "s2")
+    f2 = frequent(p2, ["s1", "s2"]).persist()
+    p3 = project(p2, f2, ["s1", "s2"], "s3")
+    f3 = frequent(p3, ["s1", "s2", "s3"]).persist()
+    p4 = project(p3, f3, ["s1", "s2", "s3"], "s4")
+    f4 = frequent(p4, ["s1", "s2", "s3", "s4"])
+
+    ns = F.lit(None).cast("string")
+    census = (
+        f1.select(F.lit(1).alias("length"), "s1", ns.alias("s2"),
+                  ns.alias("s3"), ns.alias("s4"), "sup")
+        .unionByName(
+            f2.select(F.lit(2).alias("length"), "s1", "s2",
+                      ns.alias("s3"), ns.alias("s4"), "sup")
+        )
+        .unionByName(
+            f3.select(F.lit(3).alias("length"), "s1", "s2", "s3",
+                      ns.alias("s4"), "sup")
+        )
+        .unionByName(
+            f4.select(F.lit(4).alias("length"), "s1", "s2", "s3",
+                      "s4", "sup")
+        )
+    )
+    return (
+        census.crossJoin(F.broadcast(u.select("n_users")))
+        .select(
+            F.col("length").cast("long").alias("length"),
+            "s1", "s2", "s3", "s4",
+            F.col("sup").alias("n_users"),
+            F.round(F.col("sup") / F.col("n_users"), 6).alias("support"),
+        )
+        .orderBy("length", F.col("n_users").desc(), "s1", "s2", "s3", "s4")
+    )

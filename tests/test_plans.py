@@ -2366,3 +2366,16 @@ def test_gotoh_alignment_arrays_carried_no_fact_rejoin(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "ArrowEvalPython") == 1, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_prefixspan_broadcast_prunes_no_cartesian(spark, sf_dir):
+    """PrefixSpan census: frequent-prefix prunes are broadcast semi
+    joins; projection joins are user_id-keyed shuffle joins (fact x
+    fact, correct); the only cross joins are 1-row scalar broadcasts
+    (minsup / n_users)."""
+    df = q("prefixspan_projected_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastHashJoin") >= 3, counts
+    # pos is persisted: consumers read the cache, not the scan
+    assert count_prefix(counts, "InMemoryTableScan") >= 4, counts
