@@ -1910,3 +1910,102 @@ def kll_quantile_monitor_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tdigest_quantile_monitor_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    delta: float = 100.0,
+) -> DataFrame:
+    """Streaming quantile monitor carried as a t-digest — the
+    merging-digest twin of `kll_quantile_monitor_stream`, closing the
+    quantile-monitor pair (KLL gives a worst-case RANK guarantee;
+    the t-digest concentrates capacity at the tails via the k1 scale
+    function, so p99/p999 stay tight where a uniform sketch goes
+    coarse). Per key the GroupState holds one centroid set
+    (means, weights — O(δ) floats); each micro-batch digests its
+    values (operators/tdigest.build) and MERGES into the carried
+    digest (operators/tdigest.merge — the same recompress the batch
+    shard-merge uses), then emits the current quantile estimates
+    with the running count.
+
+    Determinism: build/merge/quantile are pure deterministic numpy
+    (mergesort, fixed greedy scan — no RNG), so the digest is a
+    function of the micro-batch value-set sequence; like KLL it is
+    not bit-invariant to re-batching (compression boundaries shift),
+    but the accuracy contract — true rank of every estimate within a
+    few percent of the requested quantile, tighter at the tails —
+    holds for any batching, and state round-trips exactly through
+    the JSON (means, weights) serialization so checkpoint-restart
+    resumes the identical digest.
+
+    Scale: one shuffle by key; O(δ) state per key regardless of
+    stream length; a million keys is a million independent digests
+    in the state store.
+    """
+    import json
+
+    import numpy as np
+
+    from ..operators import tdigest as td
+
+    out_schema = (
+        f"{key_col} string, seq long, q double, estimate double, "
+        "n_seen long"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, n_seen, means_j, weights_j = state.get
+            means = np.asarray(json.loads(means_j), dtype="float64")
+            weights = np.asarray(json.loads(weights_j), dtype="float64")
+        else:
+            seq, n_seen = 0, 0
+            means = np.empty(0)
+            weights = np.empty(0)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                bm, bw = td.build(vals, delta=delta)
+                if len(means):
+                    means, weights = td.merge(
+                        [(means, weights), (bm, bw)], delta=delta
+                    )
+                else:
+                    means, weights = bm, bw
+                n_seen += len(vals)
+        seq += 1
+        state.update(
+            (
+                seq,
+                n_seen,
+                json.dumps(list(map(float, means))),
+                json.dumps(list(map(float, weights))),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(qs),
+                "seq": [seq] * len(qs),
+                "q": list(qs),
+                "estimate": [
+                    td.quantile(means, weights, q) for q in qs
+                ],
+                "n_seen": [n_seen] * len(qs),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "seq long, n_seen long, means string, weights string"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2453,3 +2453,125 @@ def test_kll_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path):
     # must resume the sketch exactly
     assert split == whole, (split, whole)
     assert split[0][2] == n
+
+
+def test_tdigest_quantile_monitor_stream_rank_guarantee(spark, sf_dir, tmp_path):
+    """Streaming t-digest monitor (the KLL monitor's merging-digest
+    twin): after replaying each channel's values the final
+    p50/p90/p99 estimates must land within 3% TRUE rank of the
+    requested quantile against the exact multiset (tighter at the
+    tails by the k1 scale function, but 3% is the uniform bound the
+    golden pins), and n_seen must equal the replayed row count.
+    Estimates interpolate between centroid means, so unlike KLL they
+    need not be data values — the rank check brackets the estimate
+    between neighbors instead."""
+    import bisect
+
+    from eventstreams_spark.streaming.stateful import (
+        tdigest_quantile_monitor_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    stream = replay_table(spark, ev, str(tmp_path), chunks=4, order_col="ts")
+    run_to_memory(
+        tdigest_quantile_monitor_stream(stream, "event_type", "value"),
+        "t_td_mon",
+        output_mode="update",
+    )
+    got = spark.sql(
+        "SELECT event_type, q, estimate, n_seen FROM t_td_mon m "
+        "WHERE seq = (SELECT max(seq) FROM t_td_mon WHERE event_type = m.event_type)"
+    ).collect()
+    assert got, "monitor emitted nothing"
+    exact = {
+        et: sorted(
+            r.value for r in ev.filter(F.col("event_type") == et).collect()
+        )
+        for et in ("click", "error")
+    }
+    assert len(got) == 6  # 2 keys x 3 quantiles
+    for r in got:
+        vals = exact[r.event_type]
+        assert r.n_seen == len(vals)
+        # rank of the interpolated estimate in the exact multiset
+        lo = bisect.bisect_left(vals, r.estimate)
+        hi = bisect.bisect_right(vals, r.estimate)
+        target = r.q * len(vals)
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= 0.03 * len(vals) + 1, (r.event_type, r.q, err)
+
+
+def test_tdigest_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the t-digest monitor: the JSON
+    (means, weights) centroid state must resume EXACTLY — a run
+    split across two availableNow drains (same checkpoint) ends with
+    the same estimates and n_seen as one uninterrupted run over the
+    same staged file sequence (build/merge are deterministic numpy;
+    maxFilesPerTrigger=1 pins the micro-batch sequence)."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import (
+        tdigest_quantile_monitor_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_type", "ts", "value")
+        .orderBy("ts")
+    )
+    n = ev.count()
+    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+
+    def run(src, out, ck, drains):
+        """drains: list of file-groups; each group is staged then the
+        query is drained once (resuming from the shared checkpoint).
+        The t-digest — unlike KLL at n << k — IS batching-sensitive,
+        so both runs must see the SAME file sequence; maxFilesPer-
+        Trigger=1 turns each staged file into one micro-batch."""
+        idx = 0
+        for frames in drains:
+            for frame in frames:
+                idx += 1
+                stage_files(frame.coalesce(1), src, idx)
+            stream = (
+                spark.readStream.schema(
+                    "event_type string, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                tdigest_quantile_monitor_stream(
+                    stream, "event_type", "value"
+                )
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ck)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        df = spark.read.parquet(out)
+        return sorted(
+            (r.q, r.estimate, r.n_seen)
+            for r in df.filter(
+                df.seq == df.agg(F.max("seq")).collect()[0][0]
+            ).collect()
+        )
+
+    split = run(
+        str(tmp_path / "s1"), str(tmp_path / "o1"), str(tmp_path / "c1"),
+        [[first], [rest]],
+    )
+    whole = run(
+        str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "c2"),
+        [[first, rest]],
+    )
+    assert split == whole, (split, whole)
+    assert split[0][2] == n
