@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.vectors import cosine_similarity, to_double_array
-from ..operators.graph import interaction_edges
+from ..operators.graph import interaction_edges, truncate_lineage
 from ..registry import query
 from ._shared import INTERACTION_UND_CTE, md5_uniform_sql
 
@@ -149,12 +149,13 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components' convergence check).
     """
     ev = load_table(spark, sf_dir, "events")
-    # coalesce-before-persist (SCALE.md §3b): a cached frame pins its
-    # partition width AND blocks AQE coalescing, so under a vanilla
-    # 200-shuffle-partition session every downstream round pays 200
-    # near-empty tasks per stage unless the cache is narrowed first
+    # truncate_lineage at every round boundary (VERDICT r5): each
+    # peel round's plan would otherwise embed the previous round's
+    # whole subtree, growing the plan string multiplicatively; the
+    # checkpoint also narrows partitions (coalesce-before-persist,
+    # SCALE.md §3b)
     par = spark.sparkContext.defaultParallelism
-    edges = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    edges = truncate_lineage(interaction_edges(ev, undirected=True), par)
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -169,19 +170,17 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar counts each); the keep-sets are one cheap agg to rebuild
     d0 = degrees(edges)
     keep0 = d0.filter(F.col("d") >= k).select("u")
-    e1 = (
+    e1 = truncate_lineage(
         edges.join(keep0.withColumnRenamed("u", "a"), "a", "left_semi")
-        .join(keep0.withColumnRenamed("u", "b"), "b", "left_semi")
-        .coalesce(par)
-        .persist()
+        .join(keep0.withColumnRenamed("u", "b"), "b", "left_semi"),
+        par,
     )
     d1 = degrees(e1)
     keep1 = d1.filter(F.col("d") >= k).select("u")
-    e2 = (
+    e2 = truncate_lineage(
         e1.join(keep1.withColumnRenamed("u", "a"), "a", "left_semi")
-        .join(keep1.withColumnRenamed("u", "b"), "b", "left_semi")
-        .coalesce(par)
-        .persist()
+        .join(keep1.withColumnRenamed("u", "b"), "b", "left_semi"),
+        par,
     )
     d2 = degrees(e2)
     return (
@@ -662,8 +661,10 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(12)
-        .persist()
     )
+    # truncate_lineage (VERDICT r5): pool is re-joined every greedy
+    # round; without truncation round r's plan embeds rounds 1..r-1
+    pool = truncate_lineage(pool)
     selected = (
         pool.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
@@ -698,7 +699,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", "emb", "rel", F.lit(r).alias("pick"))
         )
-        selected = selected.unionAll(nxt)
+        selected = truncate_lineage(selected.unionAll(nxt))
     return selected.select(
         "pick", "vec_id", F.round("rel", 6).alias("rel")
     ).orderBy("pick")
@@ -891,9 +892,11 @@ def betweenness_sampled_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2.join(c2, ["s", "v"], "left")
         .select("s", "v", "sig",
                 F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("delta"))
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()  # consumed by d2p (broadcast) and the bc union
     )
+    # truncate_lineage (VERDICT r5): d2 is consumed by d2p (broadcast)
+    # and the bc union; checkpointing stops the level-2 subtree from
+    # reprinting (and re-optimizing) under both consumers
+    d2 = truncate_lineage(d2, spark.sparkContext.defaultParallelism)
     d2p = F.broadcast(d2.select(F.col("s").alias("ws"), F.col("v").alias("wv"),
                                 F.col("sig").alias("wsig"),
                                 F.col("delta").alias("wdelta"))).join(

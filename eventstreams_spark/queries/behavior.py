@@ -2053,18 +2053,22 @@ def louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax move is a per-node window over each node's OWN
     adjacency. Community rollups re-key by label — one shuffle each.
     """
-    from ..operators.graph import interaction_edges
+    from ..operators.graph import interaction_edges, truncate_lineage
 
     ev = load_table(spark, sf_dir, "events")
-    # coalesce-before-persist (SCALE.md §3b): und/deg are re-read by
-    # every sweep and quality pass; uncoalesced caches pin the vanilla
-    # session's 200 shuffle partitions onto every downstream stage
+    # truncate_lineage, not persist (VERDICT r5): und/deg are re-read
+    # by every sweep and quality pass, and each consumer would embed
+    # (and print) the full upstream subtree; the eager localCheckpoint
+    # materializes once, truncates the plan, and narrows partitions
+    # (coalesce-before-persist, SCALE.md §3b)
     par = spark.sparkContext.defaultParallelism
-    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    und = truncate_lineage(interaction_edges(ev, undirected=True), par)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).coalesce(par).persist()
+    deg = truncate_lineage(
+        adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")), par
+    )
     m_edges = und.count()  # bounded metadata scalar
 
     dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
@@ -2075,13 +2079,13 @@ def louvain_first_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_best = Window.partitionBy("u").orderBy(F.col("gain_num").desc(), "v")
     best = moves.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
-    labels = (
+    labels = truncate_lineage(
         deg.join(best.select("u", "v", "gain_num"), "u", "left")
         .select(
             "u", "k",
             F.when(F.col("gain_num") > 0, F.col("v")).otherwise(F.col("u")).alias("c"),
-        )
-        .persist()
+        ),
+        par,
     )
     comm = labels.groupBy("c").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -2283,18 +2287,22 @@ def louvain_coarsened_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle). Production would loop sweeps until Q_num stops
     rising; two levels pin the contraction machinery.
     """
-    from ..operators.graph import interaction_edges
+    from ..operators.graph import interaction_edges, truncate_lineage
 
     ev = load_table(spark, sf_dir, "events")
-    # coalesce-before-persist (SCALE.md §3b): und/deg are re-read by
-    # every sweep and quality pass; uncoalesced caches pin the vanilla
-    # session's 200 shuffle partitions onto every downstream stage
+    # truncate_lineage, not persist (VERDICT r5): und/deg are re-read
+    # by every sweep and quality pass, and each consumer would embed
+    # (and print) the full upstream subtree; the eager localCheckpoint
+    # materializes once, truncates the plan, and narrows partitions
+    # (coalesce-before-persist, SCALE.md §3b)
     par = spark.sparkContext.defaultParallelism
-    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    und = truncate_lineage(interaction_edges(ev, undirected=True), par)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).coalesce(par).persist()
+    deg = truncate_lineage(
+        adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")), par
+    )
     m_edges = und.count()  # bounded metadata scalar
 
     # sweep 1 (identical to louvain_first_sweep)
@@ -2307,21 +2315,18 @@ def louvain_coarsened_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = Window.partitionBy("u").orderBy(F.col("gain_num").desc(), "v")
     best1 = moves1.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1)
-    labels1 = (
+    labels1 = truncate_lineage(
         deg.join(best1.select("u", "v", "gain_num"), "u", "left")
         .select(
             "u", "k",
             F.when(F.col("gain_num") > 0, F.col("v")).otherwise(F.col("u")).alias("c"),
-        )
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()
+        ),
+        par,
     )
 
     # coarsen: supernode degrees + inter-community superedges
-    sdeg = (
-        labels1.groupBy("c").agg(F.sum("k").cast("long").alias("kk"))
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()
+    sdeg = truncate_lineage(
+        labels1.groupBy("c").agg(F.sum("k").cast("long").alias("kk")), par
     )
     la = labels1.select(F.col("u").alias("a"), F.col("c").alias("ca"))
     lb = labels1.select(F.col("u").alias("b"), F.col("c").alias("cb"))
@@ -2357,9 +2362,12 @@ def louvain_coarsened_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("gain_num") > 0, F.col("v")).otherwise(F.col("c")).alias("c2"),
         )
     )
-    final = labels1.join(labels2, labels1.c == labels2.c1).select(
-        "u", "k", F.col("c2").alias("c")
-    ).coalesce(spark.sparkContext.defaultParallelism).persist()
+    final = truncate_lineage(
+        labels1.join(labels2, labels1.c == labels2.c1).select(
+            "u", "k", F.col("c2").alias("c")
+        ),
+        par,
+    )
 
     comm = final.groupBy("c").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

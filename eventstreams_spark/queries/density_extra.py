@@ -129,7 +129,10 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-diameter rounds on the (much smaller) core graph; border
     assignment is one more equi join. No step is point×point.
     """
-    from ..operators.graph import connected_components_star
+    from ..operators.graph import (
+        connected_components_star,
+        truncate_lineage,
+    )
 
     par = spark.sparkContext.defaultParallelism
     cust = load_table(spark, sf_dir, "customer")
@@ -139,7 +142,8 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon"),
         F.floor(lat / _EPS).cast("long").alias("cy"),
         F.floor(lon / _EPS).cast("long").alias("cx"),
-    ).coalesce(par).persist()
+    )
+    pts = truncate_lineage(pts, par)
     offsets = F.explode(
         F.array(*[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -169,14 +173,15 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("id1", "id2")
-        .coalesce(par)
-        .persist()
     )
+    pairs = truncate_lineage(pairs, par)
     adj = pairs.select(F.col("id1").alias("id"), F.col("id2").alias("nbr")).unionAll(
         pairs.select(F.col("id2").alias("id"), F.col("id1").alias("nbr"))
     )
     deg = adj.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    core = deg.filter(F.col("n") + 1 >= _MINPTS).select("id").coalesce(par).persist()
+    core = truncate_lineage(
+        deg.filter(F.col("n") + 1 >= _MINPTS).select("id"), par
+    )
     ce = (
         pairs.join(core.withColumnRenamed("id", "id1"), "id1", "semi")
         .join(core.withColumnRenamed("id", "id2"), "id2", "semi")
@@ -186,9 +191,8 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = (
         core.join(cc, core.id == cc.id, "left")
         .select(core.id, F.coalesce("component", core.id).alias("cluster"))
-        .coalesce(par)
-        .persist()
     )
+    clustered = truncate_lineage(clustered, par)
     border = (
         adj.join(F.broadcast(core.withColumnRenamed("id", "bid")),
                  adj.id == F.col("bid"), "left_anti")

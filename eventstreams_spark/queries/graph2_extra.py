@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.graph import interaction_edges
+from ..operators.graph import interaction_edges, truncate_lineage
 from ..registry import query
 from ._shared import INTERACTION_UND_CTE
 
@@ -39,7 +39,7 @@ _TRIS_SQL = """tris AS (
 def _und_tris(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism
-    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    und = truncate_lineage(interaction_edges(ev, undirected=True), par)
     e1 = und.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
     e3 = und.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
@@ -168,7 +168,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism
-    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    und = truncate_lineage(interaction_edges(ev, undirected=True), par)
     deg = (
         und.select(F.col("a").alias("u"))
         .unionAll(und.select(F.col("b").alias("u")))
@@ -244,7 +244,7 @@ def ktruss_support_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism
-    edges0 = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    edges0 = truncate_lineage(interaction_edges(ev, undirected=True), par)
 
     def survivors(e: DataFrame) -> DataFrame:
         x = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
@@ -262,8 +262,8 @@ def ktruss_support_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return sup.filter(F.col("s") >= 2).select("a", "b")
 
-    e1 = survivors(edges0).coalesce(par).persist()
-    e2 = survivors(e1).coalesce(par).persist()
+    e1 = truncate_lineage(survivors(edges0), par)
+    e2 = truncate_lineage(survivors(e1), par)
     return (
         edges0.agg(F.count(F.lit(1)).alias("n_edges_0"))
         .crossJoin(e1.agg(F.count(F.lit(1)).alias("n_edges_1")))
@@ -308,7 +308,7 @@ def ktruss_fixpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism
-    edges = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    edges = truncate_lineage(interaction_edges(ev, undirected=True), par)
     n0 = edges.count()
 
     def survivors(e: DataFrame) -> DataFrame:
@@ -331,7 +331,7 @@ def ktruss_fixpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = edges
     fixpoint = False
     for _ in range(8):
-        nxt = survivors(cur).coalesce(par).persist()
+        nxt = truncate_lineage(survivors(cur), par)
         n = nxt.count()
         counts.append(n)
         if n == counts[-2]:
@@ -469,11 +469,13 @@ def leiden_refine_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism
-    und = interaction_edges(ev, undirected=True).coalesce(par).persist()
+    und = truncate_lineage(interaction_edges(ev, undirected=True), par)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")).coalesce(par).persist()
+    deg = truncate_lineage(
+        adj.groupBy("u").agg(F.count(F.lit(1)).alias("k")), par
+    )
     m_edges = und.count()  # bounded metadata scalar
 
     dv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
@@ -491,15 +493,14 @@ def leiden_refine_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("u", "v", "gain_num")
     )
-    labels1 = (
+    labels1 = truncate_lineage(
         deg.join(best1, "u", "left")
         .select(
             "u", "k",
             F.when(F.col("gain_num") > 0, F.col("v"))
             .otherwise(F.col("u")).alias("c"),
-        )
-        .coalesce(par)
-        .persist()
+        ),
+        par,
     )
 
     la = labels1.select(F.col("u").alias("a"), F.col("c").alias("ca"))

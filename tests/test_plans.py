@@ -642,10 +642,15 @@ def test_pseudonymize_single_scan(spark, sf_dir):
 
 def test_mmr_bounded_pool_only(spark, sf_dir):
     """MMR: every nested-loop join is a bounded broadcast (query vec /
-    picked set); no CartesianProduct; pool build ends in a top-k heap."""
+    picked set); no CartesianProduct. The pool build (cosine + top-12
+    heap) now executes inside a truncate_lineage boundary — its
+    TakeOrderedAndProject ran at checkpoint time and the visible plan
+    reads the materialized RDD, so the assertion here is on the
+    still-visible greedy rounds only."""
     df = q("mmr_diverse_topk", spark, sf_dir)
     assert_no_operator(df, "CartesianProduct")
-    assert_has_operator(df, "TakeOrderedAndProject")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
 
 
 def test_welch_t_single_aggregate_over_scan(spark, sf_dir):
@@ -1188,7 +1193,10 @@ def test_louvain_adjacency_joins_only(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts  # 1-row q_num
-    assert count_prefix(counts, "Window") >= 1, counts
+    # the argmax window runs inside the labels truncate_lineage
+    # boundary (VERDICT r5 plan-bloat fix); the visible plan reads the
+    # checkpointed labels RDD and must stay equi-join + rollup only
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
 
 
 def test_geohash_single_count_shuffle(spark, sf_dir):
@@ -1279,7 +1287,9 @@ def test_louvain_two_level_no_cartesian(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
-    assert count_prefix(counts, "Window") >= 2, counts
+    # both sweeps' argmax windows execute inside truncate_lineage
+    # boundaries (VERDICT r5); the final plan reads checkpointed RDDs
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
 
 
 def test_knn_wrapped_probe_broadcast_cells(spark, sf_dir):
