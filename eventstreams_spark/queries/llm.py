@@ -1772,3 +1772,192 @@ def icws_weighted_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id1")
     )
+
+
+# Shared LCP expression text for the suffix-array gate: longest common
+# prefix of two strings via zipped char-equality (first-false index).
+# The -1 sentinel (no mismatch found = equal strings incl. the padded
+# tail) maps to least(length) on both engines.
+# "not found" (equal strings incl. padded tail) is 0 in this Spark /
+# this DuckDB and NULL per other versions' docs — treat both as
+# "no mismatch" = least(length).
+_LCP_SPARK = (
+    "CASE WHEN coalesce(array_position(zip_with("
+    "split(suf, '(?!^)'), split(nsuf, '(?!^)'),"
+    " (x, y) -> coalesce(x = y, false)), false), 0) = 0"
+    " THEN least(length(suf), length(nsuf))"
+    " ELSE array_position(zip_with("
+    "split(suf, '(?!^)'), split(nsuf, '(?!^)'),"
+    " (x, y) -> coalesce(x = y, false)), false) - 1 END"
+)
+
+
+@query(
+    "suffix_array_doubling_gate",
+    category="L2-suffixarray",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, CAST(t.off AS BIGINT) AS off,
+                   substring(text, CAST(t.off AS INTEGER)) AS suf
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text)))
+                     AS t(off)
+        ), sa AS (
+            SELECT doc_id, off, suf,
+                   CAST(row_number() OVER w AS BIGINT) AS sa_idx,
+                   lead(suf) OVER w AS nsuf
+            FROM pos
+            WINDOW w AS (ORDER BY suf, doc_id, off)
+        ), lcps AS (
+            SELECT sa_idx, doc_id, off, suf,
+                   CASE WHEN nsuf IS NULL THEN CAST(0 AS BIGINT)
+                        WHEN coalesce(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false), 0)
+                          = 0
+                        THEN CAST(least(length(suf), length(nsuf))
+                                  AS BIGINT)
+                        ELSE CAST(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false) - 1
+                          AS BIGINT)
+                   END AS lcp_next
+            FROM sa
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_suffixes,
+                   CAST(max(lcp_next) AS BIGINT) AS lrs_len,
+                   CAST(sum(CASE WHEN lcp_next >= 20 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup20_pairs
+            FROM lcps
+        )
+        SELECT l.sa_idx, l.doc_id, l.off,
+               substring(l.suf, 1, 12) AS head12,
+               l.lcp_next,
+               s.n_suffixes, s.lrs_len, s.dup20_pairs,
+               TRUE AS sorted_gate
+        FROM lcps l CROSS JOIN stats s
+        WHERE l.sa_idx % 97 = 1
+        ORDER BY l.sa_idx
+    """,
+)
+def suffix_array_doubling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SUFFIX ARRAY by distributed prefix doubling — the
+    arbitrary-length exact-substring-duplication primitive (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": exact substring dedup needs a suffix array, not n-gram
+    hashes — n-grams answer only fixed-length questions). Every
+    (doc, offset) suffix gets its global lexicographic rank; adjacent
+    ranks' longest-common-prefix lengths then read off the longest
+    repeated substring (lrs_len) and the count of adjacent pairs
+    sharing a >=20-char repeat (dup20_pairs) — the census an exact
+    dedup pass would cut at.
+
+    Prefix doubling IS the scalable construction (the external-memory
+    SA literature's choice): round k sorts (rank[i], rank[i+2^k]) and
+    dense-ranks — ceil(log2(max_doc_len)) rounds, each ONE shuffle,
+    no suffix string ever materialized during construction. The
+    global sort per round uses operators/ranking.exact_global_rank
+    (bucketed, never single-partition); rounds early-exit when ranks
+    go fully distinct, and each round boundary is truncate_lineage'd
+    (SCALE.md §17). Suffixes never cross documents (rank -1 past doc
+    end = shorter-suffix-sorts-first), so ties across identical doc
+    tails break by (doc_id, off) on both engines.
+
+    Self-certifying gate (the matrix-profile-gate pattern): the
+    emitted `sorted_gate` is Spark's own check that EVERY adjacent
+    suffix pair in its SA is string-ordered (binary order; the corpus
+    is ASCII so codepoint ranks agree) — hash-compared against the
+    oracle's constant TRUE, while the oracle builds the SA by direct
+    truncated-suffix sort. The adjacent-pair certifier join carries
+    suffix STRINGS (bounded: sum of suffix lengths = corpus_chars x
+    avg_doc_len / 2) — the bounded certifier beside the scalable
+    rank-only construction, exactly like the quadratic certifier
+    beside MASS/STOMP; production would emit ranks + Kasai-style LCP
+    and skip the string carry.
+
+    Scale: construction state is 3 longs per position; rounds are
+    log(max_doc_len), not log(corpus); every join is equi on
+    (doc_id, off) or sa_idx. 100 TB corpus = the same 2-long sort key
+    per round, sharded by the range-bucketed global rank.
+    """
+    from ..operators.graph import truncate_lineage
+    from ..operators.ranking import exact_global_rank
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("off"),
+        F.expr("ascii(substring(text, off, 1))").cast("long").alias("r"),
+    ).select("doc_id", F.col("off").cast("long").alias("off"), "r")
+    cur = truncate_lineage(chars, par)
+    n = cur.count()  # bounded metadata scalar
+    max_len = docs.agg(F.max(F.length("text"))).head()[0]
+
+    k = 1
+    while k <= max_len:
+        nxtr = cur.select(
+            "doc_id", (F.col("off") - k).alias("off"), F.col("r").alias("rn")
+        )
+        j = (
+            cur.join(nxtr, ["doc_id", "off"], "left")
+            .select(
+                "doc_id", "off", "r",
+                F.coalesce("rn", F.lit(-1)).cast("long").alias("rn"),
+            )
+        )
+        ranked = exact_global_rank(j, ["r", "rn"], rank_col="gr")
+        dense = F.min("gr").over(Window.partitionBy("r", "rn"))
+        cur = truncate_lineage(
+            ranked.select("doc_id", "off", dense.cast("long").alias("r")),
+            par,
+        )
+        # convergence probe: one scalar per round (the CC contract)
+        if cur.agg(F.count_distinct("r")).head()[0] == n:
+            break
+        k *= 2
+
+    sa = exact_global_rank(
+        cur, ["r", "doc_id", "off"], rank_col="sa_idx"
+    ).select("doc_id", "off", "sa_idx")
+    # certifier: re-attach the actual suffix strings (bounded carry,
+    # see docstring) and check order + LCP on adjacent pairs
+    saf = sa.join(docs, "doc_id").select(
+        "sa_idx", "doc_id", "off",
+        F.expr("substring(text, off)").alias("suf"),
+    )
+    nxt = saf.select(
+        (F.col("sa_idx") - 1).alias("sa_idx"), F.col("suf").alias("nsuf")
+    )
+    pairs = saf.join(nxt, "sa_idx", "left").select(
+        "sa_idx", "doc_id", "off", "suf",
+        F.when(F.col("nsuf").isNull(), F.lit(0))
+        .otherwise(F.expr(_LCP_SPARK))
+        .cast("long")
+        .alias("lcp_next"),
+        (F.col("nsuf").isNull() | (F.col("suf") <= F.col("nsuf"))).alias(
+            "ok"
+        ),
+    )
+    pairs = truncate_lineage(pairs, par)
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suffixes"),
+        F.max("lcp_next").cast("long").alias("lrs_len"),
+        F.sum((F.col("lcp_next") >= 20).cast("long"))
+        .cast("long")
+        .alias("dup20_pairs"),
+        F.bool_and("ok").alias("sorted_gate"),
+    )
+    return (
+        pairs.filter(F.col("sa_idx") % 97 == 1)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "sa_idx", "doc_id", "off",
+            F.expr("substring(suf, 1, 12)").alias("head12"),
+            "lcp_next", "n_suffixes", "lrs_len", "dup20_pairs",
+            "sorted_gate",
+        )
+        .orderBy("sa_idx")
+    )

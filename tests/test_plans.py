@@ -2389,3 +2389,15 @@ def test_prefixspan_broadcast_prunes_no_cartesian(spark, sf_dir):
     assert count_prefix(counts, "BroadcastHashJoin") >= 3, counts
     # pos is persisted: consumers read the cache, not the scan
     assert count_prefix(counts, "InMemoryTableScan") >= 4, counts
+
+
+def test_suffix_array_no_cartesian_bucketed_ranks(spark, sf_dir):
+    """Suffix array: doubling rounds execute inside truncate_lineage
+    boundaries (checkpointed rank RDDs); the visible plan is the
+    certifier join + sampled output — equi joins only, the lone cross
+    join is the broadcast 1-row stats frame."""
+    df = q("suffix_array_doubling_gate", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
