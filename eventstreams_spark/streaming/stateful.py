@@ -2009,3 +2009,103 @@ def tdigest_quantile_monitor_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dgim_window_count_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_s: int = 3600,
+) -> DataFrame:
+    """DGIM / exponential-histogram sliding-window counter
+    (Datar-Gionis-Indyk-Motwani, "Maintaining Stream Statistics over
+    Sliding Windows", SODA'02): per key, the count of events in the
+    trailing ``window_s`` seconds of EVENT time is maintained in
+    O(log² W) state — buckets of power-of-two sizes, at most two per
+    size, each stamped with the newest event it covers; when a third
+    bucket of a size appears, the two OLDEST merge into the next
+    size. Buckets whose stamp falls out of the window expire whole.
+    The estimate is (sum of unexpired bucket sizes) − half the oldest
+    unexpired bucket — the classic ≤ 50% worst-case relative error,
+    typically far tighter; the exact answer would need the full event
+    multiset, this needs ~2·log₂(W)² longs per key.
+
+    The third member of the streaming-sketch family (Misra-Gries
+    heavy hitters, KLL/t-digest quantiles) — the one that answers
+    WINDOWED counts without windowed state. Folding is pure integer
+    arithmetic in arrival order, so the monitor is deterministic
+    given the micro-batch sequence, and the (last_ts, buckets) state
+    JSON round-trips exactly across checkpoint restarts.
+
+    Scale: one shuffle by key; O(log² W) state per key; a million
+    keys is a million independent bucket lists in the state store.
+    """
+    import json
+
+    out_schema = (
+        f"{key_col} string, seq long, last_ts long, est_count long, "
+        "n_buckets long"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, last_ts, bj = state.get
+            buckets = [tuple(b) for b in json.loads(bj)]  # (ts, size) newest-first
+        else:
+            seq, last_ts, buckets = 0, -1, []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            tss = (
+                pdf[ts_col].astype("int64") // 1_000_000_000
+            ).astype("int64")
+            for t in tss:
+                t = int(t)
+                if t > last_ts:
+                    last_ts = t
+                # new singleton bucket at the front (newest)
+                buckets.insert(0, (t, 1))
+                # cascade: when 3 buckets share a size, merge the two
+                # OLDEST of that size into one of double size stamped
+                # with the NEWER of the two (the newest 1 it covers)
+                size = 1
+                while True:
+                    idxs = [
+                        i for i, (_, s) in enumerate(buckets) if s == size
+                    ]
+                    if len(idxs) <= 2:
+                        break
+                    i2, i1 = idxs[-1], idxs[-2]  # two oldest
+                    merged = (buckets[i1][0], size * 2)
+                    del buckets[i2]
+                    buckets[i1] = merged
+                    size *= 2
+                # expire buckets wholly outside the window
+                lo = last_ts - window_s
+                buckets = [(ts, s) for (ts, s) in buckets if ts > lo]
+        seq += 1
+        if buckets:
+            est = sum(s for _, s in buckets) - buckets[-1][1] // 2
+        else:
+            est = 0
+        state.update(
+            (seq, last_ts, json.dumps([list(b) for b in buckets]))
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "seq": [seq],
+                "last_ts": [last_ts],
+                "est_count": [est],
+                "n_buckets": [len(buckets)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seq long, last_ts long, buckets string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

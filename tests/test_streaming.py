@@ -2575,3 +2575,110 @@ def test_tdigest_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path)
     )
     assert split == whole, (split, whole)
     assert split[0][2] == n
+
+
+def test_dgim_window_count_error_bound(spark, sf_dir, tmp_path):
+    """DGIM sliding-window counter: after replaying each channel's
+    events, the final estimate of 'events in the trailing hour of
+    event time' must sit within the classic 50% worst-case bound of
+    the EXACT trailing-hour count, state must stay O(log^2 W)
+    (n_buckets <= 2*(log2(count)+2)), and the estimate must be exact
+    when the window holds everything up to the open half-bucket."""
+    import math
+
+    from eventstreams_spark.streaming.stateful import (
+        dgim_window_count_stream,
+    )
+
+    W = 3600
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    stream = replay_table(spark, ev, str(tmp_path), chunks=4, order_col="ts")
+    run_to_memory(
+        dgim_window_count_stream(stream, "event_type", "ts", window_s=W),
+        "t_dgim",
+        output_mode="update",
+    )
+    got = {
+        r.event_type: (r.last_ts, r.est_count, r.n_buckets)
+        for r in spark.sql(
+            "SELECT event_type, last_ts, est_count, n_buckets FROM t_dgim m "
+            "WHERE seq = (SELECT max(seq) FROM t_dgim"
+            "             WHERE event_type = m.event_type)"
+        ).collect()
+    }
+    assert set(got) == {"click", "error"}
+    for et, (last_ts, est, nb) in got.items():
+        exact = ev.filter(
+            (F.col("event_type") == et)
+            & (F.unix_timestamp("ts") > last_ts - W)
+            & (F.unix_timestamp("ts") <= last_ts)
+        ).count()
+        assert exact > 0, "fixture must populate the trailing window"
+        # DGIM guarantee: |est - exact| <= half the oldest bucket
+        # <= 50% of the true count
+        assert abs(est - exact) <= 0.5 * exact + 1, (et, est, exact)
+        assert nb <= 2 * (int(math.log2(max(exact, 2))) + 2), (et, nb)
+
+
+def test_dgim_state_recovers_across_restarts(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the DGIM counter: integer bucket
+    folding is deterministic in arrival order, so a run split across
+    two availableNow drains (same checkpoint, same staged file
+    sequence) must end bit-equal to one uninterrupted run."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import (
+        dgim_window_count_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_type", "ts")
+        .orderBy("ts")
+    )
+    n = ev.count()
+    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+
+    def run(src, out, ck, drains):
+        idx = 0
+        for frames in drains:
+            for frame in frames:
+                idx += 1
+                stage_files(frame.coalesce(1), src, idx)
+            stream = (
+                spark.readStream.schema("event_type string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                dgim_window_count_stream(stream, "event_type", "ts")
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ck)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        df = spark.read.parquet(out)
+        return sorted(
+            (r.last_ts, r.est_count, r.n_buckets)
+            for r in df.filter(
+                df.seq == df.agg(F.max("seq")).collect()[0][0]
+            ).collect()
+        )
+
+    split = run(
+        str(tmp_path / "s1"), str(tmp_path / "o1"), str(tmp_path / "c1"),
+        [[first], [rest]],
+    )
+    whole = run(
+        str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "c2"),
+        [[first, rest]],
+    )
+    assert split == whole, (split, whole)
