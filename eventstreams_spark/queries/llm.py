@@ -1792,6 +1792,76 @@ _LCP_SPARK = (
 )
 
 
+def _suffix_array_lcp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared suffix-array construction for the L2-suffixarray family:
+    prefix-doubling ranks (see suffix_array_doubling_gate's docstring
+    for the algorithm and scale argument), then the bounded certifier
+    join that re-attaches suffix strings and computes, per SA row,
+    the LCP with the NEXT suffix in SA order and the adjacent-order
+    check. Returns (sa_idx, doc_id, off, suf, lcp_next, ok),
+    lineage-truncated."""
+    from ..operators.graph import truncate_lineage
+    from ..operators.ranking import exact_global_rank
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("off"),
+        F.expr("ascii(substring(text, off, 1))").cast("long").alias("r"),
+    ).select("doc_id", F.col("off").cast("long").alias("off"), "r")
+    cur = truncate_lineage(chars, par)
+    n = cur.count()  # bounded metadata scalar
+    max_len = docs.agg(F.max(F.length("text"))).head()[0]
+
+    k = 1
+    while k <= max_len:
+        nxtr = cur.select(
+            "doc_id", (F.col("off") - k).alias("off"), F.col("r").alias("rn")
+        )
+        j = (
+            cur.join(nxtr, ["doc_id", "off"], "left")
+            .select(
+                "doc_id", "off", "r",
+                F.coalesce("rn", F.lit(-1)).cast("long").alias("rn"),
+            )
+        )
+        ranked = exact_global_rank(j, ["r", "rn"], rank_col="gr")
+        dense = F.min("gr").over(Window.partitionBy("r", "rn"))
+        cur = truncate_lineage(
+            ranked.select("doc_id", "off", dense.cast("long").alias("r")),
+            par,
+        )
+        # convergence probe: one scalar per round (the CC contract)
+        if cur.agg(F.count_distinct("r")).head()[0] == n:
+            break
+        k *= 2
+
+    sa = exact_global_rank(
+        cur, ["r", "doc_id", "off"], rank_col="sa_idx"
+    ).select("doc_id", "off", "sa_idx")
+    # certifier: re-attach the actual suffix strings (bounded carry)
+    # and check order + LCP on adjacent pairs
+    saf = sa.join(docs, "doc_id").select(
+        "sa_idx", "doc_id", "off",
+        F.expr("substring(text, off)").alias("suf"),
+    )
+    nxt = saf.select(
+        (F.col("sa_idx") - 1).alias("sa_idx"), F.col("suf").alias("nsuf")
+    )
+    pairs = saf.join(nxt, "sa_idx", "left").select(
+        "sa_idx", "doc_id", "off", "suf",
+        F.when(F.col("nsuf").isNull(), F.lit(0))
+        .otherwise(F.expr(_LCP_SPARK))
+        .cast("long")
+        .alias("lcp_next"),
+        (F.col("nsuf").isNull() | (F.col("suf") <= F.col("nsuf"))).alias(
+            "ok"
+        ),
+    )
+    return truncate_lineage(pairs, par)
+
+
 @query(
     "suffix_array_doubling_gate",
     category="L2-suffixarray",
@@ -1882,66 +1952,7 @@ def suffix_array_doubling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, off) or sa_idx. 100 TB corpus = the same 2-long sort key
     per round, sharded by the range-bucketed global rank.
     """
-    from ..operators.graph import truncate_lineage
-    from ..operators.ranking import exact_global_rank
-
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("off"),
-        F.expr("ascii(substring(text, off, 1))").cast("long").alias("r"),
-    ).select("doc_id", F.col("off").cast("long").alias("off"), "r")
-    cur = truncate_lineage(chars, par)
-    n = cur.count()  # bounded metadata scalar
-    max_len = docs.agg(F.max(F.length("text"))).head()[0]
-
-    k = 1
-    while k <= max_len:
-        nxtr = cur.select(
-            "doc_id", (F.col("off") - k).alias("off"), F.col("r").alias("rn")
-        )
-        j = (
-            cur.join(nxtr, ["doc_id", "off"], "left")
-            .select(
-                "doc_id", "off", "r",
-                F.coalesce("rn", F.lit(-1)).cast("long").alias("rn"),
-            )
-        )
-        ranked = exact_global_rank(j, ["r", "rn"], rank_col="gr")
-        dense = F.min("gr").over(Window.partitionBy("r", "rn"))
-        cur = truncate_lineage(
-            ranked.select("doc_id", "off", dense.cast("long").alias("r")),
-            par,
-        )
-        # convergence probe: one scalar per round (the CC contract)
-        if cur.agg(F.count_distinct("r")).head()[0] == n:
-            break
-        k *= 2
-
-    sa = exact_global_rank(
-        cur, ["r", "doc_id", "off"], rank_col="sa_idx"
-    ).select("doc_id", "off", "sa_idx")
-    # certifier: re-attach the actual suffix strings (bounded carry,
-    # see docstring) and check order + LCP on adjacent pairs
-    saf = sa.join(docs, "doc_id").select(
-        "sa_idx", "doc_id", "off",
-        F.expr("substring(text, off)").alias("suf"),
-    )
-    nxt = saf.select(
-        (F.col("sa_idx") - 1).alias("sa_idx"), F.col("suf").alias("nsuf")
-    )
-    pairs = saf.join(nxt, "sa_idx", "left").select(
-        "sa_idx", "doc_id", "off", "suf",
-        F.when(F.col("nsuf").isNull(), F.lit(0))
-        .otherwise(F.expr(_LCP_SPARK))
-        .cast("long")
-        .alias("lcp_next"),
-        (F.col("nsuf").isNull() | (F.col("suf") <= F.col("nsuf"))).alias(
-            "ok"
-        ),
-    )
-    pairs = truncate_lineage(pairs, par)
+    pairs = _suffix_array_lcp_frame(spark, sf_dir)
     stats = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_suffixes"),
         F.max("lcp_next").cast("long").alias("lrs_len"),
@@ -1960,4 +1971,171 @@ def suffix_array_doubling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sorted_gate",
         )
         .orderBy("sa_idx")
+    )
+
+
+@query(
+    "exact_substring_dup_coverage",
+    category="L2-suffixarray",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, CAST(t.off AS BIGINT) AS off,
+                   substring(text, CAST(t.off AS INTEGER)) AS suf
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text)))
+                     AS t(off)
+        ), sa AS (
+            SELECT doc_id, off, suf,
+                   lead(suf) OVER w AS nsuf
+            FROM pos
+            WINDOW w AS (ORDER BY suf, doc_id, off)
+        ), lcps AS (
+            SELECT doc_id, off, suf,
+                   CASE WHEN nsuf IS NULL THEN CAST(0 AS BIGINT)
+                        WHEN coalesce(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false), 0)
+                          = 0
+                        THEN CAST(least(length(suf), length(nsuf))
+                                  AS BIGINT)
+                        ELSE CAST(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false) - 1
+                          AS BIGINT)
+                   END AS lcp_next
+            FROM sa
+        ), marked AS (
+            -- max LCP of a suffix with ANY other suffix = max of the
+            -- LCPs with its two SA-order neighbors (sorted-strings
+            -- property); lcp_prev of row i = lcp_next of row i-1
+            SELECT doc_id, off,
+                   greatest(lcp_next,
+                            coalesce(lag(lcp_next) OVER
+                                (ORDER BY suf, doc_id, off), 0))
+                       AS max_lcp
+            FROM lcps
+        ), starts AS (
+            SELECT doc_id, off AS s, off + 20 AS e
+            FROM marked WHERE max_lcp >= 20
+        ), islands AS (
+            SELECT doc_id, s, e,
+                   CAST(sum(CASE WHEN s > coalesce(pme, -1)
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS island
+            FROM (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pme
+                FROM starts
+            )
+        ), spans AS (
+            SELECT doc_id, island,
+                   CAST(max(e) - min(s) AS BIGINT) AS span_len,
+                   CAST(count(*) AS BIGINT) AS n_starts
+            FROM islands GROUP BY doc_id, island
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(span_len) AS BIGINT) AS dup_chars,
+                   CAST(sum(n_starts) AS BIGINT) AS n_dup_starts,
+                   CAST(count(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS doc_len,
+               coalesce(p.n_dup_starts, 0) AS n_dup_starts,
+               coalesce(p.n_spans, 0) AS n_spans,
+               coalesce(p.dup_chars, 0) AS dup_chars,
+               CAST(round(coalesce(p.dup_chars, 0) * 1.0
+                          / length(d.text), 6) AS DOUBLE) AS dup_ratio
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY dup_ratio DESC, d.doc_id
+    """,
+)
+def exact_substring_dup_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring duplication coverage per document — the
+    end-to-end census an exact substring dedup pass (Lee et al. 2022)
+    would CUT: a position starts a duplicated 20-gram iff its
+    suffix's longest common prefix with any OTHER suffix is >= 20,
+    and for sorted suffixes that max-LCP is achieved by one of the
+    two SA-order neighbors, so one lead/lag over the shared suffix
+    array decides every position. Covered characters are the UNION
+    of the [off, off+20) intervals — merged per document with the
+    islands pattern (running max-end, new island when a start clears
+    it) — yielding per-doc duplicated-char counts and the dup_ratio a
+    dedup policy would threshold on.
+
+    Everything is integer (offsets, LCPs, island sums); only the
+    final ratio divides, rounded to 6. Reuses the prefix-doubling
+    suffix array + LCP frame (_suffix_array_lcp_frame — construction
+    and scale argument in suffix_array_doubling_gate's docstring);
+    lcp_prev comes from an equi self-join on sa_idx-1, never a
+    global window. The island merge is per-doc windows — partitioned,
+    bounded, shuffle-once.
+    """
+    from ..operators.graph import truncate_lineage
+
+    par = spark.sparkContext.defaultParallelism
+    pairs = _suffix_array_lcp_frame(spark, sf_dir)
+    prev = pairs.select(
+        (F.col("sa_idx") + 1).alias("sa_idx"),
+        F.col("lcp_next").alias("lcp_prev"),
+    )
+    marked = truncate_lineage(
+        pairs.join(prev, "sa_idx", "left").select(
+            "doc_id", "off",
+            F.greatest(
+                "lcp_next", F.coalesce("lcp_prev", F.lit(0))
+            ).alias("max_lcp"),
+        ),
+        par,
+    )
+    starts = marked.filter(F.col("max_lcp") >= 20).select(
+        "doc_id", F.col("off").alias("s"), (F.col("off") + 20).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    pme = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = starts.select(
+        "doc_id", "s", "e",
+        F.sum(
+            F.when(F.col("s") > F.coalesce(pme, F.lit(-1)), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("island"),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("span_len"),
+        F.count(F.lit(1)).cast("long").alias("n_starts"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_chars"),
+        F.sum("n_starts").cast("long").alias("n_dup_starts"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("doc_len")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "doc_len",
+            F.coalesce("n_dup_starts", F.lit(0)).cast("long").alias(
+                "n_dup_starts"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias(
+                "dup_chars"
+            ),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("doc_len"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy(F.col("dup_ratio").desc(), "doc_id")
     )

@@ -2401,3 +2401,14 @@ def test_suffix_array_no_cartesian_bucketed_ranks(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastNestedLoopJoin") <= 1, counts
     assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
+
+
+def test_dup_coverage_windows_partitioned_by_doc(spark, sf_dir):
+    """Substring-dup coverage: the island merge runs per-doc windows
+    (partitioned, never a global window); joins are equi on sa_idx /
+    doc_id; no cartesian."""
+    df = q("exact_substring_dup_coverage", spark, sf_dir)
+    assert_no_operator(df, "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Window") >= 2, counts
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
