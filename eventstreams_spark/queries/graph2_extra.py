@@ -239,7 +239,7 @@ def ktruss_support_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (kcore_peel_rounds' contract, triangle edition): each round
     is one triangle enumeration on the shrinking survivor set (Σ deg²
     on a smaller graph every round) + one support rollup + one filter;
-    the loop carries scalar edge counts only. coalesce-before-persist
+    the loop carries scalar edge counts only. truncate_lineage per round
     keeps the cached survivor frames narrow under vanilla sessions.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -303,8 +303,8 @@ def ktruss_fixpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is one triangle enumeration on a shrinking
     graph + one support rollup; the loop carries ONE scalar per round
-    (the kcore/CC convergence contract); coalesce-before-persist on
-    every survivor frame keeps vanilla-session stages narrow.
+    (the kcore/CC convergence contract); truncate_lineage on every
+    survivor frame keeps stages narrow and plans bounded (SCALE.md §17).
     """
     ev = load_table(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism

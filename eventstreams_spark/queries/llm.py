@@ -2050,8 +2050,11 @@ def suffix_array_doubling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(p.n_dup_starts, 0) AS n_dup_starts,
                coalesce(p.n_spans, 0) AS n_spans,
                coalesce(p.dup_chars, 0) AS dup_chars,
+               -- nullif: a zero-length doc must be NULL on both
+               -- engines (DuckDB float x/0 is inf, Spark is NULL)
                CAST(round(coalesce(p.dup_chars, 0) * 1.0
-                          / length(d.text), 6) AS DOUBLE) AS dup_ratio
+                          / nullif(length(d.text), 0), 6) AS DOUBLE)
+                   AS dup_ratio
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         ORDER BY dup_ratio DESC, d.doc_id
     """,
@@ -2134,7 +2137,9 @@ def exact_substring_dup_coverage(
                 "dup_chars"
             ),
             F.round(
-                F.coalesce("dup_chars", F.lit(0)) / F.col("doc_len"), 6
+                F.coalesce("dup_chars", F.lit(0))
+                / F.nullif(F.col("doc_len"), F.lit(0)),
+                6,
             ).alias("dup_ratio"),
         )
         .orderBy(F.col("dup_ratio").desc(), "doc_id")

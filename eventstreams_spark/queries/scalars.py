@@ -717,3 +717,60 @@ def csv_corrupt_record_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("long").alias("parsed_key_sum"),
     )
+
+
+@query(
+    "scan_avro_roundtrip",
+    category="S2-avro",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               CASE WHEN n_regionkey = 0 THEN NULL
+                    ELSE concat('r', CAST(n_regionkey AS VARCHAR))
+               END AS region_tag
+        FROM nation
+    """,
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink roundtrip (S2/K2 — the format VERDICT r5
+    listed as env-blocked): the env has no spark-avro jar and no avro
+    library at all, so sources/avro.py implements the Object
+    Container File format from the public spec directly — pure-Python
+    block/sync framing with zigzag-varint record encoding, deflate or
+    null codec, Spark-side plumbing via binaryFile + mapInPandas
+    (read) and foreachPartition (write). This query writes nation
+    (with a nullable derived column — Avro's ["null", T] union) as
+    deflate-coded containers and reads it back; the oracle computes
+    the same frame from the parquet truth, so any encode/decode/
+    framing bug hash-mismatches.
+
+    Scale: read parallelizes per FILE (containers are sync-marker
+    splittable, but binaryFile hands whole files — the right grain
+    when files are partition-sized, which the writer guarantees by
+    emitting one container per partition); the decode is one
+    Arrow-batched Python pass per file. Avro is an interchange
+    format — land it to parquet once and query that.
+    """
+    from ..sources.avro import read_avro, write_avro
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.when(F.col("n_regionkey") == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))
+        .alias("region_tag"),
+    )
+    out = os.path.join(
+        SCRATCH, "avro_roundtrip", os.path.basename(sf_dir.rstrip("/"))
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_avro(n, out, codec="deflate")
+    back = read_avro(spark, out)
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        "region_tag",
+    )

@@ -2037,6 +2037,15 @@ def dgim_window_count_stream(
     given the micro-batch sequence, and the (last_ts, buckets) state
     JSON round-trips exactly across checkpoint restarts.
 
+    Ordering contract (classic DGIM assumes arrival order == window
+    order): batches are sorted by event time before folding, so only
+    CROSS-batch disorder reaches the fold; a late event is stamped
+    with its own event time (it still expires correctly and never
+    rewinds ``last_ts``), at the cost of transiently bending the
+    sizes-nondecreasing-with-age invariant — the error bound's worst
+    case is unaffected because expiry and the half-oldest correction
+    depend on stamps, not positions.
+
     Scale: one shuffle by key; O(log² W) state per key; a million
     keys is a million independent bucket lists in the state store.
     """
