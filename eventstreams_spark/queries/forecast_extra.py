@@ -2051,3 +2051,213 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+def _smith_waterman_score(xa, xb, match: int = 2, mismatch: int = -1,
+                          gap: int = -2) -> int:
+    """Smith-Waterman LOCAL alignment score (linear gaps): the NW
+    recurrence with a floor at 0 (an alignment may start anywhere) and
+    the answer = the maximum over ALL cells (it may end anywhere).
+    All-integer max/+ DP, one rolling row."""
+    n, m = len(xa), len(xb)
+    prev = [0] * (m + 1)
+    best = 0
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        ai = xa[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == xb[j - 1] else mismatch
+            cur[j] = max(
+                0, prev[j] + gap, cur[j - 1] + gap, prev[j - 1] + s
+            )
+            if cur[j] > best:
+                best = cur[j]
+        prev = cur
+    return best
+
+
+@query(
+    "smith_waterman_local_shapes",
+    category="FC-alignment",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn
+            FROM daily QUALIFY rn <= 28
+        ), sym AS (
+            SELECT event_type, rn,
+                   ((CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY x, rn)
+                          AS BIGINT) - 1) * 3) // 28 AS lv
+            FROM seq
+        ), lens AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n
+            FROM sym GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS ca, b.event_type AS cb,
+                   a.n AS na, b.n AS nb
+            FROM lens a JOIN lens b ON a.event_type < b.event_type
+        ), cells AS (
+            -- the NW anti-diagonal recursive-DP shape with the local-
+            -- alignment floor at 0. Border cells are never
+            -- materialized: every border value is 0, so a border
+            -- predecessor contributes either gap-from-0 = -2 (always
+            -- absorbed by the floor) or diag-from-0 = s(i,j) — the
+            -- standalone CASE term below, applicable exactly when
+            -- i = 1 OR j = 1. Seed = cell (1,1).
+            WITH RECURSIVE dp AS (
+                SELECT p.ca, p.cb, 2 AS d, 1 AS i, 1 AS j,
+                       greatest(CAST(0 AS BIGINT),
+                                CASE WHEN sa.lv = sb.lv THEN 2
+                                     ELSE -1 END) AS val,
+                       1 AS cur, p.na, p.nb
+                FROM pairs p
+                JOIN sym sa ON sa.event_type = p.ca AND sa.rn = 1
+                JOIN sym sb ON sb.event_type = p.cb AND sb.rn = 1
+                UNION ALL
+                SELECT * FROM (
+                    WITH w AS (SELECT * FROM dp)
+                    SELECT n.ca, n.cb, n.d, n.i, n.j, n.val,
+                           1 AS cur, n.na, n.nb
+                    FROM (
+                        SELECT g.ca, g.cb, g.d, g.i, g.j,
+                               greatest(
+                                   CAST(0 AS BIGINT),
+                                   CASE WHEN g.i = 1 OR g.j = 1 THEN
+                                       (CASE WHEN sa.lv = sb.lv THEN 2
+                                             ELSE -1 END)
+                                   ELSE CAST(-1000 AS BIGINT) END,
+                                   max(g.prev + CASE
+                                       WHEN g.di + g.dj = 1 THEN -2
+                                       WHEN sa.lv = sb.lv THEN 2
+                                       ELSE -1 END)) AS val,
+                               g.na, g.nb
+                        FROM (
+                            SELECT w.ca, w.cb, w.d + 1 AS d,
+                                   w.i + c0.di AS i, w.j + c0.dj AS j,
+                                   w.val AS prev, c0.di, c0.dj,
+                                   w.na, w.nb
+                            FROM w
+                            CROSS JOIN (VALUES (1, 0), (0, 1), (1, 1))
+                                 AS c0(di, dj)
+                            WHERE ((w.cur = 1 AND c0.di + c0.dj = 1)
+                                OR (w.cur = 0 AND c0.di = 1
+                                    AND c0.dj = 1))
+                              AND w.i + c0.di <= w.na
+                              AND w.j + c0.dj <= w.nb
+                        ) g
+                        JOIN sym sa ON sa.event_type = g.ca
+                                   AND sa.rn = g.i
+                        JOIN sym sb ON sb.event_type = g.cb
+                                   AND sb.rn = g.j
+                        GROUP BY g.ca, g.cb, g.d, g.i, g.j, g.na, g.nb,
+                                 sa.lv, sb.lv
+                    ) n
+                    UNION ALL
+                    SELECT w.ca, w.cb, w.d + 1, w.i, w.j, w.val,
+                           0, w.na, w.nb
+                    FROM w WHERE w.cur = 1 AND w.d < w.na + w.nb
+                )
+            )
+            SELECT * FROM dp
+        )
+        SELECT ca AS channel_a, cb AS channel_b,
+               CAST(max(val) AS BIGINT) AS sw_score,
+               CAST(round(max(val) * 1.0 / (2 * least(na, nb)), 6)
+                    AS DOUBLE) AS norm_local_sim
+        FROM cells
+        GROUP BY ca, cb, na, nb
+        ORDER BY channel_a, channel_b
+    """,
+)
+def smith_waterman_local_shapes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Smith-Waterman LOCAL alignment between channel activity shapes
+    — completes the alignment family (NW global linear, Gotoh global
+    affine, SW local): the recurrence floors at 0 so an alignment may
+    START anywhere, and the score is the max over ALL cells so it may
+    END anywhere — the right question when two channels share one
+    strong common episode inside otherwise-unrelated histories (global
+    scores punish the unrelated flanks; local finds the episode).
+    Same rank-tercile symbols, match +2 / mismatch −1 / gap −2.
+
+    Determinism is total (integer rank symbols, integer max/+ DP with
+    a 0 floor). The oracle reuses the anti-diagonal recursive-CTE DP
+    with greatest(0, move-max) per cell — border cells are never
+    materialized because a zero border contributes only gap-from-0
+    (absorbed by the floor) or diag-from-0 = s(i,j), folded in as a
+    standalone term on the i=1/j=1 frontier; the answer aggregates
+    max(val) over the whole table — no end-cell special-casing. The Python DP is
+    verified against a brute-force all-substring-pairs NW maximizer
+    on tiny inputs (tests/test_operators.py).
+
+    Scale: identical to NW/Gotoh — one rollup, broadcast pair frame,
+    one Arrow-batched rolling-row DP per pair.
+    """
+    from pyspark.sql.types import LongType
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 28)
+    sym = seq.select(
+        "event_type", "rn",
+        F.expr(
+            "((CAST(row_number() OVER (PARTITION BY event_type"
+            " ORDER BY x, rn) AS BIGINT) - 1) * 3) div 28"
+        ).alias("lv"),
+    )
+    arrs = sym.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "lv"))),
+            lambda s: s["lv"],
+        ).alias("syms"),
+        F.max("rn").cast("long").alias("n"),
+    )
+    a = arrs.select(
+        F.col("event_type").alias("channel_a"),
+        F.col("syms").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("event_type").alias("channel_b"),
+        F.col("syms").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("channel_a") < F.col("channel_b"))
+
+    @F.pandas_udf(LongType())
+    def sw_score(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = [
+            _smith_waterman_score(list(xa), list(xb))
+            for xa, xb in zip(sa, sb)
+        ]
+        return pd.Series(out, dtype="int64")
+
+    scored = pairs.select(
+        "channel_a", "channel_b", "na", "nb",
+        # single UDF invocation: referencing the UDF twice in one
+        # select plans two ArrowEvalPython nodes (today's DTW lesson)
+        sw_score(F.col("sa"), F.col("sb")).alias("sw_score"),
+    )
+    return (
+        scored.select(
+            "channel_a", "channel_b", "sw_score",
+            F.round(
+                F.col("sw_score")
+                / (2.0 * F.least(F.col("na"), F.col("nb"))),
+                6,
+            ).alias("norm_local_sim"),
+        )
+        .orderBy("channel_a", "channel_b")
+    )

@@ -455,3 +455,45 @@ def test_gotoh_affine_score_matches_exhaustive_enumeration():
     assert _gotoh_affine_score([0, 1, 2], [0, 1, 2, 0, 0, 0]) == 1
     # identical sequences: all matches
     assert _gotoh_affine_score([1, 2, 0, 1], [1, 2, 0, 1]) == 8
+
+
+def test_smith_waterman_matches_all_substring_pairs_maximum():
+    """SW local score == max over ALL substring pairs of the global
+    (no-floor) NW score — the definitional characterization, computed
+    by brute force on tiny inputs."""
+    import itertools
+    import random
+
+    from eventstreams_spark.queries.forecast_extra import (
+        _smith_waterman_score,
+    )
+
+    def nw_global(x, y, match=2, mismatch=-1, gap=-2):
+        prev = [gap * j for j in range(len(y) + 1)]
+        for i in range(1, len(x) + 1):
+            cur = [gap * i] + [0] * len(y)
+            for j in range(1, len(y) + 1):
+                s = match if x[i - 1] == y[j - 1] else mismatch
+                cur[j] = max(prev[j] + gap, cur[j - 1] + gap, prev[j - 1] + s)
+            prev = cur
+        return prev[-1]
+
+    def brute_local(xa, xb):
+        best = 0
+        for i0, i1 in itertools.combinations(range(len(xa) + 1), 2):
+            for j0, j1 in itertools.combinations(range(len(xb) + 1), 2):
+                best = max(best, nw_global(xa[i0:i1], xb[j0:j1]))
+        return best
+
+    rng = random.Random(7)
+    for _ in range(30):
+        na, nb = rng.randint(1, 7), rng.randint(1, 7)
+        xa = [rng.randint(0, 2) for _ in range(na)]
+        xb = [rng.randint(0, 2) for _ in range(nb)]
+        assert _smith_waterman_score(xa, xb) == brute_local(xa, xb), (xa, xb)
+    # disjoint alphabets: no positive local alignment
+    assert _smith_waterman_score([0, 0], [1, 1]) == 0
+    # embedded common episode dominates unrelated flanks
+    assert _smith_waterman_score(
+        [1, 1, 0, 2, 1, 0, 2], [2, 2, 0, 2, 1, 0, 1]
+    ) >= 8  # the shared 0,2,1,0 episode: 4 matches

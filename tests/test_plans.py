@@ -2412,3 +2412,14 @@ def test_dup_coverage_windows_partitioned_by_doc(spark, sf_dir):
     counts = operator_counts(df)
     assert count_prefix(counts, "Window") >= 2, counts
     assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
+
+
+def test_smith_waterman_single_arrow_udf(spark, sf_dir):
+    """SW local alignment: same scale shape as NW/Gotoh — broadcast
+    pair join, exactly ONE ArrowEvalPython (the score referenced once;
+    a second reference would plan a second UDF node)."""
+    df = q("smith_waterman_local_shapes", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+    assert_no_operator(df, "CartesianProduct")
