@@ -245,3 +245,79 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 4096, max_frames: int =
             yield pd.DataFrame({"path": paths, "frame_no": nos, "frame": frames})
 
     return df.select("path", "content").mapInPandas(gen, schema)
+
+
+def decode_ppm_blocks(
+    df: DataFrame,
+    key_col: str = "path",
+    content_col: str = "content",
+    block: int = 8,
+) -> DataFrame:
+    """REAL image decode with zero image libraries: binary PPM (P6) —
+    the one raster format whose spec is small enough to implement
+    directly (netpbm: ``P6 <ws> width <ws> height <ws> maxval <single
+    ws> raw RGB bytes``) — parsed to an H×W×3 numpy array, then
+    mean-pool features per ``block``×``block`` tile (integer channel
+    SUMS + pixel count, so the caller controls the division/rounding).
+    Upgrades the L6 decode path from header-parse-only to an actual
+    bytes → pixels → features pipeline; PNG/JPEG stay honestly
+    stubbed (zlib/DCT need the absent codec libs — operators/
+    multimodal.decode_image).
+
+    Output: (key, width, height, by, bx, n_px, sum_r, sum_g, sum_b),
+    one row per tile. Arrow-batched mapInPandas; bytes never shuffle
+    (tile sums leave the executor, pixels don't). Malformed headers
+    or short pixel buffers raise loudly.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, width int, height int, by int, bx int, "
+        "n_px long, sum_r long, sum_g long, sum_b long"
+    )
+    head_re = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(content)
+                m = head_re.match(b)
+                if not m:
+                    raise ValueError(f"not a binary PPM (P6): {key!r}")
+                w, h, maxval = (int(g) for g in m.groups())
+                if maxval != 255:
+                    raise NotImplementedError(
+                        "only 8-bit-per-channel PPM supported"
+                    )
+                raw = b[m.end():]
+                if len(raw) < w * h * 3:
+                    raise ValueError(
+                        f"short pixel buffer for {key!r}: "
+                        f"{len(raw)} < {w * h * 3}"
+                    )
+                px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8)
+                px = px.reshape(h, w, 3).astype(np.int64)
+                for by in range(0, h, block):
+                    for bx in range(0, w, block):
+                        tile = px[by : by + block, bx : bx + block]
+                        s = tile.sum(axis=(0, 1))
+                        rows.append(
+                            (
+                                key, w, h, by // block, bx // block,
+                                tile.shape[0] * tile.shape[1],
+                                int(s[0]), int(s[1]), int(s[2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "width", "height", "by", "bx",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(key_col, content_col).mapInPandas(gen, schema)

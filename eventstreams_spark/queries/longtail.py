@@ -2307,3 +2307,104 @@ def packing_efficiency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_rate"),
     ).orderBy("source")
+
+
+_PPM_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+        SELECT doc_id, t.i,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                  || CAST(t.i AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                    || CAST(t.i AS VARCHAR)), 2, 1)) - 1)
+                   AS v
+        FROM docs, LATERAL unnest(generate_series(0, 1151)) AS t(i)
+    ), placed AS (
+        SELECT doc_id,
+               (i // 3) % 24 AS x, (i // 3) // 24 AS y, i % 3 AS c, v
+        FROM px
+    ), pooled AS (
+        SELECT doc_id, y // 8 AS by, x // 8 AS bx,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+               CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+        FROM placed GROUP BY doc_id, y // 8, x // 8
+    )
+    SELECT doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(by AS INT) AS by, CAST(bx AS INT) AS bx,
+           n_vals // 3 AS n_px, sum_r, sum_g, sum_b,
+           CAST(round(sum_r / 64.0, 6) AS DOUBLE) AS mean_r,
+           CAST(round(sum_g / 64.0, 6) AS DOUBLE) AS mean_g,
+           CAST(round(sum_b / 64.0, 6) AS DOUBLE) AS mean_b
+    FROM pooled
+    ORDER BY doc_id, by, bx
+"""
+
+
+@query("multimodal_ppm_decode_pool", category="L6-multimodal", oracle=_PPM_ORACLE)
+def multimodal_ppm_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 REAL decode path, oracle-checked end to end: mint a genuine
+    binary PPM (P6) per document — header ``P6\\n24 16\\n255\\n`` + 24x16
+    RGB bytes whose values are md5-derived (pixel byte i of doc d =
+    first hex byte of md5("d|i")) — then run the production pipeline:
+    operators/multimodal.decode_ppm_blocks PARSES the header with the
+    netpbm grammar, reshapes the raw buffer to H x W x 3 with numpy,
+    and mean-pools 8x8 tiles (2x3 blocks per image). The oracle
+    recomputes every pooled channel sum arithmetically from the md5
+    formula WITHOUT any decode, so a bug anywhere in construction,
+    header parse, buffer reshape (e.g. transposed axes, channel
+    interleave), or pooling breaks the hash. This upgrades the
+    multimodal family from header-parse-only to bytes -> pixels ->
+    features with zero image libraries; PNG/JPEG decode stays
+    honestly stubbed (absent codecs).
+
+    Scale: minting is a stand-in for binaryFile ingest; decode+pool
+    is one Arrow-batched Python pass per file and only TILE SUMS ever
+    shuffle (48 longs per image, not 1,152 pixel bytes) — the decode-
+    near-the-scan rule any 100 TB image pipeline follows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_ppm_blocks
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def mint(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                body = bytes(
+                    int(
+                        hashlib.md5(f"{d}|{i}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for i in range(24 * 16 * 3)
+                )
+                out.append((str(d), b"P6\n24 16\n255\n" + body))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(mint, "path string, content binary")
+    tiles = decode_ppm_blocks(media, key_col="path", content_col="content")
+    return (
+        tiles.select(
+            F.col("path").cast("long").alias("doc_id"),
+            "width", "height", "by", "bx", "n_px",
+            "sum_r", "sum_g", "sum_b",
+            F.round(F.col("sum_r") / 64.0, 6).alias("mean_r"),
+            F.round(F.col("sum_g") / 64.0, 6).alias("mean_g"),
+            F.round(F.col("sum_b") / 64.0, 6).alias("mean_b"),
+        )
+        .orderBy("doc_id", "by", "bx")
+    )

@@ -146,3 +146,38 @@ def test_jpeg_sof_walker_edge_cases():
     assert _parse_one(b"\xff\xd8" + sof0[:6]) == (None, None, None, None, None)
     # garbage after SOI (no 0xFF marker alignment)
     assert _parse_one(b"\xff\xd8\xffZZZZZ") == (None, None, None, None, None)
+
+
+def test_decode_ppm_blocks_exact_known_image(spark):
+    """PPM decoder on a hand-built 8x8 gradient: header grammar,
+    buffer reshape, and tile sums must be exact; malformed inputs
+    raise loudly."""
+    import pytest
+
+    from eventstreams_spark.operators.multimodal import decode_ppm_blocks
+
+    # 8x8 image, pixel (x, y) = (x, y, x+y): sums are closed-form
+    body = bytes(
+        v for y in range(8) for x in range(8) for v in (x, y, x + y)
+    )
+    df = spark.createDataFrame(
+        [("img", b"P6\n8 8\n255\n" + body)], "path string, content binary"
+    )
+    rows = decode_ppm_blocks(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.by, r.bx, r.n_px) == (8, 8, 0, 0, 64)
+    # sum_r = sum over 64 px of x = 8 * (0+..+7) = 224; same for y;
+    # sum_b = sum of (x+y) = 448
+    assert (r.sum_r, r.sum_g, r.sum_b) == (224, 224, 448)
+
+    bad = spark.createDataFrame(
+        [("x", b"P5\n8 8\n255\n" + body)], "path string, content binary"
+    )
+    with pytest.raises(Exception, match="P6"):
+        decode_ppm_blocks(bad).collect()
+    short = spark.createDataFrame(
+        [("y", b"P6\n8 8\n255\n" + body[:10])], "path string, content binary"
+    )
+    with pytest.raises(Exception, match="short pixel buffer"):
+        decode_ppm_blocks(short).collect()
