@@ -321,3 +321,80 @@ def decode_ppm_blocks(
             )
 
     return df.select(key_col, content_col).mapInPandas(gen, schema)
+
+
+def decode_wav_windows(
+    df: DataFrame,
+    key_col: str = "path",
+    content_col: str = "content",
+    window: int = 160,
+) -> DataFrame:
+    """REAL audio decode with zero audio libraries: PCM WAV — RIFF
+    container walking (chunk id + little-endian u32 size, skipping
+    unknown chunks) to the ``fmt `` and ``data`` chunks, then
+    numpy-decoding the int16 sample buffer and folding per-``window``
+    energy features: exact integer sum of squares, peak |sample|, and
+    sample count. The audio twin of decode_ppm_blocks — upgrades the
+    L6 audio path from header-parse-only to bytes → samples →
+    features. Only PCM (format 1) mono 16-bit is accepted; anything
+    else raises loudly (compressed codecs need the absent libs).
+
+    Output: (key, sample_rate, win, n_samples, ssq, peak); only the
+    window aggregates shuffle, never sample buffers.
+    """
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, sample_rate int, win int, n_samples long, "
+        "ssq long, peak int"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(content)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"not a RIFF/WAVE file: {key!r}")
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (size,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        fmt = _struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if fmt is None or data is None:
+                    raise ValueError(f"missing fmt/data chunk: {key!r}")
+                afmt, channels, rate, _br, _ba, bits = fmt
+                if (afmt, channels, bits) != (1, 1, 16):
+                    raise NotImplementedError(
+                        "only PCM mono 16-bit supported "
+                        f"(got fmt={afmt} ch={channels} bits={bits})"
+                    )
+                x = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                for w0 in range(0, len(x), window):
+                    seg = x[w0 : w0 + window]
+                    rows.append(
+                        (
+                            key, rate, w0 // window, len(seg),
+                            int((seg * seg).sum()),
+                            int(np.abs(seg).max()) if len(seg) else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "sample_rate", "win", "n_samples",
+                    "ssq", "peak",
+                ],
+            )
+
+    return df.select(key_col, content_col).mapInPandas(gen, schema)

@@ -2408,3 +2408,112 @@ def multimodal_ppm_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "by", "bx")
     )
+
+
+_WAVDEC_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), smp AS (
+        SELECT doc_id, t.i,
+               ( (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '~'
+                                    || CAST(t.i AS VARCHAR)), 1, 1)) - 1)
+                     * 4096
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '~'
+                                    || CAST(t.i AS VARCHAR)), 2, 1)) - 1)
+                     * 256
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '~'
+                                    || CAST(t.i AS VARCHAR)), 3, 1)) - 1)
+                     * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '~'
+                                    || CAST(t.i AS VARCHAR)), 4, 1)) - 1)
+               ) - 32768 AS v
+        FROM docs, LATERAL unnest(generate_series(0, 799)) AS t(i)
+    ), wins AS (
+        SELECT doc_id, i // 160 AS win,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(v * v) AS BIGINT) AS ssq,
+               CAST(max(abs(v)) AS INT) AS peak
+        FROM smp GROUP BY doc_id, i // 160
+    )
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(win AS INT) AS win, n_samples, ssq, peak,
+           CAST(round(sqrt(ssq / 160.0), 6) AS DOUBLE) AS rms
+    FROM wins
+    ORDER BY doc_id, win
+"""
+
+
+@query("multimodal_wav_decode_energy", category="L6-multimodal", oracle=_WAVDEC_ORACLE)
+def multimodal_wav_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 REAL audio decode path, oracle-checked end to end — the
+    audio twin of multimodal_ppm_decode_pool: mint a genuine PCM WAV
+    per document (RIFF + fmt + data chunks; 800 int16 mono samples at
+    8 kHz, sample i of doc d = md5("d~i") first-4-hex-digits −
+    32768), then run operators/multimodal.decode_wav_windows — real
+    RIFF chunk WALKING (not offset math: an extra LIST chunk would
+    still parse), numpy int16 buffer decode, and 160-sample window
+    energy folds (exact integer sum-of-squares, peak). The oracle
+    recomputes every window's ssq/peak arithmetically from the md5
+    formula without touching bytes, so any bug in container
+    construction, chunk walk, sample decode (e.g. endianness or
+    signedness), or windowing breaks the hash. RMS = sqrt of an
+    exact-integer ratio, rounded to 6 (IEEE sqrt agrees across
+    engines on identical doubles).
+
+    Scale: decode-near-the-scan — one Arrow-batched pass per file,
+    only window aggregates (3 longs per 160 samples) ever shuffle.
+    """
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav_windows
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def mint(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                vals = [
+                    int(
+                        hashlib.md5(f"{d}~{i}".encode()).hexdigest()[:4],
+                        16,
+                    )
+                    - 32768
+                    for i in range(800)
+                ]
+                data = b"".join(_struct.pack("<h", v) for v in vals)
+                fmt = _struct.pack(
+                    "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+                )
+                wav = (
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(data)) + data
+                )
+                out.append((str(d), wav))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(mint, "path string, content binary")
+    wins = decode_wav_windows(media, key_col="path", content_col="content")
+    return (
+        wins.select(
+            F.col("path").cast("long").alias("doc_id"),
+            "sample_rate", "win", "n_samples", "ssq", "peak",
+            F.round(F.sqrt(F.col("ssq") / 160.0), 6).alias("rms"),
+        )
+        .orderBy("doc_id", "win")
+    )

@@ -181,3 +181,41 @@ def test_decode_ppm_blocks_exact_known_image(spark):
     )
     with pytest.raises(Exception, match="short pixel buffer"):
         decode_ppm_blocks(short).collect()
+
+
+def test_decode_wav_windows_chunk_walk_and_exact_energy(spark):
+    """WAV decoder: RIFF chunk WALK must skip unknown chunks (a LIST
+    chunk before fmt/data still parses); int16 LE signedness and the
+    window energy fold are exact on a hand-built ramp; non-PCM raises."""
+    import struct
+
+    import pytest
+
+    from eventstreams_spark.operators.multimodal import decode_wav_windows
+
+    vals = [-2, -1, 0, 1, 2, 3]  # ssq = 4+1+0+1+4+9 = 19, peak = 3
+    data = b"".join(struct.pack("<h", v) for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + junk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([("a", wav)], "path string, content binary")
+    rows = decode_wav_windows(df, window=4).collect()
+    got = sorted((r.win, r.n_samples, r.ssq, r.peak) for r in rows)
+    # windows of 4: [-2,-1,0,1] ssq 6 peak 2; [2,3] ssq 13 peak 3
+    assert got == [(0, 4, 6, 2), (1, 2, 13, 3)]
+    assert rows[0].sample_rate == 8000
+
+    alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    bad = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(alaw)) + alaw
+        + b"data" + struct.pack("<I", 0) + b""
+    )
+    bdf = spark.createDataFrame([("b", bad)], "path string, content binary")
+    with pytest.raises(Exception, match="PCM mono 16-bit"):
+        decode_wav_windows(bdf).collect()
