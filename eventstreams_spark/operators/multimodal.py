@@ -398,3 +398,149 @@ def decode_wav_windows(
             )
 
     return df.select(key_col, content_col).mapInPandas(gen, schema)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, Filter type 4): nearest of
+    left/up/up-left to p = a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 3) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9): each row = 1 filter
+    byte + w*bpp filtered bytes; filters None/Sub/Up/Average/Paeth
+    reconstruct against the already-reconstructed left/up bytes."""
+    stride = w * bpp
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = raw[pos : pos + stride]
+        pos += stride
+        base = y * stride
+        prior = out[base - stride : base] if y else bytes(stride)
+        if ftype == 0:
+            out[base : base + stride] = row
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (row[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                out[base + i] = (row[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[base + i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                out[base + i] = (row[i] + _paeth(left, prior[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png_blocks(
+    df: DataFrame,
+    key_col: str = "path",
+    content_col: str = "content",
+    block: int = 8,
+) -> DataFrame:
+    """REAL PNG decode with the STDLIB only — the format the L6 stub
+    declared env-blocked is actually decodable without Pillow for the
+    8-bit-RGB non-interlaced subset, because PNG's compression is
+    zlib (stdlib) and the five scanline filters are pure byte
+    arithmetic (spec §9). Full pipeline: signature check → chunk walk
+    with CRC-32 VERIFICATION on every chunk (zlib.crc32) → IHDR
+    validation (bit depth 8, color type 2 RGB, no interlace; anything
+    else raises loudly) → concatenated-IDAT inflate → per-row
+    un-filtering (None/Sub/Up/Average/Paeth) → H×W×3 numpy → the same
+    block×block mean-pool tile features as decode_ppm_blocks.
+
+    Output: (key, width, height, by, bx, n_px, sum_r, sum_g, sum_b).
+    Only tile sums shuffle; bytes stay at the scan.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, width int, height int, by int, bx int, "
+        "n_px long, sum_r long, sum_g long, sum_b long"
+    )
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(content)
+                if b[:8] != sig:
+                    raise ValueError(f"not a PNG: {key!r}")
+                pos, ihdr, idat = 8, None, bytearray()
+                while pos + 8 <= len(b):
+                    (clen,) = _struct.unpack(">I", b[pos : pos + 4])
+                    ctype = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + clen]
+                    (crc,) = _struct.unpack(
+                        ">I", b[pos + 8 + clen : pos + 12 + clen]
+                    )
+                    if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(
+                            f"PNG CRC mismatch in {ctype!r} of {key!r}"
+                        )
+                    if ctype == b"IHDR":
+                        ihdr = _struct.unpack(">IIBBBBB", data)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + clen
+                if ihdr is None:
+                    raise ValueError(f"PNG missing IHDR: {key!r}")
+                w, h, depth, ctype_, comp, filt, interlace = ihdr
+                if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                    raise NotImplementedError(
+                        "only 8-bit RGB non-interlaced PNG supported "
+                        f"(got depth={depth} color={ctype_} "
+                        f"interlace={interlace})"
+                    )
+                raw = _zlib.decompress(bytes(idat))
+                if len(raw) != h * (1 + w * 3):
+                    raise ValueError(
+                        f"PNG scanline size mismatch for {key!r}"
+                    )
+                px = np.frombuffer(
+                    bytes(_png_unfilter(raw, w, h)), dtype=np.uint8
+                ).reshape(h, w, 3).astype(np.int64)
+                for by in range(0, h, block):
+                    for bx in range(0, w, block):
+                        tile = px[by : by + block, bx : bx + block]
+                        s = tile.sum(axis=(0, 1))
+                        rows.append(
+                            (
+                                key, w, h, by // block, bx // block,
+                                tile.shape[0] * tile.shape[1],
+                                int(s[0]), int(s[1]), int(s[2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "width", "height", "by", "bx",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(key_col, content_col).mapInPandas(gen, schema)

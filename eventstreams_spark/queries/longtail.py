@@ -2517,3 +2517,152 @@ def multimodal_wav_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "win")
     )
+
+
+_PNGDEC_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+        SELECT doc_id, t.i,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(t.i AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                    || CAST(t.i AS VARCHAR)), 2, 1)) - 1)
+                   AS v
+        FROM docs, LATERAL unnest(generate_series(0, 1151)) AS t(i)
+    ), placed AS (
+        SELECT doc_id,
+               (i // 3) % 24 AS x, (i // 3) // 24 AS y, i % 3 AS c, v
+        FROM px
+    ), pooled AS (
+        SELECT doc_id, y // 8 AS by, x // 8 AS bx,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+               CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+        FROM placed GROUP BY doc_id, y // 8, x // 8
+    )
+    SELECT doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(by AS INT) AS by, CAST(bx AS INT) AS bx,
+           n_vals // 3 AS n_px, sum_r, sum_g, sum_b
+    FROM pooled
+    ORDER BY doc_id, by, bx
+"""
+
+
+@query("multimodal_png_decode_pool", category="L6-multimodal", oracle=_PNGDEC_ORACLE)
+def multimodal_png_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 REAL PNG decode, oracle-checked end to end — upgrading the
+    format the stub declared env-blocked: the 8-bit-RGB
+    non-interlaced subset needs no Pillow, because PNG compression is
+    stdlib zlib and the five scanline filters are byte arithmetic.
+    Mint a genuine PNG per document (real IHDR/IDAT/IEND with
+    CRC-32s; pixel byte i of doc d = first hex byte of md5("d#i");
+    row y FILTERED with type y % 5, so all five filters appear in
+    every image), then run operators/multimodal.decode_png_blocks:
+    chunk walk with CRC verification, inflate, un-filter, reshape,
+    8x8 mean-pool. The minting encoder computes filtered bytes
+    INLINE (raw - predictor mod 256, its own code path), so the
+    decoder's reconstruction of every filter type must invert it
+    exactly to reproduce the md5 arithmetic the oracle computes
+    without touching bytes — a wrong Sub/Up/Average/Paeth breaks the
+    hash. The Paeth/Average predictors are additionally pinned to
+    spec-worked vectors in tests/test_multimodal.py (shared-predictor
+    cancellation is ruled out by the encoder being inline).
+
+    Scale: decode-near-the-scan, tile sums only on the wire —
+    identical shape to the PPM/WAV decode queries.
+    """
+    import hashlib
+    import struct as _struct
+    import zlib as _zlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_png_blocks
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    W, H = 24, 16
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def mint(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                flat = [
+                    int(
+                        hashlib.md5(f"{d}#{i}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for i in range(W * H * 3)
+                ]
+                stride = W * 3
+                raw = bytearray()
+                for y in range(H):
+                    row = flat[y * stride : (y + 1) * stride]
+                    prior = (
+                        flat[(y - 1) * stride : y * stride]
+                        if y
+                        else [0] * stride
+                    )
+                    ft = y % 5
+                    raw.append(ft)
+                    for i in range(stride):
+                        left = row[i - 3] if i >= 3 else 0
+                        up = prior[i]
+                        ul = prior[i - 3] if i >= 3 else 0
+                        if ft == 0:
+                            pred = 0
+                        elif ft == 1:
+                            pred = left
+                        elif ft == 2:
+                            pred = up
+                        elif ft == 3:
+                            pred = (left + up) >> 1
+                        else:
+                            # inline Paeth (independent of the decoder's)
+                            p = left + up - ul
+                            pa, pb, pc = (
+                                abs(p - left), abs(p - up), abs(p - ul)
+                            )
+                            pred = (
+                                left
+                                if pa <= pb and pa <= pc
+                                else (up if pb <= pc else ul)
+                            )
+                        raw.append((row[i] - pred) & 0xFF)
+                ihdr = _struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+                    + chunk(b"IEND", b"")
+                )
+                out.append((str(d), png))
+            yield pd.DataFrame(out, columns=["path", "content"])
+
+    media = docs.mapInPandas(mint, "path string, content binary")
+    tiles = decode_png_blocks(media, key_col="path", content_col="content")
+    return (
+        tiles.select(
+            F.col("path").cast("long").alias("doc_id"),
+            "width", "height", "by", "bx", "n_px",
+            "sum_r", "sum_g", "sum_b",
+        )
+        .orderBy("doc_id", "by", "bx")
+    )

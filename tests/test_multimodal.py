@@ -219,3 +219,98 @@ def test_decode_wav_windows_chunk_walk_and_exact_energy(spark):
     bdf = spark.createDataFrame([("b", bad)], "path string, content binary")
     with pytest.raises(Exception, match="PCM mono 16-bit"):
         decode_wav_windows(bdf).collect()
+
+
+def test_png_paeth_and_average_spec_vectors():
+    """Pin the Paeth predictor to the spec algorithm by hand-worked
+    vectors (nearest of a/b/c to p = a+b-c, ties a then b then c) —
+    rules out encoder/decoder shared-predictor cancellation."""
+    from eventstreams_spark.operators.multimodal import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    # p = 10+20-5 = 25 -> |25-10|=15, |25-20|=5, |25-5|=20 -> up
+    assert _paeth(10, 20, 5) == 20
+    # p = 100+50-60 = 90 -> pa 10, pb 40, pc 30 -> left
+    assert _paeth(100, 50, 60) == 100
+    # ties: p = 4+4-4 = 4 -> pa=pb=pc=0 -> a wins
+    assert _paeth(4, 4, 4) == 4
+    # pa == pb < pc: p = 3+5-4 = 4 -> pa 1, pb 1, pc 0 -> c smallest
+    assert _paeth(3, 5, 4) == 4
+    # pb == pc tie prefers b: p = 9+6-6 = 9 -> pa 0 -> a
+    assert _paeth(9, 6, 6) == 9
+
+
+def test_png_unfilter_each_type_roundtrip():
+    """Encode a 2x2 RGB image with each filter type using an inline
+    spec-faithful encoder, and assert _png_unfilter reconstructs the
+    exact raw bytes."""
+    from eventstreams_spark.operators.multimodal import (
+        _paeth,
+        _png_unfilter,
+    )
+
+    w, h = 2, 2
+    raw = [10, 200, 30, 250, 5, 90, 7, 120, 255, 60, 61, 62]
+    stride = w * 3
+    for ft in range(5):
+        enc = bytearray()
+        for y in range(h):
+            row = raw[y * stride : (y + 1) * stride]
+            prior = raw[(y - 1) * stride : y * stride] if y else [0] * stride
+            enc.append(ft)
+            for i in range(stride):
+                left = row[i - 3] if i >= 3 else 0
+                up = prior[i]
+                ul = prior[i - 3] if i >= 3 else 0
+                pred = [0, left, up, (left + up) >> 1,
+                        _paeth(left, up, ul)][ft]
+                enc.append((row[i] - pred) & 0xFF)
+        got = list(_png_unfilter(bytes(enc), w, h))
+        assert got == raw, ft
+
+
+def test_decode_png_blocks_crc_and_subset_guards(spark):
+    """PNG decoder: a flipped IDAT byte must fail the CRC check; a
+    16-bit-depth IHDR must raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from eventstreams_spark.operators.multimodal import decode_png_blocks
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytes([0, 1, 2, 3, 4, 5, 6]) + bytes([0, 7, 8, 9, 10, 11, 12])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([("a", png)], "path string, content binary")
+    rows = decode_png_blocks(df).collect()
+    # pixels (1,2,3),(4,5,6),(7,8,9),(10,11,12): sum_r = 1+4+7+10
+    assert rows[0].n_px == 4 and rows[0].sum_r == 22
+
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # inside IDAT payload
+    bdf = spark.createDataFrame(
+        [("b", bytes(corrupt))], "path string, content binary"
+    )
+    with pytest.raises(Exception, match="CRC"):
+        decode_png_blocks(bdf).collect()
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    )
+    cdf = spark.createDataFrame(
+        [("c", png16)], "path string, content binary"
+    )
+    with pytest.raises(Exception, match="8-bit RGB"):
+        decode_png_blocks(cdf).collect()
