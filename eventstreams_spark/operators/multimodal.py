@@ -194,8 +194,12 @@ def decode_image(df: DataFrame, *, size: tuple[int, int] = (64, 64), fake: bool 
 
     fake=True: surrogate "pixels" = first size[0]*size[1] bytes of the
     content repeated/truncated, scaled to [0,1] — deterministic, shape-
-    correct, no media libs. Real decode raises NotImplementedError
-    until Pillow lands in the image (STUB, task contract).
+    correct, no media libs. Real GENERAL decode raises
+    NotImplementedError until Pillow lands (STUB, task contract) —
+    but note the library-free REAL decode paths that now exist for
+    spec-simple formats: decode_png_blocks (8-bit RGB PNG, stdlib
+    zlib + hand un-filtering), decode_ppm_blocks (binary PPM), and
+    decode_wav_windows (PCM WAV).
     """
     n = size[0] * size[1]
     schema = "path STRING, mime STRING, pixels ARRAY<FLOAT>"
@@ -204,9 +208,11 @@ def decode_image(df: DataFrame, *, size: tuple[int, int] = (64, 64), fake: bool 
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "image decode requires Pillow/opencv (absent in this "
-                    "container); run with fake=True for the deterministic "
-                    "test surrogate"
+                    "general image decode requires Pillow/opencv (absent "
+                    "in this container); run with fake=True for the "
+                    "deterministic test surrogate, or use the REAL "
+                    "library-free paths decode_png_blocks / "
+                    "decode_ppm_blocks for those formats"
                 )
             pix = []
             for c in pdf["content"]:
