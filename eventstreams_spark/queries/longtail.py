@@ -2666,3 +2666,158 @@ def multimodal_png_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "by", "bx")
     )
+
+
+_GIFDEC_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+        SELECT doc_id, t.i,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '%'
+                                  || CAST(t.i AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '%'
+                                    || CAST(t.i AS VARCHAR)), 2, 1)) - 1)
+                   AS v
+        FROM docs, LATERAL unnest(generate_series(0, 383)) AS t(i)
+    ), placed AS (
+        SELECT doc_id, i % 24 AS x, i // 24 AS y, v,
+               v AS r, (v * 2) % 256 AS g, (v * 7) % 256 AS b
+        FROM px
+    ), pooled AS (
+        SELECT doc_id, y // 8 AS by, x // 8 AS bx,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b
+        FROM placed GROUP BY doc_id, y // 8, x // 8
+    )
+    SELECT doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(by AS INT) AS by, CAST(bx AS INT) AS bx,
+           n_px, sum_r, sum_g, sum_b
+    FROM pooled
+    ORDER BY doc_id, by, bx
+"""
+
+
+@query("multimodal_gif_decode_pool", category="L6-multimodal", oracle=_GIFDEC_ORACLE)
+def multimodal_gif_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 REAL GIF decode, oracle-checked end to end — the fourth
+    library-free decode (PPM raw, WAV PCM, PNG zlib+filters, now GIF
+    LZW): mint a genuine GIF89a per document — 256-color global
+    palette (palette[j] = (j, 2j mod 256, 7j mod 256)), a comment
+    extension block (the decoder must WALK sub-block framing, not
+    offset-math past it), and the 24x16 index raster (index i of doc
+    d = first hex byte of md5("d%i")) compressed by an inline LZW
+    ENCODER (emit-then-add, width bump at 2^width, LSB-first
+    packing) — then run operators/multimodal.decode_gif_blocks:
+    container walk, _lzw_decode (its width bump fires one slot EARLY
+    because the decoder's table lags the encoder by one entry — the
+    classic GIF pairing, pinned by a hand-derived bit-level golden in
+    tests), palette mapping, 8x8 mean-pool. The oracle recomputes
+    every pooled channel sum from the md5 formula + palette
+    arithmetic without touching bytes: a bug in either LZW side, the
+    sub-block walk, or palette mapping breaks the hash.
+
+    Scale: decode-near-the-scan, tile sums only on the wire — the
+    family contract.
+    """
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_gif_blocks
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    W, H = 24, 16
+
+    def lzw_encode(indices, min_size=8):
+        clear, eoi = 1 << min_size, (1 << min_size) + 1
+        out = bytearray()
+        acc = nb = 0
+
+        def emit(code, width):
+            nonlocal acc, nb
+            acc |= code << nb
+            nb += width
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        dict_ = {(i,): i for i in range(1 << min_size)}
+        next_code = eoi + 1
+        width = min_size + 1
+        emit(clear, width)
+        w = ()
+        for k in indices:
+            wk = w + (k,)
+            if wk in dict_:
+                w = wk
+                continue
+            emit(dict_[w], width)
+            dict_[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            w = (k,)
+        if w:
+            emit(dict_[w], width)
+        emit(eoi, width)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def mint(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                idx = [
+                    int(
+                        hashlib.md5(f"{d}%{i}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for i in range(W * H)
+                ]
+                palette = b"".join(
+                    bytes((j, (j * 2) % 256, (j * 7) % 256))
+                    for j in range(256)
+                )
+                lzw = lzw_encode(idx)
+                sub = bytearray()
+                for o in range(0, len(lzw), 255):
+                    chunk = lzw[o : o + 255]
+                    sub.append(len(chunk))
+                    sub += chunk
+                sub.append(0)
+                comment = b"\x21\xfe\x05hello\x00"  # extension to walk
+                gif = (
+                    b"GIF89a"
+                    + _struct.pack("<HHBBB", W, H, 0xF7, 0, 0)
+                    + palette
+                    + comment
+                    + b"\x2c" + _struct.pack("<HHHHB", 0, 0, W, H, 0)
+                    + bytes([8]) + bytes(sub)
+                    + b"\x3b"
+                )
+                rows.append((str(d), gif))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    media = docs.mapInPandas(mint, "path string, content binary")
+    tiles = decode_gif_blocks(media, key_col="path", content_col="content")
+    return (
+        tiles.select(
+            F.col("path").cast("long").alias("doc_id"),
+            "width", "height", "by", "bx", "n_px",
+            "sum_r", "sum_g", "sum_b",
+        )
+        .orderBy("doc_id", "by", "bx")
+    )

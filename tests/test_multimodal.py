@@ -314,3 +314,83 @@ def test_decode_png_blocks_crc_and_subset_guards(spark):
     )
     with pytest.raises(Exception, match="8-bit RGB"):
         decode_png_blocks(cdf).collect()
+
+
+def test_lzw_decode_hand_derived_bit_goldens():
+    """Bit-level LZW goldens derived BY HAND from the GIF spec
+    (min_code_size 2; codes clear=4/eoi=5; LSB-first packing):
+    [0,1,1,0] encodes as clear(3b) 0(3b) 1(3b) 1(4b — the encoder
+    widened after filling slot 7) 0(4b) eoi(4b) = 0x44 0x02 0x0A;
+    [0,0,0] exercises KwKwK (code == next slot) = 0x84 0x0B."""
+    from eventstreams_spark.operators.multimodal import _lzw_decode
+
+    assert _lzw_decode(bytes([0x44, 0x02, 0x0A]), 2) == [0, 1, 1, 0]
+    assert _lzw_decode(bytes([0x84, 0x0B]), 2) == [0, 0, 0]
+
+
+def test_lzw_decode_clear_resets_and_errors():
+    import pytest
+
+    from eventstreams_spark.operators.multimodal import _lzw_decode
+
+    def pack(codes_widths):
+        acc = nb = 0
+        out = bytearray()
+        for c, w in codes_widths:
+            acc |= c << nb
+            nb += w
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # clear 0 1 (adding slot 7 widens to 4) CLEAR-at-4-bits resets to
+    # 3 bits, then 1 0 eoi: the mid-stream reset must rewind width
+    stream = pack([(4, 3), (0, 3), (1, 3), (4, 4), (1, 3), (0, 3), (5, 3)])
+    assert _lzw_decode(stream, 2) == [0, 1, 1, 0]
+    with pytest.raises(ValueError, match="without EOI"):
+        _lzw_decode(pack([(4, 3), (0, 3), (1, 3)]), 2)
+    with pytest.raises(ValueError, match="beyond table"):
+        _lzw_decode(pack([(4, 3), (0, 3), (7, 3)]), 2)
+
+
+def test_decode_gif_blocks_walks_extensions_and_guards(spark):
+    """GIF decoder: a 2x2 2-color GIF with a comment extension and a
+    hand-packed uncompressed-style LZW stream decodes exactly;
+    interlaced flag raises."""
+    import struct
+
+    import pytest
+
+    from eventstreams_spark.operators.multimodal import decode_gif_blocks
+
+    palette = bytes((0, 0, 0)) + bytes((255, 128, 64)) + bytes(6)
+    # indices [0,1,1,0] -> the hand golden stream 0x44 0x02 0x0A
+    sub = bytes([3, 0x44, 0x02, 0x0A, 0])
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # GCT, 4 entries
+        + palette  # 4 x 3 bytes (two real colors + two zero entries)
+        + b"\x21\xfe\x02hi\x00"  # comment extension
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2]) + sub
+        + b"\x3b"
+    )
+    df = spark.createDataFrame([("g", gif)], "path string, content binary")
+    rows = decode_gif_blocks(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # pixels: idx [0,1,1,0] -> colors (0,0,0),(255,128,64) x2,(0,0,0)
+    assert (r.n_px, r.sum_r, r.sum_g, r.sum_b) == (4, 510, 256, 128)
+
+    interlaced = bytearray(gif)
+    pos = gif.index(b"\x2c")
+    interlaced[pos + 9] |= 0x40
+    bdf = spark.createDataFrame(
+        [("i", bytes(interlaced))], "path string, content binary"
+    )
+    with pytest.raises(Exception, match="interlaced"):
+        decode_gif_blocks(bdf).collect()
