@@ -717,3 +717,76 @@ def decode_gif_blocks(
             )
 
     return df.select(key_col, content_col).mapInPandas(gen, schema)
+
+
+def decode_bmp_blocks(
+    df: DataFrame,
+    key_col: str = "path",
+    content_col: str = "content",
+    block: int = 8,
+) -> DataFrame:
+    """REAL BMP decode (the fifth library-free path): BITMAPFILEHEADER
+    ('BM', pixel-data offset) + BITMAPINFOHEADER (width, height,
+    24-bit uncompressed only — else NotImplementedError), then the
+    raw pixel array with BMP's three wrinkles handled explicitly:
+    rows are stored BOTTOM-UP (positive height), channel order is
+    BGR, and every row is padded to a 4-byte boundary. Emits the
+    family's block×block mean-pool tile features in R, G, B order.
+    """
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, width int, height int, by int, bx int, "
+        "n_px long, sum_r long, sum_g long, sum_b long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(content)
+                if b[:2] != b"BM":
+                    raise ValueError(f"not a BMP: {key!r}")
+                (data_off,) = _struct.unpack("<I", b[10:14])
+                hsize, w, h, planes, bpp, comp = _struct.unpack(
+                    "<IiiHHI", b[14:34]
+                )
+                if hsize < 40 or bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        "only uncompressed 24-bit BITMAPINFOHEADER BMPs "
+                        f"supported (hsize={hsize} bpp={bpp} comp={comp})"
+                    )
+                bottom_up = h > 0
+                h = abs(h)
+                stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+                raw = b[data_off : data_off + stride * h]
+                if len(raw) < stride * h:
+                    raise ValueError(f"short BMP pixel array: {key!r}")
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+                arr = arr[:, : w * 3].reshape(h, w, 3)
+                if bottom_up:
+                    arr = arr[::-1]
+                px = arr[:, :, ::-1].astype(np.int64)  # BGR -> RGB
+                for by in range(0, h, block):
+                    for bx in range(0, w, block):
+                        tile = px[by : by + block, bx : bx + block]
+                        s = tile.sum(axis=(0, 1))
+                        rows.append(
+                            (
+                                key, w, h, by // block, bx // block,
+                                tile.shape[0] * tile.shape[1],
+                                int(s[0]), int(s[1]), int(s[2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "width", "height", "by", "bx",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(key_col, content_col).mapInPandas(gen, schema)

@@ -2821,3 +2821,114 @@ def multimodal_gif_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "by", "bx")
     )
+
+
+_BMPDEC_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+        SELECT doc_id, t.i,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '@'
+                                  || CAST(t.i AS VARCHAR)), 1, 1)) - 1)
+                   * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || '@'
+                                    || CAST(t.i AS VARCHAR)), 2, 1)) - 1)
+                   AS v
+        FROM docs, LATERAL unnest(generate_series(0, 1151)) AS t(i)
+    ), placed AS (
+        -- i indexes (y, x, channel) in ROW-MAJOR TOP-DOWN RGB order:
+        -- the minting side writes the bytes bottom-up in BGR with row
+        -- padding, and the decoder must undo all three to land here
+        SELECT doc_id,
+               (i // 3) % 24 AS x, (i // 3) // 24 AS y, i % 3 AS c, v
+        FROM px
+    ), pooled AS (
+        SELECT doc_id, y // 8 AS by, x // 8 AS bx,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+               CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+        FROM placed GROUP BY doc_id, y // 8, x // 8
+    )
+    SELECT doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(by AS INT) AS by, CAST(bx AS INT) AS bx,
+           n_vals // 3 AS n_px, sum_r, sum_g, sum_b
+    FROM pooled
+    ORDER BY doc_id, by, bx
+"""
+
+
+@query("multimodal_bmp_decode_pool", category="L6-multimodal", oracle=_BMPDEC_ORACLE)
+def multimodal_bmp_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 REAL BMP decode, oracle-checked end to end (fifth
+    library-free decode): mint a genuine 24-bit BMP per document —
+    BITMAPFILEHEADER + BITMAPINFOHEADER, pixel value of logical
+    (top-down, RGB, row-major) position i = first md5("d@i") hex
+    byte, but STORED the way BMP stores it: bottom-up row order, BGR
+    channel order, rows padded to 4 bytes — then run
+    operators/multimodal.decode_bmp_blocks, which must undo all three
+    storage wrinkles to reproduce the oracle's logical-order md5
+    arithmetic. Any vertical flip, channel swap, or stride mistake
+    breaks the hash (24 wide x 3 = 72 bytes/row is already 4-aligned,
+    so the unit test covers a width that actually pads).
+
+    Scale: decode-near-the-scan, tile sums only on the wire.
+    """
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_bmp_blocks
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    W, H = 24, 16
+
+    def mint(batches):
+        for pdf in batches:
+            rows = []
+            stride = (W * 3 + 3) & ~3
+            for d in pdf["doc_id"]:
+                d = int(d)
+                flat = [
+                    int(
+                        hashlib.md5(f"{d}@{i}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for i in range(W * H * 3)
+                ]
+                body = bytearray()
+                for yy in range(H - 1, -1, -1):  # bottom-up
+                    row = bytearray()
+                    for xx in range(W):
+                        p = (yy * W + xx) * 3
+                        r, g, bch = flat[p], flat[p + 1], flat[p + 2]
+                        row += bytes((bch, g, r))  # BGR on disk
+                    row += bytes(stride - W * 3)
+                    body += row
+                info = _struct.pack(
+                    "<IiiHHIIiiII", 40, W, H, 1, 24, 0,
+                    len(body), 2835, 2835, 0, 0,
+                )
+                filehdr = _struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+                )
+                rows.append((str(d), bytes(filehdr + info + body)))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    media = docs.mapInPandas(mint, "path string, content binary")
+    tiles = decode_bmp_blocks(media, key_col="path", content_col="content")
+    return (
+        tiles.select(
+            F.col("path").cast("long").alias("doc_id"),
+            "width", "height", "by", "bx", "n_px",
+            "sum_r", "sum_g", "sum_b",
+        )
+        .orderBy("doc_id", "by", "bx")
+    )

@@ -394,3 +394,48 @@ def test_decode_gif_blocks_walks_extensions_and_guards(spark):
     )
     with pytest.raises(Exception, match="interlaced"):
         decode_gif_blocks(bdf).collect()
+
+
+def test_decode_bmp_blocks_padding_flip_and_bgr(spark):
+    """BMP decoder on a 3x2 image (stride pads 9 -> 12 bytes): must
+    flip bottom-up rows, swap BGR to RGB, and skip the pad bytes; a
+    32-bit BMP raises."""
+    import struct
+
+    import pytest
+
+    from eventstreams_spark.operators.multimodal import decode_bmp_blocks
+
+    w, h = 3, 2
+    # logical top-down RGB pixels: row0 = (1,2,3),(4,5,6),(7,8,9)
+    #                              row1 = (10,11,12),(13,14,15),(16,17,18)
+    logical = [
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+        [(10, 11, 12), (13, 14, 15), (16, 17, 18)],
+    ]
+    body = bytearray()
+    for yy in (1, 0):  # bottom-up on disk
+        for (r, g, b) in logical[yy]:
+            body += bytes((b, g, r))  # BGR on disk
+        body += bytes(12 - 9)  # pad stride to 12
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    bmp = bytes(hdr + info + body)
+    df = spark.createDataFrame([("b", bmp)], "path string, content binary")
+    rows = decode_bmp_blocks(df).collect()
+    assert len(rows) == 1
+    r0 = rows[0]
+    # sums over all 6 px in logical RGB order
+    assert (r0.sum_r, r0.sum_g, r0.sum_b) == (
+        1 + 4 + 7 + 10 + 13 + 16,
+        2 + 5 + 8 + 11 + 14 + 17,
+        3 + 6 + 9 + 12 + 15 + 18,
+    )
+    assert (r0.width, r0.height, r0.n_px) == (3, 2, 6)
+
+    info32 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, 0, 0, 0, 0, 0)
+    bad = bytes(hdr + info32 + body)
+    bdf = spark.createDataFrame([("c", bad)], "path string, content binary")
+    with pytest.raises(Exception, match="24-bit"):
+        decode_bmp_blocks(bdf).collect()
