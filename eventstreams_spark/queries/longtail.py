@@ -2932,3 +2932,108 @@ def multimodal_bmp_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "by", "bx")
     )
+
+
+_TAR_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), members AS (
+        SELECT doc_id,
+               CAST((doc_id // 10) % 4 AS BIGINT) AS shard_id,
+               octet_length(CAST(text AS BLOB)) AS txt_len,
+               -- the paired .cls member carries the doc's source as a
+               -- tiny label file
+               octet_length(CAST((SELECT d2.source FROM documents d2
+                                  WHERE d2.doc_id = docs.doc_id)
+                                 AS BLOB)) AS cls_len
+        FROM docs
+    )
+    SELECT concat('shard-', CAST(shard_id AS VARCHAR), '.tar') AS shard,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(txt_len) AS BIGINT) AS txt_bytes,
+           CAST(sum(cls_len) AS BIGINT) AS cls_bytes,
+           CAST(count(*) * 2 AS BIGINT) AS n_members
+    FROM members
+    GROUP BY shard_id
+    ORDER BY shard
+"""
+
+
+@query("webdataset_tar_shard_census", category="S2-tar", oracle=_TAR_ORACLE)
+def webdataset_tar_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingestion under oracle (S-series): write
+    every 10th document into 4 REAL tar shards (stdlib tarfile; two
+    members per sample, "<doc_id>.txt" = the text and "<doc_id>.cls"
+    = the source label — the WebDataset basename-pairing convention),
+    then read them back with sources/spool.read_tar_members
+    (binaryFile → one Arrow-batched tarfile pass per shard) and
+    census the shards: sample count by pairing members on basename,
+    text/label byte totals. The oracle computes the same census from
+    the documents table arithmetically — a bug in shard writing,
+    member extraction, or basename pairing breaks the hash.
+
+    Scale: shards are the parallel grain (one task per shard — size
+    shards, not files); members never leave the executor except as
+    the census aggregates. Sample pairing is a groupBy on
+    (shard, basename) — no UDF beyond the tarfile extraction.
+    """
+    import io
+    import os
+    import tarfile
+
+    from ..sources.spool import read_tar_members
+    from .scalars import SCRATCH
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text", "source")
+        .collect()
+    )
+    # bounded driver-side shard STAGING (50 docs at any SF tested —
+    # the fixture-writing analog of stage_files; production writes
+    # shards with foreachPartition like write_avro)
+    out = os.path.join(
+        SCRATCH, "wds_shards", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(out, exist_ok=True)
+    bufs = {i: io.BytesIO() for i in range(4)}
+    tars = {
+        i: tarfile.open(fileobj=b, mode="w") for i, b in bufs.items()
+    }
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        tf = tars[(r.doc_id // 10) % 4]
+        for ext, payload in (
+            ("txt", r.text.encode()),
+            ("cls", r.source.encode()),
+        ):
+            info = tarfile.TarInfo(name=f"{r.doc_id}.{ext}")
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
+    for i, tf in tars.items():
+        tf.close()
+        with open(os.path.join(out, f"shard-{i}.tar"), "wb") as fh:
+            fh.write(bufs[i].getvalue())
+
+    members = read_tar_members(spark, out)
+    parsed = members.select(
+        "shard",
+        F.regexp_extract("member", r"^(\d+)\.", 1).alias("basename"),
+        F.regexp_extract("member", r"\.(\w+)$", 1).alias("ext"),
+        "size",
+    )
+    return (
+        parsed.groupBy("shard")
+        .agg(
+            F.count_distinct("basename").cast("long").alias("n_samples"),
+            F.sum(F.when(F.col("ext") == "txt", F.col("size")))
+            .cast("long")
+            .alias("txt_bytes"),
+            F.sum(F.when(F.col("ext") == "cls", F.col("size")))
+            .cast("long")
+            .alias("cls_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("shard")
+    )

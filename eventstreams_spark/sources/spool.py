@@ -109,3 +109,49 @@ class SpoolDataSource(DataSource):
 
 def register_spool(spark) -> None:
     spark.dataSource.register(SpoolDataSource)
+
+
+def read_tar_members(spark, path: str, glob: str = "*.tar"):
+    """WebDataset-style tar-shard ingestion (S-series): the standard
+    layout for large multimodal training corpora is tar SHARDS whose
+    members pair samples by basename ("000123.txt" + "000123.png"
+    ...). Shards land via ``binaryFile`` (one row per shard — the
+    right parallel grain: shards are sized for one task) and members
+    are extracted executor-side with stdlib ``tarfile`` in ONE
+    Arrow-batched mapInPandas pass: no temp files, no driver-side
+    extraction, nothing but (shard, member, size, content) rows leave
+    the scan. Sample pairing is then an equi-join/groupBy on
+    (shard, basename) — plain DataFrame ops.
+    """
+    import io
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, glob) if os.path.isdir(path) else path
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(p)
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:"
+                ) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        data = tf.extractfile(m).read()
+                        rows.append(
+                            (shard, m.name, len(data), data)
+                        )
+            yield pd.DataFrame(
+                rows, columns=["shard", "member", "size", "content"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        extract, "shard string, member string, size long, content binary"
+    )

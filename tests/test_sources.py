@@ -255,3 +255,39 @@ def test_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "x", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows[0] is None and rows[4] == 7.5
+
+
+def test_read_tar_members_skips_dirs_and_extracts_bytes(spark, tmp_path):
+    """Tar-shard reader: file members extract byte-exact, directory
+    entries are skipped, multiple shards parallelize per file."""
+    import io
+    import tarfile
+
+    from eventstreams_spark.sources.spool import read_tar_members
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s, payloads in (
+        ("a", {"0.txt": b"hello", "0.cls": b"web"}),
+        ("b", {"1.txt": b"\x00\xffbin", "sub/": None, "1.cls": b"x"}),
+    ):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in payloads.items():
+                if data is None:
+                    info = tarfile.TarInfo(name=name)
+                    info.type = tarfile.DIRTYPE
+                    tf.addfile(info)
+                    continue
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        (d / f"{s}.tar").write_bytes(buf.getvalue())
+    rows = read_tar_members(spark, str(d)).collect()
+    got = sorted((r.shard, r.member, r.size, bytes(r.content)) for r in rows)
+    assert got == [
+        ("a.tar", "0.cls", 3, b"web"),
+        ("a.tar", "0.txt", 5, b"hello"),
+        ("b.tar", "1.cls", 1, b"x"),
+        ("b.tar", "1.txt", 5, b"\x00\xffbin"),
+    ]
