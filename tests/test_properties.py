@@ -412,3 +412,108 @@ def test_mann_whitney_midrank_matches_naive(spark, rows):
         ranks[val] = idx.to_series().mean()
     want = sum(ranks[v] for t, v in rows if t)
     assert got == pytest.approx(want)
+
+
+# ---- codec roundtrip properties: random pixels/indices through a
+# spec-faithful inline encoder must survive the production decoders
+# exactly (pure-Python, no Spark session needed).
+
+_pixels = st.integers(min_value=0, max_value=255)
+
+
+@settings(deadline=None, max_examples=25, print_blob=False)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_png_filter_roundtrip_property(w, h, data):
+    """Any image through any per-row mix of the five PNG filters
+    reconstructs exactly."""
+    from eventstreams_spark.operators.multimodal import (
+        _paeth,
+        _png_unfilter,
+    )
+
+    raw = data.draw(
+        st.lists(_pixels, min_size=w * h * 3, max_size=w * h * 3)
+    )
+    ftypes = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=h, max_size=h
+        )
+    )
+    stride = w * 3
+    enc = bytearray()
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        prior = raw[(y - 1) * stride : y * stride] if y else [0] * stride
+        ft = ftypes[y]
+        enc.append(ft)
+        for i in range(stride):
+            left = row[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            pred = [0, left, up, (left + up) >> 1, _paeth(left, up, ul)][ft]
+            enc.append((row[i] - pred) & 0xFF)
+    assert list(_png_unfilter(bytes(enc), w, h)) == raw
+
+
+@settings(deadline=None, max_examples=25, print_blob=False)
+@given(
+    idx=st.one_of(
+        # wide alphabet: width transitions dominate
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=1, max_size=600,
+        ),
+        # tiny alphabet: heavy dictionary reuse + KwKwK codes
+        st.lists(
+            st.integers(min_value=0, max_value=2),
+            min_size=1, max_size=600,
+        ),
+    )
+)
+def test_gif_lzw_roundtrip_property(idx):
+    """Any index stream through a spec-faithful LZW encoder
+    (emit-then-add, width bump at 2^width) decodes exactly — random
+    repetition exercises dictionary growth, width transitions past 9
+    and 10 bits, and occasional KwKwK codes."""
+    from eventstreams_spark.operators.multimodal import _lzw_decode
+
+    min_size = 8
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    out = bytearray()
+    acc = nb = 0
+
+    def emit(code, width):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += width
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    dict_ = {(i,): i for i in range(1 << min_size)}
+    next_code = eoi + 1
+    width = min_size + 1
+    emit(clear, width)
+    w = ()
+    for k in idx:
+        wk = w + (k,)
+        if wk in dict_:
+            w = wk
+            continue
+        emit(dict_[w], width)
+        dict_[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = (k,)
+    if w:
+        emit(dict_[w], width)
+    emit(eoi, width)
+    if nb:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(bytes(out), min_size) == idx
