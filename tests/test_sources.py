@@ -291,3 +291,29 @@ def test_read_tar_members_skips_dirs_and_extracts_bytes(spark, tmp_path):
         ("b.tar", "1.cls", 1, b"x"),
         ("b.tar", "1.txt", 5, b"\x00\xffbin"),
     ]
+
+
+def test_read_zip_members_stored_and_deflated(spark, tmp_path):
+    """Zip reader: stored AND deflated members extract byte-exact,
+    directory entries are skipped."""
+    import io
+    import zipfile
+
+    from eventstreams_spark.sources.spool import read_zip_members
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("plain.txt", b"hello" * 10,
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr("packed.txt", b"world" * 10,
+                    compress_type=zipfile.ZIP_DEFLATED)
+        zf.writestr("dir/", b"")
+    (d / "a.zip").write_bytes(buf.getvalue())
+    rows = read_zip_members(spark, str(d)).collect()
+    got = sorted((r.shard, r.member, r.size, bytes(r.content)) for r in rows)
+    assert got == [
+        ("a.zip", "packed.txt", 50, b"world" * 10),
+        ("a.zip", "plain.txt", 50, b"hello" * 10),
+    ]
