@@ -3037,3 +3037,99 @@ def webdataset_tar_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_ZIP_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5
+    ), members AS (
+        SELECT doc_id,
+               CAST((doc_id // 10) % 4 AS BIGINT) AS shard_id,
+               octet_length(CAST(text AS BLOB)) AS txt_len,
+               octet_length(CAST((SELECT d2.source FROM documents d2
+                                  WHERE d2.doc_id = docs.doc_id)
+                                 AS BLOB)) AS cls_len
+        FROM docs
+    )
+    SELECT concat('shard-', CAST(shard_id AS VARCHAR), '.zip') AS shard,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(txt_len) AS BIGINT) AS txt_bytes,
+           CAST(sum(cls_len) AS BIGINT) AS cls_bytes,
+           CAST(count(*) * 2 AS BIGINT) AS n_members
+    FROM members
+    GROUP BY shard_id
+    ORDER BY shard
+"""
+
+
+@query("webdataset_zip_shard_census", category="S2-tar", oracle=_ZIP_ORACLE)
+def webdataset_zip_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-bundle ingestion under oracle — the tar census's twin
+    (VERDICT r6 #5: sources/spool.read_zip_members shipped
+    unit-test-only; this promotes it to the hash-checked surface).
+    Every doc_id ≡ 5 (mod 10) document is written into 4 REAL
+    DEFLATE-compressed zip archives (stdlib zipfile; "<doc_id>.txt" +
+    "<doc_id>.cls" members, the same basename-pairing convention),
+    read back with read_zip_members (binaryFile → one Arrow-batched
+    zipfile pass per archive), and censused per shard. Sizes are
+    UNCOMPRESSED member lengths, so the oracle's arithmetic census
+    over documents also certifies the deflate round-trip — a bug in
+    compression, extraction, or pairing breaks the hash.
+
+    Scale: identical grain to the tar path — one task per archive,
+    member bytes never leave the executor except as aggregates.
+    """
+    import io
+    import os
+    import zipfile
+
+    from ..sources.spool import read_zip_members
+    from .scalars import SCRATCH
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id", "text", "source")
+        .collect()
+    )
+    # bounded driver-side archive STAGING (≤50 docs at tested SFs —
+    # fixture writing; production writes bundles with foreachPartition)
+    out = os.path.join(
+        SCRATCH, "wds_zip_shards", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(out, exist_ok=True)
+    bufs = {i: io.BytesIO() for i in range(4)}
+    zips = {
+        i: zipfile.ZipFile(b, mode="w", compression=zipfile.ZIP_DEFLATED)
+        for i, b in bufs.items()
+    }
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        zf = zips[(r.doc_id // 10) % 4]
+        zf.writestr(f"{r.doc_id}.txt", r.text.encode())
+        zf.writestr(f"{r.doc_id}.cls", r.source.encode())
+    for i, zf in zips.items():
+        zf.close()
+        with open(os.path.join(out, f"shard-{i}.zip"), "wb") as fh:
+            fh.write(bufs[i].getvalue())
+
+    members = read_zip_members(spark, out)
+    parsed = members.select(
+        "shard",
+        F.regexp_extract("member", r"^(\d+)\.", 1).alias("basename"),
+        F.regexp_extract("member", r"\.(\w+)$", 1).alias("ext"),
+        "size",
+    )
+    return (
+        parsed.groupBy("shard")
+        .agg(
+            F.count_distinct("basename").cast("long").alias("n_samples"),
+            F.sum(F.when(F.col("ext") == "txt", F.col("size")))
+            .cast("long")
+            .alias("txt_bytes"),
+            F.sum(F.when(F.col("ext") == "cls", F.col("size")))
+            .cast("long")
+            .alias("cls_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("shard")
+    )

@@ -2423,3 +2423,15 @@ def test_smith_waterman_single_arrow_udf(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "ArrowEvalPython") == 1, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_zip_census_executor_side_extraction(spark, sf_dir):
+    """Zip-bundle census: archives land via binaryFile (one row per
+    archive = the parallel grain) and extraction is ONE MapInPandas
+    node; the census itself is a plain hash aggregate — no cartesian,
+    no extra Python stages."""
+    df = q("webdataset_zip_shard_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "MapInPandas") == 1, counts
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
