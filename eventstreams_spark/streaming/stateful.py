@@ -2118,3 +2118,91 @@ def dgim_window_count_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sequence_pattern_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    max_len: int = 3,
+    max_events: int = 20,
+) -> DataFrame:
+    """Streaming sequence-pattern miner — the incremental twin of the
+    batch PrefixSpan census (queries/behavior.prefixspan_projected_
+    census): per key, fold events in time order and emit each
+    subsequence pattern of length <= ``max_len`` the FIRST time the
+    key's sequence contains it. Downstream, a running
+    ``groupBy(pattern).count()`` is exactly per-pattern support
+    (users containing the pattern), because each (key, pattern) is
+    emitted at most once — the stream never retracts, matching
+    support's monotonicity under append-only sequences.
+
+    The per-event update is the subsequence-containment automaton:
+    after appending step e, the newly contained patterns are exactly
+    ``{p + '>' + e : p in contained_before, len(p) < max_len} ∪ {e}``
+    minus those already contained (a pattern becomes contained only
+    when its last step arrives, with its prefix contained before).
+    Only the first ``max_events`` steps per key fold in (the batch
+    census's first-20-events contract).
+
+    State is (n_seen, contained-set) where the set is a '|'-joined
+    string of '>'-joined patterns — bounded by the pattern universe
+    sum_k(alphabet^k), k <= max_len, NOT by stream length; step labels
+    must not contain '|' or '>'. Scale: one shuffle on key; per-event
+    work is O(|contained|) set probes; emission is the sparse delta
+    (new patterns only), so output volume decays as keys saturate.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("pattern", StringType()),
+            StructField("length", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n_seen, contained_s = state.get
+        else:
+            n_seen, contained_s = 0, ""
+        contained = set(contained_s.split("|")) if contained_s else set()
+        fresh_all: list[str] = []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            for s in pdf[step_col].astype(str).values:
+                if n_seen >= max_events:
+                    break
+                n_seen += 1
+                fresh = set()
+                if s not in contained:
+                    fresh.add(s)
+                for p in contained:
+                    if p.count(">") + 1 < max_len:
+                        q = p + ">" + s
+                        if q not in contained:
+                            fresh.add(q)
+                contained |= fresh
+                fresh_all.extend(sorted(fresh))
+        state.update((int(n_seen), "|".join(sorted(contained))))
+        if fresh_all:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(fresh_all),
+                    "pattern": fresh_all,
+                    "length": [q.count(">") + 1 for q in fresh_all],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n_seen long, contained string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2682,3 +2682,114 @@ def test_dgim_state_recovers_across_restarts(spark, sf_dir, tmp_path):
         [[first, rest]],
     )
     assert split == whole, (split, whole)
+
+
+def _contained_patterns(steps, max_len=3, max_events=20):
+    """Driver-side truth: distinct '>'-joined subsequences of length
+    <= max_len over the first max_events steps (independent
+    implementation of the containment automaton for the golden)."""
+    seq = steps[:max_events]
+    out = set()
+    for i, s in enumerate(seq):
+        new = {s} | {
+            p + ">" + s for p in out if p.count(">") + 1 < max_len
+        }
+        out |= new
+    return out
+
+
+def test_sequence_pattern_stream_equals_batch_census(
+    spark, events_slice, tmp_path
+):
+    """T6 sequence-mining twin (VERDICT r6 #6): streaming incremental
+    subsequence containment across 3 micro-batches must emit exactly
+    one row per (user, contained pattern of length <= 3 over the
+    first 20 events) — so groupBy(pattern).count() over the emitted
+    rows IS per-pattern support, equal to the batch census's
+    containment definition computed independently driver-side."""
+    from eventstreams_spark.streaming.stateful import sequence_pattern_stream
+
+    ev = events_slice.select("event_id", "ts", "user_id", "event_type")
+    stream = replay_table(spark, ev, str(tmp_path), chunks=3, order_col="ts")
+    out = sequence_pattern_stream(
+        stream, "user_id", "ts", "event_type", max_len=3, max_events=20
+    )
+    run_to_memory(out, "t_seqpat_s", output_mode="append")
+    got = _rows(spark.sql("SELECT user_id, pattern, length FROM t_seqpat_s"))
+    # emitted at most once per (user, pattern)
+    assert len(got) == len(set(got))
+
+    by_user = {}
+    for r in sorted(
+        ev.select("user_id", "ts", "event_id", "event_type").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    ):
+        by_user.setdefault(r.user_id, []).append(r.event_type)
+    want = sorted(
+        (uid, p, p.count(">") + 1)
+        for uid, steps in by_user.items()
+        for p in _contained_patterns(steps)
+    )
+    assert got == want
+
+    # support counts: stream-side groupBy(pattern).count() equals the
+    # driver-side census (the running-support contract)
+    sup = {
+        (r.pattern,): r.n
+        for r in spark.sql(
+            "SELECT pattern, count(*) AS n FROM t_seqpat_s GROUP BY pattern"
+        ).collect()
+    }
+    want_sup = {}
+    for uid, steps in by_user.items():
+        for p in _contained_patterns(steps):
+            want_sup[(p,)] = want_sup.get((p,), 0) + 1
+    assert sup == want_sup
+
+
+def test_sequence_pattern_stream_restart_resumes_containment(spark, tmp_path):
+    """T6/T9: the containment set survives a full query restart (new
+    query object, same checkpoint) — a pattern contained before the
+    restart is NOT re-emitted after it, and extensions completed by
+    post-restart events emit exactly once."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import sequence_pattern_stream
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, step string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sequence_pattern_stream(stream, "k", "ts", "step", max_len=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [("a", f"2024-01-01 10:{m:02d}:00", s) for m, s in pairs],
+            "k string, ts_s string, step string",
+        ).select("k", F.to_timestamp("ts_s").alias("ts"), "step")
+
+    stage_files(rows([(0, "x"), (1, "y")]), src, 1)
+    drain()
+    got1 = sorted(r.pattern for r in spark.read.parquet(out).collect())
+    assert got1 == ["x", "x>y", "y"], got1
+    # restart: x and y are in recovered state -> only the new
+    # extensions emit (z, x>z, y>z, then the second y completes y>y
+    # and z>y; x>y NOT re-emitted)
+    stage_files(rows([(2, "z"), (3, "y")]), src, 2)
+    drain()
+    got2 = sorted(r.pattern for r in spark.read.parquet(out).collect())
+    assert got2 == [
+        "x", "x>y", "x>z", "y", "y>y", "y>z", "z", "z>y",
+    ], got2
