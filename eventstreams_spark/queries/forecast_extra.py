@@ -2261,3 +2261,226 @@ def smith_waterman_local_shapes(
         )
         .orderBy("channel_a", "channel_b")
     )
+
+
+def _gotoh_local_score(xa, xb, match: int = 2, mismatch: int = -1,
+                       gap_open: int = 3, gap_ext: int = 1) -> int:
+    """LOCAL affine-gap alignment score (Gotoh x Smith-Waterman): the
+    3-matrix Gotoh recurrence with M floored at 0 (an alignment may
+    start anywhere) and the answer = max of M over ALL cells (it may
+    end anywhere; ending in a gap state is never optimal because
+    trimming the trailing gap raises the score). Borders: M = 0
+    (empty local alignment), Ix/Iy = -inf. All-integer max/+ DP,
+    rolling rows: O(n*m) time, O(m) space."""
+    n, m = len(xa), len(xb)
+    NEG = -(10**9)
+    Mp = [0] * (m + 1)
+    Ixp = [NEG] * (m + 1)
+    Iyp = [NEG] * (m + 1)
+    best = 0
+    for i in range(1, n + 1):
+        Mc = [0] * (m + 1)
+        Ixc = [NEG] * (m + 1)
+        Iyc = [NEG] * (m + 1)
+        ai = xa[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == xb[j - 1] else mismatch
+            Mc[j] = max(0, s + max(Mp[j - 1], Ixp[j - 1], Iyp[j - 1]))
+            Ixc[j] = max(Mp[j] - gap_open, Ixp[j] - gap_ext)
+            Iyc[j] = max(Mc[j - 1] - gap_open, Iyc[j - 1] - gap_ext)
+            if Mc[j] > best:
+                best = Mc[j]
+        Mp, Ixp, Iyp = Mc, Ixc, Iyc
+    return best
+
+
+@query(
+    "gotoh_local_alignment_shapes",
+    category="FC-alignment",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn
+            FROM daily QUALIFY rn <= 28
+        ), sym AS (
+            SELECT event_type, rn,
+                   ((CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY x, rn)
+                          AS BIGINT) - 1) * 3) // 28 AS lv
+            FROM seq
+        ), lens AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n
+            FROM sym GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS ca, b.event_type AS cb,
+                   a.n AS na, b.n AS nb
+            FROM lens a JOIN lens b ON a.event_type < b.event_type
+        ), cells AS (
+            -- the Gotoh 3-value anti-diagonal recursive DP with the
+            -- LOCAL floor: mv = greatest(0, diag-contribution), so a
+            -- cell with no diagonal move (a border) carries mv = 0 =
+            -- the empty local alignment, and every interior cell may
+            -- restart. ixv/iyv keep the global-Gotoh open/extend
+            -- transitions (they go negative and are dominated).
+            WITH RECURSIVE dp AS (
+                SELECT p.ca, p.cb, 0 AS d, 0 AS i, 0 AS j,
+                       CAST(0 AS BIGINT) AS mv,
+                       CAST(-100000 AS BIGINT) AS ixv,
+                       CAST(-100000 AS BIGINT) AS iyv,
+                       1 AS cur, p.na, p.nb
+                FROM pairs p
+                UNION ALL
+                SELECT * FROM (
+                    WITH w AS (SELECT * FROM dp)
+                    SELECT n.ca, n.cb, n.d, n.i, n.j,
+                           n.mv, n.ixv, n.iyv, 1 AS cur, n.na, n.nb
+                    FROM (
+                        SELECT g.ca, g.cb, g.d, g.i, g.j,
+                               greatest(CAST(0 AS BIGINT),
+                               COALESCE(max(CASE
+                                   WHEN g.di = 1 AND g.dj = 1 THEN
+                                       (CASE WHEN sa.lv = sb.lv
+                                             THEN 2 ELSE -1 END)
+                                       + greatest(g.pm, g.pix, g.piy)
+                                   END), -100000)) AS mv,
+                               COALESCE(max(CASE
+                                   WHEN g.di = 1 AND g.dj = 0 THEN
+                                       greatest(g.pm - 3, g.pix - 1)
+                                   END), -100000) AS ixv,
+                               COALESCE(max(CASE
+                                   WHEN g.di = 0 AND g.dj = 1 THEN
+                                       greatest(g.pm - 3, g.piy - 1)
+                                   END), -100000) AS iyv,
+                               g.na, g.nb
+                        FROM (
+                            SELECT w.ca, w.cb, w.d + 1 AS d,
+                                   w.i + c0.di AS i, w.j + c0.dj AS j,
+                                   w.mv AS pm, w.ixv AS pix,
+                                   w.iyv AS piy, c0.di, c0.dj,
+                                   w.na, w.nb
+                            FROM w
+                            CROSS JOIN (VALUES (1, 0), (0, 1), (1, 1))
+                                 AS c0(di, dj)
+                            WHERE ((w.cur = 1 AND c0.di + c0.dj = 1)
+                                OR (w.cur = 0 AND c0.di = 1
+                                    AND c0.dj = 1))
+                              AND w.i + c0.di <= w.na
+                              AND w.j + c0.dj <= w.nb
+                        ) g
+                        LEFT JOIN sym sa ON sa.event_type = g.ca
+                                        AND sa.rn = g.i
+                        LEFT JOIN sym sb ON sb.event_type = g.cb
+                                        AND sb.rn = g.j
+                        GROUP BY g.ca, g.cb, g.d, g.i, g.j, g.na, g.nb,
+                                 sa.lv, sb.lv
+                    ) n
+                    UNION ALL
+                    SELECT w.ca, w.cb, w.d + 1, w.i, w.j,
+                           w.mv, w.ixv, w.iyv, 0, w.na, w.nb
+                    FROM w WHERE w.cur = 1 AND w.d < w.na + w.nb
+                )
+            )
+            SELECT * FROM dp
+        )
+        SELECT ca AS channel_a, cb AS channel_b,
+               CAST(max(mv) AS BIGINT) AS gotoh_local_score,
+               CAST(round(max(mv) * 1.0 / (2 * least(na, nb)), 6)
+                    AS DOUBLE) AS norm_local_sim
+        FROM cells
+        GROUP BY ca, cb, na, nb
+        ORDER BY channel_a, channel_b
+    """,
+)
+def gotoh_local_alignment_shapes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL AFFINE-gap alignment between channel activity shapes —
+    the last unclaimed cell of the alignment matrix (NW global
+    linear / Gotoh global affine / SW local linear / THIS local
+    affine): find the best common episode anywhere inside two
+    channels' histories while charging a pause once for opening plus
+    cheaply per day (affine), instead of SW's linear per-day gap.
+    Same rank-tercile symbols, match +2 / mismatch -1, gap open -3 /
+    extend -1.
+
+    Recurrence: Gotoh's three matrices with M floored at 0 and the
+    answer = max of M over all cells; borders are M = 0, Ix/Iy =
+    -inf. The oracle is the global-Gotoh anti-diagonal recursive CTE
+    with mv wrapped in greatest(0, ...) — a border cell (no diagonal
+    move) coalesces to the sentinel and floors to exactly the empty
+    local alignment — and the final aggregate takes max(mv) over the
+    whole table, no end-cell special-casing (the SW oracle's trick on
+    the Gotoh oracle's 3-value carry). The Python DP is verified
+    against max-over-all-substring-pairs of the enumeration-verified
+    global Gotoh score (tests/test_operators.py).
+
+    Scale: identical to NW/Gotoh/SW — one rollup to |channels|x28
+    symbols, broadcast pair frame, one Arrow-batched O(n*m)
+    rolling-row DP per pair; LSH-block pairs first at large channel
+    counts.
+    """
+    from pyspark.sql.types import LongType
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 28)
+    sym = seq.select(
+        "event_type", "rn",
+        F.expr(
+            "((CAST(row_number() OVER (PARTITION BY event_type"
+            " ORDER BY x, rn) AS BIGINT) - 1) * 3) div 28"
+        ).alias("lv"),
+    )
+    arrs = sym.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "lv"))),
+            lambda s: s["lv"],
+        ).alias("syms"),
+        F.max("rn").cast("long").alias("n"),
+    )
+    a = arrs.select(
+        F.col("event_type").alias("channel_a"),
+        F.col("syms").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = arrs.select(
+        F.col("event_type").alias("channel_b"),
+        F.col("syms").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("channel_a") < F.col("channel_b"))
+
+    @F.pandas_udf(LongType())
+    def gl_score(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = [
+            _gotoh_local_score(list(xa), list(xb))
+            for xa, xb in zip(sa, sb)
+        ]
+        return pd.Series(out, dtype="int64")
+
+    scored = pairs.select(
+        "channel_a", "channel_b", "na", "nb",
+        # single UDF reference (the pandas-UDF-in-filter house rule)
+        gl_score(F.col("sa"), F.col("sb")).alias("gotoh_local_score"),
+    )
+    return (
+        scored.select(
+            "channel_a", "channel_b", "gotoh_local_score",
+            F.round(
+                F.col("gotoh_local_score")
+                / (2.0 * F.least(F.col("na"), F.col("nb"))),
+                6,
+            ).alias("norm_local_sim"),
+        )
+        .orderBy("channel_a", "channel_b")
+    )

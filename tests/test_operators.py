@@ -497,3 +497,47 @@ def test_smith_waterman_matches_all_substring_pairs_maximum():
     assert _smith_waterman_score(
         [1, 1, 0, 2, 1, 0, 2], [2, 2, 0, 2, 1, 0, 1]
     ) >= 8  # the shared 0,2,1,0 episode: 4 matches
+
+
+def test_gotoh_local_matches_substring_pairs_of_global_gotoh():
+    """Local affine score == max(0, max over ALL substring pairs of
+    the enumeration-verified GLOBAL Gotoh score) — the definitional
+    characterization (any gapped flank a global alignment of a
+    substring pair would pay for is trimmed by some smaller pair)."""
+    import itertools
+    import random
+
+    from eventstreams_spark.queries.forecast_extra import (
+        _gotoh_affine_score,
+        _gotoh_local_score,
+    )
+
+    def brute_local(xa, xb):
+        best = 0
+        for i0, i1 in itertools.combinations(range(len(xa) + 1), 2):
+            for j0, j1 in itertools.combinations(range(len(xb) + 1), 2):
+                best = max(
+                    best, _gotoh_affine_score(xa[i0:i1], xb[j0:j1])
+                )
+        return best
+
+    rng = random.Random(11)
+    for _ in range(40):
+        na, nb = rng.randint(1, 6), rng.randint(1, 6)
+        xa = [rng.randint(0, 2) for _ in range(na)]
+        xb = [rng.randint(0, 2) for _ in range(nb)]
+        assert _gotoh_local_score(xa, xb) == brute_local(xa, xb), (xa, xb)
+    # disjoint alphabets: empty local alignment
+    assert _gotoh_local_score([0, 0], [1, 1]) == 0
+    # a length-3 interior gap inside a shared episode: affine bridges
+    # it for open+2*ext = 5 (score 12-5=7) where SW's linear charge
+    # is 3*2 = 6 (score 12-6=6) — the affine-vs-linear contrast at
+    # the local level
+    from eventstreams_spark.queries.forecast_extra import (
+        _smith_waterman_score,
+    )
+
+    xa = [0, 1, 1, 2, 2, 2, 0, 1, 1]
+    xb = [0, 1, 1, 0, 1, 1]
+    assert _gotoh_local_score(xa, xb) == 7
+    assert _smith_waterman_score(xa, xb) == 6

@@ -2438,3 +2438,13 @@ def test_zip_census_executor_side_extraction(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "MapInPandas") == 1, counts
     assert count_prefix(counts, "HashAggregate") >= 2, counts
+
+
+def test_gotoh_local_single_arrow_udf(spark, sf_dir):
+    """Local affine alignment: same scale shape as NW/Gotoh/SW —
+    broadcast pair join, exactly ONE ArrowEvalPython."""
+    df = q("gotoh_local_alignment_shapes", spark, sf_dir)
+    counts = operator_counts(df)
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+    assert_no_operator(df, "CartesianProduct")
