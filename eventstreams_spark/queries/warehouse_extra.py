@@ -1699,3 +1699,169 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "brand_a", "brand_b", "brand_c")
         .limit(30)
     )
+
+
+@query(
+    "fpgrowth_parallel_itemsets",
+    category="B16-basket",
+    oracle="""
+        WITH lines AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), n_orders AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n,
+                   greatest(2, CAST(floor(count(DISTINCT l_orderkey)
+                                          * 0.001) AS BIGINT)) AS minsup
+            FROM lines
+        ), f1 AS (
+            SELECT p_brand FROM lines CROSS JOIN n_orders
+            GROUP BY p_brand, minsup HAVING count(*) >= minsup
+        ), baskets AS (
+            SELECT l_orderkey, list_sort(list(p_brand)) AS items
+            FROM lines SEMI JOIN f1 ON lines.p_brand = f1.p_brand
+            GROUP BY l_orderkey
+        ), subs AS (
+            -- exhaustive oracle: every non-empty subset of every
+            -- basket via a bitmask lateral (baskets are <= 7 frequent
+            -- brands in TPC-H, so <= 127 subsets each) — covers ALL
+            -- itemset sizes, unlike a fixed-level unroll
+            SELECT array_to_string(
+                     list_filter(items,
+                                 (x, i) -> ((m >> (i - 1)) & 1) = 1),
+                     '|') AS itemset,
+                   CAST(length(list_filter(items,
+                                 (x, i) -> ((m >> (i - 1)) & 1) = 1))
+                        AS BIGINT) AS sz
+            FROM baskets,
+                 LATERAL unnest(generate_series(
+                     1, (1 << len(items)) - 1)) AS t(m)
+        )
+        SELECT itemset, sz, CAST(count(*) AS BIGINT) AS n_co,
+               CAST(round(count(*) * 1.0 / (SELECT n FROM n_orders), 6)
+                    AS DOUBLE) AS support
+        FROM subs
+        GROUP BY itemset, sz
+        HAVING count(*) >= (SELECT minsup FROM n_orders)
+        ORDER BY sz, n_co DESC, itemset
+    """,
+)
+def fpgrowth_parallel_itemsets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL frequent itemsets (every size) of part brands within
+    orders, mined with PFP — Parallel FP-Growth (Li et al. 2008, the
+    construction behind Spark MLlib's FPGrowth) — the
+    candidate-generation-free complement to frequent_triples_apriori's
+    level-wise join cascade:
+
+    1. F-list: count item supports, keep items >= minsup, rank by
+       descending support (rank 0 = most frequent; tiny broadcast).
+    2. Transactions: per order, its frequent brands as ascending
+       RANKS (= the FP-tree's descending-frequency insert order).
+    3. Group-dependent projection (the PFP shuffle): items are
+       sharded by rank % G; a transaction emits, for each group g
+       present in it, its PREFIX up to the LAST group-g item. Every
+       itemset is then mined exactly once — in the group of its
+       max-rank (least frequent) item — and each shard sees exactly
+       the transactions it needs, ONE prefix per (transaction,
+       group).
+    4. Shard-local mining: one applyInPandas per group runs the
+       classic FP-tree recursion (operators/fpgrowth.py, verified
+       against a brute-force subset census), keeping itemsets whose
+       responsible item lands in the shard.
+    5. Union + support ratio; no global post-filter needed (minsup
+       was applied locally with exact counts).
+
+    The oracle is an EXHAUSTIVE bitmask subset census per basket
+    (baskets are bounded by TPC-H order width), so it checks all
+    sizes against FP-growth's output, not a fixed unroll depth.
+
+    Scale: the F-list and rank dictionary are O(|items|) broadcast
+    metadata (collected driver-side like IVF centroids); the one data
+    shuffle is the (transaction, group) projection, sized G x corpus
+    prefixes; each shard's FP-tree is bounded by its group's
+    conditional database, the knob PFP exists to provide (raise G to
+    shrink shards). No candidate blow-up at any point: the tree
+    recursion enumerates only supported prefixes.
+    """
+    import pandas as pd
+
+    from ..operators.fpgrowth import fp_growth_local
+
+    G = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lines = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()  # feeds n/minsup agg, F-list count, and projection
+    )
+    head = lines.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n"),
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.count_distinct("l_orderkey") * 0.001).cast("long"),
+        ).alias("minsup"),
+    ).head()
+    n_orders, minsup = int(head["n"]), int(head["minsup"])
+
+    # F-list: bounded metadata collect (|brands| rows, the IVF-centroid
+    # pattern); rank ties break on brand for determinism
+    flist = (
+        lines.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .filter(F.col("c1") >= minsup)
+        .collect()
+    )
+    flist.sort(key=lambda r: (-r["c1"], r["p_brand"]))
+    rank_of = {r["p_brand"]: i for i, r in enumerate(flist)}
+    brand_of = {i: b for b, i in rank_of.items()}
+
+    rank_map = F.create_map(
+        *[F.lit(x) for kv in rank_of.items() for x in kv]
+    )
+    tx = (
+        lines.select(
+            "l_orderkey", rank_map[F.col("p_brand")].alias("rank")
+        )
+        .filter(F.col("rank").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("rank")).alias("items"))
+    )
+    # group-dependent projection: one longest prefix per (tx, group)
+    proj = (
+        tx.select(
+            "l_orderkey", "items",
+            F.posexplode("items").alias("pos", "rank"),
+        )
+        .groupBy("l_orderkey", (F.col("rank") % G).alias("grp"))
+        .agg(
+            F.max("pos").alias("cut"), F.first("items").alias("items")
+        )
+        .select(
+            "grp", F.slice("items", 1, F.col("cut") + 1).alias("prefix")
+        )
+    )
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["grp"].iloc[0])
+        txs = [list(p) for p in pdf["prefix"]]
+        rows = []
+        for iset, c in fp_growth_local(txs, minsup).items():
+            if max(iset) % G != g:
+                continue  # owned (and counted exactly) by its own group
+            brands = sorted(brand_of[i] for i in iset)
+            rows.append(("|".join(brands), len(iset), c))
+        return pd.DataFrame(rows, columns=["itemset", "sz", "n_co"])
+
+    mined = proj.groupBy("grp").applyInPandas(
+        mine, "itemset string, sz long, n_co long"
+    )
+    return mined.select(
+        "itemset", "sz", "n_co",
+        F.round(F.col("n_co") / F.lit(n_orders), 6).alias("support"),
+    ).orderBy("sz", F.col("n_co").desc(), "itemset")

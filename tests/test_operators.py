@@ -541,3 +541,39 @@ def test_gotoh_local_matches_substring_pairs_of_global_gotoh():
     xb = [0, 1, 1, 0, 1, 1]
     assert _gotoh_local_score(xa, xb) == 7
     assert _smith_waterman_score(xa, xb) == 6
+
+
+def test_fp_growth_local_matches_subset_census():
+    """The FP-tree miner equals a brute-force subset census (every
+    subset of every transaction, counted, thresholded) on random tiny
+    transaction databases — all itemset sizes."""
+    import itertools
+    import random
+
+    from eventstreams_spark.operators.fpgrowth import fp_growth_local
+
+    def brute(txs, minsup):
+        cnt = {}
+        for t in txs:
+            s = sorted(set(t))
+            for k in range(1, len(s) + 1):
+                for sub in itertools.combinations(s, k):
+                    cnt[sub] = cnt.get(sub, 0) + 1
+        return {k: v for k, v in cnt.items() if v >= minsup}
+
+    rng = random.Random(13)
+    for trial in range(40):
+        n_tx = rng.randint(1, 12)
+        txs = [
+            sorted(rng.sample(range(6), rng.randint(1, 5)))
+            for _ in range(n_tx)
+        ]
+        minsup = rng.randint(1, 4)
+        got = fp_growth_local(txs, minsup)
+        want = brute(txs, minsup)
+        assert got == want, (txs, minsup, got, want)
+    # duplicate items within a transaction count once (set semantics
+    # are the CALLER's contract: inputs are distinct-item lists)
+    assert fp_growth_local([[0, 1], [0, 1], [0]], 2) == {
+        (0,): 3, (1,): 2, (0, 1): 2,
+    }

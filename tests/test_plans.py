@@ -2448,3 +2448,14 @@ def test_gotoh_local_single_arrow_udf(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "ArrowEvalPython") == 1, counts
     assert_no_operator(df, "CartesianProduct")
+
+
+def test_fpgrowth_broadcast_dims_single_pandas_stage(spark, sf_dir):
+    """PFP: part-brand dim broadcasts into the basket build; the
+    group-dependent projection is plain shuffles; shard-local mining
+    is exactly ONE FlatMapGroupsInPandas; no cartesian anywhere."""
+    df = q("fpgrowth_parallel_itemsets", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
+    assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
