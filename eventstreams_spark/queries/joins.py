@@ -411,3 +411,183 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.sum((~F.col("is_true")).cast("long"))
         ).alias("fp_rate_ok"),
     )
+
+
+def _md5_int_sql(expr: str, *, duck: bool) -> str:
+    """Engine-twin 32-bit integer from the first 8 hex digits of
+    md5(expr), parsed positionally (same construction as
+    functions/sampling.md5_uniform, without the (0,1) scaling):
+    every term is an exact integer in double, so the BIGINT cast is
+    exact on both engines."""
+    pos = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1))" if duck else \
+          "locate(substr(md5({e}), {i}, 1), '0123456789abcdef')"
+    terms = " + ".join(
+        f"({pos.format(e=expr, i=i)} - 1) * {float(16 ** (8 - i))}"
+        for i in range(1, 9)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+_BF_POW2 = (
+    "(VALUES (CAST(1024 AS BIGINT)),(2048),(4096),(8192),(16384),"
+    "(32768),(65536),(131072),(262144),(524288),(1048576),(2097152),"
+    "(4194304),(8388608),(16777216),(33554432),(67108864),(134217728),"
+    "(268435456),(536870912),(1073741824))"
+)
+
+_BF_HASH_DUCK = _md5_int_sql(
+    "concat('bf', CAST(hi AS VARCHAR), '|', CAST(k AS VARCHAR))", duck=True
+)
+
+
+@query(
+    "bloom_semijoin_reduction",
+    category="J12-bloom",
+    oracle=f"""
+        WITH urgent AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), nm AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   (SELECT min(p) FROM {_BF_POW2} v(p)
+                    WHERE p >= 10 * (SELECT count(*) FROM urgent)) AS m
+            FROM urgent
+        ), hashes AS (
+            SELECT k, ({_BF_HASH_DUCK}) % (SELECT m FROM nm) AS bit
+            FROM urgent, LATERAL unnest(generate_series(0, 6)) AS t(hi)
+        ), bitmap AS (
+            -- 62 bits per word: DuckDB rejects 1<<63 (signed
+            -- overflow) where Spark wraps — 62 keeps both exact
+            SELECT bit // 62 AS word,
+                   bit_or(CAST(1 AS BIGINT)
+                          << CAST(bit % 62 AS INTEGER)) AS bits
+            FROM hashes GROUP BY bit // 62
+        ), probe_keys AS (
+            SELECT DISTINCT l_orderkey AS k FROM lineitem
+        ), probe_hashes AS (
+            SELECT k, ({_BF_HASH_DUCK}) % (SELECT m FROM nm) AS bit
+            FROM probe_keys, LATERAL unnest(generate_series(0, 6)) AS t(hi)
+        ), probed AS (
+            SELECT ph.k,
+                   bool_and(coalesce((b.bits & (CAST(1 AS BIGINT)
+                        << CAST(ph.bit % 62 AS INTEGER))) <> 0,
+                        false)) AS cand
+            FROM probe_hashes ph
+            LEFT JOIN bitmap b ON ph.bit // 62 = b.word
+            GROUP BY ph.k
+        ), flagged AS (
+            SELECT p.k, p.cand, (u.k IS NOT NULL) AS is_true
+            FROM probed p LEFT JOIN urgent u ON p.k = u.k
+        )
+        SELECT (SELECT n FROM nm) AS n_build_keys,
+               (SELECT m FROM nm) AS m_bits,
+               CAST(count(*) AS BIGINT) AS n_probe_keys,
+               CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_candidates,
+               bool_and(CASE WHEN is_true THEN cand ELSE TRUE END)
+                   AS no_false_negatives,
+               CAST(round(sum(CASE WHEN cand AND NOT is_true
+                                   THEN 1 ELSE 0 END) * 1.0
+                          / nullif(sum(CASE WHEN NOT is_true
+                                            THEN 1 ELSE 0 END), 0), 6)
+                    AS DOUBLE) AS fp_rate
+        FROM flagged
+    """,
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join REDUCTION via an explicit Bloom filter (Bernstein &
+    Chiu 1981's semi-join programs; the hand-rolled twin of Spark's
+    AQE runtime row-group filter): build a k=7-hash Bloom bitmap over
+    urgent order keys, probe every lineitem order key against it, and
+    emit the reduction census — exact member count, candidate count,
+    measured false-positive rate, and the no-false-negatives GATE the
+    structure guarantees by construction (hash-checked against the
+    oracle computing the identical md5 bit arithmetic).
+
+    Sizing is data-driven and engine-twinned: m = smallest power of
+    two >= 10 bits/key, picked from an integer VALUES ladder (no
+    float log2 — a power-of-two boundary must not flip on one engine
+    ULP). Words carry 62 bits: DuckDB rejects 1<<63 where Spark
+    wraps, so neither engine touches the sign bit. ~0.4% fp at 10
+    bits/key, the textbook Bloom operating point.
+
+    Scale: THE distributed-join-pruning primitive — the bitmap is
+    m/62 longs (one broadcastable frame even for millions of build
+    keys), the probe side never shuffles (hash + broadcast lookup +
+    per-key bool_and), and the exact semi-join it replaces would
+    shuffle the full fact table. At billions of build keys, shard the
+    bitmap by key range (partitioned Bloom) or lean on the built-in
+    AQE runtime filter; the census here is what sizes that decision
+    (fp_rate x probe volume = wasted downstream work).
+    """
+    n_hashes = 7
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .persist()  # build side: bitmap + truth flags + n
+    )
+    n = urgent.count()  # bounded metadata scalar (sizes the filter)
+    m = next(p for i in range(10, 31) if (p := 1 << i) >= 10 * n)
+
+    hash_bit = (
+        F.expr(
+            _md5_int_sql(
+                "concat('bf', CAST(hi AS STRING), '|', CAST(k AS STRING))",
+                duck=False,
+            )
+        )
+        % m
+    )
+    hashes = urgent.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hi")
+    ).select("k", hash_bit.alias("bit"))
+    bitmap = (
+        hashes.groupBy((F.col("bit") / 62).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))")
+            ).alias("bits")
+        )
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    probe_hashes = probe.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hi")
+    ).select("k", hash_bit.alias("bit"))
+    probed = (
+        probe_hashes.withColumn("word", (F.col("bit") / 62).cast("long"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .groupBy("k")
+        .agg(
+            F.bool_and(
+                F.coalesce(
+                    F.expr(
+                        "(bits & shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(bit % 62 AS INT))) <> 0"
+                    ),
+                    F.lit(False),
+                )
+            ).alias("cand")
+        )
+    )
+    flagged = probed.join(
+        F.broadcast(urgent.withColumn("is_true", F.lit(True))), "k", "left"
+    ).select("k", "cand", F.coalesce("is_true", F.lit(False)).alias("is_true"))
+    return flagged.agg(
+        F.lit(n).cast("long").alias("n_build_keys"),
+        F.lit(m).cast("long").alias("m_bits"),
+        F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+        F.sum(F.col("is_true").cast("long")).cast("long").alias("n_true"),
+        F.sum(F.col("cand").cast("long")).cast("long").alias("n_candidates"),
+        F.bool_and(F.when(F.col("is_true"), F.col("cand")).otherwise(F.lit(True)))
+        .alias("no_false_negatives"),
+        F.round(
+            F.sum((F.col("cand") & ~F.col("is_true")).cast("long"))
+            / F.nullif(F.sum((~F.col("is_true")).cast("long")), F.lit(0)),
+            6,
+        ).alias("fp_rate"),
+    )

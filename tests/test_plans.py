@@ -2459,3 +2459,14 @@ def test_fpgrowth_broadcast_dims_single_pandas_stage(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "BroadcastHashJoin") >= 1, counts
     assert count_prefix(counts, "FlatMapGroupsInPandas") == 1, counts
+
+
+def test_bloom_semijoin_probe_never_shuffles_fact_for_bitmap(spark, sf_dir):
+    """Bloom semi-join reduction: the bitmap and the truth flags both
+    reach the probe side by BROADCAST — the probe's only shuffles are
+    its own distinct/groupBy on key, never a fact-vs-fact join."""
+    df = q("bloom_semijoin_reduction", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
