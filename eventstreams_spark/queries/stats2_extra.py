@@ -1776,3 +1776,109 @@ def fisher_exact_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "theilsen_robust_trend",
+    category="FC-stats",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                       AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), slopes AS (
+            SELECT a.event_type,
+                   (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.x < b.x
+        ), ts AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                   quantile_cont(s, 0.5) AS ts_slope
+            FROM slopes GROUP BY event_type
+        ), resid AS (
+            SELECT d.event_type,
+                   quantile_cont(d.y - t.ts_slope * d.x, 0.5)
+                       AS ts_intercept
+            FROM daily d JOIN ts t ON d.event_type = t.event_type
+            GROUP BY d.event_type
+        ), ols AS (
+            SELECT event_type, regr_slope(y, x) AS ols_slope
+            FROM daily GROUP BY event_type
+        )
+        SELECT t.event_type, t.n_pairs,
+               CAST(round(t.ts_slope, 6) AS DOUBLE) AS ts_slope,
+               CAST(round(r.ts_intercept, 6) AS DOUBLE) AS ts_intercept,
+               CAST(round(o.ols_slope, 6) AS DOUBLE) AS ols_slope
+        FROM ts t
+        JOIN resid r ON t.event_type = r.event_type
+        JOIN ols o ON t.event_type = o.event_type
+        ORDER BY t.event_type
+    """,
+)
+def theilsen_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per channel: the slope estimate is the
+    MEDIAN of all pairwise day-count slopes (breakdown point 29%,
+    insensitive to the outlier days that drag OLS around), intercept
+    = median residual at that slope; the OLS slope rides along as the
+    sensitivity contrast. Slopes are exact-integer differences
+    divided once in double, so both engines materialize bit-identical
+    slope multisets before the interpolated median
+    (Spark percentile == DuckDB quantile_cont).
+
+    Scale: the pairwise join is PER CHANNEL (equi on event_type,
+    co-partitioned) over daily rollups — C(days, 2) pairs per
+    channel, bounded by the rollup not the event volume; at very long
+    histories use the repeated-median or Siegel variant on windowed
+    chunks. One shuffle builds daily; everything downstream joins
+    tiny per-channel frames (broadcast).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .persist()  # feeds the pair join (both sides), resid, and OLS
+    )
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            ((F.col("yb") - F.col("ya")) * 1.0 / (F.col("xb") - F.col("xa"))).alias("s"),
+        )
+    )
+    ts = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("s", F.lit(0.5)).alias("ts_slope"),
+    )
+    resid = (
+        daily.join(F.broadcast(ts.select("event_type", "ts_slope")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.col("y") - F.col("ts_slope") * F.col("x"), F.lit(0.5)
+            ).alias("ts_intercept")
+        )
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.regr_slope("y", "x").alias("ols_slope")
+    )
+    return (
+        ts.join(F.broadcast(resid), "event_type")
+        .join(F.broadcast(ols), "event_type")
+        .select(
+            "event_type", "n_pairs",
+            F.round("ts_slope", 6).alias("ts_slope"),
+            F.round("ts_intercept", 6).alias("ts_intercept"),
+            F.round("ols_slope", 6).alias("ols_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -2470,3 +2470,14 @@ def test_bloom_semijoin_probe_never_shuffles_fact_for_bitmap(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
+
+
+def test_theilsen_pair_join_copartitioned_per_channel(spark, sf_dir):
+    """Theil-Sen: the pairwise slope join is equi on event_type over
+    the daily rollup (co-partitioned fact x fact is fine at rollup
+    granularity); the median/residual/OLS recombination joins are
+    broadcast; no cartesian."""
+    df = q("theilsen_robust_trend", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
