@@ -2481,3 +2481,15 @@ def test_theilsen_pair_join_copartitioned_per_channel(spark, sf_dir):
     counts = operator_counts(df)
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
+
+
+def test_zorder_census_single_scan_map_side_layouts(spark, sf_dir):
+    """Z-order census: layout assignment is a map-side expression —
+    the plan is union of three projections over the events scan +
+    two hash aggregates; no joins at all."""
+    df = q("zorder_layout_skipping_census", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "HashAggregate") >= 2, counts
