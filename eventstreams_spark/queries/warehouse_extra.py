@@ -1999,3 +1999,96 @@ def zorder_layout_skipping_census(
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "skyline_pareto_parts",
+    category="O6-skyline",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice,
+               CAST(p.p_size AS BIGINT) AS p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+        ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) of parts on (minimize retail price,
+    maximize size) — the classic multi-objective operator (Borzsony,
+    Kossmann, Stocker 2001): a part survives iff no other part is at
+    least as cheap AND at least as large with one strict. Duplicate
+    points survive together (neither strictly dominates).
+
+    The 2-D skyline needs NO pairwise join: sort by price and a point
+    survives iff its size exceeds the max size of every STRICTLY
+    cheaper point (and is the max within its own price tie-group).
+    The scalable construction avoids the single-partition global
+    window with the two-level range-bucket pattern
+    (operators/ranking.exact_global_rank's shape): percentile-sketch
+    price boundaries -> per-bucket running strict-prev max over the
+    DISTINCT price groups (window partitioned BY BUCKET) -> per-bucket
+    max sizes prefix-maxed across buckets (bounded metadata frame,
+    broadcast back). The oracle is the definitional NOT EXISTS
+    dominance anti-join — the bounded certifier beside the scalable
+    construction.
+
+    Scale: one shuffle on price group, one bucketed window, one tiny
+    bucket-metadata window + broadcast; dominance never materializes
+    O(n^2). d>2 skylines fall back to block-nested local skylines per
+    grid cell — this query pins the 2-D fast path.
+    """
+    par = spark.sparkContext.defaultParallelism
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    # per-price-tie-group max (dominance within equal price)
+    grp = pts.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    # range buckets: equal prices always share a bucket (strictly-below
+    # boundary count), so strict-prev never splits a tie group
+    row = grp.agg(
+        F.percentile_approx("p_retailprice", [i / par for i in range(1, par)], 10_000)
+        .alias("b")
+    ).head()
+    bounds = sorted(set(row["b"] or []))
+    if bounds:
+        barr = F.array(*[F.lit(float(x)) for x in bounds])
+        bucket = F.size(F.filter(barr, lambda v: F.col("p_retailprice") > v))
+    else:
+        bucket = F.lit(0)
+    dg = grp.withColumn("bucket", bucket)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.max("gmax").over(w_in)
+    bmax = dg.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # bucket-metadata window: <= parallelism rows, bounded like the
+    # rank construction's offset frame
+    bprefix = bmax.select(
+        "bucket", F.max("bmax").over(w_b).alias("prev_bmax")
+    )
+    surviving = (
+        dg.withColumn("local_prev", local_prev)
+        .join(F.broadcast(bprefix), "bucket")
+        .filter(
+            F.col("gmax")
+            > F.greatest(
+                F.coalesce("local_prev", F.lit(-1)),
+                F.coalesce("prev_bmax", F.lit(-1)),
+            )
+        )
+        .select("p_retailprice", "gmax")
+    )
+    return (
+        pts.join(F.broadcast(surviving), "p_retailprice")
+        .filter(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

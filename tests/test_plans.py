@@ -2493,3 +2493,15 @@ def test_zorder_census_single_scan_map_side_layouts(spark, sf_dir):
     assert count_prefix(counts, "BroadcastHashJoin") == 0, counts
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "HashAggregate") >= 2, counts
+
+
+def test_skyline_bucketed_windows_no_dominance_join(spark, sf_dir):
+    """Skyline: dominance never materializes a pairwise join — the
+    plan is price-group aggregate + bucket-partitioned window + tiny
+    broadcast recombinations; no cartesian, no SMJ."""
+    df = q("skyline_pareto_parts", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "SortMergeJoin") == 0, counts
+    assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
+    assert count_prefix(counts, "Window") >= 2, counts
