@@ -2206,3 +2206,102 @@ def sequence_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bloom_dedup_stream(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    shards: int = 8,
+    m_bits: int = 8192,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state via a sharded Bloom filter —
+    the production answer when exact streaming dedup
+    (streaming/dedup.py: dropDuplicates + watermark, state = one entry
+    PER KEY EVER SEEN) outgrows the state store on an unbounded id
+    space. Each id hashes to one of ``shards`` GroupState shards whose
+    state is a fixed ``m_bits`` bitmap (62-bit words in array<long> —
+    the signed-shift-safe width) plus an insert counter: a row whose
+    k bits are all set is DROPPED as a duplicate; otherwise it is
+    emitted and its bits are set.
+
+    Contract (the Bloom asymmetry): a true duplicate is ALWAYS
+    dropped — no id is ever emitted twice — while a unique id may be
+    wrongly dropped with probability ~(1 - e^(-kn/m))^k (monitor
+    n_inserted against m/10 and rotate/resize the filter). Hashing is
+    md5-deterministic, so replays reproduce bit-for-bit.
+
+    Scale: state per shard is m_bits/62 longs FOREVER, independent of
+    stream length; shards spread both the hash work and the state
+    store write amplification. The exact twin stays the right choice
+    while key cardinality x entry size fits the store — this is the
+    graceful-degradation path beyond it.
+    """
+    import hashlib
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    W = (m_bits + 61) // 62
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField(id_col, StringType()),
+            StructField(ts_col, TimestampType()),
+        ]
+    )
+
+    def bits_for(sid: str):
+        for hi in range(n_hashes):
+            h = int(
+                hashlib.md5(f"bf{hi}|{sid}".encode()).hexdigest()[:8], 16
+            ) % m_bits
+            yield h // 62, 1 << (h % 62)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            words, n_ins = state.get
+            words = list(words)
+        else:
+            words, n_ins = [0] * W, 0
+        out_ids, out_ts = [], []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            for sid, ts in zip(pdf[id_col].astype(str), pdf[ts_col]):
+                pos = list(bits_for(sid))
+                if all(words[w] & m for w, m in pos):
+                    continue  # possibly-seen: drop (dup, or rare fp)
+                for w, m in pos:
+                    words[w] |= m
+                n_ins += 1
+                out_ids.append(sid)
+                out_ts.append(ts)
+        state.update((words, int(n_ins)))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]] * len(out_ids),
+                    id_col: out_ids,
+                    ts_col: out_ts,
+                }
+            )
+
+    shard = (
+        F.expr(
+            f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {shards}"
+        )
+    ).alias("shard")
+    return (
+        df.select(shard, F.col(id_col).cast("string").alias(id_col), ts_col)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="words array<long>, n_inserted long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

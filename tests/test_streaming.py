@@ -2793,3 +2793,70 @@ def test_sequence_pattern_stream_restart_resumes_containment(spark, tmp_path):
     assert got2 == [
         "x", "x>y", "x>z", "y", "y>y", "y>z", "z", "z>y",
     ], got2
+
+
+def test_bloom_dedup_stream_drops_all_dups_keeps_uniques(
+    spark, events_slice, tmp_path
+):
+    """T5 bounded-state twin: the sharded-Bloom streaming dedup must
+    emit every distinct event_id exactly ONCE across micro-batches —
+    true duplicates (a replayed copy of half the slice) are always
+    dropped; at this fill factor (n << m/10) the deterministic md5
+    bits produce no false-positive drops, so emitted == distinct."""
+    from eventstreams_spark.streaming.stateful import bloom_dedup_stream
+
+    ev = events_slice.select("event_id", "ts")
+    dup = ev.filter(F.col("event_id") % 2 == 0)  # replayed copy
+    both = ev.unionByName(dup)
+    stream = replay_table(spark, both, str(tmp_path), chunks=3, order_col="ts")
+    out = bloom_dedup_stream(stream, "event_id", "ts")
+    run_to_memory(out, "t_bloomdedup_s", output_mode="append")
+    got = [r.event_id for r in spark.sql(
+        "SELECT event_id FROM t_bloomdedup_s"
+    ).collect()]
+    assert len(got) == len(set(got)), "an id was emitted twice"
+    want = {str(r.event_id) for r in ev.select("event_id").distinct().collect()}
+    assert set(got) == want
+
+
+def test_bloom_dedup_stream_bitmap_survives_restart(spark, tmp_path):
+    """T5/T9: the Bloom bitmap recovers from the checkpoint — an id
+    seen before a full query restart is still dropped after it."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import bloom_dedup_stream
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            bloom_dedup_stream(stream, "event_id", "ts", shards=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows(ids, minute0):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 10:{minute0 + k:02d}:00")
+             for k, i in enumerate(ids)],
+            "event_id long, ts_s string",
+        ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+
+    stage_files(rows([1, 2, 3], 0), src, 1)
+    drain()
+    got1 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got1 == ["1", "2", "3"], got1
+    # restart: 2 and 3 are in the recovered bitmap; only 4 is new
+    stage_files(rows([2, 4, 3], 10), src, 2)
+    drain()
+    got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got2 == ["1", "2", "3", "4"], got2
