@@ -3607,3 +3607,114 @@ def prefixspan_projected_census(
         )
         .orderBy("length", F.col("n_users").desc(), "s1", "s2", "s3", "s4")
     )
+
+
+def _GEO_GRID_ORACLE() -> str:
+    from ._shared import md5_uniform_sql
+
+    lat = f"({md5_uniform_sql(chr(39) + 'glat|' + chr(39) + ' || CAST(user_id AS VARCHAR)')} - 0.5) * 120.0"
+    lon = f"({md5_uniform_sql(chr(39) + 'glon|' + chr(39) + ' || CAST(user_id AS VARCHAR)')} - 0.5) * 360.0"
+    return f"""
+        WITH users AS (
+            SELECT DISTINCT user_id FROM events
+        ), pos AS (
+            SELECT user_id, {lat} AS lat, {lon} AS lon FROM users
+        ), pairs AS (
+            -- definitional oracle: the all-pairs join the grid exists
+            -- to avoid (bounded certifier at oracle SFs)
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   12742.0 * asin(least(1.0, sqrt(
+                       sin(radians(b.lat - a.lat) / 2)
+                       * sin(radians(b.lat - a.lat) / 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * sin(radians(b.lon - a.lon) / 2)
+                       * sin(radians(b.lon - a.lon) / 2)
+                   ))) AS km
+            FROM pos a JOIN pos b ON a.user_id < b.user_id
+        )
+        SELECT user_a, user_b, CAST(round(km, 6) AS DOUBLE) AS km
+        FROM pairs WHERE km <= 500.0
+        ORDER BY user_a, user_b
+    """
+
+
+@query(
+    "geo_grid_neighbor_pairs",
+    category="B9-geo",
+    oracle=_GEO_GRID_ORACLE(),
+)
+def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial SELF-JOIN via grid bucketing: all user pairs whose
+    (md5-minted, deterministic) home locations lie within 500 km,
+    found by hashing points into a 10-degree lat/lon grid and joining
+    each point's 3x3 neighbor cells — the standard distributed
+    spatial-join shape (uniform grid + refine; the flat cousin of
+    geohash/S2 cell joins) — then refining with exact haversine.
+
+    Geometry that makes 3x3 sufficient: latitudes are minted in
+    [-60, 60], where one 10-degree lon cell spans >= 10 x 111.32 x
+    cos(60) = 556 km > 500, and 500 km of latitude is 4.5 degrees;
+    longitude cells WRAP at the dateline (mod 36 on the neighbor
+    offsets). Each pair is emitted exactly once: points live in one
+    cell, the 9-cell explosion is on the lexicographically-smaller
+    side only (user_a < user_b filter).
+
+    The oracle is the definitional all-pairs cross join + distance
+    filter — the bounded certifier the grid construction replaces.
+
+    Scale: candidate volume is (points per cell) x 9 per point
+    instead of n^2; the join is equi on cell ids, so it shuffles by
+    cell — spatial skew (urban cells) is AQE's skew-join case or a
+    finer grid. At planetary scale swap the flat grid for hierarchical
+    cells (geohash prefixes), same join shape.
+    """
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = (md5_uniform("concat('glat|', cast(user_id as string))") - 0.5) * 120.0
+    lon = (md5_uniform("concat('glon|', cast(user_id as string))") - 0.5) * 360.0
+    pos = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id", lat.alias("lat"), lon.alias("lon"),
+        )
+        .withColumn("cl_lat", F.floor((F.col("lat") + 60.0) / 10.0).cast("long"))
+        .withColumn("cl_lon", F.floor((F.col("lon") + 180.0) / 10.0).cast("long"))
+    )
+    a = (
+        pos.select(
+            F.col("user_id").alias("user_a"),
+            F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
+            "cl_lat", "cl_lon",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlat"),
+        )
+        .select(
+            "user_a", "lat_a", "lon_a", "cl_lat", "cl_lon", "dlat",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlon"),
+        )
+        .select(
+            "user_a", "lat_a", "lon_a",
+            (F.col("cl_lat") + F.col("dlat")).alias("n_lat"),
+            (((F.col("cl_lon") + F.col("dlon")) % 36 + 36) % 36).alias("n_lon"),
+        )
+    )
+    b = pos.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"),
+        F.col("cl_lat").alias("n_lat"), F.col("cl_lon").alias("n_lon"),
+    )
+    cand = a.join(b, ["n_lat", "n_lon"]).filter(
+        F.col("user_a") < F.col("user_b")
+    )
+    dphi = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlmb = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    h = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians("lat_a")) * F.cos(
+        F.radians("lat_b")
+    ) * F.sin(dlmb) * F.sin(dlmb)
+    km = 12742.0 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    return (
+        cand.select("user_a", "user_b", km.alias("km"))
+        .filter(F.col("km") <= 500.0)
+        .select("user_a", "user_b", F.round("km", 6).alias("km"))
+        .orderBy("user_a", "user_b")
+    )

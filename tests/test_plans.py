@@ -2505,3 +2505,14 @@ def test_skyline_bucketed_windows_no_dominance_join(spark, sf_dir):
     assert count_prefix(counts, "SortMergeJoin") == 0, counts
     assert count_prefix(counts, "BroadcastHashJoin") >= 2, counts
     assert count_prefix(counts, "Window") >= 2, counts
+
+
+def test_geo_grid_join_equi_on_cells_no_cross(spark, sf_dir):
+    """Spatial grid join: candidates come from an EQUI join on
+    neighbor cell ids (9 exploded offsets on one side), never an
+    all-pairs cross join; haversine refine is codegen'd scalar math."""
+    df = q("geo_grid_neighbor_pairs", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") == 0, counts
+    assert count_prefix(counts, "Generate") >= 2, counts
