@@ -2305,3 +2305,87 @@ def bloom_dedup_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_timeout_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap sessionization that ALSO closes the trailing session via
+    EVENT-TIME TIMEOUT — the missing half of session_path_stream's
+    append contract (which keeps each key's final session open in
+    state forever): when the watermark passes last_event + gap, the
+    group times out, the open session is emitted, and state is
+    removed. With a terminal watermark-advancing event (or in a live
+    stream, simply the passage of event time), stream output equals
+    the FULL batch sessionization, final sessions included.
+
+    Requires ``df`` to carry ``withWatermark(ts_col, ...)`` — the
+    timeout clock IS the watermark. This is the one GroupState
+    surface (hasTimedOut / setTimeoutTimestamp / remove) the other
+    stateful ops don't exercise; state is 3 scalars per OPEN session
+    only, removed at close — the TTL pattern that keeps unbounded key
+    spaces from accreting state forever.
+    """
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    gap_ns = int(gap_seconds) * 1_000_000_000
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def emit(key, sessions):
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(sessions),
+                "session_start": pd.to_datetime([s[0] for s in sessions]),
+                "session_end": pd.to_datetime([s[1] for s in sessions]),
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ns, last_ns, n = state.get
+            state.remove()
+            yield emit(key, [(start_ns, last_ns, n)])
+            return
+        if state.exists:
+            start_ns, last_ns, n = state.get
+        else:
+            start_ns, last_ns, n = (-1, -1, 0)
+        closed = []
+        for pdf in pdfs:
+            pdf = _fold_sort(pdf, ts_col)
+            ts_ns = pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
+            for t in ts_ns:
+                if start_ns < 0:
+                    start_ns, last_ns, n = (int(t), int(t), 1)
+                elif t - last_ns > gap_ns:
+                    closed.append((start_ns, last_ns, n))
+                    start_ns, last_ns, n = (int(t), int(t), 1)
+                else:
+                    last_ns, n = int(t), n + 1
+        state.update((start_ns, last_ns, n))
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp(last_ns // 1_000_000 + gap_seconds * 1000)
+        if closed:
+            yield emit(key, closed)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="start_ns long, last_ns long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -2860,3 +2860,74 @@ def test_bloom_dedup_stream_bitmap_survives_restart(spark, tmp_path):
     drain()
     got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got2 == ["1", "2", "3", "4"], got2
+
+
+def test_session_timeout_stream_emits_final_sessions(
+    spark, events_slice, tmp_path
+):
+    """T6 event-time timeout: gap sessions close EITHER by a
+    beyond-gap event or by the watermark passing last+gap (GroupState
+    EventTimeTimeout). After a terminal watermark-advancing sentinel,
+    the stream's output equals the FULL batch sessionization —
+    including each key's final session, the rows the append-mode
+    session ops must withhold."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import session_timeout_stream
+
+    ev = events_slice.select("event_id", "ts", "user_id")
+    # 3 time-contiguous chunks + a far-future sentinel that pushes the
+    # watermark past every real session's last+gap
+    src = str(tmp_path / "src")
+    from pyspark.sql import Window as W
+
+    chunked = ev.withColumn(
+        "_c", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 4):
+        stage_files(chunked.filter(F.col("_c") == i).drop("_c"), src, i)
+    sentinel = spark.createDataFrame(
+        [(999999, "2025-01-01 00:00:00", -1)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    stage_files(sentinel, src, 4)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = session_timeout_stream(stream, "user_id", "ts", gap_seconds=1800)
+    run_to_memory(out, "t_sesstmo_s", output_mode="append")
+    got = _rows(
+        spark.sql(
+            "SELECT user_id, session_start, session_end, n_events"
+            " FROM t_sesstmo_s WHERE user_id >= 0"
+        )
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("double")
+                    - F.col("prev_ts").cast("double")
+                    > 1800
+                )
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+    )
+    want = _rows(
+        sess.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).select("user_id", "session_start", "session_end", "n_events")
+    )
+    assert len(got) == len(want)
+    assert got == want
