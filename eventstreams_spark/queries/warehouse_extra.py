@@ -2092,3 +2092,133 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+@query(
+    "ivm_delta_aggregate_maintenance",
+    category="W-ivm",
+    oracle="""
+        WITH base AS (
+            SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        ), inserts AS (
+            SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        ), deletes AS (
+            SELECT * FROM base WHERE event_id % 97 = 0
+        ), base_agg AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM base GROUP BY event_type
+        ), delta AS (
+            SELECT event_type, CAST(sum(w) AS BIGINT) AS dn,
+                   CAST(sum(w * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS dcents
+            FROM (
+                SELECT event_type, value, 1 AS w FROM inserts
+                UNION ALL
+                SELECT event_type, value, -1 FROM deletes
+            ) GROUP BY event_type
+        ), maintained AS (
+            SELECT coalesce(b.event_type, d.event_type) AS event_type,
+                   coalesce(b.n, 0) + coalesce(d.dn, 0) AS n,
+                   coalesce(b.cents, 0) + coalesce(d.dcents, 0) AS cents
+            FROM base_agg b FULL OUTER JOIN delta d
+              ON b.event_type = d.event_type
+        ), recompute AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM (
+                SELECT event_type, value FROM base
+                WHERE event_id % 97 <> 0
+                UNION ALL
+                SELECT event_type, value FROM inserts
+            ) GROUP BY event_type
+        )
+        SELECT m.event_type,
+               m.n AS n_maintained,
+               CAST(round(m.cents / 100.0, 2) AS DOUBLE) AS sum_maintained,
+               r.n AS n_recompute,
+               (m.n = r.n AND m.cents = r.cents) AS ivm_gate
+        FROM maintained m JOIN recompute r
+          ON m.event_type = r.event_type
+        ORDER BY m.event_type
+    """,
+)
+def ivm_delta_aggregate_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance (IVM) of a grouped aggregate:
+    given a materialized per-channel (count, sum) over the base, an
+    INSERT batch (new events) and a DELETE batch (retracted base
+    rows), the maintained view = base_agg merged with the signed
+    delta aggregate — never re-reading the base facts. The emitted
+    `ivm_gate` proves maintained == full-recompute per group, exact
+    to the integer cent (counts and sums are self-maintainable
+    aggregates; MIN/MAX are not — they need the merge-on-read rewrite
+    instead, operators/merge.py).
+
+    Scale: THE pattern that turns an hourly 100 TB re-aggregation into
+    a delta-sized job — the base never rescans; the delta aggregate
+    is one shuffle of the changelog, and the merge is a join on the
+    group key between two agg-sized frames. Signed weights (+1/-1)
+    make insert/delete one union, the classic delta-relation encoding
+    (Gupta & Mumick's counting algorithm).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = ev.filter(F.col("ts") < cut)
+    inserts = ev.filter(F.col("ts") >= cut)
+    deletes = base.filter(F.col("event_id") % 97 == 0)
+    base_agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    delta = (
+        inserts.select("event_type", cents.alias("c"), F.lit(1).alias("w"))
+        .unionByName(
+            deletes.select(
+                "event_type", cents.alias("c"), F.lit(-1).alias("w")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").cast("long").alias("dn"),
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("dcents"),
+        )
+    )
+    maintained = (
+        base_agg.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce("cents", F.lit(0)) + F.coalesce("dcents", F.lit(0))
+            ).alias("cents"),
+        )
+    )
+    recompute = (
+        base.filter(F.col("event_id") % 97 != 0)
+        .select("event_type", cents.alias("c"))
+        .unionByName(inserts.select("event_type", cents.alias("c")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rn"),
+            F.sum("c").cast("long").alias("rcents"),
+        )
+    )
+    return (
+        maintained.join(recompute, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_maintained"),
+            F.round(F.col("cents") / 100.0, 2).alias("sum_maintained"),
+            F.col("rn").alias("n_recompute"),
+            (
+                (F.col("n") == F.col("rn"))
+                & (F.col("cents") == F.col("rcents"))
+            ).alias("ivm_gate"),
+        )
+        .orderBy("event_type")
+    )
