@@ -2222,3 +2222,146 @@ def ivm_delta_aggregate_maintenance(
         )
         .orderBy("event_type")
     )
+
+
+def _FS_ORACLE() -> str:
+    from .joins import _md5_int_sql
+
+    hpos = _md5_int_sql(
+        "concat('cpos|', CAST(c_custkey AS VARCHAR))", duck=True
+    )
+    hchr = _md5_int_sql(
+        "concat('cchr|', CAST(c_custkey AS VARCHAR))", duck=True
+    )
+    hbal = _md5_int_sql(
+        "concat('cbal|', CAST(c_custkey AS VARCHAR))", duck=True
+    )
+    return f"""
+        WITH dirty AS (
+            SELECT c_custkey + 5000000 AS dirty_id,
+                   concat(substr(c_name, 1, CAST(10 + ({hpos}) % 9 AS INTEGER) - 1),
+                          substr('0123456789',
+                                 CAST(1 + ({hchr}) % 10 AS INTEGER), 1),
+                          substr(c_name, CAST(10 + ({hpos}) % 9 AS INTEGER) + 1))
+                       AS name_d,
+                   c_acctbal + CASE WHEN ({hbal}) % 2 = 0
+                                    THEN 0.01 ELSE 0.0 END AS bal_d,
+                   c_nationkey, c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+        ), cand AS (
+            SELECT d.dirty_id, c.c_custkey AS clean_id,
+                   CAST(levenshtein(d.name_d, c.c_name) AS BIGINT)
+                       AS name_lev,
+                   abs(d.bal_d - c.c_acctbal) AS bal_diff
+            FROM dirty d JOIN customer c
+              ON d.c_nationkey = c.c_nationkey
+             AND d.c_mktsegment = c.c_mktsegment
+        ), scored AS (
+            SELECT dirty_id, clean_id, name_lev,
+                   CAST(round(bal_diff, 2) AS DOUBLE) AS bal_diff,
+                   CAST(round(
+                       (CASE WHEN name_lev <= 1 THEN 5.5699
+                             ELSE -4.2934 END)
+                       + (CASE WHEN bal_diff <= 0.02 THEN 6.5699
+                               ELSE -4.3075 END), 4) AS DOUBLE) AS score
+            FROM cand
+        )
+        SELECT dirty_id, clean_id, name_lev, bal_diff, score,
+               CASE WHEN score >= 8.0 THEN 'match'
+                    ELSE 'possible' END AS decision
+        FROM scored WHERE score >= 0.0
+        ORDER BY dirty_id, clean_id
+    """
+
+
+@query(
+    "fellegi_sunter_record_linkage",
+    category="W-linkage",
+    oracle=_FS_ORACLE(),
+)
+def fellegi_sunter_record_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) under
+    oracle: a DIRTY twin of every third customer is minted
+    deterministically (one md5-chosen name digit substituted, half
+    the balances nudged +0.01), then linked back by BLOCKING on
+    (nation, segment) and scoring each candidate pair's agreement
+    vector — name fuzzy-agrees at levenshtein <= 1, balance agrees
+    within 0.02 — with fixed log2(m/u) weights (m/u stated in the
+    constants: name .95/.02, balance .95/.01; the conditional-
+    independence assumption FS makes is honest here because the two
+    comparators hit different corrupted fields). Pairs above the
+    upper threshold are matches; the emitted set is every candidate
+    scoring above the review floor.
+
+    Scale: the classic ER pipeline shape — blocking turns n x n into
+    sum-per-block products (the grid-join pattern in key space);
+    comparators are codegen'd string/numeric expressions; multi-pass
+    blocking unions more candidate sets when a single key would miss
+    true pairs. Weight TRAINING (EM over agreement patterns) is a
+    separate iterative job; the weights here are fixed parameters, as
+    in a production scorer serving a trained model.
+    """
+    from .joins import _md5_int_sql
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    hpos = F.expr(
+        _md5_int_sql("concat('cpos|', CAST(c_custkey AS STRING))", duck=False)
+    )
+    hchr = F.expr(
+        _md5_int_sql("concat('cchr|', CAST(c_custkey AS STRING))", duck=False)
+    )
+    hbal = F.expr(
+        _md5_int_sql("concat('cbal|', CAST(c_custkey AS STRING))", duck=False)
+    )
+    pos = (F.lit(10) + hpos % 9).cast("int")
+    dirty = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("pos", pos)
+        .withColumn("chi", (1 + hchr % 10).cast("int"))
+        .select(
+            (F.col("c_custkey") + 5000000).alias("dirty_id"),
+            F.concat(
+                F.expr("substr(c_name, 1, pos - 1)"),
+                F.expr("substr('0123456789', chi, 1)"),
+                F.expr("substr(c_name, pos + 1)"),
+            ).alias("name_d"),
+            (
+                F.col("c_acctbal")
+                + F.when(hbal % 2 == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+            ).alias("bal_d"),
+            "c_nationkey", "c_mktsegment",
+        )
+    )
+    cand = dirty.join(
+        cust, ["c_nationkey", "c_mktsegment"]
+    ).select(
+        "dirty_id",
+        F.col("c_custkey").alias("clean_id"),
+        F.levenshtein("name_d", "c_name").cast("long").alias("name_lev"),
+        F.abs(F.col("bal_d") - F.col("c_acctbal")).alias("bal_diff_raw"),
+    )
+    score = (
+        F.when(F.col("name_lev") <= 1, F.lit(5.5699)).otherwise(F.lit(-4.2934))
+        + F.when(F.col("bal_diff_raw") <= 0.02, F.lit(6.5699)).otherwise(
+            F.lit(-4.3075)
+        )
+    )
+    return (
+        cand.select(
+            "dirty_id", "clean_id", "name_lev",
+            F.round("bal_diff_raw", 2).alias("bal_diff"),
+            F.round(score, 4).alias("score"),
+        )
+        .filter(F.col("score") >= 0.0)
+        .withColumn(
+            "decision",
+            F.when(F.col("score") >= 8.0, F.lit("match")).otherwise(
+                F.lit("possible")
+            ),
+        )
+        .orderBy("dirty_id", "clean_id")
+    )
