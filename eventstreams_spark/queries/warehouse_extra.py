@@ -2365,3 +2365,218 @@ def fellegi_sunter_record_linkage(
         )
         .orderBy("dirty_id", "clean_id")
     )
+
+
+def _FS_EM_ORACLE() -> str:
+    from .joins import _md5_int_sql
+
+    hpos = _md5_int_sql(
+        "concat('cpos|', CAST(c_custkey AS VARCHAR))", duck=True
+    )
+    hchr = _md5_int_sql(
+        "concat('cchr|', CAST(c_custkey AS VARCHAR))", duck=True
+    )
+    hbal = _md5_int_sql(
+        "concat('cbal|', CAST(c_custkey AS VARCHAR))", duck=True
+    )
+    return f"""
+        WITH dirty AS (
+            SELECT c_custkey + 5000000 AS dirty_id,
+                   concat(substr(c_name, 1, CAST(10 + ({hpos}) % 9 AS INTEGER) - 1),
+                          substr('0123456789',
+                                 CAST(1 + ({hchr}) % 10 AS INTEGER), 1),
+                          substr(c_name, CAST(10 + ({hpos}) % 9 AS INTEGER) + 1))
+                       AS name_d,
+                   c_acctbal + CASE WHEN ({hbal}) % 2 = 0
+                                    THEN 0.01 ELSE 0.0 END AS bal_d,
+                   c_nationkey, c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+        ), cand AS (
+            SELECT CASE WHEN levenshtein(d.name_d, c.c_name) <= 1
+                        THEN 1 ELSE 0 END AS a1,
+                   CASE WHEN abs(d.bal_d - c.c_acctbal) <= 0.02
+                        THEN 1 ELSE 0 END AS a2
+            FROM dirty d JOIN customer c
+              ON d.c_nationkey = c.c_nationkey
+             AND d.c_mktsegment = c.c_mktsegment
+        ), counts AS (
+            SELECT
+              CAST(sum(CASE WHEN a1=0 AND a2=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+              CAST(sum(CASE WHEN a1=0 AND a2=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+              CAST(sum(CASE WHEN a1=1 AND a2=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+              CAST(sum(CASE WHEN a1=1 AND a2=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+            FROM cand
+        ), em AS (
+            -- 20 EM iterations; every float expression is written in
+            -- one pinned order over the PIVOTED pattern counts (n00..
+            -- n11 as columns), so Spark's driver loop and this CTE
+            -- evaluate bit-identical IEEE operations
+            WITH RECURSIVE it AS (
+                SELECT 0 AS i, CAST(0.1 AS DOUBLE) AS p,
+                       CAST(0.9 AS DOUBLE) AS m1,
+                       CAST(0.1 AS DOUBLE) AS u1,
+                       CAST(0.9 AS DOUBLE) AS m2,
+                       CAST(0.1 AS DOUBLE) AS u2,
+                       n00, n01, n10, n11 FROM counts
+                UNION ALL
+                SELECT i + 1,
+                    greatest(CAST(0.000001 AS DOUBLE), least(CAST(0.999999 AS DOUBLE),
+                      (n00*w00 + n01*w01 + n10*w10 + n11*w11) / nt)),
+                    greatest(CAST(0.000001 AS DOUBLE), least(CAST(0.999999 AS DOUBLE),
+                      (n10*w10 + n11*w11)
+                      / (n00*w00 + n01*w01 + n10*w10 + n11*w11))),
+                    greatest(CAST(0.000001 AS DOUBLE), least(CAST(0.999999 AS DOUBLE),
+                      (n10*(1-w10) + n11*(1-w11))
+                      / (n00*(1-w00) + n01*(1-w01)
+                         + n10*(1-w10) + n11*(1-w11)))),
+                    greatest(CAST(0.000001 AS DOUBLE), least(CAST(0.999999 AS DOUBLE),
+                      (n01*w01 + n11*w11)
+                      / (n00*w00 + n01*w01 + n10*w10 + n11*w11))),
+                    greatest(CAST(0.000001 AS DOUBLE), least(CAST(0.999999 AS DOUBLE),
+                      (n01*(1-w01) + n11*(1-w11))
+                      / (n00*(1-w00) + n01*(1-w01)
+                         + n10*(1-w10) + n11*(1-w11)))),
+                    n00, n01, n10, n11
+                FROM (
+                    SELECT i, p, m1, u1, m2, u2, n00, n01, n10, n11,
+                        (p*(1-m1)*(1-m2))
+                          / (p*(1-m1)*(1-m2) + (1-p)*(1-u1)*(1-u2)) AS w00,
+                        (p*(1-m1)*m2)
+                          / (p*(1-m1)*m2 + (1-p)*(1-u1)*u2) AS w01,
+                        (p*m1*(1-m2))
+                          / (p*m1*(1-m2) + (1-p)*u1*(1-u2)) AS w10,
+                        (p*m1*m2) / (p*m1*m2 + (1-p)*u1*u2) AS w11,
+                        CAST(n00+n01+n10+n11 AS DOUBLE) AS nt
+                    FROM it
+                ) WHERE i < 20
+            )
+            SELECT * FROM it WHERE i = 20
+        )
+        SELECT n00, n01, n10, n11,
+               CAST(round(p, 6) AS DOUBLE) AS p_match,
+               CAST(round(m1, 6) AS DOUBLE) AS m_name,
+               CAST(round(u1, 6) AS DOUBLE) AS u_name,
+               CAST(round(m2, 6) AS DOUBLE) AS m_bal,
+               CAST(round(u2, 6) AS DOUBLE) AS u_bal,
+               CAST(round(log2((m1 / u1)), 4) AS DOUBLE) AS w_name_agree,
+               CAST(round(log2((m2 / u2)), 4) AS DOUBLE) AS w_bal_agree
+        FROM em
+    """
+
+
+@query(
+    "fs_em_weight_training",
+    category="W-linkage",
+    oracle=_FS_EM_ORACLE(),
+)
+def fs_em_weight_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM training of the Fellegi-Sunter m/u parameters (Winkler's
+    unsupervised fit) over the SAME blocked candidate space as
+    fellegi_sunter_record_linkage: count the four agreement patterns
+    (name-fuzzy x balance-close), then run 20 EM iterations of the
+    two-class latent-mixture update. The distributed part is the
+    pattern census (one shuffle over blocked pairs); EM itself is
+    O(patterns) arithmetic on the PIVOTED one-row count frame —
+    driver-side here, exactly mirroring the oracle's recursive CTE
+    term-for-term so both engines run identical IEEE operations (sum
+    order over patterns is pinned by writing the four terms
+    explicitly, never aggregating a float column).
+
+    Converged output at sf0.01: p_match ~ the true dup fraction of
+    the candidate space, m_name/u_name >> m_bal/u_bal separation, and
+    the derived log2(m/u) agreement weights — the parameters the
+    linkage scorer consumes as constants.
+    """
+    from .joins import _md5_int_sql
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    hpos = F.expr(
+        _md5_int_sql("concat('cpos|', CAST(c_custkey AS STRING))", duck=False)
+    )
+    hchr = F.expr(
+        _md5_int_sql("concat('cchr|', CAST(c_custkey AS STRING))", duck=False)
+    )
+    hbal = F.expr(
+        _md5_int_sql("concat('cbal|', CAST(c_custkey AS STRING))", duck=False)
+    )
+    dirty = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("pos", (F.lit(10) + hpos % 9).cast("int"))
+        .withColumn("chi", (1 + hchr % 10).cast("int"))
+        .select(
+            F.concat(
+                F.expr("substr(c_name, 1, pos - 1)"),
+                F.expr("substr('0123456789', chi, 1)"),
+                F.expr("substr(c_name, pos + 1)"),
+            ).alias("name_d"),
+            (
+                F.col("c_acctbal")
+                + F.when(hbal % 2 == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+            ).alias("bal_d"),
+            "c_nationkey", "c_mktsegment",
+        )
+    )
+    cand = dirty.join(cust, ["c_nationkey", "c_mktsegment"]).select(
+        (F.levenshtein("name_d", "c_name") <= 1).cast("int").alias("a1"),
+        (F.abs(F.col("bal_d") - F.col("c_acctbal")) <= 0.02)
+        .cast("int")
+        .alias("a2"),
+    )
+    row = cand.agg(
+        F.sum(((F.col("a1") == 0) & (F.col("a2") == 0)).cast("long")).alias("n00"),
+        F.sum(((F.col("a1") == 0) & (F.col("a2") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("a1") == 1) & (F.col("a2") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("a1") == 1) & (F.col("a2") == 1)).cast("long")).alias("n11"),
+    ).head()
+    n00, n01, n10, n11 = (int(row[c]) for c in ("n00", "n01", "n10", "n11"))
+
+    # EM on the bounded pattern row — term order mirrors the oracle CTE
+    p, m1, u1, m2, u2 = 0.1, 0.9, 0.1, 0.9, 0.1
+    nt = float(n00 + n01 + n10 + n11)
+    for _ in range(20):
+        w00 = (p * (1 - m1) * (1 - m2)) / (
+            p * (1 - m1) * (1 - m2) + (1 - p) * (1 - u1) * (1 - u2)
+        )
+        w01 = (p * (1 - m1) * m2) / (
+            p * (1 - m1) * m2 + (1 - p) * (1 - u1) * u2
+        )
+        w10 = (p * m1 * (1 - m2)) / (
+            p * m1 * (1 - m2) + (1 - p) * u1 * (1 - u2)
+        )
+        w11 = (p * m1 * m2) / (p * m1 * m2 + (1 - p) * u1 * u2)
+        sm = n00 * w00 + n01 * w01 + n10 * w10 + n11 * w11
+        su = (
+            n00 * (1 - w00) + n01 * (1 - w01)
+            + n10 * (1 - w10) + n11 * (1 - w11)
+        )
+        # clamp away from the {0,1} boundary (a zero pattern count
+        # collapses u->0/m->1 and the next responsibility divides by
+        # zero — the standard EM guard, mirrored in the oracle CTE)
+        def _cl(x):
+            return max(0.000001, min(0.999999, x))
+
+        p, m1, u1, m2, u2 = (
+            _cl(sm / nt),
+            _cl((n10 * w10 + n11 * w11) / sm),
+            _cl((n10 * (1 - w10) + n11 * (1 - w11)) / su),
+            _cl((n01 * w01 + n11 * w11) / sm),
+            _cl((n01 * (1 - w01) + n11 * (1 - w11)) / su),
+        )
+
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                n00, n01, n10, n11,
+                round(p, 6), round(m1, 6), round(u1, 6),
+                round(m2, 6), round(u2, 6),
+                round(math.log2(m1 / u1), 4), round(math.log2(m2 / u2), 4),
+            )
+        ],
+        "n00 long, n01 long, n10 long, n11 long, p_match double,"
+        " m_name double, u_name double, m_bal double, u_bal double,"
+        " w_name_agree double, w_bal_agree double",
+    )
