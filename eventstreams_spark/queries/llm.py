@@ -2241,3 +2241,152 @@ def exact_substring_dup_coverage(
         )
         .orderBy(F.col("dup_ratio").desc(), "doc_id")
     )
+
+
+@query(
+    "allpairs_prefix_filter_join",
+    category="L2-exact",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, concat('dup prefix ', text)
+            FROM documents WHERE doc_id % 7 = 0
+        ), words AS (
+            SELECT id, list_filter(string_split_regex(lower(text),
+                                                      '{TOKEN_SPLIT}'),
+                                   x -> x <> '') AS w
+            FROM corpus
+        ), tok AS (
+            -- word 3-gram shingles: the similarity-join set
+            -- representation that keeps sets sparse (unigram sets on
+            -- this corpus overlap so much that J >= 0.9 still keeps
+            -- 16k pairs)
+            SELECT DISTINCT id,
+                   concat(w[i], ' ', w[i + 1], ' ', w[i + 2]) AS tok
+            FROM words,
+                 LATERAL unnest(generate_series(1, len(w) - 2)) AS g(i)
+        ), sizes AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS sz
+            FROM tok GROUP BY id
+        ), inter AS (
+            -- definitional oracle: ANY shared token generates the
+            -- pair — no prefix filter. Hash-equality with the Spark
+            -- side PROVES the prefix filter loses no qualifying pair.
+            SELECT a.id AS id1, b.id AS id2,
+                   CAST(count(*) AS BIGINT) AS i
+            FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id1, id2, s1, s2, i AS n_common,
+               CAST(round(i * 1.0 / (s1 + s2 - i), 6) AS DOUBLE)
+                   AS jaccard
+        FROM (
+            SELECT i.id1, i.id2, i.i, sa.sz AS s1, sb.sz AS s2
+            FROM inter i
+            JOIN sizes sa ON i.id1 = sa.id
+            JOIN sizes sb ON i.id2 = sb.id
+        )
+        WHERE i * 1.0 / (s1 + s2 - i) >= 0.6
+        ORDER BY id1, id2
+    """,
+)
+def allpairs_prefix_filter_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 0.7 via PREFIX
+    FILTERING (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search" / Xiao et al. PPJoin) — the exact complement to the
+    MinHash-LSH family: order every doc's tokens rarest-first
+    (ascending document frequency, the global total order), keep only
+    the first |s| - ceil(t*|s|) + 1 as the PREFIX, and generate
+    candidates from prefix-token collisions alone. Completeness: if
+    J(x,y) >= t then |x n y| >= t*|x| (and t*|y|), while everything
+    outside the prefix is at most ceil(t*|s|) - 1 tokens — so the
+    ORDER-SMALLEST common token must sit inside BOTH prefixes.
+    Verification joins full token sets on the candidates only.
+
+    The oracle generates candidates from ANY shared token (the
+    definitional quadratic-candidate form) — hash equality therefore
+    certifies the filter lossless, not just plausible.
+
+    Scale: candidate volume collapses from sum-per-token df^2 over
+    ALL tokens to df^2 over PREFIX tokens only — and rarest-first
+    ordering puts precisely the low-df tokens in prefixes (the stop
+    words that dominate any-token joins never generate candidates).
+    One shuffle for df, one for prefix collisions, one for verify;
+    every join equi. The L4 LSH path stays the answer when even
+    prefix df^2 is too big.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    ws = tokens_col(F.col("text"))
+    # Spark sequence(1, n) DESCENDS when n < 1 — guard short docs with
+    # an explicit empty array instead
+    shingles = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = (
+        corpus.select("id", F.explode(shingles).alias("tok"))
+        .distinct()
+        .persist()  # feeds df, prefix build, and both verify sides
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+    )
+    pfx_len = (F.col("sz") - F.ceil(F.lit(0.6) * F.col("sz")) + 1).cast("int")
+    prefix = ordered.select(
+        "id", F.explode(F.slice("toks", F.lit(1), pfx_len)).alias("tok")
+    )
+    pa = prefix.select(F.col("id").alias("id1"), "tok")
+    pb = prefix.select(F.col("id").alias("id2"), "tok")
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id1"), "tok")
+    tb = tok.select(F.col("id").alias("id2"), "tok")
+    inter = (
+        cand.join(ta, "id1")
+        .join(tb, ["id2", "tok"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    jac = F.col("i") / (F.col("s1") + F.col("s2") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("s1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("s2")), "id2")
+        .filter(jac >= 0.6)
+        .select(
+            "id1", "id2", "s1", "s2",
+            F.col("i").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("id1", "id2")
+    )

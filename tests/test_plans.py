@@ -2516,3 +2516,13 @@ def test_geo_grid_join_equi_on_cells_no_cross(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "BroadcastNestedLoopJoin") == 0, counts
     assert count_prefix(counts, "Generate") >= 2, counts
+
+
+def test_allpairs_prefix_filter_all_equi_joins(spark, sf_dir):
+    """AllPairs exact similarity join: candidates from prefix-token
+    equi collisions, verify via equi joins on id/token — never a
+    cartesian or broadcast nested loop."""
+    df = q("allpairs_prefix_filter_join", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") == 0, counts
