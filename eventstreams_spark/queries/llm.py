@@ -2340,10 +2340,14 @@ def allpairs_prefix_filter_join(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tok = (
-        corpus.select("id", F.explode(shingles).alias("tok"))
-        .distinct()
-        .persist()  # feeds df, prefix build, and both verify sides
+    from ..operators.graph import truncate_lineage
+
+    # checkpoint, not persist: tok feeds five consumers (df, prefix
+    # build, both verify sides, sizes) and a persisted child plan
+    # re-prints the documents scan under each (the PrefixSpan lesson)
+    tok = truncate_lineage(
+        corpus.select("id", F.explode(shingles).alias("tok")).distinct(),
+        spark.sparkContext.defaultParallelism,
     )
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
