@@ -2580,3 +2580,127 @@ def fs_em_weight_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         " m_name double, u_name double, m_bal double, u_bal double,"
         " w_name_agree double, w_bal_agree double",
     )
+
+
+@query(
+    "psi_distribution_drift",
+    category="Q1-drift",
+    oracle="""
+        WITH halves AS (
+            SELECT event_type,
+                   CASE WHEN ts < TIMESTAMP '2024-01-20'
+                        THEN 'ref' ELSE 'cur' END AS half,
+                   least(9, greatest(0,
+                       CAST(floor(value / 50.0) AS BIGINT))) AS bucket
+            FROM events
+        ), cells AS (
+            SELECT event_type, half, bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM halves GROUP BY event_type, half, bucket
+        ), grid AS (
+            -- dense bucket grid so empty cells smooth instead of
+            -- vanishing (ln(0) guard is the +0.5 Laplace term)
+            SELECT e.event_type, b.bucket, h.half
+            FROM (SELECT DISTINCT event_type FROM events) e
+            CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b
+            CROSS JOIN (VALUES ('ref'), ('cur')) h(half)
+        ), dense AS (
+            SELECT g.event_type, g.bucket, g.half,
+                   coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN cells c
+              ON g.event_type = c.event_type
+             AND g.bucket = c.bucket AND g.half = c.half
+        ), tot AS (
+            SELECT event_type, half, CAST(sum(n) AS BIGINT) AS nt
+            FROM dense GROUP BY event_type, half
+        ), props AS (
+            SELECT d.event_type, d.bucket,
+                   max(CASE WHEN d.half = 'ref'
+                            THEN (d.n + 0.5) / (t.nt + 5.0) END) AS p,
+                   max(CASE WHEN d.half = 'cur'
+                            THEN (d.n + 0.5) / (t.nt + 5.0) END) AS q
+            FROM dense d JOIN tot t
+              ON d.event_type = t.event_type AND d.half = t.half
+            GROUP BY d.event_type, d.bucket
+        )
+        SELECT event_type,
+               CAST(round(sum((p - q) * ln(p / q)), 6) AS DOUBLE) AS psi,
+               sum((p - q) * ln(p / q)) > 0.1 AS drift_flag
+        FROM props
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per channel — the standard
+    model-monitoring drift gate: bucket `value` into 10 fixed-width
+    bins, compare the reference half (before 2024-01-20) against the
+    current half, PSI = sum (p - q) ln(p/q) over the densified bucket
+    grid with +0.5 Laplace smoothing (an empty bin must contribute a
+    finite penalty, not ln(0)). PSI > 0.1 is the conventional
+    watch threshold; > 0.25 would be act.
+
+    Scale: two groupBys over the facts (cell counts, totals) and a
+    tiny dense-grid recombination — channels x bins x 2 rows. The
+    fixed-width bins are the production choice (quantile bins of the
+    reference would add one percentile job; same shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-20").cast("timestamp"), "ref"
+    ).otherwise("cur")
+    bucket = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 50.0))
+    ).cast("long")
+    cells = (
+        ev.select("event_type", half.alias("half"), bucket.alias("bucket"))
+        .groupBy("event_type", "half", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    chans = ev.select("event_type").distinct()
+    grid = (
+        chans.crossJoin(
+            F.broadcast(
+                spark.range(10).select(F.col("id").cast("long").alias("bucket"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([("ref",), ("cur",)], "half string")
+            )
+        )
+    )
+    dense = grid.join(cells, ["event_type", "half", "bucket"], "left").select(
+        "event_type", "half", "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    tot = dense.groupBy("event_type", "half").agg(
+        F.sum("n").cast("long").alias("nt")
+    )
+    props = (
+        dense.join(tot, ["event_type", "half"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("half") == "ref",
+                    (F.col("n") + 0.5) / (F.col("nt") + 5.0),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("half") == "cur",
+                    (F.col("n") + 0.5) / (F.col("nt") + 5.0),
+                )
+            ).alias("q"),
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return (
+        props.groupBy("event_type")
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            (F.sum(term) > 0.1).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
