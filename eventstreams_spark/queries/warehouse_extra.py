@@ -2704,3 +2704,152 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _CH_ORACLE() -> str:
+    from .joins import _md5_int_sql
+
+    rp = _md5_int_sql(
+        "concat('ring|', name, '|', CAST(v AS VARCHAR))", duck=True
+    )
+    kp = _md5_int_sql("concat('key|', CAST(user_id AS VARCHAR))", duck=True)
+    return f"""
+        WITH ring AS (
+            SELECT concat('node-', CAST(n AS VARCHAR)) AS name, v,
+                   ({rp}) AS pos
+            FROM unnest(generate_series(0, 8)) AS t(n),
+                 LATERAL unnest(generate_series(0, 31)) AS u(v)
+        ), ring_b AS (SELECT * FROM ring WHERE name <> 'node-8'),
+        keys AS (
+            SELECT DISTINCT user_id, ({kp}) AS kpos FROM events
+        ), asg AS (
+            SELECT k.user_id,
+                (SELECT rb.name FROM ring_b rb
+                 WHERE rb.pos = coalesce(
+                     (SELECT min(r.pos) FROM ring_b r
+                      WHERE r.pos >= k.kpos),
+                     (SELECT min(r.pos) FROM ring_b r))) AS node_before,
+                (SELECT ra.name FROM ring ra
+                 WHERE ra.pos = coalesce(
+                     (SELECT min(r.pos) FROM ring r
+                      WHERE r.pos >= k.kpos),
+                     (SELECT min(r.pos) FROM ring r))) AS node_after
+            FROM keys k
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS total_keys,
+                   CAST(sum(CASE WHEN node_before <> node_after
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS moved_keys,
+                   bool_and(CASE WHEN node_before <> node_after
+                                 THEN node_after = 'node-8'
+                                 ELSE TRUE END) AS moved_only_to_new
+            FROM asg
+        )
+        SELECT a.node_before, a.node_after,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               (a.node_before <> a.node_after) AS is_move,
+               s.moved_keys, s.total_keys,
+               CAST(round(s.moved_keys * 1.0 / s.total_keys, 6)
+                    AS DOUBLE) AS moved_frac,
+               s.moved_only_to_new
+        FROM asg a CROSS JOIN stats s
+        GROUP BY a.node_before, a.node_after, s.moved_keys,
+                 s.total_keys, s.moved_only_to_new
+        ORDER BY a.node_before, a.node_after
+    """
+
+
+@query(
+    "consistent_hash_rebalance_census",
+    category="W-routing",
+    oracle=_CH_ORACLE(),
+)
+def consistent_hash_rebalance_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consistent-hashing ring rebalance census (Karger et al. 1997 —
+    the routing construction under every distributed cache/storage
+    ring): 8 nodes x 32 virtual points on a 32-bit md5 ring own the
+    key space by clockwise successor; adding node-8 must move ONLY
+    the keys the new node captures (~1/9 of them) and not reshuffle
+    any key between old nodes — the emitted `moved_only_to_new` gate
+    IS that defining property, hash-checked per (before, after) cell.
+
+    Scale: the ring is bounded metadata (288 positions, collected
+    driver-side like IVF centroids); successor lookup is a MAP-SIDE
+    sorted-array probe per key (array_min over a filtered literal
+    array — no join blowup, no per-key subquery), and the pos->node
+    resolution is a 288-row broadcast equi join. At a billion keys
+    the shape is identical: one scan, one broadcast.
+    """
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ring = [
+        (f"node-{n}", h32(f"ring|node-{n}|{v}"))
+        for n in range(9)
+        for v in range(32)
+    ]
+    ring_b = [(name, pos) for name, pos in ring if name != "node-8"]
+    arr_b = F.array(*[F.lit(p) for _, p in sorted(ring_b, key=lambda t: t[1])])
+    arr_a = F.array(*[F.lit(p) for _, p in sorted(ring, key=lambda t: t[1])])
+    min_b = F.lit(min(p for _, p in ring_b))
+    min_a = F.lit(min(p for _, p in ring))
+
+    from .joins import _md5_int_sql
+
+    kp = F.expr(_md5_int_sql("concat('key|', CAST(user_id AS STRING))", duck=False))
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct().select("user_id", kp.alias("kpos"))
+
+    def successor(arr, mn):
+        hits = F.filter(arr, lambda p: p >= F.col("kpos"))
+        return F.coalesce(F.array_min(hits), mn)
+
+    asg = keys.select(
+        "user_id",
+        successor(arr_b, min_b).alias("spos_b"),
+        successor(arr_a, min_a).alias("spos_a"),
+    )
+    dim = spark.createDataFrame(ring, "name string, pos long")
+    asg = (
+        asg.join(
+            F.broadcast(dim.select(F.col("name").alias("node_before"),
+                                   F.col("pos").alias("spos_b"))),
+            "spos_b",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("name").alias("node_after"),
+                                   F.col("pos").alias("spos_a"))),
+            "spos_a",
+        )
+    )
+    stats = asg.agg(
+        F.count(F.lit(1)).cast("long").alias("total_keys"),
+        F.sum((F.col("node_before") != F.col("node_after")).cast("long"))
+        .cast("long")
+        .alias("moved_keys"),
+        F.bool_and(
+            F.when(
+                F.col("node_before") != F.col("node_after"),
+                F.col("node_after") == "node-8",
+            ).otherwise(F.lit(True))
+        ).alias("moved_only_to_new"),
+    )
+    return (
+        asg.groupBy("node_before", "node_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "node_before", "node_after", "n_keys",
+            (F.col("node_before") != F.col("node_after")).alias("is_move"),
+            "moved_keys", "total_keys",
+            F.round(F.col("moved_keys") / F.col("total_keys"), 6).alias(
+                "moved_frac"
+            ),
+            "moved_only_to_new",
+        )
+        .orderBy("node_before", "node_after")
+    )
