@@ -1882,3 +1882,105 @@ def theilsen_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "kaplan_meier_conversion_survival",
+    category="FC-survival",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(CAST(min(CASE WHEN event_type = 'purchase'
+                                      THEN ts END) AS DATE)
+                        - CAST(min(ts) AS DATE) AS BIGINT) AS pd
+            FROM events GROUP BY user_id
+        ), subj AS (
+            -- 7-day administrative censoring: no purchase inside the
+            -- study window = censored exposure of 7 days, event 0
+            SELECT CASE WHEN pd IS NULL OR pd > 7 THEN 7 ELSE pd END
+                       AS dur,
+                   CASE WHEN pd IS NULL OR pd > 7 THEN 0 ELSE 1 END
+                       AS ev
+            FROM u
+        ), tbl AS (
+            SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d
+            FROM subj GROUP BY dur
+        ), risk AS (
+            SELECT t, d,
+                   CAST((SELECT count(*) FROM subj s WHERE s.dur >= t)
+                        AS BIGINT) AS n
+            FROM tbl
+        )
+        SELECT t AS day, n AS n_risk, d AS n_converted,
+               CAST(round(exp(sum(ln(1.0 - d * 1.0 / n))
+                              OVER (ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING)), 6)
+                    AS DOUBLE) AS s_hat
+        FROM risk
+        WHERE d > 0
+        ORDER BY day
+    """,
+)
+def kaplan_meier_conversion_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier product-limit estimate of TIME TO FIRST PURCHASE
+    with right-censoring: a user with no purchase within 7 days of
+    their first event is CENSORED at 7 (they contribute exposure to
+    every risk set they survive through, but no conversion event) —
+    the distinction a naive mean-days-to-convert gets wrong, and the
+    estimator survival analysis exists for. S(t) = prod over event
+    days u <= t of (1 - d_u / n_u) with n_u = subjects still at risk
+    (duration >= u), so S is the probability of remaining
+    UNCONVERTED past day t.
+
+    Computed as exp(cumulative sum of ln(1 - d/n)) over the risk
+    table ordered by day — the float path is a window-pinned sum on
+    both engines. The risk table is bounded by the study window (<= 8
+    rows), so its global window is metadata-scale; the data work is
+    one per-user groupBy. Log-rank cohort comparison and
+    Nelson-Aalen reuse this exact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(
+                F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ),
+            F.to_date(F.min("ts")),
+        )
+        .cast("long")
+        .alias("pd")
+    )
+    subj = u.select(
+        F.when(F.col("pd").isNull() | (F.col("pd") > 7), F.lit(7))
+        .otherwise(F.col("pd"))
+        .alias("dur"),
+        F.when(F.col("pd").isNull() | (F.col("pd") > 7), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ev"),
+    ).persist()  # feeds the event table and the risk-set threshold join
+    tbl = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d")
+    )
+    durs = subj.select(F.col("dur").alias("dur2"))
+    # broadcast the BOUNDED side (the <=8-row risk table) under the
+    # theta join; the per-user durations frame streams through it
+    risk = (
+        durs.join(F.broadcast(tbl), F.col("dur2") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.select(
+            F.col("t").alias("day"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("n_converted"),
+            F.round(
+                F.exp(F.sum(F.log(1.0 - F.col("d") / F.col("n"))).over(w)), 6
+            ).alias("s_hat"),
+        )
+        .filter(F.col("n_converted") > 0)
+        .orderBy("day")
+    )
