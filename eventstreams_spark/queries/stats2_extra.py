@@ -1984,3 +1984,137 @@ def kaplan_meier_conversion_survival(
         .filter(F.col("n_converted") > 0)
         .orderBy("day")
     )
+
+
+@query(
+    "logrank_cohort_conversion_test",
+    category="FC-survival",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS grp,
+                   CAST(CAST(min(CASE WHEN event_type = 'purchase'
+                                      THEN ts END) AS DATE)
+                        - CAST(min(ts) AS DATE) AS BIGINT) AS pd
+            FROM events GROUP BY user_id
+        ), subj AS (
+            SELECT grp,
+                   CASE WHEN pd IS NULL OR pd > 7 THEN 7 ELSE pd END
+                       AS dur,
+                   CASE WHEN pd IS NULL OR pd > 7 THEN 0 ELSE 1 END
+                       AS ev
+            FROM u
+        ), days AS (
+            SELECT DISTINCT dur AS t FROM subj WHERE ev = 1
+        ), cells AS (
+            SELECT d.t,
+                   CAST(sum(CASE WHEN s.grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN s.grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN s.grp = 0 AND s.dur = d.t
+                                  AND s.ev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d0,
+                   CAST(sum(CASE WHEN s.grp = 1 AND s.dur = d.t
+                                  AND s.ev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1
+            FROM days d JOIN subj s ON s.dur >= d.t
+            GROUP BY d.t
+        ), terms AS (
+            SELECT t, n0, n1, d0, d1,
+                   (d0 + d1) * 1.0 * n0 / (n0 + n1) AS e0,
+                   CASE WHEN n0 + n1 > 1 THEN
+                       (d0 + d1) * 1.0 * n0 * n1
+                       * (n0 + n1 - d0 - d1)
+                       / ((n0 + n1) * (n0 + n1) * (n0 + n1 - 1.0))
+                   ELSE 0.0 END AS v
+            FROM cells
+        )
+        SELECT CAST(sum(d0) AS BIGINT) AS obs0,
+               CAST(round(sum(e0), 6) AS DOUBLE) AS exp0,
+               CAST(round(
+                   (sum(d0) - sum(e0)) * (sum(d0) - sum(e0))
+                   / sum(v), 6) AS DOUBLE) AS logrank_chi2,
+               (sum(d0) - sum(e0)) * (sum(d0) - sum(e0)) / sum(v)
+                   > 3.841459 AS reject_05
+        FROM terms
+    """,
+)
+def logrank_cohort_conversion_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOG-RANK test (Mantel-Cox) comparing the two user cohorts'
+    time-to-first-purchase survival curves (same subjects, censoring
+    and risk sets as kaplan_meier_conversion_survival; cohort =
+    user_id parity): at each conversion day the observed group-0
+    conversions are compared against the hypergeometric expectation
+    given the pooled conversions and the at-risk split, chi2 =
+    (sum O - sum E)^2 / sum V against the 1-df 5% critical value
+    3.841459. All risk-set counts are exact integers; e/v terms are
+    explicit single-expression ratios, summed over a <=8-row table.
+
+    Scale: identical to the KM query — one per-user shuffle, then a
+    bounded theta join of durations against the tiny event-day list
+    (broadcast the day side), and a one-row final aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(
+                F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ),
+            F.to_date(F.min("ts")),
+        )
+        .cast("long")
+        .alias("pd")
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(F.col("pd").isNull() | (F.col("pd") > 7), F.lit(7))
+        .otherwise(F.col("pd"))
+        .alias("dur"),
+        F.when(F.col("pd").isNull() | (F.col("pd") > 7), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ev"),
+    ).persist()
+    days = subj.filter(F.col("ev") == 1).select(
+        F.col("dur").alias("t")
+    ).distinct()
+    cells = (
+        subj.join(F.broadcast(days), F.col("dur") >= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("n0"),
+            F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("n1"),
+            F.sum(
+                ((F.col("grp") == 0) & (F.col("dur") == F.col("t"))
+                 & (F.col("ev") == 1)).cast("long")
+            ).cast("long").alias("d0"),
+            F.sum(
+                ((F.col("grp") == 1) & (F.col("dur") == F.col("t"))
+                 & (F.col("ev") == 1)).cast("long")
+            ).cast("long").alias("d1"),
+        )
+    )
+    nt = F.col("n0") + F.col("n1")
+    dt = F.col("d0") + F.col("d1")
+    e0 = dt * 1.0 * F.col("n0") / nt
+    v = F.when(
+        nt > 1,
+        dt * 1.0 * F.col("n0") * F.col("n1") * (nt - dt)
+        / (nt * nt * (nt - 1.0)),
+    ).otherwise(F.lit(0.0))
+    chi2 = (F.sum("d0") - F.sum(e0)) * (F.sum("d0") - F.sum(e0)) / F.sum(v)
+    return cells.select("n0", "n1", "d0", "d1", e0.alias("e0"), v.alias("v"), "t").agg(
+        F.sum("d0").cast("long").alias("obs0"),
+        F.round(F.sum("e0"), 6).alias("exp0"),
+        F.round(
+            (F.sum("d0") - F.sum("e0")) * (F.sum("d0") - F.sum("e0"))
+            / F.sum("v"),
+            6,
+        ).alias("logrank_chi2"),
+        (
+            (F.sum("d0") - F.sum("e0")) * (F.sum("d0") - F.sum("e0"))
+            / F.sum("v")
+            > 3.841459
+        ).alias("reject_05"),
+    )
