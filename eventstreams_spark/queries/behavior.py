@@ -3662,6 +3662,12 @@ def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the definitional all-pairs cross join + distance
     filter — the bounded certifier the grid construction replaces.
 
+    Variant note: round-3's `spatial_grid_join_pairs` and
+    `spatial_knn_wrapped_probe` pin the same grid-join family on
+    event-minted points; THIS form adds the bounded-latitude sizing
+    argument (one lon cell always spans the radius) and per-user home
+    locations. Kept as the radius-join statement of the family.
+
     Scale: candidate volume is (points per cell) x 9 per point
     instead of n^2; the join is equi on cell ids, so it shuffles by
     cell — spatial skew (urban cells) is AQE's skew-join case or a

@@ -513,6 +513,12 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     wraps, so neither engine touches the sign bit. ~0.4% fp at 10
     bits/key, the textbook Bloom operating point.
 
+    Variant note: the round-3 `bloom_prefilter_semi_join` pins the
+    same semi-join-reduction family with per-position broadcast joins;
+    THIS form packs the filter into 62-bit bitmap words (one bit_or
+    aggregate, one broadcast), the shape that stays one frame as m
+    grows. Both kept deliberately: they certify each other's family.
+
     Scale: THE distributed-join-pruning primitive — the bitmap is
     m/62 longs (one broadcastable frame even for millions of build
     keys), the probe side never shuffles (hash + broadcast lookup +

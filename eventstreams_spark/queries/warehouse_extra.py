@@ -1933,6 +1933,12 @@ def zorder_layout_skipping_census(
     rows under z-order vs 1,079 under linear vs 10,000 unclustered —
     the measured argument for paying the clustering write cost.
 
+    Variant note: round-3's `zonemap_skipping_census` (ingest vs
+    clustered layouts) and `layout_locality_hilbert_vs_zorder` (curve
+    locality ranks) pin adjacent cells of this family; THIS query is
+    the three-layout 2-D-predicate comparison with the Morton code
+    spelled out as shared bit arithmetic.
+
     Everything is exact integer bit arithmetic (7-bit dims, 14-bit
     Morton codes, identical term sums on both engines), so the census
     hash-checks.
