@@ -1912,10 +1912,19 @@ def theilsen_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tbl
         )
         SELECT t AS day, n AS n_risk, d AS n_converted,
-               CAST(round(exp(sum(ln(1.0 - d * 1.0 / n))
+               -- d = n at the largest event day drives S to EXACTLY 0
+               -- (ln(0) raises in DuckDB and NULLs in Spark): guard
+               -- the term and zero via the cumulative d=n flag
+               CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                    THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(round(exp(sum(
+                             CASE WHEN d < n
+                                  THEN ln(1.0 - d * 1.0 / n)
+                                  ELSE 0.0 END)
                               OVER (ORDER BY t
                                     ROWS UNBOUNDED PRECEDING)), 6)
-                    AS DOUBLE) AS s_hat
+                         AS DOUBLE) END AS s_hat
         FROM risk
         WHERE d > 0
         ORDER BY day
@@ -1972,14 +1981,21 @@ def kaplan_meier_conversion_survival(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # d = n at the largest event day means S(t) = exactly 0 from there
+    # on; ln(1 - d/n) would NULL (Spark) / raise (DuckDB), so the term
+    # is guarded and the zero comes from the cumulative d=n flag
+    term = F.when(
+        F.col("d") < F.col("n"), F.log(1.0 - F.col("d") / F.col("n"))
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max((F.col("d") == F.col("n")).cast("int")).over(w)
     return (
         risk.select(
             F.col("t").alias("day"),
             F.col("n").alias("n_risk"),
             F.col("d").alias("n_converted"),
-            F.round(
-                F.exp(F.sum(F.log(1.0 - F.col("d") / F.col("n"))).over(w)), 6
-            ).alias("s_hat"),
+            F.when(hit_zero == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum(term).over(w)), 6))
+            .alias("s_hat"),
         )
         .filter(F.col("n_converted") > 0)
         .orderBy("day")
