@@ -57,9 +57,27 @@ _LIFE_CTE = """
     )"""
 
 
-def _subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Stratified variant: subjects carry a start-hour stratum (peak =
+# session started 08:00-19:59 UTC, off otherwise) — pure integer
+# epoch arithmetic so both engines derive the identical label.
+_STRAT_OLD = "ELSE 1 END AS died\n"
+_STRAT_NEW = (
+    "ELSE 1 END AS died,\n"
+    "               CASE WHEN (t_first % 86400) // 3600"
+    " BETWEEN 8 AND 19\n"
+    "                    THEN 'peak' ELSE 'off' END AS stratum\n"
+)
+assert _LIFE_CTE.count(_STRAT_OLD) == 1
+_LIFE_STRAT_CTE = _LIFE_CTE.replace(_STRAT_OLD, _STRAT_NEW)
+
+
+def _subjects(
+    spark: SparkSession, sf_dir: str, with_stratum: bool = False
+) -> DataFrame:
     """Spark twin of _LIFE_CTE: session subjects with integer-minute
-    durations and the 30-min end-of-corpus censoring rule."""
+    durations and the 30-min end-of-corpus censoring rule. With
+    ``with_stratum`` it is the twin of _LIFE_STRAT_CTE instead (adds
+    the peak/off start-hour stratum)."""
     ev = load_table(spark, sf_dir, "events")
     stamped = ev.select(
         "user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("t_s")
@@ -82,15 +100,23 @@ def _subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_s").cast("long").alias("t_last"),
     )
     spanmax = life.agg(F.max("t_last").alias("tmax"))
-    return life.crossJoin(F.broadcast(spanmax)).select(
-        "user_id",
+    cols = [
+        F.col("user_id"),
         F.floor((F.col("t_last") - F.col("t_first")) / 60)
         .cast("long")
         .alias("dur"),
         F.when(F.col("t_last") >= F.col("tmax") - 1800, 0)
         .otherwise(1)
         .alias("died"),
-    )
+    ]
+    if with_stratum:
+        cols.append(
+            F.when(
+                F.floor((F.col("t_first") % 86400) / 3600).between(8, 19),
+                "peak",
+            ).otherwise("off").alias("stratum")
+        )
+    return life.crossJoin(F.broadcast(spanmax)).select(*cols)
 
 
 @query(
@@ -424,4 +450,238 @@ def kaplan_meier_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival"),
         )
         .orderBy("grp", "minute")
+    )
+
+
+@query(
+    "nelson_aalen_cumulative_hazard",
+    category="SV-na",
+    oracle=f"""
+        WITH {_LIFE_CTE}, at_t AS (
+            SELECT dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(count(*) AS BIGINT) AS leave_t
+            FROM subj GROUP BY dur
+        ), risk AS (
+            SELECT t, d_t,
+                   CAST(sum(leave_t) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS BIGINT) AS n_t
+            FROM at_t
+        ), folded AS (
+            SELECT t, n_t, d_t,
+                   sum(CAST(d_t AS DOUBLE) / n_t)
+                       OVER (ORDER BY t) AS cumhaz,
+                   sum(CAST(d_t AS DOUBLE)
+                       / (CAST(n_t AS DOUBLE) * n_t))
+                       OVER (ORDER BY t) AS navar
+            FROM risk
+        )
+        SELECT t AS minute, n_t AS n_risk, d_t AS n_deaths,
+               CAST(round(cumhaz, 6) AS DOUBLE) AS cum_hazard,
+               CAST(round(sqrt(navar), 6) AS DOUBLE) AS cum_hazard_se,
+               CAST(round(exp(-cumhaz), 6) AS DOUBLE) AS fh_survival
+        FROM folded WHERE d_t > 0 ORDER BY minute
+    """,
+)
+def nelson_aalen_cumulative_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same session
+    subjects as kaplan_meier_survival: H(t) = Σ_{s≤t} d_s/n_s, its
+    standard error sqrt(Σ d_s/n_s²), and the Fleming-Harrington
+    survival exp(−H) — the hazard-side dual of the KM product-limit
+    curve. Unlike KM, a d_t = n_t final death time needs no special
+    case (the hazard increment is exactly 1, never ln(0)), and at
+    small risk sets exp(−H) is the lower-variance curve — the reason
+    survival libraries ship both.
+
+    Determinism: identical risk-set construction to the KM query
+    (exact-integer suffix sums on the bounded distinct-duration
+    frame); both running sums are pinned-order window folds over the
+    same ORDER BY t, read once, rounded at emission.
+
+    Scale: identical to kaplan_meier_survival — one user-partitioned
+    sessionize pass, then all algebra on the |distinct durations|
+    frame. Emitting only death times keeps the output a step
+    function.
+    """
+    subj = _subjects(spark, sf_dir)
+    at_t = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = at_t.select(
+        "t", "d_t",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+    )
+    w_cum = Window.orderBy("t")
+    folded = risk.select(
+        "t", "n_t", "d_t",
+        F.sum(F.col("d_t").cast("double") / F.col("n_t"))
+        .over(w_cum).alias("cumhaz"),
+        F.sum(
+            F.col("d_t").cast("double")
+            / (F.col("n_t").cast("double") * F.col("n_t"))
+        ).over(w_cum).alias("navar"),
+    )
+    return (
+        folded.filter(F.col("d_t") > 0)
+        .select(
+            F.col("t").alias("minute"),
+            F.col("n_t").alias("n_risk"),
+            F.col("d_t").alias("n_deaths"),
+            F.round("cumhaz", 6).alias("cum_hazard"),
+            F.round(F.sqrt("navar"), 6).alias("cum_hazard_se"),
+            F.round(F.exp(-F.col("cumhaz")), 6).alias("fh_survival"),
+        )
+        .orderBy("minute")
+    )
+
+
+@query(
+    "logrank_stratified_test",
+    category="SV-logrank-strat",
+    oracle=f"""
+        WITH {_LIFE_STRAT_CTE}, grouped AS (
+            SELECT stratum, dur, died,
+                   CASE WHEN (instr('0123456789abcdef',
+                                    substr(md5(cast(user_id AS VARCHAR)),
+                                           1, 1)) - 1) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS grp
+            FROM subj
+        ), at_t AS (
+            SELECT stratum, dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(sum(CASE WHEN grp = 'A' THEN died ELSE 0 END)
+                        AS BIGINT) AS d_at,
+                   CAST(count(*) AS BIGINT) AS leave_t,
+                   CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS leave_at
+            FROM grouped GROUP BY stratum, dur
+        ), risk AS (
+            SELECT stratum, t, d_t, d_at,
+                   CAST(sum(leave_t) OVER w AS BIGINT) AS n_t,
+                   CAST(sum(leave_at) OVER w AS BIGINT) AS n_at
+            FROM at_t
+            WINDOW w AS (PARTITION BY stratum ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), terms AS (
+            SELECT stratum, t, d_t, d_at, n_t, n_at,
+                   CAST(d_t AS DOUBLE) * n_at / n_t AS e_at,
+                   CASE WHEN n_t > 1 THEN
+                       CAST(d_t AS DOUBLE) * (CAST(n_at AS DOUBLE) / n_t)
+                       * (1.0 - CAST(n_at AS DOUBLE) / n_t)
+                       * (n_t - d_t) / (n_t - 1)
+                   ELSE 0.0 END AS v_t
+            FROM risk WHERE d_t > 0
+        ), folded AS (
+            SELECT sum(CAST(d_at AS DOUBLE)) OVER w2 AS o_a,
+                   sum(e_at) OVER w2 AS e_a,
+                   sum(v_t) OVER w2 AS v,
+                   row_number() OVER (ORDER BY stratum DESC, t DESC)
+                       AS rdesc,
+                   -- the rdesc=1 row carries the DESC-max stratum, so
+                   -- its ascending dense_rank = |distinct strata| —
+                   -- no second pass over terms
+                   CAST(dense_rank() OVER (ORDER BY stratum)
+                        AS BIGINT) AS n_strata
+            FROM terms
+            WINDOW w2 AS (ORDER BY stratum, t)
+        )
+        SELECT n_strata,
+               CAST(o_a AS DOUBLE) AS observed_a,
+               CAST(round(e_a, 6) AS DOUBLE) AS expected_a,
+               CAST(round((o_a - e_a) * (o_a - e_a) / v, 6) AS DOUBLE)
+                   AS chi2,
+               ((o_a - e_a) * (o_a - e_a) > 3.841459 * v) AS reject_5pct
+        FROM folded WHERE rdesc = 1
+    """,
+)
+def logrank_stratified_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED log-rank test (the Mantel-Haenszel pooling of
+    per-stratum Mantel-Cox tables): risk sets, hypergeometric
+    expectations and variances are computed WITHIN each stratum
+    (peak vs off-peak session start hour), then O−E and V are summed
+    across strata before the single χ² — the standard fix when a
+    confounder (time-of-day load) differs between arms and a naive
+    pooled log-rank would attribute its effect to the treatment.
+    Same md5 A/B arms as logrank_two_group_test, so the two verdicts
+    are directly comparable.
+
+    Determinism: per-stratum risk sets are exact integers via the
+    suffix-sum construction partitioned by stratum; the cross-stratum
+    totals are ONE pinned-order running sum over (stratum, t) — never
+    a distributed unordered float sum — read at the last row.
+
+    Scale: the stratum key joins every window PARTITION BY, so the
+    bounded-frame algebra parallelizes across strata; adding strata
+    adds partitions, not passes. One sessionize shuffle total.
+    """
+    grouped = _subjects(spark, sf_dir, with_stratum=True).select(
+        "stratum", "dur", "died",
+        F.when(
+            F.expr(
+                "(instr('0123456789abcdef',"
+                " substr(md5(cast(user_id AS STRING)), 1, 1)) - 1) % 2"
+            )
+            == 0,
+            "A",
+        ).otherwise("B").alias("grp"),
+    )
+    at_t = grouped.groupBy("stratum", F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.sum(F.when(F.col("grp") == "A", F.col("died")).otherwise(0))
+        .cast("long").alias("d_at"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0))
+        .cast("long").alias("leave_at"),
+    )
+    w_suf = (
+        Window.partitionBy("stratum")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    risk = at_t.select(
+        "stratum", "t", "d_t", "d_at",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+        F.sum("leave_at").over(w_suf).cast("long").alias("n_at"),
+    )
+    terms = risk.filter(F.col("d_t") > 0).select(
+        "stratum", "t", "d_t", "d_at", "n_t", "n_at",
+        (F.col("d_t").cast("double") * F.col("n_at") / F.col("n_t"))
+        .alias("e_at"),
+        F.when(
+            F.col("n_t") > 1,
+            F.col("d_t").cast("double")
+            * (F.col("n_at").cast("double") / F.col("n_t"))
+            * (1.0 - F.col("n_at").cast("double") / F.col("n_t"))
+            * (F.col("n_t") - F.col("d_t"))
+            / (F.col("n_t") - 1),
+        ).otherwise(0.0).alias("v_t"),
+    )
+    w_cum = Window.orderBy("stratum", "t")
+    w_desc = Window.orderBy(F.desc("stratum"), F.desc("t"))
+    # the rdesc=1 row carries the DESC-max stratum, so its ascending
+    # dense_rank over stratum = |distinct strata| — the strata count
+    # rides the same window pass instead of a second terms consumer
+    folded = terms.select(
+        F.sum(F.col("d_at").cast("double")).over(w_cum).alias("o_a"),
+        F.sum("e_at").over(w_cum).alias("e_a"),
+        F.sum("v_t").over(w_cum).alias("v"),
+        F.row_number().over(w_desc).alias("rdesc"),
+        F.dense_rank().over(Window.orderBy("stratum"))
+        .cast("long").alias("n_strata"),
+    )
+    diff = F.col("o_a") - F.col("e_a")
+    return folded.filter(F.col("rdesc") == 1).select(
+        "n_strata",
+        F.col("o_a").cast("double").alias("observed_a"),
+        F.round("e_a", 6).alias("expected_a"),
+        F.round(diff * diff / F.col("v"), 6).alias("chi2"),
+        (diff * diff > 3.841459 * F.col("v")).alias("reject_5pct"),
     )
