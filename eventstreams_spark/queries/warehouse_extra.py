@@ -1701,11 +1701,13 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fpgrowth_parallel_itemsets",
-    category="B16-basket",
-    oracle="""
-        WITH lines AS (
+# Exhaustive frequent-itemset census (shared by the FP-growth query
+# and its closed/maximal post-filter): every non-empty subset of every
+# basket via a bitmask lateral (baskets are <= 7 frequent brands in
+# TPC-H, so <= 127 subsets each) — covers ALL itemset sizes, unlike a
+# fixed-level unroll.
+_FREQ_CENSUS_CTE = """
+        lines AS (
             SELECT DISTINCT l.l_orderkey, p.p_brand
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         ), n_orders AS (
@@ -1721,10 +1723,6 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lines SEMI JOIN f1 ON lines.p_brand = f1.p_brand
             GROUP BY l_orderkey
         ), subs AS (
-            -- exhaustive oracle: every non-empty subset of every
-            -- basket via a bitmask lateral (baskets are <= 7 frequent
-            -- brands in TPC-H, so <= 127 subsets each) — covers ALL
-            -- itemset sizes, unlike a fixed-level unroll
             SELECT array_to_string(
                      list_filter(items,
                                  (x, i) -> ((m >> (i - 1)) & 1) = 1),
@@ -1735,13 +1733,23 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM baskets,
                  LATERAL unnest(generate_series(
                      1, (1 << len(items)) - 1)) AS t(m)
-        )
-        SELECT itemset, sz, CAST(count(*) AS BIGINT) AS n_co,
-               CAST(round(count(*) * 1.0 / (SELECT n FROM n_orders), 6)
+        ), census AS (
+            SELECT itemset, sz, CAST(count(*) AS BIGINT) AS n_co
+            FROM subs
+            GROUP BY itemset, sz
+            HAVING count(*) >= (SELECT minsup FROM n_orders)
+        )"""
+
+
+@query(
+    "fpgrowth_parallel_itemsets",
+    category="B16-basket",
+    oracle=f"""
+        WITH {_FREQ_CENSUS_CTE}
+        SELECT itemset, sz, n_co,
+               CAST(round(n_co * 1.0 / (SELECT n FROM n_orders), 6)
                     AS DOUBLE) AS support
-        FROM subs
-        GROUP BY itemset, sz
-        HAVING count(*) >= (SELECT minsup FROM n_orders)
+        FROM census
         ORDER BY sz, n_co DESC, itemset
     """,
 )
@@ -1865,6 +1873,105 @@ def fpgrowth_parallel_itemsets(
         "itemset", "sz", "n_co",
         F.round(F.col("n_co") / F.lit(n_orders), 6).alias("support"),
     ).orderBy("sz", F.col("n_co").desc(), "itemset")
+
+
+@query(
+    "frequent_itemsets_closed_maximal",
+    category="B16-closed",
+    oracle=f"""
+        WITH {_FREQ_CENSUS_CTE}, kids AS (
+            SELECT array_to_string(
+                     list_filter(string_split(itemset, '|'),
+                                 (x, i) -> i != d),
+                     '|') AS parent,
+                   n_co AS child_n
+            FROM census,
+                 LATERAL unnest(generate_series(
+                     1, CAST(sz AS INTEGER))) AS t(d)
+            WHERE sz > 1
+        )
+        SELECT c.itemset, c.sz, c.n_co,
+               coalesce(max(CASE WHEN k.child_n = c.n_co
+                                 THEN 1 ELSE 0 END), 0) = 0 AS is_closed,
+               count(k.parent) = 0 AS is_maximal
+        FROM census c LEFT JOIN kids k ON c.itemset = k.parent
+        GROUP BY c.itemset, c.sz, c.n_co
+        ORDER BY c.sz, c.n_co DESC, c.itemset
+    """,
+)
+def frequent_itemsets_closed_maximal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLOSED and MAXIMAL flags over the full frequent-itemset census
+    (the condensed representations every itemset miner ships: closed =
+    no superset has the SAME support, i.e. the lossless compression of
+    the census; maximal = no superset is frequent at all, the positive
+    border).
+
+    The check needs only IMMEDIATE supersets, never the full superset
+    lattice: support is antimonotone, so if ANY superset Y ⊃ X has
+    supp(Y) = supp(X), the (|X|+1)-subset Z of Y containing X is
+    squeezed to the same support (supp(Y) ≤ supp(Z) ≤ supp(X)) — and
+    an equal-support superset of a frequent X is itself frequent,
+    hence IN the census. Likewise any frequent superset implies a
+    frequent immediate superset by downward closure. So each census
+    itemset of size s emits its s immediate parents (drop one item),
+    and one equi-join on the parent string decides both flags:
+    a match kills maximality; an equal-support match kills closure.
+
+    Scale: the parent expansion is Σ sz over the census — LINEAR in
+    the (already minsup-bounded) census, vs the quadratic all-pairs
+    subset join the definition suggests; the verdict is one string
+    equi-join on parent, shuffled by itemset key. The census itself
+    comes from the PFP pipeline (fpgrowth_parallel_itemsets), so the
+    whole path stays candidate-generation-free.
+    """
+    from ..operators.graph import truncate_lineage
+
+    census = fpgrowth_parallel_itemsets(spark, sf_dir).select(
+        "itemset", "sz", "n_co"
+    )
+    # census feeds the parent expansion AND the verdict join's left
+    # side — checkpoint so the PFP mining pipeline runs once and the
+    # returned plan doesn't embed it twice (the persist-display-repeat
+    # trap: r7 house rule)
+    census = truncate_lineage(census, parallelism=8)
+    kids = (
+        census.filter(F.col("sz") > 1)
+        .select(
+            F.split("itemset", r"\|").alias("items"),
+            F.col("n_co").alias("child_n"),
+        )
+        .select(
+            F.posexplode("items").alias("d", "dropped"),
+            "items", "child_n",
+        )
+        .select(
+            F.array_join(
+                F.filter("items", lambda x, i: i != F.col("d")), "|"
+            ).alias("parent"),
+            "child_n",
+        )
+    )
+    return (
+        census.join(kids, census["itemset"] == kids["parent"], "left")
+        .groupBy("itemset", "sz", "n_co")
+        .agg(
+            (
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("child_n") == F.col("n_co"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                == 0
+            ).alias("is_closed"),
+            (F.count("parent") == 0).alias("is_maximal"),
+        )
+        .orderBy("sz", F.col("n_co").desc(), "itemset")
+    )
 
 
 _Z_TERMS_SQL = " + ".join(
