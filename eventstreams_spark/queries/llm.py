@@ -2244,6 +2244,116 @@ def exact_substring_dup_coverage(
 
 
 @query(
+    "repeat_family_census",
+    category="L2-suffixarray",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, CAST(t.off AS BIGINT) AS off,
+                   substring(text, CAST(t.off AS INTEGER)) AS suf
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text)))
+                     AS t(off)
+        ), eligible AS (
+            SELECT doc_id, off, suf,
+                   substring(suf, 1, 20) AS fingerprint20
+            FROM pos WHERE length(suf) >= 20
+        ), adj AS (
+            SELECT fingerprint20, doc_id, suf,
+                   lead(suf) OVER (PARTITION BY fingerprint20
+                                   ORDER BY suf, doc_id, off) AS nsuf
+            FROM eligible
+        ), lcps AS (
+            SELECT fingerprint20, doc_id,
+                   CASE WHEN nsuf IS NULL THEN NULL
+                        WHEN coalesce(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false), 0)
+                          = 0
+                        THEN CAST(least(length(suf), length(nsuf))
+                                  AS BIGINT)
+                        ELSE CAST(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false) - 1
+                          AS BIGINT)
+                   END AS lcp_in
+            FROM adj
+        ), fams AS (
+            SELECT fingerprint20,
+                   CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(min(lcp_in) AS BIGINT) AS depth
+            FROM lcps GROUP BY fingerprint20 HAVING count(*) >= 2
+        )
+        SELECT fingerprint20, depth, n_occ, n_docs,
+               n_docs > 1 AS cross_doc,
+               CAST((n_occ - 1) * depth AS BIGINT) AS cut_chars
+        FROM fams ORDER BY n_occ DESC, fingerprint20
+    """,
+)
+def repeat_family_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT FAMILIES — the depth-20 cut of the suffix array's
+    LCP-interval tree: every maximal run of SA-consecutive suffixes
+    whose adjacent LCPs are all >= 20 is one family (all members share
+    one >= 20-char prefix; conversely all suffixes sharing a 20-char
+    prefix are SA-contiguous with pairwise LCP >= 20, so the run IS
+    the prefix-equivalence class). This is the step BETWEEN
+    exact_substring_dup_coverage (how much of each doc is duplicated)
+    and an actual dedup cut: WHICH substrings repeat, how often,
+    across how many documents (cross_doc = the contamination signal),
+    and the family's true depth — the length of the longest prefix
+    shared by ALL members (min in-family adjacent LCP, >= 20 but
+    usually much deeper), so cut_chars = (n_occ − 1) · depth is the
+    volume a keep-one-occurrence cut at full depth would remove.
+
+    The prefix-class equivalence is what makes the operator
+    distributed: family assembly is ONE groupBy on the bounded
+    20-char fingerprint — never a global window over the LCP array —
+    and depth needs no in-group re-sort because a member's SA-next
+    row is in the same family iff its lcp_next >= 20 (sharing 20
+    chars = same fingerprint), so depth = min(lcp_next | >= 20)
+    within the group, straight off the shared rank-only LCP frame.
+
+    Scale: SA + LCP from _suffix_array_lcp_frame (rank-only,
+    checkpointed — see suffix_array_doubling_gate); one doc_id
+    equi-join rehydrates the 20-char fingerprints (bounded carry);
+    one fingerprint-keyed shuffle aggregates families. Integer-only
+    output, no floats anywhere.
+    """
+    pairs = _suffix_array_lcp_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("len")
+    )
+    joined = (
+        pairs.join(docs, "doc_id")
+        .filter(F.col("len") - F.col("off") + 1 >= 20)
+        .select(
+            F.expr("substring(text, off, 20)").alias("fingerprint20"),
+            "doc_id", "lcp_next",
+        )
+    )
+    fams = (
+        joined.groupBy("fingerprint20")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min(
+                F.when(F.col("lcp_next") >= 20, F.col("lcp_next"))
+            ).cast("long").alias("depth"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    return fams.select(
+        "fingerprint20", "depth", "n_occ", "n_docs",
+        (F.col("n_docs") > 1).alias("cross_doc"),
+        ((F.col("n_occ") - 1) * F.col("depth")).cast("long").alias(
+            "cut_chars"
+        ),
+    ).orderBy(F.col("n_occ").desc(), "fingerprint20")
+
+
+@query(
     "allpairs_prefix_filter_join",
     category="L2-exact",
     oracle=f"""
