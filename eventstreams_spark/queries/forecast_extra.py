@@ -2076,11 +2076,10 @@ def _smith_waterman_score(xa, xb, match: int = 2, mismatch: int = -1,
     return best
 
 
-@query(
-    "smith_waterman_local_shapes",
-    category="FC-alignment",
-    oracle="""
-        WITH daily AS (
+# Shared oracle DP for the Smith-Waterman family (score census +
+# traceback): rank-tercile symbols per channel, then the anti-diagonal
+# recursive-CTE local-alignment DP with the 0 floor.
+_SW_DP_CTE = """daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
                    CAST(count(*) AS BIGINT) AS x
             FROM events GROUP BY event_type, CAST(ts AS DATE)
@@ -2165,7 +2164,14 @@ def _smith_waterman_score(xa, xb, match: int = 2, mismatch: int = -1,
                 )
             )
             SELECT * FROM dp
-        )
+        )"""
+
+
+@query(
+    "smith_waterman_local_shapes",
+    category="FC-alignment",
+    oracle=f"""
+        WITH {_SW_DP_CTE}
         SELECT ca AS channel_a, cb AS channel_b,
                CAST(max(val) AS BIGINT) AS sw_score,
                CAST(round(max(val) * 1.0 / (2 * least(na, nb)), 6)
@@ -2261,6 +2267,224 @@ def smith_waterman_local_shapes(
         )
         .orderBy("channel_a", "channel_b")
     )
+
+
+@query(
+    "smith_waterman_traceback_alignment",
+    category="FC-alignment",
+    oracle=f"""
+        WITH {_SW_DP_CTE}, cellsu AS (
+            SELECT ca, cb, i, j, CAST(max(val) AS BIGINT) AS val
+            FROM cells GROUP BY ca, cb, i, j
+        ), ends AS (
+            SELECT ca, cb, i, j, val,
+                   row_number() OVER (PARTITION BY ca, cb
+                                      ORDER BY val DESC, i, j) AS rk
+            FROM cellsu
+        ), walk AS (
+            WITH RECURSIVE tb AS (
+                SELECT ca, cb, val AS sw_score, i, j, val,
+                       i AS a_end, j AS b_end,
+                       CAST('' AS VARCHAR) AS aa,
+                       CAST('' AS VARCHAR) AS ab
+                FROM ends WHERE rk = 1
+                UNION ALL
+                SELECT q.ca, q.cb, q.sw_score,
+                       CASE WHEN q.m = 'L' THEN q.i ELSE q.i - 1 END,
+                       CASE WHEN q.m = 'U' THEN q.j ELSE q.j - 1 END,
+                       CASE WHEN q.m = 'D' THEN q.dv
+                            WHEN q.m = 'U' THEN q.uv
+                            ELSE q.lv2 END,
+                       q.a_end, q.b_end,
+                       (CASE WHEN q.m = 'L' THEN '-' ELSE q.ach END)
+                           || q.aa,
+                       (CASE WHEN q.m = 'U' THEN '-' ELSE q.bch END)
+                           || q.ab
+                FROM (
+                    SELECT t.ca, t.cb, t.sw_score, t.i, t.j, t.val,
+                           t.a_end, t.b_end, t.aa, t.ab,
+                           CAST(la.lv AS VARCHAR) AS ach,
+                           CAST(lb.lv AS VARCHAR) AS bch,
+                           coalesce(cd.val, 0) AS dv,
+                           cu.val AS uv, cl.val AS lv2,
+                           CASE WHEN t.val = coalesce(cd.val, 0)
+                                     + (CASE WHEN la.lv = lb.lv THEN 2
+                                             ELSE -1 END) THEN 'D'
+                                WHEN t.i > 1 AND t.val = cu.val - 2
+                                THEN 'U'
+                                ELSE 'L' END AS m
+                    FROM tb t
+                    JOIN sym la ON la.event_type = t.ca
+                               AND la.rn = t.i
+                    JOIN sym lb ON lb.event_type = t.cb
+                               AND lb.rn = t.j
+                    LEFT JOIN cellsu cd ON cd.ca = t.ca
+                        AND cd.cb = t.cb AND cd.i = t.i - 1
+                        AND cd.j = t.j - 1
+                    LEFT JOIN cellsu cu ON cu.ca = t.ca
+                        AND cu.cb = t.cb AND cu.i = t.i - 1
+                        AND cu.j = t.j
+                    LEFT JOIN cellsu cl ON cl.ca = t.ca
+                        AND cl.cb = t.cb AND cl.i = t.i
+                        AND cl.j = t.j - 1
+                    WHERE t.val > 0
+                ) q
+            ) SELECT * FROM tb
+        )
+        SELECT ca AS channel_a, cb AS channel_b, sw_score,
+               CAST(i + 1 AS BIGINT) AS a_start,
+               CAST(a_end AS BIGINT) AS a_end,
+               CAST(j + 1 AS BIGINT) AS b_start,
+               CAST(b_end AS BIGINT) AS b_end,
+               aa AS aligned_a, ab AS aligned_b,
+               CAST(length(aa) AS BIGINT) AS align_len
+        FROM walk WHERE val = 0
+        ORDER BY channel_a, channel_b
+    """,
+)
+def smith_waterman_traceback_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Smith-Waterman with the ALIGNMENT ITSELF emitted, not just the
+    score: the aligned symbol strings (gaps as '-') and the 1-based
+    [start, end] bounds of the matched episode in BOTH channels —
+    what an analyst actually reads off a local alignment ("these 9
+    days in click line up with those 9 days in purchase").
+
+    Traceback is where alignment determinism usually dies, so the
+    contract is explicit and shared by both engines: the end cell is
+    the max-value cell with ties to the smallest (i, j); at each cell
+    the move priority is diag, then up, then left, accepting a move
+    iff the cell value equals predecessor + that move's contribution
+    (borders count as 0-valued predecessors); the walk stops on
+    reaching a 0 cell. The oracle replays the identical walk as a
+    second recursive CTE over the deduped DP table — every emitted
+    character is hash-compared, so ANY divergence in tie-breaking
+    shows up as a red, not a silently different-but-equal-scoring
+    alignment.
+
+    Scale: identical to smith_waterman_local_shapes — one daily
+    rollup, broadcast pair frame, one Arrow-batched DP per pair; the
+    traceback adds O(n·m) memory per pair inside the UDF (28×28
+    here; sequences are bounded windows by construction) and O(n+m)
+    walk steps. Output is one row per channel pair.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 28)
+    sym = seq.select(
+        "event_type", "rn",
+        F.expr(
+            "((CAST(row_number() OVER (PARTITION BY event_type"
+            " ORDER BY x, rn) AS BIGINT) - 1) * 3) div 28"
+        ).alias("lv"),
+    )
+    arrs = sym.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "lv"))),
+            lambda s: s["lv"],
+        ).alias("syms"),
+    )
+    a = arrs.select(
+        F.col("event_type").alias("channel_a"), F.col("syms").alias("sa")
+    )
+    b = arrs.select(
+        F.col("event_type").alias("channel_b"), F.col("syms").alias("sb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("channel_a") < F.col("channel_b"))
+
+    ret = StructType([
+        StructField("sw_score", LongType()),
+        StructField("a_start", LongType()),
+        StructField("a_end", LongType()),
+        StructField("b_start", LongType()),
+        StructField("b_end", LongType()),
+        StructField("aligned_a", StringType()),
+        StructField("aligned_b", StringType()),
+    ])
+
+    @F.pandas_udf(ret)
+    def sw_tb(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        rows = [
+            _smith_waterman_traceback(list(xa), list(xb))
+            for xa, xb in zip(sa, sb)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "sw_score", "a_start", "a_end", "b_start", "b_end",
+                "aligned_a", "aligned_b",
+            ],
+        )
+
+    res = pairs.select(
+        "channel_a", "channel_b",
+        sw_tb(F.col("sa"), F.col("sb")).alias("r"),
+    )
+    return res.select(
+        "channel_a", "channel_b",
+        F.col("r.sw_score").alias("sw_score"),
+        F.col("r.a_start").alias("a_start"),
+        F.col("r.a_end").alias("a_end"),
+        F.col("r.b_start").alias("b_start"),
+        F.col("r.b_end").alias("b_end"),
+        F.col("r.aligned_a").alias("aligned_a"),
+        F.col("r.aligned_b").alias("aligned_b"),
+        F.length("r.aligned_a").cast("long").alias("align_len"),
+    ).orderBy("channel_a", "channel_b")
+
+
+def _smith_waterman_traceback(xa, xb, match: int = 2, mismatch: int = -1,
+                              gap: int = -2):
+    """Smith-Waterman with TRACEBACK: full DP matrix, end cell = max
+    value with ties broken to the smallest (i, j), then a pinned-
+    priority walk (diag, then up, then left; stop at a 0 cell) —
+    the priority order IS the determinism contract the oracle's
+    recursive-CTE walk mirrors move for move. Returns (score,
+    a_start, a_end, b_start, b_end, aligned_a, aligned_b), 1-based
+    inclusive bounds, '-' for gaps."""
+    n, m = len(xa), len(xb)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    best, bi, bj = 0, 0, 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = match if xa[i - 1] == xb[j - 1] else mismatch
+            v = max(0, dp[i - 1][j - 1] + s, dp[i - 1][j] + gap,
+                    dp[i][j - 1] + gap)
+            dp[i][j] = v
+            if v > best:  # strict: first (min i, then min j) max wins
+                best, bi, bj = v, i, j
+    if best == 0:
+        return 0, 0, 0, 0, 0, "", ""
+    i, j, aa, ab = bi, bj, [], []
+    while dp[i][j] > 0:
+        v = dp[i][j]
+        s = match if xa[i - 1] == xb[j - 1] else mismatch
+        d = dp[i - 1][j - 1] if (i > 1 and j > 1) else 0
+        if v == d + s:
+            aa.append(str(xa[i - 1]))
+            ab.append(str(xb[j - 1]))
+            i -= 1
+            j -= 1
+        elif i > 1 and v == dp[i - 1][j] + gap:
+            aa.append(str(xa[i - 1]))
+            ab.append("-")
+            i -= 1
+        else:
+            aa.append("-")
+            ab.append(str(xb[j - 1]))
+            j -= 1
+    return (best, i + 1, bi, j + 1, bj,
+            "".join(reversed(aa)), "".join(reversed(ab)))
 
 
 def _gotoh_local_score(xa, xb, match: int = 2, mismatch: int = -1,

@@ -499,6 +499,49 @@ def test_smith_waterman_matches_all_substring_pairs_maximum():
     ) >= 8  # the shared 0,2,1,0 episode: 4 matches
 
 
+def test_smith_waterman_traceback_is_valid_and_optimal():
+    """The traceback's emitted alignment must RE-SCORE to exactly the
+    DP optimum (sum of +2 match / −1 mismatch / −2 gap over its
+    columns), its gap-stripped rows must be the claimed [start, end]
+    substrings of the inputs, and it must never align gap against
+    gap — checked on random inputs against the independently-verified
+    score-only DP."""
+    import random
+
+    from eventstreams_spark.queries.forecast_extra import (
+        _smith_waterman_score,
+        _smith_waterman_traceback,
+    )
+
+    rng = random.Random(11)
+    for _ in range(60):
+        na, nb = rng.randint(1, 9), rng.randint(1, 9)
+        xa = [rng.randint(0, 2) for _ in range(na)]
+        xb = [rng.randint(0, 2) for _ in range(nb)]
+        score, a0, a1, b0, b1, aa, ab = _smith_waterman_traceback(xa, xb)
+        assert score == _smith_waterman_score(xa, xb), (xa, xb)
+        if score == 0:
+            assert (aa, ab) == ("", "")
+            continue
+        assert len(aa) == len(ab)
+        rescore = 0
+        for ca, cb in zip(aa, ab):
+            assert not (ca == "-" and cb == "-")
+            if ca == "-" or cb == "-":
+                rescore -= 2
+            elif ca == cb:
+                rescore += 2
+            else:
+                rescore -= 1
+        assert rescore == score, (xa, xb, aa, ab)
+        assert aa.replace("-", "") == "".join(
+            str(v) for v in xa[a0 - 1:a1]
+        )
+        assert ab.replace("-", "") == "".join(
+            str(v) for v in xb[b0 - 1:b1]
+        )
+
+
 def test_gotoh_local_matches_substring_pairs_of_global_gotoh():
     """Local affine score == max(0, max over ALL substring pairs of
     the enumeration-verified GLOBAL Gotoh score) — the definitional
