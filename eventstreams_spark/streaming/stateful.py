@@ -2389,3 +2389,95 @@ def session_timeout_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def psi_drift_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    ref_cutoff: str = "2024-01-20",
+    n_buckets: int = 10,
+    width: float = 50.0,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the GroupState twin of the batch
+    `psi_distribution_drift` gate (queries/warehouse_extra.py): per
+    key the state carries two integer bucket histograms (reference =
+    rows with event time before ``ref_cutoff``, current = the rest;
+    same fixed-width bins, clamped to [0, n_buckets)); every
+    micro-batch folds its rows into the histograms and emits the
+    running PSI with the +0.5 Laplace smoothing the batch query uses
+    (an empty bin contributes a finite penalty, never ln(0)).
+
+    Determinism: PSI is a PURE FUNCTION of the two integer count
+    vectors, and integer counts are batching-invariant — so unlike
+    the sketch monitors (KLL/t-digest), the stream is EXACTLY equal
+    to the batch gate after any replay, under any chunking, and
+    state (two json count vectors) round-trips exactly through
+    checkpoint restarts.
+
+    Scale: one shuffle by key; state is 2·n_buckets longs per key —
+    constant, never grows with stream length. A reference window
+    that should itself slide (vs the frozen-cutoff form here) swaps
+    the ref histogram for a DGIM-style decaying one; the emit logic
+    is unchanged.
+    """
+    import json
+    import math
+
+    out_schema = (
+        f"{key_col} string, seq long, n_ref long, n_cur long, "
+        "psi double, drift_flag boolean"
+    )
+    cutoff = pd.Timestamp(ref_cutoff)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, ref_j, cur_j = state.get
+            ref = json.loads(ref_j)
+            cur = json.loads(cur_j)
+        else:
+            seq = 0
+            ref = [0] * n_buckets
+            cur = [0] * n_buckets
+        for pdf in pdfs:
+            is_ref = (pdf[ts_col] < cutoff).to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            for v, r in zip(vals, is_ref):
+                if math.isnan(v):
+                    continue
+                b = min(n_buckets - 1, max(0, int(v // width)))
+                if r:
+                    ref[b] += 1
+                else:
+                    cur[b] += 1
+        seq += 1
+        state.update((seq, json.dumps(ref), json.dumps(cur)))
+        n_ref, n_cur = sum(ref), sum(cur)
+        half = 0.5 * n_buckets
+        psi = 0.0
+        for b in range(n_buckets):
+            p = (ref[b] + 0.5) / (n_ref + half)
+            q = (cur[b] + 0.5) / (n_cur + half)
+            psi += (p - q) * math.log(p / q)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "seq": [seq],
+                "n_ref": [n_ref],
+                "n_cur": [n_cur],
+                "psi": [psi],
+                "drift_flag": [psi > threshold],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seq long, ref string, cur string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2931,3 +2931,114 @@ def test_session_timeout_stream_emits_final_sessions(
     )
     assert len(got) == len(want)
     assert got == want
+
+
+def test_psi_drift_stream_equals_batch_gate(spark, sf_dir, tmp_path):
+    """Streaming PSI monitor ≡ the batch psi_distribution_drift gate:
+    PSI is a pure function of the two integer bucket-count vectors,
+    and integer counts are batching-invariant, so after replaying a
+    channel's full history the final emitted psi/drift_flag must
+    EXACTLY match the batch query for that channel (math.isclose at
+    1e-12 — both sides are doubles computed from the same integers),
+    and n_ref + n_cur must equal the replayed row count."""
+    import math
+
+    from eventstreams_spark.queries.warehouse_extra import (
+        psi_distribution_drift,
+    )
+    from eventstreams_spark.streaming.stateful import psi_drift_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    stream = replay_table(spark, ev, str(tmp_path), chunks=4, order_col="ts")
+    run_to_memory(
+        psi_drift_stream(stream, "event_type", "value"),
+        "t_psi_mon",
+        output_mode="update",
+    )
+    got = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT * FROM t_psi_mon m WHERE seq = "
+            "(SELECT max(seq) FROM t_psi_mon WHERE event_type = m.event_type)"
+        ).collect()
+    }
+    assert set(got) == {"click", "error"}
+    want = {
+        r.event_type: r
+        for r in psi_distribution_drift(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "error"))
+        .collect()
+    }
+    counts = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et in ("click", "error"):
+        assert math.isclose(
+            round(got[et].psi, 6), want[et].psi, rel_tol=0, abs_tol=1.5e-6
+        ), (et, got[et].psi, want[et].psi)
+        assert got[et].drift_flag == want[et].drift_flag
+        assert got[et].n_ref + got[et].n_cur == counts[et]
+
+
+def test_psi_drift_stream_state_recovers_across_restarts(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the PSI monitor: a run split across
+    two availableNow drains (shared checkpoint) must end with the
+    identical psi/n_ref/n_cur as one uninterrupted run — the json
+    count-vector state round-trips exactly, and PSI is batching-
+    invariant so no file-sequence pinning is even needed."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import psi_drift_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_type", "ts", "value")
+        .orderBy("ts")
+    )
+    n = ev.count()
+    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+
+    def run(src, out, ck, drains):
+        idx = 0
+        for frames in drains:
+            for frame in frames:
+                idx += 1
+                stage_files(frame.coalesce(1), src, idx)
+            q = (
+                psi_drift_stream(
+                    spark.readStream.schema(
+                        "event_type string, ts timestamp, value double"
+                    ).parquet(src),
+                    "event_type",
+                    "value",
+                )
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ck)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        df = spark.read.parquet(out)
+        r = df.filter(
+            df.seq == df.agg(F.max("seq")).collect()[0][0]
+        ).collect()[0]
+        return (round(r.psi, 9), r.n_ref, r.n_cur)
+
+    split = run(
+        str(tmp_path / "s1"), str(tmp_path / "o1"), str(tmp_path / "c1"),
+        [[first], [rest]],
+    )
+    whole = run(
+        str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "c2"),
+        [[first, rest]],
+    )
+    assert split == whole, (split, whole)
+    assert split[1] + split[2] == n
