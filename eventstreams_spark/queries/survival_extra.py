@@ -685,3 +685,176 @@ def logrank_stratified_test(
         F.round(diff * diff / F.col("v"), 6).alias("chi2"),
         (diff * diff > 3.841459 * F.col("v")).alias("reject_5pct"),
     )
+
+
+@query(
+    "cox_proportional_hazards",
+    category="SV-cox",
+    oracle=f"""
+        WITH {_LIFE_CTE}, grouped AS (
+            SELECT user_id, dur, died,
+                   CASE WHEN (instr('0123456789abcdef',
+                                    substr(md5(cast(user_id AS VARCHAR)),
+                                           1, 1)) - 1) % 2 = 0
+                        THEN 1 ELSE 0 END AS x
+            FROM subj
+        ), at_t AS (
+            SELECT dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(sum(CASE WHEN x = 1 THEN died ELSE 0 END)
+                        AS BIGINT) AS d_at,
+                   CAST(count(*) AS BIGINT) AS leave_t,
+                   CAST(sum(x) AS BIGINT) AS leave_at
+            FROM grouped GROUP BY dur
+        ), risk AS (
+            SELECT t, d_t, d_at,
+                   CAST(sum(leave_t) OVER w AS BIGINT) AS n_t,
+                   CAST(sum(leave_at) OVER w AS BIGINT) AS n_at
+            FROM at_t
+            WINDOW w AS (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), times AS (
+            SELECT t, d_t, d_at, n_at, n_t - n_at AS n_bt,
+                   CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS idx,
+                   CAST(count(*) OVER () AS BIGINT) AS n_times
+            FROM risk WHERE d_t > 0
+        ), walked AS (
+            WITH RECURSIVE nr AS (
+                SELECT 0 AS k, CAST(0.0 AS DOUBLE) AS beta,
+                       CAST(0 AS BIGINT) AS idx,
+                       CAST(0.0 AS DOUBLE) AS u,
+                       CAST(0.0 AS DOUBLE) AS info
+                UNION ALL
+                SELECT * FROM (
+                    SELECT q.k, q.beta, q.tidx AS idx,
+                           q.u + q.d_at - q.d_t * q.mu AS u,
+                           q.info + q.d_t * q.mu * (1.0 - q.mu) AS info
+                    FROM (
+                        SELECT nr.k, nr.beta, nr.u, nr.info,
+                               tm.idx AS tidx, tm.d_at, tm.d_t,
+                               (tm.n_at * exp(nr.beta))
+                                   / (tm.n_at * exp(nr.beta) + tm.n_bt)
+                                   AS mu
+                        FROM nr JOIN times tm ON tm.idx = nr.idx + 1
+                        WHERE nr.k <= 8
+                    ) q
+                    UNION ALL
+                    SELECT nr.k + 1, nr.beta + nr.u / nr.info,
+                           CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE)
+                    FROM nr JOIN (SELECT max(n_times) AS n FROM times) c
+                         ON nr.idx = c.n
+                    WHERE nr.k < 8
+                )
+            ) SELECT * FROM nr
+        )
+        SELECT CAST(round(beta, 6) AS DOUBLE) AS beta,
+               CAST(round(exp(beta), 6) AS DOUBLE) AS hazard_ratio,
+               CAST(round(1.0 / sqrt(info), 6) AS DOUBLE) AS se,
+               CAST(round(beta * sqrt(info), 6) AS DOUBLE) AS z,
+               CAST(round(beta * beta * info, 6) AS DOUBLE) AS wald_chi2,
+               (SELECT CAST(sum(d_t) AS BIGINT) FROM times) AS n_events,
+               (SELECT max(n_times) FROM times) AS n_times
+        FROM walked
+        WHERE k = 8 AND idx = (SELECT max(n_times) FROM times)
+    """,
+)
+def cox_proportional_hazards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COX PROPORTIONAL-HAZARDS regression on the session subjects
+    with one binary covariate (the md5 A/B arm the log-rank tests
+    score): β̂ maximizes the Breslow-ties partial likelihood
+    l(β) = Σ_t [d_At·β − d_t·ln(n_At·e^β + n_Bt)] by Newton-Raphson
+    from β=0 — 8 fixed iterations (quadratic convergence; 8 is
+    parameter-level overkill), then one more score/information pass
+    at β̂ for the standard error. Emits the hazard ratio e^β, Wald
+    z and χ², completing the survival family: KM/Nelson-Aalen
+    describe the curves, log-rank tests them, Cox QUANTIFIES the
+    effect with a confidence scale.
+
+    With a single binary covariate the per-time sufficient statistics
+    collapse to the same exact-integer risk table the log-rank test
+    uses (d_t, d_At, n_At, n_Bt at each death time, suffix-sum
+    construction), so the distributed work is identical; Newton then
+    runs on that BOUNDED table (|distinct death minutes| rows —
+    bounded by corpus span, the F-list/IVF-centroid metadata-collect
+    pattern) with left-to-right pinned accumulation. The oracle
+    replays the IDENTICAL walk as a recursive CTE over the same
+    table — every add/multiply in the same order with the same
+    parenthesization (the fs_em_weight_training bit-identity
+    pattern), so both engines produce the same doubles before the
+    single round-at-read.
+
+    Scale: one sessionize shuffle + one bounded-frame suffix sum,
+    exactly like the log-rank queries; the driver-side Newton is
+    O(iterations × distinct death times) on metadata. Many
+    covariates would swap the closed 2-group μ_t for per-time
+    weighted covariate sums — same shape, vector state.
+    """
+    import math
+
+    grouped = _subjects(spark, sf_dir).select(
+        "dur", "died",
+        F.when(
+            F.expr(
+                "(instr('0123456789abcdef',"
+                " substr(md5(cast(user_id AS STRING)), 1, 1)) - 1) % 2"
+            )
+            == 0,
+            1,
+        ).otherwise(0).alias("x"),
+    )
+    at_t = grouped.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.sum(F.when(F.col("x") == 1, F.col("died")).otherwise(0))
+        .cast("long").alias("d_at"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+        F.sum("x").cast("long").alias("leave_at"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = at_t.select(
+        "t", "d_t", "d_at",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+        F.sum("leave_at").over(w_suf).cast("long").alias("n_at"),
+    )
+    # bounded metadata collect (|distinct death minutes| rows), sorted
+    # by t so the Newton accumulation order is pinned on both engines
+    rows = (
+        risk.filter(F.col("d_t") > 0)
+        .select(
+            "t", "d_t", "d_at", "n_at",
+            (F.col("n_t") - F.col("n_at")).alias("n_bt"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    beta = 0.0
+    u = info = 0.0
+    for k in range(9):
+        u, info = 0.0, 0.0
+        for r in rows:
+            mu = (r["n_at"] * math.exp(beta)) / (
+                r["n_at"] * math.exp(beta) + r["n_bt"]
+            )
+            u = u + r["d_at"] - r["d_t"] * mu
+            info = info + r["d_t"] * mu * (1.0 - mu)
+        if k < 8:
+            beta = beta + u / info
+    n_events = sum(r["d_t"] for r in rows)
+    out = [
+        (
+            round(beta, 6),
+            round(math.exp(beta), 6),
+            round(1.0 / math.sqrt(info), 6),
+            round(beta * math.sqrt(info), 6),
+            round(beta * beta * info, 6),
+            n_events,
+            len(rows),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "beta double, hazard_ratio double, se double, z double,"
+        " wald_chi2 double, n_events long, n_times long",
+    )
