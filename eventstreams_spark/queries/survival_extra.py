@@ -858,3 +858,243 @@ def cox_proportional_hazards(
         "beta double, hazard_ratio double, se double, z double,"
         " wald_chi2 double, n_events long, n_times long",
     )
+
+
+# Cause-aware subjects: same 30-min sessions, but each DEATH carries
+# a competing-risk CAUSE — 1 if the session's last event was a
+# purchase (converted exit), 2 otherwise (abandoned exit); censored
+# open sessions stay cause 0. Ties at the last timestamp break by
+# event_type DESC so both engines pick the same closing event.
+_LIFE_CAUSE_CTE = """
+    stamped AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+        FROM events
+    ), gapped AS (
+        SELECT user_id, event_type, t_s,
+               CASE WHEN t_s - lag(t_s) OVER (PARTITION BY user_id
+                                              ORDER BY t_s) > 1800
+                     OR lag(t_s) OVER (PARTITION BY user_id
+                                       ORDER BY t_s) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM stamped
+    ), sess AS (
+        SELECT user_id, event_type, t_s,
+               CAST(sum(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY t_s) AS BIGINT) AS sid
+        FROM gapped
+    ), lasttyp AS (
+        SELECT user_id, sid, event_type AS last_type
+        FROM (
+            SELECT user_id, sid, event_type,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY t_s DESC,
+                                               event_type DESC) AS rn
+            FROM sess
+        ) WHERE rn = 1
+    ), life AS (
+        SELECT user_id, sid,
+               CAST(min(t_s) AS BIGINT) AS t_first,
+               CAST(max(t_s) AS BIGINT) AS t_last
+        FROM sess GROUP BY user_id, sid
+    ), spanmax AS (
+        SELECT max(t_last) AS tmax FROM life
+    ), subj AS (
+        SELECT l.user_id, (l.t_last - l.t_first) // 60 AS dur,
+               CASE WHEN l.t_last >= s.tmax - 1800 THEN 0
+                    WHEN lt.last_type = 'purchase' THEN 1
+                    ELSE 2 END AS cause
+        FROM life l
+        JOIN lasttyp lt ON l.user_id = lt.user_id AND l.sid = lt.sid
+        CROSS JOIN spanmax s
+    )"""
+
+
+@query(
+    "aalen_johansen_competing_risks",
+    category="SV-cif",
+    oracle=f"""
+        WITH {_LIFE_CAUSE_CTE}, at_t AS (
+            SELECT dur AS t,
+                   CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1_t,
+                   CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d2_t,
+                   CAST(count(*) AS BIGINT) AS leave_t
+            FROM subj GROUP BY dur
+        ), risk AS (
+            SELECT t, d1_t, d2_t, d1_t + d2_t AS d_t,
+                   CAST(sum(leave_t) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS BIGINT) AS n_t
+            FROM at_t
+        ), folded AS (
+            SELECT t, n_t, d1_t, d2_t, d_t,
+                   sum(CASE WHEN d_t > 0 AND d_t < n_t
+                            THEN ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                            ELSE 0.0 END)
+                       OVER (ORDER BY t) AS lnsurv,
+                   max(CASE WHEN d_t >= n_t THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t) AS hit_zero
+            FROM risk
+        ), lagged AS (
+            SELECT t, n_t, d1_t, d2_t, d_t, lnsurv, hit_zero,
+                   coalesce(lag(lnsurv) OVER (ORDER BY t), 0.0)
+                       AS lnsurv_prev
+            FROM folded
+        ), cif AS (
+            SELECT t, n_t, d1_t, d2_t, lnsurv, hit_zero,
+                   sum(exp(lnsurv_prev) * (CAST(d1_t AS DOUBLE) / n_t))
+                       OVER (ORDER BY t) AS cif1,
+                   sum(exp(lnsurv_prev) * (CAST(d2_t AS DOUBLE) / n_t))
+                       OVER (ORDER BY t) AS cif2
+            FROM lagged
+        )
+        SELECT t AS minute, n_t AS n_risk,
+               d1_t AS d_purchase, d2_t AS d_other,
+               CAST(round(cif1, 6) AS DOUBLE) AS cif_purchase,
+               CAST(round(cif2, 6) AS DOUBLE) AS cif_other,
+               CAST(CASE WHEN hit_zero = 1 THEN 0.0
+                         ELSE round(exp(lnsurv), 6) END AS DOUBLE)
+                   AS surv_allcause,
+               CAST(round(cif1 + cif2
+                          + CASE WHEN hit_zero = 1 THEN 0.0
+                                 ELSE exp(lnsurv) END, 6) AS DOUBLE)
+                   AS mass_check
+        FROM cif WHERE d1_t + d2_t > 0
+        ORDER BY minute
+    """,
+)
+def aalen_johansen_competing_risks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AALEN-JOHANSEN cumulative incidence under COMPETING RISKS: a
+    session's end is attributed to cause 1 (last event was a
+    purchase — a converted exit) or cause 2 (any other exit), open
+    sessions censored as usual; CIF_k(t) = Σ_{s≤t} S(s−)·d_ks/n_s
+    where S is the ALL-cause Kaplan-Meier. This is the estimator
+    1−KM-per-cause gets WRONG (treating the competing cause as
+    censoring overstates both incidences); the self-certifying
+    `mass_check` column pins the defining identity
+    CIF₁(t) + CIF₂(t) + S(t) = 1 at every emitted time on both
+    engines — an Aalen-Johansen implementation bug breaks the hash
+    twice (values AND identity).
+
+    Determinism: the same exact-integer suffix-sum risk sets as the
+    KM family; S(s−) comes from the LAGGED pinned ln-sum (lag of a
+    window cumulative sum is itself order-pinned); each CIF is one
+    more pinned-order running sum of shared-text doubles; the
+    d_t = n_t terminal time reuses the hit-zero guard (its CIF
+    increments use S(t−), which is finite — only the displayed S
+    needs the flag).
+
+    Scale: identical to kaplan_meier_survival plus one row_number
+    per session to pick the closing event (same user shuffle) —
+    all curve algebra on the bounded distinct-duration frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stamped = ev.select(
+        "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_s")
+    gapped = stamped.select(
+        "user_id", "event_type", "t_s",
+        F.when(
+            (F.col("t_s") - F.lag("t_s").over(w) > 1800)
+            | F.lag("t_s").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    sess = gapped.select(
+        "user_id", "event_type", "t_s",
+        F.sum("is_start").over(w).cast("long").alias("sid"),
+    )
+    w_last = Window.partitionBy("user_id", "sid").orderBy(
+        F.desc("t_s"), F.desc("event_type")
+    )
+    lasttyp = (
+        sess.select(
+            "user_id", "sid", "event_type",
+            F.row_number().over(w_last).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "sid", F.col("event_type").alias("last_type"))
+    )
+    life = sess.groupBy("user_id", "sid").agg(
+        F.min("t_s").cast("long").alias("t_first"),
+        F.max("t_s").cast("long").alias("t_last"),
+    )
+    spanmax = life.agg(F.max("t_last").alias("tmax"))
+    subj = (
+        life.join(lasttyp, ["user_id", "sid"])
+        .crossJoin(F.broadcast(spanmax))
+        .select(
+            F.floor((F.col("t_last") - F.col("t_first")) / 60)
+            .cast("long").alias("dur"),
+            F.when(F.col("t_last") >= F.col("tmax") - 1800, 0)
+            .when(F.col("last_type") == "purchase", 1)
+            .otherwise(2).alias("cause"),
+        )
+    )
+    at_t = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+        .cast("long").alias("d1_t"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+        .cast("long").alias("d2_t"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = at_t.select(
+        "t", "d1_t", "d2_t",
+        (F.col("d1_t") + F.col("d2_t")).alias("d_t"),
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+    )
+    w_cum = Window.orderBy("t")
+    folded = risk.select(
+        "t", "n_t", "d1_t", "d2_t", "d_t",
+        F.sum(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")),
+                F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")),
+            ).otherwise(0.0)
+        ).over(w_cum).alias("lnsurv"),
+        F.max(
+            F.when(F.col("d_t") >= F.col("n_t"), 1).otherwise(0)
+        ).over(w_cum).alias("hit_zero"),
+    )
+    lagged = folded.select(
+        "t", "n_t", "d1_t", "d2_t", "d_t", "lnsurv", "hit_zero",
+        F.coalesce(F.lag("lnsurv").over(w_cum), F.lit(0.0)).alias(
+            "lnsurv_prev"
+        ),
+    )
+    cif = lagged.select(
+        "t", "n_t", "d1_t", "d2_t", "lnsurv", "hit_zero",
+        F.sum(
+            F.exp("lnsurv_prev")
+            * (F.col("d1_t").cast("double") / F.col("n_t"))
+        ).over(w_cum).alias("cif1"),
+        F.sum(
+            F.exp("lnsurv_prev")
+            * (F.col("d2_t").cast("double") / F.col("n_t"))
+        ).over(w_cum).alias("cif2"),
+    )
+    surv = F.when(F.col("hit_zero") == 1, 0.0).otherwise(F.exp("lnsurv"))
+    return (
+        cif.filter(F.col("d1_t") + F.col("d2_t") > 0)
+        .select(
+            F.col("t").alias("minute"),
+            F.col("n_t").alias("n_risk"),
+            F.col("d1_t").alias("d_purchase"),
+            F.col("d2_t").alias("d_other"),
+            F.round("cif1", 6).alias("cif_purchase"),
+            F.round("cif2", 6).alias("cif_other"),
+            F.round(surv, 6).alias("surv_allcause"),
+            F.round(F.col("cif1") + F.col("cif2") + surv, 6).alias(
+                "mass_check"
+            ),
+        )
+        .orderBy("minute")
+    )
