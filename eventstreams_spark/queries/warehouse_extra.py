@@ -1974,6 +1974,120 @@ def frequent_itemsets_closed_maximal(
     )
 
 
+@query(
+    "association_rules_confidence_lift",
+    category="B16-rules",
+    oracle=f"""
+        WITH {_FREQ_CENSUS_CTE}, expanded AS (
+            SELECT array_to_string(
+                     list_filter(string_split(itemset, '|'),
+                                 (x, i) -> i != d),
+                     '|') AS antecedent,
+                   list_extract(string_split(itemset, '|'), d)
+                       AS consequent,
+                   n_co AS n_rule
+            FROM census,
+                 LATERAL unnest(generate_series(
+                     1, CAST(sz AS INTEGER))) AS t(d)
+            WHERE sz > 1
+        )
+        SELECT e.antecedent, e.consequent, e.n_rule,
+               a.n_co AS n_antecedent,
+               CAST(round(e.n_rule * 1.0 / a.n_co, 6) AS DOUBLE)
+                   AS confidence,
+               CAST(round((e.n_rule * 1.0 / a.n_co)
+                          / (c.n_co * 1.0
+                             / (SELECT n FROM n_orders)), 6) AS DOUBLE)
+                   AS lift
+        FROM expanded e
+        JOIN census a ON e.antecedent = a.itemset
+        JOIN census c ON e.consequent = c.itemset
+        ORDER BY confidence DESC, e.antecedent, e.consequent
+    """,
+)
+def association_rules_confidence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ASSOCIATION RULES X → y (multi-item antecedent, single
+    consequent — the classic output stage of any basket miner) from
+    the full FP-growth census: every frequent itemset Z of size ≥ 2
+    yields |Z| rules (drop one item y; antecedent Z∖{y}), with
+    confidence = supp(Z)/supp(Z∖{y}) and
+    lift = confidence / (supp(y)/N). Both denominators are ALWAYS in
+    the census by downward closure (every subset of a frequent
+    itemset is frequent), so the two support lookups are inner
+    equi-joins, never misses — this completes the basket family:
+    fpgrowth mines the sets, closed/maximal condenses them, rules
+    rank the implications.
+
+    Scale: the rule expansion is the SAME Σ|Z| linear pass the
+    closed/maximal filter uses (one parent per dropped item — no
+    powerset enumeration of antecedents), and both support lookups
+    are string equi-joins against the minsup-bounded census. Integer
+    supports decide everything; the two ratios round at read.
+    """
+    from ..operators.graph import truncate_lineage
+
+    census = fpgrowth_parallel_itemsets(spark, sf_dir).select(
+        "itemset", "sz", "n_co"
+    )
+    # census feeds the expansion + two support lookups — checkpoint
+    # so the PFP pipeline runs once and the plan prints once
+    census = truncate_lineage(census, parallelism=8)
+    # N (total baskets) for the lift denominator: one distinct-count
+    # over the same lines frame the census was mined from
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    n_orders = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
+    )
+    expanded = (
+        census.filter(F.col("sz") > 1)
+        .select(
+            F.split("itemset", r"\|").alias("items"),
+            F.col("n_co").alias("n_rule"),
+        )
+        .select(
+            F.posexplode("items").alias("d", "consequent"),
+            "items", "n_rule",
+        )
+        .select(
+            F.array_join(
+                F.filter("items", lambda x, i: i != F.col("d")), "|"
+            ).alias("antecedent"),
+            "consequent", "n_rule",
+        )
+    )
+    a = census.select(
+        F.col("itemset").alias("antecedent"),
+        F.col("n_co").alias("n_antecedent"),
+    )
+    c = census.select(
+        F.col("itemset").alias("consequent"),
+        F.col("n_co").alias("n_consequent"),
+    )
+    conf = F.col("n_rule") / F.col("n_antecedent")
+    return (
+        expanded.join(a, "antecedent")
+        .join(F.broadcast(c), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent", "consequent", "n_rule", "n_antecedent",
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("n_consequent") / F.col("n")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+    )
+
+
 _Z_TERMS_SQL = " + ".join(
     f"(((ua >> {b}) & 1) << {2 * b + 1}) + (((vb >> {b}) & 1) << {2 * b})"
     for b in range(7)
