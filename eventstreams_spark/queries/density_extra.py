@@ -231,3 +231,182 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy((F.col("core_pts") + F.col("border_pts")).desc(), "cluster")
         .limit(20)
     )
+
+
+def _pip_oracle() -> str:
+    lat_u = md5_uniform_sql("concat('clat|', cast(c_custkey as varchar))")
+    lon_u = md5_uniform_sql("concat('clon|', cast(c_custkey as varchar))")
+    pr = md5_uniform_sql(
+        "concat('pr|', cast(p as varchar), '|', cast(v as varchar))"
+    )
+    pcy = md5_uniform_sql("concat('pcy|', cast(p as varchar))")
+    pcx = md5_uniform_sql("concat('pcx|', cast(p as varchar))")
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS id, ({lat_u} - 0.5) * 180.0 AS lat,
+                   ({lon_u} - 0.5) * 360.0 AS lon
+            FROM customer
+        ), pv AS (
+            SELECT p, v,
+                   (({pcy} - 0.5) * 120.0)
+                     + (5.0 + 20.0 * {pr})
+                       * sin(v * 0.7853981633974483) AS y,
+                   (({pcx} - 0.5) * 300.0)
+                     + (5.0 + 20.0 * {pr})
+                       * cos(v * 0.7853981633974483) AS x
+            FROM (SELECT unnest(generate_series(0, 5)) AS p) a,
+                 (SELECT unnest(generate_series(0, 7)) AS v) b
+        ), edges AS (
+            SELECT a.p, a.y AS y1, a.x AS x1, b.y AS y2, b.x AS x2
+            FROM pv a JOIN pv b ON a.p = b.p AND b.v = (a.v + 1) % 8
+        ), bbox AS (
+            SELECT p, min(y) AS ylo, max(y) AS yhi,
+                   min(x) AS xlo, max(x) AS xhi
+            FROM pv GROUP BY p
+        ), cand AS (
+            SELECT b.p, t.id, t.lat, t.lon
+            FROM pts t JOIN bbox b
+              ON t.lat BETWEEN b.ylo AND b.yhi
+             AND t.lon BETWEEN b.xlo AND b.xhi
+        ), crossings AS (
+            SELECT c.p, c.id, CAST(count(*) AS BIGINT) AS k
+            FROM cand c JOIN edges e ON c.p = e.p
+            WHERE ((e.y1 > c.lat) <> (e.y2 > c.lat))
+              AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1)
+                                 / (e.y2 - e.y1)
+            GROUP BY c.p, c.id
+        ), stats AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS n_candidates
+            FROM cand GROUP BY p
+        ), ins AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS n_inside
+            FROM crossings WHERE k % 2 = 1 GROUP BY p
+        )
+        SELECT CAST(a.p AS BIGINT) AS polygon_id,
+               coalesce(s.n_candidates, 0) AS n_candidates,
+               coalesce(i.n_inside, 0) AS n_inside,
+               CAST(round(coalesce(i.n_inside, 0)
+                          / nullif(coalesce(s.n_candidates, 0), 0), 6)
+                    AS DOUBLE) AS inside_ratio
+        FROM (SELECT DISTINCT p FROM pv) a
+        LEFT JOIN stats s ON a.p = s.p
+        LEFT JOIN ins i ON a.p = i.p
+        ORDER BY polygon_id
+    """
+
+
+@query(
+    "point_in_polygon_raycast",
+    category="J12-spatial-pip",
+    oracle=_pip_oracle(),
+)
+def point_in_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-POLYGON containment by RAY CASTING (crossing number)
+    — the geofence family's general form: six md5-minted star-shaped
+    polygons (8 vertices each, per-vertex radii 5–25° around a random
+    center — simple but NON-convex, so bounding boxes and half-plane
+    tests are insufficient and the odd-crossings rule is genuinely
+    exercised) against the same customer coordinate cloud the spatial
+    grid joins use. A point is inside iff a horizontal ray to +∞
+    crosses an odd number of edges; the per-edge test
+    ((y1 > lat) ≠ (y2 > lat)) AND lon < x-at-lat is one shared-text
+    double expression, and md5-uniform coordinates make every
+    vertex-grazing tie measure-zero (and identically resolved anyway
+    — both engines evaluate the same doubles).
+
+    Scale: the polygon table is broadcast metadata (48 edges); the
+    BOUNDING-BOX prefilter is the pushdown step (points join the
+    6-row bbox dim, so the edge test runs only on candidates —
+    exactly how a real geo engine prunes before exact geometry); the
+    crossing count is one groupBy (polygon, point). Division-by-zero
+    in the slope term only arises when the straddle clause is
+    already false (horizontal edges never straddle), and FALSE AND
+    NULL = FALSE on both engines.
+    """
+    par8 = 0.7853981633974483  # pi/4: vertex angular spacing
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((md5_uniform("concat('clat|', cast(c_custkey as string))") - 0.5)
+         * 180.0).alias("lat"),
+        ((md5_uniform("concat('clon|', cast(c_custkey as string))") - 0.5)
+         * 360.0).alias("lon"),
+    )
+    pv = (
+        spark.range(6).select(F.col("id").alias("p"))
+        .crossJoin(spark.range(8).select(F.col("id").alias("v")))
+        .select(
+            "p", "v",
+            (
+                (md5_uniform("concat('pcy|', cast(p as string))") - 0.5)
+                * 120.0
+                + (5.0 + 20.0 * md5_uniform(
+                    "concat('pr|', cast(p as string), '|',"
+                    " cast(v as string))"
+                )) * F.sin(F.col("v") * par8)
+            ).alias("y"),
+            (
+                (md5_uniform("concat('pcx|', cast(p as string))") - 0.5)
+                * 300.0
+                + (5.0 + 20.0 * md5_uniform(
+                    "concat('pr|', cast(p as string), '|',"
+                    " cast(v as string))"
+                )) * F.cos(F.col("v") * par8)
+            ).alias("x"),
+        )
+    )
+    a = pv.select("p", "v", F.col("y").alias("y1"), F.col("x").alias("x1"))
+    b = pv.select(
+        F.col("p").alias("pb"), F.col("v").alias("vb"),
+        F.col("y").alias("y2"), F.col("x").alias("x2"),
+    )
+    edges = a.join(
+        b,
+        (F.col("p") == F.col("pb")) & (F.col("vb") == (F.col("v") + 1) % 8),
+    ).select("p", "y1", "x1", "y2", "x2")
+    bbox = pv.groupBy("p").agg(
+        F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+        F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+    )
+    cand = pts.join(
+        F.broadcast(bbox),
+        F.col("lat").between(F.col("ylo"), F.col("yhi"))
+        & F.col("lon").between(F.col("xlo"), F.col("xhi")),
+    ).select("p", "id", "lat", "lon")
+    straddle = (F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat"))
+    xcross = F.col("x1") + (F.col("lat") - F.col("y1")) * (
+        F.col("x2") - F.col("x1")
+    ) / (F.col("y2") - F.col("y1"))
+    crossings = (
+        cand.join(F.broadcast(edges), "p")
+        .filter(straddle & (F.col("lon") < xcross))
+        .groupBy("p", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    stats = cand.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    ins = (
+        crossings.filter(F.col("k") % 2 == 1)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inside"))
+    )
+    polys = pv.select("p").distinct()
+    return (
+        polys.join(stats, "p", "left")
+        .join(ins, "p", "left")
+        .select(
+            F.col("p").cast("long").alias("polygon_id"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_inside", F.lit(0)).cast("long").alias("n_inside"),
+            F.round(
+                F.coalesce("n_inside", F.lit(0))
+                / F.nullif(
+                    F.coalesce("n_candidates", F.lit(0)), F.lit(0)
+                ),
+                6,
+            ).alias("inside_ratio"),
+        )
+        .orderBy("polygon_id")
+    )
