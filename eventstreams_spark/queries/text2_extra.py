@@ -483,3 +483,174 @@ def vocabulary_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "sa", "sb")
         .limit(25)
     )
+
+
+@query(
+    "huffman_code_census",
+    category="TX-huffman",
+    oracle="""
+        WITH chars AS (
+            SELECT substring(text, CAST(t.off AS INTEGER), 1) AS sym
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text)))
+                     AS t(off)
+        ), leaves AS (
+            SELECT sym, CAST(count(*) AS BIGINT) AS cnt
+            FROM chars GROUP BY sym
+        ), hfw AS (
+            WITH RECURSIVE hf AS (
+                SELECT 0 AS k, sym, cnt,
+                       cnt AS supw, sym AS tag,
+                       CAST(0 AS BIGINT) AS depth
+                FROM leaves
+                UNION ALL
+                SELECT * FROM (
+                    WITH w AS (SELECT * FROM hf),
+                    ranked AS (
+                        SELECT tag, supw,
+                               row_number() OVER (ORDER BY supw, tag)
+                                   AS rk
+                        FROM (SELECT DISTINCT tag, supw FROM w)
+                    ), m AS (
+                        SELECT max(CASE WHEN rk = 1 THEN tag END) AS t1,
+                               max(CASE WHEN rk = 2 THEN tag END) AS t2,
+                               CAST(sum(CASE WHEN rk <= 2 THEN supw
+                                             ELSE 0 END) AS BIGINT)
+                                   AS neww,
+                               count(*) AS n_sup
+                        FROM ranked
+                    )
+                    SELECT w.k + 1, w.sym, w.cnt,
+                           CAST(CASE WHEN w.tag IN (m.t1, m.t2)
+                                     THEN m.neww ELSE w.supw END
+                                AS BIGINT) AS supw,
+                           CASE WHEN w.tag IN (m.t1, m.t2)
+                                THEN least(m.t1, m.t2) ELSE w.tag END
+                               AS tag,
+                           w.depth + CASE WHEN w.tag IN (m.t1, m.t2)
+                                          THEN 1 ELSE 0 END AS depth
+                    FROM w CROSS JOIN m
+                    WHERE m.n_sup > 1
+                )
+            ) SELECT * FROM hf
+        ), final AS (
+            SELECT sym, cnt, depth AS code_len
+            FROM hfw WHERE k = (SELECT max(k) FROM hfw)
+        ), gstat AS (
+            SELECT CAST(max(code_len) AS BIGINT) AS maxlen,
+                   CAST(sum(cnt * code_len) AS BIGINT) AS total_bits,
+                   CAST(sum(cnt) AS BIGINT) AS n_chars
+            FROM final
+        ), ent AS (
+            SELECT sym,
+                   sum(-(CAST(cnt AS DOUBLE) / g.n_chars)
+                       * log2(CAST(cnt AS DOUBLE) / g.n_chars))
+                       OVER (ORDER BY sym) AS h_run,
+                   row_number() OVER (ORDER BY sym DESC) AS rdesc
+            FROM final CROSS JOIN gstat g
+        ), hval AS (
+            SELECT h_run AS entropy FROM ent WHERE rdesc = 1
+        ), kraft AS (
+            SELECT CAST(sum(CAST(1 AS BIGINT)
+                            << (g.maxlen - code_len)) AS BIGINT)
+                       AS kraft_sum,
+                   CAST(1 AS BIGINT) << max(g.maxlen) AS kraft_full
+            FROM final CROSS JOIN gstat g
+        )
+        SELECT f.sym, f.cnt, f.code_len,
+               CAST(round(g.total_bits * 1.0 / g.n_chars, 6) AS DOUBLE)
+                   AS avg_bits,
+               CAST(round(h.entropy, 6) AS DOUBLE) AS entropy,
+               (k.kraft_sum = k.kraft_full) AS kraft_gate,
+               (g.total_bits * 1.0 / g.n_chars >= h.entropy
+                AND g.total_bits * 1.0 / g.n_chars < h.entropy + 1.0)
+                   AS optimal_gate
+        FROM final f CROSS JOIN gstat g CROSS JOIN hval h
+        CROSS JOIN kraft k
+        ORDER BY f.code_len, f.sym
+    """,
+)
+def huffman_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUFFMAN code-length census over the document corpus's character
+    alphabet — the constructive companion to the entropy/surprisal
+    family: per symbol its frequency and optimal prefix-code length,
+    plus the corpus-level average bits/char against the Shannon
+    entropy. Two self-certifying gates ride the hash: `kraft_gate`
+    pins Σ 2^(maxlen−len) = 2^maxlen EXACTLY (integer arithmetic —
+    Huffman trees are full, so Kraft holds with equality; any broken
+    merge breaks it), and `optimal_gate` pins the Huffman theorem
+    H ≤ avg_bits < H + 1.
+
+    Ties are where Huffman determinism dies (equal-weight nodes admit
+    many optimal trees with DIFFERENT per-symbol lengths), so the
+    merge rule is pinned and shared: each step merges the two
+    supernodes smallest by (weight, tag) where a supernode's tag is
+    the MINIMUM symbol it contains; the merged tag is the smaller of
+    the two. The oracle replays the identical merge sequence as a
+    recursive CTE over per-leaf rows (each leaf carries its current
+    supernode's weight and tag; members of the two chosen supers gain
+    one depth), so every code length is hash-compared against an
+    independent SQL replay of the same pinned algorithm.
+
+    Scale: the character census is one explode→groupBy scan (the
+    tokenization cost class); the alphabet is BOUNDED metadata
+    (dozens of rows), so the merge loop is a driver-side collect in
+    the F-list/Cox pattern; avg_bits is an EXACT integer ratio
+    (Σ cnt·len / Σ cnt — no float accumulation) and the entropy sum
+    is a pinned-order fold over the sorted alphabet.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    leaves = (
+        docs.select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"))
+            ).alias("off"),
+            "text",
+        )
+        .select(F.expr("substring(text, off, 1)").alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    # bounded-alphabet Huffman with the pinned (weight, tag) merge
+    # rule; state mirrors the oracle's per-leaf rows exactly
+    syms = sorted((r["sym"], int(r["cnt"])) for r in leaves)
+    state = {s: [c, c, s, 0] for s, c in syms}  # sym -> [cnt,supw,tag,d]
+    while True:
+        supers = sorted({(v[1], v[2]) for v in state.values()})
+        if len(supers) == 1:
+            break
+        (w1, t1), (w2, t2) = supers[0], supers[1]
+        neww, newtag = w1 + w2, min(t1, t2)
+        for v in state.values():
+            if v[2] in (t1, t2):
+                v[1], v[2], v[3] = neww, newtag, v[3] + 1
+    n_chars = sum(c for _, c in syms)
+    total_bits = sum(state[s][0] * state[s][3] for s, _ in syms)
+    maxlen = max(v[3] for v in state.values())
+    kraft_sum = sum(1 << (maxlen - v[3]) for v in state.values())
+    entropy = 0.0
+    for s, c in syms:  # pinned order: ascending symbol
+        p = c / n_chars
+        entropy += -p * math.log2(p)
+    avg_bits = total_bits * 1.0 / n_chars
+    rows = [
+        (
+            s,
+            c,
+            state[s][3],
+            round(avg_bits, 6),
+            round(entropy, 6),
+            kraft_sum == (1 << maxlen),
+            entropy <= avg_bits < entropy + 1.0,
+        )
+        for s, c in syms
+    ]
+    rows.sort(key=lambda r: (r[2], r[0]))
+    return spark.createDataFrame(
+        rows,
+        "sym string, cnt long, code_len long, avg_bits double,"
+        " entropy double, kraft_gate boolean, optimal_gate boolean",
+    )
