@@ -3080,3 +3080,220 @@ def consistent_hash_rebalance_census(
         )
         .orderBy("node_before", "node_after")
     )
+
+
+def _vopt_oracle(n_buckets: int = 8) -> str:
+    """Unrolled V-optimal DP: e_b(i) = min_j e_{b-1}(j) + SSE(j+1..i)
+    as one CTE per level (no recursion needed — B is a constant), then
+    an argmin backtrack chain and the equi-width comparison census."""
+    sse = (
+        "({hi}.pss - {lo}.pss) - CAST({hi}.ps - {lo}.ps AS DOUBLE)"
+        " * ({hi}.ps - {lo}.ps) / ({hi}.pc - {lo}.pc)"
+    )
+    cost = "lo.cost + (" + sse.format(hi="hi", lo="lo") + ")"
+    ebs = []
+    for b in range(2, n_buckets + 1):
+        ebs.append(f"""e{b} AS (
+            SELECT i, cost, pc, ps, pss, cut FROM (
+                SELECT hi.i, {cost} AS cost,
+                       hi.pc, hi.ps, hi.pss, lo.i AS cut,
+                       row_number() OVER (PARTITION BY hi.i
+                                          ORDER BY {cost}, lo.i) AS rk
+                FROM pref hi JOIN e{b - 1} lo ON lo.i < hi.i
+            ) WHERE rk = 1
+        )""")
+    tbs = [
+        f"""t{n_buckets} AS (
+            SELECT e{n_buckets}.i, e{n_buckets}.cut,
+                   e{n_buckets}.cost AS total
+            FROM e{n_buckets} JOIN n1 ON e{n_buckets}.i = n1.n
+        )"""
+    ]
+    for b in range(n_buckets - 1, 0, -1):
+        tbs.append(
+            f"t{b} AS (SELECT e{b}.i, e{b}.cut FROM e{b}"
+            f" JOIN t{b + 1} ON e{b}.i = t{b + 1}.cut)"
+        )
+    bounds = " UNION ALL ".join(
+        f"SELECT {b} AS b, i FROM t{b}" for b in range(1, n_buckets + 1)
+    )
+    bsse = sse.format(hi="hi", lo="lo0")
+    return f"""
+        WITH items AS (
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ), pref AS (
+            SELECT v, cnt,
+                   CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS pc,
+                   CAST(sum(v * cnt) OVER w AS BIGINT) AS ps,
+                   CAST(sum(v * v * cnt) OVER w AS BIGINT) AS pss
+            FROM items WINDOW w AS (ORDER BY v)
+        ), n1 AS (SELECT max(i) AS n FROM pref),
+        e1 AS (
+            SELECT i,
+                   CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE) * ps / pc
+                       AS cost,
+                   pc, ps, pss, CAST(0 AS BIGINT) AS cut
+            FROM pref
+        ), {", ".join(ebs)}, {", ".join(tbs)}, bounds AS (
+            {bounds}
+        ), buckets AS (
+            SELECT b.b, coalesce(p.i, 0) + 1 AS lo_pos, b.i AS hi_pos
+            FROM bounds b LEFT JOIN bounds p ON p.b = b.b - 1
+        ), census AS (
+            SELECT bk.b, plo.v AS lo_bin, hi.v AS hi_bin,
+                   hi.pc - lo0.pc AS n_rows,
+                   {bsse} AS bucket_sse
+            FROM buckets bk
+            JOIN pref hi ON hi.i = bk.hi_pos
+            JOIN pref plo ON plo.i = bk.lo_pos
+            JOIN (SELECT i, pc, ps, pss FROM pref
+                  UNION ALL
+                  SELECT 0, 0, 0, 0) lo0 ON lo0.i = bk.lo_pos - 1
+        ), vr AS (
+            SELECT min(v) AS vmin, max(v) AS vmax FROM items
+        ), eq AS (
+            SELECT least({n_buckets - 1}, CAST(floor(
+                       (i.v - r.vmin) * {n_buckets}.0
+                       / (r.vmax - r.vmin + 1)) AS BIGINT)) AS eb,
+                   i.v, i.cnt
+            FROM items i CROSS JOIN vr r
+        ), eqcell AS (
+            SELECT eb, CAST(sum(cnt) AS BIGINT) AS pc,
+                   CAST(sum(v * cnt) AS BIGINT) AS ps,
+                   CAST(sum(v * v * cnt) AS BIGINT) AS pss
+            FROM eq GROUP BY eb
+        ), eqfold AS (
+            SELECT sum(CAST(pss AS DOUBLE)
+                       - CAST(ps AS DOUBLE) * ps / pc)
+                       OVER (ORDER BY eb) AS eq_run,
+                   row_number() OVER (ORDER BY eb DESC) AS rdesc
+            FROM eqcell
+        ), eqtot AS (
+            SELECT eq_run AS eq_sse FROM eqfold WHERE rdesc = 1
+        )
+        SELECT c.b, c.lo_bin, c.hi_bin, c.n_rows,
+               CAST(round(c.bucket_sse, 6) AS DOUBLE) AS bucket_sse,
+               CAST(round(t.total, 6) AS DOUBLE) AS total_sse,
+               CAST(round(q.eq_sse, 6) AS DOUBLE) AS equiwidth_sse,
+               (t.total <= q.eq_sse) AS vopt_gate
+        FROM census c CROSS JOIN t{n_buckets} t CROSS JOIN eqtot q
+        ORDER BY c.b
+    """
+
+
+@query(
+    "voptimal_histogram_dp",
+    category="A14-vopt",
+    oracle=_vopt_oracle(),
+)
+def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-OPTIMAL histogram (Jagadish et al., VLDB'98 — the optimal-
+    bucket construction the synopsis/selectivity-estimation
+    literature builds on): partition the integer-binned value domain
+    into 8 buckets minimizing total within-bucket SSE by the exact
+    O(n²B) dynamic program e_b(i) = min_j e_{b-1}(j) + SSE(j+1..i),
+    with SSE read off exact-integer prefix sums (Σcnt, Σv·cnt,
+    Σv²·cnt), so every DP cell is integer arithmetic plus ONE
+    division. The census emits each bucket's range, row count and
+    SSE, the optimal total, the EQUI-WIDTH total on the same domain,
+    and `vopt_gate` — the dominance identity (the optimum over all
+    partitions can never lose to the fixed equi-width partition)
+    riding the hash as a self-certifying check.
+
+    Determinism: argmin ties break to the smallest cut position j
+    (row_number over (cost, j)) on both engines; DP cost chains are
+    ≤ B additions of identically-parenthesized doubles; the
+    equi-width total is a pinned-order fold over ≤ B bucket cells.
+    The oracle runs the same DP UNROLLED — one CTE per level (B is a
+    constant, so no recursion) — and backtracks the same cuts.
+
+    Scale: the heavy step is one groupBy over the facts (distinct
+    binned values + counts); the DP runs on that BOUNDED domain frame
+    (|bins| rows — the Cox/Huffman metadata-collect pattern). A
+    wider domain raises n; the DP is O(n²B) on metadata, and the
+    literature's streaming/approximate variants slot in behind the
+    same census contract.
+    """
+    B = 8
+    ev = load_table(spark, sf_dir, "events")
+    pref_rows = (
+        ev.select(
+            F.floor(F.col("value") / 10.0).cast("long").alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("v")
+        .collect()
+    )
+    vs = [int(r["v"]) for r in pref_rows]
+    cnts = [int(r["cnt"]) for r in pref_rows]
+    n = len(vs)
+    pc = [0] * (n + 1)
+    ps = [0] * (n + 1)
+    pss = [0] * (n + 1)
+    for i in range(1, n + 1):
+        pc[i] = pc[i - 1] + cnts[i - 1]
+        ps[i] = ps[i - 1] + vs[i - 1] * cnts[i - 1]
+        pss[i] = pss[i - 1] + vs[i - 1] * vs[i - 1] * cnts[i - 1]
+
+    def sse(j: int, i: int) -> float:
+        # SSE of positions j+1..i — same parenthesization as the SQL
+        return (pss[i] - pss[j]) - float(ps[i] - ps[j]) * (
+            ps[i] - ps[j]
+        ) / (pc[i] - pc[j])
+
+    # e[b][i] = (cost, cut); level 1 is sse(0, i)
+    e = [None, {i: (sse(0, i), 0) for i in range(1, n + 1)}]
+    for b in range(2, B + 1):
+        lvl = {}
+        for i in range(b, n + 1):
+            best = None
+            for j in sorted(e[b - 1]):
+                if j >= i:
+                    continue
+                cand = (e[b - 1][j][0] + sse(j, i), j)
+                if best is None or cand < best:
+                    best = cand
+            lvl[i] = best
+        e.append(lvl)
+    total = e[B][n][0]
+    cuts = [n]
+    for b in range(B, 1, -1):
+        cuts.append(e[b][cuts[-1]][1])
+    cuts.append(0)
+    cuts.reverse()  # [0, j1, ..., j7, n]
+    # equi-width comparison on the same binned domain
+    vmin, vmax = vs[0], vs[-1]
+    cells = {}
+    for v, c in zip(vs, cnts):
+        eb = min(B - 1, int((v - vmin) * B // (vmax - vmin + 1)))
+        pcb, psb, pssb = cells.get(eb, (0, 0, 0))
+        cells[eb] = (pcb + c, psb + v * c, pssb + v * v * c)
+    eq_sse = 0.0
+    for eb in sorted(cells):  # pinned order: ascending bucket
+        pcb, psb, pssb = cells[eb]
+        eq_sse += float(pssb) - float(psb) * psb / pcb
+    rows = []
+    for b in range(1, B + 1):
+        lo_pos, hi_pos = cuts[b - 1] + 1, cuts[b]
+        rows.append(
+            (
+                b,
+                vs[lo_pos - 1],
+                vs[hi_pos - 1],
+                pc[hi_pos] - pc[lo_pos - 1],
+                round(sse(lo_pos - 1, hi_pos), 6),
+                round(total, 6),
+                round(eq_sse, 6),
+                total <= eq_sse,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "b long, lo_bin long, hi_bin long, n_rows long,"
+        " bucket_sse double, total_sse double, equiwidth_sse double,"
+        " vopt_gate boolean",
+    )
