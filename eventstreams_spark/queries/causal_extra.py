@@ -872,3 +872,223 @@ def granger_lag1_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     ).orderBy("direction")
+
+
+def _ipw_oracle() -> str:
+    trt = md5_uniform_sql("concat('trt|', cast(user_id as varchar))")
+    return f"""
+        WITH peruser AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ), assigned AS (
+            SELECT user_id, y, least(9, x // 5) AS x_bin,
+                   CASE WHEN {trt} < 1.0 / (1.0 + exp(
+                            -((least(9, x // 5) - 4.5) * 0.5)))
+                        THEN 1 ELSE 0 END AS t
+            FROM peruser
+        ), bins AS (
+            SELECT x_bin, CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(t) AS BIGINT) AS t_b,
+                   CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END)
+                        AS BIGINT) AS sy_t,
+                   CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+                        AS BIGINT) AS sy_c
+            FROM assigned GROUP BY x_bin
+        ), ib AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY x_bin)
+                           AS BIGINT) AS idx,
+                   CAST(count(*) OVER () AS BIGINT) AS nbins
+            FROM bins
+        ), walked AS (
+            WITH RECURSIVE nr AS (
+                SELECT 0 AS k, CAST(0.0 AS DOUBLE) AS b0,
+                       CAST(0.0 AS DOUBLE) AS b1,
+                       CAST(0 AS BIGINT) AS idx,
+                       CAST(0.0 AS DOUBLE) AS u0,
+                       CAST(0.0 AS DOUBLE) AS u1,
+                       CAST(0.0 AS DOUBLE) AS i00,
+                       CAST(0.0 AS DOUBLE) AS i01,
+                       CAST(0.0 AS DOUBLE) AS i11
+                UNION ALL
+                SELECT * FROM (
+                    SELECT q.k, q.b0, q.b1, q.tidx AS idx,
+                           q.u0 + (q.t_b - q.n_b * q.p) AS u0,
+                           q.u1 + (q.t_b - q.n_b * q.p) * q.x AS u1,
+                           q.i00 + q.n_b * q.p * (1.0 - q.p) AS i00,
+                           q.i01 + q.n_b * q.p * (1.0 - q.p) * q.x
+                               AS i01,
+                           q.i11 + q.n_b * q.p * (1.0 - q.p) * q.x
+                               * q.x AS i11
+                    FROM (
+                        SELECT nr.k, nr.b0, nr.b1, nr.u0, nr.u1,
+                               nr.i00, nr.i01, nr.i11,
+                               tm.idx AS tidx, tm.n_b, tm.t_b,
+                               tm.x_bin AS x,
+                               1.0 / (1.0 + exp(
+                                   -(nr.b0 + nr.b1 * tm.x_bin))) AS p
+                        FROM nr JOIN ib tm ON tm.idx = nr.idx + 1
+                        WHERE nr.k < 8
+                    ) q
+                    UNION ALL
+                    SELECT nr.k + 1,
+                           nr.b0 + (nr.i11 * nr.u0 - nr.i01 * nr.u1)
+                               / (nr.i00 * nr.i11 - nr.i01 * nr.i01),
+                           nr.b1 + (nr.i00 * nr.u1 - nr.i01 * nr.u0)
+                               / (nr.i00 * nr.i11 - nr.i01 * nr.i01),
+                           CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+                    FROM nr JOIN (SELECT max(nbins) AS n FROM ib) c
+                         ON nr.idx = c.n
+                    WHERE nr.k < 8
+                )
+            ) SELECT * FROM nr
+        ), finalb AS (
+            SELECT b0, b1 FROM walked WHERE k = 8
+        ), scored AS (
+            SELECT s.x_bin, s.n_b, s.t_b, s.sy_t, s.sy_c,
+                   1.0 / (1.0 + exp(-(f.b0 + f.b1 * s.x_bin))) AS p
+            FROM ib s CROSS JOIN finalb f
+        ), folded AS (
+            SELECT sum(sy_t / p) OVER w AS wy_t,
+                   sum(t_b / p) OVER w AS w_t,
+                   sum(sy_c / (1.0 - p)) OVER w AS wy_c,
+                   sum((n_b - t_b) / (1.0 - p)) OVER w AS w_c,
+                   row_number() OVER (ORDER BY x_bin DESC) AS rdesc
+            FROM scored WINDOW w AS (ORDER BY x_bin)
+        ), naive AS (
+            SELECT CAST(sum(sy_t) AS BIGINT) AS syt,
+                   CAST(sum(t_b) AS BIGINT) AS nt,
+                   CAST(sum(sy_c) AS BIGINT) AS syc,
+                   CAST(sum(n_b - t_b) AS BIGINT) AS nc,
+                   CAST(sum(n_b) AS BIGINT) AS n_users
+            FROM ib
+        )
+        SELECT CAST(round(f.b0, 6) AS DOUBLE) AS beta0,
+               CAST(round(f.b1, 6) AS DOUBLE) AS beta1,
+               CAST(round(CAST(n.syt AS DOUBLE) / n.nt
+                          - CAST(n.syc AS DOUBLE) / n.nc, 6)
+                    AS DOUBLE) AS ate_naive,
+               CAST(round(d.wy_t / d.w_t - d.wy_c / d.w_c, 6)
+                    AS DOUBLE) AS ate_ipw,
+               n.n_users, n.nt AS n_treated
+        FROM folded d CROSS JOIN finalb f CROSS JOIN naive n
+        WHERE d.rdesc = 1
+    """
+
+
+@query(
+    "ipw_propensity_ate",
+    category="CA-ipw",
+    oracle=_ipw_oracle(),
+)
+def ipw_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE with a FITTED logistic
+    propensity — the observational-causal estimator the A/B family
+    lacks (DiD assumes parallel trends; CUPED assumes randomization;
+    IPW handles CONFOUNDED assignment): treatment here is minted
+    confounded by construction (an md5 coin whose head probability
+    is a sigmoid in the user's early-period activity bin), so the
+    naive treated-minus-control outcome difference is biased by
+    activity, and the Hájek-normalized IPW contrast
+    Σ(T·Y/p̂)/Σ(T/p̂) − Σ((1−T)Y/(1−p̂))/Σ((1−T)/(1−p̂)) removes it.
+    Both estimates are emitted side by side — the gap IS the
+    confounding the weights corrected.
+
+    The propensity model is logistic regression fit by
+    Newton-Raphson (8 iterations from 0) on GROUPED data: because
+    the covariate is the binned early-activity decile, the per-bin
+    sufficient statistics (n_b, treated_b) are exact integers on a
+    BOUNDED 10-row frame, so the fit is driver-side metadata work
+    (the Cox/Huffman collect pattern) and the oracle replays the
+    identical walk — score and information accumulated bin-by-bin
+    in ascending-bin order, the 2×2 Newton solve written with the
+    same parenthesization — as a recursive CTE.
+
+    Scale: one user-keyed groupBy builds (x, y) per user; one more
+    groupBy collapses to the bin frame; everything after is bounded
+    algebra. The IPW sums themselves decompose per bin (Y-sums per
+    arm are integers), folded in pinned bin order.
+    """
+    import math
+
+    from ..functions.sampling import md5_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    peruser = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    x_bin = F.least(F.lit(9), F.floor(F.col("x") / 5)).cast("long")
+    assigned = peruser.select(
+        "y",
+        x_bin.alias("x_bin"),
+        F.when(
+            md5_uniform("concat('trt|', cast(user_id as string))")
+            < 1.0 / (1.0 + F.exp(-((x_bin - 4.5) * 0.5))),
+            1,
+        ).otherwise(0).alias("t"),
+    )
+    bins = (
+        assigned.groupBy("x_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("t").cast("long").alias("t_b"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+            .cast("long").alias("sy_t"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+            .cast("long").alias("sy_c"),
+        )
+        .orderBy("x_bin")
+        .collect()
+    )
+    b0 = b1 = 0.0
+    for _ in range(8):
+        u0 = u1 = i00 = i01 = i11 = 0.0
+        for r in bins:  # pinned: ascending x_bin
+            x, n, t = r["x_bin"], r["n_b"], r["t_b"]
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+            u0 = u0 + (t - n * p)
+            u1 = u1 + (t - n * p) * x
+            i00 = i00 + n * p * (1.0 - p)
+            i01 = i01 + n * p * (1.0 - p) * x
+            i11 = i11 + n * p * (1.0 - p) * x * x
+        det = i00 * i11 - i01 * i01
+        b0 = b0 + (i11 * u0 - i01 * u1) / det
+        b1 = b1 + (i00 * u1 - i01 * u0) / det
+    wy_t = w_t = wy_c = w_c = 0.0
+    syt = nt = syc = nc = n_users = 0
+    for r in bins:  # pinned: ascending x_bin
+        x, n, t = r["x_bin"], r["n_b"], r["t_b"]
+        p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        wy_t = wy_t + r["sy_t"] / p
+        w_t = w_t + t / p
+        wy_c = wy_c + r["sy_c"] / (1.0 - p)
+        w_c = w_c + (n - t) / (1.0 - p)
+        syt += r["sy_t"]
+        nt += t
+        syc += r["sy_c"]
+        nc += n - t
+        n_users += n
+    out = [
+        (
+            round(b0, 6),
+            round(b1, 6),
+            round(float(syt) / nt - float(syc) / nc, 6),
+            round(wy_t / w_t - wy_c / w_c, 6),
+            n_users,
+            nt,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "beta0 double, beta1 double, ate_naive double,"
+        " ate_ipw double, n_users long, n_treated long",
+    )
