@@ -2244,6 +2244,115 @@ def exact_substring_dup_coverage(
 
 
 @query(
+    "bwt_run_length_census",
+    category="L2-suffixarray",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, CAST(t.off AS BIGINT) AS off,
+                   substring(text, CAST(t.off AS INTEGER)) AS suf,
+                   CASE WHEN t.off = 1 THEN '$'
+                        ELSE substring(text, CAST(t.off AS INTEGER) - 1,
+                                       1) END AS bwt
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text)))
+                     AS t(off)
+        ), sa AS (
+            SELECT bwt,
+                   lag(bwt) OVER (ORDER BY suf, doc_id, off) AS pbwt
+            FROM pos
+        ), marked AS (
+            SELECT bwt,
+                   CASE WHEN pbwt IS NULL OR pbwt != bwt
+                        THEN 1 ELSE 0 END AS is_start
+            FROM sa
+        ), perchar AS (
+            SELECT bwt AS bwt_char,
+                   CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(sum(is_start) AS BIGINT) AS n_runs
+            FROM marked GROUP BY bwt
+        ), tot AS (
+            SELECT CAST(sum(n_occ) AS BIGINT) AS n_total,
+                   CAST(sum(n_runs) AS BIGINT) AS r_total
+            FROM perchar
+        )
+        SELECT p.bwt_char, p.n_occ, p.n_runs,
+               t.n_total, t.r_total,
+               CAST(round(t.r_total * 1.0 / t.n_total, 6) AS DOUBLE)
+                   AS r_over_n
+        FROM perchar p CROSS JOIN tot t
+        ORDER BY p.bwt_char
+    """,
+)
+def bwt_run_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS-WHEELER TRANSFORM run-length census over the corpus
+    suffix array — the compressed-indexing health metric: BWT[i] is
+    the character PRECEDING the i-th smallest suffix ('$' at document
+    starts), and because the BWT groups characters by following
+    context, its number of equal-character runs r is the fundamental
+    compressibility measure of the corpus (FM-index/r-index space is
+    O(r), not O(n); r/n ≪ 1 means highly repetitive text — the same
+    signal the dup-coverage census reads, from the compression side).
+    Emits per-character occurrence and run counts plus the global
+    r/n ratio; Σ n_runs over characters is EXACTLY the total run
+    count because runs are maximal same-character blocks.
+
+    Scale: the BWT column is one doc_id equi-join against the shared
+    rank-only suffix-array frame (substring(text, off−1, 1) — a
+    1-char carry); run starts come from ONE equi self-join on
+    sa_idx+1 (the established adjacent-pair pattern — never a global
+    window); the census is a groupBy over the bounded alphabet.
+    All-integer output except the final rounded ratio.
+    """
+    from ..operators.graph import truncate_lineage
+
+    par = spark.sparkContext.defaultParallelism
+    pairs = _suffix_array_lcp_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    bwtf = truncate_lineage(
+        pairs.join(docs, "doc_id").select(
+            "sa_idx",
+            F.when(F.col("off") == 1, "$")
+            .otherwise(F.expr("substring(text, off - 1, 1)"))
+            .alias("bwt"),
+        ),
+        par,
+    )
+    prev = bwtf.select(
+        (F.col("sa_idx") + 1).alias("sa_idx"),
+        F.col("bwt").alias("pbwt"),
+    )
+    marked = bwtf.join(prev, "sa_idx", "left").select(
+        "bwt",
+        F.when(
+            F.col("pbwt").isNull() | (F.col("pbwt") != F.col("bwt")), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    perchar = marked.groupBy(F.col("bwt").alias("bwt_char")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.sum("is_start").cast("long").alias("n_runs"),
+    )
+    # perchar is a bounded alphabet frame — checkpoint so the totals
+    # cross join doesn't re-derive the whole SA pipeline
+    perchar = truncate_lineage(perchar, 1)
+    tot = perchar.agg(
+        F.sum("n_occ").cast("long").alias("n_total"),
+        F.sum("n_runs").cast("long").alias("r_total"),
+    )
+    return (
+        perchar.crossJoin(F.broadcast(tot))
+        .select(
+            "bwt_char", "n_occ", "n_runs", "n_total", "r_total",
+            F.round(F.col("r_total") / F.col("n_total"), 6).alias(
+                "r_over_n"
+            ),
+        )
+        .orderBy("bwt_char")
+    )
+
+
+@query(
     "repeat_family_census",
     category="L2-suffixarray",
     oracle="""

@@ -2526,3 +2526,63 @@ def test_allpairs_prefix_filter_all_equi_joins(spark, sf_dir):
     counts = operator_counts(df)
     assert_no_operator(df, "CartesianProduct")
     assert count_prefix(counts, "BroadcastNestedLoopJoin") == 0, counts
+
+
+def test_point_in_polygon_broadcasts_geometry(spark, sf_dir):
+    """PIP: the bbox prefilter and the edge table are tiny broadcast
+    dims — the point side must never shuffle into a cartesian. The
+    non-equi bbox join plans as BroadcastNestedLoopJoin (broadcast
+    side = 6 rows), never CartesianProduct."""
+    df = q("point_in_polygon_raycast", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct")
+    assert count_prefix(counts, "BroadcastNestedLoopJoin") >= 1, counts
+
+
+def test_itemset_capstones_checkpoint_the_census(spark, sf_dir):
+    """closed/maximal + rules both re-consume the PFP census — the
+    plan must read it as checkpointed blocks (Scan ExistingRDD), not
+    re-derive the mining pipeline per consumer (the persist-display-
+    repeat trap, r7 house rule)."""
+    for name in (
+        "frequent_itemsets_closed_maximal",
+        "association_rules_confidence_lift",
+    ):
+        counts = operator_counts(q(name, spark, sf_dir))
+        assert count_prefix(counts, "Scan ExistingRDD") >= 1, (name, counts)
+
+
+def test_sw_traceback_single_arrow_udf(spark, sf_dir):
+    """The traceback UDF must plan exactly ONE ArrowEvalPython node —
+    referencing a pandas UDF twice in one select plans two (the r5
+    DTW lesson); the struct-return + single alias pattern avoids it."""
+    counts = operator_counts(
+        q("smith_waterman_traceback_alignment", spark, sf_dir)
+    )
+    assert count_prefix(counts, "ArrowEvalPython") == 1, counts
+
+
+def test_survival_new_queries_stay_jvm_side(spark, sf_dir):
+    """Nelson-Aalen / stratified log-rank / Aalen-Johansen are pure
+    DataFrame algebra: no Python eval nodes, no cartesians (the
+    1-row spanmax broadcast is the only crossJoin)."""
+    for name in (
+        "nelson_aalen_cumulative_hazard",
+        "logrank_stratified_test",
+        "aalen_johansen_competing_risks",
+    ):
+        df = q(name, spark, sf_dir)
+        assert_no_operator(
+            df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
+        )
+
+
+def test_repeat_family_and_bwt_ride_checkpointed_sa(spark, sf_dir):
+    """Both suffix-array derivatives must consume the checkpointed SA
+    frame (Scan ExistingRDD) and add at most one documents scan for
+    the bounded character carry."""
+    for name in ("repeat_family_census", "bwt_run_length_census"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert count_prefix(counts, "Scan ExistingRDD") >= 1, (name, counts)
+        assert_no_operator(df, "CartesianProduct")
