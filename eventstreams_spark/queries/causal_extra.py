@@ -874,7 +874,10 @@ def granger_lag1_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("direction")
 
 
-def _ipw_oracle() -> str:
+def _ipw_core_sql() -> str:
+    """Shared oracle core for the IPW/AIPW pair: confounded minting,
+    bin sufficient statistics, the logistic Newton walk, and per-bin
+    fitted propensities (scored) + exact naive totals."""
     trt = md5_uniform_sql("concat('trt|', cast(user_id as varchar))")
     return f"""
         WITH peruser AS (
@@ -953,13 +956,6 @@ def _ipw_oracle() -> str:
             SELECT s.x_bin, s.n_b, s.t_b, s.sy_t, s.sy_c,
                    1.0 / (1.0 + exp(-(f.b0 + f.b1 * s.x_bin))) AS p
             FROM ib s CROSS JOIN finalb f
-        ), folded AS (
-            SELECT sum(sy_t / p) OVER w AS wy_t,
-                   sum(t_b / p) OVER w AS w_t,
-                   sum(sy_c / (1.0 - p)) OVER w AS wy_c,
-                   sum((n_b - t_b) / (1.0 - p)) OVER w AS w_c,
-                   row_number() OVER (ORDER BY x_bin DESC) AS rdesc
-            FROM scored WINDOW w AS (ORDER BY x_bin)
         ), naive AS (
             SELECT CAST(sum(sy_t) AS BIGINT) AS syt,
                    CAST(sum(t_b) AS BIGINT) AS nt,
@@ -967,6 +963,17 @@ def _ipw_oracle() -> str:
                    CAST(sum(n_b - t_b) AS BIGINT) AS nc,
                    CAST(sum(n_b) AS BIGINT) AS n_users
             FROM ib
+        )"""
+
+
+def _ipw_oracle() -> str:
+    return f"""{_ipw_core_sql()}, folded AS (
+            SELECT sum(sy_t / p) OVER w AS wy_t,
+                   sum(t_b / p) OVER w AS w_t,
+                   sum(sy_c / (1.0 - p)) OVER w AS wy_c,
+                   sum((n_b - t_b) / (1.0 - p)) OVER w AS w_c,
+                   row_number() OVER (ORDER BY x_bin DESC) AS rdesc
+            FROM scored WINDOW w AS (ORDER BY x_bin)
         )
         SELECT CAST(round(f.b0, 6) AS DOUBLE) AS beta0,
                CAST(round(f.b1, 6) AS DOUBLE) AS beta1,
@@ -981,39 +988,13 @@ def _ipw_oracle() -> str:
     """
 
 
-@query(
-    "ipw_propensity_ate",
-    category="CA-ipw",
-    oracle=_ipw_oracle(),
-)
-def ipw_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverse-propensity-weighted ATE with a FITTED logistic
-    propensity — the observational-causal estimator the A/B family
-    lacks (DiD assumes parallel trends; CUPED assumes randomization;
-    IPW handles CONFOUNDED assignment): treatment here is minted
-    confounded by construction (an md5 coin whose head probability
-    is a sigmoid in the user's early-period activity bin), so the
-    naive treated-minus-control outcome difference is biased by
-    activity, and the Hájek-normalized IPW contrast
-    Σ(T·Y/p̂)/Σ(T/p̂) − Σ((1−T)Y/(1−p̂))/Σ((1−T)/(1−p̂)) removes it.
-    Both estimates are emitted side by side — the gap IS the
-    confounding the weights corrected.
-
-    The propensity model is logistic regression fit by
-    Newton-Raphson (8 iterations from 0) on GROUPED data: because
-    the covariate is the binned early-activity decile, the per-bin
-    sufficient statistics (n_b, treated_b) are exact integers on a
-    BOUNDED 10-row frame, so the fit is driver-side metadata work
-    (the Cox/Huffman collect pattern) and the oracle replays the
-    identical walk — score and information accumulated bin-by-bin
-    in ascending-bin order, the 2×2 Newton solve written with the
-    same parenthesization — as a recursive CTE.
-
-    Scale: one user-keyed groupBy builds (x, y) per user; one more
-    groupBy collapses to the bin frame; everything after is bounded
-    algebra. The IPW sums themselves decompose per bin (Y-sums per
-    arm are integers), folded in pinned bin order.
-    """
+def _confounded_bins_and_propensity(spark, sf_dir):
+    """Shared Spark-side core for the IPW/AIPW pair: build the
+    confounded-assignment bin table (bounded 10-row frame; see
+    ipw_propensity_ate for the construction contract), collect it in
+    ascending-bin order, and Newton-fit the logistic propensity with
+    the pinned accumulation the oracles replay. Returns
+    (bins, beta0, beta1)."""
     import math
 
     from ..functions.sampling import md5_uniform
@@ -1063,6 +1044,45 @@ def ipw_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         det = i00 * i11 - i01 * i01
         b0 = b0 + (i11 * u0 - i01 * u1) / det
         b1 = b1 + (i00 * u1 - i01 * u0) / det
+    return bins, b0, b1
+
+
+@query(
+    "ipw_propensity_ate",
+    category="CA-ipw",
+    oracle=_ipw_oracle(),
+)
+def ipw_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE with a FITTED logistic
+    propensity — the observational-causal estimator the A/B family
+    lacks (DiD assumes parallel trends; CUPED assumes randomization;
+    IPW handles CONFOUNDED assignment): treatment here is minted
+    confounded by construction (an md5 coin whose head probability
+    is a sigmoid in the user's early-period activity bin), so the
+    naive treated-minus-control outcome difference is biased by
+    activity, and the Hájek-normalized IPW contrast
+    Σ(T·Y/p̂)/Σ(T/p̂) − Σ((1−T)Y/(1−p̂))/Σ((1−T)/(1−p̂)) removes it.
+    Both estimates are emitted side by side — the gap IS the
+    confounding the weights corrected.
+
+    The propensity model is logistic regression fit by
+    Newton-Raphson (8 iterations from 0) on GROUPED data: because
+    the covariate is the binned early-activity decile, the per-bin
+    sufficient statistics (n_b, treated_b) are exact integers on a
+    BOUNDED 10-row frame, so the fit is driver-side metadata work
+    (the Cox/Huffman collect pattern) and the oracle replays the
+    identical walk — score and information accumulated bin-by-bin
+    in ascending-bin order, the 2×2 Newton solve written with the
+    same parenthesization — as a recursive CTE.
+
+    Scale: one user-keyed groupBy builds (x, y) per user; one more
+    groupBy collapses to the bin frame; everything after is bounded
+    algebra. The IPW sums themselves decompose per bin (Y-sums per
+    arm are integers), folded in pinned bin order.
+    """
+    import math
+
+    bins, b0, b1 = _confounded_bins_and_propensity(spark, sf_dir)
     wy_t = w_t = wy_c = w_c = 0.0
     syt = nt = syc = nc = n_users = 0
     for r in bins:  # pinned: ascending x_bin
@@ -1091,4 +1111,151 @@ def ipw_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "beta0 double, beta1 double, ate_naive double,"
         " ate_ipw double, n_users long, n_treated long",
+    )
+
+
+def _aipw_oracle() -> str:
+    return f"""{_ipw_core_sql()}, mom AS (
+            SELECT CAST(sum(t_b) AS BIGINT) AS wt,
+                   CAST(sum(t_b * x_bin) AS BIGINT) AS sxt,
+                   CAST(sum(t_b * x_bin * x_bin) AS BIGINT) AS sxxt,
+                   CAST(sum(sy_t) AS BIGINT) AS syt,
+                   CAST(sum(x_bin * sy_t) AS BIGINT) AS sxyt,
+                   CAST(sum(n_b - t_b) AS BIGINT) AS wc,
+                   CAST(sum((n_b - t_b) * x_bin) AS BIGINT) AS sxc,
+                   CAST(sum((n_b - t_b) * x_bin * x_bin) AS BIGINT)
+                       AS sxxc,
+                   CAST(sum(sy_c) AS BIGINT) AS syc,
+                   CAST(sum(x_bin * sy_c) AS BIGINT) AS sxyc
+            FROM ib
+        ), slope AS (
+            SELECT (CAST(wt AS DOUBLE) * sxyt
+                    - CAST(sxt AS DOUBLE) * syt)
+                   / (CAST(wt AS DOUBLE) * sxxt
+                      - CAST(sxt AS DOUBLE) * sxt) AS b1t,
+                   (CAST(wc AS DOUBLE) * sxyc
+                    - CAST(sxc AS DOUBLE) * syc)
+                   / (CAST(wc AS DOUBLE) * sxxc
+                      - CAST(sxc AS DOUBLE) * sxc) AS b1c,
+                   wt, sxt, syt, wc, sxc, syc
+            FROM mom
+        ), coef AS (
+            SELECT b1t, b1c,
+                   (syt - b1t * sxt) / wt AS a1t,
+                   (syc - b1c * sxc) / wc AS a1c
+            FROM slope
+        ), terms AS (
+            SELECT s.x_bin,
+                   s.n_b * ((c.a1t + c.b1t * s.x_bin)
+                            - (c.a1c + c.b1c * s.x_bin))
+                   + (s.sy_t - s.t_b * (c.a1t + c.b1t * s.x_bin))
+                     / s.p
+                   - (s.sy_c - (s.n_b - s.t_b)
+                               * (c.a1c + c.b1c * s.x_bin))
+                     / (1.0 - s.p) AS term
+            FROM scored s CROSS JOIN coef c
+        ), folded AS (
+            SELECT sum(term) OVER (ORDER BY x_bin) AS psi,
+                   row_number() OVER (ORDER BY x_bin DESC) AS rdesc
+            FROM terms
+        )
+        SELECT CAST(round(c.a1t, 6) AS DOUBLE) AS mu1_intercept,
+               CAST(round(c.b1t, 6) AS DOUBLE) AS mu1_slope,
+               CAST(round(c.a1c, 6) AS DOUBLE) AS mu0_intercept,
+               CAST(round(c.b1c, 6) AS DOUBLE) AS mu0_slope,
+               CAST(round(CAST(n.syt AS DOUBLE) / n.nt
+                          - CAST(n.syc AS DOUBLE) / n.nc, 6)
+                    AS DOUBLE) AS ate_naive,
+               CAST(round(d.psi / n.n_users, 6) AS DOUBLE) AS ate_aipw,
+               n.n_users
+        FROM folded d CROSS JOIN coef c CROSS JOIN naive n
+        WHERE d.rdesc = 1
+    """
+
+
+@query(
+    "aipw_doubly_robust_ate",
+    category="CA-aipw",
+    oracle=_aipw_oracle(),
+)
+def aipw_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIPW (augmented IPW / doubly-robust) ATE — the estimator that
+    stays consistent if EITHER the propensity model OR the outcome
+    model is right: ψ = (1/N) Σ [m̂₁(x) − m̂₀(x)
+    + T(y − m̂₁(x))/p̂(x) − (1−T)(y − m̂₀(x))/(1−p̂(x))].
+    Shares the confounded-assignment construction, the bounded bin
+    frame, and the Newton-fitted logistic propensity with
+    ipw_propensity_ate (one helper, one oracle core); adds per-arm
+    LINEAR outcome models y ~ a + b·x fit by closed-form weighted
+    OLS whose moments (Σw, Σwx, Σwx², Σy, Σxy per arm) are EXACT
+    integers off the same bin table — one division per coefficient.
+    The ψ sum decomposes per bin (arm Y-sums are integers), folded
+    in pinned ascending-bin order.
+
+    Scale: identical to the IPW query — two fact groupBys down to a
+    10-row frame, then bounded algebra; the augmentation adds one
+    integer moment pass, no new shuffles.
+    """
+    bins, b0, b1 = _confounded_bins_and_propensity(spark, sf_dir)
+    import math
+
+    wt = sxt = sxxt = syt = sxyt = 0
+    wc = sxc = sxxc = syc = sxyc = 0
+    for r in bins:
+        x, n, t = r["x_bin"], r["n_b"], r["t_b"]
+        wt += t
+        sxt += t * x
+        sxxt += t * x * x
+        syt += r["sy_t"]
+        sxyt += x * r["sy_t"]
+        c = n - t
+        wc += c
+        sxc += c * x
+        sxxc += c * x * x
+        syc += r["sy_c"]
+        sxyc += x * r["sy_c"]
+    b1t = (float(wt) * sxyt - float(sxt) * syt) / (
+        float(wt) * sxxt - float(sxt) * sxt
+    )
+    b1c = (float(wc) * sxyc - float(sxc) * syc) / (
+        float(wc) * sxxc - float(sxc) * sxc
+    )
+    a1t = (syt - b1t * sxt) / wt
+    a1c = (syc - b1c * sxc) / wc
+    psi = 0.0
+    n_users = nt = nc = 0
+    for r in bins:  # pinned: ascending x_bin
+        x, n, t = r["x_bin"], r["n_b"], r["t_b"]
+        p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        m1 = a1t + b1t * x
+        m0 = a1c + b1c * x
+        # term built exactly like the oracle's `term` column, THEN
+        # folded — association order matters for bit-identity
+        term = (
+            n * (m1 - m0)
+            + (r["sy_t"] - t * m1) / p
+            - (r["sy_c"] - (n - t) * m0) / (1.0 - p)
+        )
+        psi = psi + term
+        n_users += n
+        nt += t
+        nc += n - t
+    sy_t_tot = sum(r["sy_t"] for r in bins)
+    sy_c_tot = sum(r["sy_c"] for r in bins)
+    out = [
+        (
+            round(a1t, 6),
+            round(b1t, 6),
+            round(a1c, 6),
+            round(b1c, 6),
+            round(float(sy_t_tot) / nt - float(sy_c_tot) / nc, 6),
+            round(psi / n_users, 6),
+            n_users,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "mu1_intercept double, mu1_slope double, mu0_intercept double,"
+        " mu0_slope double, ate_naive double, ate_aipw double,"
+        " n_users long",
     )
