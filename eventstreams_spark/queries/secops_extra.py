@@ -323,3 +323,192 @@ def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sources") >= 3)
         .orderBy("window_start", "account")
     )
+
+
+# Watchlist for the Aho-Corasick scan: deliberately NESTED and
+# overlapping (an ⊂ can ⊂ scan; or ⊂ order/sort; win ⊂ window;
+# art ⊂ part) so the automaton's failure/suffix links are genuinely
+# exercised — a broken suffix chain undercounts the nested patterns
+# and breaks the gate.
+_AC_WATCHLIST = (
+    "scan", "can", "an", "order", "or", "sort", "part", "art",
+    "row", "window", "win", "in", "key", "value", "merge",
+)
+_AC_MAXLEN = max(len(w) for w in _AC_WATCHLIST)
+
+
+def _ac_oracle() -> str:
+    kws = ", ".join(f"('{w}')" for w in _AC_WATCHLIST)
+    return f"""
+        WITH kw AS (
+            SELECT w, length(w) AS klen FROM (VALUES {kws}) AS t(w)
+        ), hits AS (
+            SELECT k.w,
+                   d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents d,
+                 LATERAL unnest(generate_series(1, length(d.text)))
+                     AS s(off),
+                 kw k
+            WHERE substring(d.text, CAST(s.off AS INTEGER),
+                            CAST(k.klen AS INTEGER)) = k.w
+            GROUP BY k.w, d.doc_id
+        ), agg AS (
+            SELECT w, CAST(sum(n) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM hits GROUP BY w
+        )
+        SELECT k.w AS keyword,
+               coalesce(a.n_occurrences, 0) AS n_occurrences,
+               coalesce(a.n_occurrences, 0) AS n_occ_builtin,
+               coalesce(a.n_docs, 0) AS n_docs,
+               TRUE AS ac_gate
+        FROM kw k LEFT JOIN agg a ON k.w = a.w
+        ORDER BY keyword
+    """
+
+
+@query(
+    "aho_corasick_watchlist_scan",
+    category="TX-multipattern",
+    oracle=_ac_oracle(),
+)
+def aho_corasick_watchlist_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AHO-CORASICK multi-pattern watchlist scan — the SIEM keyword-
+    dictionary primitive (one pass over each document matches ALL K
+    patterns simultaneously, including every overlapping and nested
+    occurrence): a real goto/failure/output automaton built from the
+    watchlist runs Arrow-batched over the corpus, counting matches
+    per keyword per doc. The self-certifying `ac_gate` pins the
+    automaton against an INDEPENDENT JVM-side census in the same
+    result (positions exploded once, per-position prefixes of
+    lengths 1..max_kw unpivoted and equi-joined against the
+    broadcast watchlist — all-occurrence semantics, codegen'd, no
+    Python); the oracle recomputes the census directly and asserts
+    the literal-TRUE gate, so an automaton bug (broken suffix chain
+    undercounting 'an' inside 'scan') is a hash red twice over.
+
+    Scale: the automaton is O(Σ|w|) broadcast metadata and each doc
+    is scanned ONCE regardless of K — the reason AC beats K
+    substring passes; the certifying census is the bounded-carry
+    explode shape (max-pattern-length prefixes per position) used
+    only as the gate. One keyword-keyed groupBy each side.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    kws = list(_AC_WATCHLIST)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def build_ac(words):
+        # goto trie
+        nxt = [{}]
+        out = [[]]  # word indices ending at node (own only)
+        for wi, w in enumerate(words):
+            node = 0
+            for ch in w:
+                if ch not in nxt[node]:
+                    nxt.append({})
+                    out.append([])
+                    nxt[node][ch] = len(nxt) - 1
+                node = nxt[node][ch]
+            out[node].append(wi)
+        # BFS failure links; merge output lists along suffix chain
+        fail = [0] * len(nxt)
+        queue = list(nxt[0].values())
+        for node in queue:  # depth-1 fail to root
+            fail[node] = 0
+        i = 0
+        while i < len(queue):
+            node = queue[i]
+            i += 1
+            for ch, child in nxt[node].items():
+                f = fail[node]
+                while f and ch not in nxt[f]:
+                    f = fail[f]
+                fail[child] = nxt[f][ch] if (ch in nxt[f] and nxt[f][ch] != child) else 0
+                out[child] = out[child] + out[fail[child]]
+                queue.append(child)
+        return nxt, fail, out
+
+    def scan(it):
+        nxt, fail, out = build_ac(kws)
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = [0] * len(kws)
+                node = 0
+                for ch in text:
+                    while node and ch not in nxt[node]:
+                        node = fail[node]
+                    node = nxt[node].get(ch, 0)
+                    for wi in out[node]:
+                        counts[wi] += 1
+                for wi, c in enumerate(counts):
+                    if c:
+                        rows.append((kws[wi], int(doc_id), c))
+            yield pd.DataFrame(
+                rows, columns=["keyword", "doc_id", "n"]
+            )
+
+    ac_schema = StructType([
+        StructField("keyword", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n", LongType()),
+    ])
+    ac = (
+        docs.mapInPandas(scan, ac_schema)
+        .groupBy("keyword")
+        .agg(
+            F.sum("n").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    # independent JVM-side census: per-position prefixes of lengths
+    # 1..max_kw, equi-joined against the broadcast watchlist
+    kwdim = spark.createDataFrame(
+        [(w,) for w in kws], "keyword string"
+    )
+    # guard each length against end-of-doc truncation: near the end
+    # substring(text, off, 6) collapses to the same string as the
+    # shorter requested lengths and would double-count short keywords
+    grams = docs.select(
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("off"),
+        "text",
+    ).select(
+        F.explode(
+            F.array(*[
+                F.expr(
+                    f"CASE WHEN off + {L} - 1 <= length(text)"
+                    f" THEN substring(text, off, {L}) END"
+                )
+                for L in range(1, _AC_MAXLEN + 1)
+            ])
+        ).alias("keyword")
+    ).filter(F.col("keyword").isNotNull())
+    builtin = grams.join(F.broadcast(kwdim), "keyword").groupBy(
+        "keyword"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_occ_builtin"))
+    base = kwdim.join(ac, "keyword", "left").join(
+        builtin, "keyword", "left"
+    )
+    return base.select(
+        "keyword",
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias(
+            "n_occurrences"
+        ),
+        F.coalesce("n_occ_builtin", F.lit(0)).cast("long").alias(
+            "n_occ_builtin"
+        ),
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        (
+            F.coalesce("n_occurrences", F.lit(0))
+            == F.coalesce("n_occ_builtin", F.lit(0))
+        ).alias("ac_gate"),
+    ).orderBy("keyword")
