@@ -1098,3 +1098,166 @@ def aalen_johansen_competing_risks(
         )
         .orderBy("minute")
     )
+
+
+@query(
+    "logrank_peto_weighted_test",
+    category="SV-logrank-fh",
+    oracle=f"""
+        WITH {_LIFE_CTE}, grouped AS (
+            SELECT user_id, dur, died,
+                   CASE WHEN (instr('0123456789abcdef',
+                                    substr(md5(cast(user_id AS VARCHAR)),
+                                           1, 1)) - 1) % 2 = 0
+                        THEN 'A' ELSE 'B' END AS grp
+            FROM subj
+        ), at_t AS (
+            SELECT dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_t,
+                   CAST(sum(CASE WHEN grp = 'A' THEN died ELSE 0 END)
+                        AS BIGINT) AS d_at,
+                   CAST(count(*) AS BIGINT) AS leave_t,
+                   CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS leave_at
+            FROM grouped GROUP BY dur
+        ), risk AS (
+            SELECT t, d_t, d_at,
+                   CAST(sum(leave_t) OVER w AS BIGINT) AS n_t,
+                   CAST(sum(leave_at) OVER w AS BIGINT) AS n_at
+            FROM at_t
+            WINDOW w AS (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), lns AS (
+            SELECT t, d_t, d_at, n_t, n_at,
+                   sum(CASE WHEN d_t > 0 AND d_t < n_t
+                            THEN ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                            ELSE 0.0 END)
+                       OVER (ORDER BY t) AS lnsurv
+            FROM risk
+        ), surv AS (
+            SELECT t, d_t, d_at, n_t, n_at,
+                   exp(coalesce(lag(lnsurv) OVER (ORDER BY t), 0.0))
+                       AS w_t
+            FROM lns
+        ), terms AS (
+            SELECT t, w_t,
+                   w_t * (CAST(d_at AS DOUBLE)
+                          - CAST(d_t AS DOUBLE) * n_at / n_t) AS ome,
+                   CASE WHEN n_t > 1 THEN
+                       w_t * w_t * CAST(d_t AS DOUBLE)
+                       * (CAST(n_at AS DOUBLE) / n_t)
+                       * (1.0 - CAST(n_at AS DOUBLE) / n_t)
+                       * (n_t - d_t) / (n_t - 1)
+                   ELSE 0.0 END AS v_t
+            FROM surv WHERE d_t > 0
+        ), folded AS (
+            SELECT sum(ome) OVER w2 AS z_num,
+                   sum(v_t) OVER w2 AS v,
+                   row_number() OVER (ORDER BY t DESC) AS rdesc
+            FROM terms
+            WINDOW w2 AS (ORDER BY t)
+        )
+        SELECT CAST(round(z_num, 6) AS DOUBLE) AS weighted_o_minus_e,
+               CAST(round(v, 6) AS DOUBLE) AS variance,
+               CAST(round(z_num * z_num / v, 6) AS DOUBLE) AS chi2,
+               (z_num * z_num > 3.841459 * v) AS reject_5pct
+        FROM folded WHERE rdesc = 1
+    """,
+)
+def logrank_peto_weighted_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PETO-PETO / Fleming-Harrington(ρ=1) WEIGHTED log-rank on the
+    same A/B arms as logrank_two_group_test: each death time's O−E
+    and variance terms are weighted by w_t = Ŝ(t−), the pooled KM
+    survival JUST BEFORE t, so EARLY differences dominate — the
+    standard alternative when hazards cross or an effect fades (the
+    unweighted log-rank dilutes an early effect with late noise;
+    the two verdicts side by side localize WHEN the arms differ).
+
+    Determinism: the weight is the lag of the pinned ln-sum the KM
+    query folds (lag of an ordered window sum is itself
+    order-pinned), exponentiated per row; weighted terms are then
+    the same pinned-order running sums as the unweighted test. Risk
+    sets stay exact integers.
+
+    Scale: identical to logrank_two_group_test — one sessionize
+    shuffle, bounded distinct-duration algebra, one output row.
+    """
+    grouped = _subjects(spark, sf_dir).select(
+        "user_id", "dur", "died",
+        F.when(
+            F.expr(
+                "(instr('0123456789abcdef',"
+                " substr(md5(cast(user_id AS STRING)), 1, 1)) - 1) % 2"
+            )
+            == 0,
+            "A",
+        ).otherwise("B").alias("grp"),
+    )
+    at_t = grouped.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").cast("long").alias("d_t"),
+        F.sum(F.when(F.col("grp") == "A", F.col("died")).otherwise(0))
+        .cast("long").alias("d_at"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0))
+        .cast("long").alias("leave_at"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = at_t.select(
+        "t", "d_t", "d_at",
+        F.sum("leave_t").over(w_suf).cast("long").alias("n_t"),
+        F.sum("leave_at").over(w_suf).cast("long").alias("n_at"),
+    )
+    w_cum = Window.orderBy("t")
+    lns = risk.select(
+        "t", "d_t", "d_at", "n_t", "n_at",
+        F.sum(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")),
+                F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t")),
+            ).otherwise(0.0)
+        ).over(w_cum).alias("lnsurv"),
+    )
+    surv = lns.select(
+        "t", "d_t", "d_at", "n_t", "n_at",
+        F.exp(
+            F.coalesce(F.lag("lnsurv").over(w_cum), F.lit(0.0))
+        ).alias("w_t"),
+    )
+    terms = surv.filter(F.col("d_t") > 0).select(
+        "t", "w_t",
+        (
+            F.col("w_t")
+            * (
+                F.col("d_at").cast("double")
+                - F.col("d_t").cast("double")
+                * F.col("n_at") / F.col("n_t")
+            )
+        ).alias("ome"),
+        F.when(
+            F.col("n_t") > 1,
+            F.col("w_t") * F.col("w_t")
+            * F.col("d_t").cast("double")
+            * (F.col("n_at").cast("double") / F.col("n_t"))
+            * (1.0 - F.col("n_at").cast("double") / F.col("n_t"))
+            * (F.col("n_t") - F.col("d_t"))
+            / (F.col("n_t") - 1),
+        ).otherwise(0.0).alias("v_t"),
+    )
+    w_desc = Window.orderBy(F.desc("t"))
+    folded = terms.select(
+        F.sum("ome").over(w_cum).alias("z_num"),
+        F.sum("v_t").over(w_cum).alias("v"),
+        F.row_number().over(w_desc).alias("rdesc"),
+    )
+    return folded.filter(F.col("rdesc") == 1).select(
+        F.round("z_num", 6).alias("weighted_o_minus_e"),
+        F.round("v", 6).alias("variance"),
+        F.round(F.col("z_num") * F.col("z_num") / F.col("v"), 6).alias(
+            "chi2"
+        ),
+        (F.col("z_num") * F.col("z_num") > 3.841459 * F.col("v")).alias(
+            "reject_5pct"
+        ),
+    )
