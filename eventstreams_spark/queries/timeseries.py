@@ -1039,3 +1039,179 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _haar_oracle() -> str:
+    # unrolled lifting levels 1..4 over the 16-day series; detail
+    # coefficients at level l carry Parseval weight 2^(4-l), the
+    # final smooth carries 1 (all-integer: 16*sum(x^2) identity)
+    lvls = []
+    for lv in (1, 2, 3, 4):
+        prev = "l0" if lv == 1 else f"l{lv - 1}"
+        lvls.append(f"""l{lv} AS (
+            SELECT event_type, i // 2 AS i,
+                   CAST(sum(s) AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END)
+                        AS BIGINT) AS d
+            FROM {prev} GROUP BY event_type, i // 2
+        )""")
+    details = " UNION ALL ".join(
+        f"SELECT event_type, 'd{lv}' AS component,"
+        f" CAST({2 ** (4 - lv)} AS BIGINT) * CAST(sum(d * d) AS BIGINT)"
+        f" AS energy16, CAST(count(*) AS BIGINT) AS n_coeffs"
+        f" FROM l{lv} GROUP BY event_type"
+        for lv in (1, 2, 3, 4)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), seq AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day)
+                        AS BIGINT) - 1 AS i
+            FROM daily QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY day) <= 16
+        ), ok AS (
+            SELECT event_type FROM seq
+            GROUP BY event_type HAVING count(*) = 16
+        ), l0 AS (
+            SELECT s.event_type, s.i, s.x AS s
+            FROM seq s SEMI JOIN ok ON s.event_type = ok.event_type
+        ), {", ".join(lvls)}, tot AS (
+            SELECT event_type,
+                   CAST(16 AS BIGINT) * CAST(sum(s * s) AS BIGINT)
+                       AS total16
+            FROM l0 GROUP BY event_type
+        ), comps AS (
+            {details}
+            UNION ALL
+            SELECT event_type, 's4',
+                   CAST(sum(s * s) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM l4 GROUP BY event_type
+        ), checks AS (
+            SELECT event_type,
+                   CAST(sum(energy16) AS BIGINT) AS energy_sum
+            FROM comps GROUP BY event_type
+        )
+        SELECT c.event_type, c.component, c.n_coeffs, c.energy16,
+               CAST(round(c.energy16 * 1.0 / t.total16, 6) AS DOUBLE)
+                   AS share,
+               (k.energy_sum = t.total16) AS parseval_gate
+        FROM comps c
+        JOIN tot t ON c.event_type = t.event_type
+        JOIN checks k ON c.event_type = k.event_type
+        ORDER BY c.event_type, c.component
+    """
+
+
+@query(
+    "haar_wavelet_energy_census",
+    category="TS-wavelet",
+    oracle=_haar_oracle(),
+)
+def haar_wavelet_energy_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAAR WAVELET decomposition of each channel's first-16-day
+    activity series — the multiresolution energy census (which time
+    SCALES carry the signal: d1 = day-to-day noise, d4 = week-scale
+    swings, s4 = the level), and the wavelet-synopsis primitive the
+    approximate-query literature builds histograms from. The
+    UNNORMALIZED lifting scheme keeps every coefficient an exact
+    INTEGER (level ℓ: s = pairsum, d = pairdiff of level ℓ−1), so
+    Parseval's identity holds EXACTLY in integers after scaling by
+    2^L: 16·Σx² = Σ_ℓ 2^(4−ℓ)·Σd_ℓ² + s₄² — the `parseval_gate`
+    column pins it per channel on both engines; any lifting bug
+    (wrong pairing, wrong sign, lost coefficient) breaks the gate
+    AND the hash.
+
+    Scale: the daily rollup is the one fact pass; each lifting level
+    is ONE groupBy on a frame that HALVES per level (channels × 16 →
+    8 → 4 → 2 → 1 rows) with integer-only arithmetic — the shape
+    generalizes to length-2^k series with k unrolled levels, all
+    shuffles keyed by (channel, position-block). Only the final
+    share divides, rounded at read.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "x",
+        (F.row_number().over(w).cast("long") - 1).alias("i"),
+    ).filter(F.col("i") < 16)
+    ok = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd")
+    ).filter(F.col("nd") == 16).select("event_type")
+    l0 = seq.join(F.broadcast(ok), "event_type", "semi").select(
+        "event_type", "i", F.col("x").alias("s")
+    )
+    # l0 feeds the total AND level 1 — checkpoint the tiny frame so
+    # the daily rollup runs once in the returned plan
+    from ..operators.graph import truncate_lineage
+
+    l0 = truncate_lineage(l0, 1)
+    levels = {0: l0}
+    for lv in (1, 2, 3, 4):
+        prev = levels[lv - 1]
+        levels[lv] = prev.groupBy(
+            "event_type", (F.col("i") / 2).cast("long").alias("i2")
+        ).agg(
+            F.sum("s").cast("long").alias("s"),
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(
+                    -F.col("s")
+                )
+            ).cast("long").alias("d"),
+        ).select("event_type", F.col("i2").alias("i"), "s", "d")
+        # each level feeds the next AND its detail census
+        levels[lv] = truncate_lineage(levels[lv], 1)
+    comps = None
+    for lv in (1, 2, 3, 4):
+        c = levels[lv].groupBy("event_type").agg(
+            (
+                F.lit(2 ** (4 - lv)).cast("long")
+                * F.sum(F.col("d") * F.col("d")).cast("long")
+            ).alias("energy16"),
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+        ).select(
+            "event_type", F.lit(f"d{lv}").alias("component"),
+            "n_coeffs", "energy16",
+        )
+        comps = c if comps is None else comps.unionByName(c)
+    smooth = levels[4].groupBy("event_type").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("energy16"),
+        F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+    ).select(
+        "event_type", F.lit("s4").alias("component"),
+        "n_coeffs", "energy16",
+    )
+    comps = truncate_lineage(comps.unionByName(smooth), 1)
+    tot = l0.groupBy("event_type").agg(
+        (
+            F.lit(16).cast("long")
+            * F.sum(F.col("s") * F.col("s")).cast("long")
+        ).alias("total16")
+    )
+    checks = comps.groupBy("event_type").agg(
+        F.sum("energy16").cast("long").alias("energy_sum")
+    )
+    return (
+        comps.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(checks), "event_type")
+        .select(
+            "event_type", "component", "n_coeffs", "energy16",
+            F.round(F.col("energy16") / F.col("total16"), 6).alias(
+                "share"
+            ),
+            (F.col("energy_sum") == F.col("total16")).alias(
+                "parseval_gate"
+            ),
+        )
+        .orderBy("event_type", "component")
+    )

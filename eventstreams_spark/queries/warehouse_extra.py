@@ -3297,3 +3297,167 @@ def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         " bucket_sse double, total_sse double, equiwidth_sse double,"
         " vopt_gate boolean",
     )
+
+
+@query(
+    "fagin_ta_depth_census",
+    category="WH-topk-ta",
+    oracle="""
+        WITH scores AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS sb
+            FROM events GROUP BY user_id
+        ), ranked AS (
+            SELECT user_id, sa, sb, sa + sb AS f,
+                   CAST(row_number() OVER (ORDER BY sa DESC, user_id)
+                        AS BIGINT) AS ra,
+                   CAST(row_number() OVER (ORDER BY sb DESC, user_id)
+                        AS BIGINT) AS rb
+            FROM scores
+        ), tau AS (
+            SELECT a.d, a.a_d + b.b_d AS tau
+            FROM (SELECT ra AS d, sa AS a_d FROM ranked) a
+            JOIN (SELECT rb AS d, sb AS b_d FROM ranked) b
+              ON a.d = b.d
+            WHERE a.d <= 64
+        ), seen AS (
+            SELECT user_id, f, least(ra, rb) AS mrank FROM ranked
+        ), counts AS (
+            SELECT t.d, t.tau,
+                   CAST(sum(CASE WHEN s.mrank <= t.d AND s.f >= t.tau
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+            FROM tau t CROSS JOIN seen s
+            GROUP BY t.d, t.tau
+        ), ks AS (
+            SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k
+        ), stop AS (
+            SELECT k.k, CAST(min(c.d) AS BIGINT) AS tau_depth
+            FROM ks k JOIN counts c ON c.n_ge >= k.k
+            GROUP BY k.k
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_objects FROM ranked
+        ), kth AS (
+            SELECT k.k, r.f AS kth_exact_f
+            FROM ks k JOIN (
+                SELECT f, CAST(row_number() OVER (ORDER BY f DESC,
+                                                  user_id)
+                               AS BIGINT) AS rf
+                FROM ranked
+            ) r ON r.rf = k.k
+        ), atstop AS (
+            SELECT st.k, st.tau_depth,
+                   CAST(sum(CASE WHEN s.mrank <= st.tau_depth
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_seen_at_stop
+            FROM stop st CROSS JOIN seen s
+            GROUP BY st.k, st.tau_depth
+        )
+        SELECT a.k, a.tau_depth, a.n_seen_at_stop, h.kth_exact_f,
+               n.n_objects,
+               CAST(round(a.tau_depth * 1.0 / n.n_objects, 6)
+                    AS DOUBLE) AS depth_ratio
+        FROM atstop a JOIN kth h ON a.k = h.k CROSS JOIN nn n
+        ORDER BY a.k
+    """,
+)
+def fagin_ta_depth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAGIN'S THRESHOLD ALGORITHM depth census — how deep into two
+    sorted score lists (per-user click count, per-user purchase
+    count) a TA top-k join would have to read before its stopping
+    rule fires: at depth d the threshold τ_d = a_d + b_d bounds
+    every unseen object's combined score, so TA stops at the first
+    d where ≥ k objects seen within depth d (min rank ≤ d) already
+    score ≥ τ_d. The census emits, per k ∈ {1, 5, 10}, that stopping
+    depth, the objects touched, the true k-th combined score, and
+    depth/n — the measured early-termination argument for why a
+    100 TB top-k over sorted projections reads prefixes, not tables
+    (Fagin-Lotem-Naor, PODS'01: TA is instance-optimal, and this
+    query MEASURES the instance).
+
+    Determinism: integer scores; rank ties pinned by user_id; τ_d is
+    tie-permutation-invariant (it reads the d-th VALUE). The depth
+    probe is capped at 64 (the horizon is the point — d* ≪ n), so
+    the probe join is a bounded 64-row broadcast against the ranked
+    frame, never n×n.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scores = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("sa"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("sb"),
+    )
+    ranked = scores.select(
+        "user_id", "sa", "sb",
+        (F.col("sa") + F.col("sb")).alias("f"),
+        F.row_number().over(Window.orderBy(F.desc("sa"), "user_id"))
+        .cast("long").alias("ra"),
+        F.row_number().over(Window.orderBy(F.desc("sb"), "user_id"))
+        .cast("long").alias("rb"),
+    )
+    from ..operators.graph import truncate_lineage
+
+    ranked = truncate_lineage(ranked, 4)
+    a = ranked.select(F.col("ra").alias("d"), F.col("sa").alias("a_d"))
+    b = ranked.select(F.col("rb").alias("d"), F.col("sb").alias("b_d"))
+    tau = (
+        a.join(b, "d")
+        .filter(F.col("d") <= 64)
+        .select("d", (F.col("a_d") + F.col("b_d")).alias("tau"))
+    )
+    seen = ranked.select(
+        "user_id", "f", F.least("ra", "rb").alias("mrank")
+    )
+    counts = (
+        seen.crossJoin(F.broadcast(tau))
+        .groupBy("d", "tau")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("mrank") <= F.col("d"))
+                    & (F.col("f") >= F.col("tau")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_ge")
+        )
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k long")
+    stop = (
+        ks.join(F.broadcast(counts), F.col("n_ge") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.min("d").cast("long").alias("tau_depth"))
+    )
+    nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_objects"))
+    rf = ranked.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.desc("f"), "user_id"))
+        .cast("long").alias("rf"),
+    )
+    kth = ks.join(
+        F.broadcast(rf), F.col("rf") == F.col("k")
+    ).select("k", F.col("f").alias("kth_exact_f"))
+    atstop = (
+        seen.crossJoin(F.broadcast(stop))
+        .groupBy("k", "tau_depth")
+        .agg(
+            F.sum(
+                F.when(F.col("mrank") <= F.col("tau_depth"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_seen_at_stop")
+        )
+    )
+    return (
+        atstop.join(F.broadcast(kth), "k")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "k", "tau_depth", "n_seen_at_stop", "kth_exact_f",
+            "n_objects",
+            F.round(
+                F.col("tau_depth") / F.col("n_objects"), 6
+            ).alias("depth_ratio"),
+        )
+        .orderBy("k")
+    )
