@@ -2586,3 +2586,16 @@ def test_repeat_family_and_bwt_ride_checkpointed_sa(spark, sf_dir):
         counts = operator_counts(df)
         assert count_prefix(counts, "Scan ExistingRDD") >= 1, (name, counts)
         assert_no_operator(df, "CartesianProduct")
+
+
+def test_haar_and_fagin_stay_bounded(spark, sf_dir):
+    """Haar rides checkpointed level frames (halving per level); the
+    TA census probes with a bounded 64-row broadcast — neither may
+    plan a CartesianProduct or a Python eval node."""
+    for name in ("haar_wavelet_energy_census", "fagin_ta_depth_census"):
+        df = q(name, spark, sf_dir)
+        counts = operator_counts(df)
+        assert_no_operator(
+            df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
+        )
+        assert count_prefix(counts, "Scan ExistingRDD") >= 1, (name, counts)
