@@ -2287,7 +2287,7 @@ def smith_waterman_local_shapes(
                        i AS a_end, j AS b_end,
                        CAST('' AS VARCHAR) AS aa,
                        CAST('' AS VARCHAR) AS ab
-                FROM ends WHERE rk = 1
+                FROM ends WHERE rk = 1 AND val > 0
                 UNION ALL
                 SELECT q.ca, q.cb, q.sw_score,
                        CASE WHEN q.m = 'L' THEN q.i ELSE q.i - 1 END,
@@ -2440,6 +2440,12 @@ def smith_waterman_traceback_alignment(
         F.col("r.aligned_a").alias("aligned_a"),
         F.col("r.aligned_b").alias("aligned_b"),
         F.length("r.aligned_a").cast("long").alias("align_len"),
+    ).filter(
+        # contract: a score-0 pair has NO local alignment — emit
+        # nothing, matching the oracle's `rk = 1 AND val > 0` seed
+        # guard (a zero-score walk would otherwise seed from the min
+        # zero-valued cell and emit nonzero bounds on one side only)
+        F.col("sw_score") > 0
     ).orderBy("channel_a", "channel_b")
 
 

@@ -603,7 +603,13 @@ def huffman_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     leaves = (
-        docs.select(
+        # non-empty-document guard: Spark's sequence(1, 0) DESCENDS
+        # to [1, 0] (two phantom sym='' rows per empty doc) while
+        # DuckDB's generate_series(1, 0) is empty — filter to
+        # length >= 1 to make the implicit contract explicit on both
+        # engines (the oracle's series is vacuously empty there)
+        docs.filter(F.length("text") >= 1)
+        .select(
             F.explode(
                 F.sequence(F.lit(1), F.length("text"))
             ).alias("off"),

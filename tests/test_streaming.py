@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from eventstreams_spark.catalog import load_table
 from eventstreams_spark.streaming import session_agg, stream_dedup, tumbling_agg
+from tests.util import split_half
 from eventstreams_spark.streaming.replay import replay_table, run_to_memory
 
 
@@ -2353,8 +2354,8 @@ def test_conformal_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_pat
         .orderBy("day")
     )
     n = daily.count()
-    first = daily.limit(n // 2)
-    rest = daily.subtract(first).orderBy("day")
+    first, rest = split_half(daily, n)
+    rest = rest.orderBy("day")
 
     def drain():
         stream = (
@@ -2410,7 +2411,7 @@ def test_kll_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path):
         .orderBy("ts")
     )
     n = ev.count()
-    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+    first, rest = split_half(ev, n)
 
     def run(src, out, ck, stages):
         for i, frame in enumerate(stages, start=1):
@@ -2524,7 +2525,7 @@ def test_tdigest_monitor_state_recovers_across_restarts(spark, sf_dir, tmp_path)
         .orderBy("ts")
     )
     n = ev.count()
-    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+    first, rest = split_half(ev, n)
 
     def run(src, out, ck, drains):
         """drains: list of file-groups; each group is staged then the
@@ -2641,7 +2642,7 @@ def test_dgim_state_recovers_across_restarts(spark, sf_dir, tmp_path):
         .orderBy("ts")
     )
     n = ev.count()
-    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+    first, rest = split_half(ev, n)
 
     def run(src, out, ck, drains):
         idx = 0
@@ -3001,7 +3002,7 @@ def test_psi_drift_stream_state_recovers_across_restarts(spark, sf_dir, tmp_path
         .orderBy("ts")
     )
     n = ev.count()
-    first, rest = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+    first, rest = split_half(ev, n)
 
     def run(src, out, ck, drains):
         idx = 0

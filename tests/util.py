@@ -96,3 +96,23 @@ def assert_parity(spec, spark, sf_dir: str) -> list[str]:
     errors, warnings = compare_results(spark_cols, spark_rows, oracle_cols, list(oracle_rows))
     assert not errors, f"{spec.name}: " + "; ".join(errors[:10])
     return warnings
+
+
+def split_half(df, n: int):
+    """Deterministically split `df` into (first n//2 rows, rest) by a
+    row_number over a total order on ALL columns — unlike the old
+    `limit(n//2)` + `subtract(...)` pattern, the two halves are
+    computed from ONE ranked plan, so (a) two separate `limit`
+    evaluations can't pick different rows at a tie boundary, and
+    (b) fully-duplicate rows are kept (EXCEPT DISTINCT silently
+    dropped them).  Ties among fully-identical rows are
+    interchangeable, so the split is deterministic as a multiset."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranked = df.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(*df.columns))
+    )
+    first = ranked.filter(F.col("_rn") <= n // 2).drop("_rn")
+    rest = ranked.filter(F.col("_rn") > n // 2).drop("_rn")
+    return first, rest
