@@ -102,3 +102,77 @@ def ntile_from_rank(rank: Column, total: int, k: int) -> Column:
         .otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(q)))
         .cast("int")
     )
+
+
+def exact_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    cum_col: str = "cum",
+    n_buckets: int = 32,
+    accuracy: int = 10_000,
+    with_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Add ``cum_col`` = exact inclusive prefix sum of ``value_col``
+    by ``order_cols`` — the cumulative-share / running-total twin of
+    :func:`exact_global_rank`, with the same construction: range
+    buckets from a percentile sketch, per-bucket SUM offsets
+    (bounded metadata collect), then a cumulative window partitioned
+    BY BUCKET. Identical to ``sum(v) OVER (ORDER BY ...)`` for any
+    boundary choice, with every sort capped at ~N/n_buckets rows.
+
+    ``order_cols[0]`` must be numeric (descending orders ride a
+    negated lead column, the fagin/exact_global_rank convention);
+    ``value_col`` must be integral or exact-cents to keep the prefix
+    sums associativity-safe. ``with_total=True`` also returns the
+    exact grand total (free: the sum of the per-bucket offsets'
+    final accumulator), saving callers the single-partition
+    unbounded-frame window usually used for the denominator.
+    """
+    lead = order_cols[0]
+    df = df.persist()
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile_approx(lead, qs, accuracy).alias("b")).head()
+    bounds = sorted(set(row["b"] or []))
+
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(lead) > b))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    # bounded metadata: per-bucket value sums -> prefix-sum offsets
+    sums = {
+        r["__bucket"]: r["s"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+
+    off_expr: Column = F.lit(0)
+    if offsets:
+        pairs: list[Column] = []
+        for b, off in offsets.items():
+            pairs.extend([F.lit(b), F.lit(off)])
+        off_expr = F.element_at(F.create_map(*pairs), F.col("__bucket"))
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        bucketed.withColumn(
+            cum_col, (off_expr + F.sum(value_col).over(w)).cast("long")
+        )
+        .drop("__bucket")
+    )
+    if with_total:
+        return out, acc
+    return out

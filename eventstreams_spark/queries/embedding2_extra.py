@@ -74,7 +74,11 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both rankings share ONE scan with the 1-row query
     broadcast; prefix cosine is a slice before the same zip_with
-    fold; ranks run on the scored frame.
+    fold. The unpartitioned rank windows are BOUNDED by the planner:
+    row_number + filter r <= K pushes down as
+    TakeOrderedAndProject(limit=K) (LimitPushDownThroughWindow), so
+    each input partition ships a K-row heap and the single-partition
+    window sees K rows total — plan-asserted in test_plans.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(

@@ -81,10 +81,15 @@ def woe_iv_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers; each WOE is ln of one exact-integer-ratio
     quotient, and the 10-term IV sum rounds at 6.
 
-    Scale: the ntile is the one global sort (rank-binning is
-    inherently a sort — Spark range-partitions it); everything after
-    runs on a 10-row frame.
+    Scale: NO unpartitioned ntile window — the decile comes from
+    operators/ranking.exact_global_rank (range buckets + per-bucket
+    row_number + prefix offsets; sorts capped at ~N/32) and the exact
+    SQL ntile fill formula, bit-identical to the oracle's global
+    ntile for any boundary choice (the agg_decile_equidepth
+    construction); everything after runs on a 10-row frame.
     """
+    from ..operators.ranking import exact_global_rank, ntile_from_rank
+
     base = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -94,8 +99,11 @@ def woe_iv_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", 1).otherwise(0).alias("bad"),
         )
     )
-    binned = base.select(
-        F.ntile(10).over(Window.orderBy("cents", "event_id")).alias("bin"),
+    ranked, total = exact_global_rank(
+        base, ["cents", "event_id"], rank_col="rnk", with_total=True
+    )
+    binned = ranked.select(
+        ntile_from_rank(F.col("rnk"), total, 10).alias("bin"),
         "bad",
     )
     per_bin = binned.groupBy("bin").agg(

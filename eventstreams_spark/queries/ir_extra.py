@@ -832,8 +832,12 @@ def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance comes from the shared md5_uniform mint; both DCG
     accumulations run in pinned rank order.
 
-    Scale: BM25 cost ∝ matching postings; relevance/rank/DCG all run
-    on the scored-candidates frame; @10 truncation bounds the output.
+    Scale: BM25 cost ∝ matching postings. The two unpartitioned rank
+    windows are BOUNDED by the planner: row_number + filter rnk <= 10
+    pushes down as TakeOrderedAndProject(limit=10), so each input
+    partition ships a 10-row heap and the single-partition windows
+    (rank + the running DCG over the kept 10 rows) never see the full
+    candidate frame — plan-asserted in test_plans.
     """
     from ..functions.sampling import md5_uniform
 

@@ -82,9 +82,14 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-group rank sum an exact integer; H is assembled from
     those integers in identical double arithmetic on both engines.
 
-    Scale: one global sort for the pooled ranking (the price of any
-    exact rank test — Spark range-partitions it), a per-value tie
-    count, then two hash aggregates; output is k rows.
+    Scale: NO global rank over raw rows — the mann_whitney_u
+    distinct-bucket construction: one (cents, grp) keyed aggregate
+    over the fact table, then the prefix-sum window runs over the
+    DISTINCT-cents frame only (value-domain-bounded — the price
+    grid, not row count; the documented acceptable global-window
+    case). Per-row doubled midrank 2·rmin + t − 1 becomes the
+    per-bucket identity n_vg·(2·below + t + 1), so the rank sums
+    are identical integers; then two hash aggregates; output k rows.
     """
     base = (
         load_table(spark, sf_dir, "events")
@@ -94,19 +99,46 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
         )
     )
-    ranked = base.select(
-        "grp", "cents",
-        F.rank().over(Window.orderBy("cents")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("t"),
+    from ..operators.graph import truncate_lineage
+
+    # per_vg is the ONLY consumer of the fact scan; checkpointing it
+    # keeps the three downstream consumers (per_v, the join, ties)
+    # off the scan lineage (truncate_lineage house rule)
+    per_vg = truncate_lineage(
+        base.groupBy("cents", "grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vg")
+        ),
+        8,
     )
-    per_grp = ranked.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum(2 * F.col("rmin") + F.col("t") - 1).cast("long").alias("rank_sum2"),
+    per_v = per_vg.groupBy("cents").agg(
+        F.sum("n_vg").cast("long").alias("t")
     )
-    ties = base.groupBy("cents").agg(F.count(F.lit(1)).alias("t")).agg(
+    w_below = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked_v = per_v.select(
+        "cents", "t",
+        F.coalesce(F.sum("t").over(w_below), F.lit(0))
+        .cast("long").alias("below"),
+    )
+    per_grp = (
+        per_vg.join(ranked_v, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_vg").cast("long").alias("n_g"),
+            F.sum(
+                F.col("n_vg")
+                * (2 * F.col("below") + F.col("t") + 1)
+            ).cast("long").alias("rank_sum2"),
+        )
+    )
+    # tie census rides per_v (already per-cents counts) instead of a
+    # second pass over the fact scan
+    ties = per_v.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("long").alias("tie3")
     )
+    per_grp = truncate_lineage(per_grp, 1)  # k-row frame, 3 consumers
     tot = per_grp.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),

@@ -417,11 +417,13 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL-INTEGER (c = 1/2 multiplies through as 4).
 
     Scale: two rollups (part, part×week) and one part-grain join;
-    the cumulative-share window is a global ordered prefix over the
-    PART dimension — at catalog scale swap it for
-    operators/ranking.py::exact_global_rank (range buckets + prefix
-    offsets), same contract.
+    the cumulative revenue share rides
+    operators/ranking.py::exact_global_cumsum (range buckets +
+    per-bucket sum offsets — NO single-partition window over the
+    part dimension), and the grand total comes free from its bucket
+    offsets instead of an unbounded-frame window.
     """
+    from ..operators.ranking import exact_global_cumsum
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
@@ -439,17 +441,23 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("long").alias("sq"),
         F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
     )
-    w_cum = Window.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    from ..operators.graph import truncate_lineage
+
+    # part-grain frame with 3 reads inside the cumsum construction —
+    # checkpoint so none of them re-derives the two lineitem rollups
+    joined = truncate_lineage(
+        per_part.join(cv, "l_partkey").withColumn(
+            "nrev", -F.col("rev_c")
+        ),
+        8,
     )
-    ranked = per_part.join(cv, "l_partkey").select(
-        "l_partkey", "n_wk", "sq", "sqq",
-        F.sum("rev_c").over(w_cum).alias("cum_rev"),
-        F.sum("rev_c").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("tot_rev"),
+    cum, tot_rev = exact_global_cumsum(
+        joined, ["nrev", "l_partkey"], "rev_c",
+        cum_col="cum_rev", with_total=True,
+    )
+    ranked = cum.select(
+        "l_partkey", "n_wk", "sq", "sqq", "cum_rev",
+        F.lit(int(tot_rev)).cast("long").alias("tot_rev"),
     )
     var_num = F.col("n_wk") * (
         F.col("n_wk") * F.col("sqq") - F.col("sq") * F.col("sq")

@@ -1190,19 +1190,23 @@ def sequence_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest islands. The inverse readout — missing-id ranges — is the
     completeness audit run against every ingest ledger.
 
-    Scale: the island id is ONE ordered window over present ids —
-    this is the documented single-sequence cost (a global order by id;
-    per-partition ledgers would partition the window by shard key,
-    the streak_islands_by_user shape); the rollup and top-25 heap run
-    on island rows.
+    Scale: the row_number in the id − row_number() trick is an exact
+    global rank over UNIQUE present ids, so it rides
+    operators/ranking.py::exact_global_rank (range buckets +
+    per-bucket row_number + prefix offsets — no single-partition
+    window over the ledger; sorts capped at ~N/32; islands spanning
+    a bucket boundary are unaffected because grp = id − rank is
+    boundary-blind); the rollup and top-25 heap run on island rows.
     """
+    from ..operators.ranking import exact_global_rank
+
     ev = load_table(spark, sf_dir, "events")
     present = ev.filter(
         F.substring(F.md5(F.concat(F.lit("gap:"), F.col("event_id").cast("string"))), 1, 1)
         != "f"
     ).select(F.col("event_id").alias("id"))
-    grouped = present.withColumn(
-        "grp", F.col("id") - F.row_number().over(Window.orderBy("id"))
+    grouped = exact_global_rank(present, ["id"], rank_col="rn").withColumn(
+        "grp", F.col("id") - F.col("rn")
     )
     islands = grouped.groupBy("grp").agg(
         F.min("id").cast("long").alias("island_start"),
@@ -3382,6 +3386,12 @@ def fagin_ta_depth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe is capped at 64 (the horizon is the point — d* ≪ n), so
     the probe join is a bounded 64-row broadcast against the ranked
     frame, never n×n.
+
+    Scale: the |users|-sized ra/rb ranks ride exact_global_rank
+    (range-bucketed, no single-partition Window); the only Windows
+    left are over the bounded top-10 probe frame. At 100× the users
+    frame shuffles once per rank construction, each bucket sorting
+    ~N/32 rows.
     """
     ev = load_table(spark, sf_dir, "events")
     scores = ev.groupBy("user_id").agg(
@@ -3390,16 +3400,23 @@ def fagin_ta_depth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long").alias("sb"),
     )
-    ranked = scores.select(
+    from ..operators.graph import truncate_lineage
+    from ..operators.ranking import exact_global_rank
+
+    # ra/rb are |users|-sized global ranks — exact_global_rank (range
+    # buckets + per-bucket row_number + prefix offsets) instead of an
+    # unpartitioned Window, which would single-partition the whole
+    # scores frame. DESC order rides a negated lead column (ties pinned
+    # by user_id, same contract as the oracle's ORDER BY ... DESC).
+    scored = scores.select(
         "user_id", "sa", "sb",
         (F.col("sa") + F.col("sb")).alias("f"),
-        F.row_number().over(Window.orderBy(F.desc("sa"), "user_id"))
-        .cast("long").alias("ra"),
-        F.row_number().over(Window.orderBy(F.desc("sb"), "user_id"))
-        .cast("long").alias("rb"),
+        (-F.col("sa")).alias("nsa"),
+        (-F.col("sb")).alias("nsb"),
     )
-    from ..operators.graph import truncate_lineage
-
+    r1 = exact_global_rank(scored, ["nsa", "user_id"], rank_col="ra")
+    r2 = exact_global_rank(r1, ["nsb", "user_id"], rank_col="rb")
+    ranked = r2.drop("nsa", "nsb")
     ranked = truncate_lineage(ranked, 4)
     a = ranked.select(F.col("ra").alias("d"), F.col("sa").alias("a_d"))
     b = ranked.select(F.col("rb").alias("d"), F.col("sb").alias("b_d"))
@@ -3431,7 +3448,13 @@ def fagin_ta_depth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").cast("long").alias("tau_depth"))
     )
     nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_objects"))
-    rf = ranked.select(
+    # k-th exact combined score: only the top max(k)=10 rows matter, so
+    # take them with orderBy+limit (TakeOrderedAndProject — a top-k
+    # heap per partition, no global sort) and rank INSIDE the bounded
+    # 10-row probe; this window is bucket-metadata-sized, never
+    # data-proportional (the skyline "bounded probe window" pattern).
+    top10 = ranked.orderBy(F.desc("f"), "user_id").limit(10)
+    rf = top10.select(
         "f",
         F.row_number().over(Window.orderBy(F.desc("f"), "user_id"))
         .cast("long").alias("rf"),

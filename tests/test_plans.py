@@ -2599,3 +2599,61 @@ def test_haar_and_fagin_stay_bounded(spark, sf_dir):
             df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
         )
         assert count_prefix(counts, "Scan ExistingRDD") >= 1, (name, counts)
+
+
+def test_fagin_no_single_partition_rank(spark, sf_dir):
+    """TA census: the |users|-sized ra/rb ranks must ride
+    exact_global_rank (bucket-partitioned windows); the ONLY
+    SinglePartition allowed is the rf window over the bounded
+    top-10 probe frame (downstream of a GlobalLimit)."""
+    df = q("fagin_ta_depth_census", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") <= 1, plan[:2000]
+    # the surviving window must sit under a top-10 limit (planned as
+    # TakeOrderedAndProject), not the raw frame
+    assert (
+        "TakeOrderedAndProject(limit=10" in plan
+        or "GlobalLimit 10" in plan
+    ), plan[:2000]
+
+
+def test_global_window_audit_degloballed_ranks(spark, sf_dir):
+    """Round-8 Window.orderBy audit: queries whose data-proportional
+    global windows were replaced with the bucketed constructions
+    (exact_global_rank / exact_global_cumsum / distinct-bucket
+    midranks) must not regress to a SinglePartition window over the
+    data frame. Bounded-metadata SinglePartitions (percentile sketch
+    1-row agg, grand-total 1-row frames) are allowed up to the
+    recorded cap."""
+    caps = {
+        "sequence_gap_islands": 0,
+        "woe_iv_decile_binning": 0,
+        "kruskal_wallis_h": 1,   # prefix window over DISTINCT cents
+        "abc_xyz_classification": 0,
+    }
+    for name, cap in caps.items():
+        df = q(name, spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = sum(
+            1
+            for line in plan.splitlines()
+            if "Window" in line and "SinglePartition" in line
+        )
+        assert n <= cap, (name, n, plan[:2000])
+
+
+def test_rank_limit_pushes_take_ordered(spark, sf_dir):
+    """Unpartitioned row_number + filter r <= K must plan as
+    TakeOrderedAndProject (LimitPushDownThroughWindow) so the
+    single-partition window only ever sees K rows — the boundedness
+    contract the matryoshka/ndcg docstrings claim."""
+    for name, min_toap in (
+        ("matryoshka_prefix_recall", 2),
+        ("ndcg_at_10_eval", 2),
+        ("binary_hamming_recall", 2),
+    ):
+        df = q(name, spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("TakeOrderedAndProject") >= min_toap, (
+            name, plan[:2000],
+        )
