@@ -716,10 +716,9 @@ def _sampled_bfs_levels(spark, sf_dir):
     cache at cluster parallelism — see the SCALE.md §3b width lesson.
     """
     ev = load_table(spark, sf_dir, "events")
-    und = (
-        interaction_edges(ev, undirected=True)
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()
+    par = spark.sparkContext.defaultParallelism
+    und = truncate_lineage(
+        interaction_edges(ev, undirected=True), par
     )
     e = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -737,9 +736,10 @@ def _sampled_bfs_levels(spark, sf_dir):
         .filter(F.col("v") != F.col("s"))
         .groupBy("s", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("sig"))
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()  # consumed by l2, seen12, c1, d1
     )
+    # consumed by l2, seen12, c1, d1 — checkpoint, don't persist: the
+    # printed plan of every consumer would re-embed the level subtree
+    l1 = truncate_lineage(l1, par)
     l2 = (
         e.join(F.broadcast(l1.select("s", F.col("v").alias("fu"), "sig")),
                F.col("fu") == e.u)
@@ -754,9 +754,8 @@ def _sampled_bfs_levels(spark, sf_dir):
         )
         .groupBy("s", "v")
         .agg(F.sum("sig").cast("long").alias("sig"))
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()  # consumed by l3, seen12, c2, d2
     )
+    l2 = truncate_lineage(l2, par)  # consumed by l3, seen12, c2, d2
     seen12 = l1.select("s", "v").unionAll(l2.select("s", "v"))
     l3 = (
         e.join(F.broadcast(l2.select("s", F.col("v").alias("fu"), "sig")),
@@ -772,6 +771,7 @@ def _sampled_bfs_levels(spark, sf_dir):
         .groupBy("s", "v")
         .agg(F.sum("sig").cast("long").alias("sig"))
     )
+    l3 = truncate_lineage(l3, par)  # consumed by both census queries
     return e, l1, l2, l3
 
 

@@ -460,18 +460,19 @@ def pagerank_fixed_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     node count is bounded metadata (one count() scalar), and nothing
     driver-side ever holds a vector.
     """
-    from ..operators.graph import interaction_edges
+    from ..operators.graph import interaction_edges, truncate_lineage
 
     ev = load_table(spark, sf_dir, "events")
-    # iterative-algorithm practice: cache the loop-invariant edge set
-    # (at cluster scale: checkpoint + pre-partition by src)
-    edges = interaction_edges(ev).repartition("src").persist()
+    # iterative-algorithm practice: checkpoint the loop-invariant
+    # edge/node sets (truncate_lineage = the per-round boundary; at
+    # cluster scale: reliable checkpoint + pre-partition by src)
+    edges = truncate_lineage(interaction_edges(ev).repartition("src"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    nodes = (
+    nodes = truncate_lineage(
         edges.select(F.col("src").alias("u"))
         .unionAll(edges.select(F.col("dst").alias("u")))
-        .distinct()
-        .persist()
+        .distinct(),
+        8,
     )
     n_nodes = nodes.count()  # bounded metadata scalar
 
@@ -493,6 +494,9 @@ def pagerank_fixed_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
             )
         )
+        # per-round boundary: without it round k's plan embeds every
+        # earlier round's subtree (the r6/r7 truncate_lineage rule)
+        ranks = truncate_lineage(ranks, 8)
     return ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_units"))
 
 
@@ -1713,16 +1717,16 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed frontier, which is the PPR-specific win (mass is sparse
     until it diffuses).
     """
-    from ..operators.graph import interaction_edges
+    from ..operators.graph import interaction_edges, truncate_lineage
 
     ev = load_table(spark, sf_dir, "events")
-    edges = interaction_edges(ev).repartition("src").persist()
+    edges = truncate_lineage(interaction_edges(ev).repartition("src"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    nodes = (
+    nodes = truncate_lineage(
         edges.select(F.col("src").alias("u"))
         .unionAll(edges.select(F.col("dst").alias("u")))
-        .distinct()
-        .persist()
+        .distinct(),
+        8,
     )
     n_seeds = nodes.filter(F.col("u") % 10 == 0).count()  # bounded scalar
 
@@ -1751,6 +1755,7 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (restart + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
             )
         )
+        ranks = truncate_lineage(ranks, 8)  # per-round boundary
     return (
         ranks.select(
             F.col("u").alias("user_id"),
@@ -1934,18 +1939,19 @@ def pagerank_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
-    wedges = (
+    from ..operators.graph import truncate_lineage
+
+    wedges = truncate_lineage(
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .repartition("src")
-        .persist()
     )
     outw = wedges.groupBy("src").agg(F.sum("w").alias("ow"))
-    nodes = (
+    nodes = truncate_lineage(
         wedges.select(F.col("src").alias("u"))
         .unionAll(wedges.select(F.col("dst").alias("u")))
-        .distinct()
-        .persist()
+        .distinct(),
+        8,
     )
     n_nodes = nodes.count()  # bounded metadata scalar
 
@@ -1967,6 +1973,7 @@ def pagerank_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(base) + F.coalesce("c", F.lit(0))).cast("long").alias("r"),
             )
         )
+        ranks = truncate_lineage(ranks, 8)  # per-round boundary
     return (
         ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_units"))
         .orderBy(F.col("rank_units").desc(), "user_id")

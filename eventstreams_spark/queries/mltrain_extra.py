@@ -133,10 +133,17 @@ def naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             < _SPLIT
         ).cast("int").alias("is_train"),
     )
-    toks = docs.select(
-        "doc_id", "lang", "is_train",
-        F.explode(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    from ..operators.graph import truncate_lineage
+
+    # the token explode feeds 4 training aggregates plus test scoring
+    # — checkpoint so none re-prints (or re-runs) the explode subtree
+    toks = truncate_lineage(
+        docs.select(
+            "doc_id", "lang", "is_train",
+            F.explode(F.split("text", " ")).alias("tok"),
+        ).filter(F.col("tok") != ""),
+        8,
+    )
     train = toks.filter(F.col("is_train") == 1)
     priors = train.groupBy("lang").agg(
         F.countDistinct("doc_id").cast("long").alias("nd")

@@ -1638,6 +1638,11 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
+    from ..operators.graph import truncate_lineage
+
+    # lines feeds n_orders, f1 and lf — checkpoint (truncate_lineage
+    # house rule) so no consumer re-prints the join-to-part subtree
+    lines = truncate_lineage(lines, 8)
     # Spark's single-pass twin of the n_orders/minsup CTE: a 1-row dim
     n_orders = lines.agg(
         F.count_distinct("l_orderkey").cast("long").alias("n"),
@@ -1654,8 +1659,9 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand")
     )
     # lf feeds 3 pair/triple sides (a, b, c) plus the f1 prune —
-    # persist so each consumer reads the cached frame, not the scan
-    lf = lines.join(F.broadcast(f1), "p_brand", "semi").persist()
+    # checkpoint so each consumer reads materialized blocks, not the
+    # re-printed scan lineage
+    lf = truncate_lineage(lines.join(F.broadcast(f1), "p_brand", "semi"), 8)
     a = lf.select("l_orderkey", F.col("p_brand").alias("ba"))
     b = lf.select("l_orderkey", F.col("p_brand").alias("bb"))
     p2_occ = a.join(b, "l_orderkey").filter(F.col("ba") < F.col("bb"))
@@ -1668,8 +1674,8 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_orders.select("minsup")))
         .filter(F.col("c2") >= F.col("minsup"))
         .select("ba", "bb")
-        .persist()
     )
+    f2 = truncate_lineage(f2, 8)  # 3 broadcast consumers
     pair_occ = p2_occ.join(F.broadcast(f2), ["ba", "bb"], "semi")
     c = lf.select("l_orderkey", F.col("p_brand").alias("bc"))
     cand3 = (

@@ -2216,19 +2216,18 @@ def test_profiling_ops_family_shapes(spark, sf_dir):
 def test_frequent_triples_level_wise_bounded_joins(spark, sf_dir):
     """Apriori 3-itemsets: every candidate-generation join is an
     equi-join on l_orderkey; the level dims (f1 brands, f2 pairs,
-    n_orders) attach broadcast; no cartesian anywhere. The persisted
-    pruned-lines frame keeps the plan at its two base scans
-    (lineitem + part) instead of re-deriving per level."""
+    n_orders) attach broadcast; no cartesian anywhere. The
+    checkpointed lines/lf/f2 frames (round-8 truncate_lineage pass,
+    budget 62 -> 0 printed scans) show as Scan ExistingRDD leaves —
+    the level subtrees are materialized once, never re-printed."""
     df = q("frequent_triples_apriori", spark, sf_dir)
     counts = operator_counts(df)
     assert count_prefix(counts, "BroadcastHashJoin") >= 3, counts
     assert_no_operator(df, "CartesianProduct")
-    # 3 EXECUTED orderkey joins (pair gen, f2 materialization, triple
-    # gen) + 2 display-only repeats: the persisted f2's child plan is
-    # printed under each of its 3 InMemoryTableScan consumers but
-    # materializes once. Without the f2 persist this is 7+.
+    # only the pair-gen + triple-gen orderkey joins remain in the
+    # returned plan; lf/f2 materialized behind the checkpoints
     assert count_prefix(counts, "SortMergeJoin") <= 5, counts
-    assert count_prefix(counts, "InMemoryTableScan") >= 3, counts
+    assert count_prefix(counts, "Scan ExistingRDD") >= 2, counts
 
 
 def test_conformal_monitor_prefix_join_at_calendar_grain(spark, sf_dir):
