@@ -63,10 +63,9 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins that width for every downstream stage AND blocks AQE
     # coalescing — 400-task stages over a KB-scale frontier are pure
     # task-launch overhead. defaultParallelism tracks the cluster.
-    und = (
-        interaction_edges(ev, undirected=True)
-        .coalesce(spark.sparkContext.defaultParallelism)
-        .persist()
+    und = truncate_lineage(
+        interaction_edges(ev, undirected=True),
+        spark.sparkContext.defaultParallelism,
     )
 
     deg = (
@@ -87,7 +86,8 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("hi_k"),
-    ).persist()
+    )
+    oriented = truncate_lineage(oriented, 8)
 
     e1 = oriented.select(F.col("lo"), F.col("hi").alias("x"), F.col("hi_k").alias("xk"))
     e2 = oriented.select(F.col("lo"), F.col("hi").alias("y"), F.col("hi_k").alias("yk"))

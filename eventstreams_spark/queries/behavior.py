@@ -3336,6 +3336,8 @@ def gsp_subsequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |users|·|types|² at worst — bounded by the type alphabet, not
     by event count.
     """
+    from ..operators.graph import truncate_lineage
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pos = (
@@ -3345,8 +3347,8 @@ def gsp_subsequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 12)
-        .persist()  # feeds u, f1, posf
     )
+    pos = truncate_lineage(pos, 8)  # feeds u, f1, posf
     u = pos.agg(
         F.count_distinct("user_id").cast("long").alias("n_users"),
         F.expr("(6 * count(DISTINCT user_id)) div 10").alias("minsup"),
@@ -3358,7 +3360,7 @@ def gsp_subsequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("su") >= F.col("minsup"))
         .select("t")
     )
-    posf = pos.join(F.broadcast(f1), "t", "semi").persist()
+    posf = truncate_lineage(pos.join(F.broadcast(f1), "t", "semi"), 8)
     firsts = posf.groupBy("user_id", "t").agg(
         F.min("rn").cast("long").alias("frn")
     )
@@ -3369,17 +3371,17 @@ def gsp_subsequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnb") > F.col("frn"))
         .groupBy("user_id", "ta", "tb")
         .agg(F.min("rnb").cast("long").alias("fb"))
-        .persist()  # feeds p2 and the triple join
     )
+    pair_first = truncate_lineage(pair_first, 8)  # feeds p2 + triple join
     p2 = pair_first.groupBy("ta", "tb").agg(
         F.count(F.lit(1)).cast("long").alias("sup")
     )
-    f2 = (
+    f2 = truncate_lineage(
         p2.crossJoin(F.broadcast(u.select("minsup")))
         .filter(F.col("sup") >= F.col("minsup"))
-        .select("ta", "tb")
-        .persist()  # 3 broadcast prune consumers
-    )
+        .select("ta", "tb"),
+        1,
+    )  # 3 broadcast prune consumers
     c = posf.select("user_id", F.col("t").alias("tc"), F.col("rn").alias("rnc"))
     tri = (
         pair_first.join(F.broadcast(f2), ["ta", "tb"], "semi")
@@ -3648,6 +3650,7 @@ def _GEO_GRID_ORACLE() -> str:
 @query(
     "geo_grid_neighbor_pairs",
     category="B9-geo",
+    variant_of="spatial_grid_join_pairs",
     oracle=_GEO_GRID_ORACLE(),
 )
 def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3680,6 +3683,8 @@ def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell — spatial skew (urban cells) is AQE's skew-join case or a
     finer grid. At planetary scale swap the flat grid for hierarchical
     cells (geohash prefixes), same join shape.
+
+    Variant-of: ``spatial_grid_join_pairs`` — r7 variant: neighbor-cell expansion on the probe side vs the r3 9-cell build-side duplication.
     """
     from ..functions.sampling import md5_uniform
 

@@ -890,6 +890,8 @@ def spatial_grid_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on cell ids, so work is Σ(per-cell points²) bounded by
     density, and AQE skew-split handles hot cells (cities). The
     verify predicate and distance run as codegen trig post-join.
+
+    Variant-of: ``geo_grid_neighbor_pairs`` — r7 twin expands neighbor cells probe-side.
     """
     from ..functions.sampling import md5_uniform
 

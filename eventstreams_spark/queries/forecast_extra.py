@@ -2400,7 +2400,17 @@ def smith_waterman_traceback_alignment(
     b = arrs.select(
         F.col("event_type").alias("channel_b"), F.col("syms").alias("sb")
     )
-    pairs = a.join(F.broadcast(b), F.col("channel_a") < F.col("channel_b"))
+    # contract: a score-0 pair has NO local alignment — emit nothing,
+    # matching the oracle's `rk = 1 AND val > 0` seed guard. Score 0
+    # <=> the two symbol alphabets are DISJOINT (any shared symbol
+    # admits a +2 single-match alignment), so the pruning predicate
+    # is arrays_overlap on the INPUTS — it runs before the UDF, which
+    # both skips the DP for dead pairs and keeps the plan at exactly
+    # one ArrowEvalPython (a post-UDF filter on the struct field
+    # pushes down and re-plans the UDF twice — the r5 DTW lesson).
+    pairs = a.join(
+        F.broadcast(b), F.col("channel_a") < F.col("channel_b")
+    ).filter(F.arrays_overlap("sa", "sb"))
 
     ret = StructType([
         StructField("sw_score", LongType()),
@@ -2440,12 +2450,6 @@ def smith_waterman_traceback_alignment(
         F.col("r.aligned_a").alias("aligned_a"),
         F.col("r.aligned_b").alias("aligned_b"),
         F.length("r.aligned_a").cast("long").alias("align_len"),
-    ).filter(
-        # contract: a score-0 pair has NO local alignment — emit
-        # nothing, matching the oracle's `rk = 1 AND val > 0` seed
-        # guard (a zero-score walk would otherwise seed from the min
-        # zero-valued cell and emit nonzero bounds on one side only)
-        F.col("sw_score") > 0
     ).orderBy("channel_a", "channel_b")
 
 

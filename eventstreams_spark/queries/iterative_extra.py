@@ -139,10 +139,15 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-certified). Empty clusters drop out of round 2 (reported with
     0/0.0 via the left join), matching the oracle exactly.
     """
+    from ..operators.graph import truncate_lineage
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.filter(F.col("vec_id") >= 8).select(
-        "vec_id", to_double_array("embedding").alias("v")
-    ).persist()
+    pts = truncate_lineage(
+        emb.filter(F.col("vec_id") >= 8).select(
+            "vec_id", to_double_array("embedding").alias("v")
+        ),
+        8,
+    )
     c0 = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), to_double_array("embedding").alias("cvec")
     )
@@ -158,7 +163,7 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("cid").alias(out))
         )
 
-    a1 = assign(c0, "cid1").persist()
+    a1 = truncate_lineage(assign(c0, "cid1"), 8)
     dims = a1.join(pts, "vec_id").select(
         "cid1", F.posexplode("v").alias("dim", "x")
     )
@@ -176,7 +181,8 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid1").alias("cid"),
         "cvec",
         F.round(norm(F.col("cvec")), 6).alias("centroid_norm"),
-    ).persist()
+    )
+    c1 = truncate_lineage(c1, 1)  # 8-row centroid frame, 2 consumers
 
     a2 = assign(c1.select("cid", "cvec"), "cid2")
     n1 = a1.groupBy(F.col("cid1").alias("cid")).agg(F.count(F.lit(1)).alias("n1"))
@@ -889,12 +895,14 @@ def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds runs on |communities|-sized frames. Exact integer m_c/d_c;
     only the final ratio is floating (round 6).
     """
+    from ..operators.graph import truncate_lineage
+
     ev = load_table(spark, sf_dir, "events")
-    und = interaction_edges(ev, undirected=True).persist()
-    sym = (
+    und = truncate_lineage(interaction_edges(ev, undirected=True), 8)
+    sym = truncate_lineage(
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-        .persist()
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))),
+        8,
     )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
 
@@ -911,7 +919,7 @@ def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
         )
 
-    l2 = lpa_round(lpa_round(labels)).persist()
+    l2 = truncate_lineage(lpa_round(lpa_round(labels)), 8)
     m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
     la = l2.select(F.col("node").alias("a"), F.col("label").alias("lab_a"))
     lb = l2.select(F.col("node").alias("b"), F.col("label").alias("lab_b"))

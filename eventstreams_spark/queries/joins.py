@@ -356,6 +356,8 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregate. At larger key counts, size m from an
     upstream approx_count_distinct (fill ≤ ~25% keeps fp under
     (fill)³ ≈ 1.6%); this build pins m so the oracle can replay it.
+
+    Variant-of: ``bloom_semijoin_reduction`` — r7 twin builds the filter as a per-partition bitmap fold.
     """
     from ..functions.sampling import md5_uniform
 
@@ -443,6 +445,7 @@ _BF_HASH_DUCK = _md5_int_sql(
 @query(
     "bloom_semijoin_reduction",
     category="J12-bloom",
+    variant_of="bloom_prefilter_semi_join",
     oracle=f"""
         WITH urgent AS (
             SELECT DISTINCT o_orderkey AS k FROM orders
@@ -527,6 +530,8 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap by key range (partitioned Bloom) or lean on the built-in
     AQE runtime filter; the census here is what sizes that decision
     (fp_rate x probe volume = wasted downstream work).
+
+    Variant-of: ``bloom_prefilter_semi_join`` — r7 variant: per-partition bitmap built with aggregate() vs the r3 broadcast Bloom array.
     """
     n_hashes = 7
     orders = load_table(spark, sf_dir, "orders")

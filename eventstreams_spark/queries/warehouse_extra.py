@@ -1023,6 +1023,8 @@ def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), one ~200-row rollup; at real scale this query IS the
     layout-planner's cost model — run it before choosing a cluster
     key.
+
+    Variant-of: ``zorder_layout_skipping_census`` — r7 twin re-measures under a Z-order layout.
     """
     li = load_table(spark, sf_dir, "lineitem")
     sd = F.to_date("l_shipdate")
@@ -2107,6 +2109,7 @@ _Z_TERMS_SQL = " + ".join(
 @query(
     "zorder_layout_skipping_census",
     category="S10-layout",
+    variant_of="zonemap_skipping_census",
     oracle=f"""
         WITH dims AS (
             SELECT event_id, user_id % 128 AS ua,
@@ -2179,6 +2182,10 @@ def zorder_layout_skipping_census(
     the writer's repartitionByRange(zval) and the zone maps are the
     parquet footer min/max the engine already reads — this census IS
     the planning arithmetic for choosing clustering dimensions.
+
+    Variant-of: ``zonemap_skipping_census`` — r7 variant: measures
+    skipping under a Z-order (bit-interleaved) layout vs the r3
+    natural-order zone maps.
     """
     ev = load_table(spark, sf_dir, "events")
     dims = ev.select(

@@ -27,18 +27,33 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, None => rows-only check (driver-weak)
     category: str  # SURVEY §2 subsection id, e.g. "A1", "L3"
     doc: str = ""
+    variant_of: str | None = None  # same family, different mechanism
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, *, oracle: str | None = None, category: str = "") -> Callable[[QueryFn], QueryFn]:
-    """Decorator registering a named query with its oracle SQL."""
+def query(
+    name: str,
+    *,
+    oracle: str | None = None,
+    category: str = "",
+    variant_of: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a named query with its oracle SQL.
+
+    ``variant_of`` cross-links a query that re-covers an existing
+    family with a different mechanism (e.g. the r7 zone-map census
+    vs the r3 one) so the coverage index reads as intentional depth,
+    not registry drift.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, category, (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, category, (fn.__doc__ or "").strip(), variant_of
+        )
         return fn
 
     return deco

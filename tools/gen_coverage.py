@@ -24,10 +24,18 @@ and records row count (non-SQL-expressible per SURVEY §2).
 
 def main() -> None:
     registry._ensure_loaded()
+    # variant links must point at real registry entries
+    for name, spec in registry.REGISTRY.items():
+        if spec.variant_of is not None and spec.variant_of not in registry.REGISTRY:
+            raise SystemExit(
+                f"{name}: variant_of {spec.variant_of!r} not in registry"
+            )
     rows = []
     for name, spec in sorted(registry.REGISTRY.items(), key=lambda kv: (kv[1].category, kv[0])):
         check = "oracle" if spec.oracle else "rows-only"
         doc = (spec.doc or "").split("\n")[0].strip().rstrip(".")
+        if spec.variant_of:
+            doc = f"[variant of `{spec.variant_of}`] {doc}"
         rows.append(f"| `{name}` | {spec.category} | {check} | {doc} |")
     out = HEADER + "\n".join(rows) + "\n"
     n_oracle = sum(1 for s in registry.REGISTRY.values() if s.oracle)
