@@ -2353,6 +2353,221 @@ def bwt_run_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fm_index_backward_search",
+    category="L2-suffixarray",
+    oracle="""
+        WITH pats AS (
+            SELECT * FROM (VALUES
+                ('a'), ('data'), ('stream'), ('merge part'),
+                ('batch batch'), ('event')
+            ) AS p(pattern)
+        ), hits AS (
+            SELECT p.pattern,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+            FROM pats p
+            JOIN documents d ON length(d.text) >= length(p.pattern),
+                 LATERAL unnest(generate_series(
+                     1, length(d.text) - length(p.pattern) + 1))
+                     AS t(off)
+            WHERE substring(d.text, CAST(t.off AS INTEGER),
+                            length(p.pattern)) = p.pattern
+            GROUP BY p.pattern
+        )
+        SELECT p.pattern,
+               CAST(length(p.pattern) AS BIGINT) AS m,
+               CAST(coalesce(h.n_occurrences, 0) AS BIGINT)
+                   AS n_occurrences,
+               CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
+        FROM pats p LEFT JOIN hits h USING (pattern)
+        ORDER BY p.pattern
+    """,
+)
+def fm_index_backward_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FM-INDEX rank/select over the landed BWT — the capstone
+    certifying bwt_run_length_census is more than a statistic: count
+    (and locate the documents of) each probe pattern using ONLY the
+    C table and Occ rank queries on the BWT, never touching the
+    text. Classic Ferragina-Manzini backward search over the
+    generalized (multi-document) suffix array: for pattern
+    p_1..p_m, start from the SA interval of p_m (from C + first-char
+    counts) and extend left one character per round via
+
+        sp' = C[c] + Occ(c, sp - 1) + 1      ep' = C[c] + Occ(c, ep)
+
+    — correct here because the LF property holds for this SA's
+    (suffix, doc_id, off) order: equal-suffix ties shift monotonely
+    under off -> off-1, so the i-th c in BWT order IS the i-th
+    suffix starting with c. The final interval [sp, ep] is then
+    LOCATED: its SA rows join back to doc_ids for the distinct-doc
+    count. The oracle knows nothing of BWTs — it counts pattern
+    occurrences by direct substring scan — so the hash equality
+    proves count(P) == ep - sp + 1 for every probe, including the
+    empty-interval miss ('event') and the overlap-prone repeats
+    ('batch batch' counts overlapping occurrences, which the
+    position scan and the SA interval both include).
+
+    Rank (Occ) structure: one KEYED window (partitionBy bwt char)
+    numbers each BWT cell among its own character; Occ(c, i) is then
+    an as-of lookup (max occ at sa_idx <= i for bwt = c). Each of
+    the <= max(m)-1 backward rounds probes Occ at <= 2 x |patterns|
+    positions — a broadcast of a bounded probe frame against the
+    checkpointed (bwt, sa_idx, occ) blocks, collected back as
+    bounded metadata (the Cox/F-list pattern: the driver walks what
+    the production FM-index would answer from sampled Occ
+    checkpoints; rounds are bounded by pattern length, not corpus
+    size). The locate step is ONE range join of the <= |patterns|
+    final intervals (broadcast) against the SA frame.
+
+    Scale: the SA/BWT frames are the shared rank-only construction
+    (SCALE.md \u00a719); per-round work is a filtered scan of
+    checkpointed blocks with a tiny broadcast — no shuffle, no
+    global window; alphabet census and C are bounded-metadata
+    collects over ~30 characters.
+    """
+    from ..operators.graph import truncate_lineage
+
+    par = spark.sparkContext.defaultParallelism
+    patterns = [
+        "a", "data", "stream", "merge part", "batch batch", "event",
+    ]
+    from ..operators.ranking import exact_global_rank
+
+    pairs = _suffix_array_lcp_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The SA holds only NON-empty suffixes, so the raw per-position
+    # BWT misses each document's LAST character (classically carried
+    # by the empty-'$'-suffix row). Augment: D empty-suffix rows (one
+    # per doc, BWT = the doc's last char) occupy positions 1..D —
+    # every '$'-terminated empty suffix sorts before any real suffix,
+    # tie-ordered by doc_id exactly as the LF shift requires — and
+    # the real SA shifts to positions D+1..D+n. Without these rows
+    # Occ undercounts and every multi-char interval shrinks (caught
+    # by the oracle on first run).
+    n_docs_total = docs.count()  # bounded metadata scalar (D)
+    empties = exact_global_rank(
+        docs.select(
+            "doc_id",
+            F.expr("substring(text, length(text), 1)").alias("bwt"),
+        ),
+        ["doc_id"],
+        rank_col="pos",
+    ).select("pos", "bwt")
+    # sa_idx is 1-based, so the augmented position is D + sa_idx
+    mains = pairs.join(docs, "doc_id").select(
+        (F.col("sa_idx") + F.lit(n_docs_total)).alias("pos"),
+        F.when(F.col("off") == 1, "$")
+        .otherwise(F.expr("substring(text, off - 1, 1)"))
+        .alias("bwt"),
+    )
+    # per-char occurrence rank (Occ support): keyed window only
+    occf = truncate_lineage(
+        empties.unionByName(mains).withColumn(
+            "occ",
+            F.row_number()
+            .over(Window.partitionBy("bwt").orderBy("pos"))
+            .cast("long"),
+        ),
+        par,
+    )
+    # bounded-metadata collects: first-char census -> C table
+    firsts = {
+        r["c"]: r["n"]
+        for r in pairs.select(
+            F.substring("head12", 1, 1).alias("c")
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    C = {}
+    acc = n_docs_total  # the D empty-'$' suffixes precede everything
+    for c in sorted(firsts):
+        C[c] = acc
+        acc += firsts[c]
+
+    # backward search, driver-side walk over bounded Occ probes
+    state = {}
+    for pat in patterns:
+        c = pat[-1]
+        if c in C:
+            state[pat] = (C[c] + 1, C[c] + firsts[c])
+        else:
+            state[pat] = (1, 0)  # empty interval
+    max_m = max(len(p) for p in patterns)
+    for step in range(2, max_m + 1):
+        probes = []  # (pat, char, pos, which)
+        for pat in patterns:
+            if len(pat) < step:
+                continue
+            sp, ep = state[pat]
+            if ep < sp:
+                continue
+            c = pat[-step]
+            if c not in C:
+                state[pat] = (1, 0)
+                continue
+            if sp - 1 >= 1:
+                probes.append((pat, c, sp - 1, "s"))
+            probes.append((pat, c, ep, "e"))
+        occ_at = {}
+        if probes:
+            pf = spark.createDataFrame(
+                probes, "pat string, c string, pos long, which string"
+            )
+            rows = (
+                # pos is 1-based (BWT[1..n]); sa_idx is 0-based
+                occf.join(
+                    F.broadcast(pf),
+                    (occf.bwt == pf.c) & (occf.pos <= pf.pos),
+                )
+                .groupBy("pat", "which")
+                .agg(F.max("occ").alias("o"))
+                .collect()
+            )
+            occ_at = {(r["pat"], r["which"]): r["o"] for r in rows}
+        for pat in patterns:
+            if len(pat) < step:
+                continue
+            sp, ep = state[pat]
+            if ep < sp:
+                continue
+            c = pat[-step]
+            occ_s = occ_at.get((pat, "s"), 0)
+            occ_e = occ_at.get((pat, "e"), 0)
+            state[pat] = (C[c] + occ_s + 1, C[c] + occ_e)
+
+    # locate: final intervals -> distinct docs (one broadcast range join)
+    ivals = spark.createDataFrame(
+        [
+            (pat, len(pat), sp, ep, max(0, ep - sp + 1))
+            for pat, (sp, ep) in state.items()
+        ],
+        "pattern string, m long, sp long, ep long, n_occurrences long",
+    )
+    located = (
+        pairs.select("sa_idx", "doc_id")
+        .join(
+            F.broadcast(ivals.filter(F.col("ep") >= F.col("sp"))),
+            (F.col("sa_idx") + F.lit(n_docs_total) >= F.col("sp"))
+            & (F.col("sa_idx") + F.lit(n_docs_total) <= F.col("ep")),
+        )
+        .groupBy("pattern")
+        .agg(F.count_distinct("doc_id").cast("long").alias("nd"))
+    )
+    return (
+        ivals.join(located, "pattern", "left")
+        .select(
+            "pattern", "m", "n_occurrences",
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("pattern")
+    )
+
+
+@query(
     "repeat_family_census",
     category="L2-suffixarray",
     oracle="""

@@ -2656,3 +2656,14 @@ def test_rank_limit_pushes_take_ordered(spark, sf_dir):
         assert plan.count("TakeOrderedAndProject") >= min_toap, (
             name, plan[:2000],
         )
+
+
+def test_fm_index_bounded_probe_plan(spark, sf_dir):
+    """FM-index backward search: the returned plan consumes the
+    checkpointed SA/Occ blocks (Scan ExistingRDD) with the interval
+    frame broadcast — no cartesian, no Python eval, and the locate
+    range join must be the only nested-loop (broadcast tiny side)."""
+    df = q("fm_index_backward_search", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
