@@ -2667,3 +2667,21 @@ def test_fm_index_bounded_probe_plan(spark, sf_dir):
     counts = operator_counts(df)
     assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
     assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
+
+
+def test_lcp_interval_tree_keyed_windows_only(spark, sf_dir):
+    """LCP-interval tree: the island window partitions BY DEPTH
+    (keyed), the depth dimension broadcasts, and the plan rides the
+    checkpointed eligible frame — no single-partition Window over
+    the expansion, no cartesian, no Python eval."""
+    df = q("lcp_interval_tree_nodes", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Window" in line and "SinglePartition" in line
+    )
+    assert n == 0, plan[:2000]
+    counts = operator_counts(df)
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
