@@ -2481,3 +2481,130 @@ def psi_drift_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pair_rules_stream(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Streaming association-rule monitor, the incremental twin of the
+    batch ``association_rules_confidence_lift`` restricted to its
+    single-item-antecedent (pair) rules: per basket, GroupState holds
+    the item set seen so far, and each arriving item emits the new
+    SINGLETON row ('item', x, '') and the new unordered PAIR rows
+    ('pair', min(x,t), max(x,t)) exactly once per (basket, itemset) —
+    so a downstream ``groupBy`` over the emitted rows IS the running
+    support census (supp(x) = item-row count, supp({x,y}) = pair-row
+    count, N = distinct baskets), and the per-batch confidence/lift
+    snapshot (:func:`pair_rules_snapshot`) is a PURE FUNCTION of those
+    counts — batch-exact under ANY chunking, restart-safe for free
+    (the psi_drift_stream property), because emit-once makes the sink
+    multiset independent of how basket rows split across micro-batches
+    (duplicate item arrivals re-emit nothing).
+
+    State is the '|'-joined item set — bounded by the item alphabet
+    (the brand dimension), never by stream length; items must not
+    contain '|'. Scale: one shuffle on basket key; per-arrival work is
+    O(|basket|) set probes; emission volume is Sum |basket|^2 / 2
+    spread over arrivals and decaying as baskets saturate.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    key_type = df.schema[basket_col].dataType
+    out_schema = StructType(
+        [
+            StructField(basket_col, key_type),
+            StructField("kind", StringType()),
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        items_s = state.get[0] if state.exists else ""
+        items = set(items_s.split("|")) if items_s else set()
+        rows: list[tuple[str, str, str]] = []
+        for pdf in pdfs:
+            for s in pdf[item_col].astype(str).values:
+                if s in items:
+                    continue
+                rows.append(("item", s, ""))
+                rows.extend(
+                    ("pair", min(s, t), max(s, t)) for t in items
+                )
+                items.add(s)
+        state.update(("|".join(sorted(items)),))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    basket_col: [key[0]] * len(rows),
+                    "kind": [r[0] for r in rows],
+                    "a": [r[1] for r in rows],
+                    "b": [r[2] for r in rows],
+                }
+            )
+
+    return df.groupBy(basket_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="items string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def pair_rules_snapshot(emitted: DataFrame, basket_col: str) -> DataFrame:
+    """Confidence/lift snapshot over :func:`pair_rules_stream` output:
+    the batch rule algebra (antecedent -> consequent, confidence =
+    supp(pair)/supp(antecedent), lift = confidence/(supp(consequent)/N))
+    applied to the emit-once census, with the SAME adaptive minsup the
+    batch miner uses (greatest(2, floor(N/1000)), applied to the pair —
+    downward closure makes both singletons automatically frequent).
+    Emits both orientations of every kept pair, aliased identically to
+    the batch query so goldens compare row-for-row."""
+    items = emitted.filter(F.col("kind") == "item")
+    pairs = emitted.filter(F.col("kind") == "pair")
+    n_total = items.agg(
+        F.count_distinct(basket_col).cast("long").alias("n")
+    )
+    supp_i = items.groupBy(F.col("a").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_x")
+    )
+    supp_p = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rule")
+    )
+    both = supp_p.select("a", "b", "n_rule").unionByName(
+        supp_p.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_rule"
+        )
+    )
+    conf = F.col("n_rule") / F.col("n_antecedent")
+    return (
+        both.crossJoin(F.broadcast(n_total))
+        .filter(
+            F.col("n_rule")
+            >= F.greatest(F.lit(2), F.floor(F.col("n") / 1000))
+        )
+        .join(
+            F.broadcast(supp_i.select(
+                F.col("x").alias("a"), F.col("n_x").alias("n_antecedent")
+            )),
+            "a",
+        )
+        .join(
+            F.broadcast(supp_i.select(
+                F.col("x").alias("b"), F.col("n_x").alias("n_consequent")
+            )),
+            "b",
+        )
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "n_rule", "n_antecedent",
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("n_consequent") / F.col("n")), 6
+            ).alias("lift"),
+        )
+    )

@@ -3043,3 +3043,120 @@ def test_psi_drift_stream_state_recovers_across_restarts(spark, sf_dir, tmp_path
     )
     assert split == whole, (split, whole)
     assert split[1] + split[2] == n
+
+
+def _basket_lines(spark, sf_dir):
+    from eventstreams_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+
+
+def test_pair_rules_stream_equals_batch_pair_rules(spark, sf_dir, tmp_path):
+    """Streaming association-rule monitor ≡ the batch
+    association_rules_confidence_lift restricted to its pair
+    (single-item-antecedent) rules: emit-once makes the sink census a
+    pure function of the replayed basket rows under ANY chunking, and
+    the snapshot applies the identical adaptive minsup, so after a
+    full replay every (antecedent, consequent, n_rule, n_antecedent,
+    confidence, lift) row must match the batch query exactly."""
+    from eventstreams_spark.queries.warehouse_extra import (
+        association_rules_confidence_lift,
+    )
+    from eventstreams_spark.streaming.replay import replay_table, run_to_memory
+    from eventstreams_spark.streaming.stateful import (
+        pair_rules_snapshot,
+        pair_rules_stream,
+    )
+
+    lines = _basket_lines(spark, sf_dir)
+    stream = replay_table(
+        spark, lines, str(tmp_path), chunks=3, order_col="ts"
+    ).drop("ts")
+    run_to_memory(
+        pair_rules_stream(stream, "basket", "item"), "t_pair_rules"
+    )
+    emitted = spark.table("t_pair_rules")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in pair_rules_snapshot(emitted, "basket").collect()
+    }
+    want = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules_confidence_lift(spark, sf_dir)
+        .filter(~F.col("antecedent").contains("|"))
+        .collect()
+    }
+    assert set(got) == set(want), (
+        len(got), len(want),
+        sorted(set(got) ^ set(want))[:5],
+    )
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_rule, g.n_antecedent) == (w.n_rule, w.n_antecedent), (k, g, w)
+        assert abs(g.confidence - w.confidence) <= 1e-9, (k, g, w)
+        assert abs(g.lift - w.lift) <= 1e-9, (k, g, w)
+
+
+def test_pair_rules_stream_state_recovers_across_restarts(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the association monitor: a run split
+    across a restart must emit the exact same (basket, kind, a, b)
+    multiset as one uninterrupted run — the GroupState item sets
+    resume from the checkpoint, so no pair is re-emitted or lost even
+    when a basket's items straddle the restart."""
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import pair_rules_stream
+
+    lines = _basket_lines(spark, sf_dir).drop("ts")
+    n = lines.count()
+    first, rest = split_half(lines, n)
+
+    def run(src, out, ck, stages):
+        for i, frame in enumerate(stages, start=1):
+            stage_files(frame.coalesce(1), src, i)
+            stream = (
+                spark.readStream.schema("basket long, item string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                pair_rules_stream(stream, "basket", "item")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return (
+            spark.read.parquet(out)
+            .groupBy("basket", "kind", "a", "b")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+
+    split = run(
+        str(tmp_path / "s1"), str(tmp_path / "o1"), str(tmp_path / "c1"),
+        [first, rest],
+    )
+    solid = run(
+        str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "c2"),
+        [lines],
+    )
+    assert split.filter(F.col("m") > 1).count() == 0  # emit-once held
+    assert solid.filter(F.col("m") > 1).count() == 0
+    diff = split.join(
+        solid, ["basket", "kind", "a", "b"], "full_outer"
+    ).filter(split["m"].isNull() | solid["m"].isNull())
+    assert diff.count() == 0
