@@ -914,3 +914,263 @@ def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+_TD_LEX_CTES = """
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks
+            WHERE tok IN ('hash', 'join', 'stream')
+            GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ), lrank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM scored
+        ), vsim AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ), vrank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+            FROM vsim
+        )
+"""
+
+
+@query(
+    "team_draft_interleaving_eval",
+    category="L5-interleave",
+    oracle=f"""
+        WITH {_TD_LEX_CTES}, draft AS (
+            WITH RECURSIVE td AS (
+                SELECT 0 AS step, CAST('' AS VARCHAR) AS picked,
+                       CAST(NULL AS BIGINT) AS doc_id,
+                       CAST(NULL AS VARCHAR) AS team
+                UNION ALL
+                SELECT q.step, q.picked || '|'
+                           || CAST(q.doc_id AS VARCHAR) || '|',
+                       q.doc_id, q.team
+                FROM (
+                    SELECT t.step + 1 AS step, t.picked,
+                           CASE WHEN (
+                             CASE WHEN ({md5_uniform_sql(
+                                 "'td:' || CAST((t.step // 2) + 1 AS VARCHAR)"
+                             )}) < 0.5 THEN 0 ELSE 1 END
+                           ) = (t.step % 2) THEN 'A' ELSE 'B' END AS team,
+                           CASE WHEN (
+                             CASE WHEN ({md5_uniform_sql(
+                                 "'td:' || CAST((t.step // 2) + 1 AS VARCHAR)"
+                             )}) < 0.5 THEN 0 ELSE 1 END
+                           ) = (t.step % 2)
+                           THEN (SELECT l.doc_id FROM lrank l
+                                 WHERE strpos(t.picked, '|'
+                                       || CAST(l.doc_id AS VARCHAR)
+                                       || '|') = 0
+                                 ORDER BY l.r LIMIT 1)
+                           ELSE (SELECT v.doc_id FROM vrank v
+                                 WHERE strpos(t.picked, '|'
+                                       || CAST(v.doc_id AS VARCHAR)
+                                       || '|') = 0
+                                 ORDER BY v.r LIMIT 1)
+                           END AS doc_id
+                    FROM td t WHERE t.step < 10
+                ) q
+            ) SELECT step AS pos, doc_id, team FROM td WHERE step >= 1
+        ), clicked AS (
+            SELECT d.pos, d.doc_id, d.team,
+                   CAST(floor({md5_uniform_sql(
+                       "'rel:' || CAST(d.doc_id AS VARCHAR)"
+                   )} * 4) AS BIGINT) AS rel,
+                   ({md5_uniform_sql(
+                       "'click:' || CAST(d.doc_id AS VARCHAR) || ':' "
+                       "|| CAST(d.pos AS VARCHAR)"
+                   )}) < (CAST(floor({md5_uniform_sql(
+                       "'rel:' || CAST(d.doc_id AS VARCHAR)"
+                   )} * 4) AS BIGINT) / 3.0)
+                       / log2(d.pos + 1.0) AS clicked
+            FROM draft d
+        ), summary AS (
+            SELECT CAST(sum(CASE WHEN team = 'A' AND clicked
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS clicks_a,
+                   CAST(sum(CASE WHEN team = 'B' AND clicked
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS clicks_b
+            FROM clicked
+        )
+        SELECT c.pos, c.doc_id, c.team, c.rel, c.clicked,
+               s.clicks_a, s.clicks_b,
+               CASE WHEN s.clicks_a > s.clicks_b THEN 'A'
+                    WHEN s.clicks_b > s.clicks_a THEN 'B'
+                    ELSE 'tie' END AS preferred
+        FROM clicked c CROSS JOIN summary s
+        ORDER BY c.pos
+    """,
+)
+def team_draft_interleaving_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEAM-DRAFT INTERLEAVING (Radlinski-Kurup-Joachims, CIKM'08) —
+    the online ranker-comparison primitive production search runs
+    instead of A/B-ing SERPs: rankers A (BM25 lexical) and B (exact
+    embedding cosine) alternately draft their best not-yet-picked
+    document into one 10-slot interleaved list (per round of two
+    picks, a coin decides who drafts first; picks attribute to the
+    drafting team), users click the combined list, and clicks-per-
+    team is the paired preference signal — unbiased by position
+    because both teams face the same presentation.
+
+    Everything is deterministic and replayed by both engines: the
+    per-round coin is md5('td:'||round); clicks come from a
+    position-biased cascade model (P(click) = rel/3 · 1/log2(pos+1),
+    rel = the ndcg_at_10_eval md5 grades, coin md5('click:'||doc||
+    ':'||pos)); the oracle replays the ENTIRE draft as a recursive
+    CTE whose per-step correlated pick mirrors the walk (the
+    SW-traceback replayed-walk pattern), so a single divergence in
+    pick order, team attribution, or click minting reds the hash.
+
+    Scale: both rankings end in TakeOrderedAndProject top-30 probes
+    (candidates; ranks inside the bounded probe frames only); the
+    draft itself is a bounded-metadata driver walk over those 60
+    collected rows (F-list/Cox pattern — 10 steps, no distributed
+    state); click minting and the summary run on the 10-row result.
+    """
+    from ..functions.sampling import md5_uniform
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "stream"]
+    k1, b = 1.2, 0.75
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    # bounded-metadata collects: the two top-30 candidate probes
+    la = [
+        r["doc_id"]
+        for r in scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(30).collect()
+    ]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("vec")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    vsim = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("vec"), F.col("qvec")), 6
+            ).alias("sim"),
+        )
+    )
+    lb = [
+        r["doc_id"]
+        for r in vsim.orderBy(F.col("sim").desc(), "doc_id")
+        .limit(30).collect()
+    ]
+
+    # the draft walk: coin per round via the SHARED md5 mint, executed
+    # on the 1-row coins frame so the expression text is identical
+    coins = {
+        r["round"]: bool(r["a_first"])
+        for r in spark.range(1, 6)
+        .select(
+            F.col("id").alias("round"),
+            (
+                md5_uniform("'td:' || CAST(id AS STRING)") < 0.5
+            ).alias("a_first"),
+        )
+        .collect()
+    }
+    picked: set[int] = set()
+    rows = []
+    for step in range(1, 11):
+        rnd = (step + 1) // 2
+        first_is_a = coins[rnd]
+        # step odd -> round's first picker; even -> the other
+        pick_a = first_is_a if step % 2 == 1 else not first_is_a
+        src = la if pick_a else lb
+        doc = next(d for d in src if d not in picked)
+        picked.add(doc)
+        rows.append((step, doc, "A" if pick_a else "B"))
+    draft = spark.createDataFrame(
+        rows, "pos long, doc_id long, team string"
+    )
+    rel = F.floor(
+        md5_uniform("'rel:' || CAST(doc_id AS STRING)") * 4
+    ).cast("long")
+    clicked_col = (
+        md5_uniform(
+            "'click:' || CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)"
+        )
+        < (rel / 3.0) / F.log2(F.col("pos") + 1.0)
+    )
+    clicked = draft.select(
+        "pos", "doc_id", "team", rel.alias("rel"),
+        clicked_col.alias("clicked"),
+    )
+    summary = clicked.agg(
+        F.sum(
+            F.when((F.col("team") == "A") & F.col("clicked"), 1).otherwise(0)
+        ).cast("long").alias("clicks_a"),
+        F.sum(
+            F.when((F.col("team") == "B") & F.col("clicked"), 1).otherwise(0)
+        ).cast("long").alias("clicks_b"),
+    )
+    return (
+        clicked.crossJoin(F.broadcast(summary))
+        .select(
+            "pos", "doc_id", "team", "rel", "clicked",
+            "clicks_a", "clicks_b",
+            F.when(F.col("clicks_a") > F.col("clicks_b"), "A")
+            .when(F.col("clicks_b") > F.col("clicks_a"), "B")
+            .otherwise("tie")
+            .alias("preferred"),
+        )
+        .orderBy("pos")
+    )

@@ -2685,3 +2685,16 @@ def test_lcp_interval_tree_keyed_windows_only(spark, sf_dir):
     assert n == 0, plan[:2000]
     counts = operator_counts(df)
     assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
+
+
+def test_team_draft_bounded_draft_plan(spark, sf_dir):
+    """Team-draft interleaving: the returned plan runs on the 10-row
+    draft frame (Scan ExistingRDD from createDataFrame) with the
+    1-row summary broadcast — no cartesian beyond that broadcast, no
+    Python eval, no parquet scan (candidates were bounded collects at
+    build time)."""
+    df = q("team_draft_interleaving_eval", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython")
+    assert count_prefix(counts, "Scan parquet") == 0, counts
+    assert count_prefix(counts, "FileScan parquet") == 0, counts

@@ -68,6 +68,13 @@ REPRESENTATIVE = [
     ("stats tests", "welch_t_test"),
     ("cusum gate", "cusum_reference_check"),
     ("bmp headers", "multimodal_bmp_header_parse"),
+    # round-8: track the heaviest checkpointed-DP constructions so
+    # their inherent-cost claim is a measured trend (VERDICT r7 #10)
+    ("sw traceback", "smith_waterman_traceback_alignment"),
+    ("repeat families", "repeat_family_census"),
+    ("suffix-array gate", "suffix_array_doubling_gate"),
+    ("lcp-interval tree", "lcp_interval_tree_nodes"),
+    ("fm-index search", "fm_index_backward_search"),
 ]
 
 
