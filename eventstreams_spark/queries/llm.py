@@ -2964,3 +2964,106 @@ def allpairs_prefix_filter_join(
         )
         .orderBy("id1", "id2")
     )
+
+
+@query(
+    "cross_group_lcs_via_gsa",
+    category="L2-suffixarray",
+    oracle="""
+        WITH pos AS (
+            SELECT d.doc_id, d.lang, CAST(t.off AS BIGINT) AS off,
+                   substring(d.text, CAST(t.off AS INTEGER)) AS suf
+            FROM documents d,
+                 LATERAL unnest(generate_series(1, length(d.text)))
+                     AS t(off)
+        ), sa AS (
+            SELECT doc_id, lang, off, suf,
+                   row_number() OVER (ORDER BY suf, doc_id, off) AS s,
+                   lead(suf) OVER (ORDER BY suf, doc_id, off) AS nsuf,
+                   lead(doc_id) OVER (ORDER BY suf, doc_id, off)
+                       AS doc_b,
+                   lead(lang) OVER (ORDER BY suf, doc_id, off) AS lang_b
+            FROM pos
+        ), lcps AS (
+            SELECT s, doc_id, lang, doc_b, lang_b, suf,
+                   CASE WHEN nsuf IS NULL THEN 0
+                        WHEN coalesce(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false), 0)
+                          = 0
+                        THEN CAST(least(length(suf), length(nsuf))
+                                  AS BIGINT)
+                        ELSE CAST(list_position(list_transform(
+                          list_zip(string_split(suf, ''),
+                                   string_split(nsuf, '')),
+                          p -> coalesce(p[1] = p[2], false)), false) - 1
+                          AS BIGINT)
+                   END AS lcp
+            FROM sa
+        )
+        SELECT s AS sa_idx, CAST(lcp AS BIGINT) AS lcs_len,
+               doc_id AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+               lang AS lang_a, lang_b,
+               substring(suf, 1, CAST(least(12, lcp) AS INTEGER))
+                   AS fp12
+        FROM lcps
+        WHERE (lang = 'en') <> (lang_b = 'en') AND lcp >= 1
+        ORDER BY lcs_len DESC, sa_idx
+        LIMIT 10
+    """,
+)
+def cross_group_lcs_via_gsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST COMMON SUBSTRING between document GROUPS (English vs
+    everything else) off the generalized suffix array — the classic
+    GSA reduction: for a BINARY labeling, the maximum LCP between any
+    cross-group suffix pair is achieved at an SA-ADJACENT cross pair
+    (the min-over-interval LCP of a distant pair is bounded by every
+    adjacent LCP between them, and a binary path from an 'en' entry
+    to a non-'en' entry must switch labels at some adjacent step), so
+    ONE pass over adjacent pairs finds the true cross-lingual LCS —
+    the shared-boilerplate / cross-lingual-contamination probe that
+    would otherwise be a doc×doc alignment. Emits the top-10 adjacent
+    cross pairs with their docs, langs, and the first min(12, len)
+    shared characters.
+
+    Scale: the SA+LCP frame is the shared rank-only construction
+    (SCALE.md §19); the adjacent pair is the established sa_idx+1
+    equi self-join (never a window over the SA); the lang carry is a
+    broadcast doc→lang dim; TakeOrderedAndProject for the top-10.
+    """
+    pairs = _suffix_array_lcp_frame(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = pairs.select(
+        (F.col("sa_idx") - 1).alias("sa_idx"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    adj = (
+        pairs.select("sa_idx", "doc_id", "head12", "lcp_next")
+        .join(nxt, "sa_idx")
+        .join(F.broadcast(langs.withColumnRenamed("lang", "lang_a")), "doc_id")
+        .join(
+            F.broadcast(
+                langs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("lang").alias("lang_b"),
+                )
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        adj.filter(
+            ((F.col("lang_a") == "en") != (F.col("lang_b") == "en"))
+            & (F.col("lcp_next") >= 1)
+        )
+        .select(
+            "sa_idx",
+            F.col("lcp_next").alias("lcs_len"),
+            F.col("doc_id").alias("doc_a"),
+            "doc_b", "lang_a", "lang_b",
+            F.expr("substring(head12, 1, least(12, lcp_next))").alias("fp12"),
+        )
+        .orderBy(F.col("lcs_len").desc(), "sa_idx")
+        .limit(10)
+    )

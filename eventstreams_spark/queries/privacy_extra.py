@@ -284,3 +284,155 @@ def randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(est - F.sum("y")), 6).alias("abs_error"),
         F.round(F.log(F.lit(3.0)), 6).alias("epsilon_ldp"),
     )
+
+
+@query(
+    "t_closeness_census",
+    category="PV-tclose",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour_band,
+                   CAST(user_id % 25 AS BIGINT) AS user_bucket,
+                   least(CAST(floor(value / 50) AS BIGINT), 9) AS sb
+            FROM events WHERE value IS NOT NULL
+        ), cells AS (
+            SELECT event_type, hour_band, user_bucket, sb,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY ALL
+        ), groups AS (
+            SELECT event_type, hour_band, user_bucket,
+                   CAST(sum(n) AS BIGINT) AS n_g
+            FROM cells GROUP BY ALL
+        ), gband AS (
+            SELECT sb, CAST(sum(n) AS BIGINT) AS n_b FROM cells GROUP BY sb
+        ), tot AS (
+            SELECT CAST(sum(n_b) AS BIGINT) AS n_all FROM gband
+        ), spine AS (
+            SELECT g.event_type, g.hour_band, g.user_bucket, g.n_g,
+                   t.sb, coalesce(c.n, 0) AS n,
+                   coalesce(gl.n_b, 0) AS n_b
+            FROM groups g
+            CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS sb) t
+            LEFT JOIN cells c USING (event_type, hour_band, user_bucket, sb)
+            LEFT JOIN gband gl ON gl.sb = t.sb
+        ), cums AS (
+            SELECT event_type, hour_band, user_bucket, n_g, sb,
+                   sum(n) OVER (PARTITION BY event_type, hour_band,
+                                user_bucket ORDER BY sb) AS cum_g,
+                   sum(n_b) OVER (PARTITION BY event_type, hour_band,
+                                  user_bucket ORDER BY sb) AS cum_b
+            FROM spine
+        ), emds AS (
+            SELECT event_type, hour_band, user_bucket, n_g,
+                   CAST(sum(abs(cum_g * t.n_all - cum_b * n_g))
+                        AS BIGINT) AS emd_int,
+                   CAST(round(sum(abs(cum_g * t.n_all - cum_b * n_g))
+                        * 1.0 / (n_g * t.n_all * 9.0), 6) AS DOUBLE)
+                       AS emd
+            FROM cums CROSS JOIN tot t
+            GROUP BY event_type, hour_band, user_bucket, n_g, t.n_all
+        )
+        SELECT (emd > 0.25) AS over_t,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n_g) AS BIGINT) AS n_rows,
+               CAST(round(max(emd), 6) AS DOUBLE) AS max_emd
+        FROM emds
+        GROUP BY (emd > 0.25)
+        ORDER BY over_t
+    """,
+)
+def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit — the third rung of the release-privacy
+    ladder after k_anonymity_census's k and l checks: even a
+    k-anonymous, l-diverse equivalence class leaks if its SENSITIVE
+    distribution differs from the table's (an attacker learns 'this
+    cohort skews to the top value band'). Per QI class (the same
+    event_type × hour × user-bucket generalization the k/l census
+    audits), the distance to the global sensitive distribution is
+    the ORDERED earth-mover's distance over the 10 fixed value
+    bands — EMD = (1/(m−1))·Σ_j |F_class(j) − F_global(j)|, the
+    Li-Li-Venkatasubramanian (ICDE'07) ordered-attribute metric —
+    and the census tabulates classes violating t = 0.25 with their
+    row exposure and the worst EMD.
+
+    Exactness: the two CDFs cross-multiply to integers
+    (|cum_g·N − cum_b·n_g|), so the per-class EMD numerator is an
+    exact BIGINT and the single normalizing division
+    /(n_g·N·(m−1)) is one shared double op; the census groups on a
+    threshold compare of that quotient.
+
+    Scale: one rollup to the |QI|×10 cell frame, a broadcast 10-row
+    band spine, and cumulative windows PARTITIONED BY CLASS (keyed,
+    never global); the global band distribution is a 10-row
+    broadcast. Same cost class as k_anonymity_census plus one keyed
+    window pass.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_band"),
+        (F.col("user_id") % 25).cast("long").alias("user_bucket"),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9))
+        .alias("sb"),
+    )
+    cells = base.groupBy(
+        "event_type", "hour_band", "user_bucket", "sb"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    groups = cells.groupBy("event_type", "hour_band", "user_bucket").agg(
+        F.sum("n").cast("long").alias("n_g")
+    )
+    glob = cells.groupBy("sb").agg(F.sum("n").cast("long").alias("n_b"))
+    tot = glob.agg(F.sum("n_b").cast("long").alias("n_all"))
+    bands = spark.range(0, 10).select(F.col("id").cast("long").alias("sb"))
+    spine = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(cells, ["event_type", "hour_band", "user_bucket", "sb"], "left")
+        .join(F.broadcast(glob), "sb", "left")
+        .select(
+            "event_type", "hour_band", "user_bucket", "n_g", "sb",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "event_type", "hour_band", "user_bucket"
+    ).orderBy("sb")
+    cums = spine.select(
+        "event_type", "hour_band", "user_bucket", "n_g", "sb",
+        F.sum("n").over(w).alias("cum_g"),
+        F.sum("n_b").over(w).alias("cum_b"),
+    )
+    emds = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "hour_band", "user_bucket", "n_g", "n_all")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n_all")
+                    - F.col("cum_b") * F.col("n_g")
+                )
+            ).cast("long").alias("emd_int")
+        )
+        .select(
+            "n_g",
+            F.round(
+                F.col("emd_int")
+                / (F.col("n_g") * F.col("n_all") * 9.0),
+                6,
+            ).alias("emd"),
+        )
+    )
+    return (
+        emds.groupBy((F.col("emd") > 0.25).alias("over_t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n_g").cast("long").alias("n_rows"),
+            F.round(F.max("emd"), 6).alias("max_emd"),
+        )
+        .orderBy("over_t")
+    )

@@ -2166,3 +2166,122 @@ def logrank_cohort_conversion_test(
             > 3.841459
         ).alias("reject_05"),
     )
+
+
+@query(
+    "wasserstein_1d_drift",
+    category="ST-wasserstein",
+    oracle="""
+        WITH base AS (
+            SELECT (event_type = 'purchase') AS grp2,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'purchase')
+        ), per_v AS (
+            SELECT cents,
+                   CAST(sum(CASE WHEN grp2 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n1v,
+                   CAST(sum(CASE WHEN grp2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2v
+            FROM base GROUP BY cents
+        ), tot AS (
+            SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                   CAST(sum(n2v) AS BIGINT) AS n2
+            FROM per_v
+        ), cums AS (
+            SELECT cents,
+                   sum(n1v) OVER (ORDER BY cents) AS c1,
+                   sum(n2v) OVER (ORDER BY cents) AS c2,
+                   lead(cents) OVER (ORDER BY cents) AS nxt
+            FROM per_v
+        ), terms AS (
+            SELECT CAST(sum((nxt - cents)
+                        * abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT)
+                       AS w1_int,
+                   t.n1, t.n2
+            FROM cums CROSS JOIN tot t
+            WHERE nxt IS NOT NULL
+            GROUP BY t.n1, t.n2
+        )
+        SELECT n1, n2, w1_int,
+               CAST(round(w1_int * 1.0 / (n1 * n2) / 100.0, 6)
+                    AS DOUBLE) AS w1_distance
+        FROM terms
+    """,
+)
+def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (earth-mover's) distance between the click and
+    purchase value distributions — the drift metric that, unlike PSI
+    or KS, weights HOW FAR mass moved, not just that it moved
+    (W1 = ∫|F1 − F2| dx over the value axis), making it the right
+    monitor for pricing/latency shifts where a 2-cent and a 2-dollar
+    drift must not score alike.
+
+    Exactness: integer cents make the ECDF step integral exact —
+    W1·n1·n2·100 = Σ over consecutive distinct values of
+    gap · |c1·n2 − c2·n1| is a pure BIGINT (cross-multiplied CDFs, no
+    per-term division), hash-checked as w1_int; the reported distance
+    divides ONCE by n1·n2 and the cent scale.
+
+    Scale: one rollup to the DISTINCT-cents frame carrying BOTH
+    channels' counts (the mann_whitney distinct-bucket construction);
+    the prefix-sum and lead windows run over that value-domain-
+    bounded frame only (the documented acceptable global-window
+    case); output is a single row.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            (F.col("event_type") == "purchase").alias("grp2"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    from ..operators.graph import truncate_lineage
+
+    # distinct-cents frame feeds tot AND cums — checkpoint so neither
+    # re-derives (or re-prints) the fact rollup
+    per_v = truncate_lineage(
+        base.groupBy("cents").agg(
+            F.sum(F.when(F.col("grp2"), 0).otherwise(1))
+            .cast("long").alias("n1v"),
+            F.sum(F.when(F.col("grp2"), 1).otherwise(0))
+            .cast("long").alias("n2v"),
+        ),
+        8,
+    )
+    tot = per_v.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+    )
+    w = Window.orderBy("cents")  # distinct-cents frame: domain-bounded
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        "cents",
+        F.sum("n1v").over(wc).alias("c1"),
+        F.sum("n2v").over(wc).alias("c2"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    return (
+        cums.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.sum(
+                (F.col("nxt") - F.col("cents"))
+                * F.abs(
+                    F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+                )
+            ).cast("long").alias("w1_int")
+        )
+        .select(
+            "n1", "n2", "w1_int",
+            F.round(
+                F.col("w1_int") / (F.col("n1") * F.col("n2")) / 100.0, 6
+            ).alias("w1_distance"),
+        )
+    )

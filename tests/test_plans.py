@@ -2698,3 +2698,42 @@ def test_team_draft_bounded_draft_plan(spark, sf_dir):
     assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython")
     assert count_prefix(counts, "Scan parquet") == 0, counts
     assert count_prefix(counts, "FileScan parquet") == 0, counts
+
+
+def test_wasserstein_distinct_bucket_windows(spark, sf_dir):
+    """W1 drift: the prefix-sum/lead windows run over the DISTINCT-
+    cents frame only (one rollup precedes them); no cartesian beyond
+    the 1-row totals broadcast; no Python eval."""
+    df = q("wasserstein_1d_drift", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+    assert count_prefix(counts, "Scan parquet") + count_prefix(
+        counts, "FileScan parquet"
+    ) <= 1, counts
+
+
+def test_t_closeness_keyed_windows_only(spark, sf_dir):
+    """t-closeness: cumulative windows partition BY CLASS (keyed);
+    the 10-row band spine and the global band distribution broadcast;
+    no single-partition Window anywhere."""
+    df = q("t_closeness_census", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Window" in line and "SinglePartition" in line
+    )
+    assert n == 0, plan[:2000]
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_cross_lcs_rides_checkpointed_sa(spark, sf_dir):
+    """Cross-group LCS: consumes the checkpointed SA frame (Scan
+    ExistingRDD), adjacent pairs via the sa_idx+1 equi self-join
+    (no window over the SA), lang dims broadcast, top-10 via
+    TakeOrderedAndProject."""
+    df = q("cross_group_lcs_via_gsa", spark, sf_dir)
+    counts = operator_counts(df)
+    assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+    assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
+    assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
