@@ -630,3 +630,163 @@ def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("total_delta_c") * 1000
         ).alias("bridge_closes"),
     )
+
+
+@query(
+    "weighted_interval_scheduling",
+    category="OPT-scheduling",
+    oracle="""
+        WITH sess AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+                   CAST(min(epoch(ts)) AS BIGINT) AS st,
+                   CAST(max(epoch(ts)) AS BIGINT) AS en,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE), user_id
+        ), top60 AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type, day
+                       ORDER BY w DESC, user_id) AS wr
+            FROM sess
+        ), cand AS (
+            SELECT event_type, day, user_id, st, en, w,
+                   row_number() OVER (
+                       PARTITION BY event_type, day
+                       ORDER BY en, user_id) AS i
+            FROM top60 WHERE wr <= 60
+        ), gsz AS (
+            SELECT event_type, day,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(w) AS BIGINT) AS total_w
+            FROM cand GROUP BY event_type, day
+        ), dp AS (
+            WITH RECURSIVE walk AS (
+                SELECT event_type, day, 0 AS i,
+                       CAST('-1' AS VARCHAR) AS ends_s,
+                       CAST('0' AS VARCHAR) AS dps_s,
+                       CAST(0 AS BIGINT) AS best
+                FROM gsz
+                UNION ALL
+                SELECT q.event_type, q.day, q.i,
+                       q.ends_s || '|' || CAST(q.en AS VARCHAR),
+                       q.dps_s || '|' || CAST(q.dp_i AS VARCHAR),
+                       q.dp_i
+                FROM (
+                    SELECT w2.event_type, w2.day, w2.i, w2.ends_s,
+                           w2.dps_s, w2.en,
+                           greatest(w2.best, w2.w + w2.best_p) AS dp_i
+                    FROM (
+                        SELECT wk.event_type, wk.day, wk.i + 1 AS i,
+                               wk.ends_s, wk.dps_s, wk.best,
+                               c.st, c.en, c.w,
+                               CAST(coalesce(
+                                 list_filter(
+                                   list_zip(
+                                     string_split(wk.ends_s, '|'),
+                                     string_split(wk.dps_s, '|')),
+                                   p -> CAST(p[1] AS BIGINT) <= c.st
+                                 )[-1][2], '0') AS BIGINT) AS best_p
+                        FROM walk wk
+                        JOIN cand c
+                          ON c.event_type = wk.event_type
+                         AND c.day = wk.day AND c.i = wk.i + 1
+                    ) w2
+                ) q
+            ) SELECT event_type, day, best
+              FROM walk w
+              WHERE i = (SELECT max(i) FROM walk x
+                         WHERE x.event_type = w.event_type
+                           AND x.day = w.day)
+        )
+        SELECT g.event_type, g.day, g.n_candidates, g.total_w,
+               d.best AS best_w,
+               CAST(round(d.best * 1.0 / g.total_w, 6) AS DOUBLE)
+                   AS kept_ratio
+        FROM gsz g JOIN dp d USING (event_type, day)
+        ORDER BY g.event_type, g.day
+    """,
+)
+def weighted_interval_scheduling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED INTERVAL SCHEDULING per (channel, day) — the classic
+    DP (CLRS 16 / Kleinberg-Tardos 6.1): from each day's user
+    sessions on a channel (interval = [first event, last event],
+    weight = event count), pick the max-weight NON-OVERLAPPING subset
+    — the exclusive-slot allocation every scheduling surface
+    (ad slots, maintenance windows, single-consumer takeovers) runs.
+    dp_i = max(dp_{i-1}, w_i + dp_{p(i)}) over candidates sorted by
+    end time, where p(i) is the last candidate ending at or before
+    i's start.
+
+    The DP is a PINNED-ORDER JVM fold (F.aggregate over the per-group
+    sorted candidate array): the accumulator carries the (end, dp)
+    prefix, p(i) is an in-accumulator filter-last lookup (end <=
+    start), and the emitted best is exact integer weight. The oracle
+    replays the identical recursion as a recursive CTE whose state
+    carries the same two prefixes as '|'-strings — every dp cell
+    rides the hash via the final (best_w, kept_ratio).
+
+    Scale: sessions are one keyed rollup; candidates are CAPPED at
+    the 60 heaviest per group (WindowGroupLimit — the documented
+    bounded-DP contract: schedule the 60 most valuable candidates;
+    depth and accumulator are O(60) regardless of data volume), so
+    the fold state is bounded metadata per group and groups
+    parallelize freely. All integers except the final ratio.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("st"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("en"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    wtop = Window.partitionBy("event_type", "day").orderBy(
+        F.col("w").desc(), "user_id"
+    )
+    cand = sess.withColumn("wr", F.row_number().over(wtop)).filter(
+        F.col("wr") <= 60
+    )
+    grouped = cand.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("w").cast("long").alias("total_w"),
+        F.array_sort(
+            F.collect_list(F.struct("en", "user_id", "st", "w"))
+        ).alias("cands"),
+    )
+    # pinned-order DP fold: acc = array<struct<en,dp>> seeded with the
+    # (-1, 0) sentinel so the p(i) filter-last lookup never empties
+    dp_expr = F.expr(
+        """
+        element_at(
+          aggregate(
+            cands,
+            array(named_struct('en', CAST(-1 AS BIGINT),
+                               'dp', CAST(0 AS BIGINT))),
+            (acc, c) -> array_append(
+              acc,
+              named_struct(
+                'en', c.en,
+                'dp', greatest(
+                  element_at(acc, -1).dp,
+                  c.w + element_at(
+                    filter(acc, a -> a.en <= c.st), -1).dp))
+            )
+          ), -1).dp
+        """
+    ).cast("long")
+    return (
+        grouped.select(
+            "event_type", "day", "n_candidates", "total_w",
+            dp_expr.alias("best_w"),
+        )
+        .select(
+            "event_type", "day", "n_candidates", "total_w", "best_w",
+            F.round(F.col("best_w") / F.col("total_w"), 6)
+            .alias("kept_ratio"),
+        )
+        .orderBy("event_type", "day")
+    )

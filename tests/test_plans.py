@@ -2737,3 +2737,19 @@ def test_cross_lcs_rides_checkpointed_sa(spark, sf_dir):
     assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
     assert count_prefix(counts, "Scan ExistingRDD") >= 1, counts
     assert count_prefix(counts, "TakeOrderedAndProject") >= 1, counts
+
+
+def test_weighted_interval_scheduling_jvm_fold(spark, sf_dir):
+    """Interval-scheduling DP: one keyed rollup + WindowGroupLimit
+    top-60 cap + a JVM aggregate fold — no Python eval, no cartesian,
+    keyed windows only."""
+    df = q("weighted_interval_scheduling", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Window" in line and "SinglePartition" in line
+    )
+    assert n == 0, plan[:2000]
