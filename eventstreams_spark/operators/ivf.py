@@ -98,7 +98,13 @@ def ivf_build(
     groupBy(cid, pos) — partial aggregation keeps the shuffle at
     O(k · dim) per partition regardless of corpus size.
     """
-    unit = df.select(id_col, l2_normalize(F.col(vec_col)).alias(vec_col))
+    from .graph import truncate_lineage
+
+    # the normalized corpus feeds the seed probe + every Lloyd round +
+    # the final assignment — checkpoint once (truncate_lineage rule)
+    unit = truncate_lineage(
+        df.select(id_col, l2_normalize(F.col(vec_col)).alias(vec_col)), 8
+    )
     seeds = (
         unit.orderBy(F.xxhash64(id_col), F.col(id_col))
         .limit(n_centroids)
@@ -127,6 +133,9 @@ def ivf_build(
             )
             .select("cid", l2_normalize(F.col("cvec")).alias("cvec"))
         )
+        # k-row frame; without the per-round boundary each Lloyd step
+        # re-prints every earlier step's subtree
+        centroids = truncate_lineage(centroids, 1)
     return assign_to_centroids(unit, centroids, vec_col), centroids
 
 

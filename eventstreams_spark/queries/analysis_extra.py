@@ -402,11 +402,11 @@ def semantic_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assigned = (
+    assigned = truncate_lineage(
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "cid", "embedding")
-        .persist()
+        .select("vec_id", "cid", "embedding"),
+        8,
     )
     a = assigned.select(
         F.col("cid"),
@@ -425,8 +425,8 @@ def semantic_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(to_double_array("ea"), to_double_array("eb")) >= 0.3
         )
         .select("cid", "i", "j")
-        .persist()
     )
+    dup_pairs = truncate_lineage(dup_pairs, 8)
     comp = connected_components(dup_pairs.select("i", "j"), src="i", dst="j")
     removed = (
         comp.filter(F.col("id") != F.col("component"))

@@ -1832,11 +1832,12 @@ def bellman_ford_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
-    wedges = (
+    from ..operators.graph import truncate_lineage
+
+    wedges = truncate_lineage(
         pairs.groupBy("src", "dst")
         .agg(F.expr("CAST(1000000 div count(1) AS BIGINT)").alias("cost"))
         .repartition("src")
-        .persist()
     )
     # seed from the DATA, not a literal 1-row frame: a literal seed's
     # join key constant-folds away and every relaxation degrades to a
@@ -1850,15 +1851,14 @@ def bellman_ford_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.join(wedges, d.u == wedges.src)
             .select(F.col("dst").alias("u"), (F.col("dist") + F.col("cost")).alias("dist"))
         )
-        # persist each round: d is consumed twice (union branch + join
-        # probe); without it round k recomputes the whole prefix and
-        # the plan doubles per round. At many rounds, checkpoint.
-        d = (
+        # checkpoint each round: d is consumed twice (union branch +
+        # join probe) and rounds otherwise re-print every earlier
+        # round's subtree (the truncate_lineage house rule)
+        d = truncate_lineage(
             d.unionByName(relaxed)
             .groupBy("u")
-            .agg(F.min("dist").cast("long").alias("dist"))
-            .coalesce(spark.sparkContext.defaultParallelism)
-            .persist()
+            .agg(F.min("dist").cast("long").alias("dist")),
+            spark.sparkContext.defaultParallelism,
         )
     return (
         d.select(F.col("u").alias("user_id"), F.col("dist").alias("cost_units"))

@@ -1153,6 +1153,8 @@ def incremental_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFram
     the composition of L1 + L2 the per-corpus capstone
     (neardup_dedup_end_to_end) doesn't cover: dedup ACROSS snapshots.
     """
+    from ..operators.graph import truncate_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("id"), "text"
@@ -1171,10 +1173,14 @@ def incremental_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFram
                 (F.col("id") + 4000000).alias("id"), "text"
             )
         )
-    ).persist()
+    )
+    newb = truncate_lineage(newb, 8)
     ref_hash = ref.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
     hashed = newb.withColumn("h", F.md5(F.col("text").cast("binary")))
     exact_dup = hashed.join(ref_hash, "h", "left_semi").select("id")
+    # persist (not checkpoint): 2 consumers, and the broadcast anti
+    # join shape is plan-asserted — lineage above it is the newb
+    # checkpoint, so the prints stay flat
     surv = hashed.join(ref_hash, "h", "left_anti").select("id", "text").persist()
 
     def shingle_sets(frame: DataFrame) -> DataFrame:
@@ -1194,7 +1200,10 @@ def incremental_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFram
                     ),
                 )
             ).alias("sh"),
-        ).persist()
+        )
+
+    def shingle_sets_ck(frame: DataFrame) -> DataFrame:
+        return truncate_lineage(shingle_sets(frame), 8)
 
     def bands_of(sets: DataFrame) -> DataFrame:
         sh = sets.select("id", F.explode("sh").alias("shingle"))
@@ -1228,8 +1237,8 @@ def incremental_dedup_vs_reference(spark: SparkSession, sf_dir: str) -> DataFram
                 F.max(F.when(F.col("seed") % 2 == 1, F.col("h"))),
             ).alias("sig")
         )
-    nsets = shingle_sets(surv)
-    rsets = shingle_sets(ref)
+    nsets = shingle_sets_ck(surv)
+    rsets = shingle_sets_ck(ref)
     nb = bands_of(nsets).select(F.col("id").alias("nid"), "band", "sig")
     rb = bands_of(rsets).select(F.col("id").alias("rid"), "band", "sig")
     cand = nb.join(rb, ["band", "sig"]).select("nid", "rid").distinct()
