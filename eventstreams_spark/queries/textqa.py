@@ -987,3 +987,105 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_best")
         .orderBy("id1", "id2")
     )
+
+
+@query(
+    "curriculum_ordering_stages",
+    category="L-curriculum",
+    oracle="""
+        WITH sig AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(string_split(text, ' ')) AS BIGINT)
+                       AS n_toks,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+            FROM (
+                SELECT doc_id, lang, text,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY doc_id, lang, text
+        ), scored AS (
+            SELECT doc_id, lang, n_chars, n_toks,
+                   -- difficulty: longer docs with richer vocab are
+                   -- harder; exact integer score to keep the order
+                   -- total and cross-engine identical
+                   n_chars * 1000 + n_vocab AS difficulty
+            FROM sig
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       ORDER BY difficulty, doc_id) AS r,
+                   count(*) OVER () AS n
+            FROM scored
+        ), staged AS (
+            SELECT *,
+                   CASE WHEN r <= (n % 10) * ((n // 10) + 1)
+                        THEN CAST(ceil(r * 1.0 / ((n // 10) + 1))
+                                  AS BIGINT)
+                        ELSE (n % 10) + CAST(ceil(
+                             (r - (n % 10) * ((n // 10) + 1)) * 1.0
+                             / (n // 10)) AS BIGINT)
+                   END AS stage
+            FROM ranked
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(difficulty) AS BIGINT) AS min_difficulty,
+               CAST(max(difficulty) AS BIGINT) AS max_difficulty,
+               CAST(sum(n_toks) AS BIGINT) AS stage_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM staged
+        GROUP BY stage ORDER BY stage
+    """,
+)
+def curriculum_ordering_stages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM ORDERING for training data — rank every document by
+    an exact-integer difficulty score (chars·1000 + distinct-token
+    vocabulary: longer, lexically richer documents are harder) and
+    cut the corpus into 10 equal-population curriculum stages, easy
+    to hard — the schedule a curriculum-learning run feeds its data
+    loader, with per-stage token budgets and language coverage so the
+    mix is auditable before training starts.
+
+    Scale: the difficulty rank is operators/ranking.exact_global_rank
+    (range-bucketed — no single-partition window over the corpus; the
+    oracle's global row_number is the reference semantics), and the
+    stage comes from the exact SQL ntile fill formula on that rank
+    (the agg_decile_equidepth construction, bit-identical for any
+    bucket-boundary choice). Signals are one explode→groupBy pass.
+    """
+    from ..operators.ranking import exact_global_rank, ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    sig = toks.groupBy("doc_id", "lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.count_distinct("tok").cast("long").alias("n_vocab"),
+    )
+    scored = sig.select(
+        "doc_id", "lang", "n_toks",
+        (F.col("n_chars") * 1000 + F.col("n_vocab")).alias("difficulty"),
+    )
+    ranked, total = exact_global_rank(
+        scored, ["difficulty", "doc_id"], rank_col="r", with_total=True
+    )
+    staged = ranked.withColumn(
+        "stage", ntile_from_rank(F.col("r"), total, 10).cast("long")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+            F.sum("n_toks").cast("long").alias("stage_tokens"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("stage")
+    )

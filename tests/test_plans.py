@@ -2753,3 +2753,18 @@ def test_weighted_interval_scheduling_jvm_fold(spark, sf_dir):
         if "Window" in line and "SinglePartition" in line
     )
     assert n == 0, plan[:2000]
+
+
+def test_curriculum_no_single_partition_rank(spark, sf_dir):
+    """Curriculum stages: the corpus-wide difficulty rank must ride
+    exact_global_rank (bucket-partitioned), not a SinglePartition
+    window."""
+    df = q("curriculum_ordering_stages", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Window" in line and "SinglePartition" in line
+    )
+    assert n == 0, plan[:2000]
+    assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
