@@ -2718,3 +2718,110 @@ def gotoh_local_alignment_shapes(
         )
         .orderBy("channel_a", "channel_b")
     )
+
+
+@query(
+    "pinball_loss_quantile_eval",
+    category="FC-pinball",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), win AS (
+            SELECT event_type, day, cents,
+                   list_sort(list(cents) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                       AS trail
+            FROM daily
+        ), fc AS (
+            SELECT event_type, day, cents,
+                   trail[CAST(ceil(0.8 * len(trail)) AS INTEGER)] AS q
+            FROM win WHERE len(trail) = 7
+        ), scored AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN cents >= q
+                                 THEN 4 * (cents - q)
+                                 ELSE 1 * (q - cents) END)
+                        AS BIGINT) AS pinball5_cents,
+                   CAST(sum(CASE WHEN cents <= q THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered
+            FROM fc GROUP BY event_type
+        )
+        SELECT event_type, n_days, pinball5_cents,
+               CAST(round(pinball5_cents / 5.0 / n_days / 100.0, 6)
+                    AS DOUBLE) AS mean_pinball,
+               CAST(round(n_covered * 1.0 / n_days, 6) AS DOUBLE)
+                   AS coverage
+        FROM scored ORDER BY event_type
+    """,
+)
+def pinball_loss_quantile_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PINBALL (quantile) LOSS evaluation of a rolling τ=0.8 daily-
+    revenue quantile forecast — the proper scoring rule for quantile
+    forecasts (newsvendor stock levels, SLO latency budgets, P90
+    capacity plans): per channel and day, forecast q = the type-1
+    0.8-quantile of the trailing 7 daily totals (the 6th of the 7
+    sorted values — a DISCRETE order statistic, so both engines pick
+    the identical integer; no interpolation arithmetic to drift),
+    then L_τ(y, q) = τ(y−q) for under-forecasts and (1−τ)(q−y) for
+    over-forecasts. With τ = 0.8 = 4/5 the loss scales by 5 into an
+    exact BIGINT (4(y−q) | 1(q−y) cents), hash-checked raw; the
+    report adds mean pinball in currency units and the empirical
+    COVERAGE P(y ≤ q), whose distance from τ is the calibration
+    readout.
+
+    Scale: one day-grain keyed rollup; the trailing-7 collect and the
+    order statistic run under a window PARTITIONED BY CHANNEL over
+    the calendar frame (bounded per the audit convention); the loss
+    is one combinable aggregate. Output: one row per channel.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long").alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type", "day", "cents",
+        F.array_sort(F.collect_list("cents").over(w)).alias("trail"),
+    )
+    fc = win.filter(F.size("trail") == 7).select(
+        "event_type", "cents",
+        F.element_at(
+            "trail", F.ceil(0.8 * F.size("trail")).cast("int")
+        ).alias("q"),
+    )
+    scored = fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("cents") >= F.col("q"),
+                4 * (F.col("cents") - F.col("q")),
+            ).otherwise(F.col("q") - F.col("cents"))
+        ).cast("long").alias("pinball5_cents"),
+        F.sum(
+            F.when(F.col("cents") <= F.col("q"), 1).otherwise(0)
+        ).cast("long").alias("n_covered"),
+    )
+    return scored.select(
+        "event_type", "n_days", "pinball5_cents",
+        F.round(
+            F.col("pinball5_cents") / 5.0 / F.col("n_days") / 100.0, 6
+        ).alias("mean_pinball"),
+        F.round(F.col("n_covered") / F.col("n_days"), 6).alias("coverage"),
+    ).orderBy("event_type")
