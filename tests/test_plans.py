@@ -2768,3 +2768,21 @@ def test_curriculum_no_single_partition_rank(spark, sf_dir):
     )
     assert n == 0, plan[:2000]
     assert_no_operator(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_pinball_keyed_windows_only(spark, sf_dir):
+    """Pinball eval: trailing-quantile windows partition BY CHANNEL;
+    no single-partition Window, no Python eval, one fact scan."""
+    df = q("pinball_loss_quantile_eval", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "Window" in line and "SinglePartition" in line
+    )
+    assert n == 0, plan[:2000]
+    assert_no_operator(df, "BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+    counts = operator_counts(df)
+    assert count_prefix(counts, "FileScan parquet") + count_prefix(
+        counts, "Scan parquet"
+    ) <= 1, counts
