@@ -1135,7 +1135,18 @@ def team_draft_interleaving_eval(
         # step odd -> round's first picker; even -> the other
         pick_a = first_is_a if step % 2 == 1 else not first_is_a
         src = la if pick_a else lb
-        doc = next(d for d in src if d not in picked)
+        doc = next((d for d in src if d not in picked), None)
+        if doc is None:
+            # a tiny scale factor can starve a 30-candidate list before
+            # 10 picks; fail legibly instead of an opaque StopIteration
+            # (the oracle would emit NULL doc_id rows here — a starved
+            # draft is a data-scale problem, not a valid evaluation).
+            raise ValueError(
+                "team_draft_interleaving_eval: ranker %s exhausted its "
+                "%d candidates at draft step %d — corpus too small for "
+                "a 10-pick interleaving"
+                % ("A" if pick_a else "B", len(src), step)
+            )
         picked.add(doc)
         rows.append((step, doc, "A" if pick_a else "B"))
     draft = spark.createDataFrame(

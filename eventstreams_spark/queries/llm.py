@@ -13,11 +13,14 @@ Design constraints for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from ._shared import md5_uniform_sql
 
 # ---------------------------------------------------------------- helpers
 
@@ -519,6 +522,137 @@ def llm_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return chunk_text_columnar(uniq, "text", 32, ["doc_id", "n_tokens"]).select(
         "doc_id", "chunk_no", "chunk", "n_tokens"
+    )
+
+
+@query(
+    "corpus_prep_staged_pipeline",
+    category="L1-L5",
+    variant_of="llm_corpus_prep_pipeline",
+    oracle=f"""
+        WITH cand AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text),
+                                                  '{TOKEN_SPLIT}'),
+                               x -> x <> '') AS toks
+            FROM documents
+            WHERE lang = 'en' AND n_chars >= 40 AND doc_id % 97 <> 0
+        ), qual AS (
+            SELECT doc_id, text, toks,
+                   CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM cand WHERE len(toks) >= 8
+        ), dedup AS (
+            SELECT doc_id, text, toks, n_tokens,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM qual
+        ), uniq AS (
+            SELECT doc_id, text, toks, n_tokens FROM dedup WHERE rn = 1
+        ), evsh AS (
+            SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS sh
+            FROM (
+                SELECT list_filter(string_split_regex(lower(text),
+                                                      '{TOKEN_SPLIT}'),
+                                   x -> x <> '') AS toks
+                FROM documents
+                WHERE doc_id % 97 = 0 OR doc_id % 101 = 5
+            ), LATERAL unnest(generate_series(1, len(toks) - 7)) AS g(i)
+            WHERE len(toks) >= 8
+        ), contaminated AS (
+            SELECT DISTINCT u.doc_id
+            FROM uniq u,
+                 LATERAL unnest(generate_series(1, len(u.toks) - 7))
+                     AS g(i)
+            JOIN evsh e ON e.sh = array_to_string(u.toks[g.i:g.i+7], ' ')
+            WHERE len(u.toks) >= 8
+        ), clean AS (
+            SELECT doc_id, toks, n_tokens,
+                   CAST(ceil(len(toks)/32.0) AS INT) AS nchunks
+            FROM uniq
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), i AS (SELECT unnest(generate_series(0, 100000)) AS i)
+        SELECT c.doc_id, i.i AS chunk_no,
+               array_to_string(c.toks[(i.i*32+1):(i.i*32+32)], ' ')
+                   AS chunk,
+               c.n_tokens,
+               CASE WHEN {md5_uniform_sql("CAST(c.doc_id AS VARCHAR)")}
+                         < 0.9 THEN 'train'
+                    WHEN {md5_uniform_sql("CAST(c.doc_id AS VARCHAR)")}
+                         < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean c JOIN i ON i.i < c.nchunks
+        ORDER BY c.doc_id, chunk_no
+    """,
+)
+def corpus_prep_staged_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-prep path as a DECLARATIVE PIPELINE CONFIG — the
+    exact chain `python -m eventstreams_spark run corpus_prep.yaml`
+    executes (quality → exact dedup → benchmark decontamination →
+    sequence packing → deterministic split), compiled by
+    Pipeline.from_config into ONE Catalyst plan and verified
+    row-exact under the DuckDB hash gate. Variant-of
+    llm_corpus_prep_pipeline (the hand-built fused form); this one
+    adds the two stages a production run needs — n-gram
+    decontamination against a held-out eval slice (doc_id % 97 = 0
+    plus the doc_id % 101 = 5 docs, which stay train candidates too —
+    INJECTED contamination, the neardup-query pattern, so the stage
+    provably drops rows under the hash gate on a corpus whose random
+    word soup has no natural cross-slice 8-grams; 8-token shingle
+    overlap, Lee et al. 2022-style exact filter) and
+    the md5-minted train/val/test assignment (reshuffle-stable:
+    adding data never moves an existing doc between splits).
+
+    Scale: quality filters fold into the scan; dedup is ONE uniform
+    md5-keyed shuffle; decontamination explodes shingles once with
+    only (hash, shingle) carried and semi-joins the (small,
+    broadcastable) eval shingle set; packing posexplodes AFTER dedup
+    and decontamination so dropped bytes never fan out; the split is
+    a per-row expression. The chain's shuffle count: dedup window +
+    the decontaminate semi/anti pair — everything else is map-side.
+    """
+    from ..pipeline import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {
+                    "type": "filter",
+                    "expr": "lang = 'en' AND n_chars >= 40 "
+                            "AND doc_id % 97 <> 0",
+                },
+                {"type": "quality", "source": "text", "min_tokens": 8},
+                {"type": "dedup", "fields": ["text"], "order": "doc_id"},
+                {
+                    "type": "decontaminate",
+                    "source": "text",
+                    "eval_path": f"{sf_dir}/documents.parquet",
+                    "eval_filter": "doc_id % 97 = 0 OR doc_id % 101 = 5",
+                    "eval_column": "text",
+                    "ngram": 8,
+                },
+                {
+                    "type": "pack",
+                    "source": "text",
+                    "tokens_per_chunk": 32,
+                    "keep": ["doc_id", "q_n_tokens"],
+                },
+                {
+                    "type": "split",
+                    "key": "doc_id",
+                    "weights": {"train": 0.9, "val": 0.05, "test": 0.05},
+                },
+            ]
+        }
+    )
+    return pipe.apply(docs).select(
+        "doc_id",
+        "chunk_no",
+        "chunk",
+        F.col("q_n_tokens").alias("n_tokens"),
+        "split",
     )
 
 
@@ -1783,7 +1917,83 @@ def icws_weighted_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SA_CACHE_VERSION = 2  # bump when the materialized schema changes
+
+
+def _sa_cache_path(sf_dir: str) -> str:
+    """Deterministic materialization path for the shared SA+LCP+BWT
+    frame, keyed by a fingerprint of the INPUT (every file under
+    ``documents.parquet``: path + size + mtime_ns) plus the schema
+    version — a regenerated testdata dir, or a schema bump, misses
+    the cache and rebuilds; identical inputs across processes (bench,
+    driver sim, pytest) share one build. Lives under the repo's
+    spark-warehouse (anchored to the package location, not the CWD —
+    the driver runs from /tmp)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"sa-cache-v{_SA_CACHE_VERSION}".encode())
+    droot = os.path.join(sf_dir, "documents.parquet")
+    paths = [droot]
+    if os.path.isdir(droot):
+        paths = sorted(
+            os.path.join(droot, p) for p in os.listdir(droot)
+            if not p.startswith(("_", "."))
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo_root, "spark-warehouse", "_sa_cache", h.hexdigest()[:16]
+    )
+
+
 def _suffix_array_lcp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SA+LCP+BWT frame for the L2-suffixarray family,
+    MATERIALIZED ONCE PER INPUT (VERDICT r8 #2): the construction
+    (:func:`_build_suffix_array_lcp`) is an index build — five
+    consumers (suffix_array_doubling_gate, exact-substring island
+    merge, bwt_run_length_census, fm_index_backward_search,
+    lcp_interval_tree_nodes, repeat_family_census, cross_group_lcs)
+    each paid the full 20-28 s rebuild per call at sf0.01
+    (tools/bench_families.py, round 8). A production pipeline builds
+    the suffix array once and serves every query from it; this
+    mirrors that: build on miss, write to a fingerprint-keyed parquet
+    path (:func:`_sa_cache_path`), and serve ALL calls — across
+    processes — from the parquet read. The write is atomic
+    (tmp dir + os.rename); a concurrent builder losing the rename
+    race discards its copy and reads the winner's.
+
+    Freshness: the path embeds size+mtime_ns of every input file, so
+    staleness is impossible without mtime forgery; invalidation is
+    automatic (a new fingerprint is a new path; stale entries are
+    just dead directories). SCALE.md §24 records the policy.
+
+    Returned columns: (sa_idx, doc_id, off, head12, head20, lcp_next,
+    ok, bwt) — head20/bwt are derived during the build precisely so
+    consumers don't re-join documents for fingerprints or BWT chars.
+    """
+    path = _sa_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        built = _build_suffix_array_lcp(spark, sf_dir)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        built.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the build race — another process landed the same
+            # fingerprint first; its content is identical by
+            # construction (deterministic build), use it
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def _build_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared suffix-array construction for the L2-suffixarray family:
     prefix-doubling ranks (see suffix_array_doubling_gate's docstring
     for the algorithm and scale argument), then a RANK-ONLY adjacent
@@ -1949,6 +2159,10 @@ def _suffix_array_lcp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "sa_idx", "doc_id", "off", "off_b", "ta", "tb",
             F.expr("substring(ta, off, 12)").alias("head12"),
+            F.expr("substring(ta, off, 20)").alias("head20"),
+            F.when(F.col("off") == 1, "$")
+            .otherwise(F.expr("substring(ta, off - 1, 1)"))
+            .alias("bwt"),
             lcp_next.cast("long").alias("lcp_next"),
             (F.col("la") - F.col("off") + 1).alias("rem_a"),
             (F.col("lb") - F.col("off_b") + 1).alias("rem_b"),
@@ -1957,12 +2171,13 @@ def _suffix_array_lcp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = F.expr("substring(ta, off, lcp_next + 1)")
     pb = F.expr("substring(tb, off_b, lcp_next + 1)")
     out = withlcp.select(
-        "sa_idx", "doc_id", "off", "head12", "lcp_next",
+        "sa_idx", "doc_id", "off", "head12", "head20", "lcp_next",
         (
             F.col("off_b").isNull()
             | (pa < pb)
             | ((pa == pb) & (F.col("rem_a") <= F.col("rem_b")))
         ).alias("ok"),
+        "bwt",
     )
     return truncate_lineage(out, par)
 
@@ -2312,22 +2527,11 @@ def bwt_run_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the census is a groupBy over the bounded alphabet.
     All-integer output except the final rounded ratio.
     """
-    from ..operators.graph import truncate_lineage
-
-    par = spark.sparkContext.defaultParallelism
     pairs = _suffix_array_lcp_frame(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
-    bwtf = truncate_lineage(
-        pairs.join(docs, "doc_id").select(
-            "sa_idx",
-            F.when(F.col("off") == 1, "$")
-            .otherwise(F.expr("substring(text, off - 1, 1)"))
-            .alias("bwt"),
-        ),
-        par,
-    )
+    # the BWT column is materialized in the shared SA cache — no
+    # documents re-join, no per-call checkpoint (lineage is one
+    # column-pruned parquet scan of the cache)
+    bwtf = pairs.select("sa_idx", "bwt")
     prev = bwtf.select(
         (F.col("sa_idx") + 1).alias("sa_idx"),
         F.col("bwt").alias("pbwt"),
@@ -2342,9 +2546,9 @@ def bwt_run_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occ"),
         F.sum("is_start").cast("long").alias("n_runs"),
     )
-    # perchar is a bounded alphabet frame — checkpoint so the totals
-    # cross join doesn't re-derive the whole SA pipeline
-    perchar = truncate_lineage(perchar, 1)
+    # perchar re-derives from ONE column-pruned scan of the SA cache
+    # (pre-materialization this was a checkpoint to avoid re-running
+    # the whole SA pipeline for the totals cross join)
     tot = perchar.agg(
         F.sum("n_occ").cast("long").alias("n_total"),
         F.sum("n_runs").cast("long").alias("r_total"),
@@ -2358,6 +2562,105 @@ def bwt_run_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bwt_char")
+    )
+
+
+_OCC_BLOCK = 4096  # FM-index Occ rank-checkpoint block size
+
+
+def _fm_occ_structures(
+    spark: SparkSession, bwt_frame: DataFrame, par: int
+) -> tuple[DataFrame, DataFrame]:
+    """Blocked Occ rank support for the FM-index: from the augmented
+    (pos, bwt) frame, build (a) ``occf`` = per-char occurrence ranks
+    with a ``block`` = (pos-1) div _OCC_BLOCK column, and (b)
+    ``dense`` = the DENSE per-(char, block) checkpoint carrying
+    ``occ_upto`` = the char's rank at each block's END, forward-filled
+    across blocks where the char is absent (distinct chars x
+    sequence(0..max_block) grid — bounded: |alphabet| * n/B rows; the
+    fill is a keyed window over that summary, never over positions).
+    Both frames are checkpointed: they are probed once per backward
+    round."""
+    from ..operators.graph import truncate_lineage
+
+    occf = truncate_lineage(
+        bwt_frame.select(
+            "pos",
+            "bwt",
+            F.row_number()
+            .over(Window.partitionBy("bwt").orderBy("pos"))
+            .cast("long")
+            .alias("occ"),
+            F.floor((F.col("pos") - 1) / F.lit(_OCC_BLOCK))
+            .cast("long")
+            .alias("block"),
+        ),
+        par,
+    )
+    max_block = occf.agg(F.max("block")).head()[0] or 0  # bounded scalar
+    grid = occf.select("bwt").distinct().select(
+        "bwt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(max_block)))
+        ).alias("block"),
+    )
+    # occ is monotone in pos per char, so the block-end rank is the
+    # block's max occ; the forward fill carries it over empty blocks
+    bsum = occf.groupBy("bwt", "block").agg(F.max("occ").alias("occ_end"))
+    fill = Window.partitionBy("bwt").orderBy("block").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dense = truncate_lineage(
+        grid.join(bsum, ["bwt", "block"], "left").select(
+            "bwt",
+            "block",
+            F.last("occ_end", ignorenulls=True).over(fill).alias("occ_upto"),
+        ),
+        par,
+    )
+    return occf, dense
+
+
+def _fm_occ_probe(
+    occf: DataFrame, dense: DataFrame, pf: DataFrame
+) -> DataFrame:
+    """Occ(c, pos) for a bounded probe frame ``pf`` (pat, c, pos,
+    which) against the blocked rank structures: the in-block residual
+    (EQUI join on (char, block), pos <= probe as a post-filter over
+    <= _OCC_BLOCK rows) unioned with the previous block's checkpoint
+    (EQUI join on (char, block - 1) against the dense summary), max
+    per probe — occ is monotone so the residual, when present,
+    dominates. Returns (pat, which, o); o is NULL when the char never
+    occurs at or before the probe position. No non-equi join against
+    the full position frame anywhere (the plan tripwire's assertion).
+    """
+    pfb = pf.select(
+        "pat",
+        "which",
+        F.col("c").alias("pc"),
+        "pos",
+        F.floor((F.col("pos") - 1) / F.lit(_OCC_BLOCK))
+        .cast("long")
+        .alias("pblock"),
+    )
+    resid = (
+        occf.join(
+            F.broadcast(pfb),
+            (occf.bwt == pfb.pc)
+            & (occf.block == pfb.pblock)
+            & (occf.pos <= pfb.pos),
+        )
+        .groupBy("pat", "which")
+        .agg(F.max("occ").alias("o"))
+    )
+    prev = dense.join(
+        F.broadcast(pfb),
+        (dense.bwt == pfb.pc) & (dense.block == pfb.pblock - 1),
+    ).select("pat", "which", F.col("occ_upto").alias("o"))
+    return (
+        resid.unionByName(prev)
+        .groupBy("pat", "which")
+        .agg(F.max("o").alias("o"))
     )
 
 
@@ -2418,23 +2721,29 @@ def fm_index_backward_search(
     ('batch batch' counts overlapping occurrences, which the
     position scan and the SA interval both include).
 
-    Rank (Occ) structure: one KEYED window (partitionBy bwt char)
-    numbers each BWT cell among its own character; Occ(c, i) is then
-    an as-of lookup (max occ at sa_idx <= i for bwt = c). Each of
-    the <= max(m)-1 backward rounds probes Occ at <= 2 x |patterns|
-    positions — a broadcast of a bounded probe frame against the
-    checkpointed (bwt, sa_idx, occ) blocks, collected back as
-    bounded metadata (the Cox/F-list pattern: the driver walks what
-    the production FM-index would answer from sampled Occ
-    checkpoints; rounds are bounded by pattern length, not corpus
-    size). The locate step is ONE range join of the <= |patterns|
-    final intervals (broadcast) against the SA frame.
+    Rank (Occ) structure — BLOCKED, the classical FM-index rank
+    checkpointing (VERDICT r8 #3): one KEYED window (partitionBy bwt
+    char) numbers each BWT cell among its own character, positions
+    are then blocked by ``pos div B`` (B = _OCC_BLOCK), and a DENSE
+    per-(char, block) summary carries ``occ_upto`` = the rank at each
+    block's end (forward-filled over empty blocks by a keyed window
+    over the ~|alphabet| x n/B summary — built ONCE, checkpointed).
+    Occ(c, i) = max(in-block residual rank at pos <= i, occ_upto of
+    block(i) - 1) — BOTH probe joins are EQUI on (char, block)
+    (plan-asserted: see _fm_occ_probe), so each of the <= max(m)-1
+    backward rounds touches O(B + 1) rows per probe instead of the
+    O(n_c) as-of sweep the unblocked form paid; collected back as
+    bounded metadata (the driver walks what the production FM-index
+    would answer from its rank checkpoints; rounds are bounded by
+    pattern length, not corpus size). The locate step is ONE range
+    join of the <= |patterns| final intervals (broadcast) against
+    the SA frame.
 
-    Scale: the SA/BWT frames are the shared rank-only construction
-    (SCALE.md \u00a719); per-round work is a filtered scan of
-    checkpointed blocks with a tiny broadcast — no shuffle, no
-    global window; alphabet census and C are bounded-metadata
-    collects over ~30 characters.
+    Scale: the SA/BWT frames are the shared materialized construction
+    (SCALE.md \u00a719/\u00a724); per-round work is two broadcast
+    equi-joins against checkpointed blocks — no shuffle, no global
+    window, probe cost independent of corpus size; alphabet census
+    and C are bounded-metadata collects over ~30 characters.
     """
     from ..operators.graph import truncate_lineage
 
@@ -2464,20 +2773,22 @@ def fm_index_backward_search(
         ["doc_id"],
         rank_col="pos",
     ).select("pos", "bwt")
-    # sa_idx is 1-based, so the augmented position is D + sa_idx
-    mains = pairs.join(docs, "doc_id").select(
+    # sa_idx is 1-based, so the augmented position is D + sa_idx;
+    # the BWT char rides the materialized SA cache — no documents join
+    mains = pairs.select(
         (F.col("sa_idx") + F.lit(n_docs_total)).alias("pos"),
-        F.when(F.col("off") == 1, "$")
-        .otherwise(F.expr("substring(text, off - 1, 1)"))
-        .alias("bwt"),
+        "bwt",
     )
-    # per-char occurrence rank (Occ support): keyed window only
-    occf = truncate_lineage(
-        empties.unionByName(mains).withColumn(
-            "occ",
-            F.row_number()
-            .over(Window.partitionBy("bwt").orderBy("pos"))
-            .cast("long"),
+    # per-char occurrence rank (Occ support): keyed window, then
+    # blocked rank checkpoints (the dense forward-filled summary),
+    # restricted to the PATTERN ALPHABET — Occ is only ever probed at
+    # characters that appear in some pattern, so the per-round scan
+    # is the pattern chars' positions, not the whole BWT
+    pattern_chars = sorted({c for p in patterns for c in p})
+    occf, dense = _fm_occ_structures(
+        spark,
+        empties.unionByName(mains).filter(
+            F.col("bwt").isin(pattern_chars)
         ),
         par,
     )
@@ -2526,17 +2837,12 @@ def fm_index_backward_search(
             pf = spark.createDataFrame(
                 probes, "pat string, c string, pos long, which string"
             )
-            rows = (
-                # pos is 1-based (BWT[1..n]); sa_idx is 0-based
-                occf.join(
-                    F.broadcast(pf),
-                    (occf.bwt == pf.c) & (occf.pos <= pf.pos),
-                )
-                .groupBy("pat", "which")
-                .agg(F.max("occ").alias("o"))
-                .collect()
-            )
-            occ_at = {(r["pat"], r["which"]): r["o"] for r in rows}
+            rows = _fm_occ_probe(occf, dense, pf).collect()
+            occ_at = {
+                (r["pat"], r["which"]): r["o"]
+                for r in rows
+                if r["o"] is not None
+            }
         for pat in patterns:
             if len(pat) < step:
                 continue
@@ -2781,9 +3087,11 @@ def repeat_family_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the group, straight off the shared rank-only LCP frame.
 
     Scale: SA + LCP from _suffix_array_lcp_frame (rank-only,
-    checkpointed — see suffix_array_doubling_gate); one doc_id
-    equi-join rehydrates the 20-char fingerprints (bounded carry);
-    one fingerprint-keyed shuffle aggregates families. Integer-only
+    materialized once per input — SCALE.md §24); the 20-char
+    fingerprints ride the cache's head20 column (a suffix shorter
+    than 20 chars yields a short head20, so length(head20) = 20 IS
+    the len - off + 1 >= 20 filter — no documents re-join); one
+    fingerprint-keyed shuffle aggregates families. Integer-only
     output, no floats anywhere.
 
     Variant-of: ``lcp_interval_tree_nodes`` — this census is its
@@ -2791,16 +3099,8 @@ def repeat_family_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     their TRUE depths.
     """
     pairs = _suffix_array_lcp_frame(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").cast("long").alias("len")
-    )
-    joined = (
-        pairs.join(docs, "doc_id")
-        .filter(F.col("len") - F.col("off") + 1 >= 20)
-        .select(
-            F.expr("substring(text, off, 20)").alias("fingerprint20"),
-            "doc_id", "lcp_next",
-        )
+    joined = pairs.filter(F.length("head20") == 20).select(
+        F.col("head20").alias("fingerprint20"), "doc_id", "lcp_next"
     )
     fams = (
         joined.groupBy("fingerprint20")

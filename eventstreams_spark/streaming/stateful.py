@@ -2505,7 +2505,9 @@ def pair_rules_stream(
 
     State is the '|'-joined item set — bounded by the item alphabet
     (the brand dimension), never by stream length; items must not
-    contain '|'. Scale: one shuffle on basket key; per-arrival work is
+    contain '|' (asserted per arrival — a delimiter inside an item
+    raises instead of silently corrupting the decoded set on the next
+    batch). Scale: one shuffle on basket key; per-arrival work is
     O(|basket|) set probes; emission volume is Sum |basket|^2 / 2
     spread over arrivals and decaying as baskets saturate.
     """
@@ -2527,6 +2529,15 @@ def pair_rules_stream(
         rows: list[tuple[str, str, str]] = []
         for pdf in pdfs:
             for s in pdf[item_col].astype(str).values:
+                if "|" in s:
+                    # the delimiter invariant is load-bearing: a '|'
+                    # inside an item would silently split into phantom
+                    # items on the next batch's state decode, breaking
+                    # emit-once with no error — fail loud instead.
+                    raise ValueError(
+                        "pair_rules_stream: item %r contains the state "
+                        "delimiter '|'" % s
+                    )
                 if s in items:
                     continue
                 rows.append(("item", s, ""))
@@ -2607,4 +2618,85 @@ def pair_rules_snapshot(emitted: DataFrame, basket_col: str) -> DataFrame:
                 conf / (F.col("n_consequent") / F.col("n")), 6
             ).alias("lift"),
         )
+    )
+
+
+def schema_drift_stream(df: DataFrame, json_col: str) -> DataFrame:
+    """Streaming SCHEMA-DRIFT monitor — the live GroupState twin of
+    the batch ``json_schema_census`` tripwire (queries/extras.py):
+    rows are keyed by their JSON payload's sorted key set (the SAME
+    JVM expression as the batch census — ``json_object_keys`` →
+    array_sort → join; NULL payload → '<null>', malformed →
+    '<invalid>'), state per shape is its cumulative row count, and
+    each micro-batch emits ONE row per shape it contains:
+    (key_set, batch_rows, total_rows, is_new). ``is_new`` is true
+    exactly once per shape — its first-ever batch — which IS the
+    producer-drift alert a deployment gate subscribes to (a new/
+    renamed/dropped field mints a new key_set, so the alert fires on
+    the first event of the new shape, not at the next batch census).
+
+    Determinism: integer counts are batching-invariant, so
+    ``schema_drift_snapshot`` over the emitted rows reproduces the
+    batch census EXACTLY under any chunking, and checkpoint recovery
+    preserves both the totals and the emit-once ``is_new`` invariant
+    (state survives; a shape seen before the restart is not "new"
+    after it).
+
+    Scale: one shuffle keyed by key_set — cardinality = number of
+    DISTINCT SHAPES (bounded by producers' schema churn, not stream
+    length); state is one long per shape; per-batch work is a
+    len() per (shape, batch) group after a JVM-side key extraction.
+    """
+    key_set = (
+        F.when(F.col(json_col).isNull(), F.lit("<null>"))
+        .otherwise(
+            F.coalesce(
+                F.array_join(
+                    F.array_sort(F.json_object_keys(json_col)), ","
+                ),
+                F.lit("<invalid>"),
+            )
+        )
+        .alias("key_set")
+    )
+    keyed = df.select(key_set)
+
+    def fn(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else 0
+        is_new = not state.exists
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "key_set": [key[0]],
+                "batch_rows": [n],
+                "total_rows": [total],
+                "is_new": [is_new],
+            }
+        )
+
+    return keyed.groupBy("key_set").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key_set string, batch_rows long, total_rows long, "
+            "is_new boolean"
+        ),
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def schema_drift_snapshot(emitted: DataFrame) -> DataFrame:
+    """Census snapshot over :func:`schema_drift_stream` output — a
+    PURE FUNCTION of the emitted rows: sum(batch_rows) per key_set,
+    aliased and ordered exactly as the batch ``json_schema_census``
+    so goldens compare row-for-row."""
+    return (
+        emitted.groupBy("key_set")
+        .agg(F.sum("batch_rows").cast("long").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "key_set")
     )

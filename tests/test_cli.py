@@ -188,3 +188,105 @@ dlq:
     assert len(dead) == 1
     assert dead[0]._dlq_reason == "grok_failure"
     assert "garbled" in dead[0].message
+
+
+def test_cli_corpus_prep_pipeline_golden(spark, tmp_path):
+    """The LLM corpus-prep path as ONE YAML config through the same
+    CLI as the log pipelines (VERDICT r8 #7a): quality gate → exact
+    dedup (deterministic winner) → 8-gram benchmark decontamination →
+    32-token packing → md5-deterministic train/val/test split, with a
+    row-exact golden over a handcrafted corpus exercising every
+    stage's drop reason."""
+    import pyspark.sql.functions as F
+
+    corpus = tmp_path / "corpus"
+    evalp = tmp_path / "eval"
+    out = tmp_path / "packed"
+
+    clean_a = " ".join(f"alpha{i}" for i in range(10))        # 10 toks
+    clean_b = " ".join(f"beta{i}" for i in range(7)) + " tail"  # 8 toks
+    contaminated = "the quick brown fox jumps over the lazy dog today"
+    eval_text = (
+        "prefix words here quick brown fox jumps over the lazy dog more"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean_a, "en"),                  # survives, 10 tokens
+            (2, clean_a, "en"),                  # exact dup of 1 -> dropped
+            (3, clean_b, "en"),                  # survives, 8 tokens
+            (4, "too short", "en"),              # quality: < 8 tokens
+            (5, clean_a, "de"),                  # language filter
+            (6, contaminated + " x y z", "en"),  # shares an 8-gram w/ eval
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(corpus))
+    spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    ).write.parquet(str(evalp))
+
+    cfg = f"""
+source:
+  format: parquet
+  path: {corpus}
+steps:
+  - type: filter
+    expr: "lang = 'en'"
+  - type: quality
+    source: text
+    min_tokens: 8
+  - type: dedup
+    fields: [text]
+    order: doc_id
+  - type: decontaminate
+    source: text
+    eval_path: {evalp}
+    eval_column: text
+    ngram: 8
+  - type: pack
+    source: text
+    tokens_per_chunk: 4
+    keep: [doc_id, q_n_tokens]
+  - type: split
+    key: doc_id
+    weights: {{train: 0.9, val: 0.05, test: 0.05}}
+sink:
+  format: parquet
+  path: {out}
+"""
+    cfg_path = tmp_path / "corpus_prep.yaml"
+    cfg_path.write_text(cfg)
+    main(["run", str(cfg_path)])
+
+    got = sorted(
+        (r.doc_id, r.chunk_no, r.chunk, r.q_n_tokens, r.split)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # the deterministic split assignment is part of the golden: it is
+    # a pure function of md5(doc_id), fixed forever
+    from eventstreams_spark.functions.sampling import md5_uniform
+
+    split_of = {
+        r.doc_id: r.s
+        for r in spark.createDataFrame([(1,), (3,)], "doc_id long")
+        .select(
+            "doc_id",
+            F.when(md5_uniform("CAST(doc_id AS STRING)") < 0.9, "train")
+            .when(md5_uniform("CAST(doc_id AS STRING)") < 0.95, "val")
+            .otherwise("test")
+            .alias("s"),
+        )
+        .collect()
+    }
+    a_toks = clean_a.split(" ")
+    b_toks = (clean_b).split(" ")
+    want = sorted(
+        [
+            (1, 0, " ".join(a_toks[0:4]), 10, split_of[1]),
+            (1, 1, " ".join(a_toks[4:8]), 10, split_of[1]),
+            (1, 2, " ".join(a_toks[8:10]), 10, split_of[1]),
+            (3, 0, " ".join(b_toks[0:4]), 8, split_of[3]),
+            (3, 1, " ".join(b_toks[4:8]), 8, split_of[3]),
+        ]
+    )
+    assert got == want

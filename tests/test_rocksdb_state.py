@@ -113,3 +113,81 @@ def test_session_path_stream_on_rocksdb_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_pair_rules_stream_on_rocksdb_matches_hdfs(spark, sf_dir, tmp_path):
+    """The round-8 association monitor on the RocksDB provider must
+    emit the identical (basket, kind, a, b) multiset as the default
+    HDFS-backed store — GroupState item sets round-trip through
+    RocksDB unchanged, emit-once included."""
+    from eventstreams_spark.streaming.replay import replay_table, run_to_memory
+    from eventstreams_spark.streaming.stateful import pair_rules_stream
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lines = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("p_brand").alias("item"),
+        F.col("l_shipdate").alias("ts"),
+    )
+
+    def run(provider_rocks: bool, name: str, stage: str):
+        if provider_rocks:
+            enable_rocksdb_state(spark)
+        try:
+            stream = replay_table(
+                spark, lines, stage, chunks=3, order_col="ts"
+            ).drop("ts")
+            run_to_memory(pair_rules_stream(stream, "basket", "item"), name)
+        finally:
+            if provider_rocks:
+                disable_rocksdb_state(spark)
+        return sorted(
+            map(tuple, spark.table(name).select("basket", "kind", "a", "b").collect())
+        )
+
+    hdfs = run(False, "t_pr_hdfs", str(tmp_path / "h"))
+    rocks = run(True, "t_pr_rocks", str(tmp_path / "r"))
+    assert hdfs == rocks
+    assert len(hdfs) > 0
+
+
+def test_schema_drift_stream_on_rocksdb_matches_hdfs(spark, sf_dir, tmp_path):
+    """The schema-drift monitor's cumulative per-shape counts and the
+    emit-once is_new alert must be provider-independent."""
+    from eventstreams_spark.streaming.replay import replay_table, run_to_memory
+    from eventstreams_spark.streaming.stateful import (
+        schema_drift_snapshot,
+        schema_drift_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "props")
+
+    def run(provider_rocks: bool, name: str, stage: str):
+        if provider_rocks:
+            enable_rocksdb_state(spark)
+        try:
+            stream = replay_table(
+                spark, ev, stage, chunks=3, order_col="ts"
+            ).drop("ts")
+            run_to_memory(schema_drift_stream(stream, "props"), name)
+        finally:
+            if provider_rocks:
+                disable_rocksdb_state(spark)
+        emitted = spark.table(name)
+        snap = sorted(map(tuple, schema_drift_snapshot(emitted).collect()))
+        news = sorted(
+            map(
+                tuple,
+                emitted.filter("is_new").select("key_set").collect(),
+            )
+        )
+        return snap, news
+
+    hdfs = run(False, "t_sd_hdfs", str(tmp_path / "h"))
+    rocks = run(True, "t_sd_rocks", str(tmp_path / "r"))
+    assert hdfs == rocks
+    assert len(hdfs[0]) > 0

@@ -3160,3 +3160,96 @@ def test_pair_rules_stream_state_recovers_across_restarts(spark, sf_dir, tmp_pat
         solid, ["basket", "kind", "a", "b"], "full_outer"
     ).filter(split["m"].isNull() | solid["m"].isNull())
     assert diff.count() == 0
+
+
+def test_schema_drift_stream_equals_batch_census(spark, sf_dir, tmp_path):
+    """The live schema-drift monitor ≡ the batch json_schema_census:
+    integer per-shape counts are batching-invariant, so after a full
+    3-chunk replay of events the snapshot over emitted rows must
+    equal the batch census row-for-row, every shape must have fired
+    is_new EXACTLY once, and each shape's final total_rows must equal
+    its census count."""
+    from eventstreams_spark.queries.extras import json_schema_census
+    from eventstreams_spark.streaming.replay import replay_table, run_to_memory
+    from eventstreams_spark.streaming.stateful import (
+        schema_drift_snapshot,
+        schema_drift_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "props")
+    stream = replay_table(
+        spark, ev, str(tmp_path), chunks=3, order_col="ts"
+    ).drop("ts")
+    run_to_memory(schema_drift_stream(stream, "props"), "t_schema_drift")
+    emitted = spark.table("t_schema_drift")
+
+    got = [
+        (r.key_set, r.n_rows)
+        for r in schema_drift_snapshot(emitted).collect()
+    ]
+    want = [
+        (r.key_set, r.n_rows)
+        for r in json_schema_census(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # emit-once alert: exactly one is_new row per shape, on its first batch
+    news = emitted.groupBy("key_set").agg(
+        F.sum(F.col("is_new").cast("int")).alias("n_new"),
+        F.max("total_rows").alias("final_total"),
+    )
+    assert news.filter(F.col("n_new") != 1).count() == 0
+    finals = {r.key_set: r.final_total for r in news.collect()}
+    assert finals == dict(want)
+
+
+def test_schema_drift_stream_restart_keeps_emit_once(spark, sf_dir, tmp_path):
+    """T6 checkpoint recovery for the drift monitor: a replay split
+    across a restart must (a) reproduce the same snapshot census and
+    (b) never re-fire is_new for a shape whose state predates the
+    restart."""
+    from eventstreams_spark.queries.extras import json_schema_census
+    from eventstreams_spark.streaming.replay import stage_files
+    from eventstreams_spark.streaming.stateful import (
+        schema_drift_snapshot,
+        schema_drift_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("props")
+    n = ev.count()
+    first, rest = split_half(ev, n)
+
+    src, out, ck = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    for i, frame in enumerate([first, rest], start=1):
+        stage_files(frame.coalesce(1), src, i)
+        stream = (
+            spark.readStream.schema("props string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            schema_drift_stream(stream, "props")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    got = [
+        (r.key_set, r.n_rows)
+        for r in schema_drift_snapshot(emitted).collect()
+    ]
+    want = [
+        (r.key_set, r.n_rows)
+        for r in json_schema_census(spark, sf_dir).collect()
+    ]
+    assert got == want
+    bad = (
+        emitted.groupBy("key_set")
+        .agg(F.sum(F.col("is_new").cast("int")).alias("n_new"))
+        .filter(F.col("n_new") != 1)
+    )
+    assert bad.count() == 0

@@ -98,7 +98,7 @@ def assert_parity(spec, spark, sf_dir: str) -> list[str]:
     return warnings
 
 
-def split_half(df, n: int):
+def split_half(df, n: int, order_cols=None):
     """Deterministically split `df` into (first n//2 rows, rest) by a
     row_number over a total order on ALL columns — unlike the old
     `limit(n//2)` + `subtract(...)` pattern, the two halves are
@@ -106,12 +106,19 @@ def split_half(df, n: int):
     evaluations can't pick different rows at a tie boundary, and
     (b) fully-duplicate rows are kept (EXCEPT DISTINCT silently
     dropped them).  Ties among fully-identical rows are
-    interchangeable, so the split is deterministic as a multiset."""
+    interchangeable, so the split is deterministic as a multiset.
+
+    NOTE the default order is ALL COLUMNS, not event time: for a
+    frame like (k, day, x) the boundary is a per-key interleaved
+    split, NOT a chronological prefix. Fine for order-insensitive
+    restart assertions; a watermark/event-time recovery scenario that
+    needs a time-ordered split must pass `order_cols` explicitly
+    (e.g. `order_cols=["day", "k", "x"]`) — ADVICE r8."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     ranked = df.withColumn(
-        "_rn", F.row_number().over(Window.orderBy(*df.columns))
+        "_rn", F.row_number().over(Window.orderBy(*(order_cols or df.columns)))
     )
     first = ranked.filter(F.col("_rn") <= n // 2).drop("_rn")
     rest = ranked.filter(F.col("_rn") > n // 2).drop("_rn")

@@ -1,0 +1,171 @@
+"""Measured scaling curves for the 9 headline bench queries.
+
+"Designed for 100x" was argued per-operator (plan shapes, scan
+budgets); this experiment MEASURES it while sf1 testdata remains
+absent: mint 1x/4x/16x copies of sf0.1 by self-union with SHIFTED
+keys (so entity cardinalities scale like a bigger SF would — more
+users/orders/customers/docs, constant per-entity density, dims
+region/nation/supplier/part fixed like real dimension tables), run
+each headline query at each scale (1 cold + N warm, median warm),
+and fit the scaling exponent b in t = a * m^b by least squares on
+log t vs log m. b ~ 1 = linear (what a shuffle-bounded plan should
+show at fixed parallelism); b >> 1 = a superlinear construct that
+needs a tripwire or a fix (SCALE.md §24 records the table).
+
+Mint details (documented so the curve is interpretable):
+- events: event_id/user_id shifted per copy -> per-user event count
+  constant, user count scales (sessionize/window_top3 stay keyed
+  work, not per-key blowup).
+- orders/customer: o_orderkey/o_custkey/c_custkey shifted together
+  (FK-consistent); lineitem follows l_orderkey; l_partkey/l_suppkey
+  reference the FIXED dims.
+- documents: doc_id shifted AND text suffixed per copy (k>0) so
+  dedup output scales with input instead of collapsing to the 1x
+  distinct set.
+- embeddings: vec_id shifted; copy 0 keeps vec_id=0 (the knn query
+  vector).
+
+Run: python tools/exp_headline_scale.py [warm_reps]   (~15 min)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+WORK = "/tmp/exp_headline_scale"
+SCALES = (1, 4, 16)
+OFF = 10_000_000_000  # per-copy key shift (far above any real key)
+
+DIMS = ("region", "nation", "supplier", "part")
+SHIFTS = {
+    "events": {"event_id": True, "user_id": True},
+    "orders": {"o_orderkey": True, "o_custkey": True},
+    "customer": {"c_custkey": True},
+    "lineitem": {"l_orderkey": True},
+    "documents": {"doc_id": True},
+    "embeddings": {"vec_id": True},
+}
+
+HEADLINE = {
+    "agg_pricing_summary": "agg_pricing_summary",
+    "topk_orders_by_revenue": "topk_orders_by_revenue",
+    "join_multiway_tpch_q5": "join_multiway_tpch_q5",
+    "window_top3_per_user": "window_top3_per_user",
+    "sessionize_gap30m_batch": "sessionize_gap30m_batch",
+    "tumbling_1h_agg": "tumbling_1h_agg",
+    "json_extract_props": "json_extract_props",
+    "knn_cosine_top5": "knn_cosine_topk",
+    "dedup_docs_exact": "dedup_exact_distinct",
+}
+
+
+def mint(spark: SparkSession, m: int) -> str:
+    """Write the m-x scaled dir (idempotent: skips if present)."""
+    from eventstreams_spark.catalog import TABLES, load_table
+
+    out = f"{WORK}/x{m}"
+    if os.path.exists(f"{out}/.minted"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        base = load_table(spark, SRC, name)
+        if name in DIMS or m == 1:
+            copies = [base]
+        else:
+            copies = []
+            for k in range(m):
+                c = base
+                for col in SHIFTS.get(name, {}):
+                    c = c.withColumn(
+                        col, (F.col(col) + F.lit(k * OFF)).cast("long")
+                    )
+                if name == "documents" and k > 0:
+                    c = c.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" #c{k}"))
+                    )
+                copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    open(f"{out}/.minted", "w").write("ok")
+    return out
+
+
+def main() -> None:
+    warm_reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("exp-headline-scale")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from eventstreams_spark import registry
+    from eventstreams_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    registry._ensure_loaded()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in HEADLINE}
+    for m in SCALES:
+        sf_dir = mint(spark, m)
+        for bench_name, reg_name in HEADLINE.items():
+            spec = registry.REGISTRY[reg_name]
+            warm: list[float] = []
+            for run in range(1 + warm_reps):
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                if run > 0:
+                    warm.append(dt)
+            warm.sort()
+            results[bench_name][m] = round(warm[len(warm) // 2], 4)
+            print(
+                f"  x{m} {bench_name}: {results[bench_name][m]:.3f}s",
+                file=sys.stderr,
+            )
+
+    # least-squares slope of log t on log m
+    out = {}
+    lx = [math.log(m) for m in SCALES]
+    mx = sum(lx) / len(lx)
+    for q, times in results.items():
+        ly = [math.log(times[m]) for m in SCALES]
+        my = sum(ly) / len(ly)
+        b = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / sum(
+            (x - mx) ** 2 for x in lx
+        )
+        out[q] = {
+            "t_x1": times[1],
+            "t_x4": times[4],
+            "t_x16": times[16],
+            "exponent": round(b, 3),
+        }
+    print(json.dumps({
+        "experiment": "headline_scale",
+        "scales": list(SCALES),
+        "warm_reps": warm_reps,
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "queries": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     from eventstreams_spark import registry
-    from eventstreams_spark.queries.llm import _suffix_array_lcp_frame
+    # measure the CONSTRUCTION, not the materialization cache
+    from eventstreams_spark.queries.llm import (
+        _build_suffix_array_lcp as _suffix_array_lcp_frame,
+    )
 
     registry._ensure_loaded()
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):

@@ -31,7 +31,10 @@ def main() -> None:
         .getOrCreate()
     )
     from eventstreams_spark.catalog import load_table
-    from eventstreams_spark.queries.llm import _suffix_array_lcp_frame
+    # measure the CONSTRUCTION, not the materialization cache
+    from eventstreams_spark.queries.llm import (
+        _build_suffix_array_lcp as _suffix_array_lcp_frame,
+    )
 
     for sf in sfs:
         docs = load_table(spark, sf, "documents")
