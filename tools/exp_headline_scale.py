@@ -12,6 +12,15 @@ log t vs log m. b ~ 1 = linear (what a shuffle-bounded plan should
 show at fixed parallelism); b >> 1 = a superlinear construct that
 needs a tripwire or a fix (SCALE.md §24 records the table).
 
+First-run finding (1x/4x/16x): every headline query except
+sessionize is OVERHEAD-BOUND at these sizes (sub-second, flat or
+noise-negative exponents at loadavg ~6) — 16x sf0.1 is ~10M
+lineitem rows over 32 cores, ~300k rows/core, under Spark's fixed
+per-job latency. That is itself the measurement: the engine is
+latency-bound until ~10^7 rows/query on this box. The committed
+scales are therefore 1x/8x/64x to put the top point firmly in
+data-dominated territory.
+
 Mint details (documented so the curve is interpretable):
 - events: event_id/user_id shifted per copy -> per-user event count
   constant, user count scales (sessionize/window_top3 stay keyed
@@ -44,7 +53,7 @@ from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
 WORK = "/tmp/exp_headline_scale"
-SCALES = (1, 4, 16)
+SCALES = (1, 8, 64)
 OFF = 10_000_000_000  # per-copy key shift (far above any real key)
 
 DIMS = ("region", "nation", "supplier", "part")
@@ -153,9 +162,7 @@ def main() -> None:
             (x - mx) ** 2 for x in lx
         )
         out[q] = {
-            "t_x1": times[1],
-            "t_x4": times[4],
-            "t_x16": times[16],
+            **{f"t_x{m}": times[m] for m in SCALES},
             "exponent": round(b, 3),
         }
     print(json.dumps({
