@@ -73,6 +73,8 @@ def step(name: str) -> Callable[[Callable[..., Transform]], Callable[..., Transf
     """Register a pipeline step factory under its config ``type`` name."""
 
     def deco(fn: Callable[..., Transform]) -> Callable[..., Transform]:
+        if name in _STEP_FACTORIES:
+            raise ValueError(f"duplicate step type: {name!r}")
         _STEP_FACTORIES[name] = fn
         return fn
 
@@ -1029,7 +1031,7 @@ def _pack(
     return t
 
 
-@step("split")
+@step("dataset_split")
 def _split_assign(
     key: str,
     weights: dict[str, float],
@@ -1044,7 +1046,9 @@ def _split_assign(
     splits lack)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"split: weights must sum to 1, got {total}")
+        raise ValueError(
+            f"dataset_split: weights must sum to 1, got {total}"
+        )
 
     from .functions.sampling import md5_uniform
 

@@ -640,7 +640,7 @@ def corpus_prep_staged_pipeline(
                     "keep": ["doc_id", "q_n_tokens"],
                 },
                 {
-                    "type": "split",
+                    "type": "dataset_split",
                     "key": "doc_id",
                     "weights": {"train": 0.9, "val": 0.05, "test": 0.05},
                 },

@@ -247,7 +247,7 @@ steps:
     source: text
     tokens_per_chunk: 4
     keep: [doc_id, q_n_tokens]
-  - type: split
+  - type: dataset_split
     key: doc_id
     weights: {{train: 0.9, val: 0.05, test: 0.05}}
 sink:

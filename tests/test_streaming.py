@@ -3253,3 +3253,25 @@ def test_schema_drift_stream_restart_keeps_emit_once(spark, sf_dir, tmp_path):
         .filter(F.col("n_new") != 1)
     )
     assert bad.count() == 0
+
+
+def test_split_half_order_cols_gives_time_prefix(spark):
+    """ADVICE r8 #5: split_half's default total order (ALL columns)
+    interleaves per-key rows; order_cols lets a recovery scenario ask
+    for a chronological prefix. Pin both behaviors."""
+    df = spark.createDataFrame(
+        [("a", 3, 30), ("a", 1, 10), ("b", 2, 20), ("b", 4, 40)],
+        "k string, day int, x int",
+    )
+    first, rest = split_half(df, 4, order_cols=["day", "k", "x"])
+    assert sorted((r.k, r.day) for r in first.collect()) == [
+        ("a", 1), ("b", 2),
+    ]  # time prefix: the two earliest days, regardless of key
+    assert sorted((r.k, r.day) for r in rest.collect()) == [
+        ("a", 3), ("b", 4),
+    ]
+    # default order (k, day, x): a-rows first -> per-key split
+    first_d, _ = split_half(df, 4)
+    assert sorted((r.k, r.day) for r in first_d.collect()) == [
+        ("a", 1), ("a", 3),
+    ]
