@@ -107,6 +107,20 @@ def cmd_explain(config: dict) -> None:
     print(f"-- shuffles: {shuffles}  scans: {scans}  python-evals: {python}")
 
 
+def cmd_index(sf_dir: str) -> None:
+    """Pre-build the shared suffix-array index for a corpus dir — the
+    explicit form of the build-on-miss materialization every
+    L2-suffixarray query does implicitly (SCALE.md §24). A production
+    run schedules this right after a corpus snapshot lands so the
+    first analyst query doesn't pay the build."""
+    from .queries.llm import _sa_cache_path, _suffix_array_lcp_frame
+    from .session import get_spark
+
+    spark = get_spark("eventstreams-index")
+    frame = _suffix_array_lcp_frame(spark, sf_dir)
+    print(f"index ready: {_sa_cache_path(sf_dir)} ({frame.count()} suffixes)")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="eventstreams_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,12 +130,17 @@ def main(argv: list[str] | None = None) -> None:
         if name == "run":
             sp.add_argument("--await-seconds", type=int, default=None)
     sub.add_parser("list-steps")
+    sp = sub.add_parser("index")
+    sp.add_argument("sf_dir")
     args = p.parse_args(argv)
 
     if args.cmd == "list-steps":
         from .pipeline import step_types
 
         print("\n".join(step_types()))
+        return
+    if args.cmd == "index":
+        cmd_index(args.sf_dir)
         return
     config = load_config(args.config)
     if args.cmd == "validate":

@@ -1077,6 +1077,77 @@ def _split_assign(
     return t
 
 
+@step("neardup_dedup")
+def _neardup_dedup(
+    source: str,
+    id: str,
+    threshold: float = 0.6,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    ngram: int = 3,
+) -> Transform:
+    """Near-duplicate dedup as a config step (the MinHash profile of
+    the corpus-prep chain): operators/dedup.drop_near_duplicates —
+    shingle → MinHash-LSH bands → exact-Jaccard verify → connected
+    components → keep each cluster's canonical (min-id) doc. Use
+    after the exact `dedup` step: exact copies collapse for the cost
+    of one hash shuffle before the (heavier) banded pass runs."""
+    from .operators.dedup import drop_near_duplicates
+
+    def t(df: DataFrame) -> DataFrame:
+        return drop_near_duplicates(
+            df, source, id,
+            threshold=threshold, n_hashes=n_hashes,
+            band_size=band_size, ngram=ngram,
+        )
+
+    return t
+
+
+@step("schema_drift")
+def _schema_drift(source: str) -> Transform:
+    """Live schema-drift monitor as a config step: on a STREAMING
+    frame this is streaming/stateful.schema_drift_stream (GroupState
+    per JSON key-set shape, emit-once ``is_new`` alert — chain
+    ``{type: filter, expr: "is_new"}`` + a sink to get the
+    producer-drift alert feed); on a BATCH frame it emits the same
+    schema as the degenerate one-batch stream (batch_rows =
+    total_rows = the shape's count, is_new = true), so one config
+    audits a parquet snapshot or monitors the live stream unchanged.
+    """
+
+    def t(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            from .streaming.stateful import schema_drift_stream
+
+            return schema_drift_stream(df, source)
+        key_set = (
+            F.when(F.col(source).isNull(), F.lit("<null>"))
+            .otherwise(
+                F.coalesce(
+                    F.array_join(
+                        F.array_sort(F.json_object_keys(source)), ","
+                    ),
+                    F.lit("<invalid>"),
+                )
+            )
+            .alias("key_set")
+        )
+        return (
+            df.select(key_set)
+            .groupBy("key_set")
+            .agg(F.count(F.lit(1)).cast("long").alias("batch_rows"))
+            .select(
+                "key_set",
+                "batch_rows",
+                F.col("batch_rows").alias("total_rows"),
+                F.lit(True).alias("is_new"),
+            )
+        )
+
+    return t
+
+
 # --------------------------------------------------------------- pipeline
 
 

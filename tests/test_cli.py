@@ -290,3 +290,129 @@ sink:
         ]
     )
     assert got == want
+
+
+def test_cli_index_prebuilds_sa_cache(spark, capsys):
+    """`python -m eventstreams_spark index <dir>` pre-builds the
+    shared suffix-array materialization (SCALE.md §24) so the first
+    analyst query doesn't pay the construction; a second invocation
+    is a cache hit (poisoned builder proves no rebuild)."""
+    import os
+
+    import eventstreams_spark.queries.llm as llm
+
+    sf_dir = "/root/testdata/sf0.001"
+    main(["index", sf_dir])
+    out1 = capsys.readouterr().out
+    assert "index ready" in out1 and "suffixes" in out1
+    assert os.path.exists(
+        os.path.join(llm._sa_cache_path(sf_dir), "_SUCCESS")
+    )
+
+    real = llm._build_suffix_array_lcp
+    llm._build_suffix_array_lcp = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("rebuild on cache hit")
+    )
+    try:
+        main(["index", sf_dir])
+        assert "index ready" in capsys.readouterr().out
+    finally:
+        llm._build_suffix_array_lcp = real
+
+
+def test_cli_schema_drift_alert_feed(spark, tmp_path):
+    """The producer-drift alert as ONE streaming config: file-stream
+    source → schema_drift step → filter is_new → parquet sink. Two
+    staged chunks where the second introduces a NEW payload shape:
+    the alert feed must contain each shape exactly once, with the
+    new shape's alert row carrying its first-batch count only."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    out = tmp_path / "alerts"
+    ck = tmp_path / "ck"
+
+    chunk1 = spark.createDataFrame(
+        [('{"a": 1, "b": 2}',)] * 3, "props string"
+    )
+    chunk2 = spark.createDataFrame(
+        [('{"a": 1, "b": 2}',), ('{"a": 1, "c": 3}',), ('{"a": 1, "c": 3}',)],
+        "props string",
+    )
+    from eventstreams_spark.streaming.replay import stage_files
+
+    cfg = f"""
+source:
+  format: parquet
+  path: {src}
+  stream: true
+  schema: "props string"
+steps:
+  - type: schema_drift
+    source: props
+  - type: filter
+    expr: "is_new"
+sink:
+  format: parquet
+  path: {out}
+  checkpointLocation: {ck}
+  availableNow: true
+"""
+    cfg_path = tmp_path / "drift.yaml"
+    cfg_path.write_text(cfg)
+
+    stage_files(chunk1.coalesce(1), str(src), 1)
+    main(["run", str(cfg_path)])
+    stage_files(chunk2.coalesce(1), str(src), 2)
+    main(["run", str(cfg_path)])  # resumes from the checkpoint
+
+    alerts = sorted(
+        (r.key_set, r.batch_rows, r.total_rows)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # one alert per shape, fired on its FIRST batch: a,b saw 3 rows in
+    # chunk1; a,c saw 2 in chunk2. The repeat of a,b in chunk2 must
+    # NOT re-alert (GroupState survived the restart between runs).
+    assert alerts == [("a,b", 3, 3), ("a,c", 2, 2)]
+
+
+def test_cli_corpus_prep_minhash_profile(spark, tmp_path):
+    """The second corpus-prep profile: near-dup (MinHash-LSH +
+    Jaccard verify + CC canonical winner) instead of exact dedup.
+    Doc 2 is a near-copy of doc 1 (same text, one word changed,
+    J ~ 0.76) and must drop in favor of the lower id; doc 3 shares
+    no shingles and survives; the exact `dedup` step would have kept
+    BOTH 1 and 2 (hashes differ) — that's the profile's point."""
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+
+    # letter-suffixed words: the shingle tokenizer is [a-z]-only, so
+    # digit suffixes would collapse every word to the same token
+    base = " ".join(f"tok{c} word{c}" for c in "abcdefghijkl")  # 24 tokens
+    near = base.replace("wordh", "wordx")  # 3 of 22 shingles differ, J ~ 0.76
+    other = " ".join(f"zeta{c} eta{c}" for c in "abcdefghijkl")
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)],
+        "doc_id long, text string",
+    ).write.parquet(str(corpus))
+
+    cfg = f"""
+source:
+  format: parquet
+  path: {corpus}
+steps:
+  - type: neardup_dedup
+    source: text
+    id: doc_id
+    threshold: 0.6
+sink:
+  format: parquet
+  path: {out}
+"""
+    cfg_path = tmp_path / "minhash_prep.yaml"
+    cfg_path.write_text(cfg)
+    main(["run", str(cfg_path)])
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert kept == [1, 3]

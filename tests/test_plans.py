@@ -2872,3 +2872,28 @@ def test_corpus_prep_staged_pipeline_plan(spark, sf_dir):
         if "Window" in line and "SinglePartition" in line
     )
     assert n == 0, plan[:2000]
+
+
+def test_neardup_dedup_step_plan_no_python_no_doc_cross(spark):
+    """The neardup_dedup pipeline step must stay JVM-side end to end
+    (shingles/MinHash/verify are Column algebra, CC is the log-round
+    propagation) with no doc×doc join: the only nested-loop is the
+    16-row broadcast seed fan-out."""
+    from pyspark.sql import functions as F
+
+    from eventstreams_spark.operators.dedup import drop_near_duplicates
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{chr(97 + i)}"), (F.col("id") % 5).cast("string"))
+                for i in range(10)
+            ],
+        ).alias("text"),
+    )
+    out = drop_near_duplicates(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan[:2000]
