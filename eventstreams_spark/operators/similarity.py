@@ -43,8 +43,27 @@ def cosine_topk(
 
 
 def _plane_component(plane: Column, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random component in [-1, 1] from (plane, dim)."""
-    return F.pmod(F.xxhash64(plane * 4096 + dim_idx), F.lit(10000)) / 4999.5 - 1.0
+    """Deterministic pseudo-random component in [-1, 1] from (plane,
+    dim) — minted from the first 8 hex digits of
+    md5('pl:<plane>:<dim>'), the SHARED cross-engine mint
+    (functions/sampling.md5_uniform's integer; DuckDB twin
+    queries/_shared.md5_uniform_sql parses the same digits
+    positionally), so the LSH construction is ORACLE-EXPRESSIBLE:
+    conv(hex8, 16, 10) here ≡ Σ strpos-digits·16^(8-i) there, and
+    both sides apply the identical (k + 0.5) / 2^32 * 2 - 1 formula
+    (same op order → same IEEE rounding). Replaced the r3 xxhash64
+    derivation, which DuckDB cannot reproduce, to convert
+    ann_lsh_recall_probe from rows-only to hash-checked (round 9)."""
+    h = F.md5(
+        F.concat(
+            F.lit("pl:"),
+            plane.cast("string"),
+            F.lit(":"),
+            dim_idx.cast("string"),
+        )
+    )
+    k = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return (k + F.lit(0.5)) / F.lit(4294967296.0) * F.lit(2.0) - F.lit(1.0)
 
 
 def hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:

@@ -360,7 +360,67 @@ N_PLANES = 4   # bits per table (selectivity)
 N_TABLES = 8   # independent tables (recall)
 
 
-@query("ann_lsh_recall_probe", category="L4", oracle=None)
+@query(
+    "ann_lsh_recall_probe",
+    category="L4",
+    oracle=f"""
+        WITH pc AS (
+            SELECT p.p, d.d,
+                   {md5_uniform_sql("'pl:' || p.p || ':' || d.d")}
+                       * 2.0 - 1.0 AS comp
+            FROM (SELECT unnest(generate_series(0, 31)) AS p) p,
+                 (SELECT unnest(generate_series(0, 63)) AS d) d
+        ), vec AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), dots AS (
+            SELECT v.vec_id, pc.p,
+                   sum(v.v[pc.d + 1] * pc.comp) AS dp
+            FROM vec v JOIN pc ON TRUE
+            GROUP BY v.vec_id, pc.p
+        ), sig AS (
+            -- bucket = the 4 sign bits of a table's planes, MSB first
+            -- (the Spark fold acc*2 + bit over slice(planes, t*4+1, 4))
+            SELECT vec_id, p // 4 AS table_id,
+                   CAST(sum(CASE WHEN dp >= 0
+                                 THEN 1 << CAST(3 - (p % 4) AS INTEGER)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id, p // 4
+        ), qsig AS (
+            SELECT DISTINCT table_id, bucket FROM sig WHERE vec_id = 0
+        ), cands AS (
+            SELECT DISTINCT s.vec_id
+            FROM sig s JOIN qsig q USING (table_id, bucket)
+            WHERE s.vec_id <> 0
+        ), q AS (SELECT v FROM vec WHERE vec_id = 0
+        ), exact5 AS (
+            SELECT e.vec_id
+            FROM vec e, q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+            LIMIT 5
+        ), ann5 AS (
+            SELECT e.vec_id
+            FROM vec e JOIN cands c USING (vec_id), q
+            ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+            LIMIT 5
+        ), stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT vec_id FROM exact5
+                          INTERSECT SELECT vec_id FROM ann5)) AS n_hits,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cands)
+                       AS n_candidates,
+                   (SELECT CAST(count(*) AS BIGINT) FROM vec
+                    WHERE vec_id <> 0) AS n_corpus
+        )
+        SELECT CAST(4 AS INTEGER) AS n_planes,
+               CAST(8 AS INTEGER) AS n_tables,
+               n_candidates,
+               n_hits / 5.0 AS recall_at_5,
+               round(n_candidates * 1.0 / n_corpus, 4) AS candidate_frac
+        FROM stats
+    """,
+)
 def ann_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH, with measured recall
     AND candidate fraction vs exact knn.
@@ -375,8 +435,15 @@ def ann_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune b up / L down for clustered corpora, the synthetic testdata
     embeddings are near-random so the probe shows the worst case.
 
-    Not SQL-expressible in DuckDB (xxhash64) → rows-only driver check;
-    recall/fraction levels are asserted in unit tests instead.
+    HASH-CHECKED since round 9: the planes are minted from the shared
+    cross-engine md5 mint (operators/similarity._plane_component), so
+    the oracle replays the ENTIRE construction in SQL — plane grid,
+    per-(vec, plane) dots, MSB-first sign buckets, multi-table
+    candidate union, and both exact and ANN re-ranked top-5 — and the
+    recall/cost pair must agree to the last bit. (Sign parity across
+    engines: the only float comparison is dp >= 0, and no dot product
+    sits within summation-order drift of zero on this data; the knn
+    oracle already established list_cosine_similarity parity.)
     """
     from ..operators.similarity import ann_candidates, cosine_topk, lsh_bucket_tables
 
