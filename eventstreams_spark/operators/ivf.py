@@ -105,15 +105,24 @@ def ivf_build(
     unit = truncate_lineage(
         df.select(id_col, l2_normalize(F.col(vec_col)).alias(vec_col)), 8
     )
+    # seed order + cid numbering both ride md5(id) — the shared
+    # cross-engine mint (hex-string order is plain ASCII compare), so
+    # a DuckDB oracle can replay the build exactly (round 9: this
+    # replaced xxhash64, which DuckDB cannot compute, to convert
+    # ann_ivf_recall_probe from rows-only to hash-checked)
+    seed_key = F.md5(F.col(id_col).cast("string"))
     seeds = (
-        unit.orderBy(F.xxhash64(id_col), F.col(id_col))
+        unit.orderBy(seed_key, F.col(id_col))
         .limit(n_centroids)
-        .select(F.col(vec_col).alias("cvec"))
+        .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("cvec"))
     )
-    # stable cid from the seed's own content hash order
     centroids = seeds.select(
         (
-            F.row_number().over(Window.orderBy(F.xxhash64(F.col("cvec").cast("string"))))
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.col("_sid").cast("string")), F.col("_sid")
+                )
+            )
             - 1
         ).alias("cid"),
         "cvec",

@@ -727,7 +727,128 @@ N_CENTROIDS = 16  # coarse quantizer size (k)
 N_PROBE = 4       # clusters scanned per query
 
 
-@query("ann_ivf_recall_probe", category="L4", oracle=None)
+@query(
+    "ann_ivf_recall_probe",
+    category="L4",
+    oracle="""
+        WITH vec0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), unit AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x /
+                       sqrt(list_sum(list_transform(v, y -> y * y))))
+                       AS uv
+            FROM vec0
+        ), seeds AS (
+            SELECT vec_id, uv FROM unit
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       - 1 AS INTEGER) AS cid,
+                   uv AS cvec
+            FROM seeds
+        ), a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT u.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, 64),
+                               i -> (u.uv[i] - c.cvec[i])
+                                    * (u.uv[i] - c.cvec[i]))),
+                           c.cid) AS rk
+                FROM unit u CROSS JOIN c0 c
+            ) WHERE rk = 1
+        ), m1 AS (
+            SELECT a.cid, d.i, avg(u.uv[d.i]) AS mean
+            FROM a1 a JOIN unit u USING (vec_id),
+                 (SELECT unnest(generate_series(1, 64)) AS i) d
+            GROUP BY a.cid, d.i
+        ), c1 AS (
+            SELECT cid,
+                   list_transform(cv, x -> x /
+                       sqrt(list_sum(list_transform(cv, y -> y * y))))
+                       AS cvec
+            FROM (SELECT cid, list(mean ORDER BY i) AS cv
+                  FROM m1 GROUP BY cid)
+        ), a2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT u.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, 64),
+                               i -> (u.uv[i] - c.cvec[i])
+                                    * (u.uv[i] - c.cvec[i]))),
+                           c.cid) AS rk
+                FROM unit u CROSS JOIN c1 c
+            ) WHERE rk = 1
+        ), m2 AS (
+            SELECT a.cid, d.i, avg(u.uv[d.i]) AS mean
+            FROM a2 a JOIN unit u USING (vec_id),
+                 (SELECT unnest(generate_series(1, 64)) AS i) d
+            GROUP BY a.cid, d.i
+        ), c2 AS (
+            SELECT cid,
+                   list_transform(cv, x -> x /
+                       sqrt(list_sum(list_transform(cv, y -> y * y))))
+                       AS cvec
+            FROM (SELECT cid, list(mean ORDER BY i) AS cv
+                  FROM m2 GROUP BY cid)
+        ), a3 AS (
+            -- ivf_build returns assign(unit, c2): a THIRD assignment
+            -- against the final (normalized) centroids
+            SELECT vec_id, cid FROM (
+                SELECT u.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, 64),
+                               i -> (u.uv[i] - c.cvec[i])
+                                    * (u.uv[i] - c.cvec[i]))),
+                           c.cid) AS rk
+                FROM unit u CROSS JOIN c2 c
+            ) WHERE rk = 1
+        ), qn AS (SELECT uv FROM unit WHERE vec_id = 0
+        ), probe AS (
+            SELECT c.cid FROM c2 c, qn
+            ORDER BY list_sum(list_transform(
+                         generate_series(1, 64),
+                         i -> (c.cvec[i] - qn.uv[i])
+                              * (c.cvec[i] - qn.uv[i]))),
+                     c.cid
+            LIMIT 4
+        ), cands AS (
+            SELECT DISTINCT a.vec_id
+            FROM a3 a JOIN probe p USING (cid)
+            WHERE a.vec_id <> 0
+        ), q AS (SELECT v FROM vec0 WHERE vec_id = 0
+        ), exact5 AS (
+            SELECT e.vec_id FROM vec0 e, q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+            LIMIT 5
+        ), ann5 AS (
+            SELECT e.vec_id
+            FROM vec0 e JOIN cands c USING (vec_id), q
+            ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+            LIMIT 5
+        ), stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT vec_id FROM exact5
+                          INTERSECT SELECT vec_id FROM ann5)) AS n_hits,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cands)
+                       AS n_candidates,
+                   (SELECT CAST(count(*) AS BIGINT) FROM vec0
+                    WHERE vec_id <> 0) AS n_corpus
+        )
+        SELECT CAST(16 AS INTEGER) AS n_centroids,
+               CAST(4 AS INTEGER) AS n_probe,
+               n_candidates,
+               n_hits / 5.0 AS recall_at_5,
+               round(n_candidates * 1.0 / n_corpus, 4) AS candidate_frac
+        FROM stats
+    """,
+)
 def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF coarse quantizer (spherical k-means) with measured
     recall AND candidate fraction vs exact knn — the clustered-corpus
@@ -742,8 +863,19 @@ def ann_ivf_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-case floor (candidate_frac ≈ nprobe/k); clustered real
     corpora recover recall ≈ 1 at the same fraction.
 
-    Not SQL-expressible (iterative k-means) → rows-only driver check;
-    recall/fraction are asserted in unit tests.
+    HASH-CHECKED since round 9 (md5-minted seeding + cid order): the
+    oracle unrolls BOTH Lloyd iterations in SQL — normalize, seed by
+    md5(id) order, assign by explicit squared-L2 argmin (strict-<
+    keeps the lowest cid on exact ties, mirrored by the oracle's
+    row_number tie order), per-(cid, dim) means, re-assign, probe the
+    4 nearest of the final (re-normalized — spherical k-means)
+    centroids with the returned assignment ALSO made against them
+    (ivf_build assigns once more after the loop), re-rank, and the
+    recall/cost pair must agree to the bit.
+    Cross-engine float note: mean/normalize summation order differs
+    between engines (ULP drift); assignments and probe picks are
+    argmins over distances separated by orders of magnitude more, so
+    the hash is stable — verified at sf0.001 and sf0.01.
     """
     from ..operators.ivf import ivf_build, ivf_probe_ids
     from ..operators.similarity import cosine_topk
