@@ -958,15 +958,124 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_recall_probe", category="L4-pq", oracle=None)
+@query(
+    "ann_pq_recall_probe",
+    category="L4-pq",
+    oracle="""
+        WITH vec0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), subs AS (
+            SELECT vec_id AS vid, g.s AS sub_id,
+                   v[g.s * 8 + 1 : g.s * 8 + 8] AS subvec
+            FROM vec0, (SELECT unnest(generate_series(0, 7)) AS s) g
+        ), w AS (
+            SELECT * FROM subs
+            WHERE vid IN (SELECT DISTINCT vid FROM subs
+                          ORDER BY vid LIMIT 16)
+        ), cb0 AS (
+            SELECT sub_id,
+                   CAST(row_number() OVER (PARTITION BY sub_id
+                                           ORDER BY vid) - 1
+                        AS INTEGER) AS cid,
+                   subvec AS cvec
+            FROM w
+        ), a1 AS (
+            SELECT vid, sub_id, cid, subvec FROM (
+                SELECT s.vid, s.sub_id, c.cid, s.subvec,
+                       row_number() OVER (
+                           PARTITION BY s.vid, s.sub_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, 8),
+                               i -> (s.subvec[i] - c.cvec[i])
+                                    * (s.subvec[i] - c.cvec[i]))),
+                           c.cid) AS rk
+                FROM subs s JOIN cb0 c USING (sub_id)
+            ) WHERE rk = 1
+        ), m1 AS (
+            SELECT sub_id, cid, d.i, avg(subvec[d.i]) AS mv
+            FROM a1, (SELECT unnest(generate_series(1, 8)) AS i) d
+            GROUP BY sub_id, cid, d.i
+        ), cb1 AS (
+            SELECT sub_id, cid, list(mv ORDER BY i) AS cvec
+            FROM m1 GROUP BY sub_id, cid
+        ), a2 AS (
+            SELECT vid, sub_id, cid, subvec FROM (
+                SELECT s.vid, s.sub_id, c.cid, s.subvec,
+                       row_number() OVER (
+                           PARTITION BY s.vid, s.sub_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, 8),
+                               i -> (s.subvec[i] - c.cvec[i])
+                                    * (s.subvec[i] - c.cvec[i]))),
+                           c.cid) AS rk
+                FROM subs s JOIN cb1 c USING (sub_id)
+            ) WHERE rk = 1
+        ), m2 AS (
+            SELECT sub_id, cid, d.i, avg(subvec[d.i]) AS mv
+            FROM a2, (SELECT unnest(generate_series(1, 8)) AS i) d
+            GROUP BY sub_id, cid, d.i
+        ), cb2 AS (
+            SELECT sub_id, cid, list(mv ORDER BY i) AS cvec
+            FROM m2 GROUP BY sub_id, cid
+        ), codes AS (
+            SELECT vid, sub_id, cid FROM (
+                SELECT s.vid, s.sub_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vid, s.sub_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, 8),
+                               i -> (s.subvec[i] - c.cvec[i])
+                                    * (s.subvec[i] - c.cvec[i]))),
+                           c.cid) AS rk
+                FROM subs s JOIN cb2 c USING (sub_id)
+                WHERE s.vid <> 0
+            ) WHERE rk = 1
+        ), lut AS (
+            SELECT q.sub_id, c.cid,
+                   list_sum(list_transform(
+                       generate_series(1, 8),
+                       i -> (q.subvec[i] - c.cvec[i])
+                            * (q.subvec[i] - c.cvec[i]))) AS d
+            FROM (SELECT * FROM subs WHERE vid = 0) q
+            JOIN cb2 c USING (sub_id)
+        ), ann5 AS (
+            SELECT co.vid
+            FROM codes co JOIN lut USING (sub_id, cid)
+            GROUP BY co.vid
+            ORDER BY sum(lut.d), co.vid
+            LIMIT 5
+        ), exact5 AS (
+            SELECT e.vec_id AS vid
+            FROM vec0 e, (SELECT v FROM vec0 WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY list_sum(list_transform(
+                         generate_series(1, 64),
+                         i -> (e.v[i] - q.v[i]) * (e.v[i] - q.v[i]))),
+                     e.vec_id
+            LIMIT 5
+        )
+        SELECT CAST(8 AS INTEGER) AS m,
+               CAST(16 AS INTEGER) AS k,
+               (SELECT count(*) FROM (SELECT vid FROM exact5
+                                      INTERSECT SELECT vid FROM ann5))
+                   / 5.0 AS recall_at_5,
+               CAST(64.0 AS DOUBLE) AS compression_x
+    """,
+)
 def ann_pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train 8x16 codebooks,
     encode the corpus as 8 nibble codes (64x smaller than the float32
     vectors), answer top-5 by ADC lookup-table sums, and report recall
     against exact squared-L2 top-5.
 
-    Rows-only check (approximate by construction); the probe's recall
-    and the 64x logical compression are the product. At 100 TB the
+    HASH-CHECKED since round 9: training is deterministic and
+    hash-free (seeds = the first k vids, per-subspace cid by vid
+    order; _assign's array_min over (d, cid) structs keeps the
+    lowest cid on exact ties — mirrored by the oracle's row_number
+    tie order), so the oracle unrolls both per-subspace Lloyd
+    iterations, re-encodes the corpus against the final codebooks,
+    and replays the ADC LUT-sum top-5 exactly. At 100 TB the
     scan for a query reads ONLY the 4-byte code column and broadcasts
     an m*k LUT — this is what makes billion-vector search a Spark
     aggregation instead of an index service.
@@ -1000,7 +1109,186 @@ def ann_pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivfpq_recall_probe", category="L4-ivfpq", oracle=None)
+@query(
+    "ann_ivfpq_recall_probe",
+    category="L4-ivfpq",
+    oracle="""
+        WITH vec0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), u1 AS (
+            -- the probe's outer unit-normalize (emb.vec)
+            SELECT vec_id,
+                   list_transform(v, x -> x /
+                       sqrt(list_sum(list_transform(v, y -> y * y))))
+                       AS v
+            FROM vec0
+        ), u2 AS (
+            -- ivf_build normalizes its input AGAIN (unit of unit:
+            -- ULP-level change, mirrored for exactness)
+            SELECT vec_id,
+                   list_transform(v, x -> x /
+                       sqrt(list_sum(list_transform(v, y -> y * y))))
+                       AS uv
+            FROM u1
+        ), seeds AS (
+            SELECT vec_id, uv FROM u2
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       - 1 AS INTEGER) AS cid,
+                   uv AS cvec
+            FROM seeds
+        ), a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT u.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           list_sum(list_transform(generate_series(1, 64), i -> (u.uv[i] - c.cvec[i]) * (u.uv[i] - c.cvec[i]))), c.cid) AS rk
+                FROM u2 u CROSS JOIN c0 c
+            ) WHERE rk = 1
+        ), m1 AS (
+            SELECT a.cid, d.i, avg(u.uv[d.i]) AS mean
+            FROM a1 a JOIN u2 u USING (vec_id),
+                 (SELECT unnest(generate_series(1, 64)) AS i) d
+            GROUP BY a.cid, d.i
+        ), c1 AS (
+            SELECT cid,
+                   list_transform(cv, x -> x /
+                       sqrt(list_sum(list_transform(cv, y -> y * y))))
+                       AS cvec
+            FROM (SELECT cid, list(mean ORDER BY i) AS cv
+                  FROM m1 GROUP BY cid)
+        ), a2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT u.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           list_sum(list_transform(generate_series(1, 64), i -> (u.uv[i] - c.cvec[i]) * (u.uv[i] - c.cvec[i]))), c.cid) AS rk
+                FROM u2 u CROSS JOIN c1 c
+            ) WHERE rk = 1
+        ), m2 AS (
+            SELECT a.cid, d.i, avg(u.uv[d.i]) AS mean
+            FROM a2 a JOIN u2 u USING (vec_id),
+                 (SELECT unnest(generate_series(1, 64)) AS i) d
+            GROUP BY a.cid, d.i
+        ), c2 AS (
+            SELECT cid,
+                   list_transform(cv, x -> x /
+                       sqrt(list_sum(list_transform(cv, y -> y * y))))
+                       AS cvec
+            FROM (SELECT cid, list(mean ORDER BY i) AS cv
+                  FROM m2 GROUP BY cid)
+        ), a3 AS (
+            SELECT vec_id, cid FROM (
+                SELECT u.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                           list_sum(list_transform(generate_series(1, 64), i -> (u.uv[i] - c.cvec[i]) * (u.uv[i] - c.cvec[i]))), c.cid) AS rk
+                FROM u2 u CROSS JOIN c2 c
+            ) WHERE rk = 1
+        ), qn AS (SELECT uv FROM u2 WHERE vec_id = 0
+        ), probe AS (
+            SELECT c.cid FROM c2 c, qn
+            ORDER BY list_sum(list_transform(generate_series(1, 64), i -> (c.cvec[i] - qn.uv[i]) * (c.cvec[i] - qn.uv[i]))), c.cid
+            LIMIT 3
+        ), cands AS (
+            SELECT DISTINCT a.vec_id
+            FROM a3 a JOIN probe p USING (cid)
+            WHERE a.vec_id <> 0
+        ), subs AS (
+            -- PQ trains on the OUTER-normalized vectors (u1)
+            SELECT vec_id AS vid, g.s AS sub_id,
+                   v[g.s * 8 + 1 : g.s * 8 + 8] AS subvec
+            FROM u1, (SELECT unnest(generate_series(0, 7)) AS s) g
+        ), w AS (
+            SELECT * FROM subs
+            WHERE vid IN (SELECT DISTINCT vid FROM subs
+                          ORDER BY vid LIMIT 16)
+        ), cb0 AS (
+            SELECT sub_id,
+                   CAST(row_number() OVER (PARTITION BY sub_id
+                                           ORDER BY vid) - 1
+                        AS INTEGER) AS cid,
+                   subvec AS cvec
+            FROM w
+        ), pa1 AS (
+            SELECT vid, sub_id, cid, subvec FROM (
+                SELECT s.vid, s.sub_id, c.cid, s.subvec,
+                       row_number() OVER (
+                           PARTITION BY s.vid, s.sub_id ORDER BY
+                           list_sum(list_transform(generate_series(1, 8), i -> (s.subvec[i] - c.cvec[i]) * (s.subvec[i] - c.cvec[i]))), c.cid) AS rk
+                FROM subs s JOIN cb0 c USING (sub_id)
+            ) WHERE rk = 1
+        ), pm1 AS (
+            SELECT sub_id, cid, d.i, avg(subvec[d.i]) AS mv
+            FROM pa1, (SELECT unnest(generate_series(1, 8)) AS i) d
+            GROUP BY sub_id, cid, d.i
+        ), cb1 AS (
+            SELECT sub_id, cid, list(mv ORDER BY i) AS cvec
+            FROM pm1 GROUP BY sub_id, cid
+        ), pa2 AS (
+            SELECT vid, sub_id, cid, subvec FROM (
+                SELECT s.vid, s.sub_id, c.cid, s.subvec,
+                       row_number() OVER (
+                           PARTITION BY s.vid, s.sub_id ORDER BY
+                           list_sum(list_transform(generate_series(1, 8), i -> (s.subvec[i] - c.cvec[i]) * (s.subvec[i] - c.cvec[i]))), c.cid) AS rk
+                FROM subs s JOIN cb1 c USING (sub_id)
+            ) WHERE rk = 1
+        ), pm2 AS (
+            SELECT sub_id, cid, d.i, avg(subvec[d.i]) AS mv
+            FROM pa2, (SELECT unnest(generate_series(1, 8)) AS i) d
+            GROUP BY sub_id, cid, d.i
+        ), cb2 AS (
+            SELECT sub_id, cid, list(mv ORDER BY i) AS cvec
+            FROM pm2 GROUP BY sub_id, cid
+        ), codes AS (
+            -- encode ONLY the IVF candidates
+            SELECT vid, sub_id, cid FROM (
+                SELECT s.vid, s.sub_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vid, s.sub_id ORDER BY
+                           list_sum(list_transform(generate_series(1, 8), i -> (s.subvec[i] - c.cvec[i]) * (s.subvec[i] - c.cvec[i]))), c.cid) AS rk
+                FROM subs s JOIN cb2 c USING (sub_id)
+                WHERE s.vid IN (SELECT vec_id FROM cands)
+            ) WHERE rk = 1
+        ), lut AS (
+            SELECT q.sub_id, c.cid,
+                   list_sum(list_transform(generate_series(1, 8), i -> (q.subvec[i] - c.cvec[i]) * (q.subvec[i] - c.cvec[i]))) AS d
+            FROM (SELECT * FROM subs WHERE vid = 0) q
+            JOIN cb2 c USING (sub_id)
+        ), shortlist AS (
+            SELECT co.vid
+            FROM codes co JOIN lut USING (sub_id, cid)
+            GROUP BY co.vid
+            ORDER BY sum(lut.d), co.vid
+            LIMIT 50
+        ), q1 AS (SELECT v FROM u1 WHERE vec_id = 0
+        ), ann5 AS (
+            SELECT e.vec_id
+            FROM u1 e JOIN shortlist sl ON sl.vid = e.vec_id, q1
+            ORDER BY list_sum(list_transform(generate_series(1, 64), i -> (e.v[i] - q1.v[i]) * (e.v[i] - q1.v[i]))), e.vec_id
+            LIMIT 5
+        ), exact5 AS (
+            SELECT e.vec_id FROM u1 e, q1
+            WHERE e.vec_id <> 0
+            ORDER BY list_sum(list_transform(generate_series(1, 64), i -> (e.v[i] - q1.v[i]) * (e.v[i] - q1.v[i]))), e.vec_id
+            LIMIT 5
+        ), stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT vec_id FROM exact5
+                          INTERSECT SELECT vec_id FROM ann5)) AS n_hits,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cands)
+                       AS n_candidates,
+                   (SELECT CAST(count(*) AS BIGINT) FROM u1
+                    WHERE vec_id <> 0) AS n_corpus
+        )
+        SELECT CAST(8 AS INTEGER) AS n_centroids,
+               CAST(3 AS INTEGER) AS n_probe,
+               CAST(8 AS INTEGER) AS pq_m,
+               n_hits / 5.0 AS recall_at_5,
+               round(n_candidates * 1.0 / n_corpus, 4) AS candidate_frac
+        FROM stats
+    """,
+)
 def ann_ivfpq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The billion-scale ANN recipe (FAISS IVF-PQ + re-rank, as Spark
     joins): IVF coarse quantizer prunes to nprobe clusters; PQ ADC
@@ -1010,6 +1298,15 @@ def ann_ivfpq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning alone — PQ quantization error (severe on near-random
     vectors) stops costing recall once re-rank runs. Probe reports
     recall@5 vs exact and the candidate fraction.
+
+    HASH-CHECKED since round 9 (the last rows-only query to convert):
+    the oracle composes the IVF and PQ unrollings — double
+    normalization mirrored exactly (the probe normalizes, then
+    ivf_build normalizes again), md5-minted IVF seeding, spherical
+    re-normalized Lloyd ×2 + final assignment, 3-cluster probe,
+    per-subspace PQ codebooks ×2 trained on the outer-normalized
+    vectors, candidate-only encoding, ADC LUT-sum top-50 shortlist,
+    and the exact re-rank — recall/cost agree to the bit.
     """
     from ..operators.ivf import ivf_build, ivf_probe_ids, l2_normalize
     from ..operators.pq import _sq_dist, pq_adc_topk, pq_encode, pq_train
