@@ -107,18 +107,28 @@ def cmd_explain(config: dict) -> None:
     print(f"-- shuffles: {shuffles}  scans: {scans}  python-evals: {python}")
 
 
-def cmd_index(sf_dir: str) -> None:
+def cmd_index(sf_dir: str, prune: bool = False) -> None:
     """Pre-build the shared suffix-array index for a corpus dir — the
     explicit form of the build-on-miss materialization every
     L2-suffixarray query does implicitly (SCALE.md §24). A production
     run schedules this right after a corpus snapshot lands so the
-    first analyst query doesn't pay the build."""
-    from .queries.llm import _sa_cache_path, _suffix_array_lcp_frame
+    first analyst query doesn't pay the build. ``--prune``
+    additionally evicts stale fingerprint entries for the SAME input
+    dir (a re-minted corpus leaves the old entry as a dead directory
+    otherwise) and sweeps crashed builders' tmp dirs."""
+    from .queries.llm import (
+        _sa_cache_path,
+        _suffix_array_lcp_frame,
+        sa_cache_prune,
+    )
     from .session import get_spark
 
     spark = get_spark("eventstreams-index")
     frame = _suffix_array_lcp_frame(spark, sf_dir)
     print(f"index ready: {_sa_cache_path(sf_dir)} ({frame.count()} suffixes)")
+    if prune:
+        kept, removed = sa_cache_prune(sf_dir)
+        print(f"pruned {len(removed)} stale entr{'y' if len(removed) == 1 else 'ies'}, {len(kept)} kept")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -132,6 +142,7 @@ def main(argv: list[str] | None = None) -> None:
     sub.add_parser("list-steps")
     sp = sub.add_parser("index")
     sp.add_argument("sf_dir")
+    sp.add_argument("--prune", action="store_true")
     args = p.parse_args(argv)
 
     if args.cmd == "list-steps":
@@ -140,7 +151,7 @@ def main(argv: list[str] | None = None) -> None:
         print("\n".join(step_types()))
         return
     if args.cmd == "index":
-        cmd_index(args.sf_dir)
+        cmd_index(args.sf_dir, prune=args.prune)
         return
     config = load_config(args.config)
     if args.cmd == "validate":

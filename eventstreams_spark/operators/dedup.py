@@ -147,9 +147,24 @@ def minhash_band_candidates(
             ).alias("_h")
         )
     )
+    # band signature is SEED-POSITIONAL (ADVICE r9 #2): collect
+    # (seed, hash) structs and array_sort — struct ordering sorts by
+    # _seed first, so the concat reads the hashes in seed order
+    # regardless of collect_list's arrival order. A multiset
+    # signature (sorting the hashes alone) would let cross-seed
+    # coincidences collide, inflating candidates beyond the MMDS
+    # J^band_size per-band probability this construction is tuned by.
     bands = mh.groupBy(
         "_id", F.floor(F.col("_seed") / band_size).alias("_band")
-    ).agg(F.concat_ws("", F.array_sort(F.collect_list("_h"))).alias("_sig"))
+    ).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seed", "_h"))),
+                lambda s: s["_h"],
+            ),
+        ).alias("_sig")
+    )
     b1 = bands.select(F.col("_id").alias("id1"), "_band", "_sig")
     b2 = bands.select(F.col("_id").alias("id2"), "_band", "_sig")
     return (

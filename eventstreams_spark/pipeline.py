@@ -1016,14 +1016,40 @@ def _pack(
     source: str = "text",
     tokens_per_chunk: int = 32,
     keep: list[str] | None = None,
+    tokenizer: str = "words",
 ) -> Transform:
-    """Pack documents into fixed-size token chunks (whitespace
-    tokens, posexplode slices — JVM-side, no shuffle): the training
-    sequence-packing stage. Output columns: ``keep`` + (chunk_no,
-    chunk)."""
+    """Pack documents into fixed-size token chunks (posexplode
+    slices — JVM-side, no shuffle): the training sequence-packing
+    stage. Output columns: ``keep`` + (chunk_no, chunk).
+
+    ``tokenizer`` picks the token stream that gets packed:
+
+    - ``"words"`` (default): the SAME lowercased ``[a-z]+`` stream
+      the ``quality`` step counts — so ``q_n_tokens`` always equals
+      the number of tokens actually packed, on any input (ADVICE r9
+      #4: the old whitespace split only coincided with the quality
+      count on lowercase single-space corpora; punctuated, uppercase
+      or multi-space text silently diverged, and empty-string tokens
+      inflated chunks).
+    - ``"whitespace"``: verbatim single-space split (Logstash-style
+      chunking of already-tokenized text) — chunks re-join to the
+      original text exactly, but the count can differ from
+      ``q_n_tokens``.
+    """
     from .functions.chunking import chunk_text_columnar
 
+    if tokenizer not in ("words", "whitespace"):
+        raise ValueError(
+            f"pack: tokenizer must be 'words' or 'whitespace', got {tokenizer!r}"
+        )
+
     def t(df: DataFrame) -> DataFrame:
+        if tokenizer == "words":
+            toks = F.filter(
+                F.split(F.lower(F.col(source)), "[^a-z]+"),
+                lambda x: x != "",
+            )
+            df = df.withColumn(source, F.array_join(toks, " "))
         return chunk_text_columnar(
             df, source, tokens_per_chunk, list(keep or [])
         )

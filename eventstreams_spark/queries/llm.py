@@ -425,8 +425,9 @@ def ann_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH, with measured recall
     AND candidate fraction vs exact knn.
 
-    Hyperplane components are hash-derived (xxhash64(plane, dim) →
-    uniform in [-1, 1]) — deterministic, no driver-side RNG. Each
+    Hyperplane components are minted from the shared cross-engine md5
+    mint (operators/similarity._plane_component → uniform in [-1, 1])
+    — deterministic, no driver-side RNG. Each
     vector gets N_TABLES independent N_PLANES-bit sign signatures;
     candidates = corpus rows sharing ANY (table, bucket) with the
     query (Indyk–Motwani union construction), re-ranked exactly.
@@ -2477,16 +2478,84 @@ def _suffix_array_lcp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         built = _build_suffix_array_lcp(spark, sf_dir)
         tmp = f"{path}.tmp-{os.getpid()}"
         built.write.mode("overwrite").parquet(tmp)
+        # provenance marker (underscore-prefixed: invisible to the
+        # parquet reader) — records which input dir minted this entry
+        # so `index --prune` can evict stale siblings of the SAME
+        # input without touching other corpora's live entries
+        import json
+
+        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": os.path.abspath(sf_dir),
+                    "version": _SA_CACHE_VERSION,
+                },
+                fh,
+            )
         try:
             os.rename(tmp, path)
         except OSError:
-            # lost the build race — another process landed the same
-            # fingerprint first; its content is identical by
-            # construction (deterministic build), use it
+            # Either we lost the build race (another process landed
+            # the same fingerprint first — its content is identical by
+            # construction, use it) or the rename genuinely failed
+            # (ENOSPC/EACCES/EXDEV). Only the first is recoverable:
+            # verify the winner actually exists before discarding ~25s
+            # of build, else re-raise the real error (ADVICE r9 #3).
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def sa_cache_prune(sf_dir: str) -> tuple[list[str], list[str]]:
+    """Evict stale SA-cache entries for ``sf_dir`` (VERDICT r9 #7:
+    the fingerprint-keyed cache never evicts on its own — a
+    re-minted input is a new fingerprint, and the old entry becomes
+    a dead directory that nothing ever deletes). Removes (a) every
+    entry whose ``_meta.json`` records THIS input dir but whose
+    fingerprint no longer matches the live one, and (b) any orphaned
+    ``*.tmp-<pid>`` build directories (crashed builders). Entries
+    minted from other input dirs — or legacy entries with no
+    provenance marker — are left untouched: eviction only ever
+    follows positive identification. Returns (kept, removed) entry
+    basenames. At 100 TB this is the catalog-side snapshot-expiry
+    job (SCALE.md §24)."""
+    import json
+    import shutil
+
+    live = _sa_cache_path(sf_dir)
+    root = os.path.dirname(live)
+    target = os.path.abspath(sf_dir)
+    kept: list[str] = []
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return kept, removed
+    for name in sorted(os.listdir(root)):
+        entry = os.path.join(root, name)
+        if not os.path.isdir(entry):
+            continue
+        if ".tmp-" in name:
+            shutil.rmtree(entry, ignore_errors=True)
+            removed.append(name)
+            continue
+        if entry == live:
+            kept.append(name)
+            continue
+        meta_path = os.path.join(entry, "_meta.json")
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            kept.append(name)  # no/unreadable provenance: keep
+            continue
+        if meta.get("sf_dir") == target:
+            shutil.rmtree(entry, ignore_errors=True)
+            removed.append(name)
+        else:
+            kept.append(name)
+    return kept, removed
 
 
 def _build_suffix_array_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3065,7 +3134,10 @@ _OCC_BLOCK = 4096  # FM-index Occ rank-checkpoint block size
 
 
 def _fm_occ_structures(
-    spark: SparkSession, bwt_frame: DataFrame, par: int
+    spark: SparkSession,
+    bwt_frame: DataFrame,
+    par: int,
+    n_total: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocked Occ rank support for the FM-index: from the augmented
     (pos, bwt) frame, build (a) ``occf`` = per-char occurrence ranks
@@ -3076,7 +3148,19 @@ def _fm_occ_structures(
     sequence(0..max_block) grid — bounded: |alphabet| * n/B rows; the
     fill is a keyed window over that summary, never over positions).
     Both frames are checkpointed: they are probed once per backward
-    round."""
+    round.
+
+    ``n_total`` is the UNFILTERED sequence length (the full augmented
+    BWT, not just the rows present in ``bwt_frame``): probe positions
+    range over the whole sequence, so the dense grid must cover every
+    block up to floor((n_total-1)/B) even when the (possibly
+    pattern-char-filtered) ``bwt_frame`` has no occurrence that far
+    out — otherwise a probe in a trailing occurrence-free run of
+    >= B positions would find neither a residual nor a (block-1)
+    checkpoint row and Occ would silently read 0 instead of the
+    char's total count (ADVICE r9 #1). When ``n_total`` is omitted
+    the grid falls back to max(block) of ``bwt_frame`` — only safe if
+    the frame is unfiltered."""
     from ..operators.graph import truncate_lineage
 
     occf = truncate_lineage(
@@ -3093,7 +3177,10 @@ def _fm_occ_structures(
         ),
         par,
     )
-    max_block = occf.agg(F.max("block")).head()[0] or 0  # bounded scalar
+    if n_total is not None:
+        max_block = (int(n_total) - 1) // _OCC_BLOCK if n_total > 0 else 0
+    else:
+        max_block = occf.agg(F.max("block")).head()[0] or 0  # bounded scalar
     grid = occf.select("bwt").distinct().select(
         "bwt",
         F.explode(
@@ -3281,12 +3368,17 @@ def fm_index_backward_search(
     # characters that appear in some pattern, so the per-round scan
     # is the pattern chars' positions, not the whole BWT
     pattern_chars = sorted({c for p in patterns for c in p})
+    # n_total = D empty-suffix rows + every real suffix: the grid must
+    # span the FULL augmented sequence, not just pattern-char
+    # positions (metadata-only parquet count — see _fm_occ_structures)
+    n_total = n_docs_total + pairs.count()
     occf, dense = _fm_occ_structures(
         spark,
         empties.unionByName(mains).filter(
             F.col("bwt").isin(pattern_chars)
         ),
         par,
+        n_total=n_total,
     )
     # bounded-metadata collects: first-char census -> C table
     firsts = {

@@ -320,6 +320,69 @@ def test_cli_index_prebuilds_sa_cache(spark, capsys):
         llm._build_suffix_array_lcp = real
 
 
+def test_cli_index_prune_evicts_stale_fingerprints(spark, tmp_path, capsys):
+    """VERDICT r9 #7 golden: build → re-mint the input (new mtime →
+    new fingerprint) → `index --prune` leaves exactly ONE live entry
+    for that input dir, sweeps crashed-builder tmp dirs, and never
+    touches entries minted from OTHER input dirs."""
+    import os
+    import shutil
+
+    import eventstreams_spark.queries.llm as llm
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus / "documents.parquet")
+    else:
+        shutil.copy(src, corpus / "documents.parquet")
+    sf_dir = str(corpus)
+
+    main(["index", sf_dir])
+    first = llm._sa_cache_path(sf_dir)
+    assert os.path.exists(os.path.join(first, "_SUCCESS"))
+
+    # re-mint: same bytes, new mtime → new fingerprint
+    droot = corpus / "documents.parquet"
+    targets = (
+        [droot / p for p in os.listdir(droot) if not p.startswith(("_", "."))]
+        if droot.is_dir()
+        else [droot]
+    )
+    for t in targets:
+        st = os.stat(t)
+        os.utime(t, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    second = llm._sa_cache_path(sf_dir)
+    assert second != first, "fingerprint must change with mtime"
+
+    # a crashed builder's leftover tmp dir must be swept too
+    root = os.path.dirname(first)
+    orphan = os.path.join(root, os.path.basename(second) + ".tmp-99999")
+    os.makedirs(orphan, exist_ok=True)
+    # a foreign entry (other input dir) must survive the prune
+    foreign = llm._sa_cache_path("/root/testdata/sf0.001")
+    had_foreign = os.path.exists(foreign)
+
+    main(["index", sf_dir, "--prune"])
+    out = capsys.readouterr().out
+    assert "index ready" in out and "pruned" in out
+    assert os.path.exists(os.path.join(second, "_SUCCESS"))
+    assert not os.path.exists(first), "stale fingerprint must be evicted"
+    assert not os.path.exists(orphan), "crashed tmp dir must be swept"
+    if had_foreign:
+        assert os.path.exists(foreign), "other corpora's entries survive"
+    live = [
+        n
+        for n in os.listdir(root)
+        if os.path.isdir(os.path.join(root, n))
+        and os.path.exists(os.path.join(root, n, "_meta.json"))
+        and json.load(open(os.path.join(root, n, "_meta.json")))["sf_dir"]
+        == os.path.abspath(sf_dir)
+    ]
+    assert live == [os.path.basename(second)], live
+
+
 def test_cli_schema_drift_alert_feed(spark, tmp_path):
     """The producer-drift alert as ONE streaming config: file-stream
     source → schema_drift step → filter is_new → parquet sink. Two

@@ -512,3 +512,77 @@ def test_range_step_tags_violations(spark):
     assert got == [[], ["v"], ["n"], ["n", "v"], ["v"]]
     with _pytest.raises(ValueError):
         _STEP_FACTORIES["range"](checks={"v": [5.0, 1.0]})
+
+
+def test_pack_words_tokenizer_matches_quality_count(spark):
+    """ADVICE r9 #4: the pack step's default tokenizer is the SAME
+    lowercased [a-z]+ stream the quality step counts, so q_n_tokens
+    equals the number of tokens actually packed even on punctuated,
+    uppercase, multi-space text (the old whitespace split diverged
+    there: empty-string tokens inflated chunks and n_tokens no
+    longer described the packed content)."""
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World! This is   a TEST. one two three"),
+            (2, "punct-only ... !!!   x"),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {"type": "quality", "source": "text"},
+                {
+                    "type": "pack",
+                    "source": "text",
+                    "tokens_per_chunk": 4,
+                    "keep": ["doc_id", "q_n_tokens"],
+                },
+            ]
+        }
+    )
+    out = pipe.apply(df).collect()
+    packed = {}
+    for r in out:
+        toks = [t for t in r.chunk.split(" ") if t]
+        packed.setdefault(r.doc_id, []).extend(toks)
+        assert len(toks) <= 4
+        assert all(t.islower() and t.isalpha() for t in toks), r.chunk
+    qn = {r.doc_id: r.q_n_tokens for r in out}
+    assert {d: len(t) for d, t in packed.items()} == qn
+    assert packed[1] == "hello world this is a test one two three".split()
+    assert packed[2] == ["punct", "only", "x"]
+
+
+def test_pack_whitespace_tokenizer_preserves_text(spark):
+    """pack(tokenizer=whitespace) keeps the Logstash-style verbatim
+    split: chunks re-join to the original single-space text."""
+    df = spark.createDataFrame(
+        [(1, "A B, C d e")], "doc_id long, text string"
+    )
+    pipe = Pipeline.from_config(
+        {
+            "steps": [
+                {
+                    "type": "pack",
+                    "source": "text",
+                    "tokens_per_chunk": 2,
+                    "keep": ["doc_id"],
+                    "tokenizer": "whitespace",
+                }
+            ]
+        }
+    )
+    rows = sorted(pipe.apply(df).collect(), key=lambda r: r.chunk_no)
+    assert " ".join(r.chunk for r in rows) == "A B, C d e"
+
+
+def test_pack_rejects_unknown_tokenizer():
+    with pytest.raises(ValueError, match="tokenizer"):
+        Pipeline.from_config(
+            {
+                "steps": [
+                    {"type": "pack", "source": "text", "tokenizer": "bpe"}
+                ]
+            }
+        )

@@ -2825,6 +2825,48 @@ def test_fm_occ_probe_is_equi_join_only(spark):
     assert got == {("p", "s"): want_s, ("p", "e"): want_e}, got
 
 
+def test_fm_occ_grid_covers_full_sequence(spark):
+    """ADVICE r9 #1 regression: when the Occ input frame is filtered
+    to the pattern alphabet and the sequence ends in a run of >= one
+    whole block free of a pattern char, a probe landing in that
+    trailing run must still see the char's TOTAL count — the dense
+    grid is sized from n_total (the unfiltered sequence length), not
+    from the filtered frame's max block. Before the fix the probe
+    found neither a residual nor a (block-1) checkpoint and the
+    caller silently treated the NULL as Occ = 0 (empty interval)."""
+    from pyspark.sql import functions as F
+
+    from eventstreams_spark.queries.llm import (
+        _OCC_BLOCK,
+        _fm_occ_probe,
+        _fm_occ_structures,
+    )
+
+    n_total = 3 * _OCC_BLOCK  # blocks 0, 1, 2
+    # char 'a' occurs only in block 0 (positions 1..10); the rest of
+    # the sequence is 'z' — after filtering to the pattern alphabet
+    # {'a'} the frame's max block is 0, but probes reach block 2
+    bwt_full = spark.range(1, n_total + 1).select(
+        F.col("id").alias("pos"),
+        F.when(F.col("id") <= 10, F.lit("a")).otherwise(F.lit("z")).alias(
+            "bwt"
+        ),
+    )
+    filtered = bwt_full.filter(F.col("bwt") == "a")
+    occf, dense = _fm_occ_structures(spark, filtered, 4, n_total=n_total)
+    pf = spark.createDataFrame(
+        [
+            ("p", "a", n_total - 5, "e"),  # trailing a-free run
+            ("p", "a", 7, "s"),  # in-block residual still works
+        ],
+        "pat string, c string, pos long, which string",
+    )
+    got = {(r.pat, r.which): r.o for r in _fm_occ_probe(occf, dense, pf).collect()}
+    assert got == {("p", "e"): 10, ("p", "s"): 7}, got
+    # and the dense grid spans every probe-reachable block
+    assert dense.agg(F.max("block")).head()[0] == 2
+
+
 def test_sa_cache_materializes_once_and_roundtrips(spark, sf_dir):
     """The shared SA frame must build once per input fingerprint and
     serve every later call from the parquet materialization: after a
