@@ -1433,7 +1433,7 @@ def holt_winters_additive_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(row_number() OVER (PARTITION BY event_type
                                            ORDER BY day) AS BIGINT) AS rn
             FROM daily QUALIFY rn <= 28
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT event_type, rn,
                    ((CAST(row_number() OVER (PARTITION BY event_type
                                              ORDER BY x, rn)
@@ -1649,7 +1649,7 @@ def _gotoh_affine_score(
                    CAST(row_number() OVER (PARTITION BY event_type
                                            ORDER BY day) AS BIGINT) AS rn
             FROM daily QUALIFY rn <= 28
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT event_type, rn,
                    ((CAST(row_number() OVER (PARTITION BY event_type
                                              ORDER BY x, rn)
@@ -2088,7 +2088,7 @@ _SW_DP_CTE = """daily AS (
                    CAST(row_number() OVER (PARTITION BY event_type
                                            ORDER BY day) AS BIGINT) AS rn
             FROM daily QUALIFY rn <= 28
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT event_type, rn,
                    ((CAST(row_number() OVER (PARTITION BY event_type
                                              ORDER BY x, rn)
@@ -2101,7 +2101,7 @@ _SW_DP_CTE = """daily AS (
             SELECT a.event_type AS ca, b.event_type AS cb,
                    a.n AS na, b.n AS nb
             FROM lens a JOIN lens b ON a.event_type < b.event_type
-        ), cells AS (
+        ), cells AS MATERIALIZED (
             -- the NW anti-diagonal recursive-DP shape with the local-
             -- alignment floor at 0. Border cells are never
             -- materialized: every border value is 0, so a border
@@ -2273,7 +2273,7 @@ def smith_waterman_local_shapes(
     "smith_waterman_traceback_alignment",
     category="FC-alignment",
     oracle=f"""
-        WITH {_SW_DP_CTE}, cellsu AS (
+        WITH {_SW_DP_CTE}, cellsu AS MATERIALIZED (
             SELECT ca, cb, i, j, CAST(max(val) AS BIGINT) AS val
             FROM cells GROUP BY ca, cb, i, j
         ), ends AS (
@@ -2541,7 +2541,7 @@ def _gotoh_local_score(xa, xb, match: int = 2, mismatch: int = -1,
                    CAST(row_number() OVER (PARTITION BY event_type
                                            ORDER BY day) AS BIGINT) AS rn
             FROM daily QUALIFY rn <= 28
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT event_type, rn,
                    ((CAST(row_number() OVER (PARTITION BY event_type
                                              ORDER BY x, rn)
