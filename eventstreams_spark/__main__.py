@@ -16,6 +16,15 @@ Config shape (YAML or JSON):
     sink: {format: parquet, path: /data/out,
            checkpointLocation: /data/ck, availableNow: true}
 
+Multi-output fan-out (Logstash `output { if ... }`): replace `sink`
+with a `sinks` list; each entry takes an optional per-sink `filter`
+expression (rows may match several sinks — filters are independent):
+
+    sinks:
+      - {filter: "status_class = 'server_error'", format: parquet,
+         path: /data/errors}
+      - {format: parquet, path: /data/all}
+
 Custom sources (event_generator / event_spool / es_bulk) are
 registered automatically so configs can name them like built-ins.
 """
@@ -45,8 +54,13 @@ def cmd_validate(config: dict) -> None:
     Pipeline.from_config(config)  # compile errors surface here
     if "source" not in config:
         raise SystemExit("config missing 'source'")
-    if "sink" not in config:
-        raise SystemExit("config missing 'sink'")
+    if "sink" not in config and "sinks" not in config:
+        raise SystemExit("config missing 'sink' (or 'sinks')")
+    if "sink" in config and "sinks" in config:
+        raise SystemExit("config has both 'sink' and 'sinks'; pick one")
+    for i, s in enumerate(config.get("sinks") or []):
+        if "format" not in s:
+            raise SystemExit(f"sinks[{i}] missing 'format'")
     print("config OK:", len(config.get("steps", [])), "steps")
 
 
@@ -76,14 +90,34 @@ def cmd_run(config: dict, await_seconds: int | None) -> None:
         # dead-letter routing (Logstash DLQ): rows tagged by
         # deadletter/date/range/... steps go to the dlq sink, healthy
         # rows to the main sink — tag-don't-drop ends here
-        healthy, dead = split_dead_letters(out)
-        queries.append(write_sink(healthy, config["sink"]))
+        out, dead = split_dead_letters(out)
         queries.append(write_sink(dead, config["dlq"]))
+    persisted = False
+    if "sinks" in config:
+        # multi-output fan-out (the Logstash `output { if ... }`
+        # idiom): ONE source/pipeline, N sinks, each with an optional
+        # per-sink `filter` expression. A row can land in several
+        # sinks (filters are independent, not a partition). Streaming:
+        # one query per sink over the shared plan — Spark's standard
+        # fan-out shape. Batch: each write is its own action, so the
+        # shared frame is persisted once and every sink filters the
+        # cached rows instead of re-running the source scan + parse
+        # chain N times.
+        if not out.isStreaming and len(config["sinks"]) > 1:
+            out = out.persist()
+            persisted = True
+        for sconf in config["sinks"]:
+            sconf = dict(sconf)
+            flt = sconf.pop("filter", None)
+            branch = out.filter(flt) if flt else out
+            queries.append(write_sink(branch, sconf))
     else:
         queries.append(write_sink(out, config["sink"]))
     for q in queries:
         if q is not None:  # streaming query
             q.awaitTermination(await_seconds) if await_seconds else q.awaitTermination()
+    if persisted:
+        out.unpersist()
     print("done")
 
 
