@@ -25,6 +25,14 @@ expression (rows may match several sinks — filters are independent):
          path: /data/errors}
       - {format: parquet, path: /data/all}
 
+Streaming fan-out defaults to one query per sink (independent
+checkpoints + exactly-once file logs). Add `fanout:` for the
+single-pass shape — ONE foreachBatch query, each micro-batch
+persisted and written to every sink from the cache (source scanned
+once per batch; sink writes at-least-once on retry):
+
+    fanout: {checkpointLocation: /data/ck, availableNow: true}
+
 Custom sources (event_generator / event_spool / es_bulk) are
 registered automatically so configs can name them like built-ins.
 """
@@ -81,6 +89,47 @@ def _compile(config: dict, app_name: str):
     return spark, pipe.apply(df)
 
 
+def _fanout_single_pass(out, sinks: list[dict], fanout_conf: dict):
+    """Single-pass streaming fan-out: ONE foreachBatch query, the
+    micro-batch persisted once, every sink written from the cache —
+    the source/parse chain runs once per batch no matter how many
+    sinks. The fan-out query owns the ONE checkpoint
+    (``fanout.checkpointLocation``); per-sink checkpointLocation /
+    availableNow keys are rejected (they belong to the
+    one-query-per-sink shape). Sink writes inside foreachBatch are
+    at-least-once on batch retry (Logstash-output semantics); use the
+    default per-sink-query shape when per-sink exactly-once file
+    logs matter more than single-scan ingest."""
+    from .pipeline import write_sink
+
+    sink_confs = []
+    for i, sconf in enumerate(sinks):
+        sconf = dict(sconf)
+        for bad in ("checkpointLocation", "availableNow"):
+            if bad in sconf:
+                raise SystemExit(
+                    f"sinks[{i}]: '{bad}' belongs on `fanout:` when "
+                    "single-pass fan-out is enabled"
+                )
+        sink_confs.append(sconf)
+
+    def fn(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            for sconf in sink_confs:
+                sconf = dict(sconf)
+                flt = sconf.pop("filter", None)
+                branch = batch_df.filter(flt) if flt else batch_df
+                sconf.setdefault("mode", "append")
+                write_sink(branch, sconf)
+        finally:
+            batch_df.unpersist()
+
+    return write_sink(
+        out, {"format": "foreachBatch", "function": fn, **fanout_conf}
+    )
+
+
 def cmd_run(config: dict, await_seconds: int | None) -> None:
     from .pipeline import split_dead_letters, write_sink
 
@@ -99,18 +148,29 @@ def cmd_run(config: dict, await_seconds: int | None) -> None:
         # per-sink `filter` expression. A row can land in several
         # sinks (filters are independent, not a partition). Streaming:
         # one query per sink over the shared plan — Spark's standard
-        # fan-out shape. Batch: each write is its own action, so the
-        # shared frame is persisted once and every sink filters the
-        # cached rows instead of re-running the source scan + parse
-        # chain N times.
-        if not out.isStreaming and len(config["sinks"]) > 1:
-            out = out.persist()
-            persisted = True
-        for sconf in config["sinks"]:
-            sconf = dict(sconf)
-            flt = sconf.pop("filter", None)
-            branch = out.filter(flt) if flt else out
-            queries.append(write_sink(branch, sconf))
+        # fan-out shape (each sink keeps its own checkpoint and
+        # exactly-once file-sink log) — or, with `fanout: {...}`,
+        # a SINGLE foreachBatch query that persists each micro-batch
+        # and writes every sink from the cache, so the source is
+        # scanned once per batch regardless of sink count (the
+        # 100 TB/day ingest shape, SCALE.md §26; sink writes become
+        # at-least-once on batch retry, like Logstash outputs).
+        # Batch: each write is its own action, so the shared frame is
+        # persisted once and every sink filters the cached rows
+        # instead of re-running the source scan + parse chain N times.
+        if out.isStreaming and "fanout" in config:
+            queries.append(
+                _fanout_single_pass(out, config["sinks"], config["fanout"])
+            )
+        else:
+            if not out.isStreaming and len(config["sinks"]) > 1:
+                out = out.persist()
+                persisted = True
+            for sconf in config["sinks"]:
+                sconf = dict(sconf)
+                flt = sconf.pop("filter", None)
+                branch = out.filter(flt) if flt else out
+                queries.append(write_sink(branch, sconf))
     else:
         queries.append(write_sink(out, config["sink"]))
     for q in queries:

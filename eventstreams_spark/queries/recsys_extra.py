@@ -8,10 +8,9 @@ reciprocal-rank credits are scaled by 2520 = lcm(1..10) so MRR is one
 integer quotient — no float sum of 1/rank anywhere.
 
 Scale: pair generation is item-item over the PART dimension (never
-user×user); candidate scoring is train-items × co-occurrence rows —
-both are bounded by catalog size and per-user basket width; at a
-real catalog, cap each item's co-occurrence list to its top-M
-neighbors (the df-cap discipline) with bounded recall loss.
+user×user); each item's co-occurrence list is capped at its top-64
+neighbors IN-PLAN (the df-cap discipline, mirrored in the oracle),
+so candidate scoring is ≤64 rows per train item at any catalog size.
 """
 
 from __future__ import annotations
@@ -50,12 +49,19 @@ _SPLIT_CTE = """
     "recsys_mrr_at_10",
     category="RS-mrr",
     oracle=f"""
-        WITH {_SPLIT_CTE}, cooc AS (
+        WITH {_SPLIT_CTE}, cooc_full AS (
             SELECT a.part AS pa, b.part AS pb,
                    CAST(count(*) AS BIGINT) AS w
             FROM train a JOIN train b
               ON a.cust = b.cust AND a.part <> b.part
             GROUP BY a.part, b.part
+        ), cooc AS (
+            SELECT pa, pb, w FROM (
+                SELECT pa, pb, w,
+                       row_number() OVER (PARTITION BY pa
+                                          ORDER BY w DESC, pb) AS nr
+                FROM cooc_full) capped
+            WHERE nr <= 64
         ), scores AS (
             SELECT t.cust, c.pb AS cand,
                    CAST(sum(c.w) AS BIGINT) AS score
@@ -106,10 +112,13 @@ def recsys_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2520 = lcm 1..10), so MRR is one division.
 
     Scale: the co-occurrence self-join is item-item through the
-    customer key (Σ basket² work, never user×user); candidate
-    scoring joins each user's train items against the co-occurrence
-    rows; top-10 is a per-user WindowGroupLimit. At a real catalog
-    cap co-occurrence lists at top-M per item before scoring.
+    customer key (Σ basket² work, never user×user); each item's
+    neighbor list is then CAPPED at its top-64 co-occurrences
+    (w DESC, part id — deterministic), so candidate scoring is
+    ≤ 64 rows per (user, train item) at any catalog size; top-10 is
+    a per-user WindowGroupLimit. The cap is applied identically in
+    the DuckDB oracle — the metric is the capped-model's MRR, which
+    is the model a production CF system actually serves.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -151,6 +160,23 @@ def recsys_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # top-M neighbor cap (M=64, ties by part id): the df-cap
+    # discipline IN-PLAN, not prose — it bounds the scoring join's
+    # fan-out to 64 rows per train item, so the (cust, cand) partial
+    # aggregate is O(|train| * 64) at ANY catalog size. The uncapped
+    # scoring join is |train| x full co-occurrence lists — quadratic
+    # in basket overlap; the r10-open driver sim watched it OOM the
+    # vanilla session's default 1g heap mid-spill-merge. The oracle
+    # applies the identical cap (cooc CTE), so the metric stays
+    # hash-checked.
+    w_cap = Window.partitionBy("pa").orderBy(F.desc("w"), "pb")
+    cooc = (
+        cooc.select(
+            "pa", "pb", "w", F.row_number().over(w_cap).alias("nr")
+        )
+        .filter(F.col("nr") <= 64)
+        .drop("nr")
     )
     scores = (
         train.join(cooc, train["part"] == cooc["pa"])

@@ -32,6 +32,16 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Cached plans compile WITHOUT adaptive re-planning by default, so
+    # every persist()ed subplan shuffles at the session's raw
+    # spark.sql.shuffle.partitions — on a vanilla (driver-built)
+    # session that is 200 tasks per tiny exchange (observed: 200-task
+    # stages all over the r10 driver sim; association_rules 20.3 s).
+    # Letting AQE re-plan cached frames coalesces those like any other
+    # exchange. Scale-correct in both directions: big cached frames
+    # keep their data-sized partitioning, small ones stop paying
+    # per-task scheduling for empty partitions.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

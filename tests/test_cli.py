@@ -278,8 +278,12 @@ sink:
         )
         .collect()
     }
-    a_toks = clean_a.split(" ")
-    b_toks = (clean_b).split(" ")
+    # pack's default tokenizer="words" packs the SAME lowercased
+    # [a-z]+ stream the quality step counted (ADVICE r9 #4), so
+    # "alpha0" packs as "alpha" and q_n_tokens always equals the
+    # number of tokens actually packed.
+    a_toks = ["alpha"] * 10
+    b_toks = ["beta"] * 7 + ["tail"]
     want = sorted(
         [
             (1, 0, " ".join(a_toks[0:4]), 10, split_of[1]),
@@ -290,6 +294,22 @@ sink:
         ]
     )
     assert got == want
+
+    # tokenizer: whitespace keeps the verbatim Logstash split —
+    # chunks re-join to the original text exactly
+    cfg_ws = cfg.replace(
+        "tokens_per_chunk: 4",
+        "tokens_per_chunk: 4\n    tokenizer: whitespace",
+    ).replace(str(out), str(tmp_path / "packed_ws"))
+    cfg_ws_path = tmp_path / "corpus_prep_ws.yaml"
+    cfg_ws_path.write_text(cfg_ws)
+    main(["run", str(cfg_ws_path)])
+    ws = {
+        (r.doc_id, r.chunk_no): r.chunk
+        for r in spark.read.parquet(str(tmp_path / "packed_ws")).collect()
+    }
+    assert ws[(1, 0)] == " ".join(clean_a.split(" ")[0:4])
+    assert ws[(3, 1)] == " ".join(clean_b.split(" ")[4:8])
 
 
 def test_cli_index_prebuilds_sa_cache(spark, capsys):
@@ -606,3 +626,61 @@ def test_file_stream_ingestion_pacing_max_files_per_trigger(spark, tmp_path):
     assert len(batches) == K, [p["numInputRows"] for p in batches]
     assert all(p["numInputRows"] == per for p in batches)
     assert spark.read.parquet(str(tmp_path / "out")).count() == K * per
+
+
+def test_cli_single_pass_fanout_foreachbatch(spark, tmp_path):
+    """SCALE.md §26's ingest shape as code: `fanout:` turns streaming
+    multi-sink into ONE foreachBatch query — each micro-batch is
+    persisted and every sink written from the cache, so the source is
+    scanned once per batch regardless of sink count. Row-exact
+    against the per-sink filters; exactly one checkpoint (the
+    fan-out's own) exists; per-sink checkpoint keys are rejected."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "10.0.0.9 GET 200\n10.0.0.9 POST 500\n10.9.9.1 GET 404\n"
+    )
+    (src / "b.log").write_text("10.0.0.2 GET 200\n")
+    errs, all_out = tmp_path / "errs", tmp_path / "all"
+    ck = tmp_path / "ck-fanout"
+    base = {
+        "source": {"format": "text", "path": str(src), "stream": True,
+                   "schema": "line string", "maxFilesPerTrigger": 1},
+        "steps": [
+            {"type": "grok", "source": "line",
+             "pattern": "%{IP:client} %{WORD:verb} %{NONNEGINT:status}"},
+        ],
+        "sinks": [
+            {"filter": "status = '500'", "format": "parquet",
+             "path": str(errs)},
+            {"format": "parquet", "path": str(all_out)},
+        ],
+        "fanout": {"checkpointLocation": str(ck), "availableNow": True},
+    }
+    cfg_path = tmp_path / "fan1p.json"
+    cfg_path.write_text(json.dumps(base))
+    main(["run", str(cfg_path)])
+    assert [r.verb for r in spark.read.parquet(str(errs)).collect()] == ["POST"]
+    assert spark.read.parquet(str(all_out)).count() == 4
+    # one checkpoint: the fan-out query's; sinks have none of their own
+    assert ck.exists()
+    cks = [p for p in tmp_path.iterdir() if p.name.startswith("ck")]
+    assert cks == [ck]
+
+    # a second availableNow run with NO new files must be a no-op
+    # (the shared checkpoint covers every sink)
+    main(["run", str(cfg_path)])
+    assert spark.read.parquet(str(all_out)).count() == 4
+
+    # per-sink checkpoint keys are rejected under single-pass fan-out
+    bad = dict(base)
+    bad["sinks"] = [
+        {"format": "parquet", "path": str(tmp_path / "x"),
+         "checkpointLocation": str(tmp_path / "ckx")},
+    ]
+    bad_path = tmp_path / "bad.json"
+    bad_path.write_text(json.dumps(bad))
+    import pytest
+
+    with pytest.raises(SystemExit, match="checkpointLocation"):
+        main(["run", str(bad_path)])

@@ -89,6 +89,41 @@ def _fresh_session():
 RESTART_EVERY = 100
 
 
+def _rebuild_session(old):
+    """Recover from a DEAD JVM (a heap OOM in local mode kills
+    executor and driver together): stop() best-effort, then clear
+    pyspark's cached gateway/session singletons so getOrCreate
+    launches a fresh JVM instead of handing back the corpse. Without
+    this, one OOM query turns every later query into a py4j EXC and
+    the recycle path crashes on spark.stop() (seen r10-open:
+    recsys_mrr_at_10 OOM -> 54 phantom EXCs -> sim abort)."""
+    from pyspark import SparkContext
+
+    try:
+        old.stop()
+    except Exception:
+        pass
+    for attr in ("_instantiatedSession", "_activeSession"):
+        try:
+            setattr(SparkSession, attr, None)
+        except Exception:
+            pass
+    for attr in ("_active_spark_context", "_gateway", "_jvm"):
+        try:
+            setattr(SparkContext, attr, None)
+        except Exception:
+            pass
+    return _fresh_session()
+
+
+def _session_alive(spark) -> bool:
+    try:
+        spark.sql("select 1").collect()
+        return True
+    except Exception:
+        return False
+
+
 def main():
     only = set(sys.argv[1:])
     spark = _fresh_session()
@@ -113,8 +148,7 @@ def main():
         if n_run and n_run % RESTART_EVERY == 0:
             print(f"  -- recycling Spark session after {n_run} queries",
                   flush=True)
-            spark.stop()
-            spark = _fresh_session()
+            spark = _rebuild_session(spark)
         n_run += 1
         t0 = time.time()
         try:
@@ -153,6 +187,10 @@ def main():
         except Exception as ex:
             fails.append((name, f"EXC {type(ex).__name__}: {str(ex)[:200]}"))
             print(f"  {name}: EXC {str(ex)[:300]}", flush=True)
+            if not _session_alive(spark):
+                print("  -- JVM dead after EXC; rebuilding session",
+                      flush=True)
+                spark = _rebuild_session(spark)
     print(f"\n== {n_ok} oracle-OK, {n_rows_only} rows-only, "
           f"{len(fails)} FAIL ==", flush=True)
     for name, why in fails:

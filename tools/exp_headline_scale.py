@@ -32,7 +32,13 @@ Mint details (documented so the curve is interpretable):
   dedup output scales with input instead of collapsing to the 1x
   distinct set.
 - embeddings: vec_id shifted; copy 0 keeps vec_id=0 (the knn query
-  vector).
+  vector). Copy k>0 additionally CYCLIC-SHIFTS the embedding by k
+  dims: cosine structure WITHIN a copy is untouched (both sides get
+  the same permutation), while cross-copy pairs decorrelate — so
+  near-dup/ANN density per copy stays constant instead of every
+  vector acquiring m-1 exact duplicates (which would make
+  semantic-dedup candidate counts quadratic in m by construction,
+  polluting the fitted exponent for exp_llm_scale's consumers).
 
 Run: python tools/exp_headline_scale.py [warm_reps]   (~15 min)
 """
@@ -84,7 +90,7 @@ def mint(spark: SparkSession, m: int) -> str:
     from eventstreams_spark.catalog import TABLES, load_table
 
     out = f"{WORK}/x{m}"
-    if os.path.exists(f"{out}/.minted"):
+    if os.path.exists(f"{out}/.minted-v2"):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -104,12 +110,28 @@ def mint(spark: SparkSession, m: int) -> str:
                     c = c.withColumn(
                         "text", F.concat(F.col("text"), F.lit(f" #c{k}"))
                     )
+                if name == "embeddings" and k > 0:
+                    # cyclic-shift by k dims: same permutation on every
+                    # vector of the copy (intra-copy cosines unchanged),
+                    # cross-copy pairs decorrelate — no minted exact-dup
+                    # groups of size m (see module docstring)
+                    d = F.size(F.col("embedding"))
+                    s = F.lit(k) % d
+                    c = c.withColumn(
+                        "embedding",
+                        F.when(s == 0, F.col("embedding")).otherwise(
+                            F.concat(
+                                F.slice(F.col("embedding"), s + 1, d - s),
+                                F.slice(F.col("embedding"), 1, s),
+                            )
+                        ),
+                    )
                 copies.append(c)
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
-    open(f"{out}/.minted", "w").write("ok")
+    open(f"{out}/.minted-v2", "w").write("ok")  # v2: embeddings cyclic-shift per copy
     return out
 
 

@@ -46,7 +46,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-SCALES = (1, 4, 16)
+SCALES = tuple(
+    int(m) for m in os.environ.get("LLM_SCALE_POINTS", "1,4,16").split(",")
+)
 WORK = "/tmp/exp_headline_scale"  # shared mint cache with exp_headline_scale
 
 
@@ -127,14 +129,17 @@ def main() -> None:
     mx = sum(lx) / len(lx)
     out = {}
     for q, times in results.items():
-        ly = [math.log(times[m]) for m in SCALES]
-        my = sum(ly) / len(ly)
-        b = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / sum(
-            (x - mx) ** 2 for x in lx
-        )
+        if len(SCALES) >= 2:
+            ly = [math.log(times[m]) for m in SCALES]
+            my = sum(ly) / len(ly)
+            b = round(sum(
+                (x - mx) * (y - my) for x, y in zip(lx, ly)
+            ) / sum((x - mx) ** 2 for x in lx), 3)
+        else:
+            b = None  # single point (merge run): no fit
         out[q] = {
             **{f"t_x{m}": times[m] for m in SCALES},
-            "exponent": round(b, 3),
+            "exponent": b,
         }
     print(json.dumps({
         "experiment": "llm_scale",
