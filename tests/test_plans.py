@@ -2167,6 +2167,23 @@ def test_recsys_cached_interactions(spark, sf_dir):
         assert count_prefix(counts, bad) == 0, counts
 
 
+def test_cached_plans_get_aqe_replanning(spark):
+    """Tripwire for the r10 sim-wall fix: persist()ed subplans are
+    compiled WITHOUT adaptive execution unless
+    canChangeCachedPlanOutputPartitioning is on — on a vanilla
+    driver session that means every exchange under a cached frame
+    runs at the raw 200 shuffle partitions (association_rules was
+    2x slower for it). The conf must ride _RUNTIME_CONFS so
+    catalog.load_table applies it to ANY session, including the
+    driver's."""
+    from eventstreams_spark.session import _RUNTIME_CONFS, apply_runtime_confs
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    assert _RUNTIME_CONFS.get(key) == "true"
+    apply_runtime_confs(spark)
+    assert spark.conf.get(key) == "true"
+
+
 def test_warehouse_ops_family_shapes(spark, sf_dir):
     """PIT join is user-keyed (no cross product); the concurrency
     sweep and watermark census are single-scan; no Python evals."""

@@ -28,9 +28,13 @@ Mint details (documented so the curve is interpretable):
 - orders/customer: o_orderkey/o_custkey/c_custkey shifted together
   (FK-consistent); lineitem follows l_orderkey; l_partkey/l_suppkey
   reference the FIXED dims.
-- documents: doc_id shifted AND text suffixed per copy (k>0) so
-  dedup output scales with input instead of collapsing to the 1x
-  distinct set.
+- documents: doc_id shifted AND every token tagged with a
+  LETTER-ONLY copy id (k>0) so BOTH exact and NEAR dedup output
+  scale with input instead of collapsing to the 1x distinct set (a
+  mere suffix left copies near-identical — minted m-sized near-dup
+  groups, quadratic candidate pairs; digit tags collapsed under the
+  [a-z]+ shingle tokenizer). Within-copy shingle structure is
+  preserved (tokens map deterministically per copy).
 - embeddings: vec_id shifted; copy 0 keeps vec_id=0 (the knn query
   vector). Copy k>0 additionally CYCLIC-SHIFTS the embedding by k
   dims: cosine structure WITHIN a copy is untouched (both sides get
@@ -90,7 +94,7 @@ def mint(spark: SparkSession, m: int) -> str:
     from eventstreams_spark.catalog import TABLES, load_table
 
     out = f"{WORK}/x{m}"
-    if os.path.exists(f"{out}/.minted-v2"):
+    if os.path.exists(f"{out}/.minted-v4"):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -107,8 +111,29 @@ def mint(spark: SparkSession, m: int) -> str:
                         col, (F.col(col) + F.lit(k * OFF)).cast("long")
                     )
                 if name == "documents" and k > 0:
+                    # tag EVERY token with a LETTER-ONLY copy id, not
+                    # just a trailing suffix: a suffix keeps copies
+                    # exactly-distinct but they remain NEAR-dups of
+                    # each other (one extra token barely moves the
+                    # shingle set), so MinHash/winnowing sweeps would
+                    # see minted m-sized dup groups and candidate
+                    # pairs quadratic in m — a mint artifact, not
+                    # engine behavior (observed: neardup_dedup_e2e
+                    # returned the x1 row count at x4). The tag must
+                    # survive the [a-z]+ shingle tokenizer: a digit
+                    # tag ("c1"/"c2") normalizes to the same "c", so
+                    # every TAGGED copy collapsed into one group
+                    # (observed: exactly 2x survivors at x4). Letter
+                    # tags map shingles deterministically per copy —
+                    # WITHIN-copy near-dup structure preserved,
+                    # cross-copy shingle overlap ~zero.
+                    if k >= 26:
+                        raise ValueError("letter copy tags support m<=26")
                     c = c.withColumn(
-                        "text", F.concat(F.col("text"), F.lit(f" #c{k}"))
+                        "text",
+                        F.regexp_replace(
+                            "text", r"(\S+)", "$1" + chr(97 + k)
+                        ),
                     )
                 if name == "embeddings" and k > 0:
                     # cyclic-shift by k dims: same permutation on every
@@ -131,7 +156,7 @@ def mint(spark: SparkSession, m: int) -> str:
         for c in copies[1:]:
             df = df.unionByName(c)
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
-    open(f"{out}/.minted-v2", "w").write("ok")  # v2: embeddings cyclic-shift per copy
+    open(f"{out}/.minted-v4", "w").write("ok")  # v4: letter-only per-token copy tags + embedding cyclic-shift
     return out
 
 
