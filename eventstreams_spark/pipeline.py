@@ -1275,6 +1275,13 @@ def write_sink(df: DataFrame, conf: dict):
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start(path) if path else writer.start()
+    if "path" not in conf:
+        raise ValueError(
+            f"batch sink '{fmt}' requires a path — note that under "
+            "single-pass `fanout:` every sink is written as a BATCH "
+            "write per micro-batch, so path-less streaming formats "
+            "(console/memory) belong to the one-query-per-sink shape"
+        )
     path = conf.pop("path")
     mode = conf.pop("mode", "overwrite")
     writer = df.write.format(fmt).mode(mode)

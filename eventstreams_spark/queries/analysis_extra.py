@@ -311,6 +311,85 @@ def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_pipeline(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Parameterized engine behind :func:`semantic_dedup_end_to_end`:
+    nearest-centroid assignment over the first ``k`` vectors as
+    centroids, in-bucket pair generation (cosine >= 0.3), connected
+    components, canonical-per-component removal census.
+
+    ``k`` IS the scale knob: pair work is Σ(bucket²) and buckets hold
+    ~n/k vectors, so holding k fixed while the corpus grows n-fold
+    multiplies pair work by n² — measured in SCALE.md §25 (b ≈ 2 at
+    fixed k=8 over a 1×/4×/16× mint; b ≈ 1 with k ∝ n). A production
+    run sizes k so bucket occupancy stays constant (IVF discipline);
+    the pinned registry query keeps k=8 because its DuckDB oracle
+    unrolls that exact construction.
+    """
+    from ..operators.graph import connected_components
+
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") >= k)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            cosine_similarity(
+                to_double_array("embedding"), to_double_array("cvec")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = truncate_lineage(
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "embedding"),
+        8,
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("eb"),
+    )
+    dup_pairs = (
+        a.join(b, "cid")
+        .filter(F.col("i") < F.col("j"))
+        .filter(
+            cosine_similarity(to_double_array("ea"), to_double_array("eb")) >= 0.3
+        )
+        .select("cid", "i", "j")
+    )
+    dup_pairs = truncate_lineage(dup_pairs, 8)
+    comp = connected_components(dup_pairs.select("i", "j"), src="i", dst="j")
+    removed = (
+        comp.filter(F.col("id") != F.col("component"))
+        .join(assigned.select(F.col("vec_id").alias("id"), "cid"), "id")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    vec_counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    pair_counts = dup_pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    return (
+        vec_counts.join(pair_counts, "cid", "left")
+        .join(removed, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 @query(
     "semantic_dedup_end_to_end",
     category="L4",
@@ -381,72 +460,13 @@ def semantic_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized by k, not corpus; CC is the shared iterative operator
     (driver sees one scalar per round); the oracle unrolls CC as a
     recursive CTE. At 100 TB, k grows with the corpus (IVF-style) to
-    hold bucket sizes constant.
+    hold bucket sizes constant — :func:`semantic_dedup_pipeline` is
+    the parameterized engine (SCALE.md §25 measures both the fixed-k
+    pathology and the k∝n discipline); this pinned query keeps k=8
+    to match its unrolled oracle.
     """
-    from ..operators.graph import connected_components
-
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    sims = (
-        emb.filter(F.col("vec_id") >= 8)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            "embedding",
-            cosine_similarity(
-                to_double_array("embedding"), to_double_array("cvec")
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assigned = truncate_lineage(
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid", "embedding"),
-        8,
-    )
-    a = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("i"),
-        F.col("embedding").alias("ea"),
-    )
-    b = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("j"),
-        F.col("embedding").alias("eb"),
-    )
-    dup_pairs = (
-        a.join(b, "cid")
-        .filter(F.col("i") < F.col("j"))
-        .filter(
-            cosine_similarity(to_double_array("ea"), to_double_array("eb")) >= 0.3
-        )
-        .select("cid", "i", "j")
-    )
-    dup_pairs = truncate_lineage(dup_pairs, 8)
-    comp = connected_components(dup_pairs.select("i", "j"), src="i", dst="j")
-    removed = (
-        comp.filter(F.col("id") != F.col("component"))
-        .join(assigned.select(F.col("vec_id").alias("id"), "cid"), "id")
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_removed"))
-    )
-    vec_counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
-    pair_counts = dup_pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-    return (
-        vec_counts.join(pair_counts, "cid", "left")
-        .join(removed, "cid", "left")
-        .select(
-            F.col("cid").alias("centroid_id"),
-            "n_vectors",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-        )
-        .orderBy("centroid_id")
-    )
+    return semantic_dedup_pipeline(emb, k=8)
 
 
 @query(
@@ -563,7 +583,7 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     sims = (
-        emb.filter(F.col("vec_id") >= 8)
+        emb.filter(F.col("vec_id") >= k)
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",

@@ -19,9 +19,14 @@ with input instead of collapsing to the 1x distinct set):
                          Jaccard verify → connected components →
                          keep canonical), the `neardup_dedup`
                          pipeline step's engine.
-- semantic_dedup_e2e   — registry semantic_dedup_end_to_end
-                         (embedding-cosine near-dup over LSH-bucketed
-                         candidates).
+- semantic_dedup_fixed_k — registry semantic_dedup_end_to_end verbatim:
+                         k=8 centroids REGARDLESS of corpus size. The
+                         measured pathology (§25): buckets hold n/k
+                         vectors, in-bucket pair work ∝ (n/k)², so
+                         fixed k ⇒ b → 2.
+- semantic_dedup_scaled_k — semantic_dedup_pipeline with k = 8·m (the
+                         IVF discipline: bucket occupancy constant);
+                         the same corpus scales linearly.
 - ann_ivfpq_probe      — registry ann_ivfpq_recall_probe, which
                          REBUILDS the IVF+PQ index per call (coarse
                          k-means + per-subspace Lloyd + ADC): the
@@ -68,10 +73,23 @@ def _ops(spark):
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         return drop_near_duplicates(docs, "text", "doc_id")
 
-    def semantic(sf_dir):
+    def semantic_fixed(sf_dir):
+        # the pinned registry query: k=8 centroids REGARDLESS of
+        # corpus size — measures the fixed-bucket pathology (§25)
         return registry.REGISTRY["semantic_dedup_end_to_end"].builder(
             spark, sf_dir
         )
+
+    def semantic_scaled(sf_dir):
+        # the production discipline: k ∝ n holds bucket occupancy
+        # constant (IVF-style), so pair work scales linearly
+        from eventstreams_spark.queries.analysis_extra import (
+            semantic_dedup_pipeline,
+        )
+
+        m = int(os.path.basename(sf_dir.rstrip("/")).lstrip("x"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup_pipeline(emb, k=8 * m)
 
     def ivfpq(sf_dir):
         return registry.REGISTRY["ann_ivfpq_recall_probe"].builder(
@@ -81,7 +99,8 @@ def _ops(spark):
     return {
         "sa_lcp_build": sa_build,
         "neardup_dedup_e2e": neardup,
-        "semantic_dedup_e2e": semantic,
+        "semantic_dedup_fixed_k": semantic_fixed,
+        "semantic_dedup_scaled_k": semantic_scaled,
         "ann_ivfpq_probe": ivfpq,
     }
 
@@ -92,7 +111,11 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "16g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )  # 16g GC-thrashed on the x16 SA build (27M suffix rows):
+        # GCLocker retry storms -> task crashes -> shuffle-file loss
         .config("spark.ui.enabled", "false")
         .appName("exp-llm-scale")
         .getOrCreate()
