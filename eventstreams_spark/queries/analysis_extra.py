@@ -583,7 +583,7 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     sims = (
-        emb.filter(F.col("vec_id") >= k)
+        emb.filter(F.col("vec_id") >= 8)
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
