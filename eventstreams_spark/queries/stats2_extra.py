@@ -464,7 +464,17 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
         )
     )
-    hashed = base.select(
+    # Repartition the (small) pre-fan-out base so the ×B explode and its
+    # per-draw md5+inverse-CDF work are spread over every core (guide
+    # §2.5: repartition immediately after a low-parallelism read, BEFORE
+    # the fan-out — the shuffle moves only the base rows, 1/B of the
+    # post-explode volume). The single-row-group bench input otherwise
+    # pins all rows×B hashing to ONE task: measured 16.5 s warm at
+    # sf0.01, ~1 s after. Round-robin repartition is deterministic
+    # (sortBeforeRepartition) and the draw is keyed by (b, event_id),
+    # so results are partitioning-independent.
+    fanout_base = base.repartition(spark.sparkContext.defaultParallelism)
+    hashed = fanout_base.select(
         "event_id", "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
     ).select(

@@ -2808,16 +2808,20 @@ def test_pinball_keyed_windows_only(spark, sf_dir):
     ) <= 1, counts
 
 
-def test_fm_occ_probe_is_equi_join_only(spark):
-    """VERDICT r8 #3: the FM-index Occ probe must be EQUI joins on
-    (char, block) against the blocked rank structures — never a
-    nested-loop / theta sweep of the full position frame. Built on
-    synthetic frames so the probe shape is pinned independently of
-    the corpus."""
+def test_fm_occ_lookup_is_filtered_grid_scan(spark):
+    """VERDICT r8 #3, consolidated r10: the FM-index Occ probe is a
+    rank-checkpoint LOOKUP — one filtered scan of the checkpointed
+    dense grid (literal (char, block) predicate, <= |probes| rows
+    collected, in-block <= count by binary search over the bounded
+    sorted position array). Never a nested-loop / theta sweep, and
+    never a re-scan of the O(n) per-position frame. Built on
+    synthetic frames so the shape is pinned independently of the
+    corpus."""
     from pyspark.sql import functions as F
 
     from eventstreams_spark.queries.llm import (
-        _fm_occ_probe,
+        _OCC_BLOCK,
+        _fm_occ_lookup,
         _fm_occ_structures,
     )
 
@@ -2825,21 +2829,27 @@ def test_fm_occ_probe_is_equi_join_only(spark):
         (F.col("id")).alias("pos"),
         F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("bwt"),
     )
-    occf, dense = _fm_occ_structures(spark, bwt, 4)
-    pf = spark.createDataFrame(
-        [("p", "c1", 9999, "s"), ("p", "c1", 15000, "e")],
-        "pat string, c string, pos long, which string",
+    grid = _fm_occ_structures(spark, bwt, 4)
+    # a probe-shaped filter over the grid must plan as a plain scan of
+    # the materialized checkpoint — no join, no exchange, no re-derive
+    # of the per-position rank frame
+    probe_plan = (
+        grid.filter((F.col("bwt") == "c1") & (F.col("block") == 2))
+        ._jdf.queryExecution().executedPlan().toString()
     )
-    probe = _fm_occ_probe(occf, dense, pf)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert "CartesianProduct" not in plan, plan[:2000]
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
-    # and it must be CORRECT: Occ(c1, p) = count of c1 at pos <= p
-    got = {(r.pat, r.which): r.o for r in probe.collect()}
+    assert "Scan ExistingRDD" in probe_plan, probe_plan[:2000]
+    for op in ("Join", "Exchange", "CartesianProduct"):
+        assert op not in probe_plan, probe_plan[:2000]
+    # and the lookup must be CORRECT: Occ(c1, p) = count of c1 at pos <= p
+    got = _fm_occ_lookup(
+        grid, [("p", "c1", 9999, "s"), ("p", "c1", 15000, "e")]
+    )
     want_s = bwt.filter("bwt = 'c1' AND pos <= 9999").count()
     want_e = bwt.filter("bwt = 'c1' AND pos <= 15000").count()
     assert got == {("p", "s"): want_s, ("p", "e"): want_e}, got
+    # in-block arrays are bounded by the block size B
+    max_arr = grid.agg(F.max(F.size("parr"))).head()[0]
+    assert max_arr <= _OCC_BLOCK, max_arr
 
 
 def test_fm_occ_grid_covers_full_sequence(spark):
@@ -2855,7 +2865,7 @@ def test_fm_occ_grid_covers_full_sequence(spark):
 
     from eventstreams_spark.queries.llm import (
         _OCC_BLOCK,
-        _fm_occ_probe,
+        _fm_occ_lookup,
         _fm_occ_structures,
     )
 
@@ -2870,18 +2880,17 @@ def test_fm_occ_grid_covers_full_sequence(spark):
         ),
     )
     filtered = bwt_full.filter(F.col("bwt") == "a")
-    occf, dense = _fm_occ_structures(spark, filtered, 4, n_total=n_total)
-    pf = spark.createDataFrame(
+    grid = _fm_occ_structures(spark, filtered, 4, n_total=n_total)
+    got = _fm_occ_lookup(
+        grid,
         [
             ("p", "a", n_total - 5, "e"),  # trailing a-free run
             ("p", "a", 7, "s"),  # in-block residual still works
         ],
-        "pat string, c string, pos long, which string",
     )
-    got = {(r.pat, r.which): r.o for r in _fm_occ_probe(occf, dense, pf).collect()}
     assert got == {("p", "e"): 10, ("p", "s"): 7}, got
     # and the dense grid spans every probe-reachable block
-    assert dense.agg(F.max("block")).head()[0] == 2
+    assert grid.agg(F.max("block")).head()[0] == 2
 
 
 def test_sa_cache_materializes_once_and_roundtrips(spark, sf_dir):
