@@ -1024,7 +1024,6 @@ def matrix_profile_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mass_agrees"
             ),
         )
-        .orderBy("event_type", "window_start")
     )
 
 
@@ -2049,7 +2048,6 @@ def matrix_profile_stomp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stomp_agrees"
             ),
         )
-        .orderBy("event_type", "window_start")
     )
 
 

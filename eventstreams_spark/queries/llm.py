@@ -2856,7 +2856,6 @@ def suffix_array_doubling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lcp_next", "n_suffixes", "lrs_len", "dup20_pairs",
             "sorted_gate",
         )
-        .orderBy("sa_idx")
     )
 
 
@@ -3028,7 +3027,6 @@ def exact_substring_dup_coverage(
                 6,
             ).alias("dup_ratio"),
         )
-        .orderBy(F.col("dup_ratio").desc(), "doc_id")
     )
 
 
@@ -3701,7 +3699,7 @@ def repeat_family_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_occ") - 1) * F.col("depth")).cast("long").alias(
             "cut_chars"
         ),
-    ).orderBy(F.col("n_occ").desc(), "fingerprint20")
+    )
 
 
 @query(

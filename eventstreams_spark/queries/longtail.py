@@ -2406,7 +2406,6 @@ def multimodal_ppm_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_g") / 64.0, 6).alias("mean_g"),
             F.round(F.col("sum_b") / 64.0, 6).alias("mean_b"),
         )
-        .orderBy("doc_id", "by", "bx")
     )
 
 
@@ -2515,7 +2514,6 @@ def multimodal_wav_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate", "win", "n_samples", "ssq", "peak",
             F.round(F.sqrt(F.col("ssq") / 160.0), 6).alias("rms"),
         )
-        .orderBy("doc_id", "win")
     )
 
 
@@ -2664,7 +2662,6 @@ def multimodal_png_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width", "height", "by", "bx", "n_px",
             "sum_r", "sum_g", "sum_b",
         )
-        .orderBy("doc_id", "by", "bx")
     )
 
 
@@ -2819,7 +2816,6 @@ def multimodal_gif_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width", "height", "by", "bx", "n_px",
             "sum_r", "sum_g", "sum_b",
         )
-        .orderBy("doc_id", "by", "bx")
     )
 
 
@@ -2930,7 +2926,6 @@ def multimodal_bmp_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width", "height", "by", "bx", "n_px",
             "sum_r", "sum_g", "sum_b",
         )
-        .orderBy("doc_id", "by", "bx")
     )
 
 

@@ -513,7 +513,6 @@ def timezone_conversion_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ny").alias("min_ny"),
             F.max("kolkata").alias("max_kolkata"),
         )
-        .orderBy("ny_hour", "kolkata_min")
     )
 
 

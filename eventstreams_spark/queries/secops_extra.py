@@ -268,7 +268,6 @@ def rare_pair_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("res_n") * 240 >= F.col("n"))
         )
         .select("user_id", "resource", "pair_n", "user_n", "res_n")
-        .orderBy("user_id", "resource")
     )
 
 

@@ -1884,7 +1884,7 @@ def fpgrowth_parallel_itemsets(
     return mined.select(
         "itemset", "sz", "n_co",
         F.round(F.col("n_co") / F.lit(n_orders), 6).alias("support"),
-    ).orderBy("sz", F.col("n_co").desc(), "itemset")
+    )
 
 
 @query(
@@ -1982,7 +1982,6 @@ def frequent_itemsets_closed_maximal(
             ).alias("is_closed"),
             (F.count("parent") == 0).alias("is_maximal"),
         )
-        .orderBy("sz", F.col("n_co").desc(), "itemset")
     )
 
 
@@ -2096,7 +2095,6 @@ def association_rules_confidence_lift(
                 conf / (F.col("n_consequent") / F.col("n")), 6
             ).alias("lift"),
         )
-        .orderBy(F.desc("confidence"), "antecedent", "consequent")
     )
 
 
@@ -2607,7 +2605,6 @@ def fellegi_sunter_record_linkage(
                 F.lit("possible")
             ),
         )
-        .orderBy("dirty_id", "clean_id")
     )
 
 
