@@ -43,13 +43,23 @@ def main() -> None:
             n = plan.count("rangepartitioning")
             # Is the TOP node (after AdaptiveSparkPlan/ResultQueryStage)
             # a global Sort? Then it's a final ordering.
+            import re
+
             lines = [
                 ln for ln in plan.splitlines()
                 if ln.strip() and "AdaptiveSparkPlan" not in ln
                 and "ResultQueryStage" not in ln
             ]
-            top = lines[0].strip() if lines else ""
-            final = top.startswith(("Sort", "*(") ) and "Sort" in top
+            # strip tree-drawing ("+- ", ": ") and codegen ("*(n) ")
+            # prefixes first: AQE wraps the plan, so the true root
+            # prints with a "+- " prefix and a bare startswith("Sort")
+            # never matches (r10 third-session fix)
+            top = (
+                re.sub(r"^[\s+\-:]*(\*\(\d+\)\s*)?", "", lines[0])
+                if lines
+                else ""
+            )
+            final = top.startswith("Sort ") or top.startswith("Sort[")
             hits.append((name, n, "FINAL" if final else "inner", top[:80]))
         spark.catalog.clearCache()
     for name, n, kind, top in hits:
