@@ -472,8 +472,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins all rows×B hashing to ONE task: measured 16.5 s warm at
     # sf0.01, ~1 s after. Round-robin repartition is deterministic
     # (sortBeforeRepartition) and the draw is keyed by (b, event_id),
-    # so results are partitioning-independent.
-    fanout_base = base.repartition(spark.sparkContext.defaultParallelism)
+    # so results are partitioning-independent. Guarded like the
+    # aho_corasick scan spread: a many-partition cluster scan already
+    # has the parallelism and skips the extra exchange.
+    par = spark.sparkContext.defaultParallelism
+    fanout_base = (
+        base.repartition(par)
+        if base.rdd.getNumPartitions() < par
+        else base
+    )
     hashed = fanout_base.select(
         "event_id", "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
