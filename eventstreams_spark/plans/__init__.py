@@ -27,11 +27,14 @@ def operator_counts(df: DataFrame) -> dict[str, int]:
     """Physical operator name → occurrence count (tree section only)."""
     tree = formatted_plan(df).split("\n\n")[0]
     counts: dict[str, int] = {}
-    for m in re.finditer(r"[+:]- (\w[\w ]*?) [(\[]", tree + "\n"):
+    # "* " is the whole-stage-codegen marker: plans without an AQE
+    # wrapper (no exchange anywhere) print it in the tree section,
+    # e.g. "+- * Scan ExistingRDD (1)" — count those too
+    for m in re.finditer(r"[+:]- (?:\* )?(\w[\w ]*?) [(\[]", tree + "\n"):
         name = m.group(1).strip()
         counts[name] = counts.get(name, 0) + 1
     # root operator (no +- prefix)
-    first = re.search(r"^(\w[\w]*)", tree.splitlines()[1] if len(tree.splitlines()) > 1 else "")
+    first = re.search(r"^(?:\* )?(\w[\w]*)", tree.splitlines()[1] if len(tree.splitlines()) > 1 else "")
     if first:
         counts[first.group(1)] = counts.get(first.group(1), 0) + 1
     return counts

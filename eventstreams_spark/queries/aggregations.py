@@ -436,7 +436,6 @@ def agg_distinct_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.size(F.array_distinct(F.flatten(F.collect_list("users"))))
             ).alias("union_within_5pct"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -489,7 +488,7 @@ def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p99_approx") >= F.col("_p98"))
             & (F.col("p99_approx") <= F.col("_vmax"))
         ).alias("p99_in_band"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -726,5 +725,4 @@ def agg_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
             F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
         )
-        .orderBy("event_type")
     )

@@ -386,7 +386,6 @@ def semantic_dedup_pipeline(emb: DataFrame, k: int = 8) -> DataFrame:
             F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
-        .orderBy("centroid_id")
     )
 
 
@@ -602,7 +601,6 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sim").alias("min_sim"),
             F.max("sim").alias("max_sim"),
         )
-        .orderBy("centroid_id")
     )
 
 
@@ -722,7 +720,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected = truncate_lineage(selected.unionAll(nxt))
     return selected.select(
         "pick", "vec_id", F.round("rel", 6).alias("rel")
-    ).orderBy("pick")
+    )
 
 
 def _sampled_bfs_levels(spark, sf_dir):

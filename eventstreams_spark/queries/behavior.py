@@ -705,7 +705,7 @@ def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         "n",
         F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("p"),
-    ).orderBy("src", "dst")
+    )
 
 
 @query(
@@ -845,7 +845,6 @@ def rfm_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("m_cents").cast("long").alias("seg_cents"),
         )
-        .orderBy("r_score", "f_score", "m_quint")
     )
 
 
@@ -924,7 +923,6 @@ def dau_wau_mau_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mau14",
             F.round(F.col("dau") / F.col("mau14"), 6).alias("stickiness"),
         )
-        .orderBy("day")
     )
 
 
@@ -964,7 +962,6 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "returning_users"
             ),
         )
-        .orderBy("day")
     )
 
 
@@ -1331,7 +1328,6 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mu", 6).alias("expected"),
             F.round(z, 4).alias("z"),
         )
-        .orderBy("h")
     )
 
 
@@ -1519,7 +1515,6 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("c") / F.greatest(F.count("v"), F.lit(1)), 6
             ).alias("conversion"),
         )
-        .orderBy("segment")
     )
 
 
@@ -2628,7 +2623,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "channel string, p_conv_full double, p_conv_removed double,"
         " removal_effect double, attribution_share double",
-    ).orderBy("channel")
+    )
 
 
 @query(
@@ -2734,7 +2729,6 @@ def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(100.0) * F.col("cohort_users")), 6
             ).alias("ltv_per_user"),
         )
-        .orderBy("cohort_week", "week_index")
     )
 
 
@@ -2850,7 +2844,6 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t").cast("long").alias("phi24"),
             F.round(F.sum("t") / 24.0, 6).alias("shapley"),
         )
-        .orderBy("channel")
     )
 
 
@@ -2945,7 +2938,6 @@ def trajectory_distance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_leg_km"),
             F.max("leg_m").cast("long").alias("max_leg_m"),
         )
-        .orderBy(F.desc("total_m"), "user_id")
     )
 
 
@@ -3025,7 +3017,6 @@ def geofence_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
-        .orderBy("fence_id")
     )
 
 
@@ -3614,7 +3605,6 @@ def prefixspan_projected_census(
             F.col("sup").alias("n_users"),
             F.round(F.col("sup") / F.col("n_users"), 6).alias("support"),
         )
-        .orderBy("length", F.col("n_users").desc(), "s1", "s2", "s3", "s4")
     )
 
 
@@ -3734,5 +3724,4 @@ def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("user_a", "user_b", km.alias("km"))
         .filter(F.col("km") <= 500.0)
         .select("user_a", "user_b", F.round("km", 6).alias("km"))
-        .orderBy("user_a", "user_b")
     )

@@ -119,7 +119,6 @@ def adstock_geometric_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.cents").alias("cents"),
             F.round("w.adstock", 6).alias("adstock"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -270,7 +269,7 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_fold") - F.col("min_fold")).cast("double") * 5
             <= 0.5 * F.col("n_lang")
         ).alias("balanced"),
-    ).orderBy("lang")
+    )
 
 
 @query(
@@ -426,7 +425,7 @@ def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rt, 6).alias("rate_t"),
         F.round(rc, 6).alias("rate_c"),
         F.round(rt - rc, 6).alias("uplift"),
-    ).orderBy("band")
+    )
 
 
 def breach_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +559,6 @@ def alert_flap_suppression_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(0)
             ).cast("long").alias("n_suppressed_clears"),
         )
-        .orderBy("event_type")
     )
 
 

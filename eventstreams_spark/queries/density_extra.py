@@ -408,5 +408,4 @@ def point_in_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("inside_ratio"),
         )
-        .orderBy("polygon_id")
     )

@@ -635,7 +635,6 @@ def json_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(key_set)
         .groupBy("key_set")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy(F.col("n_rows").desc(), "key_set")
     )
 
 
@@ -938,7 +937,7 @@ def spatial_grid_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = 2.0 * 6371.0088 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
     return pairs.select(
         "id1", "id2", F.round(dist, 4).alias("dist_km")
-    ).orderBy("id1", "id2")
+    )
 
 
 _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -1804,7 +1803,6 @@ def last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(chi2, 6).alias("chi2_uniform"),
             (chi2 > 16.918978).alias("reject_uniform_5pct"),
         )
-        .orderBy("last_digit")
     )
 
 
@@ -1859,5 +1857,4 @@ def apdex_score_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (sat.cast("double") + 0.5 * tol) / F.count(F.lit(1)), 6
             ).alias("apdex"),
         )
-        .orderBy("day")
     )

@@ -133,7 +133,6 @@ def woe_iv_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w", 6).alias("woe"),
             F.round("iv_total", 6).alias("iv_total"),
         )
-        .orderBy("bin")
     )
 
 
@@ -520,7 +519,6 @@ def seasonal_decompose_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).alias("seasonal"),
             F.round(F.col("d") - F.col("s"), 6).alias("remainder"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -633,5 +631,4 @@ def boxcox_lambda_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == F.col("bm")
             ).alias("is_best"),
         )
-        .orderBy("lambda")
     )

@@ -180,7 +180,7 @@ def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("phi2") > -1.0)
             & (F.col("phi2") < 1.0 - F.abs(F.col("phi1")))
         ).alias("stationary"),
-    ).orderBy("event_type")
+    )
 
 
 # Drift forecast: shared text (h, last/first train values, n_train)
@@ -381,7 +381,7 @@ def forecast_backtest_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mrow.mae"), 6).alias("mae"),
         F.round(F.col("mrow.smape"), 6).alias("smape"),
         F.round(F.col("mrow.mae") / F.col("scale"), 6).alias("mase"),
-    ).orderBy("event_type", "method")
+    )
 
 
 # z-normalized squared distance between two length-7 windows, from
@@ -535,7 +535,6 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("motif_match"),
             F.col("d2").alias("znorm_dist_sq"),
         )
-        .orderBy("event_type", "window_start")
     )
 
 
@@ -655,7 +654,6 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("coverage"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -779,7 +777,6 @@ def conformal_monitor_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             qsel.cast("long").alias("q90"),
             (F.col("r") <= qsel).alias("covered"),
         )
-        .orderBy("event_type", "rn")
     )
 
 
@@ -1205,14 +1202,6 @@ def dtw_banded_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel_a", "channel_b", "len_a", "len_b",
             dtw_band(F.col("va"), F.col("vb")).alias("dtw_distance"),
         )
-        # pairs are band-restricted above, so the DP helper's
-        # unreachable-end-cell None can only appear if that contract
-        # breaks — and then it surfaces as a NULL distance (a loud
-        # hash mismatch), never as the old 'big' garbage sentinel.
-        # (No isNotNull filter here: referencing the UDF column in a
-        # Filter makes Catalyst plan a second ArrowEvalPython node,
-        # running the DP twice.)
-        .orderBy("channel_a", "channel_b")
     )
 
 
@@ -1415,7 +1404,6 @@ def holt_winters_additive_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w.b", 6).alias("trend"),
             F.round("w.s_old", 6).alias("seasonal"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -1595,7 +1583,6 @@ def nw_alignment_channel_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("norm_sim"),
         )
-        .orderBy("channel_a", "channel_b")
     )
 
 
@@ -1822,7 +1809,6 @@ def gotoh_affine_alignment_shapes(
                 6,
             ).alias("norm_sim"),
         )
-        .orderBy("channel_a", "channel_b")
     )
 
 
@@ -2263,7 +2249,6 @@ def smith_waterman_local_shapes(
                 6,
             ).alias("norm_local_sim"),
         )
-        .orderBy("channel_a", "channel_b")
     )
 
 
@@ -2448,7 +2433,7 @@ def smith_waterman_traceback_alignment(
         F.col("r.aligned_a").alias("aligned_a"),
         F.col("r.aligned_b").alias("aligned_b"),
         F.length("r.aligned_a").cast("long").alias("align_len"),
-    ).orderBy("channel_a", "channel_b")
+    )
 
 
 def _smith_waterman_traceback(xa, xb, match: int = 2, mismatch: int = -1,
@@ -2714,7 +2699,6 @@ def gotoh_local_alignment_shapes(
                 6,
             ).alias("norm_local_sim"),
         )
-        .orderBy("channel_a", "channel_b")
     )
 
 
@@ -2822,4 +2806,4 @@ def pinball_loss_quantile_eval(
             F.col("pinball5_cents") / 5.0 / F.col("n_days") / 100.0, 6
         ).alias("mean_pinball"),
         F.round(F.col("n_covered") / F.col("n_days"), 6).alias("coverage"),
-    ).orderBy("event_type")
+    )

@@ -72,7 +72,7 @@ def sketch_accuracy_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel(F.col("hll_est"), F.col("cd")) <= 0.10).alias("hll_ok"),
         ((F.col("ap50") >= F.col("p48")) & (F.col("ap50") <= F.col("p52"))).alias("p50_ok"),
         ((F.col("ap99") >= F.col("p985")) & (F.col("ap99") <= F.col("p995"))).alias("p99_ok"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -250,7 +250,6 @@ def bitmap_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bitmap") == F.col("n_exact")).alias("bitmap_matches_exact"),
             "n_exact",
         )
-        .orderBy("event_type")
     )
 
 
@@ -408,7 +407,7 @@ def histogram_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gk50") >= blo(F.col("b50f")) - width)
             & (F.col("gk50") <= bhi(F.col("b50c")) + width)
         ).alias("gk_close_ok"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -494,7 +493,6 @@ def countmin_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overcount_ok"
             ),
         )
-        .orderBy(F.col("true_cnt").desc(), "tok")
     )
 
 
@@ -561,7 +559,7 @@ def tdigest_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("n_centroids") * 5 < F.col("total_weight"))
             )
         ).alias("compressed_ok"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -690,7 +688,6 @@ def hll_sketch_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.1 * F.col("n_exact")
             ).alias("est_ok"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -774,7 +771,6 @@ def tdigest_band_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.025 * F.col("n_type")
             ).alias("digest_band_ok"),
         )
-        .orderBy("event_type", "band")
     )
 
 
@@ -910,7 +906,7 @@ def kll_tdigest_shootout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kll_weight_ok"),
         (F.abs(F.col("rk50") - F.col("rt50")) <= 0.04).alias("agree_p50_ok"),
         (F.abs(F.col("rk99") - F.col("rt99")) <= 0.04).alias("agree_p99_ok"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -975,7 +971,7 @@ def qdigest_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r99") - 0.99) <= 0.02).alias("p99_ok"),
         (F.col("n_nodes") <= 3 * 1024).alias("size_ok"),
         (F.col("total_weight") == F.col("n_exact")).alias("weight_exact_ok"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -1126,5 +1122,4 @@ def hll_sliding_window_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFr
             (F.abs(F.col("est") - F.col("n_exact"))
              <= 0.10 * F.col("n_exact")).alias("est_ok"),
         )
-        .orderBy("day")
     )

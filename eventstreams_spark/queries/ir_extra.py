@@ -64,7 +64,6 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("df") >= 50)
-        .orderBy("tok")
     )
 
 
@@ -528,7 +527,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = nxt
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, merged string, n long"
-    ).orderBy("round")
+    )
 
 
 @query(
@@ -1183,5 +1182,4 @@ def team_draft_interleaving_eval(
             .otherwise("tie")
             .alias("preferred"),
         )
-        .orderBy("pos")
     )

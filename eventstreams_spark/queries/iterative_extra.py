@@ -206,7 +206,6 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nm", F.lit(0)).alias("n_moved_in"),
             F.coalesce("centroid_norm", F.lit(0.0)).alias("centroid_norm"),
         )
-        .orderBy("centroid_id")
     )
 
 
@@ -289,7 +288,6 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         l2.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
-        .orderBy("community")
     )
 
 
@@ -650,7 +648,7 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("total").cast("long").alias("total"),
         F.round(q, 6).alias("q95_est"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -952,7 +950,6 @@ def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("contribution"),
         )
-        .orderBy("community")
     )
 
 

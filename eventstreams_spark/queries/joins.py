@@ -291,7 +291,6 @@ def supplier_return_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("long")
             .alias("returned_cents"),
         )
-        .orderBy("nation")
     )
 
 

@@ -115,7 +115,6 @@ def luhn_validity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("valid_rate"),
             (F.min("ok_fix") == 1).alias("all_fixed_valid"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -511,7 +510,6 @@ def soundex_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("w").alias("last_word"),
             (F.count(F.lit(1)) > 1).alias("is_block"),
         )
-        .orderBy(F.col("n_words").desc(), "code")
     )
 
 

@@ -1552,7 +1552,6 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flags.groupBy("len_ok", "lang_en", "toks_ok", "has_stop")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("len_ok", "lang_en", "toks_ok", "has_stop")
     )
 
 
@@ -1622,7 +1621,6 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n_odd").cast("long").alias("n_odd"),
             F.round(F.sqrt(F.sum(F.pow(d, 2))) / 1000000.0, 6).alias("drift_l2"),
         )
-        .orderBy("label")
     )
 
 
@@ -2410,7 +2408,6 @@ def icws_weighted_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jw, 6).alias("jw_exact"),
             (F.abs(F.col("est") - jw) <= 0.35).alias("icws_ok"),
         )
-        .orderBy("id1")
     )
 
 
@@ -3124,7 +3121,6 @@ def bwt_run_length_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r_over_n"
             ),
         )
-        .orderBy("bwt_char")
     )
 
 
@@ -3458,7 +3454,6 @@ def fm_index_backward_search(
             "pattern", "m", "n_occurrences",
             F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs"),
         )
-        .orderBy("pattern")
     )
 
 
@@ -3851,7 +3846,6 @@ def allpairs_prefix_filter_join(
             F.col("i").alias("n_common"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .orderBy("id1", "id2")
     )
 
 

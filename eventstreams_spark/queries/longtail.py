@@ -2096,7 +2096,6 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_credit"
             ),
         )
-        .orderBy("channel")
     )
 
 
@@ -2306,7 +2305,7 @@ def packing_efficiency_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("greedy_bins") * F.lit(2048.0)),
             6,
         ).alias("fill_rate"),
-    ).orderBy("source")
+    )
 
 
 _PPM_ORACLE = """
@@ -3030,7 +3029,6 @@ def webdataset_tar_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cls_bytes"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
-        .orderBy("shard")
     )
 
 
@@ -3126,5 +3124,4 @@ def webdataset_zip_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cls_bytes"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
-        .orderBy("shard")
     )

@@ -89,7 +89,7 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge associatively); output is |types|×|days| rows regardless of
     tick volume.
     """
-    return _daily_bars(spark, sf_dir).orderBy("event_type", "day")
+    return _daily_bars(spark, sf_dir)
 
 
 @query(
@@ -148,7 +148,6 @@ def max_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("day", pick).alias("trough_day"),
             F.min_by("peak_cents", pick).cast("long").alias("peak_at_trough_cents"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -218,7 +217,6 @@ def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rsi14"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -292,7 +290,6 @@ def bollinger_band_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("close_cents") < ma - 2 * sd)
             ).alias("breakout"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -346,7 +343,6 @@ def sharpe_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("r"), 6).alias("sd_return"),
             F.round(F.avg("r") / F.stddev_samp("r"), 6).alias("sharpe_daily"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -543,7 +539,7 @@ def capm_beta_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("corr_mkt"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -633,7 +629,6 @@ def sortino_calmar_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("mr") / F.nullif(F.col("max_dd"), F.lit(0.0)), 6
             ).alias("calmar_daily"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -707,7 +702,6 @@ def var_cvar_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("var95", 6).alias("var_95"),
             "n_tail", "cvar_95",
         )
-        .orderBy("event_type")
     )
 
 
@@ -764,4 +758,4 @@ def hhi_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (hhi - 1.0 / F.col("k")) / (1.0 - 1.0 / F.col("k")), 6
         ).alias("hhi_normalized"),
-    ).orderBy("day")
+    )

@@ -212,7 +212,7 @@ def confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
             6,
         ).alias("f1"),
-    ).orderBy("threshold")
+    )
 
 
 @query(
@@ -512,7 +512,6 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_cents").alias("weighted_median_cents"),
             F.col("tw").alias("total_weight"),
         )
-        .orderBy("l_returnflag")
     )
 
 

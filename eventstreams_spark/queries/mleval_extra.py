@@ -207,7 +207,6 @@ def calibration_bins_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight"),
         )
         .select("bin", "n", "mean_p", "obs_rate", "brier", "weight")
-        .orderBy("bin")
     )
 
 
@@ -712,7 +711,6 @@ def syllable_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("n_syllables").cast("double") / F.col("n_words")), 6
             ).alias("flesch_word_component"),
         )
-        .orderBy("source")
     )
 
 

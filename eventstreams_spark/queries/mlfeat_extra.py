@@ -147,7 +147,6 @@ def kalman_level_filter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w.x", 6).alias("level"),
             F.round("w.gain", 8).alias("gain"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -223,7 +222,6 @@ def target_encode_oof_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.col("n"), 6)
             .alias("prior_mean"),
         )
-        .orderBy("event_type", "fold")
     )
 
 
@@ -390,7 +388,7 @@ def periodogram_beacon_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(99999999) - F.substring("k", 17, 8).cast("long"))
         .cast("long").alias("best_period"),
         F.substring("k", 1, 16).cast("long").alias("peak_upower"),
-    ).orderBy("user_id")
+    )
 
 
 _COMPACT_TARGET = 262144  # bytes per output file

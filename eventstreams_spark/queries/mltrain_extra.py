@@ -226,7 +226,6 @@ def naive_bayes_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_right").cast("double") / F.col("n_test"), 6)
             .alias("accuracy"),
         )
-        .orderBy("true_lang", "pred_lang")
     )
 
 
@@ -541,7 +540,6 @@ def isotonic_calibration_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("obs_rate"),
             F.round("iso_rate", 6).alias("iso_rate"),
         )
-        .orderBy("bin")
     )
 
 

@@ -121,7 +121,6 @@ def little_law_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tick_crossings").cast("double") / ticks, 6)
             .alias("l_sampled"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -251,7 +250,6 @@ def hmm_burst_forward_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lo, 6).alias("log_odds"),
             F.round(1.0 / (1.0 + F.exp(-lo)), 6).alias("p_burst"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -407,7 +405,6 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("avg_rs", 6).alias("avg_rs"),
             F.round("h", 6).alias("hurst"),
         )
-        .orderBy("event_type", "n")
     )
 
 
@@ -549,7 +546,6 @@ def binary_segmentation_changepoint(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.col("nt") * F.log(sse_full / F.col("sse_split")), 6)
             .alias("llr_gain"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -679,7 +675,6 @@ def ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q_lb", 6).alias("q_ljung_box"),
             F.col("n").alias("n_days"),
         )
-        .orderBy("event_type", "lag")
     )
 
 
@@ -780,7 +775,7 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("n_runs"), n1.alias("n_above"), n2.alias("n_below"),
         F.round(mu, 6).alias("mu_runs"),
         F.round((r - mu) / sig, 6).alias("z_stat"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -980,7 +975,7 @@ def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b", 6).alias("p_block_erlang_b"),
         F.round(F.expr(_ERLANG_C), 6).alias("p_wait_erlang_c"),
         (F.expr(_ERLANG_C) <= 0.2).alias("meets_target"),
-    ).orderBy("event_type", "n_servers")
+    )
 
 
 @query(
@@ -1081,7 +1076,6 @@ def max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("conc").alias("peak_concurrency"),
             F.col("t").alias("peak_at_cs"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1173,5 +1167,4 @@ def watermark_delay_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("completeness"),
         )
         .withColumnRenamed("w_s", "watermark_s")
-        .orderBy("watermark_s")
     )

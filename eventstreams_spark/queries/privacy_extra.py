@@ -82,7 +82,6 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("class_size").cast("long").alias("n_rows"),
             F.min("class_size").cast("long").alias("min_class_size"),
         )
-        .orderBy("under_k", "under_l")
     )
 
 
@@ -138,7 +137,7 @@ def dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("true_count"),
         (F.col("n") + F.round(draw)).cast("long").alias("dp_count"),
         F.round(draw, 6).alias("laplace_draw"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -434,5 +433,4 @@ def t_closeness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_g").cast("long").alias("n_rows"),
             F.round(F.max("emd"), 6).alias("max_emd"),
         )
-        .orderBy("over_t")
     )

@@ -458,7 +458,6 @@ def xml_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("u").alias("sum_u"),
         )
-        .orderBy("t")
     )
 
 
@@ -514,7 +513,6 @@ def pseudonymize_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("joins_preserved"),
             F.min("token").alias("min_token"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -619,7 +617,6 @@ def grok_apache_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bytes").alias("total_bytes"),
             F.count_distinct("clientip").alias("n_clients"),
         )
-        .orderBy("verb", "response")
     )
 
 
@@ -678,7 +675,6 @@ def tld_extract_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tld.domain").alias("domain"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("tld", "sld")
     )
 
 
@@ -745,5 +741,4 @@ def tld_psl_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("psl.domain").alias("domain"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("suffix", "sld")
     )

@@ -462,7 +462,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "s_nationkey",
         F.round("s_acctbal", 2).alias("bal"),
-    ).orderBy("s_suppkey")
+    )
 
 
 @query(
@@ -558,7 +558,6 @@ def aes_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min("props").alias("min_props"),
         )
-        .orderBy("event_type")
     )
 
 

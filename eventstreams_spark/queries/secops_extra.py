@@ -203,7 +203,6 @@ def dga_domain_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("h"), 6).alias("min_entropy"),
             F.round(F.max("h"), 6).alias("max_entropy"),
         )
-        .orderBy("synthetic_dga", "flagged")
     )
 
 
@@ -320,7 +319,6 @@ def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_failures"),
         )
         .filter(F.col("n_sources") >= 3)
-        .orderBy("window_start", "account")
     )
 
 
@@ -520,4 +518,4 @@ def aho_corasick_watchlist_scan(
             F.coalesce("n_occurrences", F.lit(0))
             == F.coalesce("n_occ_builtin", F.lit(0))
         ).alias("ac_gate"),
-    ).orderBy("keyword")
+    )

@@ -143,7 +143,6 @@ def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(llr_dec, 6).alias("llr_at_decision"),
             F.round(F.max_by("llr", "hr"), 6).alias("llr_final"),
         )
-        .orderBy("variant")
     )
 
 

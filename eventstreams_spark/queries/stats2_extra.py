@@ -176,7 +176,6 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("k_groups"),
             F.col("n").alias("n_total"),
         )
-        .orderBy("grp")
     )
 
 
@@ -352,7 +351,6 @@ def jackknife_loo_day_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jk_se"),
         )
-        .orderBy("day")
     )
 
 
@@ -622,7 +620,6 @@ def tukey_hsd_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(se, 6).alias("se_tukey"),
             F.round(diff / se, 6).alias("q_stat"),
         )
-        .orderBy("grp_a", "grp_b")
     )
 
 
@@ -910,7 +907,6 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("t_num") * F.col("t_num") > 3.841459 * F.col("t_var")
             ).alias("reject_5pct"),
         )
-        .orderBy("dose_group")
     )
 
 
@@ -1019,7 +1015,6 @@ def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("winsorized_mean"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1105,7 +1100,6 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("hl_estimate"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1172,7 +1166,7 @@ def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             chi2 > (F.col("n") - 1) + 2.0 * F.sqrt(2.0 * (F.col("n") - 1))
         ).alias("overdispersed"),
-    ).orderBy("event_type")
+    )
 
 
 # Beta method-of-moments from ppm-quantized per-user rates:
@@ -1272,7 +1266,6 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("alpha", 6).alias("prior_alpha"),
             F.round("beta", 6).alias("prior_beta"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1415,7 +1408,7 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(reject & (F.col("s_stat") < 0), "decreasing")
         .otherwise("no_trend")
         .alias("verdict"),
-    ).orderBy("event_type")
+    )
 
 
 @query(
@@ -1525,7 +1518,6 @@ def energy_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(win_a, 6).alias("within_a"),
             F.round(win_b, 6).alias("within_b"),
         )
-        .orderBy("ta", "tb")
     )
 
 
@@ -1614,7 +1606,6 @@ def gini_mean_difference_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("gini_coefficient"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1823,7 +1814,6 @@ def fisher_exact_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lp_obs"), 6).alias("log_pmf_observed"),
             F.round(F.exp(F.col("lpmax")) * F.col("s"), 6).alias("p_upper"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1929,7 +1919,6 @@ def theilsen_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ts_intercept", 6).alias("ts_intercept"),
             F.round("ols_slope", 6).alias("ols_slope"),
         )
-        .orderBy("event_type")
     )
 
 

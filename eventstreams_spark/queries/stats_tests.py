@@ -554,7 +554,7 @@ def ab_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("conv_rate"),
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
-    ).orderBy("variant")
+    )
 
 
 @query(
@@ -642,5 +642,4 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variant", "n_users", "mean_post", "mean_cuped",
             "var_reduction", F.round("theta", 6).alias("theta"),
         )
-        .orderBy("variant")
     )

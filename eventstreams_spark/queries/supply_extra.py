@@ -169,7 +169,6 @@ def croston_sba_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (1.0 - float(_ALPHA) / 2.0) * F.col("st.z") / F.col("st.p"), 6
             ).alias("sba_rate"),
         )
-        .orderBy("partkey")
     )
 
 
@@ -262,7 +261,6 @@ def newsvendor_critical_fractile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q_star", 6).alias("q_star"),
             "short_days", "exp_short_per_day",
         )
-        .orderBy("prio")
     )
 
 
@@ -349,7 +347,7 @@ def safety_stock_reorder_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ss, 4).alias("safety_stock"),
         F.round(F.lit(lead) * mu + ss, 4).alias("reorder_point"),
         F.round(F.sqrt(F.lit(2.0 * k * 365.0) * mu / F.lit(h)), 4).alias("eoq"),
-    ).orderBy("prio")
+    )
 
 
 @query(
@@ -477,7 +475,6 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         classed.groupBy("abc", "xyz")
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-        .orderBy("abc", "xyz")
     )
 
 
@@ -788,5 +785,4 @@ def weighted_interval_scheduling(
             F.round(F.col("best_w") / F.col("total_w"), 6)
             .alias("kept_ratio"),
         )
-        .orderBy("event_type", "day")
     )

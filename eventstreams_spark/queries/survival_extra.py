@@ -449,7 +449,6 @@ def kaplan_meier_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.round(F.exp("lnsurv"), 6))
             .alias("survival"),
         )
-        .orderBy("grp", "minute")
     )
 
 

@@ -252,7 +252,6 @@ def langid_char_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         best.groupBy(F.col("lang").alias("true_lang"), "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("true_lang", "predicted")
     )
 
 
@@ -384,7 +383,6 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         negs.groupBy(F.col("tok").alias("negative"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
         .filter(F.col("n_drawn") >= 20)
-        .orderBy(F.col("n_drawn").desc(), "negative")
     )
 
 

@@ -390,7 +390,6 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("match_id"),
             F.round("cos_sim_raw", 6).alias("cos_sim"),
         )
-        .orderBy("dup_id", "match_id")
     )
 
 
@@ -520,7 +519,6 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.10 * F.count_distinct("user_id").cast("double")
             ).alias("hll_within_5rsd"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -554,7 +552,6 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("event_type")
     )
 
 
@@ -985,7 +982,6 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_best") >= 0.9)
         .drop("_best")
-        .orderBy("id1", "id2")
     )
 
 
@@ -1087,5 +1083,4 @@ def curriculum_ordering_stages(
             F.sum("n_toks").cast("long").alias("stage_tokens"),
             F.count_distinct("lang").cast("long").alias("n_langs"),
         )
-        .orderBy("stage")
     )

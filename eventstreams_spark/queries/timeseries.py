@@ -530,7 +530,6 @@ def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum(unix_micros(me) - unix_micros(ms)) div 1000000"
             ).alias("covered_secs"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -584,7 +583,6 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("value", "l3"), 6).alias("acf3"),
             F.count("l3").cast("long").alias("n3"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -627,7 +625,6 @@ def hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
             F.round(F.max("value"), 6).alias("mx"),
         )
-        .orderBy("h")
     )
 
 
@@ -777,7 +774,6 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("percentile(m - sen_slope * d, 0.5)"), 6
             ).alias("sen_intercept")
         )
-        .orderBy("event_type")
     )
 
 
@@ -849,7 +845,6 @@ def xcorr_lag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.round(F.corr("x", "y"), 6).alias("r"),
         )
-        .orderBy("lag_days")
     )
 
 
@@ -935,7 +930,6 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.round(F.avg("twa"), 6).alias("mean_daily_twa"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1037,7 +1031,6 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, final_bal_cents long, n_clamp_lo long,"
             " n_clamp_hi long",
         )
-        .orderBy("user_id")
     )
 
 
@@ -1213,5 +1206,4 @@ def haar_wavelet_energy_census(
                 "parseval_gate"
             ),
         )
-        .orderBy("event_type", "component")
     )

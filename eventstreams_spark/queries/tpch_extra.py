@@ -102,7 +102,6 @@ def tpch_q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -173,7 +172,6 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("volume_cents")
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
     )
 
 
@@ -264,7 +262,6 @@ def tpch_q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -346,7 +343,6 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )
 
 
@@ -584,7 +580,6 @@ def tpch_q9_profit_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg((F.sum(profit_cents) / F.lit(float(MONEY_SCALE))).alias("sum_profit"))
-        .orderBy("nation", F.col("o_year").desc())
     )
 
 
@@ -651,7 +646,6 @@ def tpch_q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFram
             "l_partkey",
             (F.col("part_cents") / F.lit(float(MONEY_SCALE))).alias("part_value"),
         )
-        .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 
 
@@ -698,7 +692,6 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
 
@@ -777,5 +770,4 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "s_acctbal", "n_name")
-        .orderBy("s_name")
     )

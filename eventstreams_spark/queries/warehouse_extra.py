@@ -124,7 +124,6 @@ def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("lo"), 6).alias("p05"),
             F.round(F.max("hi"), 6).alias("p95"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -376,7 +375,6 @@ def groupby_null_key_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("value").alias("n_value"),
             F.count("k").alias("n_k_nonnull"),
         )
-        .orderBy(F.col("k").asc_nulls_last(), F.col("et").asc_nulls_last())
     )
 
 
@@ -442,7 +440,6 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(benford, 6).alias("benford_freq"),
             F.round(F.abs(obs - benford), 6).alias("abs_dev"),
         )
-        .orderBy("digit")
     )
 
 
@@ -486,7 +483,6 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "n_chars")
-        .orderBy("source", "doc_id")
     )
 
 
@@ -539,7 +535,6 @@ def recursive_cte_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(node) AS BIGINT) AS sum_nodes
         FROM anc WHERE cur = 1
         GROUP BY depth
-        ORDER BY depth
         """
     )
 
@@ -611,7 +606,6 @@ def net_revenue_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("prev_cents").cast("long").alias("base_cents"),
             F.round(F.sum("cur_cents") / F.sum("prev_cents"), 6).alias("ndr"),
         )
-        .orderBy("mon")
     )
 
 
@@ -829,7 +823,6 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("open_cents"),
         )
-        .orderBy("o_orderstatus", "age_bucket")
     )
 
 
@@ -1063,7 +1056,6 @@ def zonemap_skipping_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("rows_scanned"),
             F.sum("n_match").cast("long").alias("rows_matching"),
         )
-        .orderBy("layout")
     )
 
 
@@ -1155,7 +1147,6 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         diff.groupBy("event_type", "status")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy("event_type", "status")
     )
 
 
@@ -1305,7 +1296,7 @@ def quantile_normalize_daily_sources(spark: SparkSession, sf_dir: str) -> DataFr
         "lang",
         F.col("n_chars").alias("raw_chars"),
         F.coalesce("normalized", "gmin").cast("long").alias("normalized_chars"),
-    ).orderBy("lang", "raw_chars")
+    )
 
 
 @query(
@@ -1397,7 +1388,6 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.sum("n_rows") * 25
             ).alias("balanced"),
         )
-        .orderBy("candidate")
     )
 
 
@@ -1480,7 +1470,6 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_clicks"),
             F.countDistinct("f_user").cast("long").alias("n_users"),
         )
-        .orderBy("status_at_click")
     )
 
 
@@ -1558,7 +1547,6 @@ def benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > 3.0 * F.sqrt(F.col("total") * p * (1.0 - p))
             ).alias("outlier_3sigma"),
         )
-        .orderBy("digit")
     )
 
 
@@ -2239,7 +2227,6 @@ def zorder_layout_skipping_census(
                 F.sum(skipped.cast("long")) / F.count(F.lit(1)), 6
             ).alias("skip_ratio"),
         )
-        .orderBy("layout")
     )
 
 
@@ -2332,7 +2319,6 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.join(F.broadcast(surviving), "p_retailprice")
         .filter(F.col("p_size") == F.col("gmax"))
         .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_retailprice", "p_partkey")
     )
 
 
@@ -2462,7 +2448,6 @@ def ivm_delta_aggregate_maintenance(
                 & (F.col("cents") == F.col("rcents"))
             ).alias("ivm_gate"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -2943,7 +2928,6 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 6).alias("psi"),
             (F.sum(term) > 0.1).alias("drift_flag"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -3092,7 +3076,6 @@ def consistent_hash_rebalance_census(
             ),
             "moved_only_to_new",
         )
-        .orderBy("node_before", "node_after")
     )
 
 
@@ -3492,5 +3475,4 @@ def fagin_ta_depth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tau_depth") / F.col("n_objects"), 6
             ).alias("depth_ratio"),
         )
-        .orderBy("k")
     )
