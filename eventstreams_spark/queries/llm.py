@@ -3161,34 +3161,37 @@ def _fm_occ_structures(
     ``bwt_frame`` — only safe if the frame is unfiltered."""
     from ..operators.graph import truncate_lineage
 
-    occf = bwt_frame.select(
+    # ONE block-level aggregation replaces the r10 per-POSITION
+    # row_number window (guide §1.2/§2.3): the per-char rank before a
+    # block is just the cumulative count of the char's positions in
+    # prior blocks, so a groupBy (bwt, block) count + a block-level
+    # running sum computes occ_start without ever sorting the O(n)
+    # position rows per char — the window that formerly dominated the
+    # grid build (a full per-char sort pass of the corpus at scale).
+    blocked = bwt_frame.select(
         "pos",
         "bwt",
-        F.row_number()
-        .over(Window.partitionBy("bwt").orderBy("pos"))
-        .cast("long")
-        .alias("occ"),
         F.floor((F.col("pos") - 1) / F.lit(_OCC_BLOCK))
         .cast("long")
         .alias("block"),
     )
+    bsum = blocked.groupBy("bwt", "block").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_block"),
+        F.sort_array(F.collect_list("pos")).alias("parr"),
+    )
     if n_total is not None:
         max_block = (int(n_total) - 1) // _OCC_BLOCK if n_total > 0 else 0
     else:
-        max_block = occf.agg(F.max("block")).head()[0] or 0  # bounded scalar
-    grid = occf.select("bwt").distinct().select(
+        max_block = bsum.agg(F.max("block")).head()[0] or 0  # bounded scalar
+    grid = bsum.select("bwt").distinct().select(
         "bwt",
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.lit(int(max_block)))
         ).alias("block"),
     )
-    # per-block summary: occ is monotone in pos per char, so the rank
-    # before the block = max occ of any PRIOR block (forward-filled);
+    # forward-fill over the dense grid: sum of prior blocks' counts
+    # (missing blocks contribute nothing — sum skips their NULLs);
     # the in-block sorted position list is bounded by B by construction
-    bsum = occf.groupBy("bwt", "block").agg(
-        F.max("occ").alias("occ_end"),
-        F.sort_array(F.collect_list("pos")).alias("parr"),
-    )
     prior = Window.partitionBy("bwt").orderBy("block").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -3196,9 +3199,8 @@ def _fm_occ_structures(
         grid.join(bsum, ["bwt", "block"], "left").select(
             "bwt",
             "block",
-            F.coalesce(
-                F.last("occ_end", ignorenulls=True).over(prior), F.lit(0)
-            ).cast("long").alias("occ_start"),
+            F.coalesce(F.sum("n_in_block").over(prior), F.lit(0))
+            .cast("long").alias("occ_start"),
             F.coalesce("parr", F.array().cast("array<long>")).alias("parr"),
         ),
         par,

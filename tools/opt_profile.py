@@ -27,7 +27,8 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--tag", default=None, help="write plans/r10/<name>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write <plandir>/<name>_<tag>.txt")
+    ap.add_argument("--plandir", default="plans/r10")
     ap.add_argument("--noop", action="store_true", help="also time a noop-sink rep")
     args = ap.parse_args()
 
@@ -61,11 +62,11 @@ def main() -> None:
             spec.builder(spark, args.sf).write.format("noop").mode("overwrite").save()
             noop_t = round(time.perf_counter() - t0, 3)
         if args.tag:
-            os.makedirs("plans/r10", exist_ok=True)
+            os.makedirs(args.plandir, exist_ok=True)
             plan = spec.builder(spark, args.sf)._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
-            with open(f"plans/r10/{name}_{args.tag}.txt", "w") as f:
+            with open(f"{args.plandir}/{name}_{args.tag}.txt", "w") as f:
                 f.write(plan)
         warm.sort()
         out[name] = {
