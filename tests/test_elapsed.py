@@ -11,6 +11,9 @@ import pytest
 from eventstreams_spark.streaming.elapsed import elapsed_stream
 from eventstreams_spark.streaming.replay import replay_table, run_to_memory
 
+# ~2 min multi-micro-batch golden — the slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def ts(minute: int, second: int = 0) -> datetime:
     return datetime(2024, 1, 1, 10, minute, second)

@@ -14,6 +14,9 @@ registry._ensure_loaded()
 SPECS = [s for s in registry.REGISTRY.values() if s.oracle is not None]
 
 
+@pytest.mark.slow  # ~14 min all-registry oracle replay; the driver
+# hash-checks declared queries against DuckDB itself, so the default
+# tier keeps only the fast structural checks below (see pytest.ini)
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_oracle_parity(spec, spark, sf_dir):
     warns = assert_parity(spec, spark, sf_dir)

@@ -14,6 +14,9 @@ from eventstreams_spark.streaming import session_agg, stream_dedup, tumbling_agg
 from tests.util import split_half
 from eventstreams_spark.streaming.replay import replay_table, run_to_memory
 
+# ~22 min of micro-batch/restart goldens — the slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def events_slice(spark, sf_dir):
