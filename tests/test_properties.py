@@ -20,16 +20,23 @@ from pyspark.sql import functions as F
 
 SETTINGS = dict(deadline=None, max_examples=5, print_blob=False)
 
-# Combining marks excluded (Mn/Mc/Me): Spark string functions operate
-# on codepoints while DuckDB's reverse() is grapheme-cluster-aware, so
-# reverse('0࣓') legitimately differs — recorded in
-# tests/oracle_conventions.md; parity is only claimed codepoint-wise.
+# Grapheme-cluster-forming characters excluded: Spark string functions
+# operate on codepoints while DuckDB's reverse() is grapheme-cluster-
+# aware, so reverse of any multi-codepoint cluster legitimately differs
+# — recorded in tests/oracle_conventions.md; parity is only claimed
+# codepoint-wise. Clusters form via combining marks (Mn/Mc/Me), format
+# controls/joiners like ZWJ (Cf), GCB=Prepend letters (U+0D4E is the
+# one non-Cf Prepend char in this range — it caused a real flake), and
+# Hangul conjoining jamo (U+1100–U+11FF, whose L·V·T runs are single
+# clusters).
 texts = st.lists(
     st.text(
         alphabet=st.characters(
             min_codepoint=32,
             max_codepoint=0x2FA0,
-            blacklist_categories=("Mn", "Mc", "Me", "Cs"),
+            blacklist_categories=("Mn", "Mc", "Me", "Cs", "Cf"),
+            blacklist_characters="ൎ"
+            + "".join(chr(c) for c in range(0x1100, 0x1200)),
         ),
         max_size=40,
     ),
