@@ -439,3 +439,26 @@ def test_decode_bmp_blocks_padding_flip_and_bgr(spark):
     bdf = spark.createDataFrame([("c", bad)], "path string, content binary")
     with pytest.raises(Exception, match="24-bit"):
         decode_bmp_blocks(bdf).collect()
+
+
+def test_spread_for_python_guard(spark):
+    """_spread_for_python (the mint-chain guard, r11): a frame whose
+    scan parallelism is below the session's cores is round-robin
+    repartitioned to defaultParallelism so the Python mint/decode
+    stage doesn't serialize onto one worker; an already-parallel
+    frame passes through untouched (the cluster-scan case must pay
+    nothing)."""
+    from eventstreams_spark.queries.longtail import _spread_for_python
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i,) for i in range(64)], "doc_id long"
+    ).coalesce(1)
+    spread = _spread_for_python(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    assert "RoundRobinPartitioning" in spread._jdf.queryExecution().toString()
+    # row set is partitioning-independent
+    assert sorted(r.doc_id for r in spread.collect()) == list(range(64))
+
+    wide = spark.range(0, 64).repartition(par)
+    assert _spread_for_python(wide) is wide
